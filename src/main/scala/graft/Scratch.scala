@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch driver — exercises the public graft API end-to-end on the
+  * harness testdata. Kept as a runMain target for manual smoke runs.
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = GraftSession.local(8)
+    import spark.implicits._
+    try {
+      val docs = Tables.documents(spark, sf)
+      val emb = Tables.embeddings(spark, sf)
+      val ev = Tables.events(spark, sf)
+
+      println("== text functions ==")
+      docs.select(
+        $"doc_id",
+        graft.functions.TextFunctions.wordCount($"text").as("words"),
+        graft.functions.TextFunctions.langId($"text").as("lang_guess"),
+        round(graft.functions.TextFunctions.qualityScore($"text"), 3).as("q"),
+        graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+        .show(5, 60)
+
+      println("== vector functions (self-cosine should be 1.0) ==")
+      emb.select($"vec_id",
+        round(graft.functions.VectorFunctions.cosine($"embedding", $"embedding"), 6).as("self_cos"),
+        round(graft.functions.VectorFunctions.l2Norm($"embedding"), 4).as("norm"))
+        .show(5)
+
+      println("== simhash + hamming ==")
+      docs.select($"doc_id",
+        graft.dedup.SimHash.simhash(graft.functions.TextFunctions.wsTokens(lower($"text"))).as("fp"))
+        .show(5)
+
+      println("== minhash lsh candidate pairs ==")
+      val pairs = graft.dedup.MinHashLSH.candidatePairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 8)
+      println(s"lsh pairs: ${pairs.count()}")
+      pairs.show(5)
+
+      println("== ngram jaccard pairs ==")
+      val jp = graft.dedup.NGramJaccard.pairs(docs, "doc_id", "text", minJaccard = 0.3)
+      println(s"jaccard pairs: ${jp.count()}")
+      jp.show(5)
+
+      println("== ann brute force topk ==")
+      val queries = emb.limit(3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      graft.ann.Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", 3).show(12)
+
+      println("== as-of join (events vs events) ==")
+      val lastByUser = ev.groupBy($"user_id").agg(max($"ts").as("rts"), count(lit(1)).as("n"))
+        .select($"user_id", $"rts", $"n")
+      val probe = ev.select($"user_id", $"ts", $"event_id").limit(1000)
+      val aoj = graft.operators.AsOfJoin.asofBackward(
+        probe, lastByUser.withColumnRenamed("rts", "ts2").withColumnRenamed("ts", "ts2"),
+        Seq("user_id"), "ts", "ts2", Seq("n"))
+      println(s"asof rows: ${aoj.count()}")
+      aoj.show(5)
+      println("SCRATCH OK")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate / exact nearest-neighbor search over an embedding
+  * column (`array<float>`).
+  *
+  * Two strategies:
+  *  - `bruteForceTopK`: broadcast the (small) query set against the
+  *    corpus — exact, one pass over the data, no corpus shuffle. The
+  *    correct baseline whenever |queries| is broadcast-sized; at 100 TB
+  *    the corpus side stays partition-local.
+  *  - `lshTopK`: random-hyperplane (signed random projection) LSH —
+  *    each vector gets a `nBits` signature; query and corpus join on
+  *    the bucket (plus multi-probe: all buckets within hamming
+  *    distance 1), then exact cosine re-ranks within buckets. Trades
+  *    recall for a corpus-side shuffle keyed by 32-bit buckets.
+  *
+  * Hyperplanes are generated from a fixed seed => deterministic,
+  * and shipped as literal arrays (they are nBits x dim doubles — tiny).
+  */
+object Ann {
+
+  /** Exact top-k by cosine: queries must be small (broadcast side). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
+    joined
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: nBits x dim in [-1, 1]. */
+  private[ann] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Signed-random-projection signature (int bucket of nBits bits). */
+  def srpSignature(vec: org.apache.spark.sql.Column, nBits: Int, dim: Int, seed: Long = 42L)
+      : org.apache.spark.sql.Column = {
+    val planes = hyperplanes(nBits, dim, seed)
+    (0 until nBits).map { b =>
+      val plane = array(planes(b).map(lit(_)): _*)
+      when(dot(vec, plane) >= 0.0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: join on SRP bucket with multi-probe (hamming
+    * radius 1), exact cosine re-rank inside buckets. Recall < 1;
+    * increase nBits for precision / probes for recall. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nBits: Int = 12,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+
+    val corpusSig = corpus.withColumn("bucket", srpSignature(col(vecCol), nBits, dim, seed))
+
+    // Multi-probe: each query probes its own bucket and every bucket
+    // at hamming distance 1 (nBits+1 probes).
+    val probes = queries
+      .withColumn("sig", srpSignature(col(queryVecCol), nBits, dim, seed))
+      .withColumn("bucket", explode(array(
+        (Seq(col("sig")) ++ (0 until nBits).map(b => col("sig").bitwiseXOR(lit(1 << b)))): _*)))
+
+    val joined = corpusSig.join(probes, Seq("bucket"))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
+    joined
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rnk"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** MinHash + banded LSH near-duplicate detection over a text corpus.
+  *
+  * Pipeline (all set-based, two shuffles total):
+  *   1. per document: distinct word n-gram shingles (no shuffle),
+  *   2. per document: k-minhash signature — base = xxhash64(shingle),
+  *      h_i(x) = (a_i * base + b_i) mod p, sig_i = min over shingles.
+  *      Computed entirely inside one `transform`/`array_min` expression
+  *      tree: O(k * |shingles|) work per row, zero shuffle,
+  *   3. band the signature (b bands of r rows, k = b*r), explode to
+  *      (band_id, band_hash, doc_id) and self-join on the band bucket
+  *      — the ONLY data-sized shuffle, and it moves (doc_id, 16-byte
+  *      bucket) pairs, not documents,
+  *   4. candidate pairs (doc_a < doc_b) deduped across bands,
+  *   5. optional exact-Jaccard verification on the candidates only.
+  *
+  * At 100 TB this is the textbook scale path: the quadratic all-pairs
+  * comparison is replaced by per-bucket micro-joins; bucket skew (a
+  * degenerate band value shared by a huge doc group) is bounded by
+  * `maxBucketSize`, which drops pathological buckets the way a df-cut
+  * drops stop-shingles.
+  *
+  * Hash-family constants derive from a fixed seed so results are
+  * deterministic across runs and partitionings.
+  */
+object MinHashLSH {
+
+  /** k-element minhash signature column over a PRE-HASHED shingle
+    * column (array<long>, e.g. `transform(shingles, xxhash64)`).
+    * The hash family is h_i(x) = xxhash64(i, seed, x) — re-mixing the
+    * base hash with the function index. xxhash64 is codegen'd and
+    * avalanche-uniform, and (unlike the classic (a*x+b) mod p family)
+    * cannot overflow under Spark 4's default ANSI arithmetic. One
+    * expression per hash function — O(k*|shingles|) eval, zero
+    * shuffle. */
+  def signatureOfHashes(hashed: Column, k: Int, seed: Long = 42L): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hashed, h => xxhash64(lit(i), lit(seed), h)))
+    }: _*)
+
+  /** Candidate near-duplicate pairs (doc_a < doc_b) via banded LSH.
+    *
+    * @param docs    input with an id column and a text column
+    * @param numHashes k, signature length (= bands * rowsPerBand)
+    * @param bands   number of LSH bands
+    * @param shingleN word n-gram size
+    * @param maxBucketSize drop buckets larger than this (skew guard)
+    */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+
+    val sigs = docs
+      .select(
+        col(idCol).as("doc"),
+        transform(TextFunctions.wordShingles(col(textCol), shingleN), s => xxhash64(s)).as("hsh"))
+      .select(col("doc"), signatureOfHashes(col("hsh"), numHashes, seed).as("sig"))
+
+    val banded = sigs.select(
+      col("doc"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => struct(
+          bnd.as("band"),
+          hash(bnd, slice(col("sig"), bnd * r + 1, lit(r))).as("bucket")))).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+
+    // Skew guard: drop degenerate buckets before the self-join.
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
+    val a = sized.as("a")
+    val b = sized.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for a pair frame (doc_a, doc_b) —
+    * verification step after LSH candidate generation. */
+  def verifyJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("__id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sh", "sh_b"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+
+/** SimHash (Charikar) 64-bit fingerprints for near-duplicate text.
+  *
+  * Implemented as a custom Catalyst `Expression` rather than a UDF or
+  * an explode/groupBy dataflow: the per-document loop (hash each
+  * token, accumulate 64 signed bit counts, emit the sign vector) is
+  * imperative and tiny, so a single-pass expression evaluates it
+  * with zero shuffle and no serialization boundary — the idiomatic
+  * Spark escape hatch when built-ins would need 64 aggregates.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash {
+
+  /** simhash64 over a token-array column. */
+  def simhash(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  }
+
+  /** Hamming distance between two int64 fingerprints (bit_count is
+    * codegen'd). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by SimHash: fingerprint, then block by
+    * 16-bit chunks (a doc pair within hamming distance <= 3 must agree
+    * on at least one of 4 chunks — pigeonhole), join per block, verify
+    * hamming distance. Same shuffle profile as banded MinHash LSH.
+    */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = 4 // pigeonhole blocks for maxHamming <= 3
+    val fp = docs.select(
+      col(idCol).as("doc"),
+      simhash(TextFunctions.wsTokens(lower(col(textCol)))).as("fp"))
+
+    val blocked = fp.select(
+      col("doc"), col("fp"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("blk"),
+          col("fp").bitwiseAND(lit(0xFFFFL << (16 * c))).as("key"))
+      }: _*)).as("b"))
+      .select(col("doc"), col("fp"), col("b.blk"), col("b.key"))
+
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b,
+        col("a.blk") === col("b.blk") &&
+        col("a.key") === col("b.key") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hammingDist(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's `private[sql]` Column <-> Expression
+  * converters, so custom Catalyst `Expression`s (graft.dedup.SimHash64
+  * and friends) can be exposed as user-facing `Column`s. Lives in the
+  * `org.apache.spark.sql` namespace solely to satisfy the access
+  * qualifier; contains no Spark-internal logic.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
