@@ -1,0 +1,113 @@
+package graft.nvd
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The wide flatten projection: one exploded CVE item -> the 15-column
+  * relational row of the reference's `nvd` table plus the raw-document
+  * sidecar column (reference `get_data`, nvd2mysqlloader.py:193-269,
+  * DDL :282-300).
+  *
+  * Everything is built-in Catalyst: nested paths, higher-order
+  * functions, `coalesce` defaulting. No UDFs, so the whole projection
+  * stays inside one whole-stage-codegen span over the vectorized JSON
+  * scan.
+  *
+  * @param strictReferenceSemantics when true (default) reproduces the
+  *   verified reference behavior of collecting vulnerable CPE URIs from
+  *   TOP-LEVEL `cpe_match` entries only — child nodes are dropped
+  *   (nvd2mysqlloader.py:186-188 swallows the KeyError). When false,
+  *   `children[*]` and `children[*].children[*]` cpe_match entries are
+  *   included too (the corrected semantics).
+  */
+object CveFlatten {
+
+  /** Vulnerable cpe23Uris as an array column (query-friendly form). */
+  def vulnerableCpeArray(configurations: Column, strictReferenceSemantics: Boolean = true): Column = {
+    def vulnUris(matches: Column): Column =
+      transform(
+        filter(coalesce(matches, array()), m => coalesce(m.getField("vulnerable"), lit(false))),
+        m => m.getField("cpe23Uri"))
+    val top = flatten(transform(
+      coalesce(configurations.getField("nodes"), array()),
+      n => vulnUris(n.getField("cpe_match"))))
+    if (strictReferenceSemantics) top
+    else {
+      val kids = flatten(transform(
+        coalesce(configurations.getField("nodes"), array()),
+        n => flatten(transform(
+          coalesce(n.getField("children"), array()),
+          c => concat(
+            vulnUris(c.getField("cpe_match")),
+            flatten(transform(
+              coalesce(c.getField("children"), array()),
+              g => vulnUris(g.getField("cpe_match")))))))))
+      concat(top, kids)
+    }
+  }
+
+  /** items: a DataFrame with one column `item` of NvdSchema.cveItem
+    * (i.e. after `explode(CVE_Items)`), plus any passthrough columns
+    * (e.g. feed_rank). Returns the flattened 15-column frame with
+    * passthroughs retained.
+    */
+  def flattenItems(items: DataFrame, strictReferenceSemantics: Boolean = true): DataFrame = {
+    val it = col("item")
+    val passthrough = items.columns.filter(_ != "item").map(col).toSeq
+    items.select(passthrough ++ Seq(
+      it.getField("cve").getField("CVE_data_meta").getField("ID").as("cve_id"),
+      // descriptions concatenated with NO separator (reference :220-221)
+      coalesce(
+        array_join(transform(
+          coalesce(it.getField("cve").getField("description").getField("description_data"), array()),
+          d => coalesce(d.getField("value"), lit(""))), ""),
+        lit("")).as("summary"),
+      // configurations subtree re-serialized to JSON (reference :223).
+      // to_json key order/whitespace differs from Python json.dumps —
+      // compare parsed, not byte-wise (SURVEY F3).
+      coalesce(to_json(it.getField("configurations")), lit("")).as("config"),
+      coalesce(it.getField("impact").getField("baseMetricV2").getField("cvssV2").getField("baseScore"),
+        lit(0.0)).as("score"),
+      cvss(it, "accessVector").as("access_vector"),
+      cvss(it, "accessComplexity").as("access_complexity"),
+      cvss(it, "authentication").as("authorize"),
+      cvss(it, "availabilityImpact").as("availability_impact"),
+      cvss(it, "confidentialityImpact").as("confidentiality_impact"),
+      cvss(it, "integrityImpact").as("integrity_impact"),
+      coalesce(it.getField("lastModifiedDate"), lit("")).as("last_modified_datetime"),
+      coalesce(it.getField("publishedDate"), lit("")).as("published_datetime"),
+      // reference comma-joins reference URLs (:238-244)
+      coalesce(array_join(transform(
+        coalesce(it.getField("cve").getField("references").getField("reference_data"), array()),
+        r => coalesce(r.getField("url"), lit(""))), ","), lit("")).as("urls"),
+      // comma-joined vulnerable CPE list (the FULLTEXT-searched column)
+      array_join(vulnerableCpeArray(it.getField("configurations"), strictReferenceSemantics), ",")
+        .as("vulnerable_software_list"),
+      // typed array twin of the above — the form queries should use
+      vulnerableCpeArray(it.getField("configurations"), strictReferenceSemantics)
+        .as("vulnerable_cpes"),
+      // raw document sidecar (reference nvd_json table, :305-313)
+      to_json(it).as("cve_item")): _*)
+  }
+
+  private def cvss(item: Column, field: String): Column =
+    coalesce(item.getField("impact").getField("baseMetricV2").getField("cvssV2").getField(field),
+      lit(""))
+
+  /** Read one-or-more NVD 1.1 feed files (one JSON document per file)
+    * and explode to items. `multiLine=true` because a feed is a single
+    * multi-line document; parallelism comes from many feed files,
+    * mirroring the reference's per-year file loop.
+    */
+  def readFeed(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(NvdSchema.feed)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .json(paths: _*)
+      .select(explode(col("CVE_Items")).as("item"))
+
+  /** Full flatten pipeline for a set of feed files. */
+  def flattenFeed(spark: SparkSession, paths: Seq[String],
+      strictReferenceSemantics: Boolean = true): DataFrame =
+    flattenItems(readFeed(spark, paths), strictReferenceSemantics)
+}

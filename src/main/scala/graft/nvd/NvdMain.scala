@@ -1,0 +1,46 @@
+package graft.nvd
+
+import java.nio.file.{Files, Paths}
+
+/** CLI entry for the NVD ingest engine — the Spark counterpart of the
+  * reference's `main()` (nvd2mysqlloader.py:554-573).
+  *
+  * Usage: NvdMain <feedDir|url-template> <storeDir> <historyDir> [-a] [--year-range a b]
+  *   feedDir: local dir with <modifier>.json(.zip) + <modifier>.meta
+  *            (LocalFetcher), or an http(s) template containing the
+  *            literal token "year" (HttpFetcher).
+  * Prints the before/after tally report like the reference (:568-573).
+  */
+object NvdMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3 || args.contains("-h")) {
+      System.err.println("usage: NvdMain <feedDirOrUrlTemplate> <storeDir> <historyDir> [-a] [--years a b]")
+      if (args.contains("-h")) return else sys.exit(2)
+    }
+    val Array(src, store, hist) = args.take(3)
+    val full = args.contains("-a")
+    val years = args.indexOf("--years") match {
+      case -1 => None
+      case i => Some((args(i + 1).toInt, args(i + 2).toInt))
+    }
+
+    val spark = graft.GraftSession.local()
+    try {
+      val feeds = (full, years) match {
+        case (_, Some((a, b))) =>
+          (a to b).map(_.toString).zipWithIndex.map { case (m, i) => FeedCatalog.Feed(m, i) }
+        case (true, None) => FeedCatalog.fullLoad(java.time.Year.now.getValue)
+        case (false, None) => FeedCatalog.incremental
+      }
+      val fetcher: Pipeline.Fetcher =
+        if (src.startsWith("http")) new Pipeline.HttpFetcher(src)
+        else new Pipeline.LocalFetcher(Paths.get(src))
+      val staging = Files.createTempDirectory("nvd_staging")
+      val report = Pipeline.run(spark, feeds, fetcher, store, hist, staging)
+      println(s"feeds considered: ${report.feedsConsidered}, loaded: ${report.feedsLoaded}")
+      println(s"CVE count before: ${report.cvesBefore}")
+      println(s"CVE count after:  ${report.cvesAfter}")
+      println(s"added CVEs:       ${report.added}")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.nvd
+
+import org.apache.spark.sql.types._
+
+/** Explicit `StructType` for the NVD CVE JSON 1.1 feed — the fields the
+  * reference engine consumes (see /root/reference/nvd2mysqlloader.py:216-268
+  * access paths, reconstructed in FIXTURES.md §1). All fields nullable:
+  * the feed omits optional subtrees freely and the reference defaults
+  * every miss (`try/except -> ''/0.0`), which in Spark falls out of
+  * nullable nested access + `coalesce`.
+  *
+  * The `configurations.nodes[*].children` subtree is recursive in the
+  * wild; Spark's `StructType` cannot express unbounded recursion, so we
+  * bound it to depth 3 (top nodes -> children -> grandchildren). NVD 1.1
+  * data nests at most 2 deep in practice, and the reference *drops* all
+  * child CPEs anyway (nvd2mysqlloader.py:186-188, verified); the bound
+  * only limits the corrected-mode extension, never parity.
+  *
+  * Using an explicit schema (never inference) keeps the scan
+  * deterministic vs sparse optional fields and lets Catalyst prune
+  * unread struct fields from the JSON parse.
+  */
+object NvdSchema {
+
+  val cpeMatch: StructType = StructType(Seq(
+    StructField("vulnerable", BooleanType),
+    StructField("cpe23Uri", StringType)))
+
+  private def node(childType: Option[StructType]): StructType = {
+    val base = Seq(
+      StructField("operator", StringType),
+      StructField("cpe_match", ArrayType(cpeMatch)))
+    StructType(childType match {
+      case Some(c) => base :+ StructField("children", ArrayType(c))
+      case None => base
+    })
+  }
+
+  /** nodes bounded to 3 levels: node -> children -> grandchildren. */
+  val configNode: StructType = node(Some(node(Some(node(None)))))
+
+  val configurations: StructType = StructType(Seq(
+    StructField("CVE_data_version", StringType),
+    StructField("nodes", ArrayType(configNode))))
+
+  val cvssV2: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("vectorString", StringType),
+    StructField("accessVector", StringType),
+    StructField("accessComplexity", StringType),
+    StructField("authentication", StringType),
+    StructField("confidentialityImpact", StringType),
+    StructField("integrityImpact", StringType),
+    StructField("availabilityImpact", StringType),
+    StructField("baseScore", DoubleType)))
+
+  val cveDataMeta: StructType = StructType(Seq(
+    StructField("ID", StringType),
+    StructField("ASSIGNER", StringType)))
+
+  val descriptionData: StructType = StructType(Seq(
+    StructField("lang", StringType),
+    StructField("value", StringType)))
+
+  val referenceData: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("name", StringType),
+    StructField("refsource", StringType)))
+
+  val cveStruct: StructType = StructType(Seq(
+    StructField("CVE_data_meta", cveDataMeta),
+    StructField("description", StructType(Seq(
+      StructField("description_data", ArrayType(descriptionData))))),
+    StructField("references", StructType(Seq(
+      StructField("reference_data", ArrayType(referenceData)))))))
+
+  val impact: StructType = StructType(Seq(
+    StructField("baseMetricV2", StructType(Seq(
+      StructField("cvssV2", cvssV2),
+      StructField("severity", StringType),
+      StructField("exploitabilityScore", DoubleType),
+      StructField("impactScore", DoubleType))))))
+
+  val cveItem: StructType = StructType(Seq(
+    StructField("cve", cveStruct),
+    StructField("configurations", configurations),
+    StructField("impact", impact),
+    StructField("publishedDate", StringType),
+    StructField("lastModifiedDate", StringType)))
+
+  /** Whole-feed document: one JSON object per file. */
+  val feed: StructType = StructType(Seq(
+    StructField("CVE_data_type", StringType),
+    StructField("CVE_data_format", StringType),
+    StructField("CVE_data_version", StringType),
+    StructField("CVE_data_numberOfCVEs", StringType),
+    StructField("CVE_data_timestamp", StringType),
+    StructField("CVE_Items", ArrayType(cveItem))))
+}

@@ -1,0 +1,140 @@
+package graft.nvd
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** End-to-end orchestration of the ingest dataflow (reference `main()`
+  * paths, SURVEY §3.1/§3.2):
+  *
+  *   enumerate feeds -> fetch .meta -> freshness gate -> fetch + unzip
+  *   -> spark.read.json(all stale feeds at once) -> explode -> flatten
+  *   -> union with feed_rank -> last-write-wins dedup -> store upsert
+  *   + history append -> tally report.
+  *
+  * The network side is abstracted behind `Fetcher` so tests inject
+  * local files; the default implementation uses java.net — the
+  * control-plane (a handful of ~2 MB zips) stays on the driver, and
+  * the data-plane starts at the parallel JSON scan (one task per feed
+  * file, matching the reference's per-year granularity but running
+  * all feeds concurrently instead of sequentially).
+  */
+object Pipeline {
+
+  trait Fetcher {
+    /** Fetch the .meta sidecar content for a feed modifier. */
+    def meta(modifier: String): String
+    /** Fetch + decompress the feed, returning a local JSON path. */
+    def feedJson(modifier: String, stagingDir: Path): Path
+  }
+
+  /** HTTP fetcher for the real NVD endpoints (template contains the
+    * literal token "year", reference :151,163). */
+  final class HttpFetcher(urlTemplate: String) extends Fetcher {
+    def meta(modifier: String): String = {
+      val url = FeedCatalog.expand(urlTemplate, modifier) + ".meta"
+      val src = scala.io.Source.fromURL(url, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    def feedJson(modifier: String, stagingDir: Path): Path = {
+      val url = FeedCatalog.expand(urlTemplate, modifier) + ".zip"
+      val zipPath = stagingDir.resolve(s"nvdcve-1.1-$modifier.json.zip")
+      val in = new java.net.URL(url).openStream()
+      try Files.copy(in, zipPath, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+      val json = unzipSingle(zipPath, stagingDir)
+      Files.delete(zipPath)
+      json
+    }
+  }
+
+  /** Local-directory fetcher for tests: expects `<dir>/<modifier>.meta`
+    * and `<dir>/<modifier>.json` (or `.json.zip`). */
+  final class LocalFetcher(dir: Path) extends Fetcher {
+    def meta(modifier: String): String =
+      Files.readString(dir.resolve(s"$modifier.meta"))
+    def feedJson(modifier: String, stagingDir: Path): Path = {
+      val zip = dir.resolve(s"$modifier.json.zip")
+      if (Files.exists(zip)) unzipSingle(zip, stagingDir)
+      else dir.resolve(s"$modifier.json")
+    }
+  }
+
+  /** Extract the single entry of a feed zip (reference `unzip`, :113-123). */
+  def unzipSingle(zipPath: Path, destDir: Path): Path = {
+    val zf = new java.util.zip.ZipFile(zipPath.toFile)
+    try {
+      val e = zf.entries().nextElement()
+      val out = destDir.resolve(Paths.get(e.getName).getFileName.toString)
+      val in = zf.getInputStream(e)
+      try Files.copy(in, out, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+      out
+    } finally zf.close()
+  }
+
+  final case class LoadReport(
+      feedsConsidered: Int,
+      feedsLoaded: Int,
+      cvesBefore: Long,
+      cvesAfter: Long) {
+    def added: Long = cvesAfter - cvesBefore
+  }
+
+  /** Run one load cycle.
+    *
+    * @param feeds      feed list with explicit ranks (FeedCatalog.fullLoad / incremental)
+    * @param fetcher    network or local fetcher
+    * @param storePath  parquet store root
+    * @param historyPath parquet dir for update_history (append-only)
+    */
+  def run(
+      spark: SparkSession,
+      feeds: Seq[FeedCatalog.Feed],
+      fetcher: Fetcher,
+      storePath: String,
+      historyPath: String,
+      stagingDir: Path,
+      strictReferenceSemantics: Boolean = true): LoadReport = {
+
+    val before =
+      if (new java.io.File(storePath).exists())
+        NvdStore.cveTally(NvdStore.read(spark, storePath))
+      else 0L
+
+    // Control plane: metas + freshness gate (J2), set-based.
+    val metas = feeds.map(f => FeedCatalog.toFeedMeta(f.modifier, fetcher.meta(f.modifier)))
+    val metaDf = FeedCatalog.historyRows(spark, metas, now())
+      .withColumnRenamed("downloadedDate", "metaFetchedDate")
+    val history =
+      if (new java.io.File(historyPath).exists()) spark.read.parquet(historyPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        FeedCatalog.historyRows(spark, Nil, "").schema)
+    val staleNames = FeedCatalog.staleFeeds(metaDf, history)
+      .select("download_name").collect().map(_.getString(0)).toSet
+    val stale = feeds.filter(f => staleNames.contains(f.modifier))
+
+    if (stale.nonEmpty) {
+      // Data plane: fetch+unzip stale feeds (driver), then one tagged
+      // read per feed unioned into a single plan — the union's scans
+      // execute as parallel tasks (one+ per file), so ~27 feeds load
+      // concurrently where the reference looped sequentially.
+      val flat = stale.map { f =>
+        val p = fetcher.feedJson(f.modifier, stagingDir).toUri.toString
+        CveFlatten.readFeed(spark, Seq(p)).withColumn("feed_rank", lit(f.rank))
+      }.map(CveFlatten.flattenItems(_, strictReferenceSemantics))
+        .reduce(_ unionByName _)
+      val deduped = NvdDedup.lastWriteWins(NvdDedup.dropExactDupes(flat))
+
+      NvdStore.upsert(spark, deduped.drop("feed_rank"), storePath)
+
+      val loadedMetas = metas.filter(m => staleNames.contains(m.downloadName))
+      FeedCatalog.historyRows(spark, loadedMetas, now())
+        .write.mode("append").parquet(historyPath)
+    }
+
+    val after = NvdStore.cveTally(NvdStore.read(spark, storePath))
+    LoadReport(feeds.size, stale.size, before, after)
+  }
+
+  private def now(): String = java.time.LocalDateTime.now().toString
+}

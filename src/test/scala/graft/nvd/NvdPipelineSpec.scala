@@ -1,0 +1,117 @@
+package graft.nvd
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end NVD ingest: fixture feeds (FIXTURES.md §1 cases a-e)
+  * through flatten, dedup, freshness gate, store upsert, tally.
+  * Edge semantics cited to /root/reference/nvd2mysqlloader.py. */
+class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val fixtures = Paths.get("src/test/resources/nvdfeed")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def flat2002 =
+    CveFlatten.flattenFeed(spark, Seq(fixtures.resolve("2002.json").toUri.toString))
+
+  test("flatten extracts all 15 columns for a fully-populated item") {
+    val r = flat2002.filter(col("cve_id") === "CVE-2002-0001").first()
+    // descriptions concatenated with NO separator (reference :220-221)
+    assert(r.getAs[String]("summary") ===
+      "Buffer overflow in example server allows remote attackers to run code.")
+    assert(r.getAs[Double]("score") === 7.5)
+    assert(r.getAs[String]("access_vector") === "NETWORK")
+    assert(r.getAs[String]("authorize") === "NONE")
+    assert(r.getAs[String]("urls") === "http://example.com/a,http://example.com/b")
+    // vulnerable-only CPEs, comma-joined (reference :184-190)
+    assert(r.getAs[String]("vulnerable_software_list") ===
+      "cpe:2.3:o:bsdi:bsd_os:3.1:*:*:*:*:*:*:*,cpe:2.3:a:acme:widget:1.0:*:*:*:*:*:*:*")
+    assert(r.getAs[String]("published_datetime") === "2002-03-08T05:00:00-05:00")
+    // config JSON round-trips (compare parsed, not bytes — SURVEY F3)
+    assert(r.getAs[String]("config").contains("bsd_os"))
+  }
+
+  test("missing optional subtrees default to ''/0.0 (reference :222-268)") {
+    val r = flat2002.filter(col("cve_id") === "CVE-2002-0002").first()
+    assert(r.getAs[String]("summary") === "")
+    assert(r.getAs[Double]("score") === 0.0)
+    assert(r.getAs[String]("access_vector") === "")
+    assert(r.getAs[String]("urls") === "")
+    assert(r.getAs[String]("vulnerable_software_list") === "")
+    assert(r.getAs[String]("config") === "")
+  }
+
+  test("child-node CPEs are dropped in strict mode, kept in corrected mode (reference :186-188)") {
+    val strict = flat2002.filter(col("cve_id") === "CVE-2002-0003").first()
+    assert(strict.getAs[String]("vulnerable_software_list") === "")
+    val corrected = CveFlatten.flattenFeed(spark,
+        Seq(fixtures.resolve("2002.json").toUri.toString), strictReferenceSemantics = false)
+      .filter(col("cve_id") === "CVE-2002-0003").first()
+    assert(corrected.getAs[String]("vulnerable_software_list") ===
+      "cpe:2.3:a:child:only:1.0:*:*:*:*:*:*:*,cpe:2.3:a:grandchild:deep:2.0:*:*:*:*:*:*:*")
+  }
+
+  test("unicode summary survives (utf8mb4 path, reference :77,467)") {
+    val r = flat2002.filter(col("cve_id") === "CVE-2002-0003").first()
+    assert(r.getAs[String]("summary") === "Vulnérabilité — テスト 漏洞")
+  }
+
+  test("meta parser does not corrupt sha256 (reference lstrip bug, :56-63)") {
+    val meta = FeedCatalog.toFeedMeta("2002",
+      Files.readString(fixtures.resolve("2002.meta")))
+    // the reference's own docstring sample loses its leading '6' — ours must not
+    assert(meta.sha256 ===
+      "64310FE691D08F3BCACAA566249195447543A0AA5F3E61CB5FB6F29DC2C9A06F")
+    assert(meta.lastModifiedDate === "2019-10-12T20:07:56-04:00")
+    assert(meta.size === 32169411L)
+  }
+
+  test("last-write-wins dedup: later feed rank replaces earlier (reference REPLACE, :449-464)") {
+    val f1 = flat2002.withColumn("feed_rank", lit(0))
+    val f2 = CveFlatten.flattenFeed(spark, Seq(fixtures.resolve("modified.json").toUri.toString))
+      .withColumn("feed_rank", lit(1))
+    val deduped = NvdDedup.lastWriteWins(f1.unionByName(f2))
+    assert(deduped.count() === 4) // 3 from 2002 + 1 new, overlap collapsed
+    val winner = deduped.filter(col("cve_id") === "CVE-2002-0001").first()
+    assert(winner.getAs[String]("summary") === "UPDATED summary.")
+    assert(winner.getAs[Double]("score") === 10.0)
+  }
+
+  test("pipeline end-to-end: load, incremental no-op, re-load on fresher meta") {
+    val tmp = Files.createTempDirectory("nvdpipe")
+    val store = tmp.resolve("store").toString
+    val hist = tmp.resolve("history").toString
+    val staging = Files.createDirectory(tmp.resolve("staging"))
+    val feeds = Seq(FeedCatalog.Feed("2002", 0), FeedCatalog.Feed("modified", 1))
+    val fetcher = new Pipeline.LocalFetcher(fixtures)
+
+    val r1 = Pipeline.run(spark, feeds, fetcher, store, hist, staging)
+    assert(r1.feedsLoaded === 2)
+    assert(r1.cvesAfter === 4)
+    // winner row came from the higher-ranked modified feed
+    val row = NvdStore.read(spark, store).filter(col("cve_id") === "CVE-2002-0001").first()
+    assert(row.getAs[Double]("score") === 10.0)
+
+    // second run: upstream metas unchanged => freshness gate skips everything
+    val r2 = Pipeline.run(spark, feeds, fetcher, store, hist, staging)
+    assert(r2.feedsLoaded === 0)
+    assert(r2.cvesAfter === 4)
+  }
+
+  test("cveTally = COUNT(DISTINCT cve_id) (reference :494)") {
+    assert(NvdStore.cveTally(flat2002) === 3)
+  }
+}
