@@ -40,7 +40,7 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rnk"))
+        col("cos"), col("rnk"))
   }
 
   /** Deterministic pseudo-random hyperplanes: nBits x dim in [-1, 1]. */
@@ -90,6 +90,6 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rnk"))
+        col("cos"), col("rnk"))
   }
 }

@@ -1,0 +1,429 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational query surface: scans/filters (SURVEY P4/P6),
+  * aggregation (A1/A2 + extensions), joins (J1/J2 + extensions),
+  * windows (W0/W1 + extensions), sorts/top-k (T1-T3), set ops,
+  * scalar functions (F-series extensions).
+  *
+  * Scale notes are per query; the common principles: dims broadcast,
+  * fact-fact joins shuffle on join keys with AQE, aggregations are
+  * partial+final (map-side combine free from Catalyst), filters and
+  * projections sit directly on the parquet scan (pushdown + pruning).
+  */
+object CoreQueries extends QueryDsl {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- aggregation ----------------------------------------------------
+    q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+        |  sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
+        |  sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS sum_disc_price,
+        |  round(avg(cast(l_quantity AS double)), 4) AS avg_qty,
+        |  round(avg(cast(l_extendedprice AS double)), 4) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { c =>
+      import c.t
+      t("lineitem").groupBy($"l_returnflag", $"l_linestatus").agg(
+        sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_base_price"),
+        sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).as("sum_disc_price"),
+        round(avg($"l_quantity".cast("double")), 4).as("avg_qty"),
+        round(avg($"l_extendedprice".cast("double")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+    },
+
+    // A1 parity: the reference's one read query, COUNT(DISTINCT ...)
+    q("q02_count_distinct",
+      """SELECT count(DISTINCT l_orderkey) AS distinct_orders,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(*) AS total_rows
+        |FROM lineitem""".stripMargin) { c =>
+      import c.t
+      t("lineitem").agg(
+        countDistinct($"l_orderkey").as("distinct_orders"),
+        countDistinct($"l_partkey").as("distinct_parts"),
+        count(lit(1)).as("total_rows"))
+    },
+
+    q("q03_orders_by_year",
+      """SELECT cast(date_part('year', o_orderdate) AS int) AS order_year, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  sum(cast(o_totalprice AS decimal(18,2))) AS total_value
+        |FROM orders GROUP BY 1, 2""".stripMargin) { c =>
+      import c.t
+      t("orders").groupBy(year($"o_orderdate").as("order_year"), $"o_orderpriority").agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("total_value"))
+    },
+
+    q("q04_rollup_geo",
+      """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n_customers,
+        |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin) { c =>
+      import c.t
+      t("customer")
+        .join(broadcast(t("nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t("region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name").agg(
+          count(lit(1)).as("n_customers"),
+          sum($"c_acctbal".cast("decimal(18,2)")).as("total_bal"))
+        .select(coalesce($"r_name", lit("ALL")).as("region_name"),
+          coalesce($"n_name", lit("ALL")).as("nation_name"),
+          $"n_customers", $"total_bal")
+    },
+
+    q("q05_cube_lineitem",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows, sum(cast(l_quantity AS decimal(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { c =>
+      import c.t
+      t("lineitem").cube($"l_returnflag", $"l_linestatus").agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_rows", $"sum_qty")
+    },
+
+    q("q06_stats_by_brand",
+      """SELECT p_brand, count(*) AS n_parts,
+        |  round(min(cast(p_retailprice AS double)), 4) AS min_price,
+        |  round(max(cast(p_retailprice AS double)), 4) AS max_price,
+        |  round(avg(cast(p_retailprice AS double)), 4) AS avg_price,
+        |  round(stddev_samp(cast(p_retailprice AS double)), 4) AS sd_price
+        |FROM part GROUP BY p_brand""".stripMargin) { c =>
+      import c.t
+      t("part").groupBy($"p_brand").agg(
+        count(lit(1)).as("n_parts"),
+        round(min($"p_retailprice".cast("double")), 4).as("min_price"),
+        round(max($"p_retailprice".cast("double")), 4).as("max_price"),
+        round(avg($"p_retailprice".cast("double")), 4).as("avg_price"),
+        round(stddev_samp($"p_retailprice".cast("double")), 4).as("sd_price"))
+    },
+
+    // ---- filters (P4 point lookup / P6 date range parity) ---------------
+    q("q07_point_lookup",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  cast(l_quantity AS decimal(18,2)) AS quantity
+        |FROM lineitem WHERE l_orderkey = 1""".stripMargin) { c =>
+      import c.t
+      t("lineitem").filter($"l_orderkey" === 1)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity".cast("decimal(18,2)").as("quantity"))
+    },
+
+    q("q08_date_range",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(cast(o_totalprice AS decimal(18,2))) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2023-01-01' AND o_orderdate < TIMESTAMP '2023-07-01'
+        |GROUP BY o_orderstatus""".stripMargin) { c =>
+      import c.t
+      t("orders")
+        .filter($"o_orderdate" >= lit("2023-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("2023-07-01").cast("timestamp"))
+        .groupBy($"o_orderstatus").agg(
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).as("total"))
+    },
+
+    // ---- joins ----------------------------------------------------------
+    q("q10_join_broadcast_dims",
+      """SELECT r_name, count(*) AS n_customers,
+        |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { c =>
+      import c.t
+      // dims are tiny: broadcast both, zero shuffle until the final agg
+      t("customer")
+        .join(broadcast(t("nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t("region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name").agg(
+          count(lit(1)).as("n_customers"),
+          sum($"c_acctbal".cast("decimal(18,2)")).as("total_bal"))
+    },
+
+    q("q11_join_fact_fact",
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { c =>
+      import c.t
+      // fact-fact: shuffle join on the key both sides are large on;
+      // at cluster scale this is the SMJ/shuffled-hash case AQE tunes
+      t("lineitem").join(t("orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(
+          count(lit(1)).as("n_lines"),
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).as("revenue"))
+    },
+
+    // J1 parity: existence probe as a set-based semi join
+    q("q12_semi_join",
+      """SELECT c_mktsegment, count(*) AS n_with_orders
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment""".stripMargin) { c =>
+      import c.t
+      t("customer").join(t("orders").filter($"o_totalprice" > 300000),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    },
+
+    q("q13_anti_join",
+      """SELECT c_mktsegment, count(*) AS n_without_orders
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment""".stripMargin) { c =>
+      import c.t
+      t("customer").join(t("orders").filter($"o_totalprice" > 300000),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    },
+
+    q("q14_outer_join_histogram",
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders""".stripMargin) { c =>
+      import c.t
+      t("customer").join(t("orders"), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey").agg(count($"o_orderkey").as("n_orders"))
+        .groupBy($"n_orders").agg(count(lit(1)).as("n_customers"))
+    },
+
+    q("q15_range_join",
+      """SELECT p_brand, count(*) AS n_matches
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+        |GROUP BY p_brand""".stripMargin) { c =>
+      import c.t
+      // equi key carries the join; the band predicate is a post-join
+      // filter. part is broadcast-sized at any SF that matters.
+      t("lineitem").join(broadcast(t("part")),
+          $"l_partkey" === $"p_partkey" &&
+          $"l_quantity".between($"p_size" - 5, $"p_size" + 5))
+        .groupBy($"p_brand").agg(count(lit(1)).as("n_matches"))
+    },
+
+    // ---- windows --------------------------------------------------------
+    q("q20_window_rank",
+      """SELECT o_orderpriority, o_orderkey, cast(o_totalprice AS decimal(18,2)) AS price, rnk
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin) { c =>
+      import c.t
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t("orders").withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"o_orderpriority", $"o_orderkey",
+          $"o_totalprice".cast("decimal(18,2)").as("price"), $"rnk")
+    },
+
+    q("q21_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', prev_date, o_orderdate) AS gap_days
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS prev_date
+        |      FROM orders WHERE o_custkey <= 100)
+        |WHERE prev_date IS NOT NULL""".stripMargin) { c =>
+      import c.t
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t("orders").filter($"o_custkey" <= 100)
+        .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+        .filter($"prev_date".isNotNull)
+        .select($"o_custkey", $"o_orderkey",
+          datediff($"o_orderdate", $"prev_date").cast("long").as("gap_days"))
+    },
+
+    q("q22_window_running_sum",
+      """SELECT l_orderkey, l_linenumber,
+        |  sum(cast(l_quantity AS decimal(18,2)))
+        |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_orderkey <= 2000""".stripMargin) { c =>
+      import c.t
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t("lineitem").filter($"l_orderkey" <= 2000)
+        .select($"l_orderkey", $"l_linenumber",
+          sum($"l_quantity".cast("decimal(18,2)")).over(w).as("running_qty"))
+    },
+
+    // W0 parity: latest row per key via max_by (no window sort)
+    q("q23_latest_event_per_user",
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, event_id AS last_event_id, n_events
+        |FROM ranked WHERE rn = 1""".stripMargin) { c =>
+      import c.t
+      // max_by on a (ts, event_id) struct: one partial+final agg, no
+      // window shuffle+sort — the scalable form of "top-1 per key"
+      t("events").groupBy($"user_id").agg(
+        max_by($"event_type", struct($"ts", $"event_id")).as("last_type"),
+        max_by($"event_id", struct($"ts", $"event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+    },
+
+    // ---- sorts / top-k --------------------------------------------------
+    q("q30_global_topk",
+      """SELECT o_orderkey, o_custkey, cast(o_totalprice AS decimal(18,2)) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { c =>
+      import c.t
+      // plans as TakeOrderedAndProject: per-partition top-k + driver
+      // merge, never a global sort
+      t("orders").orderBy($"o_totalprice".desc, $"o_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+        .limit(10)
+    },
+
+    q("q31_multi_col_sort",
+      """SELECT c_custkey, c_name, c_nationkey, cast(c_acctbal AS decimal(18,2)) AS bal
+        |FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey LIMIT 100""".stripMargin) { c =>
+      import c.t
+      t("customer").orderBy($"c_nationkey", $"c_acctbal".desc, $"c_custkey")
+        .select($"c_custkey", $"c_name", $"c_nationkey",
+          $"c_acctbal".cast("decimal(18,2)").as("bal"))
+        .limit(100)
+    },
+
+    // ---- set operations -------------------------------------------------
+    q("q40_union",
+      """SELECT nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  UNION SELECT DISTINCT s_nationkey AS nationkey FROM supplier)""".stripMargin) { c =>
+      import c.t
+      t("customer").select($"c_nationkey".as("nationkey")).distinct()
+        .union(t("supplier").select($"s_nationkey".as("nationkey")).distinct())
+        .distinct()
+    },
+
+    q("q41_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin) { c =>
+      import c.t
+      t("customer").select($"c_nationkey".as("nationkey"))
+        .intersect(t("supplier").select($"s_nationkey".as("nationkey")))
+    },
+
+    q("q42_except",
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin) { c =>
+      import c.t
+      t("customer").select($"c_custkey")
+        .except(t("orders").filter($"o_totalprice" > 300000)
+          .select($"o_custkey".as("c_custkey")))
+    },
+
+    // ---- scalar function suite -----------------------------------------
+    q("q50_string_funcs",
+      """SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS name_len,
+        |  replace(p_brand, '#', '_') AS brand_clean,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  concat(p_brand, ':', p_type) AS brand_type
+        |FROM part WHERE p_partkey <= 500 AND p_name LIKE '%a%'""".stripMargin) { c =>
+      import c.t
+      t("part").filter($"p_partkey" <= 500 && $"p_name".like("%a%"))
+        .select($"p_partkey", upper($"p_name").as("name_upper"),
+          length($"p_name").as("name_len"),
+          regexp_replace($"p_brand", "#", "_").as("brand_clean"),
+          substring($"p_type", 1, 5).as("type_prefix"),
+          concat($"p_brand", lit(":"), $"p_type").as("brand_type"))
+    },
+
+    q("q51_date_funcs",
+      """SELECT o_orderkey,
+        |  cast(date_part('year', o_orderdate) AS int) AS y,
+        |  cast(date_part('month', o_orderdate) AS int) AS m,
+        |  cast(date_part('day', o_orderdate) AS int) AS dom,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |  date_diff('day', TIMESTAMP '2023-01-01', o_orderdate) AS days_since_2023
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin) { c =>
+      import c.t
+      t("orders").filter($"o_orderkey" <= 500)
+        .select($"o_orderkey",
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("dom"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("iso_day"),
+          datediff(to_date($"o_orderdate"), lit("2023-01-01").cast("date"))
+            .cast("long").as("days_since_2023"))
+    },
+
+    q("q52_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(cast(l_extendedprice AS double) - 1000.0), 4) AS abs_diff,
+        |  floor(cast(l_quantity AS double)) AS qty_floor,
+        |  ceil(cast(l_discount AS double) * 100) AS disc_pct_ceil,
+        |  round(sqrt(cast(l_extendedprice AS double)), 4) AS price_sqrt,
+        |  round(ln(cast(l_extendedprice AS double) + 1), 4) AS price_ln,
+        |  round(power(cast(l_tax AS double) + 1, 2), 4) AS tax_sq
+        |FROM lineitem WHERE l_orderkey <= 300""".stripMargin) { c =>
+      import c.t
+      t("lineitem").filter($"l_orderkey" <= 300)
+        .select($"l_orderkey", $"l_linenumber",
+          round(abs($"l_extendedprice".cast("double") - 1000.0), 4).as("abs_diff"),
+          floor($"l_quantity".cast("double")).as("qty_floor"),
+          ceil($"l_discount".cast("double") * 100).as("disc_pct_ceil"),
+          round(sqrt($"l_extendedprice".cast("double")), 4).as("price_sqrt"),
+          round(log($"l_extendedprice".cast("double") + 1), 4).as("price_ln"),
+          round(pow($"l_tax".cast("double") + 1, 2), 4).as("tax_sq"))
+    },
+
+    q("q53_case_when",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice >= 200000 THEN 'high'
+        |       WHEN o_totalprice >= 100000 THEN 'mid'
+        |       ELSE 'low' END AS price_band,
+        |  CASE o_orderstatus WHEN 'F' THEN 'finished'
+        |       WHEN 'O' THEN 'open' ELSE 'other' END AS status_word
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin) { c =>
+      import c.t
+      t("orders").filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey",
+          when($"o_totalprice" >= 200000, "high")
+            .when($"o_totalprice" >= 100000, "mid")
+            .otherwise("low").as("price_band"),
+          when($"o_orderstatus" === "F", "finished")
+            .when($"o_orderstatus" === "O", "open")
+            .otherwise("other").as("status_word"))
+    },
+
+    // FULLTEXT-analog substring search (reference ix_software idiom,
+    // nvd2mysqlloader.py:173-177): predicate on a long text column
+    q("q54_text_search",
+      """SELECT lang, count(*) AS n_docs
+        |FROM documents WHERE text LIKE '%the%' GROUP BY lang""".stripMargin) { c =>
+      import c.t
+      t("documents").filter($"text".like("%the%"))
+        .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    },
+
+    q("q55_json_funcs",
+      """SELECT event_id, cast(json_extract_string(props, '$.k') AS int) AS k
+        |FROM events WHERE event_id <= 500""".stripMargin) { c =>
+      import c.t
+      t("events").filter($"event_id" <= 500)
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+    })
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Event-stream query surface over `events` (ns-precision parquet):
+  * tumbling windows, sessionization, pivot, as-of join — the batch
+  * forms of the streaming operators (their Structured Streaming
+  * twins are exercised in StreamingSpec; the dataflow is identical,
+  * which is the point of Spark's unified batch/stream model).
+  *
+  * Timestamps never appear raw in outputs: the two engines surface
+  * ns-parquet at different precisions, so buckets are emitted as
+  * epoch-second longs.
+  */
+object EventQueries extends QueryDsl {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def all: Seq[Q] = Seq(
+
+    q("q90_tumbling_hourly",
+      """SELECT cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS hour_start,
+        |  event_type, count(*) AS n,
+        |  round(sum(cast(value AS double)), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { c =>
+      import c.t
+      // the batch twin of a streaming tumbling-window aggregate
+      t("events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("double")), 4).as("total_value"))
+        .select(unix_timestamp($"window.start").as("hour_start"),
+          $"event_type", $"n", $"total_value")
+    },
+
+    q("q91_sessionization",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM flagged GROUP BY user_id""".stripMargin) { c =>
+      import c.t
+      // session_window: dynamic-gap windows, the batch twin of
+      // streaming state timeouts (SURVEY §2.9 extension)
+      t("events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("ev"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"ev").as("n_events"))
+    },
+
+    q("q92_pivot_event_types",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events WHERE user_id <= 50 GROUP BY user_id""".stripMargin) { c =>
+      import c.t
+      t("events").filter($"user_id" <= 50)
+        .groupBy($"user_id")
+        .pivot("event_type", eventTypes)
+        .count()
+        .na.fill(0, eventTypes)
+    },
+
+    q("q93_asof_join",
+      """SELECT a.event_id, a.user_id, b.event_id AS click_id,
+        |  round(cast(b.value AS double), 4) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin) { c =>
+      import c.t
+      val ev = t("events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"),
+          $"value".cast("double").as("click_value"))
+      AsOfJoin.asofBackward(purchases, clicks,
+          keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "cts",
+          rightValueCols = Seq("click_id", "click_value"))
+        .select($"event_id", $"user_id", $"click_id",
+          round($"click_value", 4).as("click_value"))
+    },
+
+    q("q94_event_value_deciles",
+      """SELECT event_type, ntile, count(*) AS n,
+        |  round(min(cast(value AS double)), 4) AS lo,
+        |  round(max(cast(value AS double)), 4) AS hi
+        |FROM (SELECT event_type, value,
+        |        ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS ntile
+        |      FROM events)
+        |GROUP BY event_type, ntile""".stripMargin) { c =>
+      import c.t
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"value", $"event_id")
+      t("events")
+        .withColumn("ntile", ntile(10).over(w))
+        .groupBy($"event_type", $"ntile")
+        .agg(count(lit(1)).as("n"),
+          round(min($"value".cast("double")), 4).as("lo"),
+          round(max($"value".cast("double")), 4).as("hi"))
+    })
+}

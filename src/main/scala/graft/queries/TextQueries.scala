@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.dedup.{MinHashLSH, NGramJaccard, SimHash}
+import graft.ann.Ann
+
+/** Training-data-pipeline query surface over `documents` and
+  * `embeddings`: deduplication (exact, n-gram Jaccard, MinHash LSH,
+  * SimHash, embedding near-dup), similarity search, and text analysis
+  * (token counts, quality scoring, language ID, fingerprinting).
+  *
+  * Oracles replicate the exact arithmetic in DuckDB SQL where
+  * expressible; the hash-based candidate generators (MinHash/SimHash)
+  * have no SQL analogue and are declared rows-only — their precision
+  * is instead cross-checked in ScalaTest against the exact-Jaccard
+  * result.
+  */
+object TextQueries extends QueryDsl {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- deduplication --------------------------------------------------
+    q("q60_dedup_exact",
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY md5(text)""".stripMargin) { c =>
+      import c.t
+      // exact dedup at scale = hash-groupBy on a digest, never on the
+      // full text (shuffle moves 16-byte keys, not documents); keeper
+      // row = min doc_id per content group
+      t("documents").groupBy(md5($"text".cast("binary")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_id"))
+    },
+
+    q("q61_dedup_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
+        |    END AS shingles
+        |  FROM toks
+        |), postings AS (
+        |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE i / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { c =>
+      import c.t
+      NGramJaccard.pairs(t("documents"), "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+    },
+
+    // hash-family candidate generators: no SQL oracle (rows-only);
+    // recall vs exact Jaccard asserted in DedupSpec
+    q("q62_dedup_minhash_lsh") { c =>
+      import c.t
+      MinHashLSH.candidatePairs(t("documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleN = 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    q("q63_dedup_simhash") { c =>
+      import c.t
+      SimHash.candidatePairs(t("documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    q("q64_embedding_neardup",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(cast(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS double), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""".stripMargin) { c =>
+      import c.t
+      val a = t("embeddings").select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+      val b = t("embeddings").select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+      a.join(b, $"vec_a" < $"vec_b")
+        .withColumn("cos_raw", VF.cosine($"ea", $"eb"))
+        .filter($"cos_raw" > 0.35)
+        .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
+    },
+
+    // ---- similarity search ---------------------------------------------
+    q("q70_ann_bruteforce",
+      """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    cast(list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS double) AS c
+        |  FROM queries, embeddings e
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin) { c =>
+      import c.t
+      val queries = t("embeddings").filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.bruteForceTopK(t("embeddings"), queries, "vec_id", "embedding", "qid", "qvec", 5)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // LSH-bucketed ANN: approximate by construction — rows-only;
+    // recall vs brute force asserted in AnnSpec
+    q("q71_ann_lsh") { c =>
+      import c.t
+      val queries = t("embeddings").filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.lshTopK(t("embeddings"), queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nBits = 12, dim = 64)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // ---- text analysis --------------------------------------------------
+    q("q80_token_stats",
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS word_count,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin) { c =>
+      import c.t
+      t("documents").select($"doc_id",
+        TF.wordCount($"text").as("word_count"),
+        TF.bpeIshTokenCount($"text").cast("long").as("bpeish_tokens"),
+        length($"text").cast("long").as("n_chars"))
+    },
+
+    q("q81_quality_score",
+      """SELECT doc_id, round(
+        |  least(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END / 100.0, 1.0) * 0.3
+        |  + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) * 0.3
+        |  + greatest(0.0, 1.0 - (length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / length(text)) * 10.0) * 0.2
+        |  + (CASE WHEN (length(regexp_replace(text, '\s+', '', 'g'))
+        |         / (CASE WHEN length(trim(text)) = 0 THEN 0
+        |                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END))
+        |         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |, 6) AS quality
+        |FROM documents""".stripMargin) { c =>
+      import c.t
+      t("documents").select($"doc_id", TF.qualityScore($"text").as("quality"))
+    },
+
+    q("q82_lang_id", TextQueries.langIdOracle) { c =>
+      import c.t
+      t("documents").select($"doc_id", TF.langId($"text").as("lang_guess"))
+    },
+
+    q("q83_fingerprint",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin) { c =>
+      import c.t
+      t("documents").select($"doc_id", TF.fingerprint($"text").as("fp"))
+    },
+
+    q("q84_doc_stats_by_lang",
+      """SELECT lang, source, count(*) AS n_docs,
+        |  round(avg(cast(n_chars AS double)), 4) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source""".stripMargin) { c =>
+      import c.t
+      t("documents").groupBy($"lang", $"source").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"n_chars".cast("double")), 4).as("avg_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+    })
+
+  /** CASE-chain replication of TF.langId's marker arithmetic:
+    * score(lang) = sum over markers of non-overlapping occurrence
+    * counts in the space-padded text; winner = first language in
+    * (en,fr,de,es,zh) order whose score is positive and maximal. */
+  private def langIdOracle: String = {
+    def cnt(m: String): String = {
+      val esc = m.replace("'", "''")
+      s"((length(p) - length(replace(p, '$esc', ''))) / ${m.length})"
+    }
+    val scores = TF.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(cnt).mkString("(", " + ", ")")
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val best = scores.map(s => "s_" + s._1).mkString("greatest(", ", ", ")")
+    val cases = scores.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |scored AS (SELECT doc_id, $scoreCols FROM padded),
+       |withbest AS (SELECT *, $best AS best FROM scored)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess FROM withbest""".stripMargin
+  }
+}
