@@ -33,8 +33,12 @@ object Ann {
       queryIdCol: String,
       queryVecCol: String,
       k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+    // norms once per row (not per pair): 1 vector pass per candidate
+    val corpusN = corpus.withColumn("__cn", l2Norm(col(vecCol)))
+    val queriesN = queries.withColumn("__qn", l2Norm(col(queryVecCol)))
+    val joined = corpusN.crossJoin(broadcast(queriesN))
+      .withColumn("cos", cosineWithNorms(
+        dot(col(vecCol), col(queryVecCol)), col("__cn"), col("__qn")))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
     joined
       .withColumn("rnk", row_number().over(w))
@@ -74,17 +78,21 @@ object Ann {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
 
-    val corpusSig = corpus.withColumn("bucket", srpSignature(col(vecCol), nBits, dim, seed))
+    val corpusSig = corpus
+      .withColumn("bucket", srpSignature(col(vecCol), nBits, dim, seed))
+      .withColumn("__cn", l2Norm(col(vecCol)))
 
     // Multi-probe: each query probes its own bucket and every bucket
     // at hamming distance 1 (nBits+1 probes).
     val probes = queries
+      .withColumn("__qn", l2Norm(col(queryVecCol)))
       .withColumn("sig", srpSignature(col(queryVecCol), nBits, dim, seed))
       .withColumn("bucket", explode(array(
         (Seq(col("sig")) ++ (0 until nBits).map(b => col("sig").bitwiseXOR(lit(1 << b)))): _*)))
 
     val joined = corpusSig.join(probes, Seq("bucket"))
-      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("cos", cosineWithNorms(
+        dot(col(vecCol), col(queryVecCol)), col("__cn"), col("__qn")))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
     joined
       .withColumn("rnk", row_number().over(w))

@@ -32,16 +32,14 @@ object MinHashLSH {
 
   /** k-element minhash signature column over a PRE-HASHED shingle
     * column (array<long>, e.g. `transform(shingles, xxhash64)`).
-    * The hash family is h_i(x) = xxhash64(i, seed, x) — re-mixing the
-    * base hash with the function index. xxhash64 is codegen'd and
-    * avalanche-uniform, and (unlike the classic (a*x+b) mod p family)
-    * cannot overflow under Spark 4's default ANSI arithmetic. One
-    * expression per hash function — O(k*|shingles|) eval, zero
-    * shuffle. */
-  def signatureOfHashes(hashed: Column, k: Int, seed: Long = 42L): Column =
-    array((0 until k).map { i =>
-      array_min(transform(hashed, h => xxhash64(lit(i), lit(seed), h)))
-    }: _*)
+    * The hash family is h_i(x) = xxh64(x, seed_i) — avalanche-uniform
+    * re-mixing per function index, no overflow under ANSI arithmetic.
+    * Computed by the one-pass codegen'd MinHashSignature expression
+    * (k interpreted array_min(transform(...)) HOFs were ~10x slower). */
+  def signatureOfHashes(hashed: Column, k: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashed), k, seed))
+  }
 
   /** Candidate near-duplicate pairs (doc_a < doc_b) via banded LSH.
     *

@@ -2,34 +2,30 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Dense-vector math over `array<float>` / `array<double>` columns,
-  * built from codegen'd higher-order functions (zip_with / aggregate)
-  * — no UDFs, so the expressions stay inside whole-stage codegen and
-  * are usable in any Catalyst context (joins, aggregations, filters).
+/** Dense-vector math over `array<float>` / `array<double>` columns.
   *
-  * All arithmetic is performed in Double regardless of input element
-  * type: float inputs are widened exactly, and accumulation order is
-  * left-to-right (deterministic, matches a sequential C loop).
+  * Backed by the codegen'd kernels in VectorExpressions (a primitive
+  * loop inside whole-stage codegen) — NOT by zip_with/aggregate, whose
+  * per-element interpreted lambdas are ~70x slower on the ANN/near-dup
+  * hot paths. Accumulation is left-to-right in double, identical to
+  * the sequential HOF semantics, so oracle comparisons are unaffected.
   */
 object VectorFunctions {
 
+  private def wrap2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression) =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(a: Column, b: Column): Column =
+    ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Elementwise product then left-to-right sum, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = wrap2(DotProduct.apply)(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0),
-      (acc, x) => acc + x))
+    sqrt(wrap2(SquaredL2Distance.apply)(a, b))
 
   /** Cosine similarity in [-1, 1]; null-safe on zero vectors (returns null). */
   def cosine(a: Column, b: Column): Column = {
@@ -38,4 +34,11 @@ object VectorFunctions {
     when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
       .otherwise(dot(a, b) / (na * nb))
   }
+
+  /** Cosine from a precomputed dot and precomputed norms — use when
+    * norms can be computed once per row instead of once per pair
+    * (turns 3 vector passes per candidate pair into 1). */
+  def cosineWithNorms(dotCol: Column, normA: Column, normB: Column): Column =
+    when(normA === 0.0 || normB === 0.0, lit(null).cast("double"))
+      .otherwise(dotCol / (normA * normB))
 }

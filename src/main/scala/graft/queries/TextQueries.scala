@@ -80,10 +80,12 @@ object TextQueries extends QueryDsl {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""".stripMargin) { c =>
       import c.t
-      val a = t("embeddings").select($"vec_id".as("vec_a"), $"embedding".as("ea"))
-      val b = t("embeddings").select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+      val a = t("embeddings").select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+        VF.l2Norm($"embedding").as("na"))
+      val b = t("embeddings").select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+        VF.l2Norm($"embedding").as("nb"))
       a.join(b, $"vec_a" < $"vec_b")
-        .withColumn("cos_raw", VF.cosine($"ea", $"eb"))
+        .withColumn("cos_raw", VF.cosineWithNorms(VF.dot($"ea", $"eb"), $"na", $"nb"))
         .filter($"cos_raw" > 0.35)
         .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
     },
