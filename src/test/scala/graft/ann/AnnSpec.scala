@@ -1,0 +1,52 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AnnSpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+
+  private def queries = emb.filter(col("vec_id") < 20)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("brute-force top-k: self is always rank 1 with cosine 1.0") {
+    val top = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", 5)
+    val rank1 = top.filter(col("rnk") === 1).collect()
+    assert(rank1.length === 20)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("query_id") === r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9)
+    }
+  }
+
+  test("brute-force top-k returns exactly k rows per query, ranks 1..k") {
+    val top = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", 5)
+    val byQ = top.groupBy("query_id").agg(count(lit(1)).as("n"),
+      min("rnk").as("lo"), max("rnk").as("hi")).collect()
+    byQ.foreach { r =>
+      assert(r.getAs[Long]("n") === 5)
+      assert(r.getAs[Int]("lo") === 1 && r.getAs[Int]("hi") === 5)
+    }
+  }
+
+  test("LSH top-k finds the self-neighbor (bucket identity) and decent recall") {
+    val bf = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", 3,
+        nBits = 12, dim = 64)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-pairs always survive (same bucket by construction)
+    (0L until 20L).foreach(q => assert(lsh.contains((q, q))))
+    // recall against exact top-3: approximate, but must be non-trivial
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.3, s"LSH recall degenerate: $recall")
+  }
+
+  test("SRP signature is deterministic across partitionings") {
+    def sig(parts: Int) = emb.repartition(parts)
+      .select(col("vec_id"), Ann.srpSignature(col("embedding"), 12, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sig(1) === sig(5))
+  }
+}

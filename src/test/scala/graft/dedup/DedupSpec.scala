@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+
+  test("MinHash LSH candidates achieve full recall vs exact Jaccard >= 0.8 pairs") {
+    val exact = NGramJaccard.pairs(docs, "doc_id", "text", shingleN = 3, minJaccard = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashLSH.candidatePairs(docs, "doc_id", "text", numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture corpus should contain near-duplicates")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("MinHash signature is deterministic across partitionings") {
+    def sigs(parts: Int) = docs.repartition(parts)
+      .select(col("doc_id"), MinHashLSH.signatureOfHashes(
+        transform(TextFunctions.wordShingles(col("text"), 3), s => xxhash64(s)), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) === sigs(7))
+  }
+
+  test("NGramJaccard df-cut drops stop-shingle-only pairs, keeps real dupes") {
+    val sp = spark; import sp.implicits._
+    // doc 1/2: real near-dups; doc 3..12: share ONLY the stop shingle
+    val base = "alpha beta gamma delta epsilon zeta"
+    val rows = Seq(
+      (1L, base + " one"), (2L, base + " two")) ++
+      (3L to 12L).map(i => (i, s"common shingle here unique$i word$i tail$i"))
+    val df = rows.toDF("doc_id", "text")
+    val strict = NGramJaccard.pairs(df, "doc_id", "text", 3, 0.3)
+    val cut = NGramJaccard.pairs(df, "doc_id", "text", 3, 0.3, maxDf = 5)
+    val strictPairs = strict.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cutPairs = cut.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strictPairs.contains((1L, 2L)))
+    assert(cutPairs.contains((1L, 2L)), "df-cut must keep genuinely similar pairs")
+    // the 'common shingle here' shingle has df=10 > 5 => contributes no candidates
+    assert(cutPairs.forall { case (a, b) => a <= 2 && b <= 2 })
+  }
+
+  test("SimHash pairs are within the declared hamming radius and symmetric-free") {
+    val pairs = SimHash.candidatePairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("SimHash fingerprint is deterministic and permutation-sensitive only via token multiset") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "fox brown quick the"), // same tokens, different order => same simhash (bag of tokens)
+      (4L, "completely different words entirely")).toDF("id", "text")
+    val fps = df.select(col("id"),
+        SimHash.simhash(TextFunctions.wsTokens(lower(col("text")))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) === fps(3L))
+    assert(fps(1L) !== fps(4L))
+  }
+
+  test("exact dedup keeper selection: min doc_id per content group") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
+    val groups = df.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("keeper"), r.getAs[Long]("n"))).toSet
+    assert(groups === Set((2L, 2L), (9L, 1L)))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of join: latest right row at or before each left time") {
+    val sp = spark; import sp.implicits._
+    val left = Seq(
+      (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+      (2L, 100L, "p3")).toDF("k", "t", "pid")
+    val right = Seq(
+      (1L, 10L, "q@10"), (1L, 15L, "q@15"), (1L, 1L, "q@1"),
+      (3L, 50L, "q-other")).toDF("k", "rt", "quote")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("quote"))
+      .collect().map(r => (r.getAs[String]("pid"), r.getAs[String]("quote"))).toMap
+    assert(out("p0") === "q@1")   // strictly-before match
+    assert(out("p1") === "q@10")  // tie: <= semantics, equal timestamp matches
+    assert(out("p2") === "q@15")  // latest among several
+    assert(out("p3") === null)    // key with no right rows => null
+  }
+
+  test("as-of join preserves left row count exactly") {
+    val ev = graft.Tables.events(spark, sf001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val n = purchases.count()
+    val joined = AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"), "ts", "cts", Seq("click_id"))
+    assert(joined.count() === n)
+  }
+}
