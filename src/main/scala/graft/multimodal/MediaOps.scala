@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample dataflows.
+  *
+  * The container has no codec libraries, so the *decode kernel* is an
+  * injected interface with a clearly-marked stub (`RealDecoder` =>
+  * `???`) and a deterministic fake used by tests and demos. Everything
+  * Spark-side is real and tested: the schema, the mapPartitions batch
+  * shape (one decoder instance per partition, streamed rows, no
+  * collect), partition sizing for ~MB-scale blobs, and the downstream
+  * feature columns.
+  *
+  * At 100 TB the layout rules are: blobs live in their own column
+  * (parquet keeps them off the scan path unless projected), metadata
+  * in a sibling struct so filters (kind/width/duration) push down
+  * without touching bytes, and decode runs partition-local with
+  * `spark.sql.files.maxPartitionBytes` sized so a partition's blobs
+  * fit in executor memory.
+  */
+object MediaOps {
+
+  val metadataType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", metadataType)))
+
+  /** Decoded-feature row produced by the decode stage. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      content_hash: Long,
+      embedding: Array[Float])
+
+  /** The decode kernel boundary. One instance per partition — this is
+    * where a real implementation would hold codec contexts. */
+  trait Decoder extends Serializable {
+    def features(mediaId: Long, kind: String, bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** Placeholder for the real codec-backed decoder. Intentionally
+    * unimplemented in this container (no image/audio libs). */
+  final class RealDecoder extends Decoder {
+    def features(mediaId: Long, kind: String, bytes: Array[Byte]): MediaFeatures =
+      ??? // requires codec libraries; see FakeDecoder for the contract
+  }
+
+  /** Deterministic fake: features derived purely from the bytes, so
+    * pipelines are testable end-to-end without codecs. */
+  final class FakeDecoder(dim: Int = 16) extends Decoder {
+    def features(mediaId: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val emb = Array.tabulate(dim) { d =>
+        val x = h ^ (d.toLong * 0x9E3779B97F4A7C15L)
+        ((x % 1000L) / 1000.0f)
+      }
+      MediaFeatures(mediaId, kind, bytes.length.toLong, h, emb)
+    }
+  }
+
+  /** Decode stage: partition-local mapPartitions over (media_id, kind,
+    * bytes) — the Scala-native analogue of a mapInPandas batch UDF:
+    * streamed iterator in, streamed iterator out, one decoder per
+    * partition, never a driver collect. */
+  def decode(media: DataFrame, decoder: Decoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          decoder.features(id, kind, Option(bytes).getOrElse(Array.emptyByteArray))
+        }
+      }
+  }
+
+  /** Resize planning: pure metadata transform (aspect-preserving fit
+    * into maxW x maxH). The byte-level resample belongs to the decode
+    * kernel; the plan columns are what the pipeline schedules on. */
+  def resizePlan(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    media.withColumn("target_width", ceil(w * scale).cast("int"))
+      .withColumn("target_height", ceil(h * scale).cast("int"))
+  }
+
+  /** Frame sampling: one output row per sampled frame index, derived
+    * from duration metadata — a generate/explode dataflow (no decode
+    * needed to *plan* the sampling; the decoder later seeks by index). */
+  def frameSamplePlan(video: DataFrame, everyMs: Long): DataFrame =
+    video.filter(col("kind") === "video")
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), coalesce(col("meta.duration_ms"), lit(0L)), lit(everyMs))))
+      .select(col("media_id"), col("frame_ms"))
+
+  final case class MediaMeta(
+      format: String,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long])
+
+  final case class MediaRow(
+      media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+
+  /** Deterministic synthetic media table (for demos/tests): blob bytes
+    * and metadata derived from the id. */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val kinds = Seq("image", "audio", "video")
+    (0 until n).map { i =>
+      val kind = kinds(i % 3)
+      val bytes = Array.tabulate(64 + (i % 64))(j => ((i * 131 + j * 7) % 256).toByte)
+      val meta = kind match {
+        case "image" => MediaMeta("png", Some(640 + (i % 4) * 320), Some(480 + (i % 3) * 240),
+          Some(3), None, None)
+        case "audio" => MediaMeta("wav", None, None, Some(2), Some(44100), Some(1000L + i * 250L))
+        case _ => MediaMeta("mp4", Some(1920), Some(1080), Some(3), None, Some(2000L + i * 500L))
+      }
+      MediaRow(i.toLong, kind, bytes, meta)
+    }.toDF()
+  }
+}

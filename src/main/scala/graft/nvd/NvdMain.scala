@@ -5,19 +5,38 @@ import java.nio.file.{Files, Paths}
 /** CLI entry for the NVD ingest engine — the Spark counterpart of the
   * reference's `main()` (nvd2mysqlloader.py:554-573).
   *
-  * Usage: NvdMain <feedDir|url-template> <storeDir> <historyDir> [-a] [--year-range a b]
+  * Usage: NvdMain <feedDir|url-template> <storeDir> <historyDir>
+  *          [-a] [--years a b] [--stream]
   *   feedDir: local dir with <modifier>.json(.zip) + <modifier>.meta
   *            (LocalFetcher), or an http(s) template containing the
   *            literal token "year" (HttpFetcher).
+  *   --stream: treat <feedDir> as a staging dir of feed JSON files and
+  *            drain it via the Structured Streaming ingest (checkpoint
+  *            in <historyDir>/checkpoint) instead of the batch path.
   * Prints the before/after tally report like the reference (:568-573).
   */
 object NvdMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 3 || args.contains("-h")) {
-      System.err.println("usage: NvdMain <feedDirOrUrlTemplate> <storeDir> <historyDir> [-a] [--years a b]")
+      System.err.println("usage: NvdMain <feedDirOrUrlTemplate> <storeDir> <historyDir> [-a] [--years a b] [--stream]")
       if (args.contains("-h")) return else sys.exit(2)
     }
     val Array(src, store, hist) = args.take(3)
+    if (args.contains("--stream")) {
+      val spark = graft.GraftSession.local()
+      try {
+        val before =
+          if (new java.io.File(store).exists())
+            NvdStore.cveTally(NvdStore.read(spark, store)) else 0L
+        val q = graft.streaming.NvdStreamIngest.start(spark, src, store, s"$hist/checkpoint")
+        q.awaitTermination()
+        val after = NvdStore.cveTally(NvdStore.read(spark, store))
+        println(s"CVE count before: $before")
+        println(s"CVE count after:  $after")
+        println(s"added CVEs:       ${after - before}")
+      } finally spark.stop()
+      return
+    }
     val full = args.contains("-a")
     val years = args.indexOf("--years") match {
       case -1 => None

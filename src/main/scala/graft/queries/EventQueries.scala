@@ -91,6 +91,17 @@ object EventQueries extends QueryDsl {
           round($"click_value", 4).as("click_value"))
     },
 
+    // multimodal plumbing surfaced as a query: binary blobs ->
+    // partition-local decode (deterministic fake kernel) -> features.
+    // No SQL analogue (mapPartitions + polynomial hash) => rows-only.
+    q("q95_media_features") { c =>
+      val media = graft.multimodal.MediaOps.syntheticMedia(c.spark, 200)
+      graft.multimodal.MediaOps.decode(media, new graft.multimodal.MediaOps.FakeDecoder(16))
+        .toDF()
+        .select($"media_id", $"kind", $"n_bytes", $"content_hash")
+        .orderBy($"media_id")
+    },
+
     q("q94_event_value_deciles",
       """SELECT event_type, ntile, count(*) AS n,
         |  round(min(cast(value AS double)), 4) AS lo,

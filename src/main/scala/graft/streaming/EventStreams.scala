@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming transforms over the events schema (event_id, ts, user_id,
+  * event_type, value, props) — watermarked windowed aggregates,
+  * session windows, and custom keyed state via flatMapGroupsWithState.
+  *
+  * Each takes/returns DataFrames so the identical dataflow runs in
+  * batch (tested against the q90/q91 batch twins) and as a
+  * readStream/writeStream pipeline (exercised in StreamingSpec with a
+  * file source + memory sink).
+  */
+object EventStreams {
+
+  /** Tumbling hourly counts/sums per event type, 2h watermark for late
+    * data. Output matches q90_tumbling_hourly's schema. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("double")), 4).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** 30-minute-gap session windows per user (q91's streaming twin). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"))
+
+  final case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user event count + value sum,
+    * emitted on every update — the mapGroupsWithState escape hatch for
+    * state machines the built-in windows can't express. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(userId, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg over a file source equals the batch twin") {
+    // stage events as parquet with micros ts (streams can't use the
+    // nanos-as-long legacy read in the same way as Tables.events)
+    val staged = Files.createTempDirectory("evstream").toString
+    val batchEvents = graft.Tables.events(spark, sf001)
+    batchEvents.write.mode("overwrite").parquet(staged)
+
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(staged)
+    val out = EventStreams.hourlyByType(stream)
+
+    val q = out.writeStream
+      .format("memory")
+      .queryName("hourly_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // append-mode emits only watermark-closed windows; every emitted
+    // row must match the batch computation exactly
+    val streamed = spark.table("hourly_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.hourlyByType(batchEvents)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // with AvailableNow over a static dir, all but the final (unclosed)
+    // windows are emitted
+    assert(streamed.size >= batch.size - 10)
+  }
+
+  test("NVD stream ingest: drop feed file, drain, store reflects it; second drain is a no-op") {
+    val staging = Files.createTempDirectory("nvdstream").toString
+    val store = Files.createTempDirectory("nvdstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("nvdckpt").toString
+
+    Files.copy(
+      java.nio.file.Paths.get("src/test/resources/nvdfeed/2002.json"),
+      java.nio.file.Paths.get(staging, "2002.json"))
+
+    val q1 = NvdStreamIngest.start(spark, staging, store, ckpt)
+    q1.awaitTermination(120000)
+    assert(graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store)) === 3)
+
+    // second file amends one CVE and adds one
+    Files.copy(
+      java.nio.file.Paths.get("src/test/resources/nvdfeed/modified.json"),
+      java.nio.file.Paths.get(staging, "modified.json"))
+    val q2 = NvdStreamIngest.start(spark, staging, store, ckpt)
+    q2.awaitTermination(120000)
+    val stored = graft.nvd.NvdStore.read(spark, store)
+    assert(graft.nvd.NvdStore.cveTally(stored) === 4)
+    assert(stored.filter(col("cve_id") === "CVE-2002-0001")
+      .first().getAs[Double]("score") === 10.0)
+
+    // drain again with no new files: checkpoint makes it a no-op
+    val q3 = NvdStreamIngest.start(spark, staging, store, ckpt)
+    q3.awaitTermination(120000)
+    assert(graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store)) === 4)
+  }
+
+  test("flatMapGroupsWithState running totals accumulate per user") {
+    val sp = spark; import sp.implicits._
+    val events = Seq(
+      EventStreams.UserEvent(1L, 1L, 1000L, 2.0),
+      EventStreams.UserEvent(1L, 2L, 2000L, 3.0),
+      EventStreams.UserEvent(2L, 3L, 1500L, 5.0)).toDS()
+    // batch execution of the stateful op processes each group once
+    val out = EventStreams.runningUserTotals(events)
+      .collect().map(r => r.user_id -> ((r.n_events, r.total_value))).toMap
+    assert(out(1L) === ((2L, 5.0)))
+    assert(out(2L) === ((1L, 5.0)))
+  }
+}
