@@ -59,6 +59,20 @@ object Scratch {
         Seq("user_id"), "ts", "ts2", Seq("n"))
       println(s"asof rows: ${aoj.count()}")
       aoj.show(5)
+      println("== CPE star from NVD fixtures ==")
+      val flat = graft.nvd.CveFlatten.flattenFeed(spark,
+        Seq(new java.io.File("src/test/resources/nvdfeed/2002.json").toURI.toString))
+      val fact = graft.nvd.CpeParser.cve2cpe(flat)
+      fact.show(5, 60)
+      graft.nvd.CpeParser.cvesForProduct(fact, "bsdi", "bsd_os").show()
+
+      println("== salted join on a hot key ==")
+      val sjProbe = spark.range(20000).select(
+        when($"id" % 10 === 0, "hot").otherwise(concat(lit("k"), $"id")).as("key"), $"id".as("v"))
+      val build = spark.range(50).select(
+        when($"id" === 0, "hot").otherwise(concat(lit("k"), $"id")).as("key"), $"id".as("payload"))
+      val sj = graft.operators.SaltedJoin.inner(sjProbe, build, "key", salt = 8)
+      println(s"salted join rows: ${sj.count()} (expect 2045: 2000 hot + 45 tail)")
       println("SCRATCH OK")
     } finally spark.stop()
   }

@@ -1,0 +1,66 @@
+package graft.nvd
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CPE 2.3 formatted-string parsing and the normalized CPE star —
+  * the reference's declared-but-never-populated phase-2 schema
+  * (nvd2mysqlloader.py:328-365 in-code; nvd.sql:97-131 cve2cpe/CPE/
+  * cpe_vendor/cpe_prod/cpe_version; population invited by the comment
+  * at nvd2mysqlloader.py:366-368).
+  *
+  * A CPE 2.3 URI is `cpe:2.3:part:vendor:product:version:update:
+  * edition:language:sw_edition:target_sw:target_hw:other` where a
+  * component may contain an escaped colon (`\:`). Splitting on
+  * unescaped colons only is expressible as a Catalyst regex split
+  * (negative lookbehind), so no UDF is needed and the projection
+  * stays codegen'd.
+  */
+object CpeParser {
+
+  /** Split a cpe23Uri into its 13 components on unescaped colons. */
+  def components(cpe: Column): Column =
+    split(cpe, "(?<!\\\\):")
+
+  private def comp(cpe: Column, i: Int): Column = {
+    // unescape \: and \\ in the extracted component
+    val raw = element_at(components(cpe), i)
+    regexp_replace(regexp_replace(raw, "\\\\:", ":"), "\\\\\\\\", "\\\\")
+  }
+
+  /** cpe23Uri -> struct(part, vendor, product, version). */
+  def parsed(cpe: Column): Column = struct(
+    comp(cpe, 3).as("part"),
+    comp(cpe, 4).as("vendor"),
+    comp(cpe, 5).as("product"),
+    comp(cpe, 6).as("version"))
+
+  /** The cve2cpe fact: one row per (cve_id, vulnerable cpe23Uri),
+    * exploded from the flattened table's typed CPE array column. */
+  def cve2cpe(flattened: DataFrame): DataFrame =
+    flattened
+      .select(col("cve_id"), explode(col("vulnerable_cpes")).as("cpe23Uri"))
+      .distinct()
+      .withColumn("p", parsed(col("cpe23Uri")))
+      .select(col("cve_id"), col("cpe23Uri"),
+        col("p.part"), col("p.vendor"), col("p.product"), col("p.version"))
+
+  /** Dimension tables of the star (distinct vendors / products /
+    * versions), mirroring nvd.sql:113-131. At scale these are small
+    * (bounded by the CPE dictionary, ~10^6) => always broadcastable
+    * back against the fact. */
+  def vendorDim(fact: DataFrame): DataFrame =
+    fact.select(col("vendor")).distinct()
+  def productDim(fact: DataFrame): DataFrame =
+    fact.select(col("vendor"), col("product")).distinct()
+  def versionDim(fact: DataFrame): DataFrame =
+    fact.select(col("vendor"), col("product"), col("version")).distinct()
+
+  /** The FULLTEXT-index query idiom, typed: CVEs affecting a vendor/
+    * product (reference comments nvd2mysqlloader.py:173-177 describe
+    * substring search over the joined string; the star makes it an
+    * equi-join instead). */
+  def cvesForProduct(fact: DataFrame, vendor: String, product: String): DataFrame =
+    fact.filter(col("vendor") === vendor && col("product") === product)
+      .select(col("cve_id")).distinct()
+}

@@ -418,6 +418,42 @@ object CoreQueries extends QueryDsl {
         .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
     },
 
+    q("q09_percentiles",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(cast(o_totalprice AS double), 0.25), 4) AS p25,
+        |  round(quantile_cont(cast(o_totalprice AS double), 0.50), 4) AS p50,
+        |  round(quantile_cont(cast(o_totalprice AS double), 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { c =>
+      import c.t
+      // exact percentile (linear interpolation) — matches quantile_cont
+      t("orders").groupBy($"o_orderpriority").agg(
+        round(percentile($"o_totalprice".cast("double"), lit(0.25)), 4).as("p25"),
+        round(percentile($"o_totalprice".cast("double"), lit(0.50)), 4).as("p50"),
+        round(percentile($"o_totalprice".cast("double"), lit(0.75)), 4).as("p75"))
+    },
+
+    // HLL sketch: approx result has no cross-engine oracle; the checked
+    // contract is the error bound vs the exact count
+    q("q09b_approx_distinct",
+      """SELECT true AS approx_within_5pct""".stripMargin) { c =>
+      import c.t
+      t("lineitem").agg(
+        approx_count_distinct($"l_orderkey").as("approx"),
+        countDistinct($"l_orderkey").as("exact"))
+        .select((abs($"approx" - $"exact") / $"exact" < 0.05).as("approx_within_5pct"))
+    },
+
+    q("q43_union_all",
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey <= 400
+        |  UNION ALL SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 400)
+        |GROUP BY k""".stripMargin) { c =>
+      import c.t
+      t("lineitem").filter($"l_orderkey" <= 400).select($"l_orderkey".as("k"))
+        .unionAll(t("orders").filter($"o_orderkey" <= 400).select($"o_orderkey".as("k")))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+    },
+
     q("q55_json_funcs",
       """SELECT event_id, cast(json_extract_string(props, '$.k') AS int) AS k
         |FROM events WHERE event_id <= 500""".stripMargin) { c =>

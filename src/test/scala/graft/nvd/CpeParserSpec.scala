@@ -1,0 +1,29 @@
+package graft.nvd
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CpeParserSpec extends SparkSpec {
+
+  test("cpe23Uri parses into part/vendor/product/version; escaped colon survives") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      "cpe:2.3:o:bsdi:bsd_os:3.1:*:*:*:*:*:*:*",
+      "cpe:2.3:a:acme:name\\:with\\:colons:2.0:*:*:*:*:*:*:*").toDF("cpe")
+    val rows = df.select(CpeParser.parsed(col("cpe")).as("p"))
+      .select("p.part", "p.vendor", "p.product", "p.version").collect()
+    assert(rows(0).toSeq === Seq("o", "bsdi", "bsd_os", "3.1"))
+    assert(rows(1).toSeq === Seq("a", "acme", "name:with:colons", "2.0"))
+  }
+
+  test("cve2cpe star populates from the flattened feed and answers the product query") {
+    val flat = CveFlatten.flattenFeed(spark,
+      Seq(java.nio.file.Paths.get("src/test/resources/nvdfeed/2002.json").toUri.toString))
+    val fact = CpeParser.cve2cpe(flat)
+    assert(fact.count() === 2) // CVE-2002-0001's two vulnerable CPEs
+    assert(CpeParser.vendorDim(fact).collect().map(_.getString(0)).toSet === Set("bsdi", "acme"))
+    val hits = CpeParser.cvesForProduct(fact, "bsdi", "bsd_os")
+      .collect().map(_.getString(0))
+    assert(hits.toSeq === Seq("CVE-2002-0001"))
+  }
+}
