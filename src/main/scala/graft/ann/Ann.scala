@@ -47,6 +47,43 @@ object Ann {
         col("cos"), col("rnk"))
   }
 
+  /** All-pairs near-duplicate candidates via OR-amplified SRP LSH:
+    * L independent signature tables of nBits each; a pair is a
+    * candidate if it collides in ANY table; exact cosine then filters
+    * by threshold. The scale path for q64's quadratic formulation —
+    * the shuffle carries (table, bucket, id, vec) and each bucket is a
+    * micro self-join. Recall for cos >= 0.95 at (nBits=8, tables=8) is
+    * ~0.99 (1-(1-(1-theta/pi)^b)^L); raise tables for higher recall.
+    */
+  def lshNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = corpus.select(
+        col(idCol).as("__id"), col(vecCol).as("__vec"),
+        l2Norm(col(vecCol)).as("__n"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            srpSignature(col(vecCol), nBits, dim, seed + t).as("bkt"))): _*)).as("tb"))
+      .select(col("__id"), col("__vec"), col("__n"), col("tb.tbl"), col("tb.bkt"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"),
+        cosineWithNorms(dot(col("a.__vec"), col("b.__vec")),
+          col("a.__n"), col("b.__n")).as("cos_raw"))
+      .filter(col("cos_raw") > threshold)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(round(first(col("cos_raw")), 4).as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: nBits x dim in [-1, 1]. */
   private[ann] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

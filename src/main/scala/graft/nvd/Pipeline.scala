@@ -85,6 +85,11 @@ object Pipeline {
     * @param fetcher    network or local fetcher
     * @param storePath  parquet store root
     * @param historyPath parquet dir for update_history (append-only)
+    * @param failFast   true = abort on any meta-fetch failure (the
+    *                   reference's behavior — an HTTP error kills the
+    *                   run); false (default) = log and skip that feed,
+    *                   so one unreachable feed doesn't sink a 27-feed
+    *                   full load
     */
   def run(
       spark: SparkSession,
@@ -93,7 +98,8 @@ object Pipeline {
       storePath: String,
       historyPath: String,
       stagingDir: Path,
-      strictReferenceSemantics: Boolean = true): LoadReport = {
+      strictReferenceSemantics: Boolean = true,
+      failFast: Boolean = false): LoadReport = {
 
     val before =
       if (new java.io.File(storePath).exists())
@@ -101,7 +107,14 @@ object Pipeline {
       else 0L
 
     // Control plane: metas + freshness gate (J2), set-based.
-    val metas = feeds.map(f => FeedCatalog.toFeedMeta(f.modifier, fetcher.meta(f.modifier)))
+    val metas = feeds.flatMap { f =>
+      try Some(FeedCatalog.toFeedMeta(f.modifier, fetcher.meta(f.modifier)))
+      catch {
+        case e: Exception if !failFast =>
+          System.err.println(s"[pipeline] skipping feed '${f.modifier}': meta fetch failed: ${e.getMessage}")
+          None
+      }
+    }
     val metaDf = FeedCatalog.historyRows(spark, metas, now())
       .withColumnRenamed("downloadedDate", "metaFetchedDate")
     val history =

@@ -90,6 +90,16 @@ object TextQueries extends QueryDsl {
         .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
     },
 
+    // LSH-blocked near-dup: the scale path for q64 (no quadratic pair
+    // generation). Approximate by construction => rows-only; recall is
+    // asserted on planted duplicates in AnnSpec.
+    q("q65_neardup_lsh") { c =>
+      import c.t
+      Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nBits = 8, tables = 8, dim = 64)
+        .orderBy($"vec_a", $"vec_b")
+    },
+
     // ---- similarity search ---------------------------------------------
     q("q70_ann_bruteforce",
       """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),

@@ -43,6 +43,26 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall degenerate: $recall")
   }
 
+  test("LSH near-dup pairs: >=90% recall on planted high-similarity duplicates") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 200 random unit vectors + a slightly-noised copy of each (cos ~0.995)
+    val base = (0 until 200).map(i => i.toLong -> unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = base.map { case (id, v) => (id, v) } ++ base.map { case (id, v) =>
+      (id + 1000L, unit(v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Ann.lshNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.9, nBits = 8, tables = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = base.count { case (id, _) => found.contains((id, id + 1000L)) }
+    assert(recalled >= 180, s"planted-dup recall too low: $recalled/200")
+  }
+
   test("SRP signature is deterministic across partitionings") {
     def sig(parts: Int) = emb.repartition(parts)
       .select(col("vec_id"), Ann.srpSignature(col("embedding"), 12, 64).as("b"))

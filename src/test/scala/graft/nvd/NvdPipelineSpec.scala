@@ -111,6 +111,24 @@ class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.cvesAfter === 4)
   }
 
+  test("a feed with an unreachable .meta is skipped, not fatal (failFast=false default)") {
+    val tmp = Files.createTempDirectory("nvdskip")
+    val feeds = Seq(FeedCatalog.Feed("2002", 0), FeedCatalog.Feed("nonexistent", 1))
+    val r = Pipeline.run(spark, feeds,
+      new Pipeline.LocalFetcher(fixtures),
+      tmp.resolve("store").toString, tmp.resolve("hist").toString,
+      Files.createDirectory(tmp.resolve("staging")))
+    assert(r.feedsLoaded === 1)
+    assert(r.cvesAfter === 3)
+    // failFast=true reproduces the reference's abort
+    intercept[java.nio.file.NoSuchFileException] {
+      Pipeline.run(spark, Seq(FeedCatalog.Feed("alsomissing", 0)),
+        new Pipeline.LocalFetcher(fixtures),
+        tmp.resolve("store2").toString, tmp.resolve("hist2").toString,
+        tmp.resolve("staging"), failFast = true)
+    }
+  }
+
   test("cveTally = COUNT(DISTINCT cve_id) (reference :494)") {
     assert(NvdStore.cveTally(flat2002) === 3)
   }
