@@ -64,7 +64,7 @@ object MinHashLSH {
     val sigs = docs
       .select(
         col(idCol).as("doc"),
-        transform(TextFunctions.wordShingles(col(textCol), shingleN), s => xxhash64(s)).as("hsh"))
+        ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("hsh"))
       .select(col("doc"), signatureOfHashes(col("hsh"), numHashes, seed).as("sig"))
 
     val banded = sigs.select(

@@ -32,11 +32,13 @@ object NGramJaccard {
     // (doc, shingle_hash) postings; 64-bit hashes, not strings, cross
     // the shuffle. Collision probability at 100 TB corpus cardinality
     // (~2^40 shingles) is ~2^-24 per pair — acceptable for dedup.
+    // ShingleHashes emits per-doc-distinct hashes in one pass (the
+    // string-shingle HOF pipeline re-evaluated per plan reference was
+    // the q61 bottleneck), so the exploded postings are already
+    // distinct — no extra shuffle needed.
     val postings = docs
       .select(col(idCol).as("doc"),
-        explode(transform(TextFunctions.wordShingles(col(textCol), shingleN),
-          s => xxhash64(s))).as("sh"))
-      .distinct()
+        explode(ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN)).as("sh"))
 
     val docSize = postings.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
 

@@ -219,6 +219,53 @@ object CoreQueries extends QueryDsl {
         .groupBy($"p_brand").agg(count(lit(1)).as("n_matches"))
     },
 
+    q("q05b_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { c =>
+      import c.t
+      t("lineitem").createOrReplaceTempView("lineitem_gs")
+      c.spark.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS linestatus,
+          |  count(*) AS n_rows
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
+    q("q06b_correlation",
+      """SELECT l_returnflag,
+        |  round(corr(cast(l_quantity AS double), cast(l_extendedprice AS double)), 4) AS qty_price_corr,
+        |  round(covar_samp(cast(l_quantity AS double), cast(l_discount AS double)), 4) AS qty_disc_cov
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { c =>
+      import c.t
+      t("lineitem").groupBy($"l_returnflag").agg(
+        round(corr($"l_quantity".cast("double"), $"l_extendedprice".cast("double")), 4)
+          .as("qty_price_corr"),
+        round(covar_samp($"l_quantity".cast("double"), $"l_discount".cast("double")), 4)
+          .as("qty_disc_cov"))
+    },
+
+    q("q56_array_funcs",
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(cast(embedding[1] AS double), 4) AS first_elem,
+        |  round(cast(list_min(embedding) AS double), 4) AS min_elem,
+        |  round(cast(list_max(embedding) AS double), 4) AS max_elem,
+        |  round(list_sum(embedding::DOUBLE[]), 4) AS sum_elems
+        |FROM embeddings WHERE vec_id < 100""".stripMargin) { c =>
+      import c.t
+      t("embeddings").filter($"vec_id" < 100)
+        .select($"vec_id",
+          size($"embedding").as("dim"),
+          round(element_at($"embedding", 1).cast("double"), 4).as("first_elem"),
+          round(array_min($"embedding").cast("double"), 4).as("min_elem"),
+          round(array_max($"embedding").cast("double"), 4).as("max_elem"),
+          round(aggregate($"embedding", lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+            .as("sum_elems"))
+    },
+
     // ---- windows --------------------------------------------------------
     q("q20_window_rank",
       """SELECT o_orderpriority, o_orderkey, cast(o_totalprice AS decimal(18,2)) AS price, rnk

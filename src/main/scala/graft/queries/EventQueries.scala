@@ -91,6 +91,25 @@ object EventQueries extends QueryDsl {
           round($"click_value", 4).as("click_value"))
     },
 
+    // interval (time-band) join: click -> views within the next minute
+    q("q96_interval_join",
+      """SELECT b.user_id, b.event_id AS click_id, a.event_id AS view_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_type = 'click'
+        |  AND a.event_type = 'view'
+        |  AND a.ts > b.ts AND a.ts <= b.ts + INTERVAL 1 MINUTE""".stripMargin) { c =>
+      import c.t
+      val ev = t("events")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts".as("vts"), $"event_id".as("view_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"))
+      clicks.join(views,
+          views("user_id") === clicks("user_id") &&
+          $"vts" > $"cts" && $"vts" <= $"cts" + expr("INTERVAL 1 MINUTE"))
+        .select(clicks("user_id"), $"click_id", $"view_id")
+    },
+
     // multimodal plumbing surfaced as a query: binary blobs ->
     // partition-local decode (deterministic fake kernel) -> features.
     // No SQL analogue (mapPartitions + polynomial hash) => rows-only.

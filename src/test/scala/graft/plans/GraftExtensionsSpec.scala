@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the custom kernels: needs its own
+  * session (extensions bind at session build). */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("vec_dot / vec_l2sq / simhash64 / minhash_signature are callable from SQL") {
+    val sp = spark; import sp.implicits._
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array("a", "b", "c")))
+      .toDF("a", "b", "toks").createOrReplaceTempView("v")
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_l2sq(a, b) AS l2,
+        |  simhash64(toks) AS sh,
+        |  size(minhash_signature(transform(toks, t -> xxhash64(t)), 16, 42)) AS mh_k
+        |FROM v""".stripMargin).first()
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Double]("l2") === 8.0)
+    assert(r.getAs[Int]("mh_k") === 16)
+    // simhash value matches the DSL route
+    val dsl = Seq(Tuple1(Array("a", "b", "c"))).toDF("toks")
+      .select(graft.dedup.SimHash.simhash(org.apache.spark.sql.functions.col("toks")))
+      .first().getLong(0)
+    assert(r.getAs[Long]("sh") === dsl)
+  }
+}
