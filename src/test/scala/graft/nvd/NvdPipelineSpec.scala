@@ -132,4 +132,22 @@ class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cveTally = COUNT(DISTINCT cve_id) (reference :494)") {
     assert(NvdStore.cveTally(flat2002) === 3)
   }
+
+  test("typed Dataset[NvdRow] surface round-trips the flattened frame") {
+    val sp = spark; import sp.implicits._
+    val ds = NvdRow.from(spark, flat2002)
+    val r = ds.filter(_.cve_id == "CVE-2002-0001").head()
+    assert(r.score === 7.5)
+    assert(r.vulnerable_cpes.length === 2)
+    // typed aggregation compiles + runs
+    val maxScore = ds.map(_.score).reduce((a, b) => math.max(a, b))
+    assert(maxScore === 7.5)
+  }
+
+  test("NvdDdl statements are well-formed (parse-level sanity)") {
+    NvdDdl.all.foreach { sql =>
+      assert(sql.toUpperCase.startsWith("CREATE"))
+      assert(sql.count(_ == '(') === sql.count(_ == ')'))
+    }
+  }
 }
