@@ -36,11 +36,14 @@ object NGramJaccard {
     // string-shingle HOF pipeline re-evaluated per plan reference was
     // the q61 bottleneck), so the exploded postings are already
     // distinct — no extra shuffle needed.
+    // |A| is just size(shingle array) — computed BEFORE the explode and
+    // carried through the postings, so no separate doc-size table and
+    // no size re-joins. Both self-join sides are the same canonical
+    // subplan => one shingle evaluation, one exchange (reused).
     val postings = docs
       .select(col(idCol).as("doc"),
-        explode(ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN)).as("sh"))
-
-    val docSize = postings.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+        ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("shs"))
+      .select(col("doc"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
 
     val filtered =
       if (maxDf == Int.MaxValue) postings
@@ -49,15 +52,11 @@ object NGramJaccard {
         postings.join(df.filter(col("df") <= maxDf), Seq("sh"), "left_semi")
       }
 
-    val a = filtered.as("a")
-    val b = filtered.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    val a = filtered.select(col("doc").as("doc_a"), col("sz").as("sz_a"), col("sh"))
+    val b = filtered.select(col("doc").as("doc_b"), col("sz").as("sz_b"), col("sh"))
+    a.join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(docSize.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
-      .join(docSize.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

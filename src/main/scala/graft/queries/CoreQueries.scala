@@ -313,6 +313,40 @@ object CoreQueries extends QueryDsl {
           sum($"l_quantity".cast("decimal(18,2)")).over(w).as("running_qty"))
     },
 
+    q("q22b_range_frame",
+      """SELECT l_orderkey, l_linenumber,
+        |  cast(sum(cast(l_quantity AS decimal(18,2)))
+        |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS decimal(18,2)) AS near_qty
+        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin) { c =>
+      import c.t
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        .rangeBetween(-2, Window.currentRow)
+      t("lineitem").filter($"l_orderkey" <= 1000)
+        .select($"l_orderkey", $"l_linenumber",
+          sum($"l_quantity".cast("decimal(18,2)")).over(w)
+            .cast("decimal(18,2)").as("near_qty"))
+    },
+
+    q("q24_window_first_last",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { c =>
+      import c.t
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t("orders").filter($"o_custkey" <= 100)
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_orderkey").over(w).as("first_order"),
+          last($"o_orderkey").over(wAll).as("last_order"),
+          nth_value($"o_orderkey", 2).over(w).as("second_order"))
+    },
+
     // W0 parity: latest row per key via max_by (no window sort)
     q("q23_latest_event_per_user",
       """WITH ranked AS (
