@@ -26,7 +26,7 @@ object NvdMain {
       val spark = graft.GraftSession.local()
       try {
         val before =
-          if (new java.io.File(store).exists())
+          if (NvdStore.pathExists(spark, store))
             NvdStore.cveTally(NvdStore.read(spark, store)) else 0L
         val q = graft.streaming.NvdStreamIngest.start(spark, src, store, s"$hist/checkpoint")
         q.awaitTermination()

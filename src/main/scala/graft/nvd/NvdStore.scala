@@ -20,6 +20,13 @@ object NvdStore {
 
   val yearCol = "publish_year"
 
+  /** Filesystem-agnostic existence check (local, HDFS, S3A...) — a
+    * bare java.io.File only understands local paths. */
+  private[nvd] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def withYear(df: DataFrame): DataFrame =
     df.withColumn(yearCol,
       coalesce(substring(col("published_datetime"), 1, 4), lit("0000")))
@@ -39,8 +46,7 @@ object NvdStore {
   def upsert(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val withY = withYear(batch).cache()
     try {
-      val exists = new java.io.File(path).exists() // local/HDFS-agnostic callers pass resolved paths
-      if (!exists) {
+      if (!pathExists(spark, path)) {
         withY.write.mode(SaveMode.Overwrite).partitionBy(yearCol).parquet(path)
       } else {
         val years = withY.select(yearCol).distinct().collect().map(_.getString(0))

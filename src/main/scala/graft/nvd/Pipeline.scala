@@ -102,7 +102,7 @@ object Pipeline {
       failFast: Boolean = false): LoadReport = {
 
     val before =
-      if (new java.io.File(storePath).exists())
+      if (NvdStore.pathExists(spark, storePath))
         NvdStore.cveTally(NvdStore.read(spark, storePath))
       else 0L
 
@@ -118,7 +118,7 @@ object Pipeline {
     val metaDf = FeedCatalog.historyRows(spark, metas, now())
       .withColumnRenamed("downloadedDate", "metaFetchedDate")
     val history =
-      if (new java.io.File(historyPath).exists()) spark.read.parquet(historyPath)
+      if (NvdStore.pathExists(spark, historyPath)) spark.read.parquet(historyPath)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         FeedCatalog.historyRows(spark, Nil, "").schema)

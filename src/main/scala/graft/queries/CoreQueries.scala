@@ -365,6 +365,32 @@ object CoreQueries extends QueryDsl {
         count(lit(1)).as("n_events"))
     },
 
+    q("q25_collect_agg",
+      """SELECT n_nationkey,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey""".stripMargin) { c =>
+      import c.t
+      // collect_set + sort + join to a string: deterministic scalar
+      // encoding of an array aggregate (comparable across engines)
+      t("customer").join(broadcast(t("nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_nationkey")
+        .agg(array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segments"))
+    },
+
+    q("q57_regex_funcs",
+      """SELECT doc_id,
+        |  regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+        |  regexp_matches(text, '[.!?]$') AS ends_sentence
+        |FROM documents""".stripMargin) { c =>
+      import c.t
+      t("documents").select($"doc_id",
+        regexp_extract($"text", "([A-Za-z]+)", 1).as("first_word"),
+        regexp_count($"text", lit("[0-9]+")).cast("long").as("n_numbers"),
+        ($"text" rlike "[.!?]$").as("ends_sentence"))
+    },
+
     // ---- sorts / top-k --------------------------------------------------
     q("q30_global_topk",
       """SELECT o_orderkey, o_custkey, cast(o_totalprice AS decimal(18,2)) AS price
