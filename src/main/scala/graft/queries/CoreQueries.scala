@@ -540,14 +540,15 @@ object CoreQueries extends QueryDsl {
     },
 
     // HLL sketch: approx result has no cross-engine oracle; the checked
-    // contract is the error bound vs the exact count
+    // contract is the error bound vs the exact count (rsd=0.02, bound
+    // at 3 sigma — the default 5%-rsd sketch breached 5% at sf0.001)
     q("q09b_approx_distinct",
-      """SELECT true AS approx_within_5pct""".stripMargin) { c =>
+      """SELECT true AS approx_within_bound""".stripMargin) { c =>
       import c.t
       t("lineitem").agg(
-        approx_count_distinct($"l_orderkey").as("approx"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx"),
         countDistinct($"l_orderkey").as("exact"))
-        .select((abs($"approx" - $"exact") / $"exact" < 0.05).as("approx_within_5pct"))
+        .select((abs($"approx" - $"exact") / $"exact" < 0.06).as("approx_within_bound"))
     },
 
     q("q43_union_all",
