@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.dedup.{MinHashLSH, NGramJaccard, SimHash}
-import graft.ann.Ann
+import graft.ann.{Ann, Ivf}
 
 /** Training-data-pipeline query surface over `documents` and
   * `embeddings`: deduplication (exact, n-gram Jaccard, MinHash LSH,
@@ -117,6 +117,20 @@ object TextQueries extends QueryDsl {
       val queries = t("embeddings").filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
       Ann.bruteForceTopK(t("embeddings"), queries, "vec_id", "embedding", "qid", "qvec", 5)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // IVF ANN: train (strided Lloyd), index into Voronoi cells, probe
+    // nprobe nearest cells. Deterministic but driver-trains a model
+    // => rows-only; exhaustive-probe==bruteforce asserted in IvfSpec.
+    q("q72_ann_ivf") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iterations = 2)
+      Ivf.topK(Ivf.index(emb, "embedding", model), queries,
+          "vec_id", "embedding", "qid", "qvec", model, k = 5, nprobe = 4)
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
