@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSqlSpec extends AnyFunSuite {
+
+  test("SQL entry: views + custom kernels work in one pure-SQL session") {
+    val spark = GraftSql.session(cpus = 4)
+    try {
+      GraftSql.registerTables(spark, "/root/testdata/sf0.001")
+      val geo = spark.sql(
+        """SELECT r_name, count(*) AS n FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin)
+      assert(geo.count() === 5)
+      // custom kernel reachable from SQL over a real table
+      val selfdot = spark.sql(
+        """SELECT vec_id, round(vec_dot(embedding, embedding), 4) AS sq_norm
+          |FROM embeddings WHERE vec_id < 3""".stripMargin).collect()
+      assert(selfdot.length === 3)
+      selfdot.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3))
+    } finally spark.stop()
+  }
+}
