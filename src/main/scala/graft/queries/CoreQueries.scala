@@ -128,12 +128,12 @@ object CoreQueries extends QueryDsl {
       """SELECT o_orderstatus, count(*) AS n,
         |  sum(cast(o_totalprice AS decimal(18,2))) AS total
         |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '2023-01-01' AND o_orderdate < TIMESTAMP '2023-07-01'
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY o_orderstatus""".stripMargin) { c =>
       import c.t
       t("orders")
-        .filter($"o_orderdate" >= lit("2023-01-01").cast("timestamp") &&
-          $"o_orderdate" < lit("2023-07-01").cast("timestamp"))
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         .groupBy($"o_orderstatus").agg(
           count(lit(1)).as("n"),
           sum($"o_totalprice".cast("decimal(18,2)")).as("total"))
@@ -463,7 +463,7 @@ object CoreQueries extends QueryDsl {
         |  cast(date_part('month', o_orderdate) AS int) AS m,
         |  cast(date_part('day', o_orderdate) AS int) AS dom,
         |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
-        |  date_diff('day', TIMESTAMP '2023-01-01', o_orderdate) AS days_since_2023
+        |  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch
         |FROM orders WHERE o_orderkey <= 500""".stripMargin) { c =>
       import c.t
       t("orders").filter($"o_orderkey" <= 500)
@@ -472,8 +472,8 @@ object CoreQueries extends QueryDsl {
           month($"o_orderdate").as("m"),
           dayofmonth($"o_orderdate").as("dom"),
           date_format($"o_orderdate", "yyyy-MM-dd").as("iso_day"),
-          datediff(to_date($"o_orderdate"), lit("2023-01-01").cast("date"))
-            .cast("long").as("days_since_2023"))
+          datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch"))
     },
 
     q("q52_math_funcs",

@@ -91,13 +91,13 @@ object EventQueries extends QueryDsl {
           round($"click_value", 4).as("click_value"))
     },
 
-    // interval (time-band) join: click -> views within the next minute
+    // interval (time-band) join: click -> views within the next 30 minutes
     q("q96_interval_join",
       """SELECT b.user_id, b.event_id AS click_id, a.event_id AS view_id
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND b.event_type = 'click'
         |  AND a.event_type = 'view'
-        |  AND a.ts > b.ts AND a.ts <= b.ts + INTERVAL 1 MINUTE""".stripMargin) { c =>
+        |  AND a.ts > b.ts AND a.ts <= b.ts + INTERVAL 30 MINUTE""".stripMargin) { c =>
       import c.t
       val ev = t("events")
       val views = ev.filter($"event_type" === "view")
@@ -106,7 +106,7 @@ object EventQueries extends QueryDsl {
         .select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"))
       clicks.join(views,
           views("user_id") === clicks("user_id") &&
-          $"vts" > $"cts" && $"vts" <= $"cts" + expr("INTERVAL 1 MINUTE"))
+          $"vts" > $"cts" && $"vts" <= $"cts" + expr("INTERVAL 30 MINUTE"))
         .select(clicks("user_id"), $"click_id", $"view_id")
     },
 
