@@ -22,18 +22,18 @@ object CoreQueries extends QueryDsl {
     // ---- aggregation ----------------------------------------------------
     q("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
-        |  sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
-        |  sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS sum_disc_price,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
         |  round(avg(cast(l_quantity AS double)), 4) AS avg_qty,
         |  round(avg(cast(l_extendedprice AS double)), 4) AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { c =>
       import c.t
       t("lineitem").groupBy($"l_returnflag", $"l_linestatus").agg(
-        sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"),
-        sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_base_price"),
-        sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).as("sum_disc_price"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
         round(avg($"l_quantity".cast("double")), 4).as("avg_qty"),
         round(avg($"l_extendedprice".cast("double")), 4).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -55,18 +55,18 @@ object CoreQueries extends QueryDsl {
     q("q03_orders_by_year",
       """SELECT cast(date_part('year', o_orderdate) AS int) AS order_year, o_orderpriority,
         |  count(*) AS n_orders,
-        |  sum(cast(o_totalprice AS decimal(18,2))) AS total_value
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_value
         |FROM orders GROUP BY 1, 2""".stripMargin) { c =>
       import c.t
       t("orders").groupBy(year($"o_orderdate").as("order_year"), $"o_orderpriority").agg(
         count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast("decimal(18,2)")).as("total_value"))
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total_value"))
     },
 
     q("q04_rollup_geo",
       """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
         |  count(*) AS n_customers,
-        |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+        |  cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -77,7 +77,7 @@ object CoreQueries extends QueryDsl {
         .join(broadcast(t("region")), $"n_regionkey" === $"r_regionkey")
         .rollup($"r_name", $"n_name").agg(
           count(lit(1)).as("n_customers"),
-          sum($"c_acctbal".cast("decimal(18,2)")).as("total_bal"))
+          sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("total_bal"))
         .select(coalesce($"r_name", lit("ALL")).as("region_name"),
           coalesce($"n_name", lit("ALL")).as("nation_name"),
           $"n_customers", $"total_bal")
@@ -86,12 +86,12 @@ object CoreQueries extends QueryDsl {
     q("q05_cube_lineitem",
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS n_rows, sum(cast(l_quantity AS decimal(18,2))) AS sum_qty
+        |  count(*) AS n_rows, cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { c =>
       import c.t
       t("lineitem").cube($"l_returnflag", $"l_linestatus").agg(
         count(lit(1)).as("n_rows"),
-        sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"))
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
           coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
           $"n_rows", $"sum_qty")
@@ -116,17 +116,17 @@ object CoreQueries extends QueryDsl {
     // ---- filters (P4 point lookup / P6 date range parity) ---------------
     q("q07_point_lookup",
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  cast(l_quantity AS decimal(18,2)) AS quantity
+        |  l_quantity AS quantity
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin) { c =>
       import c.t
       t("lineitem").filter($"l_orderkey" === 1)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
-          $"l_quantity".cast("decimal(18,2)").as("quantity"))
+          $"l_quantity".as("quantity"))
     },
 
     q("q08_date_range",
       """SELECT o_orderstatus, count(*) AS n,
-        |  sum(cast(o_totalprice AS decimal(18,2))) AS total
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY o_orderstatus""".stripMargin) { c =>
@@ -136,13 +136,13 @@ object CoreQueries extends QueryDsl {
           $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         .groupBy($"o_orderstatus").agg(
           count(lit(1)).as("n"),
-          sum($"o_totalprice".cast("decimal(18,2)")).as("total"))
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
     },
 
     // ---- joins ----------------------------------------------------------
     q("q10_join_broadcast_dims",
       """SELECT r_name, count(*) AS n_customers,
-        |  sum(cast(c_acctbal AS decimal(18,2))) AS total_bal
+        |  cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin) { c =>
@@ -153,12 +153,12 @@ object CoreQueries extends QueryDsl {
         .join(broadcast(t("region")), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name").agg(
           count(lit(1)).as("n_customers"),
-          sum($"c_acctbal".cast("decimal(18,2)")).as("total_bal"))
+          sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("total_bal"))
     },
 
     q("q11_join_fact_fact",
       """SELECT o_orderpriority, count(*) AS n_lines,
-        |  sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS revenue
+        |  cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin) { c =>
       import c.t
@@ -167,7 +167,7 @@ object CoreQueries extends QueryDsl {
       t("lineitem").join(t("orders"), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority").agg(
           count(lit(1)).as("n_lines"),
-          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).as("revenue"))
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"))
     },
 
     // J1 parity: existence probe as a set-based semi join
@@ -268,7 +268,7 @@ object CoreQueries extends QueryDsl {
 
     // ---- windows --------------------------------------------------------
     q("q20_window_rank",
-      """SELECT o_orderpriority, o_orderkey, cast(o_totalprice AS decimal(18,2)) AS price, rnk
+      """SELECT o_orderpriority, o_orderkey, o_totalprice AS price, rnk
         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
         |        row_number() OVER (PARTITION BY o_orderpriority
         |                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -279,7 +279,7 @@ object CoreQueries extends QueryDsl {
       t("orders").withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .select($"o_orderpriority", $"o_orderkey",
-          $"o_totalprice".cast("decimal(18,2)").as("price"), $"rnk")
+          $"o_totalprice".as("price"), $"rnk")
     },
 
     q("q21_window_lag",
@@ -301,23 +301,23 @@ object CoreQueries extends QueryDsl {
 
     q("q22_window_running_sum",
       """SELECT l_orderkey, l_linenumber,
-        |  sum(cast(l_quantity AS decimal(18,2)))
+        |  cast(sum(cast(l_quantity AS decimal(18,2)))
         |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_qty
         |FROM lineitem WHERE l_orderkey <= 2000""".stripMargin) { c =>
       import c.t
       val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t("lineitem").filter($"l_orderkey" <= 2000)
         .select($"l_orderkey", $"l_linenumber",
-          sum($"l_quantity".cast("decimal(18,2)")).over(w).as("running_qty"))
+          sum($"l_quantity".cast("decimal(18,2)")).over(w).cast("double").as("running_qty"))
     },
 
     q("q22b_range_frame",
       """SELECT l_orderkey, l_linenumber,
         |  cast(sum(cast(l_quantity AS decimal(18,2)))
         |    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-        |          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS decimal(18,2)) AS near_qty
+        |          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS double) AS near_qty
         |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin) { c =>
       import c.t
       val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
@@ -325,7 +325,7 @@ object CoreQueries extends QueryDsl {
       t("lineitem").filter($"l_orderkey" <= 1000)
         .select($"l_orderkey", $"l_linenumber",
           sum($"l_quantity".cast("decimal(18,2)")).over(w)
-            .cast("decimal(18,2)").as("near_qty"))
+            .cast("double").as("near_qty"))
     },
 
     q("q24_window_first_last",
@@ -393,23 +393,23 @@ object CoreQueries extends QueryDsl {
 
     // ---- sorts / top-k --------------------------------------------------
     q("q30_global_topk",
-      """SELECT o_orderkey, o_custkey, cast(o_totalprice AS decimal(18,2)) AS price
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { c =>
       import c.t
       // plans as TakeOrderedAndProject: per-partition top-k + driver
       // merge, never a global sort
       t("orders").orderBy($"o_totalprice".desc, $"o_orderkey")
-        .select($"o_orderkey", $"o_custkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice".as("price"))
         .limit(10)
     },
 
     q("q31_multi_col_sort",
-      """SELECT c_custkey, c_name, c_nationkey, cast(c_acctbal AS decimal(18,2)) AS bal
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal AS bal
         |FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey LIMIT 100""".stripMargin) { c =>
       import c.t
       t("customer").orderBy($"c_nationkey", $"c_acctbal".desc, $"c_custkey")
         .select($"c_custkey", $"c_name", $"c_nationkey",
-          $"c_acctbal".cast("decimal(18,2)").as("bal"))
+          $"c_acctbal".as("bal"))
         .limit(100)
     },
 
@@ -489,8 +489,8 @@ object CoreQueries extends QueryDsl {
       t("lineitem").filter($"l_orderkey" <= 300)
         .select($"l_orderkey", $"l_linenumber",
           round(abs($"l_extendedprice".cast("double") - 1000.0), 4).as("abs_diff"),
-          floor($"l_quantity".cast("double")).as("qty_floor"),
-          ceil($"l_discount".cast("double") * 100).as("disc_pct_ceil"),
+          floor($"l_quantity".cast("double")).cast("double").as("qty_floor"),
+          ceil($"l_discount".cast("double") * 100).cast("double").as("disc_pct_ceil"),
           round(sqrt($"l_extendedprice".cast("double")), 4).as("price_sqrt"),
           round(log($"l_extendedprice".cast("double") + 1), 4).as("price_ln"),
           round(pow($"l_tax".cast("double") + 1, 2), 4).as("tax_sq"))

@@ -43,7 +43,7 @@ object EventQueries extends QueryDsl {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |)
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, cast(sum(new_session) AS bigint) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY user_id""".stripMargin) { c =>
       import c.t
       // session_window: dynamic-gap windows, the batch twin of

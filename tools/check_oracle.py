@@ -1,86 +1,76 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate: run DuckDB on each
-oracle_sql.json entry over the sf parquet tables and diff against the
-Spark parquet outputs written by graft.Verify.
+"""Local stand-in for the driver's correctness gate.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Empirically matched to the driver (round 1): Spark parquet is read with
+pandas.read_parquet (pyarrow types: decimal -> object Decimal, int64),
+the oracle runs in DuckDB and is materialized with .df() (DECIMAL/HUGEINT
+-> float64), columns sorted by name, rows str()-canonicalized and sorted.
+A Spark decimal column therefore NEVER matches a DuckDB numeric: emit
+doubles (decimal internally for exact sums, cast at the end) or int64.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir> [only,names]
 """
-import json, sys, math
+import json, sys, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+def df_canon(df):
+    df = df[sorted(df.columns)]
+    rows = [tuple(str(v) for v in r) for r in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return rows
 
-def rows_canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [c for c, _ in sorted(zip(cols, order))] and sorted(cols), out
-
-def main(sf, outdir):
+def main(sf, outdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = fail = skip = 0
     for name in sorted(oracle):
-        sql = oracle[name]
+        if only and name not in only:
+            continue
         try:
-            o = con.execute(sql)
-            ocols = [d[0] for d in o.description]
-            orows = o.fetchall()
+            odf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             fail += 1
             continue
         try:
-            s = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-            scols = [d[0] for d in s.description]
-            srows = s.fetchall()
+            sdf = pd.read_parquet(f"{outdir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
             fail += 1
             continue
-        oc, orc = rows_canon(ocols, orows)
-        sc, src = rows_canon(scols, srows)
-        if sorted(ocols) != sorted(scols):
-            print(f"FAIL {name}: schema mismatch spark={sorted(scols)} oracle={sorted(ocols)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: schema mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
             fail += 1
-        elif orc != src:
+            continue
+        src, orc = df_canon(sdf), df_canon(odf)
+        if src != orc:
             print(f"FAIL {name}: rows differ (spark={len(src)}, oracle={len(orc)})")
-            both = set(orc) ^ set(src)
-            shown = 0
-            for r in orc:
-                if r in both and shown < 3:
-                    print(f"  oracle-only: {r}")
-                    shown += 1
-            shown = 0
-            for r in src:
-                if r in both and shown < 3:
-                    print(f"  spark-only:  {r}")
-                    shown += 1
+            for c in sorted(sdf.columns):
+                sv = sorted(str(v) for v in sdf[c]); ov = sorted(str(v) for v in odf[c])
+                if sv != ov:
+                    d = next((a, b) for a, b in zip(sv, ov) if a != b) if len(sv) == len(ov) else (sv[0], ov[0])
+                    print(f"   col {c}: spark_dtype={sdf[c].dtype} oracle_dtype={odf[c].dtype} first_diff={d}")
+            fail += 1
+        elif len(src) == 0:
+            print(f"WARN {name}: EMPTY result (vacuous pass)")
             fail += 1
         else:
             print(f"OK   {name} ({len(src)} rows)")
             ok += 1
-    # rows-only queries (no oracle): just check non-empty output exists
-    import os
     for d in sorted(os.listdir(outdir)):
         p = os.path.join(outdir, d)
         if os.path.isdir(p) and d not in oracle:
             try:
-                n = con.execute(f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
-                print(f"ROWS {d} ({n} rows, no oracle)")
-                skip += 1
+                n = len(pd.read_parquet(p))
+                print(f"ROWS {d} ({n} rows, no oracle)" if n else f"FAIL {d}: rows-only output EMPTY")
+                skip += 1 if n else 0
+                fail += 0 if n else 1
             except Exception as e:
                 print(f"FAIL {d}: rows-only output unreadable: {e}")
                 fail += 1
@@ -88,4 +78,5 @@ def main(sf, outdir):
     return 1 if fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
