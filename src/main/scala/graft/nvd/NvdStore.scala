@@ -40,8 +40,16 @@ object NvdStore {
 
   /** Upsert a deduped batch: merge with existing rows for the touched
     * years only, last write (the batch) wins, rewrite just those
-    * partitions. Uses dynamic partition overwrite so untouched years'
-    * directories are left in place.
+    * partitions.
+    *
+    * The merged frame READS the store, so it is never written over the
+    * store directly (Spark stages dynamic-overwrite output, but a failure
+    * between partition delete and rename — or a stage retry re-scanning
+    * the source after commit started — would corrupt or double-read the
+    * table). Instead: write touched years to a staging dir (the only
+    * data pass), then swap each `publish_year=Y` directory in with
+    * filesystem renames — metadata-only, no second copy, works the same
+    * on HDFS/S3A-with-committer as on local disk.
     */
   def upsert(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val withY = withYear(batch).cache()
@@ -55,8 +63,23 @@ object NvdStore {
           // incoming batch wins over stored rows for the same cve_id
           .join(withY.select("cve_id"), Seq("cve_id"), "left_anti")
         val merged = existing.unionByName(withY)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode(SaveMode.Overwrite).partitionBy(yearCol).parquet(path)
+
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val staging = new org.apache.hadoop.fs.Path(
+          path + ".staging-" + java.util.UUID.randomUUID())
+        merged.write.mode(SaveMode.Overwrite).partitionBy(yearCol)
+          .parquet(staging.toString)
+        try {
+          years.foreach { y =>
+            val src = new org.apache.hadoop.fs.Path(staging, s"$yearCol=$y")
+            if (fs.exists(src)) {
+              val dst = new org.apache.hadoop.fs.Path(hPath, s"$yearCol=$y")
+              if (fs.exists(dst)) fs.delete(dst, true)
+              fs.rename(src, dst)
+            }
+          }
+        } finally fs.delete(staging, true)
       }
     } finally withY.unpersist()
   }

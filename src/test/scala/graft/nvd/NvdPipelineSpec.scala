@@ -129,6 +129,31 @@ class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("upsert merge branch: batch wins per cve_id, untouched years kept intact") {
+    val sp = spark; import sp.implicits._
+    val store = Files.createTempDirectory("nvdupsert").resolve("store").toString
+    val b1 = Seq(
+      ("CVE-2002-0001", "2002-01-01T00:00:00", "old"),
+      ("CVE-2002-0002", "2002-02-01T00:00:00", "stays"),
+      ("CVE-2003-0001", "2003-01-01T00:00:00", "keep"))
+      .toDF("cve_id", "published_datetime", "summary")
+    NvdStore.upsert(spark, b1, store)
+    // second batch touches only 2002: replaces 0001, adds 0999
+    val b2 = Seq(
+      ("CVE-2002-0001", "2002-01-01T00:00:00", "new"),
+      ("CVE-2002-0999", "2002-06-01T00:00:00", "added"))
+      .toDF("cve_id", "published_datetime", "summary")
+    NvdStore.upsert(spark, b2, store)
+    val out = NvdStore.read(spark, store)
+      .select("cve_id", "summary").as[(String, String)].collect().toMap
+    assert(out === Map(
+      "CVE-2002-0001" -> "new", "CVE-2002-0002" -> "stays",
+      "CVE-2002-0999" -> "added", "CVE-2003-0001" -> "keep"))
+    // no staging leftovers
+    val parent = new java.io.File(store).getParentFile.listFiles().map(_.getName)
+    assert(parent.count(_.startsWith("store")) === 1)
+  }
+
   test("cveTally = COUNT(DISTINCT cve_id) (reference :494)") {
     assert(NvdStore.cveTally(flat2002) === 3)
   }
