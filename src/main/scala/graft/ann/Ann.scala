@@ -33,8 +33,10 @@ object Ann {
       queryIdCol: String,
       queryVecCol: String,
       k: Int): DataFrame = {
-    // norms once per row (not per pair): 1 vector pass per candidate
-    val corpusN = corpus.withColumn("__cn", l2Norm(col(vecCol)))
+    // norms once per row (not per pair): 1 vector pass per candidate;
+    // spread() so a single-split scan doesn't serialize the dot kernels
+    val corpusN = graft.operators.Partitioning.spread(corpus)
+      .withColumn("__cn", l2Norm(col(vecCol)))
     val queriesN = queries.withColumn("__qn", l2Norm(col(queryVecCol)))
     val joined = corpusN.crossJoin(broadcast(queriesN))
       .withColumn("cos", cosineWithNorms(
@@ -64,13 +66,18 @@ object Ann {
       tables: Int = 8,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val bucketed = corpus.select(
+    // CACHED: the frame feeds a self-join (two separate subplans); the
+    // L x nBits dot products per row are the expensive part and run
+    // once per row this way. spread() parallelizes them when the scan
+    // is a single split.
+    val bucketed = graft.operators.Partitioning.spread(corpus).select(
         col(idCol).as("__id"), col(vecCol).as("__vec"),
         l2Norm(col(vecCol)).as("__n"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"),
             srpSignature(col(vecCol), nBits, dim, seed + t).as("bkt"))): _*)).as("tb"))
       .select(col("__id"), col("__vec"), col("__n"), col("tb.tbl"), col("tb.bkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b,
@@ -115,7 +122,7 @@ object Ann {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
 
-    val corpusSig = corpus
+    val corpusSig = graft.operators.Partitioning.spread(corpus)
       .withColumn("bucket", srpSignature(col(vecCol), nBits, dim, seed))
       .withColumn("__cn", l2Norm(col(vecCol)))
 

@@ -41,46 +41,69 @@ object Ivf {
     graft.functions.VectorFunctions.l2Distance(vec, carr)
   }
 
-  /** Train by Lloyd's iterations from deterministic strided seeds. */
+  /** Train by Lloyd's algorithm on a bounded deterministic sample.
+    *
+    * The standard IVF recipe (what FAISS does): k-means never needs
+    * the full corpus — a few hundred samples per centroid suffice —
+    * so the cluster does ONE job (a hash-ordered TakeOrdered sample:
+    * per-partition top-N + driver merge, no full sort) and Lloyd's
+    * iterations run on the driver over that sample. Versus distributed
+    * iterations this removes 2 shuffles per iteration and is the only
+    * form that stays sane at 100 TB, where even one extra full pass
+    * over the corpus dwarfs the entire training cost.
+    *
+    * Deterministic: sample = `maxSamples` rows minimizing
+    * xxhash64(id) (stable under partitioning), seeds = first nlist of
+    * those in hash order, ties in assignment broken by cell id.
+    */
   def train(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int,
-      iterations: Int = 2): Model = {
-    val n = corpus.count()
-    val stride = math.max(n / nlist, 1L)
-    // strided seeding: row_number over id order, take every stride-th
-    val w = Window.orderBy(col(idCol))
-    val seeds = corpus
-      .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - 1) % stride === 0)
-      .limit(nlist)
+      iterations: Int = 2,
+      maxSamples: Int = 0): Model = {
+    val cap = if (maxSamples > 0) maxSamples else nlist * 256
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(cap)
       .select(col(vecCol))
       .collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        i -> r.getSeq[Any](0).map(x => x.toString.toDouble).toArray
-      }
-    var model = Model(seeds)
+      .map(_.getSeq[Any](0).map(x => x.toString.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    val dim = sample.head.length
+
+    var centroids: Array[Array[Double]] =
+      Array.tabulate(math.min(nlist, sample.length))(i => sample(i).clone())
     var it = 0
     while (it < iterations) {
-      // assign + per-cell mean (partial aggregation; vectors summed
-      // elementwise via posexplode to stay set-based)
-      val assigned = corpus.select(col(vecCol).as("v"), cellCol(col(vecCol), model).as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
-        .select(col("cell"), transform(col("ms"), s => s.getField("m")).as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      if (means.nonEmpty) model = Model(means)
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      var s = 0
+      while (s < sample.length) {
+        val v = sample(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val ctr = centroids(c)
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val acc = sums(best); var j = 0
+        while (j < dim) { acc(j) += v(j); j += 1 }
+        counts(best) += 1
+        s += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
       it += 1
     }
-    model
+    Model(centroids.zipWithIndex.map { case (ctr, i) => i -> ctr })
   }
 
   /** Assign each corpus row its IVF cell (write this frame partitioned

@@ -61,11 +61,16 @@ object MinHashLSH {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
 
-    val sigs = docs
+    // Signatures are CACHED: the banded frame feeds a self-join (two
+    // separate subplans) and the skew-guard, so without the cache the
+    // shingle+minhash kernel would run once per plan reference. The
+    // cache holds (id, 64 longs) — signature bytes, not documents.
+    val sigs = graft.operators.Partitioning.spread(docs)
       .select(
         col(idCol).as("doc"),
         ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("hsh"))
       .select(col("doc"), signatureOfHashes(col("hsh"), numHashes, seed).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(
       col("doc"),
@@ -76,12 +81,16 @@ object MinHashLSH {
           hash(bnd, slice(col("sig"), bnd * r + 1, lit(r))).as("bucket")))).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bucket"))
 
-    // Skew guard: drop degenerate buckets before the self-join.
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
+    // Skew guard: drop degenerate buckets before the self-join. A
+    // partial-aggregated count keeps only OVERSIZED buckets (few, by
+    // definition pathological) so the anti-join broadcasts — unlike a
+    // count() window over (band, bucket), which is a full shuffle+sort
+    // of every posting.
+    val oversized = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val sized = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
 
     val a = sized.as("a")
     val b = sized.as("b")

@@ -38,11 +38,21 @@ object NGramJaccard {
     // distinct — no extra shuffle needed.
     // |A| is just size(shingle array) — computed BEFORE the explode and
     // carried through the postings, so no separate doc-size table and
-    // no size re-joins. Both self-join sides are the same canonical
-    // subplan => one shingle evaluation, one exchange (reused).
-    val postings = docs
+    // no size re-joins.
+    //
+    // The shingle arrays are CACHED before the self-join: the two join
+    // sides are separate subplans to Spark (exchange reuse disappears
+    // as soon as AQE broadcasts one side), and the explode's inferred
+    // non-empty filter is pushed into the scan, so without the cache
+    // the hash kernel runs up to 3x per row per side. Cached it runs
+    // once per document; the cache holds (id, array<long>) — a few
+    // percent of corpus size, spilling to disk if needed.
+    val docShingles = graft.operators.Partitioning.spread(docs)
       .select(col(idCol).as("doc"),
         ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val postings = docShingles
       .select(col("doc"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
 
     val filtered =

@@ -85,9 +85,13 @@ object SimHash {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val chunks = 4 // pigeonhole blocks for maxHamming <= 3
-    val fp = docs.select(
+    // Fingerprints are CACHED (16 bytes/doc): the blocked frame feeds
+    // a self-join, and without the cache the simhash kernel runs once
+    // per join side.
+    val fp = graft.operators.Partitioning.spread(docs).select(
       col(idCol).as("doc"),
       simhash(TextFunctions.wsTokens(lower(col(textCol)))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val blocked = fp.select(
       col("doc"), col("fp"),

@@ -80,8 +80,11 @@ object TextQueries extends QueryDsl {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""".stripMargin) { c =>
       import c.t
-      val a = t("embeddings").select($"vec_id".as("vec_a"), $"embedding".as("ea"),
-        VF.l2Norm($"embedding").as("na"))
+      // spread the left side: a 1-split x 1-split cross join would
+      // otherwise compute all O(n^2) dot kernels in a single task
+      val a = graft.operators.Partitioning.spread(t("embeddings"))
+        .select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+          VF.l2Norm($"embedding").as("na"))
       val b = t("embeddings").select($"vec_id".as("vec_b"), $"embedding".as("eb"),
         VF.l2Norm($"embedding").as("nb"))
       a.join(b, $"vec_a" < $"vec_b")
