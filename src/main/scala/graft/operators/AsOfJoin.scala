@@ -73,4 +73,50 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightValueCols.map(c => col(s"__last.$c").as(c)): _*)
   }
+
+  /** Native-operator form of [[asofBackward]]: plans through
+    * `graft.plans.AsOfJoinPlan` into the custom `AsOfJoinExec`
+    * streaming-merge operator (one shuffle per side, sorted merge, no
+    * unioned super-table and no window). Same semantics and arguments;
+    * the strategy is registered on the session on first use.
+    */
+  def asofBackwardExec(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.ensureAsOfStrategy(spark)
+
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // self-join safety: if the two sides share attribute ids (common
+    // when both derive from one scan), re-alias the right side the way
+    // the analyzer deduplicates ordinary join children
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).nonEmpty)
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      else rPlan0
+
+    val lByName = lPlan.output.map(a => a.name -> a).toMap
+    val rByName = rPlan.output.map(a => a.name -> a).toMap
+    val lTime = lByName(leftTimeCol)
+    val rTime = rByName(rightTimeCol)
+    require(lTime.dataType == rTime.dataType,
+      s"as-of time columns must share a type, got ${lTime.dataType} vs ${rTime.dataType}")
+    keyCols.foreach { k =>
+      require(lByName(k).dataType == rByName(k).dataType,
+        s"as-of key '$k' type mismatch: ${lByName(k).dataType} vs ${rByName(k).dataType}")
+    }
+
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        keyCols.map(lByName), keyCols.map(rByName),
+        lTime, rTime, rightValueCols.map(rByName)))
+  }
 }

@@ -20,12 +20,23 @@ import graft.functions.{DotProduct, SquaredL2Distance}
   * This is the public extension-point route (injectFunction); the
   * expressions themselves stay engine-version-portable case classes.
   */
+object GraftExtensions {
+  /** Idempotently add the as-of join strategy to a live session (the
+    * public `experimental.extraStrategies` route, for sessions built
+    * without `spark.sql.extensions`). */
+  def ensureAsOfStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

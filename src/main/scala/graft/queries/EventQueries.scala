@@ -84,7 +84,10 @@ object EventQueries extends QueryDsl {
       val clicks = ev.filter($"event_type" === "click")
         .select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"),
           $"value".cast("double").as("click_value"))
-      AsOfJoin.asofBackward(purchases, clicks,
+      // native custom-operator route (AsOfJoinPlan -> AsOfJoinExec
+      // streaming merge); the composed union+window form is
+      // AsOfJoin.asofBackward, equivalence asserted in AsOfJoinSpec
+      AsOfJoin.asofBackwardExec(purchases, clicks,
           keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "cts",
           rightValueCols = Seq("click_id", "click_value"))
         .select($"event_id", $"user_id", $"click_id",

@@ -21,6 +21,51 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("p3") === null)    // key with no right rows => null
   }
 
+  test("native AsOfJoinExec matches the composed form on the unit fixture") {
+    val sp = spark; import sp.implicits._
+    val left = Seq(
+      (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+      (2L, 100L, "p3")).toDF("k", "t", "pid")
+    val right = Seq(
+      (1L, 10L, "q@10"), (1L, 15L, "q@15"), (1L, 1L, "q@1"),
+      (3L, 50L, "q-other")).toDF("k", "rt", "quote")
+    val out = AsOfJoin.asofBackwardExec(left, right, Seq("k"), "t", "rt", Seq("quote"))
+      .collect().map(r => (r.getAs[String]("pid"), r.getAs[String]("quote"))).toMap
+    assert(out === Map("p0" -> "q@1", "p1" -> "q@10", "p2" -> "q@15", "p3" -> null))
+    // the custom operator actually planned (not a fallback)
+    val phys = AsOfJoin.asofBackwardExec(left, right, Seq("k"), "t", "rt", Seq("quote"))
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), phys)
+  }
+
+  test("native AsOfJoinExec == composed form on events data (self-join attributes)") {
+    val ev = graft.Tables.events(spark, sf001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val composed = AsOfJoin.asofBackward(purchases, clicks,
+      Seq("user_id"), "ts", "cts", Seq("click_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toMap
+    val native = AsOfJoin.asofBackwardExec(purchases, clicks,
+      Seq("user_id"), "ts", "cts", Seq("click_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toMap
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of join: null keys never match") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))
+      .toDF("k", "t", "pid")
+    val right = Seq((Option(1L), 5L, "r1"), (Option.empty[Long], 5L, "rnull"))
+      .toDF("k", "rt", "quote")
+    val out = AsOfJoin.asofBackwardExec(left, right, Seq("k"), "t", "rt", Seq("quote"))
+      .collect().map(r => (r.getAs[String]("pid"), r.getAs[String]("quote"))).toMap
+    assert(out("a") === "r1")
+    assert(out("b") === null)
+  }
+
   test("as-of join preserves left row count exactly") {
     val ev = graft.Tables.events(spark, sf001)
     val purchases = ev.filter(col("event_type") === "purchase")
