@@ -59,13 +59,42 @@ object TextQueries extends QueryDsl {
       NGramJaccard.pairs(t("documents"), "doc_id", "text", shingleN = 3, minJaccard = 0.5)
     },
 
-    // hash-family candidate generators: no SQL oracle (rows-only);
-    // recall vs exact Jaccard asserted in DedupSpec
-    q("q62_dedup_minhash_lsh") { c =>
+    // Full LSH dedup pipeline: banded-MinHash candidate generation +
+    // exact-Jaccard verification of the candidates ONLY (never all
+    // pairs). With 32 bands of 4 rows the miss probability at
+    // jaccard >= 0.8 is (1 - 0.8^4)^32 ~ 5e-8 per pair, so the output
+    // equals the exact >= 0.8 pair set — which IS SQL-expressible, so
+    // this runs against the same DuckDB oracle family as q61 instead
+    // of a weaker rows-only check.
+    q("q62_dedup_minhash_lsh",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
+        |    END AS shingles
+        |  FROM toks
+        |), postings AS (
+        |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE i / (sa.sz + sb.sz - i) >= 0.8""".stripMargin) { c =>
       import c.t
-      MinHashLSH.candidatePairs(t("documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleN = 3)
-        .orderBy($"doc_a", $"doc_b")
+      val docs = t("documents")
+      val candidates = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3)
+      MinHashLSH.verifyJaccard(candidates, docs, "doc_id", "text", shingleN = 3)
+        .filter($"jaccard" >= 0.8)
     },
 
     q("q63_dedup_simhash") { c =>
@@ -94,7 +123,10 @@ object TextQueries extends QueryDsl {
     },
 
     // LSH-blocked near-dup: the scale path for q64 (no quadratic pair
-    // generation). Approximate by construction => rows-only; recall is
+    // generation). Approximate by construction — the testdata's max
+    // pairwise cosine is ~0.6, so no threshold exists where SRP recall
+    // is 1 AND the result is non-empty; an exact-set oracle is
+    // impossible here and the query stays rows-only. Recall is instead
     // asserted on planted duplicates in AnnSpec.
     q("q65_neardup_lsh") { c =>
       import c.t
