@@ -102,17 +102,22 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Exact word-shingle Jaccard for a pair frame (doc_a, doc_b) —
-    * verification step after LSH candidate generation. */
+  /** Exact shingle Jaccard for a pair frame (doc_a, doc_b) — the
+    * verification step after LSH candidate generation. Jaccard is
+    * computed over hashed shingles (same 64-bit chain-hash kernel the
+    * candidate path uses; equal mod hash collisions), cached and
+    * spread so the kernel runs once per document even though the frame
+    * joins into both pair sides. */
   def verifyJaccard(
       pairs: DataFrame,
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(
+    val sh = graft.operators.Partitioning.spread(docs).select(
       col(idCol).as("__id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+      ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sh", "sh_a"), Seq("doc_a"))
       .join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sh", "sh_b"), Seq("doc_b"))

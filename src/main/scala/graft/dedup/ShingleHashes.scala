@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,12 +21,13 @@ import org.apache.spark.sql.types._
   * Short-doc rule matches TextFunctions.wordShingles: fewer than n
   * tokens => one shingle covering all tokens.
   *
-  * Eval is a tight per-row loop (CodegenFallback: the surrounding
-  * projection is a single Generate input, and per-row work dominates
-  * dispatch overhead).
+  * Codegen emits a call into the static `compute` kernel, so the
+  * expression participates in whole-stage codegen (no interpreted
+  * fallback projection, and common-subexpression elimination can
+  * dedup repeated references the optimizer pushes into filters).
   */
 case class ShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -39,8 +40,27 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
       s"shingle_hashes requires array<string>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.dedup.ShingleHashes.compute($c, $n, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Distinct n-gram shingle hashes of a token-array column. */
+  def of(tokens: Column, n: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n, seed))
+
+  /** Shared interpreted/codegen kernel. */
+  def compute(toks: ArrayData, n: Int, seed: Long): ArrayData = {
     val m = toks.numElements()
     // per-token hashes once; windows chain them
     val th = new Array[Long](m)
@@ -58,10 +78,9 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
     var i = 0
     while (i < count) {
       var h = seed
-      var k = 0
-      val end = math.min(i + win, m)
       var p = i
-      while (p < end) { h = XXH64.hashLong(th(p), h); p += 1; k += 1 }
+      val end = math.min(i + win, m)
+      while (p < end) { h = XXH64.hashLong(th(p), h); p += 1 }
       out(i) = h
       i += 1
     }
@@ -74,16 +93,4 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-}
-
-object ShingleHashes {
-  import org.apache.spark.sql.Column
-  import org.apache.spark.sql.graft.ColumnBridge
-
-  /** Distinct n-gram shingle hashes of a token-array column. */
-  def of(tokens: Column, n: Int, seed: Long = 42L): Column =
-    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n, seed))
 }

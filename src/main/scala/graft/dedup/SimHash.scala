@@ -17,9 +17,10 @@ import graft.functions.TextFunctions
   * imperative and tiny, so a single-pass expression evaluates it
   * with zero shuffle and no serialization boundary — the idiomatic
   * Spark escape hatch when built-ins would need 64 aggregates.
+  * Codegen calls the static `compute` kernel, keeping the expression
+  * inside whole-stage codegen.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -33,8 +34,22 @@ case class SimHash64(child: Expression)
           s"simhash64 requires array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.dedup.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Shared interpreted/codegen kernel. */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -55,11 +70,8 @@ case class SimHash64(child: Expression)
       if (counts(bit) > 0) out |= (1L << bit)
       bit += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
 }
 
 object SimHash {
