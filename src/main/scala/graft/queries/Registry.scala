@@ -8,10 +8,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * harness sorts columns by name and hashes values, so every computed
   * column is aliased identically in the Spark code and the SQL.
   *
-  * Determinism rules applied throughout:
+  * Determinism rules applied throughout (the harness reads Spark
+  * parquet through pandas but the oracle through DuckDB's pandas
+  * bridge, so OUTPUT TYPES must agree down to the dtype family):
+  *  - no decimal ever leaves a query: money aggregates SUM in
+  *    decimal(18,2|4) for exactness, then cast the result to double —
+  *    a decimal output renders '28.00' on one side and '28.0' on the
+  *    other;
+  *  - integer outputs are integer on BOTH sides (DuckDB sum(int) is
+  *    HUGEINT and floor/ceil are DOUBLE — cast in the SQL);
   *  - top-k / limit queries always carry a unique total tie-break;
-  *  - money aggregates run in decimal(18,2/4) (exact, engine-neutral);
-  *  - double aggregates are rounded AFTER casting to double;
+  *  - double aggregates are rounded ONCE, after casting to double;
   *  - no raw timestamp outputs (epoch longs / formatted strings
   *    instead) — the events table is ns-precision parquet which the
   *    two engines surface at different precisions.
