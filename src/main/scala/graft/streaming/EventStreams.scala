@@ -36,6 +36,22 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup for a training-data ingest: drop re-deliveries
+    * of the same content (or event id) while only keeping per-key state
+    * until the watermark passes — the bounded-state form a 100 TB/day
+    * stream needs (`dropDuplicates` without a watermark grows state
+    * forever). Key is typically a content digest: md5(text) for document
+    * streams, event_id for event streams.
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      timeCol: String,
+      lateness: String,
+      keyCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(timeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

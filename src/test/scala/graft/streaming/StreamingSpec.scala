@@ -70,6 +70,30 @@ class StreamingSpec extends SparkSpec {
     assert(graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store)) === 4)
   }
 
+  test("streaming dedup within watermark: re-delivered rows collapse to one") {
+    val sp = spark; import sp.implicits._
+    val staged = Files.createTempDirectory("dedupstream").toString
+    // duplicate every doc id: simulates at-least-once re-delivery
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "alpha"),
+      (1L, "2024-01-01 10:00:05", "alpha"),   // dup within lateness
+      (2L, "2024-01-01 10:01:00", "beta"),
+      (3L, "2024-01-01 10:02:00", "gamma"),
+      (3L, "2024-01-01 10:02:01", "gamma"))
+      .toDF("doc_id", "ts_s", "text")
+      .select($"doc_id", $"ts_s".cast("timestamp").as("ts"), $"text")
+    rows.write.mode("overwrite").parquet(staged)
+
+    val stream = spark.readStream.schema(rows.schema).parquet(staged)
+    val deduped = EventStreams.dedupWithinWatermark(stream, "ts", "10 minutes", Seq("doc_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("dedup_stream").select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 2L, 3L))
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     val sp = spark; import sp.implicits._
     val events = Seq(
