@@ -551,6 +551,24 @@ object CoreQueries extends QueryDsl {
         .select((abs($"approx" - $"exact") / $"exact" < 0.06).as("approx_within_bound"))
     },
 
+    // Approx-percentile sketch (Greenwald-Khanna): like the HLL query,
+    // the sketch value has no cross-engine oracle, so the checked
+    // contract is rank containment — accuracy 10000 bounds rank error
+    // at N/10000, so the sketch median (always a real data point, vs
+    // the interpolating exact percentile) must land inside the exact
+    // [P49, P51] rank window at every scale.
+    q("q09c_approx_percentile",
+      """SELECT o_orderpriority, true AS approx_within_bound
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { c =>
+      import c.t
+      t("orders").groupBy($"o_orderpriority").agg(
+        percentile_approx($"o_totalprice".cast("double"), lit(0.5), lit(10000)).as("approx"),
+        percentile($"o_totalprice".cast("double"), lit(0.49)).as("lo"),
+        percentile($"o_totalprice".cast("double"), lit(0.51)).as("hi"))
+        .select($"o_orderpriority",
+          ($"approx" >= $"lo" && $"approx" <= $"hi").as("approx_within_bound"))
+    },
+
     q("q43_union_all",
       """SELECT k, count(*) AS n FROM (
         |  SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey <= 400

@@ -225,6 +225,30 @@ object TextQueries extends QueryDsl {
       t("documents").select($"doc_id", TF.fingerprint($"text").as("fp"))
     },
 
+    // Deterministic hash-based stratified sampling — the reproducible
+    // subsample a training mix needs (rates per stratum, stable under
+    // reruns/partitioning, no RNG state). Selector = first 8 hex chars
+    // of md5(doc_id || salt), compared lexicographically (= numerically
+    // for fixed-width lowercase hex) against rate * 16^8. Both engines
+    // compute identical md5 strings => exact oracle.
+    q("q85_stratified_sample",
+      """WITH sel AS (
+        |  SELECT *, substr(md5(cast(doc_id AS varchar) || ':graft'), 1, 8) AS h,
+        |    CASE lang WHEN 'en' THEN '20000000' WHEN 'fr' THEN '80000000'
+        |         ELSE 'ffffffff' END AS cut
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        |FROM sel WHERE h < cut GROUP BY lang""".stripMargin) { c =>
+      import c.t
+      val cut = when($"lang" === "en", "20000000")
+        .when($"lang" === "fr", "80000000")
+        .otherwise("ffffffff")
+      t("documents")
+        .withColumn("h", substring(md5(concat($"doc_id".cast("string"), lit(":graft"))), 1, 8))
+        .filter($"h" < cut)
+        .groupBy($"lang").agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_doc"))
+    },
+
     q("q84_doc_stats_by_lang",
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(cast(n_chars AS double)), 4) AS avg_chars,
