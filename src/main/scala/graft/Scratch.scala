@@ -59,6 +59,11 @@ object Scratch {
         Seq("user_id"), "ts", "ts2", Seq("n"))
       println(s"asof rows: ${aoj.count()}")
       aoj.show(5)
+      val aojNative = graft.operators.AsOfJoin.asofBackwardExec(
+        probe, lastByUser.withColumnRenamed("rts", "ts2").withColumnRenamed("ts", "ts2"),
+        Seq("user_id"), "ts", "ts2", Seq("n"))
+      require(aojNative.count() == aoj.count(), "native as-of row count diverged")
+      println("asof native operator: OK")
       println("== CPE star from NVD fixtures ==")
       val flat = graft.nvd.CveFlatten.flattenFeed(spark,
         Seq(new java.io.File("src/test/resources/nvdfeed/2002.json").toURI.toString))
