@@ -34,4 +34,21 @@ class IvfSpec extends SparkSpec {
     val recall = (bf intersect part).size.toDouble / bf.size
     assert(recall >= 0.5, s"IVF nprobe=3/8 recall degenerate: $recall")
   }
+
+  test("IVF index written partitioned by cell prunes partitions at probe time") {
+    val model = Ivf.train(emb, "vec_id", "embedding", nlist = 8, iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    Ivf.index(emb, "embedding", model).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
+
+    val stored = spark.read.parquet(dir)
+    val someCell = stored.select("cell").first().getInt(0)
+    val probe = stored.filter(col("cell") === someCell)
+    // the cell predicate must prune whole directories, not filter rows:
+    // it appears as a PartitionFilter on the scan, not a PushedFilter
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+    assert(probe.count() > 0)
+    assert(probe.count() < stored.count(), "pruned probe should read a strict subset")
+  }
 }
