@@ -46,6 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(tokens, k, w) - winnowing rolling-hash fingerprints of an array<string>"),
+      (args: Seq[Expression]) => {
+        def lit(e: Expression): Int =
+          e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+            .value.toString.toInt
+        graft.dedup.WinnowFingerprints(args.head,
+          if (args.length > 1) lit(args(1)) else 4,
+          if (args.length > 2) lit(args(2)) else 4, 42L)
+      }))
     e.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(hashes, k, seed) - k-element minhash signature over array<long>"),

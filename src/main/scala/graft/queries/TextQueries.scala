@@ -103,6 +103,18 @@ object TextQueries extends QueryDsl {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // Winnowing (rolling-hash) fingerprint blocking, MOSS-style: pairs
+    // sharing >= 2 selected k-gram rolling hashes. Fingerprint
+    // SELECTION (rightmost window minima) has no SQL analogue =>
+    // rows-only; the w+k-1 shared-run guarantee and selection density
+    // are asserted in DedupSpec.
+    q("q66_dedup_winnow") { c =>
+      import c.t
+      graft.dedup.WinnowFingerprints.candidatePairs(
+          t("documents"), "doc_id", "text", k = 4, w = 4, minShared = 2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     q("q64_embedding_neardup",
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(cast(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS double), 4) AS cos

@@ -68,6 +68,37 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L) !== fps(4L))
   }
 
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    val sp = spark; import sp.implicits._
+    // k=4, w=4 => any shared contiguous run of >= 7 tokens guarantees
+    // a shared fingerprint. The shared run here is 12 tokens.
+    val shared = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zeta eta theta $shared iota"),
+      (3L, "totally unrelated text with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val pairs = WinnowFingerprints.candidatePairs(df, "doc_id", "text",
+        k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing fingerprints: deterministic, distinct, ~2/(w+1) density") {
+    val sp = spark; import sp.implicits._
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        WinnowFingerprints.of(TextFunctions.wsTokens(lower(col("text"))), 4, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L) === fps(2L)) // deterministic
+    assert(fps(1L).distinct.length === fps(1L).length)
+    val nGrams = 200 - 4 + 1
+    // selected density: between 1/w and ~2/(w+1) of gram count
+    assert(fps(1L).length >= nGrams / 4 / 2 && fps(1L).length <= nGrams)
+  }
+
   test("exact dedup keeper selection: min doc_id per content group") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
