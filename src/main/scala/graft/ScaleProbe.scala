@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale experiment: replicate the sf0.1 tables K-fold (ids offset,
+  * text/vectors deterministically perturbed so replicas are near- but
+  * not exact duplicates), write them MULTI-FILE to a temp dir, and
+  * time a query subset at 1x vs Kx on the same cores.
+  *
+  * Purpose: evidence that the plans scale — linear-input queries
+  * should grow sublinearly in wall time (parallel headroom), and the
+  * LSH dedup path should stay tractable where the exact-pair path
+  * inherently explodes quadratically on a replicated corpus.
+  *
+  * Usage: runMain graft.ScaleProbe [k] [srcSf] [q1,q2,...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(8)
+    val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val queries = args.drop(2).headOption
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("q01_pricing_summary", "q11_join_fact_fact", "q14_outer_join_histogram",
+        "q62_dedup_minhash_lsh", "q63_dedup_simhash", "q70_ann_bruteforce",
+        "q72_ann_ivf", "q80_token_stats", "q84_doc_stats_by_lang",
+        "q90_tumbling_hourly", "q91_sessionization"))
+
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val big = java.nio.file.Files.createTempDirectory(s"sfx$k").toString
+    println(s"SCALE building ${k}x of $src -> $big")
+
+    def replicate(name: String, idCols: Seq[String], perturb: DataFrame => DataFrame = identity)
+        : Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val maxIds = idCols.map(c => c -> (base.agg(max(col(c))).first().getLong(0) + 1L)).toMap
+      val parts = (0 until k).map { r =>
+        var d = base.withColumn("__r", lit(r))
+        idCols.foreach(c => d = d.withColumn(c, col(c) + lit(r) * maxIds(c)))
+        perturb(d)
+      }
+      parts.reduce(_ unionByName _)
+        .drop("__r")
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$big/$name.parquet")
+    }
+
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("customer", Seq("c_custkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    // near- (not exact-) duplicate replicas: append a replica marker
+    // token / add per-replica noise
+    replicate("documents", Seq("doc_id"),
+      d => d.withColumn("text", concat(col("text"), lit(" rep"), col("__r"))))
+    replicate("embeddings", Seq("vec_id"),
+      d => d.withColumn("embedding",
+        transform(col("embedding"), x => x + col("__r").cast("float") * lit(0.003f))))
+    // dims used by joins, unreplicated
+    Seq("nation", "region", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$big/$t.parquet")
+    }
+
+    def timeAll(sfDir: String): Map[String, Double] =
+      queries.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable => println(s"SCALE $name FAILED: ${e.getMessage}") }
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+
+    timeAll(src) // warm
+    val base = timeAll(src)
+    val scaled = timeAll(big)
+    println(f"SCALE ${"query"}%-28s ${"1x"}%8s ${k + "x"}%8s  ratio (data ${k}x)")
+    queries.foreach { q =>
+      println(f"SCALE $q%-28s ${base(q)}%8.2f ${scaled(q)}%8.2f  ${scaled(q) / base(q)}%5.1fx")
+    }
+    spark.stop()
+  }
+}
