@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("bottom_k"),
+      info("bottom_k",
+        "bottom_k(order, payload, k) - aggregate: payloads of the k smallest (order, payload) pairs"),
+      (args: Seq[Expression]) => {
+        val k = args(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.toString.toInt
+        graft.functions.BottomK(args(0), args(1), k)
+      }))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(tokens, k, w) - winnowing rolling-hash fingerprints of an array<string>"),

@@ -261,6 +261,31 @@ object TextQueries extends QueryDsl {
         .groupBy($"lang").agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_doc"))
     },
 
+    // Consistent per-group sampling via the custom bottom_k
+    // TypedImperativeAggregate (SURVEY §2.10 UDAF route): k docs per
+    // language with the smallest md5-derived sort key — top-k-per-key
+    // WITHOUT a window (partial+final agg, shuffle carries k-bounded
+    // buffers). Spark orders by the first 15 md5 hex chars parsed as a
+    // long; the oracle orders by the same 15-char hex string —
+    // identical order, so the selected ids match exactly.
+    q("q87_sample_per_group",
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(cast(doc_id AS varchar) || ':g'), 1, 15), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, array_to_string(list(doc_id ORDER BY rn), ',') AS sample_ids
+        |FROM ranked WHERE rn <= 5 GROUP BY lang""".stripMargin) { c =>
+      import c.t
+      val sortKey = conv(substring(md5(concat($"doc_id".cast("string"), lit(":g"))), 1, 15), 16, 10)
+        .cast("long")
+      t("documents")
+        .groupBy($"lang")
+        .agg(graft.functions.BottomK.of(sortKey, $"doc_id", 5).as("ids"))
+        .select($"lang",
+          array_join(transform($"ids", _.cast("string")), ",").as("sample_ids"))
+    },
+
     q("q84_doc_stats_by_lang",
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(cast(n_chars AS double)), 4) AS avg_chars,
