@@ -286,6 +286,49 @@ object TextQueries extends QueryDsl {
           array_join(transform($"ids", _.cast("string")), ",").as("sample_ids"))
     },
 
+    // Vocabulary heavy-hitters: the canonical wordcount — explode
+    // tokens, partial+final count, TakeOrdered top-k. At 100 TB the
+    // shuffle carries (token, partial-count) pairs, pre-combined
+    // map-side by the hash aggregate.
+    q("q88_vocab_topk",
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |      FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin) { c =>
+      import c.t
+      t("documents").filter(length(trim($"text")) > 0)
+        .select(explode(TF.wsTokens(lower($"text"))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w").limit(20)
+    },
+
+    // TF-IDF term ranking: tf = total occurrences, df = documents
+    // containing the term, score = tf * ln(N/df). Two aggregations
+    // over the exploded postings (one distinct for df), both
+    // partial+final; N is a scalar broadcast into the projection.
+    q("q89_tfidf_topk",
+      """WITH postings AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM postings),
+        |stats AS (
+        |  SELECT w, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM postings GROUP BY w)
+        |SELECT w, tf, df, round(tf * ln(cast(n AS double) / df), 4) AS tfidf
+        |FROM stats, n_docs
+        |ORDER BY tf * ln(cast(n AS double) / df) DESC, w LIMIT 20""".stripMargin) { c =>
+      import c.t
+      val postings = t("documents").filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("w"))
+      val nDocs = postings.select(countDistinct($"doc_id").as("n"))
+      val stats = postings.groupBy($"w")
+        .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      stats.crossJoin(broadcast(nDocs))
+        .withColumn("score", $"tf" * log($"n".cast("double") / $"df"))
+        .orderBy($"score".desc, $"w").limit(20)
+        .select($"w", $"tf", $"df", round($"score", 4).as("tfidf"))
+    },
+
     q("q84_doc_stats_by_lang",
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(cast(n_chars AS double)), 4) AS avg_chars,
