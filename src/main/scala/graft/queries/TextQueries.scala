@@ -103,6 +103,33 @@ object TextQueries extends QueryDsl {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // The assembled cleaning pipeline (C4-style): language known,
+    // quality floor, token-count band, and exact-dedup keeper only —
+    // the composition a real corpus pass runs, as one declarative
+    // plan: three pushed filters on the scan + a keeper semi-join
+    // (broadcast: the keeper set is ids only).
+    q("q67_clean_corpus",
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), wc AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
+        |  FROM documents)
+        |SELECT w.doc_id, w.lang, w.n_words
+        |FROM wc w JOIN keepers k ON w.doc_id = k.doc_id
+        |WHERE w.lang <> 'und' AND w.n_words BETWEEN 25 AND 2000""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val keepers = docs.groupBy(md5($"text".cast("binary")))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      docs
+        .select($"doc_id", $"lang", TF.wordCount($"text").cast("long").as("n_words"))
+        .filter($"lang" =!= "und" && $"n_words".between(25, 2000))
+        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+    },
+
     // Winnowing (rolling-hash) fingerprint blocking, MOSS-style: pairs
     // sharing >= 2 selected k-gram rolling hashes. Fingerprint
     // SELECTION (rightmost window minima) has no SQL analogue =>
