@@ -580,6 +580,39 @@ object CoreQueries extends QueryDsl {
         .groupBy($"k").agg(count(lit(1)).as("n"))
     },
 
+    // Map-typed column surface (SURVEY §2.8 extension): construct a
+    // map, merge the JSON props map into it (map_concat), read/keys/
+    // entries. Output rendered as sorted k=v strings — engine-neutral
+    // (DuckDB's MAP accessors return lists, so its oracle builds the
+    // same strings directly).
+    q("q58_map_funcs",
+      """SELECT event_id,
+        |  array_to_string(list_sort(['type=' || event_type,
+        |    'uid=' || cast(user_id AS varchar),
+        |    'pk=' || json_extract_string(props, '$.k')]), ',') AS kv,
+        |  event_type AS type_val,
+        |  3 AS n_keys
+        |FROM events WHERE event_id <= 300""".stripMargin) { c =>
+      import c.t
+      t("events").filter($"event_id" <= 300)
+        .select($"event_id",
+          map(
+            lit("type"), $"event_type",
+            lit("uid"), $"user_id".cast("string")).as("m0"),
+          from_json($"props",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)).as("pm"))
+        .select($"event_id",
+          map_concat($"m0",
+            map(lit("pk"), element_at($"pm", "k"))).as("m"))
+        .select($"event_id",
+          array_join(array_sort(transform(map_entries($"m"),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))), ",").as("kv"),
+          element_at($"m", "type").as("type_val"),
+          size(map_keys($"m")).as("n_keys"))
+    },
+
     q("q55_json_funcs",
       """SELECT event_id, cast(json_extract_string(props, '$.k') AS int) AS k
         |FROM events WHERE event_id <= 500""".stripMargin) { c =>
