@@ -34,6 +34,24 @@ object EventQueries extends QueryDsl {
           $"event_type", $"n", $"total_value")
     },
 
+    // Sliding (hopping) windows: 1h length, 30m hop — every event lands
+    // in exactly two windows; the oracle expands both window starts
+    // arithmetically.
+    q("q90b_sliding_windows",
+      """WITH exp AS (
+        |  SELECT event_type,
+        |    unnest([cast(floor(epoch(ts)/1800)*1800 AS bigint),
+        |            cast(floor(epoch(ts)/1800)*1800 - 1800 AS bigint)]) AS win_start
+        |  FROM events)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM exp GROUP BY 1, 2""".stripMargin) { c =>
+      import c.t
+      t("events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"window.start").as("win_start"), $"event_type", $"n")
+    },
+
     q("q91_sessionization",
       """WITH flagged AS (
         |  SELECT user_id, ts,
