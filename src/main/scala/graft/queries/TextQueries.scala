@@ -130,6 +130,47 @@ object TextQueries extends QueryDsl {
         .join(broadcast(keepers), Seq("doc_id"), "left_semi")
     },
 
+    // Dedup CLUSTERING: near-dup pairs (exact >= 0.5 Jaccard) ->
+    // connected components -> (member, cluster_root). The step that
+    // turns pairwise dedup output into keeper groups; Spark side is
+    // iterative min-label propagation, the oracle a recursive CTE.
+    q("q68_dedup_clusters",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
+        |    END AS shingles
+        |  FROM toks
+        |), postings AS (
+        |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), prs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE i / (sa.sz + sb.sz - i) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |)
+        |SELECT u AS member, min(r) AS cluster_root
+        |FROM reach GROUP BY u""".stripMargin) { c =>
+      import c.t
+      val pairs = NGramJaccard.pairs(t("documents"), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+      graft.dedup.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+    },
+
     // Winnowing (rolling-hash) fingerprint blocking, MOSS-style: pairs
     // sharing >= 2 selected k-gram rolling hashes. Fingerprint
     // SELECTION (rightmost window minima) has no SQL analogue =>

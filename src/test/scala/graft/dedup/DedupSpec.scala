@@ -99,6 +99,17 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L).length >= nGrams / 4 / 2 && fps(1L).length <= nGrams)
   }
 
+  test("connected components: chains, cliques, and isolated pairs resolve to min-id roots") {
+    val sp = spark; import sp.implicits._
+    // component {1,2,3,4} via a chain, {10,11,12} via a triangle, {20,21} a lone pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = ConnectedComponents.run(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("exact dedup keeper selection: min doc_id per content group") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
