@@ -142,6 +142,60 @@ object EventQueries extends QueryDsl {
         .orderBy($"media_id")
     },
 
+    // Funnel: click -> view -> purchase progression per user, counted
+    // by deepest ordered stage reached. Times compared at microsecond
+    // precision on BOTH engines (epoch_us truncates DuckDB's native
+    // nanos exactly like the Spark-side nanos->micros read).
+    q("q97_funnel",
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        |  FROM events GROUP BY user_id)
+        |SELECT CASE
+        |    WHEN tc IS NOT NULL AND tv IS NOT NULL AND tp IS NOT NULL
+        |         AND tc <= tv AND tv <= tp THEN 3
+        |    WHEN tc IS NOT NULL AND tv IS NOT NULL AND tc <= tv THEN 2
+        |    WHEN tc IS NOT NULL THEN 1
+        |    ELSE 0 END AS funnel_stage,
+        |  count(*) AS n_users
+        |FROM pu GROUP BY 1""".stripMargin) { c =>
+      import c.t
+      val pu = t("events").groupBy($"user_id").agg(
+        min(when($"event_type" === "click", unix_micros($"ts"))).as("tc"),
+        min(when($"event_type" === "view", unix_micros($"ts"))).as("tv"),
+        min(when($"event_type" === "purchase", unix_micros($"ts"))).as("tp"))
+      pu.select(
+          when($"tc".isNotNull && $"tv".isNotNull && $"tp".isNotNull &&
+            $"tc" <= $"tv" && $"tv" <= $"tp", 3)
+            .when($"tc".isNotNull && $"tv".isNotNull && $"tc" <= $"tv", 2)
+            .when($"tc".isNotNull, 1)
+            .otherwise(0).as("funnel_stage"))
+        .groupBy($"funnel_stage").agg(count(lit(1)).as("n_users"))
+    },
+
+    // Cohort retention: users bucketed by first-seen day, activity
+    // counted per (cohort_day, day_offset) — integer-µs day arithmetic
+    // on both engines.
+    q("q98_cohort_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        |), first AS (
+        |  SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id)
+        |SELECT d0 AS cohort_day, d - d0 AS day_offset, count(*) AS n_active
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) { c =>
+      import c.t
+      val act = t("events")
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct()
+      val first = act.groupBy($"user_id").agg(min($"d").as("d0"))
+      act.join(first, Seq("user_id"))
+        .groupBy($"d0".as("cohort_day"), ($"d" - $"d0").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+    },
+
     q("q94_event_value_deciles",
       """SELECT event_type, ntile, count(*) AS n,
         |  round(min(cast(value AS double)), 4) AS lo,
