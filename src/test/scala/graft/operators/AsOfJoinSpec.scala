@@ -66,6 +66,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("b") === null)
   }
 
+  test("native as-of join equals composed form on randomized keys/times") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 2000).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong)).toDF("lid", "k", "t")
+    // distinct (k, rt) pairs so ties can't make "latest right row" ambiguous
+    val right = rnd.shuffle((0 until 30000).toList).take(1500)
+      .map(x => (x.toLong % 20, (x / 20).toLong, s"p$x")).distinct
+      .toDF("k", "rt", "payload")
+    val composed = AsOfJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("payload")).toMap
+    val native = AsOfJoin.asofBackwardExec(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("payload")).toMap
+    assert(native.size === 2000)
+    assert(native === composed)
+  }
+
   test("as-of join preserves left row count exactly") {
     val ev = graft.Tables.events(spark, sf001)
     val purchases = ev.filter(col("event_type") === "purchase")
