@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSpec {
     assert(out === Array(1L, 2L, 3L))
   }
 
+  test("incremental streaming top-k similarity equals batch brute force after each drain") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val streamDir = Files.createTempDirectory("simstream").toString
+    val stateDir = Files.createTempDirectory("simstate").toString + "/state"
+    val ckpt = Files.createTempDirectory("simckpt").toString
+
+    def stateTopK = spark.read.parquet(stateDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchTopK(corpus: org.apache.spark.sql.DataFrame) =
+      graft.ann.Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "qid", "qvec", 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // drain 1: first half of the corpus
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    half.write.mode("overwrite").parquet(streamDir)
+    StreamingSimilarity.start(spark, queries, streamDir, stateDir, ckpt, 3, emb.schema)
+      .awaitTermination(120000)
+    assert(stateTopK === batchTopK(half))
+
+    // drain 2: second half arrives; state must now equal batch over ALL
+    emb.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(streamDir)
+    StreamingSimilarity.start(spark, queries, streamDir, stateDir, ckpt, 3, emb.schema)
+      .awaitTermination(120000)
+    assert(stateTopK === batchTopK(emb))
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     val sp = spark; import sp.implicits._
     val events = Seq(
