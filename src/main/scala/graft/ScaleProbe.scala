@@ -77,7 +77,7 @@ object ScaleProbe {
     timeAll(src) // warm
     val base = timeAll(src)
     val scaled = timeAll(big)
-    println(f"SCALE ${"query"}%-28s ${"1x"}%8s ${k + "x"}%8s  ratio (data ${k}x)")
+    println(f"SCALE ${"query"}%-28s ${"1x"}%8s ${s"${k}x"}%8s  ratio (data ${k}x)")
     queries.foreach { q =>
       println(f"SCALE $q%-28s ${base(q)}%8.2f ${scaled(q)}%8.2f  ${scaled(q) / base(q)}%5.1fx")
     }

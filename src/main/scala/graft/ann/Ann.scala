@@ -102,7 +102,7 @@ object Ann {
       : org.apache.spark.sql.Column = {
     val planes = hyperplanes(nBits, dim, seed)
     (0 until nBits).map { b =>
-      val plane = array(planes(b).map(lit(_)): _*)
+      val plane = array(planes(b).toIndexedSeq.map(lit(_)): _*)
       when(dot(vec, plane) >= 0.0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
   }
