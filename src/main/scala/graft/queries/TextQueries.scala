@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.dedup.{MinHashLSH, NGramJaccard, SimHash}
-import graft.ann.{Ann, Ivf}
+import graft.ann.{Ann, Ivf, Pq}
 
 /** Training-data-pipeline query surface over `documents` and
   * `embeddings`: deduplication (exact, n-gram Jaccard, MinHash LSH,
@@ -246,6 +246,22 @@ object TextQueries extends QueryDsl {
       val model = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iterations = 2)
       Ivf.topK(Ivf.index(emb, "embedding", model), queries,
           "vec_id", "embedding", "qid", "qvec", model, k = 5, nprobe = 4)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // PQ (product quantization) ANN: 8x16 sample-trained codebooks,
+    // 8-code encoding (32x vector compression), ADC table scoring,
+    // exact re-rank of the shortlist. Approximate => rows-only;
+    // PqSpec asserts shortlist=corpus == brute force and a recall
+    // floor at small shortlists.
+    q("q73_ann_pq") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      Pq.adcTopK(Pq.encode(emb, "embedding", model), queries,
+          "vec_id", "embedding", "qid", "qvec", model, k = 5, shortlist = 100)
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
