@@ -86,7 +86,9 @@ object Pq {
 
   /** Append an m-element `codes` column (argmin centroid per
     * subspace). Centroids travel as literals; each argmin is the same
-    * struct-array-min idiom Ivf.cellCol uses. */
+    * struct-array-min idiom Ivf.cellCol uses. spread() first: the
+    * m*k kernel evaluations per row are the expensive stage and must
+    * not run on a single input split. */
   def encode(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
     val sub = model.subDim
     val codeCols: Seq[Column] = (0 until model.m).map { j =>
@@ -98,7 +100,7 @@ object Pq {
       }
       array_min(array(dists.toIndexedSeq: _*)).getField("c")
     }
-    corpus.withColumn("codes", array(codeCols: _*))
+    graft.operators.Partitioning.spread(corpus).withColumn("codes", array(codeCols: _*))
   }
 
   /** ADC top-k with exact cosine re-rank of the `shortlist` nearest-
