@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.{MinHashLSH, ShingleHashes}
+import graft.functions.TextFunctions
+
+/** Streaming near-duplicate dedup: admit a document stream while
+  * rejecting near-duplicates of anything already admitted — the
+  * continuous-ingest form of corpus dedup.
+  *
+  * State = (doc, shingle hashes, minhash signature) of every ADMITTED
+  * document: signature bytes, never text. Per micro-batch:
+  *   1. shingle+sign the incoming docs (kernels, spread, cached),
+  *   2. band incoming and state signatures, bucket-join for candidate
+  *      pairs — incoming vs state, and incoming vs earlier-id incoming,
+  *   3. exact-Jaccard verify candidates on the stored shingle sets,
+  *   4. admit non-duplicates; stage-swap the enlarged state parquet.
+  *
+  * Cost per batch is O(batch) kernels plus bucket micro-joins — the
+  * admitted history is touched only through its banded signatures, and
+  * only in colliding buckets. Admission rule: a doc is dropped iff it
+  * near-dups the admitted history or ANY smaller-id doc of its own
+  * batch (admitted or not) — deterministic, order-independent within
+  * the batch, and slightly stricter than sequential-greedy (it drops
+  * whole duplicate chains, the component-style semantics).
+  */
+object StreamingNearDupDedup {
+
+  private val B = 32
+  private val H = 128
+
+  private def shingleSign(docs: DataFrame): DataFrame =
+    graft.operators.Partitioning.spread(docs)
+      .select(col("doc"),
+        ShingleHashes.of(TextFunctions.wsTokens(lower(col("text"))), 3).as("shs"))
+      .select(col("doc"), col("shs"),
+        MinHashLSH.signatureOfHashes(col("shs"), H).as("sig"))
+
+  private def banded(sigs: DataFrame): DataFrame = {
+    val r = H / B
+    sigs.select(col("doc"),
+        explode(transform(sequence(lit(0), lit(B - 1)),
+          b => struct(b.as("band"),
+            hash(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** One micro-batch step; exposed for direct (batch) use and tests. */
+  def process(
+      spark: SparkSession,
+      batch: DataFrame, // (doc_id, text)
+      stateDir: String,
+      minJaccard: Double): Unit = {
+    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incoming = shingleSign(
+        batch.select(col("doc_id").as("doc"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hasState = fs.exists(new Path(stateDir))
+    val state =
+      if (hasState) spark.read.parquet(stateDir)
+      else incoming.limit(0)
+
+    // candidates: an incoming doc vs (state ∪ smaller-id incoming)
+    val a = banded(incoming).select(col("doc").as("cand"), col("band"), col("bucket"))
+    val b = banded(state.unionByName(incoming))
+      .select(col("doc").as("other"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("other") < col("cand"))
+      .select(col("cand"), col("other")).distinct()
+
+    val shsAll = state.unionByName(incoming).select(col("doc"), col("shs"))
+    val verified = cand
+      .join(shsAll.withColumnRenamed("doc", "cand").withColumnRenamed("shs", "sh_a"), Seq("cand"))
+      .join(shsAll.withColumnRenamed("doc", "other").withColumnRenamed("shs", "sh_b"), Seq("other"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("j", col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("j") >= minJaccard)
+      .select(col("cand").as("doc")).distinct()
+
+    val admitted = incoming.join(verified, Seq("doc"), "left_anti")
+    val newState = state.unionByName(admitted)
+
+    val staging = new Path(stateDir + ".staging-" + java.util.UUID.randomUUID())
+    newState.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val dst = new Path(stateDir)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(staging, dst)
+    incoming.unpersist()
+    ()
+  }
+
+  def start(
+      spark: SparkSession,
+      streamDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      minJaccard: Double = 0.8): StreamingQuery =
+    spark.readStream.schema(schema).parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        process(spark, batch, stateDir, minJaccard)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

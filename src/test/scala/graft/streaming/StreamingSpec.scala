@@ -124,6 +124,37 @@ class StreamingSpec extends SparkSpec {
     assert(stateTopK === batchTopK(emb))
   }
 
+  test("streaming near-dup dedup: cross-batch near-duplicates are rejected, fresh docs admitted") {
+    val sp = spark; import sp.implicits._
+    val streamDir = Files.createTempDirectory("nddstream").toString
+    val stateDir = Files.createTempDirectory("nddstate").toString + "/state"
+    val ckpt = Files.createTempDirectory("nddckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river " +
+      "while birds sing in the tall green trees of the old forest"
+
+    val b1 = Seq(
+      (1L, base),
+      (2L, "completely different content about large scale data processing systems and engines"),
+      (3L, "a third unrelated document mentioning neither animals nor rivers nor forests today"))
+      .toDF("doc_id", "text")
+    b1.write.mode("overwrite").parquet(streamDir)
+    StreamingNearDupDedup.start(spark, streamDir, stateDir, ckpt, b1.schema)
+      .awaitTermination(120000)
+    def admitted = spark.read.parquet(stateDir).select("doc").as[Long].collect().toSet
+    assert(admitted === Set(1L, 2L, 3L))
+
+    // batch 2: doc 10 is a near-dup of doc 1 (one word appended:
+    // jaccard ~22/23), doc 11 fresh
+    Seq(
+      (10L, base + " tonight"),
+      (11L, "an entirely fresh document on streaming deduplication state stores and parquet swaps"))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(streamDir)
+    StreamingNearDupDedup.start(spark, streamDir, stateDir, ckpt, b1.schema)
+      .awaitTermination(120000)
+    assert(admitted === Set(1L, 2L, 3L, 11L))
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     val sp = spark; import sp.implicits._
     val events = Seq(
