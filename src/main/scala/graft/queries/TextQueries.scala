@@ -202,6 +202,33 @@ object TextQueries extends QueryDsl {
         .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
     },
 
+    // Embedding-space dedup clusters: cosine > 0.35 pair graph ->
+    // connected components (same operator as q68, different modality).
+    q("q69_embedding_clusters",
+      """WITH RECURSIVE prs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |), edges AS (
+        |  SELECT va AS u, vb AS v FROM prs UNION SELECT vb, va FROM prs
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |)
+        |SELECT u AS member, min(r) AS cluster_root
+        |FROM reach GROUP BY u""".stripMargin) { c =>
+      import c.t
+      val a = graft.operators.Partitioning.spread(t("embeddings"))
+        .select($"vec_id".as("va"), $"embedding".as("ea"), VF.l2Norm($"embedding").as("na"))
+      val b = t("embeddings")
+        .select($"vec_id".as("vb"), $"embedding".as("eb"), VF.l2Norm($"embedding").as("nb"))
+      val pairs = a.join(b, $"va" < $"vb")
+        .filter(VF.cosineWithNorms(VF.dot($"ea", $"eb"), $"na", $"nb") > 0.35)
+        .select($"va", $"vb")
+      graft.dedup.ConnectedComponents.run(pairs, "va", "vb")
+    },
+
     // LSH-blocked near-dup: the scale path for q64 (no quadratic pair
     // generation). Approximate by construction — the testdata's max
     // pairwise cosine is ~0.6, so no threshold exists where SRP recall
