@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.{ConnectedComponents, MinHashLSH, NGramJaccard}
+import graft.functions.{TextFunctions => TF}
+
+/** End-to-end corpus curation: the assembled training-data pass that
+  * the individual operators exist for, as one library call.
+  *
+  *   1. CLEAN — language known, token-count band, quality floor
+  *      (filters push to the scan; no shuffle),
+  *   2. EXACT DEDUP — md5 keeper per content group (digest groupBy),
+  *   3. NEAR-DUP DEDUP — banded-MinHash candidates, exact-Jaccard
+  *      verification, connected components over the verified pair
+  *      graph, keep each cluster's minimum id,
+  *   4. SAMPLE — deterministic per-language md5-threshold rates,
+  *   5. WRITE — parquet partitioned by language.
+  *
+  * Every stage is the same code the query surface exercises against
+  * DuckDB oracles (q67/q60/q62/q68/q85); the pipeline report makes the
+  * stage-by-stage attrition auditable.
+  */
+object CorpusPipeline {
+
+  final case class Report(
+      input: Long,
+      afterClean: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long,
+      sampled: Long)
+
+  final case class Options(
+      minWords: Int = 10,
+      maxWords: Int = 5000,
+      minQuality: Double = 0.3,
+      nearDupJaccard: Double = 0.8,
+      // per-language admission rate in [0,1]; default keeps everything
+      sampleRates: Map[String, Double] = Map.empty,
+      salt: String = ":graft")
+
+  def curate(docs: DataFrame, outDir: String, opts: Options = Options()): Report = {
+    val input = docs.count()
+
+    // 1. clean
+    val cleaned = docs
+      .withColumn("n_words", TF.wordCount(col("text")).cast("long"))
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .filter(col("lang") =!= "und" &&
+        col("n_words").between(opts.minWords, opts.maxWords) &&
+        col("quality") >= opts.minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterClean = cleaned.count()
+
+    // 2. exact dedup: keeper = min doc_id per content digest
+    val keepers = cleaned.groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = cleaned.join(broadcast(keepers), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterExactDedup = exact.count()
+
+    // 3. near-dup dedup: LSH candidates -> exact verify -> clusters ->
+    //    keep each cluster's min id (members other than the root drop)
+    val candidates = MinHashLSH.candidatePairs(exact, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3)
+    val verified = MinHashLSH.verifyJaccard(candidates, exact, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= opts.nearDupJaccard)
+    val clusters = ConnectedComponents.run(verified, "doc_a", "doc_b")
+    val victims = clusters.filter(col("member") =!= col("cluster_root"))
+      .select(col("member").as("doc_id"))
+    val nearDeduped = exact.join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterNearDedup = nearDeduped.count()
+
+    // 4. deterministic stratified sample (md5-prefix threshold)
+    val sampled =
+      if (opts.sampleRates.isEmpty) nearDeduped
+      else {
+        val cut = opts.sampleRates.foldLeft(lit("ffffffff")) { case (acc, (lang, rate)) =>
+          val hex = f"${math.min((rate * (1L << 32)).toLong, 0xFFFFFFFFL)}%08x"
+          when(col("lang") === lang, lit(hex)).otherwise(acc)
+        }
+        nearDeduped.filter(
+          substring(md5(concat(col("doc_id").cast("string"), lit(opts.salt))), 1, 8) < cut)
+      }
+    val nSampled = sampled.count()
+
+    // 5. write partitioned by language
+    sampled.drop("n_words", "quality")
+      .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
+
+    Seq(cleaned, exact, nearDeduped).foreach(_.unpersist())
+    Report(input, afterClean, afterExactDedup, afterNearDedup, nSampled)
+  }
+}
+
+/** CLI: curate <sfDir>/documents.parquet into <outDir>. */
+object CorpusPipelineMain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val r = CorpusPipeline.curate(docs, outDir,
+      CorpusPipeline.Options(sampleRates = Map("en" -> 0.5)))
+    println(s"""{"input":${r.input},"after_clean":${r.afterClean},""" +
+      s""""after_exact_dedup":${r.afterExactDedup},""" +
+      s""""after_near_dedup":${r.afterNearDedup},"sampled":${r.sampled}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import java.nio.file.Files
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("curate: stage counts monotone, near-dups purged, output partitioned by lang") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    // plant an exact dup and a near-dup of real rows so both dedup
+    // stages demonstrably fire
+    val base = docs.filter($"doc_id" === 1).select($"text").first().getString(0)
+    val planted = Seq(
+      (100001L, base, "en", "planted"),
+      (100002L, base + " extra", "en", "planted"))
+      .toDF("doc_id", "text", "lang", "source")
+    val input = docs.select("doc_id", "text", "lang", "source").unionByName(planted)
+
+    val out = Files.createTempDirectory("curated").toString + "/corpus"
+    val r = CorpusPipeline.curate(input, out,
+      CorpusPipeline.Options(minWords = 5, minQuality = 0.0))
+
+    assert(r.input === docs.count() + 2)
+    assert(r.afterClean <= r.input)
+    assert(r.afterExactDedup < r.afterClean)  // exact dup planted => strict drop
+    assert(r.afterNearDedup < r.afterExactDedup) // near dup planted => strict drop
+    assert(r.sampled === r.afterNearDedup) // no sampling rates set
+
+    // survivors contain no near-dup pair at the configured threshold
+    val curated = spark.read.parquet(out)
+    val residual = graft.dedup.NGramJaccard.pairs(
+        curated, "doc_id", "text", shingleN = 3, minJaccard = 0.8).count()
+    assert(residual === 0, s"curated corpus still has $residual near-dup pairs")
+
+    // lang partitioning on disk
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.nonEmpty)
+  }
+}
