@@ -54,8 +54,11 @@ object Pipeline {
       Files.readString(dir.resolve(s"$modifier.meta"))
     def feedJson(modifier: String, stagingDir: Path): Path = {
       val zip = dir.resolve(s"$modifier.json.zip")
+      val json = dir.resolve(s"$modifier.json")
       if (Files.exists(zip)) unzipSingle(zip, stagingDir)
-      else dir.resolve(s"$modifier.json")
+      else if (Files.exists(json)) json
+      // match HttpFetcher semantics: a missing feed FAILS the fetch
+      else throw new java.nio.file.NoSuchFileException(json.toString)
     }
   }
 
@@ -126,13 +129,25 @@ object Pipeline {
       .select("download_name").collect().map(_.getString(0)).toSet
     val stale = feeds.filter(f => staleNames.contains(f.modifier))
 
-    if (stale.nonEmpty) {
-      // Data plane: fetch+unzip stale feeds (driver), then one tagged
-      // read per feed unioned into a single plan — the union's scans
-      // execute as parallel tasks (one+ per file), so ~27 feeds load
-      // concurrently where the reference looped sequentially.
-      val flat = stale.map { f =>
-        val p = fetcher.feedJson(f.modifier, stagingDir).toUri.toString
+    // Data plane: fetch+unzip stale feeds (driver). A download failure
+    // is subject to the same failFast contract as a meta failure —
+    // the feed is skipped (and NOT recorded in history, so the next
+    // cycle retries it) instead of sinking the whole load.
+    val fetched = stale.flatMap { f =>
+      try Some(f -> fetcher.feedJson(f.modifier, stagingDir).toUri.toString)
+      catch {
+        case e: Exception if !failFast =>
+          System.err.println(s"[pipeline] skipping feed '${f.modifier}': fetch failed: ${e.getMessage}")
+          None
+      }
+    }
+
+    if (fetched.nonEmpty) {
+      // One tagged read per feed unioned into a single plan — the
+      // union's scans execute as parallel tasks (one+ per file), so
+      // ~27 feeds load concurrently where the reference looped
+      // sequentially.
+      val flat = fetched.map { case (f, p) =>
         CveFlatten.readFeed(spark, Seq(p)).withColumn("feed_rank", lit(f.rank))
       }.map(CveFlatten.flattenItems(_, strictReferenceSemantics))
         .reduce(_ unionByName _)
@@ -140,13 +155,18 @@ object Pipeline {
 
       NvdStore.upsert(spark, deduped.drop("feed_rank"), storePath)
 
-      val loadedMetas = metas.filter(m => staleNames.contains(m.downloadName))
+      val fetchedNames = fetched.map(_._1.modifier).toSet
+      val loadedMetas = metas.filter(m => fetchedNames.contains(m.downloadName))
       FeedCatalog.historyRows(spark, loadedMetas, now())
         .write.mode("append").parquet(historyPath)
     }
 
-    val after = NvdStore.cveTally(NvdStore.read(spark, storePath))
-    LoadReport(feeds.size, stale.size, before, after)
+    // A run where every feed was skipped may end with no store at all.
+    val after =
+      if (NvdStore.pathExists(spark, storePath))
+        NvdStore.cveTally(NvdStore.read(spark, storePath))
+      else 0L
+    LoadReport(feeds.size, fetched.size, before, after)
   }
 
   private def now(): String = java.time.LocalDateTime.now().toString

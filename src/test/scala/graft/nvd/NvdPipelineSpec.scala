@@ -154,6 +154,37 @@ class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parent.count(_.startsWith("store")) === 1)
   }
 
+  test("a feed whose DOWNLOAD fails (meta ok) is skipped, not recorded, and retried next run") {
+    val tmp = Files.createTempDirectory("nvddlfail")
+    val store = tmp.resolve("store").toString
+    val hist = tmp.resolve("hist").toString
+    val staging = Files.createDirectory(tmp.resolve("staging"))
+    // meta resolves (copied), but the json/zip is absent => download fails
+    Files.copy(fixtures.resolve("2002.meta"), fixtures.getParent.resolve("nvdfeed/brokenfeed.meta"))
+    try {
+      val feeds = Seq(FeedCatalog.Feed("2002", 0), FeedCatalog.Feed("brokenfeed", 1))
+      val r = Pipeline.run(spark, feeds, new Pipeline.LocalFetcher(fixtures),
+        store, hist, staging)
+      assert(r.feedsLoaded === 1) // 2002 only
+      assert(r.cvesAfter === 3)
+      // brokenfeed not in history => still stale on the next cycle
+      val r2 = Pipeline.run(spark, feeds, new Pipeline.LocalFetcher(fixtures),
+        store, hist, staging)
+      assert(r2.feedsLoaded === 0) // still failing, still skipped; 2002 fresh
+      assert(r2.cvesAfter === 3)
+    } finally Files.deleteIfExists(fixtures.resolve("brokenfeed.meta"))
+  }
+
+  test("a run where every feed is skipped on a fresh store reports zero, not a crash") {
+    val tmp = Files.createTempDirectory("nvdallskip")
+    val r = Pipeline.run(spark, Seq(FeedCatalog.Feed("nonexistent", 0)),
+      new Pipeline.LocalFetcher(fixtures),
+      tmp.resolve("store").toString, tmp.resolve("hist").toString,
+      Files.createDirectory(tmp.resolve("staging")))
+    assert(r.feedsLoaded === 0)
+    assert(r.cvesAfter === 0)
+  }
+
   test("cveTally = COUNT(DISTINCT cve_id) (reference :494)") {
     assert(NvdStore.cveTally(flat2002) === 3)
   }
