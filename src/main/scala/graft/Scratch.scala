@@ -59,10 +59,15 @@ object Scratch {
         Seq("user_id"), "ts", "ts2", Seq("n"))
       println(s"asof rows: ${aoj.count()}")
       aoj.show(5)
+      val aojRight = lastByUser.withColumnRenamed("rts", "ts2")
       val aojNative = graft.operators.AsOfJoin.asofBackwardExec(
-        probe, lastByUser.withColumnRenamed("rts", "ts2").withColumnRenamed("ts", "ts2"),
-        Seq("user_id"), "ts", "ts2", Seq("n"))
-      require(aojNative.count() == aoj.count(), "native as-of row count diverged")
+        probe, aojRight, Seq("user_id"), "ts", "ts2", Seq("n"))
+      // compare the joined payloads, not just counts — a count check
+      // is vacuous for as-of (always one output row per left row)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select($"event_id", $"n").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      require(keyed(aojNative) == keyed(aoj), "native as-of payloads diverged from composed")
       println("asof native operator: OK")
       println("== CPE star from NVD fixtures ==")
       val flat = graft.nvd.CveFlatten.flattenFeed(spark,

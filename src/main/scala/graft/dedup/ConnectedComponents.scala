@@ -55,6 +55,13 @@ object ConnectedComponents {
       labels = next.select($"u", $"lbl")
       i += 1
     }
+    // exiting at maxIter with labels still moving means components of
+    // diameter > maxIter exist — wrong roots would be returned
+    // silently; fail loud so the caller raises maxIter
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter (graph diameter exceeds it)")
     labels.select($"u".as("member"), $"lbl".as("cluster_root"))
   }
 }

@@ -108,12 +108,17 @@ object MinHashLSH {
     * candidate path uses; equal mod hash collisions), cached and
     * spread so the kernel runs once per document even though the frame
     * joins into both pair sides. */
+  /** @param minJaccard threshold applied to the RAW ratio (before the
+    *                    6-decimal display rounding — a rounded filter
+    *                    would admit boundary pairs the exact predicate
+    *                    rejects); <= 0 keeps every verified pair */
   def verifyJaccard(
       pairs: DataFrame,
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      minJaccard: Double = 0.0): DataFrame = {
     val sh = graft.operators.Partitioning.spread(docs).select(
       col(idCol).as("__id"),
       ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("__sh"))
@@ -124,6 +129,7 @@ object MinHashLSH {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 }

@@ -74,9 +74,10 @@ object NvdStore {
           years.foreach { y =>
             val src = new org.apache.hadoop.fs.Path(staging, s"$yearCol=$y")
             if (fs.exists(src)) {
-              val dst = new org.apache.hadoop.fs.Path(hPath, s"$yearCol=$y")
-              if (fs.exists(dst)) fs.delete(dst, true)
-              fs.rename(src, dst)
+              // crash-safe swap: the old partition is moved aside, not
+              // deleted, until the new one is in place
+              graft.operators.SwapDir.swap(fs, src,
+                new org.apache.hadoop.fs.Path(hPath, s"$yearCol=$y"))
             }
           }
         } finally fs.delete(staging, true)

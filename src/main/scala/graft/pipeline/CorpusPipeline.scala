@@ -56,7 +56,9 @@ object CorpusPipeline {
     val keepers = cleaned.groupBy(md5(col("text").cast("binary")))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exact = cleaned.join(broadcast(keepers), Seq("doc_id"), "left_semi")
+    // no broadcast hint: the keeper set is O(corpus) rows — let the
+    // planner shuffle (or AQE pick broadcast when it actually fits)
+    val exact = cleaned.join(keepers, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterExactDedup = exact.count()
 
@@ -64,12 +66,12 @@ object CorpusPipeline {
     //    keep each cluster's min id (members other than the root drop)
     val candidates = MinHashLSH.candidatePairs(exact, "doc_id", "text",
       numHashes = 128, bands = 32, shingleN = 3)
-    val verified = MinHashLSH.verifyJaccard(candidates, exact, "doc_id", "text", shingleN = 3)
-      .filter(col("jaccard") >= opts.nearDupJaccard)
+    val verified = MinHashLSH.verifyJaccard(candidates, exact, "doc_id", "text",
+      shingleN = 3, minJaccard = opts.nearDupJaccard)
     val clusters = ConnectedComponents.run(verified, "doc_a", "doc_b")
     val victims = clusters.filter(col("member") =!= col("cluster_root"))
       .select(col("member").as("doc_id"))
-    val nearDeduped = exact.join(broadcast(victims), Seq("doc_id"), "left_anti")
+    val nearDeduped = exact.join(victims, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterNearDedup = nearDeduped.count()
 

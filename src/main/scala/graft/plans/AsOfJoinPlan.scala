@@ -97,7 +97,12 @@ case class AsOfJoinExec(
       val rValProj = UnsafeProjection.create(rVals, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rVals)
+      // bind against NULLABLE right-value attrs: unmatched left rows
+      // carry a null payload row, and a non-nullable input attribute
+      // (count(), literals) would bind a BoundReference that skips the
+      // null check and reads the placeholder as 0
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rVals.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rVals.length)
       val joined = new JoinedRow
 

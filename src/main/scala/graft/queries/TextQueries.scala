@@ -93,8 +93,8 @@ object TextQueries extends QueryDsl {
       val docs = t("documents")
       val candidates = MinHashLSH.candidatePairs(docs, "doc_id", "text",
         numHashes = 128, bands = 32, shingleN = 3)
-      MinHashLSH.verifyJaccard(candidates, docs, "doc_id", "text", shingleN = 3)
-        .filter($"jaccard" >= 0.8)
+      MinHashLSH.verifyJaccard(candidates, docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.8)
     },
 
     q("q63_dedup_simhash") { c =>
@@ -107,7 +107,8 @@ object TextQueries extends QueryDsl {
     // quality floor, token-count band, and exact-dedup keeper only —
     // the composition a real corpus pass runs, as one declarative
     // plan: three pushed filters on the scan + a keeper semi-join
-    // (broadcast: the keeper set is ids only).
+    // (planner-chosen side: the keeper set is O(corpus) ids, so no
+    // broadcast hint — AQE may still pick one when it fits).
     q("q67_clean_corpus",
       """WITH keepers AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
@@ -127,7 +128,7 @@ object TextQueries extends QueryDsl {
       docs
         .select($"doc_id", $"lang", TF.wordCount($"text").cast("long").as("n_words"))
         .filter($"lang" =!= "und" && $"n_words".between(25, 2000))
-        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+        .join(keepers, Seq("doc_id"), "left_semi")
     },
 
     // Dedup CLUSTERING: near-dup pairs (exact >= 0.5 Jaccard) ->

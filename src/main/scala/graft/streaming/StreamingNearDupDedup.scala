@@ -22,10 +22,12 @@ import graft.functions.TextFunctions
   * Cost per batch is O(batch) kernels plus bucket micro-joins — the
   * admitted history is touched only through its banded signatures, and
   * only in colliding buckets. Admission rule: a doc is dropped iff it
-  * near-dups the admitted history or ANY smaller-id doc of its own
-  * batch (admitted or not) — deterministic, order-independent within
-  * the batch, and slightly stricter than sequential-greedy (it drops
-  * whole duplicate chains, the component-style semantics).
+  * near-dups ANY admitted doc (regardless of id order) or any
+  * smaller-id doc of its own batch — deterministic, order-independent
+  * within the batch, and slightly stricter than sequential-greedy (it
+  * drops whole duplicate chains, the component-style semantics).
+  * Replayed doc ids (at-least-once delivery, checkpoint retry) are
+  * ignored rather than re-admitted.
   */
 object StreamingNearDupDedup {
 
@@ -55,20 +57,28 @@ object StreamingNearDupDedup {
       stateDir: String,
       minJaccard: Double): Unit = {
     val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val incoming = shingleSign(
-        batch.select(col("doc_id").as("doc"), col("text")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.SwapDir.heal(fs, new Path(stateDir))
     val hasState = fs.exists(new Path(stateDir))
+    val rawIncoming = batch.select(col("doc_id").as("doc"), col("text"))
     val state =
       if (hasState) spark.read.parquet(stateDir)
-      else incoming.limit(0)
+      else shingleSign(rawIncoming).limit(0)
 
-    // candidates: an incoming doc vs (state ∪ smaller-id incoming)
+    // replay idempotence: a doc id already admitted (checkpoint retry,
+    // at-least-once source) is not re-processed or re-appended
+    val incoming = shingleSign(
+        rawIncoming.join(state.select(col("doc")), Seq("doc"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // candidates: an incoming doc vs ANY admitted state doc, and vs
+    // smaller-id docs of its own batch
     val a = banded(incoming).select(col("doc").as("cand"), col("band"), col("bucket"))
-    val b = banded(state.unionByName(incoming))
-      .select(col("doc").as("other"), col("band"), col("bucket"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("other") < col("cand"))
+    val bState = banded(state)
+      .select(col("doc").as("other"), col("band"), col("bucket"), lit(true).as("in_state"))
+    val bNew = banded(incoming)
+      .select(col("doc").as("other"), col("band"), col("bucket"), lit(false).as("in_state"))
+    val cand = a.join(bState.unionByName(bNew), Seq("band", "bucket"))
+      .filter(col("in_state") || col("other") < col("cand"))
       .select(col("cand"), col("other")).distinct()
 
     val shsAll = state.unionByName(incoming).select(col("doc"), col("shs"))
@@ -85,9 +95,7 @@ object StreamingNearDupDedup {
 
     val staging = new Path(stateDir + ".staging-" + java.util.UUID.randomUUID())
     newState.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val dst = new Path(stateDir)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(staging, dst)
+    graft.operators.SwapDir.swap(fs, staging, new Path(stateDir))
     incoming.unpersist()
     ()
   }

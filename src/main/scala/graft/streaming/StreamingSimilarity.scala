@@ -42,6 +42,7 @@ object StreamingSimilarity {
             batch, q, "vec_id", "embedding", "qid", "qvec", k)
           .select(col("query_id"), col("neighbor_id"), col("cos"))
         val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.operators.SwapDir.heal(fs, new Path(stateDir))
         val prev =
           if (fs.exists(new Path(stateDir)))
             spark.read.parquet(stateDir).select(col("query_id"), col("neighbor_id"), col("cos"))
@@ -54,9 +55,7 @@ object StreamingSimilarity {
           .filter(col("rnk") <= k)
         val staging = new Path(stateDir + ".staging-" + java.util.UUID.randomUUID())
         merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-        val dst = new Path(stateDir)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        fs.rename(staging, dst)
+        graft.operators.SwapDir.swap(fs, staging, new Path(stateDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)

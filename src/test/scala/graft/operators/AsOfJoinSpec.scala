@@ -54,6 +54,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("native as-of join: NON-NULLABLE right payload still yields NULL on no-match") {
+    val sp = spark; import sp.implicits._
+    // count() produces a non-nullable column — the unmatched-left
+    // placeholder must surface as NULL, not 0 (regression: nullability
+    // was taken from the input attr, skipping the null check)
+    val left = Seq((1L, 10L, "hit"), (2L, 10L, "miss")).toDF("k", "t", "pid")
+    val right = Seq((1L, 5L, "x"), (1L, 6L, "y")).toDF("k", "rt", "v")
+      .groupBy($"k").agg(max($"rt").as("rt"), count(lit(1)).as("n"))
+      .select($"k", $"rt", $"n")
+    val out = AsOfJoin.asofBackwardExec(left, right, Seq("k"), "t", "rt", Seq("n"))
+      .collect().map(r => (r.getAs[String]("pid"), Option(r.get(3)))).toMap
+    assert(out("hit") === Some(2L))
+    assert(out("miss") === None)
+  }
+
   test("native as-of join: null keys never match") {
     val sp = spark; import sp.implicits._
     val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))
