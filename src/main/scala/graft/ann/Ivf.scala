@@ -64,45 +64,8 @@ object Ivf {
       iterations: Int = 2,
       maxSamples: Int = 0): Model = {
     val cap = if (maxSamples > 0) maxSamples else nlist * 256
-    val sample: Array[Array[Double]] = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(cap)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Any](0).map(x => x.toString.toDouble).toArray)
-    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
-    val dim = sample.head.length
-
-    var centroids: Array[Array[Double]] =
-      Array.tabulate(math.min(nlist, sample.length))(i => sample(i).clone())
-    var it = 0
-    while (it < iterations) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      var s = 0
-      while (s < sample.length) {
-        val v = sample(s)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < centroids.length) {
-          val ctr = centroids(c)
-          var d = 0.0; var j = 0
-          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        val acc = sums(best); var j = 0
-        while (j < dim) { acc(j) += v(j); j += 1 }
-        counts(best) += 1
-        s += 1
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }.toArray
-      it += 1
-    }
+    val sample = KMeans.sampleVectors(corpus, idCol, vecCol, cap)
+    val centroids = KMeans.lloyd(sample, nlist, iterations)
     Model(centroids.zipWithIndex.map { case (ctr, i) => i -> ctr })
   }
 

@@ -44,42 +44,11 @@ object Pq {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val sub = dim / m
     val cap = if (maxSamples > 0) maxSamples else k * 256
-    val sample: Array[Array[Double]] = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(cap)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Any](0).map(x => x.toString.toDouble).toArray)
-    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
-
+    val sample = KMeans.sampleVectors(corpus, idCol, vecCol, cap)
     val books = Array.tabulate(m) { j =>
       val off = j * sub
       val subSample = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + sub))
-      var centroids = Array.tabulate(math.min(k, subSample.length))(i => subSample(i).clone())
-      var it = 0
-      while (it < iterations) {
-        val sums = Array.fill(centroids.length)(new Array[Double](sub))
-        val counts = new Array[Long](centroids.length)
-        subSample.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < centroids.length) {
-            var d = 0.0; var p = 0
-            while (p < sub) { val t = v(p) - centroids(c)(p); d += t * t; p += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          val acc = sums(best); var p = 0
-          while (p < sub) { acc(p) += v(p); p += 1 }
-          counts(best) += 1
-        }
-        centroids = centroids.indices.map { c =>
-          if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
-        }.toArray
-        it += 1
-      }
-      centroids
+      KMeans.lloyd(subSample, k, iterations)
     }
     Model(books, dim)
   }

@@ -55,13 +55,24 @@ object ConnectedComponents {
       labels = next.select($"u", $"lbl")
       i += 1
     }
-    // exiting at maxIter with labels still moving means components of
-    // diameter > maxIter exist — wrong roots would be returned
-    // silently; fail loud so the caller raises maxIter
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — raise maxIter (graph diameter exceeds it)")
+    // Exiting at maxIter with the LAST round still changing is
+    // ambiguous: that round may have been the one that finished the
+    // job. Run one confirmation round; only a further change means
+    // components wider than maxIter exist — then fail loud rather
+    // than silently return wrong roots.
+    if (changed > 0) {
+      val confirm = sym.as("e")
+        .join(labels.as("l"), col("e.v") === col("l.u"))
+        .groupBy(col("e.u").as("u"))
+        .agg(min(col("l.lbl")).as("nbr_lbl"))
+        .join(labels, Seq("u"))
+        .filter(col("nbr_lbl") < col("lbl"))
+        .count()
+      if (confirm > 0)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds " +
+            s"($confirm labels would still change) — raise maxIter (graph diameter exceeds it)")
+    }
     labels.select($"u".as("member"), $"lbl".as("cluster_root"))
   }
 }

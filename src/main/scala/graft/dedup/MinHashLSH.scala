@@ -72,25 +72,8 @@ object MinHashLSH {
       .select(col("doc"), signatureOfHashes(col("hsh"), numHashes, seed).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(
-      col("doc"),
-      explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bnd => struct(
-          bnd.as("band"),
-          hash(bnd, slice(col("sig"), bnd * r + 1, lit(r))).as("bucket")))).as("bb"))
-      .select(col("doc"), col("bb.band"), col("bb.bucket"))
-
-    // Skew guard: drop degenerate buckets before the self-join. A
-    // partial-aggregated count keeps only OVERSIZED buckets (few, by
-    // definition pathological) so the anti-join broadcasts — unlike a
-    // count() window over (band, bucket), which is a full shuffle+sort
-    // of every posting.
-    val oversized = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val sized = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    val bandedSigs = banded(sigs, bands, r)
+    val sized = dropOversizedBuckets(bandedSigs, maxBucketSize)
 
     val a = sized.as("a")
     val b = sized.as("b")
@@ -102,16 +85,42 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Band a (doc, sig) frame to (doc, band, bucket) — `r` signature
+    * lanes hashed per band. */
+  def banded(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(
+      col("doc"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => struct(
+          bnd.as("band"),
+          hash(bnd, slice(col("sig"), bnd * r + 1, lit(r))).as("bucket")))).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+
+  /** Skew guard: drop degenerate buckets before a bucket join. A
+    * partial-aggregated count keeps only OVERSIZED buckets (few, by
+    * definition pathological) so the anti-join broadcasts — unlike a
+    * count() window over (band, bucket), which is a full shuffle+sort
+    * of every posting. */
+  def dropOversizedBuckets(bandedDf: DataFrame, maxBucketSize: Int): DataFrame = {
+    val oversized = bandedDf.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    bandedDf.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+  }
+
   /** Exact shingle Jaccard for a pair frame (doc_a, doc_b) — the
     * verification step after LSH candidate generation. Jaccard is
     * computed over hashed shingles (same 64-bit chain-hash kernel the
     * candidate path uses; equal mod hash collisions), cached and
     * spread so the kernel runs once per document even though the frame
-    * joins into both pair sides. */
-  /** @param minJaccard threshold applied to the RAW ratio (before the
-    *                    6-decimal display rounding — a rounded filter
-    *                    would admit boundary pairs the exact predicate
-    *                    rejects); <= 0 keeps every verified pair */
+    * joins into both pair sides.
+    *
+    * @param minJaccard threshold applied to the RAW ratio (before the
+    *                   6-decimal display rounding — a rounded filter
+    *                   would admit boundary pairs the exact predicate
+    *                   rejects); <= 0 keeps every verified pair */
   def verifyJaccard(
       pairs: DataFrame,
       docs: DataFrame,

@@ -85,8 +85,13 @@ object NvdStore {
     } finally withY.unpersist()
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    // restore any partition whose swap was interrupted mid-rename
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    graft.operators.SwapDir.healAll(
+      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration), hPath)
     spark.read.parquet(path)
+  }
 
   /** The reference's one read query (A1): COUNT(DISTINCT cve_id). */
   def cveTally(df: DataFrame): Long =

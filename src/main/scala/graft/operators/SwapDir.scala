@@ -8,19 +8,23 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * ONLY copy of the data is the staging dir — a crash or rename
   * failure there silently loses the state (an empty-state restart) or
   * a store partition. Instead: move dst aside, move staging in, drop
-  * the old copy last; on a failed swap the old data is restored. A
-  * previous crash between the two renames is healed on the next call
-  * (the `.old` dir is restored before proceeding) and by `heal` on the
-  * read path. Not transactional — single-writer assumed — but at
-  * every step a complete copy of either the old or new data exists
-  * under a recoverable name.
+  * the old copy last; on a failed swap the old data is restored.
+  *
+  * The aside name starts with '.', which Spark/Hadoop file listings
+  * treat as hidden — crucial when dst is a PARTITION directory inside
+  * a table root (a visible `publish_year=2002.old` sibling would be
+  * discovered as a new partition value and double-count the year).
+  * A previous crash between the two renames is healed by the next
+  * swap() on the same dst, or explicitly via heal()/healAll() on the
+  * read path.
   */
 object SwapDir {
 
-  private def oldPath(dst: Path) = new Path(dst.toString + ".old")
+  private def oldPath(dst: Path) =
+    new Path(dst.getParent, "." + dst.getName + ".swapold")
 
-  /** If a crashed swap left only `<dst>.old`, restore it. Call before
-    * reading state that is maintained via swap(). */
+  /** If a crashed swap left only the hidden aside dir, restore it.
+    * Call before reading state maintained via swap(). */
   def heal(fs: FileSystem, dst: Path): Unit = {
     val old = oldPath(dst)
     if (!fs.exists(dst) && fs.exists(old)) {
@@ -28,6 +32,19 @@ object SwapDir {
         throw new java.io.IOException(s"failed to restore $old to $dst")
     }
   }
+
+  /** Heal every interrupted swap under `root` (e.g. a partitioned
+    * store's table root before a read). */
+  def healAll(fs: FileSystem, root: Path): Unit =
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(".") && name.endsWith(".swapold")) {
+          val dst = new Path(root, name.stripPrefix(".").stripSuffix(".swapold"))
+          heal(fs, dst)
+        }
+      }
+    }
 
   /** Replace `dst` with `staging`. On failure the previous `dst`
     * content is restored (best effort) and the exception propagates. */

@@ -97,16 +97,25 @@ object CorpusPipeline {
   }
 }
 
-/** CLI: curate <sfDir>/documents.parquet into <outDir>. */
+/** CLI: curate <sfDir>/documents.parquet into <outDir>.
+  * Optional third arg enables sampling: "en=0.5,fr=0.25" (languages
+  * not listed keep rate 1.0). No sampling by default — a curation run
+  * must not silently discard data. */
 object CorpusPipelineMain {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    val rates = args.drop(2).headOption.map { spec =>
+      spec.split(",").map { kv =>
+        val Array(l, r) = kv.split("=", 2)
+        l.trim -> r.trim.toDouble
+      }.toMap
+    }.getOrElse(Map.empty[String, Double])
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.documents(spark, sfDir)
     val r = CorpusPipeline.curate(docs, outDir,
-      CorpusPipeline.Options(sampleRates = Map("en" -> 0.5)))
+      CorpusPipeline.Options(sampleRates = rates))
     println(s"""{"input":${r.input},"after_clean":${r.afterClean},""" +
       s""""after_exact_dedup":${r.afterExactDedup},""" +
       s""""after_near_dedup":${r.afterNearDedup},"sampled":${r.sampled}}""")

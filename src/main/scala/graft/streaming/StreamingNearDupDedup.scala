@@ -17,7 +17,8 @@ import graft.functions.TextFunctions
   *   2. band incoming and state signatures, bucket-join for candidate
   *      pairs — incoming vs state, and incoming vs earlier-id incoming,
   *   3. exact-Jaccard verify candidates on the stored shingle sets,
-  *   4. admit non-duplicates; stage-swap the enlarged state parquet.
+  *   4. admit non-duplicates; APPEND only their rows to the state
+  *      parquet (O(batch) I/O — history is never rewritten).
   *
   * Cost per batch is O(batch) kernels plus bucket micro-joins — the
   * admitted history is touched only through its banded signatures, and
@@ -33,6 +34,7 @@ object StreamingNearDupDedup {
 
   private val B = 32
   private val H = 128
+  private val MaxBucket = 1000
 
   private def shingleSign(docs: DataFrame): DataFrame =
     graft.operators.Partitioning.spread(docs)
@@ -41,14 +43,9 @@ object StreamingNearDupDedup {
       .select(col("doc"), col("shs"),
         MinHashLSH.signatureOfHashes(col("shs"), H).as("sig"))
 
-  private def banded(sigs: DataFrame): DataFrame = {
-    val r = H / B
-    sigs.select(col("doc"),
-        explode(transform(sequence(lit(0), lit(B - 1)),
-          b => struct(b.as("band"),
-            hash(b, slice(col("sig"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
-      .select(col("doc"), col("bb.band"), col("bb.bucket"))
-  }
+  // shared banding formula + skew guard from the batch path
+  private def banded(sigs: DataFrame): DataFrame =
+    MinHashLSH.banded(sigs.select(col("doc"), col("sig")), B, H / B)
 
   /** One micro-batch step; exposed for direct (batch) use and tests. */
   def process(
@@ -57,7 +54,6 @@ object StreamingNearDupDedup {
       stateDir: String,
       minJaccard: Double): Unit = {
     val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.operators.SwapDir.heal(fs, new Path(stateDir))
     val hasState = fs.exists(new Path(stateDir))
     val rawIncoming = batch.select(col("doc_id").as("doc"), col("text"))
     val state =
@@ -71,13 +67,20 @@ object StreamingNearDupDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidates: an incoming doc vs ANY admitted state doc, and vs
-    // smaller-id docs of its own batch
-    val a = banded(incoming).select(col("doc").as("cand"), col("band"), col("bucket"))
+    // smaller-id docs of its own batch — with the batch path's
+    // oversized-bucket guard (one degenerate band value shared by a
+    // growing slice of history would otherwise make every future
+    // micro-batch quadratic in that bucket)
+    val a = MinHashLSH.dropOversizedBuckets(banded(incoming), MaxBucket)
+      .select(col("doc").as("cand"), col("band"), col("bucket"))
     val bState = banded(state)
       .select(col("doc").as("other"), col("band"), col("bucket"), lit(true).as("in_state"))
     val bNew = banded(incoming)
       .select(col("doc").as("other"), col("band"), col("bucket"), lit(false).as("in_state"))
-    val cand = a.join(bState.unionByName(bNew), Seq("band", "bucket"))
+    val cand = a.join(
+        MinHashLSH.dropOversizedBuckets(bState.unionByName(bNew), MaxBucket)
+          .select(col("other"), col("band"), col("bucket"), col("in_state")),
+        Seq("band", "bucket"))
       .filter(col("in_state") || col("other") < col("cand"))
       .select(col("cand"), col("other")).distinct()
 
@@ -90,12 +93,12 @@ object StreamingNearDupDedup {
       .filter(col("j") >= minJaccard)
       .select(col("cand").as("doc")).distinct()
 
+    // state is append-only: write ONLY the admitted rows (O(batch)
+    // I/O; rewriting the whole history each batch would grow without
+    // bound). Parquet append commits through a _temporary dir, so a
+    // crash leaves no visible partial files.
     val admitted = incoming.join(verified, Seq("doc"), "left_anti")
-    val newState = state.unionByName(admitted)
-
-    val staging = new Path(stateDir + ".staging-" + java.util.UUID.randomUUID())
-    newState.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    graft.operators.SwapDir.swap(fs, staging, new Path(stateDir))
+    admitted.write.mode(SaveMode.Append).parquet(stateDir)
     incoming.unpersist()
     ()
   }

@@ -33,7 +33,9 @@ object StreamingSimilarity {
       k: Int,
       schema: org.apache.spark.sql.types.StructType): StreamingQuery = {
 
-    val q = queries.select(col("qid"), col("qvec")).cache()
+    // no cache: the query frame is tiny and a cached frame would stay
+    // pinned for the session after the stream terminates
+    val q = queries.select(col("qid"), col("qvec"))
 
     spark.readStream.schema(schema).parquet(streamDir)
       .writeStream
