@@ -62,19 +62,26 @@ object TextFunctions {
     }
   }
 
+  // Ratio denominators are guarded: Spark 4 runs ANSI mode by default,
+  // where x / 0 THROWS (even for doubles) — an empty or whitespace-only
+  // document must score 0, not kill the job.
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text)
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
 
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.,;:!?'\"]", "")).cast("double") / length(text)
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"]", "")).cast("double") / length(text))
 
   def avgWordLen(text: Column): Column =
-    length(regexp_replace(text, "\\s+", "")).cast("double") / wordCount(text)
+    when(wordCount(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / wordCount(text))
 
   def stopwordRatio(text: Column): Column = {
     val stops = Seq(" the ", " a ", " and ", " of ", " to ", " in ")
     val padded = concat(lit(" "), regexp_replace(text, "\\s+", " "), lit(" "))
-    stops.map(s => countOccurrences(padded, s)).reduce(_ + _).cast("double") / wordCount(text)
+    when(wordCount(text) === 0, 0.0).otherwise(
+      stops.map(s => countOccurrences(padded, s)).reduce(_ + _).cast("double") / wordCount(text))
   }
 
   /** Composite document-quality score in [0,1]: favors mid-length

@@ -62,7 +62,12 @@ abstract class VecBinaryKernel extends BinaryExpression {
     val b = r.asInstanceOf[ArrayData]
     val lt = elemType(left)
     val rt = elemType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    // fail loud on dimension mismatch: a silently truncated dot/L2 is
+    // a plausible-looking wrong similarity
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector lengths differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -82,7 +87,11 @@ abstract class VecBinaryKernel extends BinaryExpression {
       val y = ctx.freshName("y")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector lengths differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = $a.isNullAt($i) ? 0.0 : ${get(a, elemType(left), i)};

@@ -18,13 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object CpeParser {
 
-  /** Split a cpe23Uri into its 13 components on unescaped colons. */
-  def components(cpe: Column): Column =
-    split(cpe, "(?<!\\\\):")
+  /** Split a cpe23Uri into its 13 components on unescaped colons.
+    *
+    * A single-char lookbehind mis-handles an escaped backslash before
+    * the separator (`\\\\:` — the colon IS a separator there), so `\\\\`
+    * is swapped to a sentinel first, making the lookbehind exact, and
+    * restored after the split. */
+  def components(cpe: Column): Column = {
+    val sentinel = "\u0001"
+    transform(
+      split(regexp_replace(cpe, "\\\\\\\\", sentinel), "(?<!\\\\):"),
+      part => regexp_replace(part, sentinel, "\\\\\\\\"))
+  }
 
   private def comp(cpe: Column, i: Int): Column = {
-    // unescape \: and \\ in the extracted component
-    val raw = element_at(components(cpe), i)
+    // try_element_at: a malformed/short URI yields null components
+    // instead of an ANSI INVALID_ARRAY_INDEX crash
+    val raw = try_element_at(components(cpe), lit(i))
     regexp_replace(regexp_replace(raw, "\\\\:", ":"), "\\\\\\\\", "\\\\")
   }
 

@@ -86,7 +86,14 @@ object CveFlatten {
       // typed array twin of the above — the form queries should use
       vulnerableCpeArray(it.getField("configurations"), strictReferenceSemantics)
         .as("vulnerable_cpes"),
-      // raw document sidecar (reference nvd_json table, :305-313)
+      // Document sidecar (reference nvd_json table, :305-313).
+      // KNOWN FIDELITY BOUND: this re-serializes the item through
+      // NvdSchema, so subtrees outside the declared schema (CVSS v3,
+      // problemtype/CWE, cpe_match version ranges) are not preserved —
+      // unlike the reference's json.dumps of the parsed dict. Widening
+      // NvdSchema (or a second schema-inferred read) is the extension
+      // point if byte-level archival fidelity is required; the flatten
+      // columns themselves are unaffected.
       to_json(it).as("cve_item")): _*)
   }
 

@@ -88,8 +88,13 @@ object FeedCatalog {
     val latest = history
       .groupBy(col("download_name"))
       .agg(max_by(col("lastModifiedDate"), col("downloadedDate")).as("stored_lmd"))
+    // strict mode keeps the reference's literal sentinel (month 00 —
+    // fine for a string compare); the timestamp mode needs a PARSEABLE
+    // epoch-like floor, or never-loaded feeds would throw under ANSI
+    // (to_timestamp of month 00) / silently never download without it
+    val sentinel = if (strict) neverLoadedSentinel else "1970-01-01T00:00:00-04:00"
     val joined = metas.join(latest, Seq("download_name"), "left")
-      .withColumn("stored_lmd", coalesce(col("stored_lmd"), lit(neverLoadedSentinel)))
+      .withColumn("stored_lmd", coalesce(col("stored_lmd"), lit(sentinel)))
     val fresh =
       if (strict) col("lastModifiedDate") > col("stored_lmd")
       else to_timestamp(col("lastModifiedDate"), "yyyy-MM-dd'T'HH:mm:ssXXX") >

@@ -74,9 +74,18 @@ object NvdDdl {
   val all: Seq[String] =
     Seq(createNvd, createNvdJson, createUpdateHistory) ++ createIndexes ++ createCpeStar
 
-  /** Run the bootstrap over a JDBC connection (driver-side, once). */
+  /** Run the bootstrap over a JDBC connection. Idempotent: tables use
+    * IF NOT EXISTS, and since MySQL has no such form for CREATE INDEX,
+    * a duplicate-key-name error (1061) on re-run is swallowed. */
   def bootstrap(conn: java.sql.Connection): Unit = {
     val st = conn.createStatement()
-    try all.foreach(st.execute) finally st.close()
+    try all.foreach { sql =>
+      try st.execute(sql)
+      catch {
+        case e: java.sql.SQLException
+            if e.getErrorCode == 1061 && sql.toUpperCase.startsWith("CREATE INDEX") =>
+          () // index already exists
+      }
+    } finally st.close()
   }
 }

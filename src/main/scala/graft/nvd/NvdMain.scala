@@ -40,7 +40,14 @@ object NvdMain {
     val full = args.contains("-a")
     val years = args.indexOf("--years") match {
       case -1 => None
-      case i => Some((args(i + 1).toInt, args(i + 2).toInt))
+      case i if i + 2 >= args.length =>
+        System.err.println("--years requires two operands: <from> <to>"); sys.exit(2)
+      case i =>
+        try Some((args(i + 1).toInt, args(i + 2).toInt))
+        catch { case _: NumberFormatException =>
+          System.err.println(s"--years operands must be integers: ${args(i + 1)} ${args(i + 2)}")
+          sys.exit(2)
+        }
     }
 
     val spark = graft.GraftSession.local()

@@ -27,9 +27,17 @@ object NvdStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // Missing dates flatten to "" (not null), and an empty partition
+  // value writes as __HIVE_DEFAULT_PARTITION__ — which the per-year
+  // swap loop would never find, silently dropping those rows. Bucket
+  // anything that isn't a 4-char year prefix into "1900" (no leading
+  // zero: partition values round-trip through Spark's int-typed
+  // partition inference, "0000" would come back as "0").
   private def withYear(df: DataFrame): DataFrame =
     df.withColumn(yearCol,
-      coalesce(substring(col("published_datetime"), 1, 4), lit("0000")))
+      when(length(coalesce(col("published_datetime"), lit(""))) >= 4,
+        substring(col("published_datetime"), 1, 4))
+        .otherwise(lit("1900")))
 
   /** Full (re)write of the store. */
   def write(df: DataFrame, path: String): Unit =
@@ -57,7 +65,18 @@ object NvdStore {
       if (!pathExists(spark, path)) {
         withY.write.mode(SaveMode.Overwrite).partitionBy(yearCol).parquet(path)
       } else {
-        val years = withY.select(yearCol).distinct().collect().map(_.getString(0))
+        val batchYears = withY.select(yearCol).distinct().collect().map(_.getString(0))
+        // A CVE can MOVE years (publish date corrected upstream): its
+        // old row lives in a partition the batch doesn't touch. Find
+        // those via a column-pruned (cve_id, year) scan and include
+        // their years in the rewrite set, or the store would keep two
+        // rows per corrected cve_id — the reference's keyed REPLACE
+        // never does.
+        val movedYears = spark.read.parquet(path)
+          .select(col("cve_id"), col(yearCol).cast("string").as(yearCol))
+          .join(withY.select("cve_id"), Seq("cve_id"), "left_semi")
+          .select(yearCol).distinct().collect().map(_.getString(0))
+        val years = (batchYears ++ movedYears).distinct
         val existing = spark.read.parquet(path)
           .filter(col(yearCol).isin(years.toIndexedSeq: _*))
           // incoming batch wins over stored rows for the same cve_id
@@ -73,11 +92,15 @@ object NvdStore {
         try {
           years.foreach { y =>
             val src = new org.apache.hadoop.fs.Path(staging, s"$yearCol=$y")
+            val dst = new org.apache.hadoop.fs.Path(hPath, s"$yearCol=$y")
             if (fs.exists(src)) {
               // crash-safe swap: the old partition is moved aside, not
               // deleted, until the new one is in place
-              graft.operators.SwapDir.swap(fs, src,
-                new org.apache.hadoop.fs.Path(hPath, s"$yearCol=$y"))
+              graft.operators.SwapDir.swap(fs, src, dst)
+            } else if (fs.exists(dst)) {
+              // the rewrite of this year produced no rows (e.g. its
+              // only CVEs moved to another year) — the stale dir goes
+              fs.delete(dst, true)
             }
           }
         } finally fs.delete(staging, true)

@@ -29,10 +29,15 @@ class VectorKernelSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(0)))
   }
 
-  test("mismatched lengths use the common prefix (min length)") {
+  test("mismatched lengths fail loud (a truncated dot is plausible-looking garbage)") {
     val sp = spark; import sp.implicits._
     val df = Seq((Array(1.0f, 2.0f, 99.0f), Array(3.0f, 4.0f))).toDF("a", "b")
-    assert(df.select(VectorFunctions.dot($"a", $"b")).first().getDouble(0) === 11.0)
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.dot($"a", $"b")).first()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("vector lengths differ")), e.toString)
   }
 
   test("double arrays are accepted too") {

@@ -16,6 +16,20 @@ class CpeParserSpec extends SparkSpec {
     assert(rows(1).toSeq === Seq("a", "acme", "name:with:colons", "2.0"))
   }
 
+  test("escaped backslash before a separator colon does not eat the colon; short URIs yield nulls") {
+    val sp = spark; import sp.implicits._
+    // vendor is literally foo\ (escaped as foo\\) — the next colon IS
+    // a separator; a naive single-char lookbehind merged the fields
+    val df = Seq(
+      "cpe:2.3:a:foo\\\\:bar:1.0:*:*:*:*:*:*:*",
+      "cpe:/a:short").toDF("cpe")
+    val rows = df.select(CpeParser.parsed(col("cpe")).as("p"))
+      .select("p.part", "p.vendor", "p.product", "p.version").collect()
+    assert(rows(0).toSeq === Seq("a", "foo\\", "bar", "1.0"))
+    // malformed/truncated URI: null components, not an ANSI index error
+    assert(rows(1).toSeq === Seq("short", null, null, null))
+  }
+
   test("cve2cpe star populates from the flattened feed and answers the product query") {
     val flat = CveFlatten.flattenFeed(spark,
       Seq(java.nio.file.Paths.get("src/test/resources/nvdfeed/2002.json").toUri.toString))
