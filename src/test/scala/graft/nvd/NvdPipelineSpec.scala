@@ -185,6 +185,32 @@ class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.cvesAfter === 0)
   }
 
+  test("upsert rewrites the OLD year when a CVE's publish date moves (keyed REPLACE semantics)") {
+    val sp = spark; import sp.implicits._
+    val store = Files.createTempDirectory("nvdmove").resolve("store").toString
+    NvdStore.upsert(spark, Seq(
+      ("CVE-2020-0001", "2020-05-01T00:00:00", "orig"),
+      ("CVE-2020-0002", "2020-06-01T00:00:00", "stays"))
+      .toDF("cve_id", "published_datetime", "summary"), store)
+    // upstream corrects 0001's publish date into 2019
+    NvdStore.upsert(spark, Seq(
+      ("CVE-2020-0001", "2019-12-31T00:00:00", "moved"))
+      .toDF("cve_id", "published_datetime", "summary"), store)
+    val rows = NvdStore.read(spark, store)
+      .select("cve_id", "summary", NvdStore.yearCol).collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2).toString)).toSet
+    assert(rows === Set(
+      ("CVE-2020-0001", "moved", "2019"),
+      ("CVE-2020-0002", "stays", "2020")))
+    // empty published date buckets to year 1900, not a hive default dir
+    NvdStore.upsert(spark, Seq(("CVE-1999-0001", "", "nodate"))
+      .toDF("cve_id", "published_datetime", "summary"), store)
+    val yearDirs = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(yearDirs.contains(s"${NvdStore.yearCol}=1900"))
+    assert(!yearDirs.exists(_.contains("HIVE_DEFAULT")))
+    assert(NvdStore.cveTally(NvdStore.read(spark, store)) === 3)
+  }
+
   test("cveTally = COUNT(DISTINCT cve_id) (reference :494)") {
     assert(NvdStore.cveTally(flat2002) === 3)
   }
