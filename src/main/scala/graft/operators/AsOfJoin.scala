@@ -49,7 +49,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val payload = struct(rightValueCols.map(col): _*)
 
-    val rTagged = right.select(
+    // a NULL right time can never satisfy "right time <= left time";
+    // without this filter the nulls-first sort would carry its payload
+    // to every left row of the key
+    val rTagged = right.filter(col(rightTimeCol).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTimeCol).as("__t"),
         lit(0).as("__side"),

@@ -137,6 +137,10 @@ case class AsOfJoinExec(
                 if (c < 0) {
                   // right key already passed by the sorted left side
                   rCur = null
+                } else if (c == 0 && rTimeProj(rCur).isNullAt(0)) {
+                  // a NULL right time can never satisfy "<= left time"
+                  // (it sorts first, so discard and keep scanning)
+                  rCur = null
                 } else if (c == 0 && !rKey.anyNull &&
                     timeOrd.compare(rTimeProj(rCur), lTimeProj(l)) <= 0) {
                   lastMatch = rValProj(rCur).copy()

@@ -226,13 +226,16 @@ object CoreQueries extends QueryDsl {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { c =>
       import c.t
-      t("lineitem").createOrReplaceTempView("lineitem_gs")
-      c.spark.sql(
-        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-          |  coalesce(l_linestatus, 'ALL') AS linestatus,
-          |  count(*) AS n_rows
-          |FROM lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      // native Dataset.groupingSets (Spark 4) — no temp-view catalog
+      // side effect, no SQL detour
+      t("lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_rows")
     },
 
     q("q06b_correlation",
@@ -351,7 +354,7 @@ object CoreQueries extends QueryDsl {
     q("q23_latest_event_per_user",
       """WITH ranked AS (
         |  SELECT user_id, event_type, event_id,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
         |    count(*) OVER (PARTITION BY user_id) AS n_events
         |  FROM events)
         |SELECT user_id, event_type AS last_type, event_id AS last_event_id, n_events
@@ -388,7 +391,10 @@ object CoreQueries extends QueryDsl {
       t("documents").select($"doc_id",
         regexp_extract($"text", "([A-Za-z]+)", 1).as("first_word"),
         regexp_count($"text", lit("[0-9]+")).cast("long").as("n_numbers"),
-        ($"text" rlike "[.!?]$").as("ends_sentence"))
+        // \z anchors at absolute end-of-string in Java regex, matching
+        // the oracle's RE2 '$' (Java's '$' also matches before a final
+        // newline)
+        ($"text" rlike "[.!?]\\z").as("ends_sentence"))
     },
 
     // ---- sorts / top-k --------------------------------------------------

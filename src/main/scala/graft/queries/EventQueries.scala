@@ -54,12 +54,12 @@ object EventQueries extends QueryDsl {
 
     q("q91_sessionization",
       """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-        |         WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
         |         ELSE 0 END AS new_session
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |)
         |SELECT user_id, cast(sum(new_session) AS bigint) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY user_id""".stripMargin) { c =>
@@ -92,9 +92,9 @@ object EventQueries extends QueryDsl {
     q("q93_asof_join",
       """SELECT a.event_id, a.user_id, b.event_id AS click_id,
         |  round(cast(b.value AS double), 4) AS click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
-        |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin) { c =>
+        |FROM (SELECT *, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT *, epoch_us(ts) AS tus FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.tus <= a.tus""".stripMargin) { c =>
       import c.t
       val ev = t("events")
       val purchases = ev.filter($"event_type" === "purchase")
@@ -118,7 +118,8 @@ object EventQueries extends QueryDsl {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND b.event_type = 'click'
         |  AND a.event_type = 'view'
-        |  AND a.ts > b.ts AND a.ts <= b.ts + INTERVAL 30 MINUTE""".stripMargin) { c =>
+        |  AND epoch_us(a.ts) > epoch_us(b.ts)
+        |  AND epoch_us(a.ts) <= epoch_us(b.ts) + 1800000000""".stripMargin) { c =>
       import c.t
       val ev = t("events")
       val views = ev.filter($"event_type" === "view")

@@ -33,28 +33,7 @@ object TextQueries extends QueryDsl {
     },
 
     q("q61_dedup_ngram_jaccard",
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
-        |    END AS shingles
-        |  FROM toks
-        |), postings AS (
-        |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b,
-        |  round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE i / (sa.sz + sb.sz - i) >= 0.5""".stripMargin) { c =>
+      s"WITH ${jaccardPairsCte(0.5)} SELECT doc_a, doc_b, jaccard FROM prs") { c =>
       import c.t
       NGramJaccard.pairs(t("documents"), "doc_id", "text", shingleN = 3, minJaccard = 0.5)
     },
@@ -67,28 +46,7 @@ object TextQueries extends QueryDsl {
     // this runs against the same DuckDB oracle family as q61 instead
     // of a weaker rows-only check.
     q("q62_dedup_minhash_lsh",
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
-        |    END AS shingles
-        |  FROM toks
-        |), postings AS (
-        |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b,
-        |  round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE i / (sa.sz + sb.sz - i) >= 0.8""".stripMargin) { c =>
+      s"WITH ${jaccardPairsCte(0.8)} SELECT doc_a, doc_b, jaccard FROM prs") { c =>
       import c.t
       val docs = t("documents")
       val candidates = MinHashLSH.candidatePairs(docs, "doc_id", "text",
@@ -136,27 +94,8 @@ object TextQueries extends QueryDsl {
     // turns pairwise dedup output into keeper groups; Spark side is
     // iterative min-label propagation, the oracle a recursive CTE.
     q("q68_dedup_clusters",
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
-        |    END AS shingles
-        |  FROM toks
-        |), postings AS (
-        |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), prs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE i / (sa.sz + sb.sz - i) >= 0.5
-        |), edges AS (
+      s"""WITH RECURSIVE ${jaccardPairsCte(0.5)},
+        |edges AS (
         |  SELECT doc_a AS u, doc_b AS v FROM prs
         |  UNION SELECT doc_b, doc_a FROM prs
         |), reach AS (
@@ -188,18 +127,10 @@ object TextQueries extends QueryDsl {
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(cast(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS double), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""".stripMargin) { c =>
+        |WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""".stripMargin) { c =>
       import c.t
-      // spread the left side: a 1-split x 1-split cross join would
-      // otherwise compute all O(n^2) dot kernels in a single task
-      val a = graft.operators.Partitioning.spread(t("embeddings"))
-        .select($"vec_id".as("vec_a"), $"embedding".as("ea"),
-          VF.l2Norm($"embedding").as("na"))
-      val b = t("embeddings").select($"vec_id".as("vec_b"), $"embedding".as("eb"),
-        VF.l2Norm($"embedding").as("nb"))
-      a.join(b, $"vec_a" < $"vec_b")
-        .withColumn("cos_raw", VF.cosineWithNorms(VF.dot($"ea", $"eb"), $"na", $"nb"))
-        .filter($"cos_raw" > 0.35)
+      cosinePairs(t("embeddings"), 0.35)
         .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
     },
 
@@ -209,7 +140,8 @@ object TextQueries extends QueryDsl {
       """WITH RECURSIVE prs AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
         |), edges AS (
         |  SELECT va AS u, vb AS v FROM prs UNION SELECT vb, va FROM prs
         |), reach AS (
@@ -220,13 +152,8 @@ object TextQueries extends QueryDsl {
         |SELECT u AS member, min(r) AS cluster_root
         |FROM reach GROUP BY u""".stripMargin) { c =>
       import c.t
-      val a = graft.operators.Partitioning.spread(t("embeddings"))
-        .select($"vec_id".as("va"), $"embedding".as("ea"), VF.l2Norm($"embedding").as("na"))
-      val b = t("embeddings")
-        .select($"vec_id".as("vb"), $"embedding".as("eb"), VF.l2Norm($"embedding").as("nb"))
-      val pairs = a.join(b, $"va" < $"vb")
-        .filter(VF.cosineWithNorms(VF.dot($"ea", $"eb"), $"na", $"nb") > 0.35)
-        .select($"va", $"vb")
+      val pairs = cosinePairs(t("embeddings"), 0.35)
+        .select($"vec_a".as("va"), $"vec_b".as("vb"))
       graft.dedup.ConnectedComponents.run(pairs, "va", "vb")
     },
 
@@ -323,11 +250,11 @@ object TextQueries extends QueryDsl {
       """SELECT doc_id, round(
         |  least(CASE WHEN length(trim(text)) = 0 THEN 0
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END / 100.0, 1.0) * 0.3
-        |  + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) * 0.3
-        |  + greatest(0.0, 1.0 - (length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / length(text)) * 10.0) * 0.2
+        |  + coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nullif(length(text), 0), 0) * 0.3
+        |  + greatest(0.0, 1.0 - coalesce(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / nullif(length(text), 0), 0) * 10.0) * 0.2
         |  + (CASE WHEN (length(regexp_replace(text, '\s+', '', 'g'))
-        |         / (CASE WHEN length(trim(text)) = 0 THEN 0
-        |                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END))
+        |         / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0))
         |         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
         |, 6) AS quality
         |FROM documents""".stripMargin) { c =>
@@ -453,6 +380,51 @@ object TextQueries extends QueryDsl {
         min($"n_chars").as("min_chars"),
         max($"n_chars").as("max_chars"))
     })
+
+  /** Exact cosine pair graph over the embeddings table (shared by q64
+    * and q69 so threshold/guard semantics cannot diverge): spread left
+    * side (a 1-split x 1-split cross join would run every dot kernel
+    * in one task), norms precomputed once per row. */
+  private def cosinePairs(emb: org.apache.spark.sql.DataFrame, threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val a = graft.operators.Partitioning.spread(emb)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        VF.l2Norm(col("embedding")).as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      VF.l2Norm(col("embedding")).as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", VF.cosineWithNorms(VF.dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cos_raw") > threshold)
+  }
+
+  /** Shared DuckDB CTE prefix replicating ShingleHashes/NGramJaccard's
+    * exact shingle semantics (incl. the len<=3 short-doc rule) — used
+    * by q61/q62 (pair queries) and q68 (clusters); one definition so
+    * the three oracles cannot drift from each other or from the
+    * kernel. */
+  private def jaccardPairsCte(minJaccard: Double): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+       |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
+       |    END AS shingles
+       |  FROM toks
+       |), postings AS (
+       |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), prs AS (
+       |  SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE i / (sa.sz + sb.sz - i) >= $minJaccard
+       |)""".stripMargin
 
   /** CASE-chain replication of TF.langId's marker arithmetic:
     * score(lang) = sum over markers of non-overlapping occurrence

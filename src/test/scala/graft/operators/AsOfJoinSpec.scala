@@ -69,6 +69,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("miss") === None)
   }
 
+  test("NULL right time never matches (both forms)") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 10L, "p")).toDF("k", "t", "pid")
+    val right = Seq((1L, Option(5L), "real"), (1L, Option.empty[Long], "ghost"))
+      .toDF("k", "rt", "quote")
+    for (form <- Seq(
+        AsOfJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("quote")),
+        AsOfJoin.asofBackwardExec(left, right, Seq("k"), "t", "rt", Seq("quote")))) {
+      val out = form.collect().map(r => r.getAs[String]("quote"))
+      assert(out.toSeq === Seq("real"))
+    }
+    // ONLY a null-time right row => no match at all
+    val rightOnlyNull = Seq((1L, Option.empty[Long], "ghost")).toDF("k", "rt", "quote")
+    for (form <- Seq(
+        AsOfJoin.asofBackward(left, rightOnlyNull, Seq("k"), "t", "rt", Seq("quote")),
+        AsOfJoin.asofBackwardExec(left, rightOnlyNull, Seq("k"), "t", "rt", Seq("quote")))) {
+      assert(form.collect().map(r => r.getAs[String]("quote")).toSeq === Seq(null))
+    }
+  }
+
   test("native as-of join: null keys never match") {
     val sp = spark; import sp.implicits._
     val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))
