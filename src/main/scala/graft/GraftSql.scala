@@ -22,6 +22,10 @@ object GraftSql {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    // getOrCreate may have returned a PRE-EXISTING session, where
+    // withExtensions is silently ignored — install functions/strategy
+    // post-hoc so vec_dot/bottom_k/... always resolve
+    graft.plans.GraftExtensions.ensureRegistered(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -48,7 +52,13 @@ object GraftSqlMain {
       System.err.println("usage: GraftSqlMain <sfDir> \"<sql>\" [maxRows]")
       sys.exit(2)
     }
-    val maxRows = if (args.length > 2) args(2).toInt else 20
+    val maxRows =
+      if (args.length > 2)
+        try args(2).toInt
+        catch { case _: NumberFormatException =>
+          System.err.println(s"maxRows must be an integer, got '${args(2)}'"); sys.exit(2)
+        }
+      else 20
     val spark = GraftSql.session()
     try {
       GraftSql.registerTables(spark, args(0))

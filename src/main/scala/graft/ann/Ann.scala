@@ -91,7 +91,8 @@ object Ann {
       .agg(round(first(col("cos_raw")), 4).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: nBits x dim in [-1, 1]. */
+  /** Deterministic pseudo-random hyperplanes: nBits x dim standard
+    * normals (unbounded; only the SIGN of the projection matters). */
   private[ann] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits, dim)(rnd.nextGaussian())

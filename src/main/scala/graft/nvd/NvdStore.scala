@@ -62,6 +62,10 @@ object NvdStore {
   def upsert(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val withY = withYear(batch).cache()
     try {
+      // an empty batch must not CREATE the store: partitionBy of zero
+      // rows writes a _SUCCESS-only dir that every later read of the
+      // "existing" store fails on (no parquet schema to infer)
+      if (withY.isEmpty) return
       if (!pathExists(spark, path)) {
         withY.write.mode(SaveMode.Overwrite).partitionBy(yearCol).parquet(path)
       } else {

@@ -19,8 +19,12 @@ import graft.functions.{DotProduct, SquaredL2Distance}
   *
   * This is the public extension-point route (injectFunction); the
   * expressions themselves stay engine-version-portable case classes.
+  * For a session that ALREADY exists (REPL, notebook — withExtensions
+  * only applies at creation), `GraftExtensions.ensureRegistered`
+  * installs the same functions and the as-of strategy post-hoc.
   */
 object GraftExtensions {
+
   /** Idempotently add the as-of join strategy to a live session (the
     * public `experimental.extraStrategies` route, for sessions built
     * without `spark.sql.extensions`). */
@@ -28,53 +32,85 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-}
 
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Install the strategy AND the SQL functions on an existing session
+    * (idempotent — re-registration overwrites with identical builders). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ensureAsOfStrategy(spark)
+    functions.foreach { case (ident, inf, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, ident, inf, builder)
+    }
+  }
+
+  /** Evaluate a FOLDABLE argument (any constant expression, not just a
+    * pre-folded Literal — builders run at analysis time, before
+    * constant folding) to a required Long, with a real error message. */
+  private def constLong(fn: String, arg: String, e: Expression): Long = {
+    require(e.foldable, s"$fn: $arg must be a constant, got ${e.sql}")
+    val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(v != null, s"$fn: $arg must not be NULL")
+    v match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.toString.toLong
+    }
+  }
+
+  private def arity(fn: String, args: Seq[Expression], min: Int, max: Int): Unit =
+    require(args.length >= min && args.length <= max,
+      s"$fn expects $min${if (max != min) s"..$max" else ""} arguments, got ${args.length}")
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    e.injectFunction((FunctionIdentifier("vec_dot"),
+  /** The full function table, shared by the extensions route and
+    * `ensureRegistered`. */
+  private[plans] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("vec_l2sq"),
+      (args: Seq[Expression]) => {
+        arity("vec_dot", args, 2, 2); DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("vec_l2sq"),
       info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two float/double arrays"),
-      (args: Seq[Expression]) => SquaredL2Distance(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("simhash64"),
+      (args: Seq[Expression]) => {
+        arity("vec_l2sq", args, 2, 2); SquaredL2Distance(args(0), args(1))
+      }),
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-    e.injectFunction((FunctionIdentifier("bottom_k"),
+      (args: Seq[Expression]) => {
+        arity("simhash64", args, 1, 1); SimHash64(args.head)
+      }),
+    (FunctionIdentifier("bottom_k"),
       info("bottom_k",
         "bottom_k(order, payload, k) - aggregate: payloads of the k smallest (order, payload) pairs"),
       (args: Seq[Expression]) => {
-        val k = args(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.toString.toInt
-        graft.functions.BottomK(args(0), args(1), k)
-      }))
-    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+        arity("bottom_k", args, 3, 3)
+        graft.functions.BottomK(args(0), args(1),
+          constLong("bottom_k", "k", args(2)).toInt)
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(tokens, k, w) - winnowing rolling-hash fingerprints of an array<string>"),
       (args: Seq[Expression]) => {
-        def lit(e: Expression): Int =
-          e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-            .value.toString.toInt
+        arity("winnow_fingerprints", args, 1, 3)
         graft.dedup.WinnowFingerprints(args.head,
-          if (args.length > 1) lit(args(1)) else 4,
-          if (args.length > 2) lit(args(2)) else 4, 42L)
-      }))
-    e.injectFunction((FunctionIdentifier("minhash_signature"),
+          if (args.length > 1) constLong("winnow_fingerprints", "k", args(1)).toInt else 4,
+          if (args.length > 2) constLong("winnow_fingerprints", "w", args(2)).toInt else 4, 42L)
+      }),
+    (FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(hashes, k, seed) - k-element minhash signature over array<long>"),
       (args: Seq[Expression]) => {
-        def lit(e: Expression): Long =
-          e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-            .value.toString.toLong
+        arity("minhash_signature", args, 1, 3)
         MinHashSignature(args(0),
-          if (args.length > 1) lit(args(1)).toInt else 64,
-          if (args.length > 2) lit(args(2)) else 42L)
+          if (args.length > 1) constLong("minhash_signature", "k", args(1)).toInt else 64,
+          if (args.length > 2) constLong("minhash_signature", "seed", args(2)) else 42L)
       }))
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    GraftExtensions.functions.foreach(e.injectFunction)
   }
 }

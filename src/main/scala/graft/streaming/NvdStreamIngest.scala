@@ -27,15 +27,26 @@ object NvdStreamIngest {
       checkpointDir: String,
       strictReferenceSemantics: Boolean = true): StreamingQuery = {
 
+    // Per-FILE priority inside a batch (reference semantics: years
+    // ascend, then modified, then recent — nvd2mysqlloader.py:154-158).
+    // Without it, two files landing in the same micro-batch would tie
+    // on feed_rank and last-write-wins would pick nondeterministically.
+    val modifier = regexp_replace(
+      regexp_extract(input_file_name(), "([^/]+)\\.json$", 1), "^nvdcve-1\\.1-", "")
+    val filePriority =
+      when(modifier === "modified", lit(900))
+        .when(modifier === "recent", lit(901))
+        .otherwise(coalesce(expr("try_cast(" +
+          "regexp_replace(regexp_extract(input_file_name(), '([^/]+)\\\\.json$', 1)," +
+          " '^nvdcve-1\\\\.1-', '') AS int) - 1900"), lit(0)))
+
     val items = spark.readStream
       .schema(NvdSchema.feed)
       .option("multiLine", "true")
       .option("maxFilesPerTrigger", "8")
       .json(stagingDir)
       .select(explode(col("CVE_Items")).as("item"))
-      // files arriving later in the stream rank higher: encode arrival
-      // order from the batch id inside foreachBatch below
-      .withColumn("feed_rank", lit(0))
+      .withColumn("feed_rank", filePriority)
 
     val flat = CveFlatten.flattenItems(items, strictReferenceSemantics)
 
@@ -43,10 +54,10 @@ object NvdStreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // within-batch dedup: keep the newest last_modified per cve_id;
+        // rank = arrival batch then per-file priority within the batch;
         // across batches the keyed store upsert is the dedup
         val deduped = NvdDedup.lastWriteWins(
-          batch.withColumn("feed_rank", lit(batchId)))
+          batch.withColumn("feed_rank", lit(batchId) * 1000 + col("feed_rank")))
         NvdStore.upsert(batch.sparkSession, deduped.drop("feed_rank"), storePath)
         ()
       }
