@@ -57,21 +57,34 @@ object EventStreams {
 
   /** Custom keyed state: running per-user event count + value sum,
     * emitted on every update — the mapGroupsWithState escape hatch for
-    * state machines the built-in windows can't express. */
-  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    * state machines the built-in windows can't express.
+    *
+    * State is BOUNDED: users idle longer than `idleTimeout` are
+    * evicted (processing-time timeout). Without it every user_id ever
+    * seen keeps a state entry forever — the same unbounded-state
+    * hazard dedupWithinWatermark's doc warns about. */
+  def runningUserTotals(
+      events: Dataset[UserEvent],
+      idleTimeout: String = "30 days"): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserRunning, UserRunning](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
-          var n = prev.n_events
-          var tot = prev.total_value
-          rows.foreach { e => n += 1; tot += e.value }
-          val next = UserRunning(userId, n, tot)
-          state.update(next)
-          Iterator.single(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            rows.foreach { e => n += 1; tot += e.value }
+            val next = UserRunning(userId, n, tot)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            Iterator.single(next)
+          }
       }
   }
 }
