@@ -17,21 +17,27 @@ object Bench {
     // JIT/GC noise (single-run totals swing ±20% run-to-run)
     val runs = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
         val dt = (System.nanoTime() - t0) / 1e9
         // each timed run starts cold: drop the query's own persisted
         // frames so the min measures the full query, not a cached rerun
         spark.catalog.clearCache()
         dt
       }
-      name -> times.min
+      (name, times.min, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a throwing query must NOT masquerade as a fast success: failures
+    // are listed explicitly and excluded from the total
+    val ok = results.filter(!_._3)
+    val failedNames = results.filter(_._3).map(_._1)
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,7 +14,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // a failed query must not leave a STALE output from a previous
+      // run in place — the compare would silently validate old results
+      val out = new java.io.File(s"$outDir/$name")
+      if (out.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out)
+      }
+      // repartition(1), not coalesce(1): coalesce collapses shuffle-free
+      // queries (scans/filters) into ONE task end-to-end
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

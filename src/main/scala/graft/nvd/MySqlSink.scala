@@ -26,7 +26,32 @@ object MySqlSink {
       url: String, // jdbc:mysql://host/db?characterEncoding=utf8mb4&rewriteBatchedStatements=true
       user: String,
       password: String,
-      batchSize: Int = 1000)
+      batchSize: Int = 1000,
+      driverClass: String = "com.mysql.cj.jdbc.Driver") {
+    require(batchSize > 0, "batchSize must be positive")
+  }
+
+  /** Open a connection ON THE EXECUTOR. DriverManager rejects drivers
+    * loaded by Spark's child classloader (--jars) for callers from the
+    * system classloader, so instantiate the driver reflectively from
+    * the context classloader first; plain DriverManager is the
+    * fallback for drivers on the system classpath. */
+  private def connect(conf: Conf): java.sql.Connection = {
+    val props = new java.util.Properties()
+    props.setProperty("user", conf.user)
+    props.setProperty("password", conf.password)
+    try {
+      val drv = Class.forName(conf.driverClass, true,
+          Thread.currentThread().getContextClassLoader)
+        .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
+      val c = drv.connect(conf.url, props)
+      if (c != null) c
+      else java.sql.DriverManager.getConnection(conf.url, conf.user, conf.password)
+    } catch {
+      case _: ClassNotFoundException =>
+        java.sql.DriverManager.getConnection(conf.url, conf.user, conf.password)
+    }
+  }
 
   private val upsertNvd =
     """INSERT INTO nvd (cve_id, summary, config, score, access_vector,
@@ -58,7 +83,7 @@ object MySqlSink {
     val rows = batch.selectExpr(cols: _*)
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.nonEmpty) {
-        val conn = java.sql.DriverManager.getConnection(conf.url, conf.user, conf.password)
+        val conn = connect(conf)
         try {
           conn.setAutoCommit(false)
           val psNvd = conn.prepareStatement(upsertNvd)
@@ -68,7 +93,9 @@ object MySqlSink {
             psNvd.setString(1, r.getString(0))
             psNvd.setString(2, r.getString(1))
             psNvd.setString(3, r.getString(2))
-            psNvd.setDouble(4, r.getDouble(3))
+            // frames not built by CveFlatten may carry a null score
+            if (r.isNullAt(3)) psNvd.setNull(4, java.sql.Types.DOUBLE)
+            else psNvd.setDouble(4, r.getDouble(3))
             (4 until 14).foreach(i => psNvd.setString(i + 1, r.getString(i)))
             psNvd.addBatch()
             psJson.setString(1, r.getString(0))

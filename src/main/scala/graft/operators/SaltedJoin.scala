@@ -23,10 +23,18 @@ object SaltedJoin {
       salt: Int): DataFrame = {
 
     require(salt > 0, "salt must be positive")
-    // deterministic salt from a stable hash of the row, NOT rand():
-    // re-computation under task retry must land in the same bucket
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
+    // Deterministic salt, NOT rand(): re-computation under task retry
+    // must land in the same bucket. Mixing in the partition id and the
+    // per-partition row index means IDENTICAL duplicate rows (the
+    // classic hot-key shape: millions of equal tuples) still spread —
+    // a pure row-content hash would put them all in one bucket. Both
+    // inputs are deterministic given a deterministic upstream order,
+    // so retries recompute the same value.
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*)), lit(salt)))
+      pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*),
+        spark_partition_id(), monotonically_increasing_id()), lit(salt)))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
