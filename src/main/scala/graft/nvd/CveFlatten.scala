@@ -117,4 +117,26 @@ object CveFlatten {
   def flattenFeed(spark: SparkSession, paths: Seq[String],
       strictReferenceSemantics: Boolean = true): DataFrame =
     flattenItems(readFeed(spark, paths), strictReferenceSemantics)
+
+  /** Read feed ZIPS directly — decompression happens in the scan
+    * tasks (graft.sources.ZipTextSource), not on the driver like the
+    * reference's `unzip` (nvd2mysqlloader.py:113-123). `path` is a
+    * file, directory (scans `*.zip`) or glob. Parsing goes through
+    * the same explicit `NvdSchema.feed` contract as `readFeed`;
+    * `from_json` is PERMISSIVE like the file reader (a malformed
+    * document yields null fields, not a failed job).
+    */
+  def readFeedZips(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("ziptext").load(path)
+      .select(
+        from_json(col("content"), NvdSchema.feed).as("feed"),
+        col("file"), col("entry"))
+      .select(explode(col("feed.CVE_Items")).as("item"), col("file"), col("entry"))
+
+  /** Zip-direct variant of `flattenFeed`; keeps (file, entry)
+    * provenance columns alongside the 15-column flatten.
+    */
+  def flattenFeedZips(spark: SparkSession, path: String,
+      strictReferenceSemantics: Boolean = true): DataFrame =
+    flattenItems(readFeedZips(spark, path), strictReferenceSemantics)
 }
