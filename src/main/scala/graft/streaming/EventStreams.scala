@@ -52,6 +52,42 @@ object EventStreams {
       .withWatermark(timeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * q96_interval_join (each view attributed to the same user's click
+    * at most `window` earlier). Both sides carry watermarks and the
+    * join predicate bounds `vts` inside (cts, cts + window], which is
+    * exactly what lets Spark evict both sides' join state as the
+    * watermark advances — without the time bound a stream-stream join
+    * buffers every row ever seen.
+    *
+    * Inner join deliberately: outer stream-stream joins emit their
+    * null-padded side only after watermark expiry, which a final
+    * micro-batch never reaches for the newest rows — the inner form
+    * emits matches immediately and loses nothing.
+    *
+    * Works unchanged on batch DataFrames (watermark is a no-op), so
+    * the spec can assert stream output == batch output on the same
+    * inputs.
+    */
+  def clickViewAttribution(
+      clicks: DataFrame,
+      views: DataFrame,
+      lateness: String = "2 hours",
+      window: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+      .withWatermark("cts", lateness)
+    val v = views
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+      .withWatermark("vts", lateness)
+    v.join(c,
+        col("user_id") === col("c_user_id") &&
+        col("vts") > col("cts") &&
+        col("vts") <= col("cts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+  }
+
   final case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

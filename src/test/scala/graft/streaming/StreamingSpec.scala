@@ -70,6 +70,32 @@ class StreamingSpec extends SparkSpec {
     assert(graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store)) === 4)
   }
 
+  test("stream-stream interval join equals the batch join (q96's twin)") {
+    val staged = Files.createTempDirectory("ssjoin").toString
+    val batchEvents = graft.Tables.events(spark, sf001)
+    batchEvents.write.mode("overwrite").parquet(staged)
+
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "view"))
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(staged)
+    val (sc, sv) = split(stream)
+    val q = EventStreams.clickViewAttribution(sc, sv).writeStream
+      .format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val (bc, bv) = split(batchEvents)
+    val batch = EventStreams.clickViewAttribution(bc, bv)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = spark.table("ss_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    // single-directory drain = no late rows dropped: exact equality
+    assert(streamed === batch)
+  }
+
   test("streaming dedup within watermark: re-delivered rows collapse to one") {
     val sp = spark; import sp.implicits._
     val staged = Files.createTempDirectory("dedupstream").toString
