@@ -30,7 +30,7 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    CoreQueries.all ++ TextQueries.all ++ EventQueries.all
+    CoreQueries.all ++ SqlQueries.all ++ TextQueries.all ++ EventQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
