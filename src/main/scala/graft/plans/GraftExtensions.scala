@@ -105,6 +105,13 @@ object GraftExtensions {
         MinHashSignature(args(0),
           if (args.length > 1) constLong("minhash_signature", "k", args(1)).toInt else 64,
           if (args.length > 2) constLong("minhash_signature", "seed", args(2)) else 42L)
+      }),
+    (FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "cms_estimate(sketch, item) - estimated count of a string item in a count_min_sketch binary"),
+      (args: Seq[Expression]) => {
+        arity("cms_estimate", args, 2, 2)
+        graft.functions.CmsEstimate(args(0), args(1))
       }))
 }
 

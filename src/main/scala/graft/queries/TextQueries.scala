@@ -325,6 +325,42 @@ object TextQueries extends QueryDsl {
           array_join(transform($"ids", _.cast("string")), ",").as("sample_ids"))
     },
 
+    // Count-min-sketch heavy hitters: the sketch route to the same
+    // answer q88 computes exactly. One pass builds a fixed-size CMS
+    // (the build side Spark ships as the count_min_sketch aggregate);
+    // the custom cms_estimate expression then probes it for each
+    // exact heavy hitter — the one-row sketch frame broadcast-joins
+    // the candidates, so the probe stays distributed instead of
+    // collecting the blob. At 100 TB the sketch is the only
+    // fixed-memory way to answer "how often does ANY given term
+    // occur" without keeping the full vocabulary: state is
+    // width*depth counters regardless of cardinality.
+    //
+    // The sketch value itself has no cross-engine oracle (DuckDB's CMS
+    // would hash differently), so like q09b/q09c the checked contract
+    // is the CMS guarantee itself, in-plan: exact <= estimate <=
+    // exact + eps*N for every top-20 term, emitted alongside the
+    // EXACTLY-checked term/count columns.
+    q("q86_cms_heavy_hitters",
+      """SELECT w, count(*) AS n, true AS cms_ok
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |      FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin) { c =>
+      import c.t
+      val tokens = t("documents").filter(length(trim($"text")) > 0)
+        .select(explode(TF.wsTokens(lower($"text"))).as("w"))
+      val eps = 0.0001
+      val sketch = tokens.agg(
+        count_min_sketch($"w", lit(eps), lit(0.999), lit(42)).as("sk"),
+        count(lit(1)).as("n_total"))
+      val top = tokens.groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w").limit(20)
+      val est = graft.functions.CmsEstimate($"sk", $"w")
+      top.join(broadcast(sketch))
+        .select($"w", $"n",
+          ($"n" <= est && est <= $"n" + ceil(lit(eps) * $"n_total")).as("cms_ok"))
+    },
+
     // Vocabulary heavy-hitters: the canonical wordcount — explode
     // tokens, partial+final count, TakeOrdered top-k. At 100 TB the
     // shuffle carries (token, partial-count) pairs, pre-combined
