@@ -7,18 +7,22 @@ import org.apache.spark.sql.DataFrame
   * The reference does, per CVE row: SELECT probe + INSERT-or-REPLACE +
   * commit, twice (tables `nvd` and `nvd_json`) — ~6 synchronous
   * round-trips per row (nvd2mysqlloader.py:452-482). The set-based
-  * equivalent is one `INSERT ... ON DUPLICATE KEY UPDATE` statement
-  * per row inside a per-partition batch with a single commit:
-  * rewriteBatchedStatements collapses the batch into multi-row
-  * packets, so round-trips drop from O(rows) to O(partitions).
+  * equivalent is one upsert statement per row inside a per-partition
+  * batch with a single commit: rewriteBatchedStatements collapses the
+  * batch into multi-row packets, so round-trips drop from O(rows) to
+  * O(partitions).
   *
   * Executors each open one connection (foreachPartition), so on a
   * 1000-executor cluster write parallelism = partitions; callers
   * should `repartition` the batch to the DB's acceptable fan-in first.
   *
-  * No MySQL server or driver exists in this environment, so this is
-  * compile-checked, driver-class-by-name code; the Parquet store
-  * (NvdStore) is the engine-native path and the one under test.
+  * The upsert STATEMENTS are dialect-pluggable (`UpsertDialect`): the
+  * production target is MySQL (`ON DUPLICATE KEY UPDATE`, no MySQL
+  * server in this environment), and the Derby dialect (`MERGE`) runs
+  * the identical executor-side machinery against an in-JVM embedded
+  * database in JdbcUpsertSpec — the plumbing (connection-per-
+  * partition, prepared batches, batch flushing, one commit) is what
+  * the spec actually exercises.
   */
 object MySqlSink {
 
@@ -27,8 +31,92 @@ object MySqlSink {
       user: String,
       password: String,
       batchSize: Int = 1000,
-      driverClass: String = "com.mysql.cj.jdbc.Driver") {
+      driverClass: String = "com.mysql.cj.jdbc.Driver",
+      dialect: UpsertDialect = MySqlDialect) {
     require(batchSize > 0, "batchSize must be positive")
+  }
+
+  /** The two upsert statements, per SQL dialect, plus the mapping
+    * from statement parameter positions to `cols` field indices —
+    * dialects repeat fields (MERGE binds the key in ON, the non-keys
+    * in UPDATE SET, and everything again in INSERT), so the order is
+    * the dialect's to declare and the binder is generic. */
+  trait UpsertDialect extends Serializable {
+    def upsertNvd: String
+    def upsertJson: String
+    /** For each ? in upsertNvd, in order: the `cols` index it binds. */
+    def nvdParamOrder: Seq[Int]
+    /** For each ? in upsertJson, in order: the `cols` index it binds. */
+    def jsonParamOrder: Seq[Int]
+  }
+
+  /** MySQL / MariaDB: INSERT ... ON DUPLICATE KEY UPDATE. */
+  object MySqlDialect extends UpsertDialect {
+    val upsertNvd: String =
+      """INSERT INTO nvd (cve_id, summary, config, score, access_vector,
+        |  access_complexity, authorize, availability_impact,
+        |  confidentiality_impact, integrity_impact, last_modified_datetime,
+        |  published_datetime, urls, vulnerable_software_list)
+        |VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?)
+        |ON DUPLICATE KEY UPDATE
+        |  summary=VALUES(summary), config=VALUES(config), score=VALUES(score),
+        |  access_vector=VALUES(access_vector), access_complexity=VALUES(access_complexity),
+        |  authorize=VALUES(authorize), availability_impact=VALUES(availability_impact),
+        |  confidentiality_impact=VALUES(confidentiality_impact),
+        |  integrity_impact=VALUES(integrity_impact),
+        |  last_modified_datetime=VALUES(last_modified_datetime),
+        |  published_datetime=VALUES(published_datetime), urls=VALUES(urls),
+        |  vulnerable_software_list=VALUES(vulnerable_software_list)""".stripMargin
+
+    val upsertJson: String =
+      """INSERT INTO nvd_json (cve_id, cve_item) VALUES (?,?)
+        |ON DUPLICATE KEY UPDATE cve_item=VALUES(cve_item)""".stripMargin
+
+    val nvdParamOrder: Seq[Int] = 0 until 14
+    val jsonParamOrder: Seq[Int] = Seq(0, 14)
+  }
+
+  /** Apache Derby (embedded; ships with Spark): ANSI MERGE. Derby
+    * rejects VALUES as a MERGE source (42XAL: must be a base table or
+    * table function), so the one-row source is SYSIBM.SYSDUMMY1 and
+    * the incoming row rides entirely in parameters — the key compared
+    * in ON, non-keys in UPDATE SET, everything again in INSERT.
+    * Parameter markers need explicit types in Derby, hence the CASTs.
+    */
+  object DerbyDialect extends UpsertDialect {
+    private val nvdCols = Seq("cve_id", "summary", "config", "score",
+      "access_vector", "access_complexity", "authorize",
+      "availability_impact", "confidentiality_impact", "integrity_impact",
+      "last_modified_datetime", "published_datetime", "urls",
+      "vulnerable_software_list")
+    private def cast(c: String) = c match {
+      case "score" => "CAST(? AS DOUBLE)"
+      case "summary" | "config" | "urls" | "vulnerable_software_list" =>
+        "CAST(? AS VARCHAR(32000))"
+      case _ => "CAST(? AS VARCHAR(255))"
+    }
+    private val nonKey = nvdCols.filterNot(_ == "cve_id")
+
+    val upsertNvd: String =
+      s"""MERGE INTO nvd t
+         |USING SYSIBM.SYSDUMMY1 s
+         |ON t.cve_id = ${cast("cve_id")}
+         |WHEN MATCHED THEN UPDATE SET
+         |  ${nonKey.map(c => s"$c = ${cast(c)}").mkString(", ")}
+         |WHEN NOT MATCHED THEN INSERT (${nvdCols.mkString(", ")})
+         |  VALUES (${nvdCols.map(cast).mkString(", ")})""".stripMargin
+
+    val upsertJson: String =
+      """MERGE INTO nvd_json t
+        |USING SYSIBM.SYSDUMMY1 s
+        |ON t.cve_id = CAST(? AS VARCHAR(255))
+        |WHEN MATCHED THEN UPDATE SET cve_item = CAST(? AS VARCHAR(32000))
+        |WHEN NOT MATCHED THEN INSERT (cve_id, cve_item)
+        |  VALUES (CAST(? AS VARCHAR(255)), CAST(? AS VARCHAR(32000)))""".stripMargin
+
+    // ON key, UPDATE non-keys (cols 1..13), INSERT all (0..13)
+    val nvdParamOrder: Seq[Int] = Seq(0) ++ (1 to 13) ++ (0 to 13)
+    val jsonParamOrder: Seq[Int] = Seq(0, 14, 0, 14)
   }
 
   /** Open a connection ON THE EXECUTOR. DriverManager rejects drivers
@@ -53,26 +141,6 @@ object MySqlSink {
     }
   }
 
-  private val upsertNvd =
-    """INSERT INTO nvd (cve_id, summary, config, score, access_vector,
-      |  access_complexity, authorize, availability_impact,
-      |  confidentiality_impact, integrity_impact, last_modified_datetime,
-      |  published_datetime, urls, vulnerable_software_list)
-      |VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?)
-      |ON DUPLICATE KEY UPDATE
-      |  summary=VALUES(summary), config=VALUES(config), score=VALUES(score),
-      |  access_vector=VALUES(access_vector), access_complexity=VALUES(access_complexity),
-      |  authorize=VALUES(authorize), availability_impact=VALUES(availability_impact),
-      |  confidentiality_impact=VALUES(confidentiality_impact),
-      |  integrity_impact=VALUES(integrity_impact),
-      |  last_modified_datetime=VALUES(last_modified_datetime),
-      |  published_datetime=VALUES(published_datetime), urls=VALUES(urls),
-      |  vulnerable_software_list=VALUES(vulnerable_software_list)""".stripMargin
-
-  private val upsertJson =
-    """INSERT INTO nvd_json (cve_id, cve_item) VALUES (?,?)
-      |ON DUPLICATE KEY UPDATE cve_item=VALUES(cve_item)""".stripMargin
-
   private val cols = Seq("cve_id", "summary", "config", "score", "access_vector",
     "access_complexity", "authorize", "availability_impact",
     "confidentiality_impact", "integrity_impact", "last_modified_datetime",
@@ -86,20 +154,23 @@ object MySqlSink {
         val conn = connect(conf)
         try {
           conn.setAutoCommit(false)
-          val psNvd = conn.prepareStatement(upsertNvd)
-          val psJson = conn.prepareStatement(upsertJson)
+          val psNvd = conn.prepareStatement(conf.dialect.upsertNvd)
+          val psJson = conn.prepareStatement(conf.dialect.upsertJson)
+          def bind(ps: java.sql.PreparedStatement, order: Seq[Int],
+              r: org.apache.spark.sql.Row): Unit =
+            order.zipWithIndex.foreach { case (f, i) =>
+              // field 3 (score) is the lone double; frames not built
+              // by CveFlatten may carry it null
+              if (f == 3) {
+                if (r.isNullAt(3)) ps.setNull(i + 1, java.sql.Types.DOUBLE)
+                else ps.setDouble(i + 1, r.getDouble(3))
+              } else ps.setString(i + 1, r.getString(f))
+            }
           var n = 0
           it.foreach { r =>
-            psNvd.setString(1, r.getString(0))
-            psNvd.setString(2, r.getString(1))
-            psNvd.setString(3, r.getString(2))
-            // frames not built by CveFlatten may carry a null score
-            if (r.isNullAt(3)) psNvd.setNull(4, java.sql.Types.DOUBLE)
-            else psNvd.setDouble(4, r.getDouble(3))
-            (4 until 14).foreach(i => psNvd.setString(i + 1, r.getString(i)))
+            bind(psNvd, conf.dialect.nvdParamOrder, r)
             psNvd.addBatch()
-            psJson.setString(1, r.getString(0))
-            psJson.setString(2, r.getString(14))
+            bind(psJson, conf.dialect.jsonParamOrder, r)
             psJson.addBatch()
             n += 1
             if (n % conf.batchSize == 0) { psNvd.executeBatch(); psJson.executeBatch() }
