@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Streaming side of the `ziptext` source: each micro-batch processes
+  * the archives that APPEARED since the last batch — the Spark-native
+  * form of the reference's cron-style polling loop (download feed,
+  * unzip, load; nvd2mysqlloader.py:508-531), with restart-exactly-once
+  * from the checkpointed offset log.
+  *
+  * The offset is the sorted list of archive paths seen at that point
+  * (newline-joined; zip drops are file-at-a-time, so a feed dir holds
+  * hundreds of paths, not millions — the same "offset = seen files"
+  * trade Spark's own FileStreamSource makes, minus its compact log).
+  * A batch = set difference end \ start, so:
+  *   - a restart replans exactly the uncommitted difference;
+  *   - archives deleted after processing simply leave future listings
+  *     (never re-emitted — they can't appear in a later `end`);
+  *   - files must be dropped ATOMICALLY (write-then-rename), as with
+  *     any file-based source: a half-written zip that gets listed is
+  *     read in whatever state rename left it.
+  */
+final class ZipTextMicroBatchStream(
+    path: String,
+    entryRegex: Option[String],
+    required: StructType) extends MicroBatchStream {
+
+  // The checkpoint offset log is LINE-based (one line per source), so
+  // the serialized offset must be newline-free: a compact JSON array.
+  private case class FileListOffset(files: Seq[String]) extends Offset {
+    override def json(): String =
+      files.sorted.map(f =>
+        "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+  }
+
+  private def parseJsonList(j: String): Seq[String] = {
+    // inverse of json() above: top-level array of escaped strings
+    val body = j.trim.stripPrefix("[").stripSuffix("]")
+    if (body.isEmpty) Seq.empty
+    else {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var inStr = false
+      var esc = false
+      body.foreach { ch =>
+        if (esc) { cur.append(ch); esc = false }
+        else if (ch == '\\') esc = true
+        else if (ch == '"') {
+          if (inStr) { out += cur.result(); cur.clear() }
+          inStr = !inStr
+        } else if (inStr) cur.append(ch)
+        // separators outside strings are skipped
+      }
+      out.result()
+    }
+  }
+
+  private def parse(o: Offset): Set[String] = o match {
+    case FileListOffset(fs) => fs.toSet
+    case other => parseJsonList(other.json()).toSet
+  }
+
+  private def hconf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def initialOffset(): Offset = FileListOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    FileListOffset(ZipTextSource.listArchives(path, hconf).map(_.getPath.toString))
+
+  override def deserializeOffset(json: String): Offset =
+    FileListOffset(parseJsonList(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val conf = hconf
+    val fresh = (parse(end) -- parse(start)).toSeq.sorted
+    fresh.map { p =>
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(conf)
+      val st = fs.getFileStatus(hp)
+      val hosts =
+        try {
+          val locs = fs.getFileBlockLocations(st, 0, st.getLen)
+          if (locs == null || locs.isEmpty) Array.empty[String] else locs.head.getHosts
+        } catch { case _: java.io.IOException => Array.empty[String] }
+      ZipFilePartition(p, st.getLen, hosts): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZipTextReaderFactory(
+      new SerializableConfiguration(hconf), required.fieldNames, entryRegex)
+
+  override def commit(end: Offset): Unit = () // offset log is the state
+  override def stop(): Unit = ()
+}

@@ -70,6 +70,20 @@ object ZipTextSource {
     StructField("size", LongType, nullable = false),
     StructField("content", StringType, nullable = false)))
 
+  /** One FS listing: the archives under `path` (file, dir => *.zip,
+    * or glob). Shared by the batch scan and the micro-batch stream. */
+  private[sources] def listArchives(
+      path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Seq[FileStatus] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(hconf)
+    val isDir =
+      try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false } // glob, resolved below
+    val expanded = if (isDir) new HPath(p, "*.zip") else p
+    Option(fs.globStatus(expanded)).map(_.toSeq).getOrElse(Seq.empty).filter(_.isFile)
+  }
+
   /** Uncompressed-size inflation guess used for reported statistics
     * when only compressed sizes are known (NVD feeds inflate ~17x,
     * BASELINE.md sample). Deliberately HIGH: overstating keeps the
@@ -88,7 +102,7 @@ final class ZipTextTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"ziptext(${options.get("path")})"
   override def schema(): StructType = ZipTextSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val path = Option(caseInsensitiveOptions.get("path")).getOrElse(
@@ -122,22 +136,16 @@ final class ZipTextScan(path: String, entryRegex: Option[String], required: Stru
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZipTextMicroBatchStream(path, entryRegex, required)
   override def description(): String =
     s"ziptext $path cols=[${required.fieldNames.mkString(",")}]"
 
   // Planning = one FS listing; no archive is opened on the driver.
-  private lazy val files: Seq[FileStatus] = {
-    val spark = SparkSession.active
-    val hconf = spark.sessionState.newHadoopConf()
-    val p = new HPath(path)
-    val fs = p.getFileSystem(hconf)
-    val isDir =
-      try fs.getFileStatus(p).isDirectory
-      catch { case _: java.io.FileNotFoundException => false } // glob, resolved below
-    val expanded = if (isDir) new HPath(p, "*.zip") else p
-    val matched = Option(fs.globStatus(expanded)).map(_.toSeq).getOrElse(Seq.empty)
-    matched.filter(_.isFile)
-  }
+  private lazy val files: Seq[FileStatus] =
+    ZipTextSource.listArchives(path,
+      SparkSession.active.sessionState.newHadoopConf())
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

@@ -89,6 +89,49 @@ class ZipTextSourceSpec extends SparkSpec {
       s"pruned projection should reach the scan: $scanLine")
   }
 
+  test("streaming: each drain picks up only newly dropped archives (restart-exactly-once)") {
+    val dropDir = Files.createTempDirectory("zipdrop")
+    val ckpt = Files.createTempDirectory("zipckpt").toString
+    val outDir = Files.createTempDirectory("zipout").toString + "/rows"
+    def drop(name: String, entry: String, body: String): Unit = {
+      // atomic drop: write aside, then rename into the watched dir
+      val tmp = Files.createTempFile("zipstage", ".zip")
+      zipOf(tmp, entry -> body.getBytes("UTF-8"))
+      Files.move(tmp, dropDir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // parquet sink, not memory: the memory sink cannot recover from a
+    // checkpoint, and checkpoint recovery is the thing under test
+    def drain(): Unit = {
+      val q = spark.readStream.format("ziptext").load(dropDir.toString)
+        .select("entry", "content")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def seen(): Seq[String] =
+      spark.read.parquet(outDir).collect().map(_.getString(0)).sorted.toSeq
+
+    drop("a.zip", "a.txt", "alpha")
+    drop("b.zip", "b.txt", "beta")
+    drain()
+    assert(seen() === Seq("a.txt", "b.txt"))
+
+    drop("c.zip", "c.txt", "gamma")
+    drain() // fresh query, same checkpoint: only the new archive replans
+    assert(seen() === Seq("a.txt", "b.txt", "c.txt"))
+
+    drain() // nothing new: no-op
+    assert(seen() === Seq("a.txt", "b.txt", "c.txt"))
+
+    Files.walk(dropDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
   test("zip-direct feed flatten == driver-unzip flatten") {
     val viaZip = CveFlatten.flattenFeedZips(spark,
         dir.resolve("nvdcve-1.1-2002.json.zip").toString)
