@@ -19,38 +19,30 @@ import graft.nvd.{CveFlatten, NvdDedup, NvdSchema, NvdStore}
   */
 object NvdStreamIngest {
 
-  /** Start (and with AvailableNow, run to drain) the ingest stream. */
-  def start(
-      spark: SparkSession,
-      stagingDir: String,
+  /** Per-FILE priority inside a batch (reference semantics: years
+    * ascend, then modified, then recent — nvd2mysqlloader.py:154-158).
+    * Without it, two files landing in the same micro-batch would tie
+    * on feed_rank and last-write-wins would pick nondeterministically.
+    * `fileName` is any path-or-entry-name column ending in
+    * `nvdcve-1.1-<modifier>.json`; the year cast is guarded by the
+    * 4-digit rlike, so it is ANSI-safe on arbitrary names. */
+  private[streaming] def feedPriority(fileName: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val modifier = regexp_replace(
+      regexp_extract(fileName, "([^/]+)\\.json$", 1), "^nvdcve-1\\.1-", "")
+    when(modifier === "modified", lit(900))
+      .when(modifier === "recent", lit(901))
+      .when(modifier.rlike("^\\d{4}$"), modifier.cast("int") - 1900)
+      .otherwise(lit(0))
+  }
+
+  /** Shared sink tail: flatten, rank within batch, keyed upsert. */
+  private def sinkTo(
+      items: DataFrame,
       storePath: String,
       checkpointDir: String,
-      strictReferenceSemantics: Boolean = true): StreamingQuery = {
-
-    // Per-FILE priority inside a batch (reference semantics: years
-    // ascend, then modified, then recent — nvd2mysqlloader.py:154-158).
-    // Without it, two files landing in the same micro-batch would tie
-    // on feed_rank and last-write-wins would pick nondeterministically.
-    val modifier = regexp_replace(
-      regexp_extract(input_file_name(), "([^/]+)\\.json$", 1), "^nvdcve-1\\.1-", "")
-    val filePriority =
-      when(modifier === "modified", lit(900))
-        .when(modifier === "recent", lit(901))
-        .otherwise(coalesce(expr("try_cast(" +
-          "regexp_replace(regexp_extract(input_file_name(), '([^/]+)\\\\.json$', 1)," +
-          " '^nvdcve-1\\\\.1-', '') AS int) - 1900"), lit(0)))
-
-    val items = spark.readStream
-      .schema(NvdSchema.feed)
-      .option("multiLine", "true")
-      .option("maxFilesPerTrigger", "8")
-      .json(stagingDir)
-      .select(explode(col("CVE_Items")).as("item"))
-      .withColumn("feed_rank", filePriority)
-
-    val flat = CveFlatten.flattenItems(items, strictReferenceSemantics)
-
-    flat.writeStream
+      strictReferenceSemantics: Boolean): StreamingQuery =
+    CveFlatten.flattenItems(items, strictReferenceSemantics).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -62,5 +54,39 @@ object NvdStreamIngest {
         ()
       }
       .start()
+
+  /** Start (and with AvailableNow, run to drain) the ingest stream. */
+  def start(
+      spark: SparkSession,
+      stagingDir: String,
+      storePath: String,
+      checkpointDir: String,
+      strictReferenceSemantics: Boolean = true): StreamingQuery = {
+    val items = spark.readStream
+      .schema(NvdSchema.feed)
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", "8")
+      .json(stagingDir)
+      .select(explode(col("CVE_Items")).as("item"))
+      .withColumn("feed_rank", feedPriority(input_file_name()))
+    sinkTo(items, storePath, checkpointDir, strictReferenceSemantics)
+  }
+
+  /** Zip-direct ingest: feed ARCHIVES dropped into `zipDir` stream
+    * through the ziptext micro-batch source — no staging unzip step
+    * exists at all, on the driver or anywhere else. Decompression and
+    * parsing happen in the scan tasks of each micro-batch; the file
+    * priority comes from the archive's entry name. */
+  def startFromZips(
+      spark: SparkSession,
+      zipDir: String,
+      storePath: String,
+      checkpointDir: String,
+      strictReferenceSemantics: Boolean = true): StreamingQuery = {
+    val items = spark.readStream.format("ziptext").load(zipDir)
+      .select(from_json(col("content"), NvdSchema.feed).as("feed"), col("entry"))
+      .select(explode(col("feed.CVE_Items")).as("item"),
+        feedPriority(col("entry")).as("feed_rank"))
+    sinkTo(items, storePath, checkpointDir, strictReferenceSemantics)
   }
 }

@@ -70,6 +70,35 @@ class StreamingSpec extends SparkSpec {
     assert(graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store)) === 4)
   }
 
+  test("NVD zip-direct stream ingest: archives in, store updated, no staging step") {
+    val zips = Files.createTempDirectory("nvdzips")
+    val store = Files.createTempDirectory("nvdzstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("nvdzckpt").toString
+    def dropZip(feed: String): Unit = {
+      val tmp = Files.createTempFile("nvdstage", ".zip")
+      val zout = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(tmp))
+      try {
+        zout.putNextEntry(new java.util.zip.ZipEntry(s"nvdcve-1.1-$feed.json"))
+        zout.write(Files.readAllBytes(
+          java.nio.file.Paths.get(s"src/test/resources/nvdfeed/$feed.json")))
+        zout.closeEntry()
+      } finally zout.close()
+      Files.move(tmp, zips.resolve(s"nvdcve-1.1-$feed.json.zip"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    dropZip("2002")
+    NvdStreamIngest.startFromZips(spark, zips.toString, store, ckpt).awaitTermination(120000)
+    assert(graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store)) === 3)
+
+    dropZip("modified") // amends CVE-2002-0001, adds one
+    NvdStreamIngest.startFromZips(spark, zips.toString, store, ckpt).awaitTermination(120000)
+    val stored = graft.nvd.NvdStore.read(spark, store)
+    assert(graft.nvd.NvdStore.cveTally(stored) === 4)
+    assert(stored.filter(col("cve_id") === "CVE-2002-0001")
+      .first().getAs[Double]("score") === 10.0)
+  }
+
   test("stream-stream interval join equals the batch join (q96's twin)") {
     val staged = Files.createTempDirectory("ssjoin").toString
     val batchEvents = graft.Tables.events(spark, sf001)
