@@ -20,10 +20,15 @@ package graft.queries
   */
 object SqlQueries extends QueryDsl {
 
-  /** Same SQL text on both engines; Spark side over temp views. */
+  /** Same SQL text on both engines; Spark side over temp views. Only
+    * the tables the statement references are registered — view
+    * registration costs a parquet footer read per table, paid on
+    * every invocation. */
   private def sqlQ(name: String, sql: String): Q =
     q(name, sql) { c =>
-      graft.GraftSql.registerTables(c.spark, c.dir)
+      graft.GraftSql.tableNames
+        .filter(t => sql.matches(s"(?s).*\\b$t\\b.*"))
+        .foreach(t => graft.Tables.load(c.spark, c.dir, t).createOrReplaceTempView(t))
       c.spark.sql(sql)
     }
 
