@@ -219,6 +219,69 @@ object CoreQueries extends QueryDsl {
         .groupBy($"p_brand").agg(count(lit(1)).as("n_matches"))
     },
 
+    // TPC-H Q3 shape: 3-table join chain (dim -> fact -> fact) with
+    // selective filters on all three inputs, grouped revenue, global
+    // top-10. The filters push to each scan; customer is the
+    // broadcast-able side of its join; lineitem⋈orders shuffles on
+    // the shared key; the final top-k is TakeOrderedAndProject.
+    q("q16_shipping_priority",
+      """SELECT l_orderkey,
+        |  cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15'
+        |GROUP BY l_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { c =>
+      import c.t
+      val cutoff = lit("1997-03-15").cast("timestamp")
+      t("customer").filter($"c_mktsegment" === "BUILDING")
+        .join(t("orders").filter($"o_orderdate" < cutoff), $"c_custkey" === $"o_custkey")
+        .join(t("lineitem").filter($"l_shipdate" > cutoff), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          $"o_orderpriority")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .select($"l_orderkey", $"revenue", $"orderdate", $"o_orderpriority")
+        .orderBy($"revenue".desc, $"l_orderkey").limit(10)
+    },
+
+    // TPC-H Q5 shape: 6-table star-plus-constraint join — the
+    // c_nationkey = s_nationkey condition links the two dimension arms
+    // so it is NOT a pure star. region/nation/supplier broadcast;
+    // customer⋈orders⋈lineitem carry the shuffles on their keys.
+    q("q17_local_supplier_volume",
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin) { c =>
+      import c.t
+      t("customer")
+        .join(t("orders").filter(
+          $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+          $"c_custkey" === $"o_custkey")
+        .join(t("lineitem"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t("supplier")),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(t("nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t("region")), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+    },
+
     q("q05b_grouping_sets",
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
