@@ -638,6 +638,27 @@ object CoreQueries extends QueryDsl {
           ($"approx" >= $"lo" && $"approx" <= $"hi").as("approx_within_bound"))
     },
 
+    // MERGEABLE sketches (Datasketches HLL): per-day sketches built
+    // once, unioned into any larger window without touching raw data —
+    // the precompute-and-merge pattern that makes incremental distinct
+    // counts tractable at 100 TB (a day's sketch is ~KB; re-scanning a
+    // day is ~TB). Like q09b, the sketch value has no cross-engine
+    // oracle, so the checked contract is merge fidelity: the estimate
+    // from unioning daily sketches must agree with the exact global
+    // distinct count within HLL(lgK=12) error (~1.6% rsd; 5% ≈ 3σ).
+    q("q19_hll_mergeable",
+      """SELECT true AS merged_within_bound""") { c =>
+      import c.t
+      val ev = t("events")
+      val daily = ev.groupBy(date_trunc("DAY", $"ts").as("d"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      val merged = daily.agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      val exact = ev.agg(countDistinct($"user_id").as("exact"))
+      merged.join(exact)
+        .select((abs($"est" - $"exact") / $"exact" < 0.05).as("merged_within_bound"))
+    },
+
     q("q43_union_all",
       """SELECT k, count(*) AS n FROM (
         |  SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey <= 400
