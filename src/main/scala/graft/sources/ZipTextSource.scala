@@ -164,7 +164,8 @@ final class ZipTextScan(path: String, entryRegex: Option[String], required: Stru
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    new ZipTextReaderFactory(conf, required.fieldNames, entryRegex)
+    new ZipTextReaderFactory(conf, required.fieldNames, entryRegex,
+      spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false").toBoolean)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -181,16 +182,19 @@ final class ZipTextScan(path: String, entryRegex: Option[String], required: Stru
 final class ZipTextReaderFactory(
     conf: SerializableConfiguration,
     projected: Array[String],
-    entryRegex: Option[String]) extends PartitionReaderFactory {
+    entryRegex: Option[String],
+    ignoreCorrupt: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZipTextPartitionReader(partition.asInstanceOf[ZipFilePartition], conf, projected, entryRegex)
+    new ZipTextPartitionReader(partition.asInstanceOf[ZipFilePartition], conf,
+      projected, entryRegex, ignoreCorrupt)
 }
 
 final class ZipTextPartitionReader(
     part: ZipFilePartition,
     conf: SerializableConfiguration,
     projected: Array[String],
-    entryRegex: Option[String]) extends PartitionReader[InternalRow] {
+    entryRegex: Option[String],
+    ignoreCorrupt: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val needContent = projected.contains("content")
   private val pattern = entryRegex.map(_.r.pattern)
@@ -203,12 +207,40 @@ final class ZipTextPartitionReader(
     if (zin == null) {
       val p = new HPath(part.path)
       val fs = p.getFileSystem(conf.value)
-      zin = new ZipInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
+      val raw = new BufferedInputStream(fs.open(p), 1 << 16)
+      // ZipInputStream is LENIENT about non-archives: with no PK
+      // signature it reports zero entries instead of failing, which
+      // would make a garbled drop silently vanish. Check the magic
+      // up front so corruption is an error, not an empty result.
+      val head = new java.io.PushbackInputStream(raw, 2)
+      val magic = new Array[Byte](2)
+      val n = head.read(magic)
+      if (n > 0) head.unread(magic, 0, n)
+      if (n == 2 && !(magic(0) == 'P'.toByte && magic(1) == 'K'.toByte))
+        throw new java.util.zip.ZipException(
+          s"not a zip archive (bad magic ${magic(0)},${magic(1)})")
+      zin = new ZipInputStream(head)
     }
     zin
   }
 
-  override def next(): Boolean = {
+  override def next(): Boolean =
+    // honor spark.sql.files.ignoreCorruptFiles like the built-in file
+    // sources: a truncated/garbled archive yields its readable prefix
+    // (entries already emitted stay emitted) instead of failing the task
+    try nextUnguarded()
+    catch {
+      case e @ (_: java.util.zip.ZipException | _: java.io.EOFException) =>
+        if (ignoreCorrupt) {
+          org.slf4j.LoggerFactory.getLogger(classOf[ZipTextPartitionReader])
+            .warn(s"skipping corrupt remainder of ${part.path}: ${e.getMessage}")
+          current = null
+          false
+        } else throw new java.io.IOException(
+          s"corrupt zip archive ${part.path} (set spark.sql.files.ignoreCorruptFiles=true to skip)", e)
+    }
+
+  private def nextUnguarded(): Boolean = {
     val z = stream()
     var entry = z.getNextEntry
     while (entry != null &&

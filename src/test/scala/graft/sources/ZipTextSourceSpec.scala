@@ -132,6 +132,26 @@ class ZipTextSourceSpec extends SparkSpec {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  test("corrupt archives: fail loud by default, skip under ignoreCorruptFiles") {
+    val badDir = Files.createTempDirectory("zipbad")
+    zipOf(badDir.resolve("good.zip"), "ok.txt" -> "fine".getBytes("UTF-8"))
+    Files.write(badDir.resolve("garbage.zip"), Array.fill[Byte](128)(0x5a))
+
+    val read = () => spark.read.format("ziptext").load(badDir.toString)
+      .select("entry").collect().map(_.getString(0)).toSeq
+
+    val e = intercept[org.apache.spark.SparkException](read())
+    assert(e.getMessage.contains("corrupt zip archive") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt zip archive")))
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(read() === Seq("ok.txt"))
+    finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+
+    Files.walk(badDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
   test("zip-direct feed flatten == driver-unzip flatten") {
     val viaZip = CveFlatten.flattenFeedZips(spark,
         dir.resolve("nvdcve-1.1-2002.json.zip").toString)
