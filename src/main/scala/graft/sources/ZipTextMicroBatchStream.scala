@@ -31,34 +31,23 @@ final class ZipTextMicroBatchStream(
     required: StructType) extends MicroBatchStream {
 
   // The checkpoint offset log is LINE-based (one line per source), so
-  // the serialized offset must be newline-free: a compact JSON array.
+  // the serialized offset must be newline-free — for ANY path, even
+  // one with embedded control characters. Each path is URL-encoded
+  // (covers quotes, backslashes, newlines, commas), so the array
+  // needs no escaping logic at all.
   private case class FileListOffset(files: Seq[String]) extends Offset {
     override def json(): String =
-      files.sorted.map(f =>
-        "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      files.sorted
+        .map(f => "\"" + java.net.URLEncoder.encode(f, "UTF-8") + "\"")
         .mkString("[", ",", "]")
   }
 
   private def parseJsonList(j: String): Seq[String] = {
-    // inverse of json() above: top-level array of escaped strings
     val body = j.trim.stripPrefix("[").stripSuffix("]")
-    if (body.isEmpty) Seq.empty
-    else {
-      val out = Seq.newBuilder[String]
-      val cur = new StringBuilder
-      var inStr = false
-      var esc = false
-      body.foreach { ch =>
-        if (esc) { cur.append(ch); esc = false }
-        else if (ch == '\\') esc = true
-        else if (ch == '"') {
-          if (inStr) { out += cur.result(); cur.clear() }
-          inStr = !inStr
-        } else if (inStr) cur.append(ch)
-        // separators outside strings are skipped
-      }
-      out.result()
-    }
+    if (body.trim.isEmpty) Seq.empty
+    else body.split(",").toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
   }
 
   private def parse(o: Offset): Set[String] = o match {
@@ -79,22 +68,30 @@ final class ZipTextMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val conf = hconf
     val fresh = (parse(end) -- parse(start)).toSeq.sorted
-    fresh.map { p =>
+    fresh.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
-      val st = fs.getFileStatus(hp)
-      val hosts =
-        try {
-          val locs = fs.getFileBlockLocations(st, 0, st.getLen)
-          if (locs == null || locs.isEmpty) Array.empty[String] else locs.head.getHosts
-        } catch { case _: java.io.IOException => Array.empty[String] }
-      ZipFilePartition(p, st.getLen, hosts): InputPartition
+      // An archive can be listed into the end offset (already in the
+      // checkpoint WAL) and deleted before its batch commits — or
+      // before a crash-restart replays it. Failing here would
+      // crash-loop the stream on every replay of the same WAL entry;
+      // like FileStreamSource, a vanished uncommitted file is skipped.
+      try Some(ZipTextSource.toPartition(fs.getFileStatus(hp), fs): InputPartition)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          org.slf4j.LoggerFactory.getLogger(classOf[ZipTextMicroBatchStream])
+            .warn(s"archive $p vanished before its batch ran; skipping")
+          None
+      }
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
     new ZipTextReaderFactory(
-      new SerializableConfiguration(hconf), required.fieldNames, entryRegex)
+      new SerializableConfiguration(hconf), required.fieldNames, entryRegex,
+      spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false").toBoolean)
+  }
 
   override def commit(end: Offset): Unit = () // offset log is the state
   override def stop(): Unit = ()

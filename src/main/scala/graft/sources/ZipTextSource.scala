@@ -84,6 +84,20 @@ object ZipTextSource {
     Option(fs.globStatus(expanded)).map(_.toSeq).getOrElse(Seq.empty).filter(_.isFile)
   }
 
+  /** FileStatus -> input partition with block-location hints. Shared
+    * by the batch scan and the micro-batch stream so locality handling
+    * cannot drift between the two paths. */
+  private[sources] def toPartition(
+      st: FileStatus,
+      fs: org.apache.hadoop.fs.FileSystem): ZipFilePartition = {
+    val hosts =
+      try {
+        val locs = fs.getFileBlockLocations(st, 0, st.getLen)
+        if (locs == null || locs.isEmpty) Array.empty[String] else locs.head.getHosts
+      } catch { case _: java.io.IOException => Array.empty[String] }
+    ZipFilePartition(st.getPath.toString, st.getLen, hosts)
+  }
+
   /** Uncompressed-size inflation guess used for reported statistics
     * when only compressed sizes are known (NVD feeds inflate ~17x,
     * BASELINE.md sample). Deliberately HIGH: overstating keeps the
@@ -151,13 +165,7 @@ final class ZipTextScan(path: String, entryRegex: Option[String], required: Stru
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
     files.map { st =>
-      val fs = st.getPath.getFileSystem(hconf)
-      val hosts =
-        try {
-          val locs = fs.getFileBlockLocations(st, 0, st.getLen)
-          if (locs == null || locs.isEmpty) Array.empty[String] else locs.head.getHosts
-        } catch { case _: java.io.IOException => Array.empty[String] }
-      ZipFilePartition(st.getPath.toString, st.getLen, hosts)
+      ZipTextSource.toPartition(st, st.getPath.getFileSystem(hconf)): InputPartition
     }.toArray
   }
 
@@ -197,6 +205,7 @@ final class ZipTextPartitionReader(
     ignoreCorrupt: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val needContent = projected.contains("content")
+  private val needSize = projected.contains("size")
   private val pattern = entryRegex.map(_.r.pattern)
   private val fileUtf8 = UTF8String.fromString(part.path)
 
@@ -214,11 +223,14 @@ final class ZipTextPartitionReader(
       // up front so corruption is an error, not an empty result.
       val head = new java.io.PushbackInputStream(raw, 2)
       val magic = new Array[Byte](2)
-      val n = head.read(magic)
+      val n = head.readNBytes(magic, 0, 2) // read(b) may legally return short
       if (n > 0) head.unread(magic, 0, n)
-      if (n == 2 && !(magic(0) == 'P'.toByte && magic(1) == 'K'.toByte))
+      // fewer than 2 readable bytes cannot be a zip either (truncated
+      // partial write) — that must be corruption, not an empty scan
+      if (n < 2 || !(magic(0) == 'P'.toByte && magic(1) == 'K'.toByte))
         throw new java.util.zip.ZipException(
-          s"not a zip archive (bad magic ${magic(0)},${magic(1)})")
+          if (n < 2) s"not a zip archive (only $n bytes)"
+          else s"not a zip archive (bad magic ${magic(0)},${magic(1)})")
       zin = new ZipInputStream(head)
     }
     zin
@@ -254,9 +266,10 @@ final class ZipTextPartitionReader(
       // everything into memory.
       val bytes = if (needContent) z.readAllBytes() else null
       val size =
-        if (needContent) bytes.length.toLong
+        if (!needSize) -1L // unprojected: never pay inflation for it
+        else if (needContent) bytes.length.toLong
         else if (entry.getSize >= 0) entry.getSize
-        // streaming mode may lack the size header; forced read as fallback
+        // streamed-write zips lack the size header; forced read as fallback
         else z.readAllBytes().length.toLong
       val values = projected.map {
         case "file" => fileUtf8

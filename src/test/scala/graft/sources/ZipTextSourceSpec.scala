@@ -136,6 +136,8 @@ class ZipTextSourceSpec extends SparkSpec {
     val badDir = Files.createTempDirectory("zipbad")
     zipOf(badDir.resolve("good.zip"), "ok.txt" -> "fine".getBytes("UTF-8"))
     Files.write(badDir.resolve("garbage.zip"), Array.fill[Byte](128)(0x5a))
+    // truncated partial write: too short to even carry the magic
+    Files.write(badDir.resolve("stub.zip"), Array[Byte]('P'.toByte))
 
     val read = () => spark.read.format("ziptext").load(badDir.toString)
       .select("entry").collect().map(_.getString(0)).toSeq
