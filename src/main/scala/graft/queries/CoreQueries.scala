@@ -482,6 +482,54 @@ object CoreQueries extends QueryDsl {
         .limit(100)
     },
 
+    // Mixed distinct + conditional aggregation in one GROUP BY: two
+    // DISTINCT aggregates force Catalyst's Expand-based rewrite (each
+    // distinct column gets its own duplicated stream, partial+final on
+    // top), and the FILTER clause is the conditional-count form. All
+    // planned as one pass over lineitem.
+    q("q18_distinct_agg_mix",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS dparts,
+        |  cast(sum(DISTINCT cast(l_quantity AS bigint)) AS bigint) AS sum_dqty,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { c =>
+      import c.t
+      t("lineitem").groupBy($"l_returnflag").agg(
+        countDistinct($"l_partkey").as("dparts"),
+        sum_distinct($"l_quantity".cast("bigint")).cast("bigint").as("sum_dqty"),
+        count(when($"l_discount" > 0.05, 1)).as("n_disc"))
+    },
+
+    // Relative-rank window functions over a bounded slice.
+    q("q26_window_dist",
+      """SELECT o_orderkey,
+        |  round(percent_rank() OVER w, 4) AS prank,
+        |  round(cume_dist() OVER w, 4) AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin) { c =>
+      import c.t
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t("orders").filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey",
+          round(percent_rank().over(w), 4).as("prank"),
+          round(cume_dist().over(w), 4).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+    },
+
+    // NULL placement in sort order: nullif plants nulls, NULLS FIRST
+    // must behave identically under descending order in both engines.
+    q("q32_nulls_ordering",
+      """SELECT p_partkey, nullif(p_size, 25) AS sz
+        |FROM part
+        |ORDER BY sz DESC NULLS FIRST, p_partkey LIMIT 50""".stripMargin) { c =>
+      import c.t
+      t("part").select($"p_partkey", nullif($"p_size", lit(25)).as("sz"))
+        .orderBy($"sz".desc_nulls_first, $"p_partkey")
+        .limit(50)
+    },
+
     // ---- set operations -------------------------------------------------
     q("q40_union",
       """SELECT nationkey FROM (
