@@ -47,12 +47,18 @@ object StreamingNearDupDedup {
   private def banded(sigs: DataFrame): DataFrame =
     MinHashLSH.banded(sigs.select(col("doc"), col("sig")), B, H / B)
 
-  /** One micro-batch step; exposed for direct (batch) use and tests. */
+  /** One micro-batch step; exposed for direct (batch) use and tests.
+    * `onAdmitted` runs with THIS batch's newly admitted doc ids (one
+    * `doc` column) while the batch's frames are still cached — the
+    * hook downstream sinks (e.g. StreamingCorpusPipeline's curated
+    * store) use to write the admitted rows without re-deriving them
+    * from the cumulative state. */
   def process(
       spark: SparkSession,
       batch: DataFrame, // (doc_id, text)
       stateDir: String,
-      minJaccard: Double): Unit = {
+      minJaccard: Double,
+      onAdmitted: DataFrame => Unit = _ => ()): Unit = {
     val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasState = fs.exists(new Path(stateDir))
     val rawIncoming = batch.select(col("doc_id").as("doc"), col("text"))
@@ -97,8 +103,17 @@ object StreamingNearDupDedup {
     // I/O; rewriting the whole history each batch would grow without
     // bound). Parquet append commits through a _temporary dir, so a
     // crash leaves no visible partial files.
+    // SNAPSHOT before the state append, with lineage CUT
+    // (localCheckpoint, like ConnectedComponents): the plan reads
+    // stateDir, and appending there both (a) would make a lazy
+    // re-evaluation see the batch's own rows in state and classify
+    // every admitted doc as a duplicate of itself, and (b) invalidates
+    // any cache over that path (recacheByPath RECOMPUTES a persisted
+    // frame post-append — persist alone does not freeze the answer).
     val admitted = incoming.join(verified, Seq("doc"), "left_anti")
+      .localCheckpoint(true)
     admitted.write.mode(SaveMode.Append).parquet(stateDir)
+    onAdmitted(admitted.select(col("doc")))
     incoming.unpersist()
     ()
   }

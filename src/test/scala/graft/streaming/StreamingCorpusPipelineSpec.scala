@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Streaming corpus curation: clean -> near-dup admit (subsumes exact
+  * dedup) -> lang-partitioned curated append, across drains against
+  * one admission state.
+  */
+class StreamingCorpusPipelineSpec extends SparkSpec {
+
+  test("two drains: cleaning filters, exact+near dups rejected cross-batch, store partitioned") {
+    val sp = spark; import sp.implicits._
+    val store = Files.createTempDirectory("ccstore").toString + "/store"
+    val state = Files.createTempDirectory("ccstate").toString + "/state"
+
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders across the wide green field looking for something interesting to chase"
+
+    val batch1 = Seq(
+      (1L, base, "en"),
+      (2L, "short junk", "en"), // fails minWords
+      (3L, ("palabras suficientes para pasar el filtro de calidad y longitud " * 2).trim, "es"))
+      .toDF("doc_id", "text", "lang")
+    val r1 = StreamingCorpusPipeline.processBatch(spark, batch1, store, state)
+    assert(r1 === StreamingCorpusPipeline.BatchReport(3, 2, 2))
+
+    val batch2 = Seq(
+      (10L, base, "en"),                                  // exact dup of admitted 1
+      (11L, base + " extra", "en"),                       // near dup of admitted 1
+      (12L, "a completely different document about winter storms " +
+        "rolling over the northern mountains bringing heavy snow and " +
+        "closing every road to the coastal villages for days", "en"),
+      (1L, base, "en"))                                   // replayed id: ignored
+      .toDF("doc_id", "text", "lang")
+    val r2 = StreamingCorpusPipeline.processBatch(spark, batch2, store, state)
+    assert(r2.input === 4 && r2.afterClean === 4)
+    assert(r2.admitted === 1, "only the genuinely new doc is admitted")
+
+    val stored = spark.read.parquet(store)
+    assert(stored.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 12L))
+    // partitioned by language on disk
+    assert(new java.io.File(store, "lang=en").isDirectory)
+    assert(new java.io.File(store, "lang=es").isDirectory)
+    // no replay duplicates in the curated store
+    assert(stored.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+  }
+}
