@@ -751,6 +751,40 @@ object CoreQueries extends QueryDsl {
           size(map_keys($"m")).as("n_keys"))
     },
 
+    // Map higher-order functions: map_zip_with / map_filter /
+    // transform_keys / transform_values chained, flattened to a
+    // sorted entries string. DuckDB has no map HOFs, so the oracle
+    // expands the per-key arithmetic literally — with IDENTICAL
+    // floating-point op order ((v*2+1)+1.0, never v*2+2: IEEE
+    // addition does not reassociate).
+    q("q59_map_hof",
+      """SELECT event_id,
+        |  array_to_string(list_sort(list_filter([
+        |    CASE WHEN v >= 1 THEN 'A=' || cast(round(v, 2) AS varchar) END,
+        |    'B=' || cast(round((v*2+1)+1.0, 2) AS varchar),
+        |    'C=' || cast(round(3.0, 2) AS varchar)
+        |  ], x -> x IS NOT NULL)), ',') AS kv
+        |FROM (SELECT event_id, cast(value AS double) AS v
+        |      FROM events WHERE event_id <= 300)""".stripMargin) { c =>
+      import c.t
+      t("events").filter($"event_id" <= 300)
+        .select($"event_id", $"value".cast("double").as("v"))
+        .select($"event_id",
+          map(lit("a"), $"v", lit("b"), $"v" * 2 + 1).as("m1"),
+          map(lit("b"), lit(1.0), lit("c"), lit(3.0)).as("m2"))
+        .select($"event_id",
+          map_zip_with($"m1", $"m2",
+            (_, x, y) => coalesce(x, lit(0.0)) + coalesce(y, lit(0.0))).as("z"))
+        .select($"event_id", map_filter($"z", (_, x) => x >= lit(1.0)).as("f"))
+        .select($"event_id",
+          transform_values(transform_keys($"f", (k, _) => upper(k)),
+            (_, x) => round(x, 2)).as("r"))
+        .select($"event_id",
+          array_join(array_sort(transform(map_entries($"r"),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string")))), ",").as("kv"))
+    },
+
     q("q55_json_funcs",
       """SELECT event_id, cast(json_extract_string(props, '$.k') AS int) AS k
         |FROM events WHERE event_id <= 500""".stripMargin) { c =>
