@@ -39,16 +39,24 @@ object CorpusPipeline {
       sampleRates: Map[String, Double] = Map.empty,
       salt: String = ":graft")
 
+  /** The stateless cleaning stage. Shared with the streaming twin
+    * (`streaming.StreamingCorpusPipeline`) so batch and continuous
+    * curation cannot silently diverge on admission predicates. Adds
+    * `n_words` and `quality` columns that the caller drops before
+    * the final write. */
+  def clean(docs: DataFrame, minWords: Int, maxWords: Int, minQuality: Double): DataFrame =
+    docs
+      .withColumn("n_words", TF.wordCount(col("text")).cast("long"))
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .filter(col("lang") =!= "und" &&
+        col("n_words").between(minWords, maxWords) &&
+        col("quality") >= minQuality)
+
   def curate(docs: DataFrame, outDir: String, opts: Options = Options()): Report = {
     val input = docs.count()
 
     // 1. clean
-    val cleaned = docs
-      .withColumn("n_words", TF.wordCount(col("text")).cast("long"))
-      .withColumn("quality", TF.qualityScore(col("text")))
-      .filter(col("lang") =!= "und" &&
-        col("n_words").between(opts.minWords, opts.maxWords) &&
-        col("quality") >= opts.minQuality)
+    val cleaned = clean(docs, opts.minWords, opts.maxWords, opts.minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterClean = cleaned.count()
 

@@ -757,11 +757,18 @@ object CoreQueries extends QueryDsl {
     // expands the per-key arithmetic literally — with IDENTICAL
     // floating-point op order ((v*2+1)+1.0, never v*2+2: IEEE
     // addition does not reassociate).
+    // The oracle mirrors the QUERY semantics, not the data domain:
+    // every map_filter branch gets the same guard (coalesce included)
+    // on the oracle side, so rows with negative or null values would
+    // still agree — even though today's events.value is positive and
+    // non-null.
     q("q59_map_hof",
       """SELECT event_id,
         |  array_to_string(list_sort(list_filter([
-        |    CASE WHEN v >= 1 THEN 'A=' || cast(round(v, 2) AS varchar) END,
-        |    'B=' || cast(round((v*2+1)+1.0, 2) AS varchar),
+        |    CASE WHEN coalesce(v, 0) >= 1
+        |      THEN 'A=' || cast(round(coalesce(v, 0), 2) AS varchar) END,
+        |    CASE WHEN coalesce(v*2+1, 0) + 1.0 >= 1
+        |      THEN 'B=' || cast(round(coalesce(v*2+1, 0) + 1.0, 2) AS varchar) END,
         |    'C=' || cast(round(3.0, 2) AS varchar)
         |  ], x -> x IS NOT NULL)), ',') AS kv
         |FROM (SELECT event_id, cast(value AS double) AS v

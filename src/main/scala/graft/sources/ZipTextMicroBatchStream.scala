@@ -34,7 +34,10 @@ final class ZipTextMicroBatchStream(
   // the serialized offset must be newline-free — for ANY path, even
   // one with embedded control characters. Each path is URL-encoded
   // (covers quotes, backslashes, newlines, commas), so the array
-  // needs no escaping logic at all.
+  // needs no escaping logic at all. This encoding IS the offset
+  // format (v1): it is self-consistent ('+' always means an encoded
+  // space, never a literal), and any future change must keep reading
+  // it — checkpoints outlive code versions.
   private case class FileListOffset(files: Seq[String]) extends Offset {
     override def json(): String =
       files.sorted
@@ -73,15 +76,24 @@ final class ZipTextMicroBatchStream(
       val fs = hp.getFileSystem(conf)
       // An archive can be listed into the end offset (already in the
       // checkpoint WAL) and deleted before its batch commits — or
-      // before a crash-restart replays it. Failing here would
-      // crash-loop the stream on every replay of the same WAL entry;
-      // like FileStreamSource, a vanished uncommitted file is skipped.
+      // before a crash-restart replays it. Failing would crash-loop
+      // the stream on every replay of the same WAL entry, but
+      // skipping silently LOSES the file's rows, so (like the
+      // built-in file sources) losing data is opt-in via
+      // spark.sql.files.ignoreMissingFiles; the default is a loud
+      // error naming the conf.
       try Some(ZipTextSource.toPartition(fs.getFileStatus(hp), fs): InputPartition)
       catch {
-        case _: java.io.FileNotFoundException =>
-          org.slf4j.LoggerFactory.getLogger(classOf[ZipTextMicroBatchStream])
-            .warn(s"archive $p vanished before its batch ran; skipping")
-          None
+        case e: java.io.FileNotFoundException =>
+          val ignoreMissing = SparkSession.active.conf
+            .get("spark.sql.files.ignoreMissingFiles", "false").toBoolean
+          if (ignoreMissing) {
+            org.slf4j.LoggerFactory.getLogger(classOf[ZipTextMicroBatchStream])
+              .warn(s"archive $p vanished before its batch ran; skipping")
+            None
+          } else throw new java.io.IOException(
+            s"archive $p was listed for this batch but no longer exists " +
+              "(set spark.sql.files.ignoreMissingFiles=true to skip vanished archives)", e)
       }
     }.toArray
   }

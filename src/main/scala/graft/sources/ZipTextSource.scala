@@ -222,16 +222,24 @@ final class ZipTextPartitionReader(
       // would make a garbled drop silently vanish. Check the magic
       // up front so corruption is an error, not an empty result.
       val head = new java.io.PushbackInputStream(raw, 2)
-      val magic = new Array[Byte](2)
-      val n = head.readNBytes(magic, 0, 2) // read(b) may legally return short
-      if (n > 0) head.unread(magic, 0, n)
-      // fewer than 2 readable bytes cannot be a zip either (truncated
-      // partial write) — that must be corruption, not an empty scan
-      if (n < 2 || !(magic(0) == 'P'.toByte && magic(1) == 'K'.toByte))
-        throw new java.util.zip.ZipException(
-          if (n < 2) s"not a zip archive (only $n bytes)"
-          else s"not a zip archive (bad magic ${magic(0)},${magic(1)})")
-      zin = new ZipInputStream(head)
+      // throwing before zin is assigned would leak the opened FS
+      // stream (close() only closes zin) — close it on the way out
+      try {
+        val magic = new Array[Byte](2)
+        val n = head.readNBytes(magic, 0, 2) // read(b) may legally return short
+        if (n > 0) head.unread(magic, 0, n)
+        // fewer than 2 readable bytes cannot be a zip either (truncated
+        // partial write) — that must be corruption, not an empty scan
+        if (n < 2 || !(magic(0) == 'P'.toByte && magic(1) == 'K'.toByte))
+          throw new java.util.zip.ZipException(
+            if (n < 2) s"not a zip archive (only $n bytes)"
+            else s"not a zip archive (bad magic ${magic(0)},${magic(1)})")
+        zin = new ZipInputStream(head)
+      } catch {
+        case e: Throwable =>
+          try head.close() catch { case _: java.io.IOException => () }
+          throw e
+      }
     }
     zin
   }

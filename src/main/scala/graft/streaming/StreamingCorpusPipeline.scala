@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.functions.{TextFunctions => TF}
 
 /** Streaming corpus curation — the continuous-ingest twin of
   * `graft.pipeline.CorpusPipeline`. Per micro-batch of documents
@@ -39,15 +38,11 @@ object StreamingCorpusPipeline {
 
   final case class BatchReport(input: Long, afterClean: Long, admitted: Long)
 
-  /** The stateless cleaning stage (shared predicate set with the
-    * batch pipeline). */
+  /** The stateless cleaning stage — THE batch pipeline's, not a
+    * copy, so batch and continuous curation cannot diverge. */
   def clean(docs: DataFrame, opts: Options): DataFrame =
-    docs
-      .withColumn("n_words", TF.wordCount(col("text")).cast("long"))
-      .withColumn("quality", TF.qualityScore(col("text")))
-      .filter(col("lang") =!= "und" &&
-        col("n_words").between(opts.minWords, opts.maxWords) &&
-        col("quality") >= opts.minQuality)
+    graft.pipeline.CorpusPipeline.clean(
+      docs, opts.minWords, opts.maxWords, opts.minQuality)
 
   /** One micro-batch step; exposed for direct (batch) use and tests. */
   def processBatch(
