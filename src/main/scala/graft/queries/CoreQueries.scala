@@ -558,6 +558,32 @@ object CoreQueries extends QueryDsl {
           .select($"o_custkey".as("c_custkey")))
     },
 
+    // Multiset (bag) semantics: INTERSECT ALL keeps min(m,n) copies,
+    // EXCEPT ALL keeps max(m-n, 0) — duplicate COUNTS matter, not just
+    // membership. Aggregated so the output is stable and small.
+    q("q41b_intersect_all",
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey""".stripMargin) { c =>
+      import c.t
+      t("customer").select($"c_nationkey".as("nationkey"))
+        .intersectAll(t("supplier").select($"s_nationkey".as("nationkey")))
+        .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+    },
+
+    q("q42b_except_all",
+      """SELECT l_suppkey, count(*) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 40
+        |  EXCEPT ALL SELECT l_suppkey FROM lineitem WHERE l_quantity >= 48)
+        |GROUP BY l_suppkey ORDER BY n DESC, l_suppkey LIMIT 25""".stripMargin) { c =>
+      import c.t
+      t("lineitem").filter($"l_quantity" >= 40).select($"l_suppkey")
+        .exceptAll(t("lineitem").filter($"l_quantity" >= 48).select($"l_suppkey"))
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"l_suppkey").limit(25)
+    },
+
     // ---- scalar function suite -----------------------------------------
     q("q50_string_funcs",
       """SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS name_len,
