@@ -60,6 +60,8 @@ object StreamingNearDupDedup {
       minJaccard: Double,
       onAdmitted: DataFrame => Unit = _ => ()): Unit = {
     val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // restore state from a compaction interrupted mid-swap, if any
+    graft.operators.SwapDir.heal(fs, new Path(stateDir))
     val hasState = fs.exists(new Path(stateDir))
     val rawIncoming = batch.select(col("doc_id").as("doc"), col("text"))
     val state =
@@ -116,6 +118,30 @@ object StreamingNearDupDedup {
     onAdmitted(admitted.select(col("doc")))
     incoming.unpersist()
     ()
+  }
+
+  /** Compact the append-only signature state into few large files.
+    *
+    * Every micro-batch appends O(1) small parquet files, so after N
+    * drains the state dir holds O(N) files and every batch's state
+    * read pays O(N) open/footer costs — the classic small-files
+    * problem. Run this OFFLINE (no drain in flight): rewrites the
+    * state coalesced into `targetFiles` files in a staging dir, then
+    * SwapDir-swaps it into place — a crash mid-compaction leaves the
+    * old state intact (the read path heals interrupted swaps).
+    * Content is unchanged, so admission semantics are unaffected.
+    */
+  def compactState(spark: SparkSession, stateDir: String, targetFiles: Int = 8): Unit = {
+    val dst = new Path(stateDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.SwapDir.heal(fs, dst)
+    if (!fs.exists(dst)) return
+    val staging = new Path(dst.getParent, "." + dst.getName + ".compacting")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(stateDir)
+      .coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    graft.operators.SwapDir.swap(fs, staging, dst)
   }
 
   def start(

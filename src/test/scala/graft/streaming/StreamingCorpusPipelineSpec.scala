@@ -46,5 +46,18 @@ class StreamingCorpusPipelineSpec extends SparkSpec {
     assert(new java.io.File(store, "lang=es").isDirectory)
     // no replay duplicates in the curated store
     assert(stored.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+
+    // state compaction: two appends -> many small files; compaction
+    // shrinks the file count without changing admission behavior
+    def stateFiles = new java.io.File(state).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = stateFiles
+    StreamingNearDupDedup.compactState(spark, state, targetFiles = 1)
+    assert(stateFiles === 1 && before > 1)
+    val r3 = StreamingCorpusPipeline.processBatch(spark,
+      Seq((20L, base, "en")).toDF("doc_id", "text", "lang"), store, state)
+    assert(r3.admitted === 0, "compacted state still rejects near-dups")
+    assert(spark.read.parquet(state).select("doc").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 12L))
   }
 }
