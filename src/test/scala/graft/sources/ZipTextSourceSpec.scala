@@ -154,6 +154,32 @@ class ZipTextSourceSpec extends SparkSpec {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  test("vanished listed archive: loud error by default, skip under ignoreMissingFiles") {
+    val vdir = Files.createTempDirectory("zipvanish")
+    zipOf(vdir.resolve("stays.zip"), "s.txt" -> "here".getBytes("UTF-8"))
+    zipOf(vdir.resolve("goes.zip"), "g.txt" -> "gone".getBytes("UTF-8"))
+
+    val stream = new ZipTextMicroBatchStream(vdir.toString, None, ZipTextSource.schema)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset()
+    // the listed-then-deleted window: offset already in the WAL,
+    // archive removed before the batch plans
+    Files.delete(vdir.resolve("goes.zip"))
+
+    val e = intercept[java.io.IOException](stream.planInputPartitions(start, end))
+    assert(e.getMessage.contains("ignoreMissingFiles"))
+
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      val parts = stream.planInputPartitions(start, end)
+      assert(parts.map(_.asInstanceOf[ZipFilePartition].path).toSeq
+        === Seq(vdir.resolve("stays.zip").toUri.getPath).map("file:" + _))
+    } finally spark.conf.unset("spark.sql.files.ignoreMissingFiles")
+
+    Files.walk(vdir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
   test("zip-direct feed flatten == driver-unzip flatten") {
     val viaZip = CveFlatten.flattenFeedZips(spark,
         dir.resolve("nvdcve-1.1-2002.json.zip").toString)
