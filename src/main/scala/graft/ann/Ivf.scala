@@ -74,6 +74,23 @@ object Ivf {
   def index(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
     corpus.withColumn("cell", cellCol(col(vecCol), model))
 
+  /** Explode each query row into its `nprobe` nearest cells (adds a
+    * `cell` column). Shared by the pure-IVF and IVF-PQ probe paths. */
+  private[ann] def probeCells(
+      queries: DataFrame,
+      queryVecCol: String,
+      model: Model,
+      nprobe: Int): DataFrame = {
+    val cellDists = model.centroids.map { case (cid, ctr) =>
+      struct(l2DistanceTo(col(queryVecCol), ctr).as("d"), lit(cid).as("cid"))
+    }
+    queries
+      .withColumn("__probe",
+        explode(slice(array_sort(array(cellDists.toIndexedSeq: _*)), 1, nprobe)))
+      .withColumn("cell", col("__probe.cid"))
+      .drop("__probe")
+  }
+
   /** Top-k by cosine probing the nprobe nearest cells per query. */
   def topK(
       indexed: DataFrame, // corpus with `cell`
@@ -86,15 +103,7 @@ object Ivf {
       k: Int,
       nprobe: Int): DataFrame = {
 
-    // per query: nprobe nearest centroids
-    val cellDists = model.centroids.map { case (cid, ctr) =>
-      struct(l2DistanceTo(col(queryVecCol), ctr).as("d"), lit(cid).as("cid"))
-    }
-    val probed = queries
-      .withColumn("__probe",
-        explode(slice(array_sort(array(cellDists.toIndexedSeq: _*)), 1, nprobe)))
-      .withColumn("cell", col("__probe.cid"))
-      .drop("__probe")
+    val probed = probeCells(queries, queryVecCol, model, nprobe)
 
     val corpusN = indexed.withColumn("__cn", l2Norm(col(vecCol)))
     val queriesN = probed.withColumn("__qn", l2Norm(col(queryVecCol)))

@@ -72,22 +72,18 @@ object Pq {
     graft.operators.Partitioning.spread(corpus).withColumn("codes", array(codeCols: _*))
   }
 
-  /** ADC top-k with exact cosine re-rank of the `shortlist` nearest-
-    * by-ADC candidates. Queries must be broadcast-sized (collected to
-    * build the per-query distance tables). */
-  def adcTopK(
-      encoded: DataFrame, // corpus with `codes` (and the vector column)
-      queries: DataFrame, // (qid, qvec)
-      idCol: String,
-      vecCol: String,
+  /** Per-query ADC lookup tables as a broadcast-able frame
+    * (queryId, queryVec, qtbl), qtbl = m x k subspace squared
+    * distances. Queries must be broadcast-sized (collected on the
+    * driver to build the literals). Shared by PQ and IVF-PQ. */
+  private[ann] def queryTables(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
       queryIdCol: String,
       queryVecCol: String,
-      model: Model,
-      k: Int,
-      shortlist: Int): DataFrame = {
+      model: Model): DataFrame = {
     val sub = model.subDim
     val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect()
-    // per query: m x k table of subspace squared distances, as literals
     val tables = qRows.map { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Any](1).map(x => x.toString.toDouble).toArray
@@ -101,17 +97,35 @@ object Pq {
       }
       (qid, qv, tbl)
     }
-    val spark = encoded.sparkSession
     import spark.implicits._
-    val qdf = tables.toIndexedSeq.map { case (qid, qv, tbl) =>
+    tables.toIndexedSeq.map { case (qid, qv, tbl) =>
       (qid, qv.toSeq, tbl.map(_.toSeq).toSeq)
     }.toDF(queryIdCol, queryVecCol, "qtbl")
+  }
 
-    // approx dist = sum over subspaces of table[j][code_j]
-    val approx = aggregate(
+  /** approx dist = sum over subspaces of qtbl[j][code_j]; expects
+    * `codes` (corpus side) and `qtbl` (query side) columns. */
+  private[ann] def adcColumn: Column =
+    aggregate(
       zip_with(col("codes"), col("qtbl"),
         (c, t) => element_at(t, c.cast("int") + 1)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** ADC top-k with exact cosine re-rank of the `shortlist` nearest-
+    * by-ADC candidates. Queries must be broadcast-sized (collected to
+    * build the per-query distance tables). */
+  def adcTopK(
+      encoded: DataFrame, // corpus with `codes` (and the vector column)
+      queries: DataFrame, // (qid, qvec)
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      model: Model,
+      k: Int,
+      shortlist: Int): DataFrame = {
+    val qdf = queryTables(encoded.sparkSession, queries, queryIdCol, queryVecCol, model)
+    val approx = adcColumn
 
     val scored = encoded.crossJoin(broadcast(qdf))
       .withColumn("adc", approx)

@@ -204,6 +204,23 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // IVF-PQ: the composed scale index — cell pruning bounds WHICH
+    // rows are touched (nprobe/nlist of the corpus), codes bound WHAT
+    // is read per row, ADC bounds the WORK per row; exact re-rank of
+    // the shortlist only. Approximate => rows-only; IvfPqSpec asserts
+    // the exhaustive setting == brute force and a pruned recall floor.
+    q("q74_ann_ivfpq") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = graft.ann.IvfPq.train(emb, "vec_id", "embedding",
+        dim = 64, nlist = 16, m = 8, k = 16)
+      graft.ann.IvfPq.topK(graft.ann.IvfPq.index(emb, "embedding", model), queries,
+          "vec_id", "embedding", "qid", "qvec", model, k = 5, nprobe = 4, shortlist = 100)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // PQ (product quantization) ANN: 8x16 sample-trained codebooks,
     // 8-code encoding (32x vector compression), ADC table scoring,
     // exact re-rank of the shortlist. Approximate => rows-only;
