@@ -112,7 +112,18 @@ object EventQueries extends QueryDsl {
           round($"click_value", 4).as("click_value"))
     },
 
-    // interval (time-band) join: click -> views within the next 30 minutes
+    // Interval (time-band) join: click -> views within the next 30
+    // minutes. Scale shape: the natural equi-key (user_id) is low
+    // cardinality — a hot user is a skew magnet at 100x — so the join
+    // key is the composite (user_id, 30-min time bucket). A click in
+    // bucket cb only matches views in buckets {cb, cb+1}, so each view
+    // is emitted into two buckets (its own and the previous) and the
+    // exact band predicate runs as a post-join filter on long-µs
+    // values (no per-row timestamp/INTERVAL arithmetic). Each
+    // qualifying pair joins exactly once: the view's two emitted
+    // buckets are distinct and only one equals the click's bucket.
+    // Per-key fanout is bounded by a user's activity inside a single
+    // 30-minute window, not their lifetime history.
     q("q96_interval_join",
       """SELECT b.user_id, b.event_id AS click_id, a.event_id AS view_id
         |FROM events a JOIN events b
@@ -121,15 +132,18 @@ object EventQueries extends QueryDsl {
         |  AND epoch_us(a.ts) > epoch_us(b.ts)
         |  AND epoch_us(a.ts) <= epoch_us(b.ts) + 1800000000""".stripMargin) { c =>
       import c.t
-      val ev = t("events")
-      val views = ev.filter($"event_type" === "view")
-        .select($"user_id", $"ts".as("vts"), $"event_id".as("view_id"))
+      val winUs = 1800000000L // 30 minutes in microseconds
+      val ev = t("events").filter($"event_type".isin("click", "view"))
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tus"), $"event_id")
       val clicks = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts".as("cts"), $"event_id".as("click_id"))
-      clicks.join(views,
-          views("user_id") === clicks("user_id") &&
-          $"vts" > $"cts" && $"vts" <= $"cts" + expr("INTERVAL 30 MINUTE"))
-        .select(clicks("user_id"), $"click_id", $"view_id")
+        .select($"user_id", $"tus".as("ctus"), $"event_id".as("click_id"),
+          expr(s"tus div ${winUs}L").as("bkt"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"tus".as("vtus"), $"event_id".as("view_id"),
+          explode(array(expr(s"tus div ${winUs}L"), expr(s"tus div ${winUs}L - 1L"))).as("bkt"))
+      clicks.join(views, Seq("user_id", "bkt"))
+        .filter($"vtus" > $"ctus" && $"vtus" <= $"ctus" + winUs)
+        .select($"user_id", $"click_id", $"view_id")
     },
 
     // multimodal plumbing surfaced as a query: binary blobs ->
