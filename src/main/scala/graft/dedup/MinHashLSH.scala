@@ -102,12 +102,20 @@ object MinHashLSH {
     * definition pathological) so the anti-join broadcasts — unlike a
     * count() window over (band, bucket), which is a full shuffle+sort
     * of every posting. */
-  def dropOversizedBuckets(bandedDf: DataFrame, maxBucketSize: Int): DataFrame = {
-    val oversized = bandedDf.groupBy(col("band"), col("bucket"))
+  def dropOversizedBuckets(bandedDf: DataFrame, maxBucketSize: Int): DataFrame =
+    dropOversizedBuckets(bandedDf, Seq("band", "bucket"), maxBucketSize)
+
+  /** Generic form over arbitrary blocking-key columns — shared by every
+    * bucket-join blocker (banded MinHash, SimHash pigeonhole chunks). */
+  def dropOversizedBuckets(
+      blocked: DataFrame,
+      keyCols: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val oversized = blocked.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    bandedDf.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      .select(keyCols.map(col): _*)
+    blocked.join(broadcast(oversized), keyCols, "left_anti")
   }
 
   /** Exact shingle Jaccard for a pair frame (doc_a, doc_b) — the

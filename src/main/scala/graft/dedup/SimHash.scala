@@ -89,13 +89,23 @@ object SimHash {
   /** Near-duplicate pairs by SimHash: fingerprint, then block by
     * 16-bit chunks (a doc pair within hamming distance <= 3 must agree
     * on at least one of 4 chunks — pigeonhole), join per block, verify
-    * hamming distance. Same shuffle profile as banded MinHash LSH.
+    * hamming distance. Same shuffle profile as banded MinHash LSH —
+    * including the same skew guard: a popular chunk value (near-empty
+    * docs fingerprint alike, so e.g. chunk values of 0 pile up) would
+    * otherwise make one bucket's self-join quadratic at scale.
+    * Dropping an oversized bucket trades a sliver of recall for a
+    * bounded join, exactly like MinHash's `maxBucketSize` — a pair
+    * sharing a dropped chunk is still found through any of its other
+    * 3 chunks that stay under the cap.
+    *
+    * @param maxBucketSize drop (blk, key) buckets larger than this
     */
   def candidatePairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val chunks = 4 // pigeonhole blocks for maxHamming <= 3
     // Fingerprints are CACHED (16 bytes/doc): the blocked frame feeds
     // a self-join, and without the cache the simhash kernel runs once
@@ -112,9 +122,10 @@ object SimHash {
           col("fp").bitwiseAND(lit(0xFFFFL << (16 * c))).as("key"))
       }: _*)).as("b"))
       .select(col("doc"), col("fp"), col("b.blk"), col("b.key"))
+    val sized = MinHashLSH.dropOversizedBuckets(blocked, Seq("blk", "key"), maxBucketSize)
 
-    val a = blocked.as("a")
-    val b = blocked.as("b")
+    val a = sized.as("a")
+    val b = sized.as("b")
     a.join(b,
         col("a.blk") === col("b.blk") &&
         col("a.key") === col("b.key") &&

@@ -53,6 +53,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("SimHash oversized-bucket guard bounds degenerate chunks, keeps small-bucket pairs") {
+    val sp = spark; import sp.implicits._
+    // 50 near-empty docs fingerprint identically => every one of their 4
+    // pigeonhole chunks is a 50-doc bucket (a quadratic join at scale).
+    // Docs 1/2 are a genuine duplicate pair living in 2-doc buckets.
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon")) ++
+      (100L to 149L).map(i => (i, "x"))
+    val df = rows.toDF("doc_id", "text")
+    val guarded = SimHash.candidatePairs(df, "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 20)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((1L, 2L)),
+      "oversized buckets must be dropped; small buckets must survive")
+    // without the guard the degenerate group contributes all C(50,2) pairs
+    val unguarded = SimHash.candidatePairs(df, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1000000).count()
+    assert(unguarded === 1L + 50L * 49L / 2L)
+  }
+
   test("SimHash fingerprint is deterministic and permutation-sensitive only via token multiset") {
     val sp = spark; import sp.implicits._
     val df = Seq(
