@@ -111,6 +111,37 @@ object TextQueries extends QueryDsl {
       graft.dedup.ConnectedComponents.run(pairs, "doc_a", "doc_b")
     },
 
+    // The SCALE path for clustering (q68's bucketed twin): banded-LSH
+    // candidate pairs -> exact-Jaccard verify of candidates only ->
+    // connected components. No all-pairs step anywhere: candidate
+    // generation is per-bucket micro-joins, verification touches only
+    // candidates, CC iterates over the (sparse) verified edge set.
+    // Same band math as q62 — 32 bands x 4 rows gives per-pair miss
+    // probability (1 - 0.8^4)^32 ~ 5e-8 at jaccard >= 0.8 — so the
+    // edge set equals the exact >= 0.8 pair graph and the clustering
+    // admits the same recursive-CTE oracle as q68 instead of a weaker
+    // rows-only check.
+    q("q68b_dedup_clusters_lsh",
+      s"""WITH RECURSIVE ${jaccardPairsCte(0.8)},
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |)
+        |SELECT u AS member, min(r) AS cluster_root
+        |FROM reach GROUP BY u""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val candidates = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3)
+      val verified = MinHashLSH.verifyJaccard(candidates, docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.8)
+      graft.dedup.ConnectedComponents.run(verified, "doc_a", "doc_b")
+    },
+
     // Winnowing (rolling-hash) fingerprint blocking, MOSS-style: pairs
     // sharing >= 2 selected k-gram rolling hashes. Fingerprint
     // SELECTION (rightmost window minima) has no SQL analogue =>
@@ -168,6 +199,20 @@ object TextQueries extends QueryDsl {
       Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
         threshold = 0.35, nBits = 8, tables = 8, dim = 64)
         .orderBy($"vec_a", $"vec_b")
+    },
+
+    // Bucketed clustering twin for q69 (embedding clusters at scale):
+    // SRP-LSH pair graph -> connected components — no all-pairs step.
+    // Approximate for the same reason as q65 (no SRP setting has
+    // recall 1 on this corpus's sub-0.6 cosine range), so rows-only;
+    // planted-duplicate cluster recovery is asserted in AnnSpec.
+    q("q69b_embedding_clusters_lsh") { c =>
+      import c.t
+      val pairs = Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
+          threshold = 0.35, nBits = 8, tables = 8, dim = 64)
+        .select($"vec_a".as("va"), $"vec_b".as("vb"))
+      graft.dedup.ConnectedComponents.run(pairs, "va", "vb")
+        .orderBy($"member")
     },
 
     // ---- similarity search ---------------------------------------------

@@ -63,6 +63,37 @@ class AnnSpec extends SparkSpec {
     assert(recalled >= 180, s"planted-dup recall too low: $recalled/200")
   }
 
+  test("LSH pair graph -> connected components recovers planted duplicate clusters") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 100 random unit vectors, each with TWO noised copies => planted
+    // 3-member clusters {i, i+1000, i+2000}
+    val base = (0 until 100).map(i => i.toLong -> unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = base.flatMap { case (id, v) =>
+      Seq((id, v),
+        (id + 1000L, unit(v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))),
+        (id + 2000L, unit(v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Ann.lshNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.9, nBits = 8, tables = 8, dim = 64)
+      .select(col("vec_a").as("va"), col("vec_b").as("vb"))
+    val cc = graft.dedup.ConnectedComponents.run(pairs, "va", "vb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a planted cluster is recovered when all 3 members share one root
+    val recovered = base.count { case (id, _) =>
+      (cc.get(id), cc.get(id + 1000L), cc.get(id + 2000L)) match {
+        case (Some(a), Some(b), Some(c)) => a == b && b == c
+        case _ => false
+      }
+    }
+    assert(recovered >= 90, s"cluster recovery too low: $recovered/100")
+  }
+
   test("SRP signature is deterministic across partitionings") {
     def sig(parts: Int) = emb.repartition(parts)
       .select(col("vec_id"), Ann.srpSignature(col("embedding"), 12, 64).as("b"))
