@@ -86,14 +86,28 @@ object CveFlatten {
       // typed array twin of the above — the form queries should use
       vulnerableCpeArray(it.getField("configurations"), strictReferenceSemantics)
         .as("vulnerable_cpes"),
-      // Document sidecar (reference nvd_json table, :305-313).
-      // KNOWN FIDELITY BOUND: this re-serializes the item through
-      // NvdSchema, so subtrees outside the declared schema (CVSS v3,
-      // problemtype/CWE, cpe_match version ranges) are not preserved —
-      // unlike the reference's json.dumps of the parsed dict. Widening
-      // NvdSchema (or a second schema-inferred read) is the extension
-      // point if byte-level archival fidelity is required; the flatten
-      // columns themselves are unaffected.
+      // CVSS v3 surface — additive beyond the reference's 15 columns.
+      // The reference never extracts v3 (its DDL laments the gap,
+      // nvd.sql:34-38); absent subtrees default 0.0/'' like v2 (:236).
+      coalesce(it.getField("impact").getField("baseMetricV3").getField("cvssV3")
+        .getField("baseScore"), lit(0.0)).as("score_v3"),
+      coalesce(it.getField("impact").getField("baseMetricV3").getField("cvssV3")
+        .getField("baseSeverity"), lit("")).as("severity_v3"),
+      // CWE assignments from problemtype (array; empty when unassigned)
+      coalesce(flatten(transform(
+        coalesce(it.getField("cve").getField("problemtype").getField("problemtype_data"),
+          array()),
+        p => transform(coalesce(p.getField("description"), array()),
+          d => coalesce(d.getField("value"), lit(""))))),
+        array().cast("array<string>")).as("cwes"),
+      // Document sidecar (reference nvd_json table, :305-313). The
+      // re-serialization goes through NvdSchema, which now covers the
+      // full NVD 1.1 item surface (CVSS v3, problemtype/CWE, cpe_match
+      // version ranges + cpe_name, v2 obtain*/acInsufInfo flags), so a
+      // parse of cve_item equals a parse of the original item text —
+      // asserted field-for-field in NvdPipelineSpec. (Key order and
+      // whitespace still differ from Python json.dumps; compare
+      // parsed, not byte-wise — SURVEY F3.)
       to_json(it).as("cve_item")): _*)
   }
 

@@ -22,9 +22,19 @@ import org.apache.spark.sql.types._
   */
 object NvdSchema {
 
+  /** cpe_match with the version-range bound fields and the resolved
+    * cpe_name list — present in modern feed years; the reference's
+    * json.dumps archived them even though its flatten never read them,
+    * so the sidecar must carry them too (nvd2mysqlloader.py:305-313). */
   val cpeMatch: StructType = StructType(Seq(
     StructField("vulnerable", BooleanType),
-    StructField("cpe23Uri", StringType)))
+    StructField("cpe23Uri", StringType),
+    StructField("versionStartIncluding", StringType),
+    StructField("versionStartExcluding", StringType),
+    StructField("versionEndIncluding", StringType),
+    StructField("versionEndExcluding", StringType),
+    StructField("cpe_name", ArrayType(StructType(Seq(
+      StructField("cpe23Uri", StringType)))))))
 
   private def node(childType: Option[StructType]): StructType = {
     val base = Seq(
@@ -67,19 +77,56 @@ object NvdSchema {
     StructField("name", StringType),
     StructField("refsource", StringType)))
 
+  /** problemtype/CWE assignments — archived by the reference's
+    * json.dumps sidecar, dropped by a narrower re-serialization. */
+  val problemtype: StructType = StructType(Seq(
+    StructField("problemtype_data", ArrayType(StructType(Seq(
+      StructField("description", ArrayType(descriptionData))))))))
+
   val cveStruct: StructType = StructType(Seq(
+    StructField("data_type", StringType),
+    StructField("data_format", StringType),
+    StructField("data_version", StringType),
     StructField("CVE_data_meta", cveDataMeta),
+    StructField("problemtype", problemtype),
     StructField("description", StructType(Seq(
       StructField("description_data", ArrayType(descriptionData))))),
     StructField("references", StructType(Seq(
       StructField("reference_data", ArrayType(referenceData)))))))
 
+  /** CVSS v3.x metrics (2016+ feed years). The reference's flatten
+    * ignores v3 entirely — its own DDL laments the gap (nvd.sql:34-38)
+    * — but its sidecar archives the subtree; we both archive AND
+    * surface it (CveFlatten score_v3/severity_v3). */
+  val cvssV3: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("vectorString", StringType),
+    StructField("attackVector", StringType),
+    StructField("attackComplexity", StringType),
+    StructField("privilegesRequired", StringType),
+    StructField("userInteraction", StringType),
+    StructField("scope", StringType),
+    StructField("confidentialityImpact", StringType),
+    StructField("integrityImpact", StringType),
+    StructField("availabilityImpact", StringType),
+    StructField("baseScore", DoubleType),
+    StructField("baseSeverity", StringType)))
+
   val impact: StructType = StructType(Seq(
+    StructField("baseMetricV3", StructType(Seq(
+      StructField("cvssV3", cvssV3),
+      StructField("exploitabilityScore", DoubleType),
+      StructField("impactScore", DoubleType)))),
     StructField("baseMetricV2", StructType(Seq(
       StructField("cvssV2", cvssV2),
       StructField("severity", StringType),
       StructField("exploitabilityScore", DoubleType),
-      StructField("impactScore", DoubleType))))))
+      StructField("impactScore", DoubleType),
+      StructField("acInsufInfo", BooleanType),
+      StructField("obtainAllPrivilege", BooleanType),
+      StructField("obtainUserPrivilege", BooleanType),
+      StructField("obtainOtherPrivilege", BooleanType),
+      StructField("userInteractionRequired", BooleanType))))))
 
   val cveItem: StructType = StructType(Seq(
     StructField("cve", cveStruct),

@@ -30,7 +30,8 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    CoreQueries.all ++ SqlQueries.all ++ TextQueries.all ++ EventQueries.all
+    CoreQueries.all ++ SqlQueries.all ++ TextQueries.all ++ EventQueries.all ++
+      NvdQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

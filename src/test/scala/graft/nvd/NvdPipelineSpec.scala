@@ -79,6 +79,53 @@ class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.size === 32169411L)
   }
 
+  test("cve_item sidecar is a parse-equal archive of the original item (reference :305-313,414-417)") {
+    // The reference stores the COMPLETE original JSON per CVE "to learn
+    // more about the format". Our sidecar re-serializes through
+    // NvdSchema, so this asserts the schema covers every subtree the
+    // fixtures carry — CVSS v3, problemtype/CWE, cpe_match version
+    // ranges — by deep-comparing parsed trees (key order and
+    // whitespace legitimately differ from Python's json.dumps).
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    for (feed <- Seq("2002", "2021")) {
+      val root = mapper.readTree(Files.readString(fixtures.resolve(s"$feed.json")))
+      val items = root.get("CVE_Items")
+      val archivedById = CveFlatten.flattenFeed(spark,
+          Seq(fixtures.resolve(s"$feed.json").toUri.toString))
+        .select(col("cve_id"), col("cve_item")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      (0 until items.size()).foreach { i =>
+        val orig = items.get(i)
+        val id = orig.at("/cve/CVE_data_meta/ID").asText()
+        val archived = mapper.readTree(archivedById(id))
+        assert(archived === orig, s"sidecar for $id diverges from the original item")
+      }
+    }
+  }
+
+  test("CVSS v3 + CWE + version ranges surface from the widened schema") {
+    val flat = CveFlatten.flattenFeed(spark,
+      Seq(fixtures.resolve("2021.json").toUri.toString))
+    val r1 = flat.filter(col("cve_id") === "CVE-2021-0001").first()
+    assert(r1.getAs[Double]("score_v3") === 7.8)
+    assert(r1.getAs[String]("severity_v3") === "HIGH")
+    assert(r1.getAs[Seq[String]]("cwes") === Seq("CWE-787", "CWE-120"))
+    assert(r1.getAs[Double]("score") === 4.6) // v2 columns unaffected
+    assert(r1.getAs[String]("cve_item").contains("versionEndExcluding"))
+    // v3-only item: v2 defaults to 0.0/'' exactly like pre-2016 items
+    val r2 = flat.filter(col("cve_id") === "CVE-2021-0002").first()
+    assert(r2.getAs[Double]("score") === 0.0)
+    assert(r2.getAs[String]("access_vector") === "")
+    assert(r2.getAs[Double]("score_v3") === 9.8)
+    assert(r2.getAs[String]("severity_v3") === "CRITICAL")
+    // bare item: every v3 addition defaults
+    val r3 = flat.filter(col("cve_id") === "CVE-2021-0003").first()
+    assert(r3.getAs[Double]("score_v3") === 0.0)
+    assert(r3.getAs[String]("severity_v3") === "")
+    assert(r3.getAs[Seq[String]]("cwes") === Seq.empty)
+  }
+
   test("last-write-wins dedup: later feed rank replaces earlier (reference REPLACE, :449-464)") {
     val f1 = flat2002.withColumn("feed_rank", lit(0))
     val f2 = CveFlatten.flattenFeed(spark, Seq(fixtures.resolve("modified.json").toUri.toString))
