@@ -86,7 +86,15 @@ object Pq {
     val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect()
     val tables = qRows.map { r =>
       val qid = r.getLong(0)
-      val qv = r.getSeq[Any](1).map(x => x.toString.toDouble).toArray
+      // widen numerically, never via strings: Float.toString is the
+      // shortest round-trip repr, so "0.1".toDouble != 0.1f.toDouble —
+      // the exact-cosine re-rank must see the same double-widened
+      // query vector a plain (non-collected) plan would
+      val qv = r.getSeq[Any](1).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case x                   => x.toString.toDouble
+      }.toArray
       val tbl = Array.tabulate(model.m) { j =>
         val off = j * sub
         model.codebooks(j).map { ctr =>

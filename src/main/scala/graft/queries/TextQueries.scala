@@ -216,18 +216,7 @@ object TextQueries extends QueryDsl {
     },
 
     // ---- similarity search ---------------------------------------------
-    q("q70_ann_bruteforce",
-      """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT query_id, e.vec_id AS neighbor_id,
-        |    cast(list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS double) AS c
-        |  FROM queries, embeddings e
-        |), ranked AS (
-        |  SELECT query_id, neighbor_id, c,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
-        |FROM ranked WHERE rnk <= 5""".stripMargin) { c =>
+    q("q70_ann_bruteforce", annTop5Oracle) { c =>
       import c.t
       val queries = t("embeddings").filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
@@ -236,8 +225,9 @@ object TextQueries extends QueryDsl {
     },
 
     // IVF ANN: train (strided Lloyd), index into Voronoi cells, probe
-    // nprobe nearest cells. Deterministic but driver-trains a model
-    // => rows-only; exhaustive-probe==bruteforce asserted in IvfSpec.
+    // nprobe nearest cells. The PRUNED setting is approximate => rows-
+    // only; the same machinery at nprobe=nlist is oracle-backed as
+    // q72b below (and exhaustive==bruteforce is asserted in IvfSpec).
     q("q72_ann_ivf") { c =>
       import c.t
       val emb = t("embeddings")
@@ -279,6 +269,50 @@ object TextQueries extends QueryDsl {
       val model = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
       Pq.adcTopK(Pq.encode(emb, "embedding", model), queries,
           "vec_id", "embedding", "qid", "qvec", model, k = 5, shortlist = 100)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // Exhaustive-setting twins: with nprobe = nlist every cell is
+    // probed, and with an unbounded shortlist every ADC candidate is
+    // exact-re-ranked — the index machinery provably degenerates to
+    // brute force (IvfSpec/PqSpec/IvfPqSpec assert it), and brute
+    // force IS SQL-expressible, so these three run against q70's
+    // DuckDB oracle and hash-check the cell assignment, probe, encode,
+    // ADC and re-rank plumbing end to end. The pruned variants above
+    // stay rows-only (no SQL analogue for approximate settings); these
+    // are the proof the machinery is exact when un-pruned.
+    q("q72b_ann_ivf_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iterations = 2)
+      Ivf.topK(Ivf.index(emb, "embedding", model), queries,
+          "vec_id", "embedding", "qid", "qvec", model, k = 5, nprobe = 16)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    q("q73b_ann_pq_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      Pq.adcTopK(Pq.encode(emb, "embedding", model), queries,
+          "vec_id", "embedding", "qid", "qvec", model, k = 5, shortlist = Int.MaxValue)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    q("q74b_ann_ivfpq_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = graft.ann.IvfPq.train(emb, "vec_id", "embedding",
+        dim = 64, nlist = 16, m = 8, k = 16)
+      graft.ann.IvfPq.topK(graft.ann.IvfPq.index(emb, "embedding", model), queries,
+          "vec_id", "embedding", "qid", "qvec", model,
+          k = 5, nprobe = 16, shortlist = Int.MaxValue)
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
@@ -478,6 +512,22 @@ object TextQueries extends QueryDsl {
         min($"n_chars").as("min_chars"),
         max($"n_chars").as("max_chars"))
     })
+
+  /** Brute-force top-5-by-cosine oracle, shared by q70 and the three
+    * exhaustive-setting index twins (q72b/q73b/q74b) — one definition
+    * so the exactness contract cannot drift between them. */
+  private def annTop5Oracle: String =
+    """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    cast(list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS double) AS c
+      |  FROM queries, embeddings e
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, c,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
+      |FROM ranked WHERE rnk <= 5""".stripMargin
 
   /** Exact cosine pair graph over the embeddings table (shared by q64
     * and q69 so threshold/guard semantics cannot diverge): spread left
