@@ -110,13 +110,23 @@ object MinHashLSH {
   def dropOversizedBuckets(
       blocked: DataFrame,
       keyCols: Seq[String],
-      maxBucketSize: Int): DataFrame = {
-    val oversized = blocked.groupBy(keyCols.map(col): _*)
+      maxBucketSize: Int): DataFrame =
+    blocked.join(broadcast(oversizedBuckets(blocked, keyCols, maxBucketSize)),
+      keyCols, "left_anti")
+
+  /** The oversized blocking-key set itself — exposed so callers that
+    * guard SEVERAL frames against the SAME population (e.g. the
+    * streaming near-dup join: incoming side and state∪incoming side)
+    * can compute the drop set once and anti-join each frame against
+    * it, instead of deriving per-frame sets that disagree. */
+  def oversizedBuckets(
+      blocked: DataFrame,
+      keyCols: Seq[String],
+      maxBucketSize: Int): DataFrame =
+    blocked.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
       .select(keyCols.map(col): _*)
-    blocked.join(broadcast(oversized), keyCols, "left_anti")
-  }
 
   /** Exact shingle Jaccard for a pair frame (doc_a, doc_b) — the
     * verification step after LSH candidate generation. Jaccard is

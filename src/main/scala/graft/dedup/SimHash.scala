@@ -93,10 +93,11 @@ object SimHash {
     * including the same skew guard: a popular chunk value (near-empty
     * docs fingerprint alike, so e.g. chunk values of 0 pile up) would
     * otherwise make one bucket's self-join quadratic at scale.
-    * Dropping an oversized bucket trades a sliver of recall for a
-    * bounded join, exactly like MinHash's `maxBucketSize` — a pair
-    * sharing a dropped chunk is still found through any of its other
-    * 3 chunks that stay under the cap.
+    * Dropping an oversized bucket trades recall for a bounded join,
+    * exactly like MinHash's `maxBucketSize`. NOTE the pigeonhole
+    * guarantee only survives the drop when SOME agreeing chunk bucket
+    * stays under the cap: a pair whose every agreeing chunk lands in a
+    * dropped bucket is lost, not recovered elsewhere.
     *
     * @param maxBucketSize drop (blk, key) buckets larger than this
     */

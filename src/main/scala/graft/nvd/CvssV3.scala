@@ -14,9 +14,13 @@ object CvssV3 {
     * 0.0 NONE, 0.1–3.9 LOW, 4.0–6.9 MEDIUM, 7.0–8.9 HIGH,
     * 9.0–10.0 CRITICAL. Feed items usually carry `baseSeverity`
     * explicitly; this derives it when only the score is present.
+    * A null score yields null, NOT 'CRITICAL': every `when` predicate
+    * on a null operand is null (= skipped), so without the explicit
+    * guard a null would fall through to `otherwise`.
     */
   def severityOf(score: Column): Column =
-    when(score <= 0.0, "NONE")
+    when(score.isNull, lit(null).cast("string"))
+      .when(score <= 0.0, "NONE")
       .when(score < 4.0, "LOW")
       .when(score < 7.0, "MEDIUM")
       .when(score < 9.0, "HIGH")

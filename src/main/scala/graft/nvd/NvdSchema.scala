@@ -34,11 +34,14 @@ object NvdSchema {
     StructField("versionEndIncluding", StringType),
     StructField("versionEndExcluding", StringType),
     StructField("cpe_name", ArrayType(StructType(Seq(
-      StructField("cpe23Uri", StringType)))))))
+      StructField("cpe22Uri", StringType),
+      StructField("cpe23Uri", StringType),
+      StructField("lastModifiedDate", StringType)))))))
 
   private def node(childType: Option[StructType]): StructType = {
     val base = Seq(
       StructField("operator", StringType),
+      StructField("negate", BooleanType),
       StructField("cpe_match", ArrayType(cpeMatch)))
     StructType(childType match {
       case Some(c) => base :+ StructField("children", ArrayType(c))
@@ -66,16 +69,22 @@ object NvdSchema {
 
   val cveDataMeta: StructType = StructType(Seq(
     StructField("ID", StringType),
-    StructField("ASSIGNER", StringType)))
+    StructField("ASSIGNER", StringType),
+    StructField("STATE", StringType)))
 
   val descriptionData: StructType = StructType(Seq(
     StructField("lang", StringType),
     StructField("value", StringType)))
 
+  /** Per the official NVD 1.1 feed schema, a reference carries url
+    * (required), name, refsource, and a `tags` string array — tags
+    * ("Patch", "Vendor Advisory", …) appear on nearly every entry in
+    * real feeds, so the archival sidecar must round-trip them. */
   val referenceData: StructType = StructType(Seq(
     StructField("url", StringType),
     StructField("name", StringType),
-    StructField("refsource", StringType)))
+    StructField("refsource", StringType),
+    StructField("tags", ArrayType(StringType))))
 
   /** problemtype/CWE assignments — archived by the reference's
     * json.dumps sidecar, dropped by a narrower re-serialization. */

@@ -55,9 +55,13 @@ object TextQueries extends QueryDsl {
         shingleN = 3, minJaccard = 0.8)
     },
 
+    // maxBucketSize passed EXPLICITLY: q63 has no DuckDB oracle, so a
+    // silent default change altering the drop set (hence recall) would
+    // sail through the gate — pin it at the call site instead.
     q("q63_dedup_simhash") { c =>
       import c.t
-      SimHash.candidatePairs(t("documents"), "doc_id", "text", maxHamming = 3)
+      SimHash.candidatePairs(t("documents"), "doc_id", "text", maxHamming = 3,
+          maxBucketSize = 1000)
         .orderBy($"doc_a", $"doc_b")
     },
 

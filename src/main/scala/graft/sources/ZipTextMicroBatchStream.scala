@@ -38,11 +38,24 @@ final class ZipTextMicroBatchStream(
   // format (v1): it is self-consistent ('+' always means an encoded
   // space, never a literal), and any future change must keep reading
   // it — checkpoints outlive code versions.
-  private case class FileListOffset(files: Seq[String]) extends Offset {
+  // NOT a case class: the file list is normalized to sorted order in
+  // the constructor so equality is order-insensitive by construction —
+  // a listing-order offset and a deserialized (sorted) offset of the
+  // same files must compare equal, or the engine replans a no-op batch.
+  private final class FileListOffset(files0: Seq[String]) extends Offset {
+    val files: Seq[String] = files0.sorted
     override def json(): String =
-      files.sorted
+      files
         .map(f => "\"" + java.net.URLEncoder.encode(f, "UTF-8") + "\"")
         .mkString("[", ",", "]")
+    override def equals(o: Any): Boolean = o match {
+      case f: FileListOffset => f.files == files
+      case _                 => false
+    }
+    override def hashCode(): Int = files.hashCode()
+  }
+  private object FileListOffset {
+    def apply(files: Seq[String]): FileListOffset = new FileListOffset(files)
   }
 
   private def parseJsonList(j: String): Seq[String] = {
@@ -54,7 +67,7 @@ final class ZipTextMicroBatchStream(
   }
 
   private def parse(o: Offset): Set[String] = o match {
-    case FileListOffset(fs) => fs.toSet
+    case f: FileListOffset => f.files.toSet
     case other => parseJsonList(other.json()).toSet
   }
 

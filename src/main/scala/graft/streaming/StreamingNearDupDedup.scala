@@ -79,14 +79,26 @@ object StreamingNearDupDedup {
     // oversized-bucket guard (one degenerate band value shared by a
     // growing slice of history would otherwise make every future
     // micro-batch quadratic in that bucket)
-    val a = MinHashLSH.dropOversizedBuckets(banded(incoming), MaxBucket)
-      .select(col("doc").as("cand"), col("band"), col("bucket"))
+    // The drop set is computed ONCE over state∪incoming and
+    // anti-joined against BOTH join sides: per-side sets
+    // (incoming-only on one side, union on the other) disagree, and
+    // the effective drop becomes their union — extra recall loss no
+    // single threshold describes. localCheckpoint(eager) because the
+    // tiny set feeds two broadcast anti-joins — without it each join
+    // re-runs the count over the full banded union.
     val bState = banded(state)
       .select(col("doc").as("other"), col("band"), col("bucket"), lit(true).as("in_state"))
     val bNew = banded(incoming)
       .select(col("doc").as("other"), col("band"), col("bucket"), lit(false).as("in_state"))
+    val allBanded = bState.unionByName(bNew)
+    val oversized =
+      MinHashLSH.oversizedBuckets(allBanded, Seq("band", "bucket"), MaxBucket)
+        .localCheckpoint(true)
+    val a = banded(incoming)
+      .select(col("doc").as("cand"), col("band"), col("bucket"))
+      .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
     val cand = a.join(
-        MinHashLSH.dropOversizedBuckets(bState.unionByName(bNew), MaxBucket)
+        allBanded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
           .select(col("other"), col("band"), col("bucket"), col("in_state")),
         Seq("band", "bucket"))
       .filter(col("in_state") || col("other") < col("cand"))
