@@ -39,12 +39,15 @@ object MediaOps {
     StructField("bytes", BinaryType),
     StructField("meta", metadataType)))
 
-  /** Decoded-feature row produced by the decode stage. */
+  /** Decoded-feature row produced by the decode stage. `content_hash`
+    * is lowercase-hex md5 of the blob bytes — a hash any engine can
+    * recompute (DuckDB `md5()` natively), so the decode path is
+    * end-to-end oracle-checkable, not just deterministic. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
-      content_hash: Long,
+      content_hash: String,
       embedding: Array[Float])
 
   /** The decode kernel boundary. One instance per partition — this is
@@ -61,17 +64,25 @@ object MediaOps {
   }
 
   /** Deterministic fake: features derived purely from the bytes, so
-    * pipelines are testable end-to-end without codecs. */
+    * pipelines are testable end-to-end without codecs. The hash is
+    * md5 (not a bespoke polynomial) so an external oracle can verify
+    * the decode output; the fake embedding is seeded from the digest. */
   final class FakeDecoder(dim: Int = 16) extends Decoder {
+    // one digest instance per decoder (= per partition), reset by each
+    // digest() call; transient because codec-ish state never serializes
+    @transient private lazy val md5 =
+      java.security.MessageDigest.getInstance("MD5")
     def features(mediaId: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
-      var h = 1125899906842597L
+      val digest = md5.digest(bytes)
+      val hex = digest.map(b => f"$b%02x").mkString
+      var h = 0L
       var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      while (i < 8) { h = (h << 8) | (digest(i) & 0xFFL); i += 1 }
       val emb = Array.tabulate(dim) { d =>
         val x = h ^ (d.toLong * 0x9E3779B97F4A7C15L)
         ((x % 1000L) / 1000.0f)
       }
-      MediaFeatures(mediaId, kind, bytes.length.toLong, h, emb)
+      MediaFeatures(mediaId, kind, bytes.length.toLong, hex, emb)
     }
   }
 
@@ -110,6 +121,20 @@ object MediaOps {
       .withColumn("frame_ms",
         explode(sequence(lit(0L), coalesce(col("meta.duration_ms"), lit(0L)), lit(everyMs))))
       .select(col("media_id"), col("frame_ms"))
+
+  /** Wrap a text table as a media table (bytes = the UTF-8 text, kind
+    * assigned round-robin, no metadata) — the oracle-checkable media
+    * fixture: an external engine recomputes md5 over the same text
+    * bytes, so the whole mapPartitions decode path gets a hard
+    * end-to-end hash check instead of a determinism-only one. */
+  def mediaFromText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      when(pmod(col(idCol), lit(3)) === 0, "image")
+        .when(pmod(col(idCol), lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col(textCol), "UTF-8").as("bytes"),
+      lit(null).cast(metadataType).as("meta"))
 
   final case class MediaMeta(
       format: String,

@@ -147,14 +147,22 @@ object EventQueries extends QueryDsl {
     },
 
     // multimodal plumbing surfaced as a query: binary blobs ->
-    // partition-local decode (deterministic fake kernel) -> features.
-    // No SQL analogue (mapPartitions + polynomial hash) => rows-only.
-    q("q95_media_features") { c =>
-      val media = graft.multimodal.MediaOps.syntheticMedia(c.spark, 200)
+    // partition-local decode (one kernel instance per partition, rows
+    // streamed through mapPartitions) -> features. Oracle-backed: the
+    // media fixture wraps the documents table (bytes = UTF-8 text) and
+    // the fake kernel hashes with md5, which DuckDB recomputes
+    // natively — the decode dataflow gets a hard end-to-end hash check.
+    q("q95_media_features",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin) { c =>
+      import c.t
+      val media = graft.multimodal.MediaOps.mediaFromText(t("documents"), "doc_id", "text")
       graft.multimodal.MediaOps.decode(media, new graft.multimodal.MediaOps.FakeDecoder(16))
         .toDF()
         .select($"media_id", $"kind", $"n_bytes", $"content_hash")
-        .orderBy($"media_id")
     },
 
     // Funnel: click -> view -> purchase progression per user, counted

@@ -65,6 +65,38 @@ object TextQueries extends QueryDsl {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // q63's CONTRACT oracle, q86-style (exact columns hash-checked,
+    // guarantee columns verified in-plan). SimHash bounds HAMMING, not
+    // Jaccard — measured on this corpus, 0.8-Jaccard pairs reach
+    // hamming 12, so no equality-with-the-exact-pair-set twin exists
+    // (unlike MinHash q62, whose bands estimate Jaccard itself). What
+    // SimHash DOES promise is the pigeonhole: every pair within the
+    // hamming budget shares an agreeing chunk bucket and must surface
+    // as a candidate. So: rows = the exact >= 0.8 pair set (the q62
+    // oracle), and `sim_ok` verifies per pair that blocking delivered
+    // on its promise — found whenever hamming <= maxHamming. The
+    // oracle expects TRUE on every row; a broken kernel, banding, or
+    // bucket join turns a row false and fails the hash compare.
+    q("q63b_dedup_simhash_contract",
+      s"WITH ${jaccardPairsCte(0.8)} SELECT doc_a, doc_b, jaccard, true AS sim_ok FROM prs") { c =>
+      import c.t
+      val docs = t("documents")
+      val exact = NGramJaccard.pairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.8)
+      val cands = SimHash.candidatePairs(docs, "doc_id", "text",
+          maxHamming = 3, maxBucketSize = 1000)
+        .select($"doc_a", $"doc_b", lit(true).as("found"))
+      val fp = docs.select($"doc_id",
+        SimHash.simhash(TF.wsTokens(lower($"text"))).as("fp"))
+      exact
+        .join(fp.select($"doc_id".as("doc_a"), $"fp".as("fp_a")), Seq("doc_a"))
+        .join(fp.select($"doc_id".as("doc_b"), $"fp".as("fp_b")), Seq("doc_b"))
+        .join(cands, Seq("doc_a", "doc_b"), "left")
+        .select($"doc_a", $"doc_b", $"jaccard",
+          (SimHash.hammingDist($"fp_a", $"fp_b") > 3 ||
+            coalesce($"found", lit(false))).as("sim_ok"))
+    },
+
     // The assembled cleaning pipeline (C4-style): language known,
     // quality floor, token-count band, and exact-dedup keeper only —
     // the composition a real corpus pass runs, as one declarative
@@ -156,6 +188,45 @@ object TextQueries extends QueryDsl {
       graft.dedup.WinnowFingerprints.candidatePairs(
           t("documents"), "doc_id", "text", k = 4, w = 4, minShared = 2)
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // q66's CONTRACT oracle, q86-style like q63b. Winnowing promises
+    // "docs sharing >= minShared surviving (df-cut) fingerprints
+    // become a candidate pair" — NOT recall against a Jaccard
+    // threshold (measured at sf0.1, the df-cut makes two 0.8-Jaccard
+    // pairs share < 2 surviving fingerprints), so no equality twin
+    // exists. Rows = the exact >= 0.8 pair set; `win_ok` re-derives
+    // each pair's surviving shared-fingerprint count DIRECTLY
+    // (array_intersect of the per-doc fingerprint sets, ubiquitous
+    // hashes removed) and asserts the inverted-index blocking agreed
+    // with it both ways: found iff shared >= minShared. The oracle
+    // expects TRUE everywhere; a broken kernel, df-cut, posting join,
+    // or shared-count aggregation turns a row false.
+    q("q66b_dedup_winnow_contract",
+      s"WITH ${jaccardPairsCte(0.8)} SELECT doc_a, doc_b, jaccard, true AS win_ok FROM prs") { c =>
+      import c.t
+      val docs = t("documents")
+      val exact = NGramJaccard.pairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.8)
+      val cands = graft.dedup.WinnowFingerprints.candidatePairs(
+          docs, "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 1000)
+        .select($"doc_a", $"doc_b", lit(true).as("found"))
+      val fps = docs.select($"doc_id",
+        graft.dedup.WinnowFingerprints.of(TF.wsTokens(lower($"text")), 4, 4).as("fps"))
+      val postings = fps.select($"doc_id", explode($"fps").as("fp"))
+      val ubiquitous = postings.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" > 1000).select($"fp")
+      val surviving = postings.join(broadcast(ubiquitous), Seq("fp"), "left_anti")
+        .groupBy($"doc_id").agg(collect_set($"fp").as("sfps"))
+      val empty = array().cast("array<long>")
+      exact
+        .join(surviving.select($"doc_id".as("doc_a"), $"sfps".as("sa")), Seq("doc_a"), "left")
+        .join(surviving.select($"doc_id".as("doc_b"), $"sfps".as("sb")), Seq("doc_b"), "left")
+        .join(cands, Seq("doc_a", "doc_b"), "left")
+        .withColumn("shared",
+          size(array_intersect(coalesce($"sa", empty), coalesce($"sb", empty))))
+        .select($"doc_a", $"doc_b", $"jaccard",
+          (coalesce($"found", lit(false)) === ($"shared" >= 2)).as("win_ok"))
     },
 
     q("q64_embedding_neardup",

@@ -60,4 +60,47 @@ class StreamingCorpusPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(state).select("doc").as[Long].collect().sorted.toSeq ===
       Seq(1L, 3L, 12L))
   }
+
+  test("crash between state append and store append heals on replay") {
+    val sp = spark; import sp.implicits._
+    val store = Files.createTempDirectory("ccstore").toString + "/store"
+    val state = Files.createTempDirectory("ccstate").toString + "/state"
+
+    val docA = "an entirely ordinary paragraph describing the seasonal " +
+      "migration of shorebirds along the atlantic flyway with enough " +
+      "words to clear the cleaning thresholds comfortably"
+    val docB = "regional rail timetables shifted twice this spring as " +
+      "crews replaced aging signal equipment between the harbor line " +
+      "junction and the northern terminus of the valley route"
+
+    // batch 1 commits normally: docA admitted to state AND store
+    val batch1 = Seq((1L, docA, "en")).toDF("doc_id", "text", "lang")
+    assert(StreamingCorpusPipeline.processBatch(spark, batch1, store, state).admitted === 1)
+
+    // batch 2 CRASHES between the two appends: the signature state
+    // gets docB, the curated store never does — simulated by running
+    // the admission step alone (its default onAdmitted writes nothing)
+    val batch2 = Seq((2L, docB, "en")).toDF("doc_id", "text", "lang")
+    StreamingNearDupDedup.process(spark,
+      StreamingCorpusPipeline.clean(batch2, StreamingCorpusPipeline.Options())
+        .select($"doc_id", $"text"),
+      state, minJaccard = 0.8)
+    assert(spark.read.parquet(state).select("doc").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L), "crashed attempt DID append to state")
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().toSeq
+      === Seq(1L), "crashed attempt did NOT reach the store")
+
+    // replay of batch 2 (checkpoint never committed -> same rows):
+    // the heal re-derives the missing store append; admission itself
+    // sees the ids as already processed
+    val r = StreamingCorpusPipeline.processBatch(spark, batch2, store, state)
+    assert(r.healed === 1 && r.admitted === 0)
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L), "store healed with the lost curated row")
+
+    // second replay is a no-op: the heal is idempotent
+    val r2 = StreamingCorpusPipeline.processBatch(spark, batch2, store, state)
+    assert(r2.healed === 0 && r2.admitted === 0)
+    assert(spark.read.parquet(store).count() === 2)
+  }
 }
