@@ -24,7 +24,12 @@ object ScaleProbe {
       .getOrElse(Seq("q01_pricing_summary", "q11_join_fact_fact", "q14_outer_join_histogram",
         "q62_dedup_minhash_lsh", "q63_dedup_simhash", "q70_ann_bruteforce",
         "q72_ann_ivf", "q80_token_stats", "q84_doc_stats_by_lang",
-        "q90_tumbling_hourly", "q91_sessionization"))
+        "q90_tumbling_hourly", "q91_sessionization",
+        // round-3/4 additions: the two heaviest queries in the suite
+        // (bucketed CC twins), the composite-key interval join, and
+        // the mirrored NVD-surface aggregation
+        "q68b_dedup_clusters_lsh", "q69b_embedding_clusters_lsh",
+        "q96_interval_join", "q99_cvss3_severity"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")

@@ -54,22 +54,17 @@ object Pq {
   }
 
   /** Append an m-element `codes` column (argmin centroid per
-    * subspace). Centroids travel as literals; each argmin is the same
-    * struct-array-min idiom Ivf.cellCol uses. spread() first: the
-    * m*k kernel evaluations per row are the expensive stage and must
-    * not run on a single input split. */
+    * subspace) via the whole-stage-codegen PqEncodeCodes kernel —
+    * one flat primitive loop per row instead of the m*k-subexpression
+    * array_min(struct(l2, c)) forest it replaces (same argmin
+    * semantics: first-wins tie-break = smallest centroid index).
+    * spread() first: the m*k*subDim distance evaluations per row are
+    * the expensive stage and must not run on a single input split. */
   def encode(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val sub = model.subDim
-    val codeCols: Seq[Column] = (0 until model.m).map { j =>
-      val slice0 = slice(col(vecCol), j * sub + 1, sub)
-      val dists = model.codebooks(j).zipWithIndex.map { case (ctr, ci) =>
-        val carr = array(ctr.toIndexedSeq.map(lit): _*)
-        struct(graft.functions.VectorFunctions.l2Distance(slice0, carr).as("d"),
-          lit(ci).as("c"))
-      }
-      array_min(array(dists.toIndexedSeq: _*)).getField("c")
-    }
-    graft.operators.Partitioning.spread(corpus).withColumn("codes", array(codeCols: _*))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val codes = ColumnBridge.column(
+      PqEncodeCodes(ColumnBridge.expression(col(vecCol)), model.codebooks))
+    graft.operators.Partitioning.spread(corpus).withColumn("codes", codes)
   }
 
   /** Per-query ADC lookup tables as a broadcast-able frame
@@ -112,12 +107,17 @@ object Pq {
   }
 
   /** approx dist = sum over subspaces of qtbl[j][code_j]; expects
-    * `codes` (corpus side) and `qtbl` (query side) columns. */
-  private[ann] def adcColumn: Column =
-    aggregate(
-      zip_with(col("codes"), col("qtbl"),
-        (c, t) => element_at(t, c.cast("int") + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    * `codes` (corpus side) and `qtbl` (query side) columns. Codegen
+    * AdcDistance kernel — the aggregate(zip_with(...)) HOF form it
+    * replaces evaluates an interpreted lambda per subspace per
+    * candidate row (the measured ~70x HOF penalty; this runs once per
+    * (candidate x query) pair, the hottest loop in the PQ path). */
+  private[ann] def adcColumn: Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(AdcDistance(
+      ColumnBridge.expression(col("codes")),
+      ColumnBridge.expression(col("qtbl"))))
+  }
 
   /** ADC top-k with exact cosine re-rank of the `shortlist` nearest-
     * by-ADC candidates. Queries must be broadcast-sized (collected to

@@ -6,22 +6,34 @@ import java.nio.file.{Files, Paths}
   * reference's `main()` (nvd2mysqlloader.py:554-573).
   *
   * Usage: NvdMain <feedDir|url-template> <storeDir> <historyDir>
-  *          [-a] [--years a b] [--stream]
+  *          [-a] [--years a b] [--stream] [--config path]
   *   feedDir: local dir with <modifier>.json(.zip) + <modifier>.meta
   *            (LocalFetcher), or an http(s) template containing the
   *            literal token "year" (HttpFetcher).
   *   --stream: treat <feedDir> as a staging dir of feed JSON files and
   *            drain it via the Structured Streaming ingest (checkpoint
   *            in <historyDir>/checkpoint) instead of the batch path.
+  *   --config: reference-parity credentials file (the template shape
+  *            of config.json.template, with the reference's
+  *            config.json.template fallback when the file is absent —
+  *            nvd2mysqlloader.py:138-148); when given, loaded rows and
+  *            provenance are ALSO upserted into the configured JDBC
+  *            database, mirroring the reference's MySQL sink.
   * Prints the before/after tally report like the reference (:568-573).
   */
 object NvdMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 3 || args.contains("-h")) {
-      System.err.println("usage: NvdMain <feedDirOrUrlTemplate> <storeDir> <historyDir> [-a] [--years a b] [--stream]")
+      System.err.println("usage: NvdMain <feedDirOrUrlTemplate> <storeDir> <historyDir> [-a] [--years a b] [--stream] [--config path]")
       if (args.contains("-h")) return else sys.exit(2)
     }
     val Array(src, store, hist) = args.take(3)
+    val jdbcMirror: Option[MySqlSink.Conf] = args.indexOf("--config") match {
+      case -1 => None
+      case i if i + 1 >= args.length =>
+        System.err.println("--config requires a path operand"); sys.exit(2)
+      case i => Some(NvdConfig.load(Paths.get(args(i + 1))).jdbcConf)
+    }
     if (args.contains("--stream")) {
       val spark = graft.GraftSession.local()
       try {
@@ -62,7 +74,8 @@ object NvdMain {
         if (src.startsWith("http")) new Pipeline.HttpFetcher(src)
         else new Pipeline.LocalFetcher(Paths.get(src))
       val staging = Files.createTempDirectory("nvd_staging")
-      val report = Pipeline.run(spark, feeds, fetcher, store, hist, staging)
+      val report = Pipeline.run(spark, feeds, fetcher, store, hist, staging,
+        jdbcMirror = jdbcMirror)
       println(s"feeds considered: ${report.feedsConsidered}, loaded: ${report.feedsLoaded}")
       println(s"CVE count before: ${report.cvesBefore}")
       println(s"CVE count after:  ${report.cvesAfter}")

@@ -102,7 +102,8 @@ object Pipeline {
       historyPath: String,
       stagingDir: Path,
       strictReferenceSemantics: Boolean = true,
-      failFast: Boolean = false): LoadReport = {
+      failFast: Boolean = false,
+      jdbcMirror: Option[MySqlSink.Conf] = None): LoadReport = {
 
     val before =
       if (NvdStore.pathExists(spark, storePath))
@@ -155,10 +156,17 @@ object Pipeline {
 
       NvdStore.upsert(spark, deduped.drop("feed_rank"), storePath)
 
+      // Optional JDBC mirror (reference parity: the reference's only
+      // sink IS MySQL). Upserts THIS run's loaded rows — the keyed
+      // REPLACE semantics match NvdStore.upsert, so store and mirror
+      // converge on the same content per cve_id.
+      jdbcMirror.foreach(conf => MySqlSink.upsert(deduped.drop("feed_rank"), conf))
+
       val fetchedNames = fetched.map(_._1.modifier).toSet
       val loadedMetas = metas.filter(m => fetchedNames.contains(m.downloadName))
-      FeedCatalog.historyRows(spark, loadedMetas, now())
-        .write.mode("append").parquet(historyPath)
+      val historyRows = FeedCatalog.historyRows(spark, loadedMetas, now())
+      historyRows.write.mode("append").parquet(historyPath)
+      jdbcMirror.foreach(conf => MySqlSink.appendHistory(historyRows, conf))
     }
 
     // A run where every feed was skipped may end with no store at all.
