@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * between scanning the corpus per query and touching a few
   * code-only partitions.
   *
-  * Simplification vs FAISS: codebooks are trained on RAW vectors, not
-  * per-cell residuals — residual training couples the two models and
-  * needs an extra corpus pass at train time; the spec pins the recall
-  * this simpler form achieves, and the exhaustive setting (nprobe =
-  * nlist, shortlist = corpus) still degenerates to exact brute force.
+  * Codebooks quantize per-cell RESIDUALS (vector - cell centroid), the
+  * FAISS recipe: residuals concentrate around the origin, so the same
+  * m*k budget spends its precision where vectors actually live. The
+  * coupling costs nothing extra at train time — both models fit on
+  * the SAME one-job bounded sample (residuals derived driver-side) —
+  * and the exhaustive setting (nprobe = nlist, shortlist = corpus)
+  * still degenerates to exact brute force (oracle-checked as q74b).
+  * `residual = false` keeps the simpler raw-vector codebooks.
   *
   * Serve-time layout: write `index(...)` partitioned by `cell` so the
   * per-query cell filter becomes parquet partition pruning, and only
@@ -25,10 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  final case class Model(ivf: Ivf.Model, pq: Pq.Model)
+  final case class Model(ivf: Ivf.Model, pq: Pq.Model, residual: Boolean = true)
 
   /** Both trainings run on the same one-job bounded sample recipe —
-    * two driver-local Lloyd runs, no extra corpus passes. */
+    * two driver-local Lloyd runs, no extra corpus passes. Residual
+    * mode assigns each sample vector its nearest IVF centroid and
+    * fits the codebooks on (vector - centroid), all on the driver. */
   def train(
       corpus: DataFrame,
       idCol: String,
@@ -37,14 +42,68 @@ object IvfPq {
       nlist: Int = 16,
       m: Int = 8,
       k: Int = 16,
-      iterations: Int = 2): Model =
-    Model(
-      Ivf.train(corpus, idCol, vecCol, nlist, iterations),
-      Pq.train(corpus, idCol, vecCol, dim, m, k, iterations))
+      iterations: Int = 2,
+      residual: Boolean = true): Model = {
+    val ivf = Ivf.train(corpus, idCol, vecCol, nlist, iterations)
+    val pq =
+      if (!residual) Pq.train(corpus, idCol, vecCol, dim, m, k, iterations)
+      else {
+        val sample = KMeans.sampleVectors(corpus, idCol, vecCol, k * 256)
+        val residuals = sample.map { v =>
+          val ctr = ivf.centroids.minBy { case (cid, c) =>
+            var d = 0.0; var p = 0
+            while (p < v.length) { val t = v(p) - c(p); d += t * t; p += 1 }
+            (d, cid) // tie-break on cell id, matching the plan-side argmin
+          }._2
+          Array.tabulate(v.length)(p => v(p) - ctr(p))
+        }
+        Pq.trainOnVectors(residuals, dim, m, k, iterations)
+      }
+    Model(ivf, pq, residual)
+  }
 
   /** Corpus -> (original columns, cell, codes). */
-  def index(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
-    Pq.encode(Ivf.index(corpus, vecCol, model.ivf), vecCol, model.pq)
+  def index(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val celled = Ivf.index(corpus, vecCol, model.ivf)
+    if (!model.residual) Pq.encode(celled, vecCol, model.pq)
+    else {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val codes = ColumnBridge.column(ResidualPqEncodeCodes(
+        ColumnBridge.expression(col(vecCol)),
+        ColumnBridge.expression(col("cell").cast("int")),
+        model.ivf.centroids.map(_._2),
+        model.pq.codebooks))
+      graft.operators.Partitioning.spread(celled).withColumn("codes", codes)
+    }
+  }
+
+  /** Per-(query, probed cell) residual ADC tables: the residual of a
+    * query differs per cell, so each probed (query, cell) pair gets
+    * its own m x k table over (query - cellCentroid). Probing happens
+    * driver-side on the already-collected query set — same arithmetic
+    * and tie-break as the plan-side argmin. */
+  private def residualQueryTables(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      model: Model,
+      nprobe: Int): DataFrame = {
+    val rows = Pq.collectQueries(queries, queryIdCol, queryVecCol).flatMap {
+      case (qid, qv) =>
+        val nearest = model.ivf.centroids.map { case (cid, c) =>
+          var d = 0.0; var p = 0
+          while (p < qv.length) { val t = qv(p) - c(p); d += t * t; p += 1 }
+          (d, cid, c)
+        }.sortBy(t => (t._1, t._2)).take(nprobe)
+        nearest.map { case (_, cid, c) =>
+          val res = Array.tabulate(qv.length)(p => qv(p) - c(p))
+          (qid, qv.toSeq, cid, Pq.distanceTable(res, model.pq).map(_.toSeq).toSeq)
+        }
+    }
+    import spark.implicits._
+    rows.toIndexedSeq.toDF(queryIdCol, queryVecCol, "cell", "qtbl")
+  }
 
   /** Top-k: probe nprobe cells, ADC-score only those cells' codes,
     * exact-cosine re-rank the per-query shortlist. */
@@ -59,9 +118,14 @@ object IvfPq {
       k: Int,
       nprobe: Int,
       shortlist: Int): DataFrame = {
-    val qdf = Pq.queryTables(
-      indexed.sparkSession, queries, queryIdCol, queryVecCol, model.pq)
-    val probed = Ivf.probeCells(qdf, queryVecCol, model.ivf, nprobe)
+    val probed =
+      if (model.residual)
+        residualQueryTables(
+          indexed.sparkSession, queries, queryIdCol, queryVecCol, model, nprobe)
+      else
+        Ivf.probeCells(
+          Pq.queryTables(indexed.sparkSession, queries, queryIdCol, queryVecCol, model.pq),
+          queryVecCol, model.ivf, nprobe)
 
     // only rows in a probed cell are ADC-scored; everything else is
     // pruned by the broadcast join on `cell`

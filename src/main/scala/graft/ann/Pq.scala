@@ -42,9 +42,21 @@ object Pq {
       iterations: Int = 3,
       maxSamples: Int = 0): Model = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
-    val sub = dim / m
     val cap = if (maxSamples > 0) maxSamples else k * 256
-    val sample = KMeans.sampleVectors(corpus, idCol, vecCol, cap)
+    trainOnVectors(KMeans.sampleVectors(corpus, idCol, vecCol, cap), dim, m, k, iterations)
+  }
+
+  /** Lloyd per subspace over an already-materialized sample — shared
+    * by raw training above and IvfPq's residual training (which
+    * transforms the sample before codebook fitting). */
+  private[ann] def trainOnVectors(
+      sample: Array[Array[Double]],
+      dim: Int,
+      m: Int,
+      k: Int,
+      iterations: Int): Model = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
     val books = Array.tabulate(m) { j =>
       val off = j * sub
       val subSample = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + sub))
@@ -71,34 +83,46 @@ object Pq {
     * (queryId, queryVec, qtbl), qtbl = m x k subspace squared
     * distances. Queries must be broadcast-sized (collected on the
     * driver to build the literals). Shared by PQ and IVF-PQ. */
+  /** Collect a broadcast-sized query set to the driver, widening
+    * floats numerically, never via strings: Float.toString is the
+    * shortest round-trip repr, so "0.1".toDouble != 0.1f.toDouble —
+    * the exact-cosine re-rank must see the same double-widened query
+    * vector a plain (non-collected) plan would. */
+  private[ann] def collectQueries(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String): Array[(Long, Array[Double])] =
+    queries.select(col(queryIdCol), col(queryVecCol)).collect().map { r =>
+      val qv = r.getSeq[Any](1).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case x                   => x.toString.toDouble
+      }.toArray
+      (r.getLong(0), qv)
+    }
+
+  /** The m x k subspace squared-distance table for one query vector
+    * (optionally a residual) against the codebooks. */
+  private[ann] def distanceTable(qv: Array[Double], model: Model): Array[Array[Double]] = {
+    val sub = model.subDim
+    Array.tabulate(model.m) { j =>
+      val off = j * sub
+      model.codebooks(j).map { ctr =>
+        var d = 0.0; var p = 0
+        while (p < sub) { val t = qv(off + p) - ctr(p); d += t * t; p += 1 }
+        d
+      }
+    }
+  }
+
   private[ann] def queryTables(
       spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame,
       queryIdCol: String,
       queryVecCol: String,
       model: Model): DataFrame = {
-    val sub = model.subDim
-    val qRows = queries.select(col(queryIdCol), col(queryVecCol)).collect()
-    val tables = qRows.map { r =>
-      val qid = r.getLong(0)
-      // widen numerically, never via strings: Float.toString is the
-      // shortest round-trip repr, so "0.1".toDouble != 0.1f.toDouble —
-      // the exact-cosine re-rank must see the same double-widened
-      // query vector a plain (non-collected) plan would
-      val qv = r.getSeq[Any](1).map {
-        case f: java.lang.Float  => f.toDouble
-        case d: java.lang.Double => d.doubleValue()
-        case x                   => x.toString.toDouble
-      }.toArray
-      val tbl = Array.tabulate(model.m) { j =>
-        val off = j * sub
-        model.codebooks(j).map { ctr =>
-          var d = 0.0; var p = 0
-          while (p < sub) { val t = qv(off + p) - ctr(p); d += t * t; p += 1 }
-          d
-        }
-      }
-      (qid, qv, tbl)
+    val tables = collectQueries(queries, queryIdCol, queryVecCol).map {
+      case (qid, qv) => (qid, qv, distanceTable(qv, model))
     }
     import spark.implicits._
     tables.toIndexedSeq.map { case (qid, qv, tbl) =>

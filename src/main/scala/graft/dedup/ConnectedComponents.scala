@@ -75,4 +75,83 @@ object ConnectedComponents {
     }
     labels.select($"u".as("member"), $"lbl".as("cluster_root"))
   }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * chain-robust variant. Min-label propagation (`run`) needs
+    * O(diameter) rounds, right for the clique-ish blobs near-dup
+    * graphs form (2-3 rounds) but wrong for pathological chains; star
+    * alternation contracts every component to a star pointing at its
+    * minimum in O(log n) rounds regardless of diameter.
+    *
+    * Per round over a canonically-directed edge set (larger -> smaller,
+    * self-loops dropped):
+    *   large-star: every node links its LARGER neighbors to the
+    *     minimum of its neighborhood (and itself);
+    *   small-star: every node links its smaller neighbors (and itself)
+    *     to the minimum of its smaller neighborhood.
+    * Both steps preserve connectivity and never move an edge's
+    * endpoints out of its component; the fixed point is one star per
+    * component rooted at the component minimum. Same output contract
+    * as `run`, same fail-loud guarantee past `maxIter`.
+    */
+  def runStar(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // every node that appears in at least one edge (run() parity:
+    // self-loop-only nodes still get a (member, member) row)
+    val allNodes = edges.select(col(uCol).as("n"))
+      .union(edges.select(col(vCol).as("n")))
+      .distinct().localCheckpoint()
+
+    var e = edges.select(col(uCol).as("a"), col(vCol).as("b"))
+      .filter($"a" =!= $"b")
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .distinct().localCheckpoint()
+    var eCount = e.count()
+
+    var converged = eCount == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over the symmetrized neighborhood: m = min(Γ(u) ∪ u),
+      // every v ∈ Γ(u) with v > u re-links to m. Output stays
+      // canonical: v > u >= m.
+      val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val minsL = sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val large = sym.join(minsL, Seq("u"))
+        .filter($"v" > $"u" && $"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .distinct()
+      // SMALL-STAR over smaller neighborhoods only (edges already
+      // point large -> small): m = min(Γ⁻(u)), every smaller neighbor
+      // (and u itself) re-links to m.
+      val minsS = large.groupBy($"u").agg(min($"v").as("m"))
+      val next = large.join(minsS, Seq("u"))
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(minsS.select($"u", $"m".as("v")))
+        .distinct().localCheckpoint()
+      val nextCount = next.count()
+      // fixed point: the edge set is unchanged (set equality — counts
+      // first, then a one-sided except, sufficient for equal-size sets
+      // of distinct rows)
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+      i += 1
+    }
+    if (!converged && eCount > 0)
+      throw new IllegalStateException(
+        s"star-contraction components did not converge in $maxIter rounds — raise maxIter")
+
+    // fixed point is a star per component: u -> root for every
+    // non-root; roots (and self-loop-only nodes) label themselves
+    allNodes.join(e.select($"u".as("n"), $"v".as("root")), Seq("n"), "left")
+      .select($"n".as("member"), coalesce($"root", $"n").as("cluster_root"))
+  }
 }

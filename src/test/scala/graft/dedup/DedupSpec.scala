@@ -131,6 +131,39 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("star-contraction CC equals min-label CC; handles chains past min-label's round budget") {
+    val sp = spark; import sp.implicits._
+    // same fixture as the min-label test, plus a self-loop-only node
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (30L, 30L)).toDF("doc_a", "doc_b")
+    val star = ConnectedComponents.runStar(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = ConnectedComponents.run(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === label)
+
+    // pseudo-random graph (deterministic LCG), both algorithms agree
+    var seed = 12345L
+    def next(mod: Int): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 33, mod).toLong }
+    val rnd = (1 to 300).map(_ => (next(120), next(120))).filter(p => p._1 != p._2)
+    val rdf = rnd.toDF("doc_a", "doc_b")
+    assert(ConnectedComponents.runStar(rdf, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      ConnectedComponents.run(rdf, "doc_a", "doc_b", maxIter = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    // a 120-node path: diameter 119 exceeds min-label's default round
+    // budget (fail-loud), while star contraction converges in O(log n)
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, "doc_a", "doc_b").collect()
+    }
+    val starChain = ConnectedComponents.runStar(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(starChain.length === 120 && starChain.forall(_._2 === 0L))
+  }
+
   test("exact dedup keeper selection: min doc_id per content group") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
