@@ -71,8 +71,21 @@ object NvdDdl {
       |  version varchar(255)
       |) CHARACTER SET utf8mb4""".stripMargin)
 
+  /** guess_history (nvd.sql:88-94): the reference's CVSS-guessing
+    * audit table — aspirational there too (no reference code ever
+    * writes it), carried for drop-in DDL completeness. Divergence:
+    * cve_id+guessDate composite key instead of the auto_increment
+    * surrogate (same policy as the other tables; Spark-side engines
+    * have no auto_increment). */
+  val createGuessHistory: String =
+    """CREATE TABLE IF NOT EXISTS guess_history (
+      |  cve_id varchar(20),
+      |  guessDate varchar(80)
+      |) CHARACTER SET utf8mb4""".stripMargin
+
   val all: Seq[String] =
-    Seq(createNvd, createNvdJson, createUpdateHistory) ++ createIndexes ++ createCpeStar
+    Seq(createNvd, createNvdJson, createUpdateHistory, createGuessHistory) ++
+      createIndexes ++ createCpeStar
 
   /** Run the bootstrap over a JDBC connection. Idempotent: tables use
     * IF NOT EXISTS, and since MySQL has no such form for CREATE INDEX,

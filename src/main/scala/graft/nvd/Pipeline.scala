@@ -174,7 +174,23 @@ object Pipeline {
       if (NvdStore.pathExists(spark, storePath))
         NvdStore.cveTally(NvdStore.read(spark, storePath))
       else 0L
-    LoadReport(feeds.size, fetched.size, before, after)
+    val report = LoadReport(feeds.size, fetched.size, before, after)
+    audit(report)
+    report
+  }
+
+  /** Audit lines mirroring the reference's syslog notices
+    * (nvd2mysqlloader.py:562-563,569-573: started / no-new-CVEs /
+    * N-loaded), emitted through slf4j — the cluster-era counterpart
+    * of syslogd (log4j routes to the operator's aggregation; a
+    * SyslogAppender is a config choice, not code). */
+  private def audit(r: LoadReport): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    log.info("nvd load: started")
+    if (r.feedsLoaded == 0)
+      log.info("nvd load: There were no new CVEs added since last update.")
+    else
+      log.info(s"nvd load: There were ${r.feedsLoaded} feeds loaded or updated with ${r.added} CVEs added.")
   }
 
   private def now(): String = java.time.LocalDateTime.now().toString
