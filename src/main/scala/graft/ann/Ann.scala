@@ -52,10 +52,18 @@ object Ann {
   /** All-pairs near-duplicate candidates via OR-amplified SRP LSH:
     * L independent signature tables of nBits each; a pair is a
     * candidate if it collides in ANY table; exact cosine then filters
-    * by threshold. The scale path for q64's quadratic formulation —
-    * the shuffle carries (table, bucket, id, vec) and each bucket is a
-    * micro self-join. Recall for cos >= 0.95 at (nBits=8, tables=8) is
-    * ~0.99 (1-(1-(1-theta/pi)^b)^L); raise tables for higher recall.
+    * by threshold. The scale path for q64's quadratic formulation.
+    * Recall for cos >= 0.95 at (nBits=8, tables=8) is ~0.99
+    * (1-(1-(1-theta/pi)^b)^L); raise tables for higher recall.
+    *
+    * Scale shape (same as the MinHash text path): the LSH shuffle
+    * carries (id, table, bucket) POSTINGS only — vectors are fetched
+    * by a hash join at verify time, once per side, never replicated
+    * L times through the bucket shuffle. Cosine runs once per DISTINCT
+    * candidate pair (not once per colliding table), and degenerate
+    * buckets are dropped under `maxBucketSize` before the self-join
+    * (pigeonhole recall note: a pair whose every colliding table
+    * bucket is dropped is lost).
     */
   def lshNearDupPairs(
       corpus: DataFrame,
@@ -65,30 +73,38 @@ object Ann {
       nBits: Int = 8,
       tables: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    // CACHED: the frame feeds a self-join (two separate subplans); the
-    // L x nBits dot products per row are the expensive part and run
-    // once per row this way. spread() parallelizes them when the scan
-    // is a single split.
-    val bucketed = graft.operators.Partitioning.spread(corpus).select(
-        col(idCol).as("__id"), col(vecCol).as("__vec"),
-        l2Norm(col(vecCol)).as("__n"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"),
-            srpSignature(col(vecCol), nBits, dim, seed + t).as("bkt"))): _*)).as("tb"))
-      .select(col("__id"), col("__vec"), col("__n"), col("tb.tbl"), col("tb.bkt"))
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spreadC = graft.operators.Partitioning.spread(corpus)
+    // vectors + norms, joined per matched id at verify time; CACHED
+    // because two verify joins reference it
+    val vecs = spreadC.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+        l2Norm(col(vecCol)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    a.join(b,
+    // CACHED: feeds a self-join (two separate subplans); the L x nBits
+    // signature dot products per row run once this way. spread()
+    // parallelizes them when the scan is a single split.
+    val postings = graft.dedup.MinHashLSH.dropOversizedBuckets(
+        spreadC.select(col(idCol).as("__id"),
+            explode(array((0 until tables).map(t =>
+              struct(lit(t).as("tbl"),
+                srpSignature(col(vecCol), nBits, dim, seed + t).as("bkt"))): _*)).as("tb"))
+          .select(col("__id"), col("tb.tbl"), col("tb.bkt")),
+        Seq("tbl", "bkt"), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = postings.as("a").join(postings.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
         col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"),
-        cosineWithNorms(dot(col("a.__vec"), col("b.__vec")),
-          col("a.__n"), col("b.__n")).as("cos_raw"))
+      .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("__id").as("vec_a"), col("__vec").as("va"), col("__n").as("na")),
+        Seq("vec_a"))
+      .join(vecs.select(col("__id").as("vec_b"), col("__vec").as("vb"), col("__n").as("nb")),
+        Seq("vec_b"))
+      .withColumn("cos_raw", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos_raw") > threshold)
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(round(first(col("cos_raw")), 4).as("cos"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
   }
 
   /** Deterministic pseudo-random hyperplanes: nBits x dim standard

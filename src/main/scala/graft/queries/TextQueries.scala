@@ -271,8 +271,10 @@ object TextQueries extends QueryDsl {
     // asserted on planted duplicates in AnnSpec.
     q("q65_neardup_lsh") { c =>
       import c.t
+      // maxBucketSize pinned at the call site (rows-only query — a
+      // default drift altering the drop set would pass the gate)
       Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
-        threshold = 0.35, nBits = 8, tables = 8, dim = 64)
+        threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
         .orderBy($"vec_a", $"vec_b")
     },
 
@@ -284,7 +286,7 @@ object TextQueries extends QueryDsl {
     q("q69b_embedding_clusters_lsh") { c =>
       import c.t
       val pairs = Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
-          threshold = 0.35, nBits = 8, tables = 8, dim = 64)
+          threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
         .select($"vec_a".as("va"), $"vec_b".as("vb"))
       graft.dedup.ConnectedComponents.run(pairs, "va", "vb")
         .orderBy($"member")
