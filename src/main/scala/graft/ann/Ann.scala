@@ -76,22 +76,30 @@ object Ann {
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
     val spreadC = graft.operators.Partitioning.spread(corpus)
-    // vectors + norms, joined per matched id at verify time; CACHED
-    // because two verify joins reference it
+    // vectors + norms, joined per matched id at verify time. NOT
+    // cached: each verify side re-reads the (column-pruned) scan —
+    // one norm kernel per row per side — which is also the only shape
+    // that exists at 100 TB, where the vector column outsizes any
+    // cache; the expensive kernels (L x nBits signatures) are cached
+    // below.
     val vecs = spreadC.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-        l2Norm(col(vecCol)).as("__n"))
+      l2Norm(col(vecCol)).as("__n"))
+    // CACHED *before* the skew guard: the guard's bucket-count subplan
+    // and the self-join's two subplans all read the postings — without
+    // the cache underneath them the L x nBits signature kernel would
+    // run once per reference instead of once per row. spread()
+    // parallelizes the kernels when the scan is a single split.
+    val rawPostings = spreadC.select(col(idCol).as("__id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            srpSignature(col(vecCol), nBits, dim, seed + t).as("bkt"))): _*)).as("tb"))
+      .select(col("__id"), col("tb.tbl"), col("tb.bkt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // CACHED: feeds a self-join (two separate subplans); the L x nBits
-    // signature dot products per row run once this way. spread()
-    // parallelizes them when the scan is a single split.
-    val postings = graft.dedup.MinHashLSH.dropOversizedBuckets(
-        spreadC.select(col(idCol).as("__id"),
-            explode(array((0 until tables).map(t =>
-              struct(lit(t).as("tbl"),
-                srpSignature(col(vecCol), nBits, dim, seed + t).as("bkt"))): _*)).as("tb"))
-          .select(col("__id"), col("tb.tbl"), col("tb.bkt")),
-        Seq("tbl", "bkt"), maxBucketSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tiny by definition; eagerly checkpointed so the two self-join
+    // sides reuse it instead of re-counting
+    val oversized = graft.dedup.MinHashLSH
+      .oversizedBuckets(rawPostings, Seq("tbl", "bkt"), maxBucketSize)
+    val postings = rawPostings.join(broadcast(oversized), Seq("tbl", "bkt"), "left_anti")
     val cand = postings.as("a").join(postings.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
         col("a.__id") < col("b.__id"))
