@@ -278,11 +278,59 @@ object TextQueries extends QueryDsl {
         .orderBy($"vec_a", $"vec_b")
     },
 
+    // q65's CONTRACT oracle, q63b/q66b-style. SRP recall against a
+    // cosine threshold is probabilistic (so no equality twin exists),
+    // but the SIGNATURES are deterministic given the seed — what the
+    // LSH pipeline promises exactly is "a pair surfaces iff its
+    // signatures collide in >= 1 table whose bucket survived the skew
+    // guard, and its exact cosine clears the threshold". Rows = the
+    // exact > 0.35 cosine pair set (q64's oracle); `lsh_ok` re-derives
+    // each pair's surviving collision DIRECTLY (per-table signature
+    // arrays compared pairwise — a different route than the production
+    // bucket self-join) and asserts the pipeline agreed both ways:
+    // found iff collides. The oracle expects TRUE everywhere; a broken
+    // SRP kernel, bucket join, skew guard, or verify filter turns a
+    // row false and fails the hash compare.
+    q("q65b_neardup_lsh_contract",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(cast(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS double), 4) AS cos,
+        |  true AS lsh_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val exact = cosinePairs(emb, 0.35)
+        .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
+      val found = Ann.lshNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+        .select($"vec_a", $"vec_b", lit(true).as("found"))
+      // independent re-derivation: per-table signatures as plain
+      // columns (same kernel-free srpSignature expression, same seeds
+      // as the production path), skew guard recomputed over postings
+      val postings = emb.select($"vec_id",
+          posexplode(array((0 until 8).map(tb =>
+            Ann.srpSignature($"embedding", 8, 64, 42L + tb)): _*)))
+        .select($"vec_id", $"pos".as("tbl"), $"col".as("bkt"))
+      val oversized = MinHashLSH.oversizedBuckets(postings, Seq("tbl", "bkt"), 10000)
+      val surviving = postings.join(broadcast(oversized), Seq("tbl", "bkt"), "left_anti")
+        .groupBy($"vec_id").agg(collect_set(struct($"tbl", $"bkt")).as("tb"))
+      val emptyTb = array().cast("array<struct<tbl:int,bkt:int>>")
+      exact
+        .join(surviving.select($"vec_id".as("vec_a"), $"tb".as("ta")), Seq("vec_a"), "left")
+        .join(surviving.select($"vec_id".as("vec_b"), $"tb".as("tbb")), Seq("vec_b"), "left")
+        .join(found, Seq("vec_a", "vec_b"), "left")
+        .select($"vec_a", $"vec_b", $"cos",
+          (coalesce($"found", lit(false)) ===
+            arrays_overlap(coalesce($"ta", emptyTb), coalesce($"tbb", emptyTb))).as("lsh_ok"))
+    },
+
     // Bucketed clustering twin for q69 (embedding clusters at scale):
     // SRP-LSH pair graph -> connected components — no all-pairs step.
     // Approximate for the same reason as q65 (no SRP setting has
     // recall 1 on this corpus's sub-0.6 cosine range), so rows-only;
-    // planted-duplicate cluster recovery is asserted in AnnSpec.
+    // planted-duplicate cluster recovery is asserted in AnnSpec, and
+    // the shared edge machinery carries q65b's contract oracle.
     q("q69b_embedding_clusters_lsh") { c =>
       import c.t
       val pairs = Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
@@ -401,6 +449,23 @@ object TextQueries extends QueryDsl {
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
       Ann.lshTopK(t("embeddings"), queries, "vec_id", "embedding", "qid", "qvec",
         k = 5, nBits = 12, dim = 64)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // q71's exhaustive-setting twin (the q72b/q73b/q74b argument for
+    // the SRP path): at nBits = 1 the bucket space is {0, 1} and the
+    // hamming-radius-1 multi-probe explodes each query to BOTH buckets
+    // — every (query, corpus) pair meets exactly once, so the bucket
+    // join + in-bucket re-rank provably degenerates to brute force
+    // (asserted in AnnSpec), which IS SQL-expressible. Hash-checks the
+    // signature, probe-expansion, bucket-join, and re-rank plumbing
+    // end to end; q71's pruned setting stays rows-only.
+    q("q71b_ann_lsh_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val queries = t("embeddings").filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.lshTopK(t("embeddings"), queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nBits = 1, dim = 64)
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 

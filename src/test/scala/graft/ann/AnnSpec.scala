@@ -100,4 +100,26 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(sig(1) === sig(5))
   }
+
+  test("exhaustive setting (nBits=1 + radius-1 probe) == brute force — q71b's argument") {
+    // bucket space is {0,1}; multi-probe expands each query to both
+    // buckets, so every (query, corpus) pair meets exactly once and
+    // the LSH plumbing must reproduce exact top-k bit for bit
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = rows(Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", 5))
+    val ex = rows(Ann.lshTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", 5,
+      nBits = 1, dim = 64))
+    assert(ex === bf)
+  }
+
+  test("q65b collision contract holds: found iff signatures collide (surviving buckets)") {
+    val contract = graft.queries.Registry
+      .queries("q65b_neardup_lsh_contract")(spark, sf001)
+    val bad = contract.filter(!col("lsh_ok")).count()
+    assert(bad === 0, s"$bad exact pairs violate the found-iff-collides contract")
+    // non-vacuous: the exact pair set at this threshold is non-empty
+    assert(contract.count() > 0)
+  }
 }
