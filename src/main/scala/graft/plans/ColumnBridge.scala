@@ -22,6 +22,12 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Analyzed logical plan of a DataFrame (for hand-built subquery
+    * expressions — `queryExecution` lives on the classic Dataset). */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
   /** Register a SQL function builder on an EXISTING session —
     * `withExtensions` only applies at session creation, and the
     * FunctionRegistry is `private[sql]`. */

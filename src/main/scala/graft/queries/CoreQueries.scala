@@ -282,6 +282,33 @@ object CoreQueries extends QueryDsl {
           .cast("double").as("revenue"))
     },
 
+    // Bloom-pre-filtered semi-join (operators.BloomPrune): the keeper
+    // set (urgent orders) is aggregated into one bloom sketch, the
+    // sketch is evaluated as a scalar subquery in a Filter ON THE
+    // PROBE SCAN — most non-matching lineitem rows die before the
+    // exchange — and the exact semi-join removes the bloom's false
+    // positives, so the result is exactly the plain semi-join (and
+    // the oracle is the plain IN-subquery). At 100 TB this is the
+    // shape for "filter a huge fact by a persisted keeper set too big
+    // to broadcast as rows": the sketch is fixed-size and the probe
+    // shuffle carries survivors only.
+    q("q49_bloom_semi_join",
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_orderkey""".stripMargin) { c =>
+      import c.t
+      val urgent = t("orders").filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      graft.operators.BloomPrune.semiJoin(
+          t("lineitem"), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 1000000L, fpp = 0.01)
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+
     q("q05b_grouping_sets",
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
