@@ -557,6 +557,28 @@ object CoreQueries extends QueryDsl {
         .limit(50)
     },
 
+    // Z-order (Morton) curve arithmetic, oracle-checked: the exact bit
+    // interleave layout.ZOrder.writeClustered clusters files by, here
+    // aggregated into curve cells so every row's z-value feeds the
+    // hash. Spark column and DuckDB SQL are generated from the SAME
+    // bit-placement loop (zValue / zValueSql), so the layout
+    // definition provably means the same thing to both engines — what
+    // makes a Z-ordered 100 TB table portable across readers. The
+    // layout writer + file-pruning payoff are ZOrderSpec's subject.
+    q("q33_zorder_cells",
+      s"""SELECT ${graft.layout.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 10)} >> 12 AS z_cell,
+        |  count(*) AS n_rows,
+        |  min(${graft.layout.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 10)}) AS z_min,
+        |  max(${graft.layout.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 10)}) AS z_max
+        |FROM lineitem GROUP BY 1""".stripMargin) { c =>
+      import c.t
+      val z = graft.layout.ZOrder.zValue(Seq($"l_partkey", $"l_suppkey"), 10)
+      t("lineitem")
+        .select(shiftright(z, 12).as("z_cell"), z.as("z"))
+        .groupBy($"z_cell")
+        .agg(count(lit(1)).as("n_rows"), min($"z").as("z_min"), max($"z").as("z_max"))
+    },
+
     // ---- set operations -------------------------------------------------
     q("q40_union",
       """SELECT nationkey FROM (
