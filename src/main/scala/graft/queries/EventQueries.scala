@@ -19,6 +19,44 @@ object EventQueries extends QueryDsl {
 
   def all: Seq[Q] = Seq(
 
+    // Incremental materialized-view maintenance (operators.
+    // IncrementalAgg): the daily per-type aggregate is maintained as
+    // MERGEABLE partials (cnt/sum/min/max), folding three disjoint
+    // deterministic deltas (event_id mod 3 — stands in for arrival
+    // batches) pairwise into the running state; derived avg computed
+    // at read time. The oracle is the full single-pass recompute —
+    // merged-partial state must equal it exactly. At 100 TB the fold
+    // scans only each delta; history is never re-read (store-level
+    // partition pruning + dynamic overwrite in IncrementalAggSpec).
+    q("q34_incremental_mv",
+      """SELECT epoch_us(ts) // 86400000000 AS event_day, event_type,
+        |  count(value) AS n,
+        |  round(sum(value), 4) AS total_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { c =>
+      import c.t
+      import graft.operators.IncrementalAgg
+      val keys = Seq("event_day", "event_type")
+      val ev = t("events").select(
+        expr("unix_micros(ts) div 86400000000").as("event_day"),
+        $"event_type", $"value", $"event_id")
+      val state = (0 until 3)
+        .map(i => IncrementalAgg.partials(
+          ev.filter(pmod($"event_id", lit(3)) === i).drop("event_id"),
+          keys, Seq(IncrementalAgg.Measure("value", col("value")))))
+        .reduce((s, p) => IncrementalAgg.merge(s, p, keys))
+      // derived metrics (avg = sum/cnt) belong in a SELECT over the
+      // MV, never in stored state — and not in a hash-compared output
+      // either: the division amplifies the fold's ulp-level sum
+      // difference across rounding boundaries
+      state.select($"event_day", $"event_type",
+        $"cnt_value".as("n"),
+        round($"sum_value", 4).as("total_value"),
+        round($"min_value", 4).as("min_value"),
+        round($"max_value", 4).as("max_value"))
+    },
+
     q("q90_tumbling_hourly",
       """SELECT cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS hour_start,
         |  event_type, count(*) AS n,

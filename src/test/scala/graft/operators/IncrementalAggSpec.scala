@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IncrementalAggSpec extends SparkSpec {
+
+  private val keys = Seq("event_day", "event_type")
+  private def measures = Seq(IncrementalAgg.Measure("value", col("value")))
+
+  private def events = graft.Tables.events(spark, sf001).select(
+    expr("unix_micros(ts) div 86400000000").as("event_day"),
+    col("event_type"), col("value"), col("event_id"))
+
+  test("folding deltas through merge equals the one-pass aggregate (sums to 1e-6, rest exact)") {
+    // cnt/min/max are exact under any fold order; double sums pick up
+    // ulp-level accumulation-order differences, so compare them rounded
+    // (the same contract the q34 oracle uses)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_day"), col("event_type"), col("cnt_value"),
+      round(col("sum_value"), 6).as("sum_value"),
+      col("min_value"), col("max_value"))
+    val full = canon(IncrementalAgg.partials(events.drop("event_id"), keys, measures))
+    val folded = canon((0 until 4)
+      .map(i => IncrementalAgg.partials(
+        events.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id"),
+        keys, measures))
+      .reduce((s, p) => IncrementalAgg.merge(s, p, keys)))
+    assert(full.exceptAll(folded).isEmpty && folded.exceptAll(full).isEmpty)
+    assert(full.count() > 0)
+  }
+
+  test("mergeIntoStore: bootstrap + fold; reads and rewrites only touched partitions") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("incmv").toString + "/mv"
+    val days = events.select(min("event_day"), max("event_day")).collect()(0)
+    val (dLo, dHi) = (days.getLong(0), days.getLong(1))
+    assert(dHi > dLo, "fixture needs at least two days")
+
+    // bootstrap with everything except the last day, then fold it in
+    val batch1 = events.filter(col("event_day") < dHi).drop("event_id")
+    val batch2 = events.filter(col("event_day") === dHi).drop("event_id")
+    IncrementalAgg.mergeIntoStore(sp, dir, batch1, keys, measures, "event_day")
+    val untouchedBefore = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, s"event_day=$dLo")).toArray.map(_.toString).sorted
+    IncrementalAgg.mergeIntoStore(sp, dir, batch2, keys, measures, "event_day")
+
+    // state equals the full recompute (sums rounded — fold order)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_day"), col("event_type"), col("cnt_value"),
+      round(col("sum_value"), 6).as("sum_value"),
+      col("min_value"), col("max_value"))
+    val full = canon(IncrementalAgg.partials(events.drop("event_id"), keys, measures))
+    val stored = canon(sp.read.parquet(dir))
+    assert(full.exceptAll(stored).isEmpty && stored.exceptAll(full).isEmpty)
+
+    // untouched day partition was not rewritten (same files on disk)
+    val untouchedAfter = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, s"event_day=$dLo")).toArray.map(_.toString).sorted
+    assert(untouchedAfter.sameElements(untouchedBefore),
+      "untouched partition files were rewritten by the fold")
+  }
+
+  test("re-folding the same delta is NOT idempotent — double-count is the caller's contract") {
+    // the algebra is additive by design; exactly-once delta delivery
+    // is the ingestion layer's job (streaming paths checkpoint)
+    val d = events.filter(col("event_day") === events.agg(min("event_day"))
+      .collect()(0).getLong(0)).drop("event_id")
+    val once = IncrementalAgg.partials(d, keys, measures)
+    val twice = IncrementalAgg.merge(once, once, keys)
+    val n1 = once.agg(sum("cnt_value")).collect()(0).getLong(0)
+    val n2 = twice.agg(sum("cnt_value")).collect()(0).getLong(0)
+    assert(n2 === 2 * n1)
+  }
+
+  test("merge rejects frames that break the column convention") {
+    val sp = spark; import sp.implicits._
+    val bad = Seq((1L, "a", 2.0)).toDF("event_day", "event_type", "weird_value")
+    intercept[IllegalArgumentException](IncrementalAgg.merge(bad, bad, keys))
+    val mismatched = Seq((1L, "a", 2.0)).toDF("event_day", "event_type", "cnt_value")
+    val other = Seq((1L, "a", 2.0, 3.0)).toDF("event_day", "event_type", "cnt_value", "sum_value")
+    intercept[IllegalArgumentException](IncrementalAgg.merge(mismatched, other, keys))
+  }
+}
