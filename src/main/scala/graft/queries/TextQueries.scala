@@ -538,6 +538,38 @@ object TextQueries extends QueryDsl {
         .groupBy($"lang").agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_doc"))
     },
 
+    // Deterministic WEIGHTED sampling (Efraimidis-Spirakis A-Res in
+    // exponential-key form): u = hash-derived uniform in (0,1],
+    // key = -ln(u)/w, keep the k smallest keys — selection probability
+    // proportional to w (here w = n_words + 1: longer documents
+    // preferentially enter the training mix). No RNG state: the
+    // uniform comes from md5(doc_id), so the sample is reproducible
+    // across runs, engines, and partitionings, and the oracle can
+    // replicate it term for term. Top-k is TakeOrderedAndProject —
+    // per-partition heads + driver merge, never a global sort.
+    q("q85b_weighted_sample",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    ('0x' || substr(md5(cast(doc_id AS varchar) || ':wrs'), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, lang, n_words FROM scored
+        |ORDER BY -ln((hv + 1.0) / 1152921504606846976.0) / (n_words + 1.0), doc_id
+        |LIMIT 50""".stripMargin) { c =>
+      import c.t
+      val hv = conv(substring(md5(concat($"doc_id".cast("string"), lit(":wrs"))), 1, 15), 16, 10)
+        .cast("long")
+      val u = (hv.cast("double") + 1.0) / lit(1152921504606846976.0)
+      val nWords = TF.wordCount($"text").cast("long")
+      t("documents")
+        .select($"doc_id", $"lang", nWords.as("n_words"),
+          (-log(u) / (nWords.cast("double") + 1.0)).as("__k"))
+        .orderBy($"__k", $"doc_id")
+        .limit(50)
+        .drop("__k")
+    },
+
     // Consistent per-group sampling via the custom bottom_k
     // TypedImperativeAggregate (SURVEY §2.10 UDAF route): k docs per
     // language with the smallest md5-derived sort key — top-k-per-key
