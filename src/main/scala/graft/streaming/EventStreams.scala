@@ -36,6 +36,27 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"))
 
+  /** Stream-static enrichment join: attach a slowly-changing dimension
+    * (user tier, document source metadata, cost-center map …) to every
+    * stream row. The static side is planned per micro-batch — Spark
+    * broadcasts it into each batch's join, so the stream side never
+    * shuffles and no streaming state accrues at all (unlike
+    * stream-stream joins there is nothing to watermark: the static
+    * side is complete by definition). Re-reading the dim picks up dim
+    * updates at micro-batch granularity — the cheap version of SCD
+    * handling; inner semantics drop stream rows without a dim match,
+    * left semantics keep them with nulls.
+    *
+    * At 100 TB/day the stream side is the big one; this stays one
+    * pass + broadcast as long as the dim is broadcast-sized.
+    * Dims beyond that: pre-bucket both sides on the key. */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinType: String = "inner"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   /** Streaming exact dedup for a training-data ingest: drop re-deliveries
     * of the same content (or event id) while only keeping per-key state
     * until the watermark passes — the bounded-state form a 100 TB/day

@@ -125,6 +125,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-static enrichment join equals the batch join; no streaming state") {
+    val sp = spark; import sp.implicits._
+    val staged = Files.createTempDirectory("enrich").toString
+    val batchEvents = graft.Tables.events(spark, sf001)
+    batchEvents.write.mode("overwrite").parquet(staged)
+
+    // slowly-changing dim: deterministic user tiers
+    val dim = batchEvents.select($"user_id").distinct()
+      .withColumn("tier", when(pmod($"user_id", lit(3)) === 0, "gold")
+        .when(pmod($"user_id", lit(3)) === 1, "silver").otherwise("bronze"))
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(staged)
+    val q = EventStreams.enrichWithDim(stream, dim, "user_id")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val batch = EventStreams.enrichWithDim(batchEvents, dim, "user_id")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = spark.table("enrich_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.keySet === Set("gold", "silver", "bronze"))
+  }
+
   test("streaming dedup within watermark: re-delivered rows collapse to one") {
     val sp = spark; import sp.implicits._
     val staged = Files.createTempDirectory("dedupstream").toString
