@@ -29,7 +29,11 @@ object ScaleProbe {
         // (bucketed CC twins), the composite-key interval join, and
         // the mirrored NVD-surface aggregation
         "q68b_dedup_clusters_lsh", "q69b_embedding_clusters_lsh",
-        "q96_interval_join", "q99_cvss3_severity"))
+        "q96_interval_join", "q99_cvss3_severity",
+        // round-4 additions: bloom-pruned semi-join, z-order cells,
+        // incremental MV fold, weighted sampling
+        "q49_bloom_semi_join", "q33_zorder_cells",
+        "q34_incremental_mv", "q85b_weighted_sample"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,8 @@ object Scratch {
       val docs = Tables.documents(spark, sf)
       val emb = Tables.embeddings(spark, sf)
       val ev = Tables.events(spark, sf)
+      val lineitem = Tables.lineitem(spark, sf)
+      val orders = Tables.orders(spark, sf)
 
       println("== text functions ==")
       docs.select(
@@ -83,6 +85,33 @@ object Scratch {
         when($"id" === 0, "hot").otherwise(concat(lit("k"), $"id")).as("key"), $"id".as("payload"))
       val sj = graft.operators.SaltedJoin.inner(sjProbe, build, "key", salt = 8)
       println(s"salted join rows: ${sj.count()} (expect 2045: 2000 hot + 45 tail)")
+
+      println("== bloom-pre-filtered semi-join ==")
+      val urgent = orders.filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      val bloomed = graft.operators.BloomPrune.semiJoin(
+        lineitem, urgent, "l_orderkey", "o_orderkey", expectedItems = 100000L)
+      val plainSemi = lineitem.join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      require(bloomed.count() == plainSemi.count(), "bloom semi-join diverged from plain")
+      println(s"bloom semi-join rows: ${bloomed.count()} (== plain semi-join)")
+
+      println("== z-order clustered write ==")
+      val zDir = java.nio.file.Files.createTempDirectory("scratch_zo").toString
+      graft.layout.ZOrder.writeClustered(lineitem, zDir,
+        Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
+      require(spark.read.parquet(zDir).count() == lineitem.count(), "z-order write lost rows")
+      println(s"z-order layout files written, rows preserved")
+
+      println("== incremental MV fold ==")
+      val mvKeys = Seq("l_returnflag", "l_linestatus")
+      val mvMeasures = Seq(graft.operators.IncrementalAgg.Measure("qty", $"l_quantity"))
+      val mvState = (0 until 2).map(i => graft.operators.IncrementalAgg.partials(
+          lineitem.filter(pmod($"l_orderkey", lit(2)) === i), mvKeys, mvMeasures))
+        .reduce((s, p) => graft.operators.IncrementalAgg.merge(s, p, mvKeys))
+      val mvFull = graft.operators.IncrementalAgg.partials(lineitem, mvKeys, mvMeasures)
+      require(mvState.select(sum("cnt_qty")).collect()(0).getLong(0) ==
+        mvFull.select(sum("cnt_qty")).collect()(0).getLong(0), "MV fold lost rows")
+      println(s"incremental MV state rows: ${mvState.count()}")
       println("SCRATCH OK")
     } finally spark.stop()
   }
