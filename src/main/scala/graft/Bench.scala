@@ -33,10 +33,13 @@ object Bench {
     // are listed explicitly and excluded from the total
     val ok = results.filter(!_._3)
     val failedNames = results.filter(_._3).map(_._1)
-    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // ms precision: sub-ms digits are noise and the shorter line keeps
+    // the whole per-query map inside downstream log-tail captures
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
+    val total = r3(ok.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

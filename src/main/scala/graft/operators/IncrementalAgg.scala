@@ -95,9 +95,13 @@ object IncrementalAgg {
     val deltaPartials = partials(delta, keys, measures)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val exists = try {
-        spark.read.parquet(storePath); true
-      } catch { case _: org.apache.spark.sql.AnalysisException => false }
+      // explicit path check: catching AnalysisException here would
+      // also swallow transient/corrupt-store read failures and fold
+      // the delta as a BOOTSTRAP, silently replacing merged partitions
+      // with delta-only state
+      val hadoopPath = new org.apache.hadoop.fs.Path(storePath)
+      val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(hadoopPath)
       val merged = if (!exists) deltaPartials else {
         // touched partitions only: collect is bounded by the number of
         // MV partitions in ONE delta (e.g. days in a daily batch)
