@@ -57,6 +57,41 @@ object EventQueries extends QueryDsl {
         round($"max_value", 4).as("max_value"))
     },
 
+    // Time-series densification (gap fill): the complete hourly
+    // timeline x event-type grid with zero-filled silent hours —
+    // what downstream anomaly detection / charting needs, and what a
+    // plain groupBy can't produce (absent groups yield no row at
+    // all). Spark side generates the timeline with sequence()+explode
+    // from the min/max bounds (a 1-row control-plane aggregate — the
+    // timeline is bounded by calendar length, never by data volume),
+    // broadcasts the tiny type dim against it, and left-joins the
+    // real hourly counts. DuckDB mirrors it with range()+unnest.
+    q("q35_gapfill_hourly",
+      """WITH bounds AS (
+        |  SELECT min(epoch_us(ts) // 3600000000) AS h0,
+        |         max(epoch_us(ts) // 3600000000) AS h1 FROM events
+        |), hours AS (
+        |  SELECT unnest(range(h0, h1 + 1)) AS hr FROM bounds
+        |), types AS (SELECT DISTINCT event_type FROM events
+        |), counts AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT t.event_type, h.hr * 3600 AS hour_start, coalesce(c.n, 0) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN counts c ON c.hr = h.hr AND c.event_type = t.event_type""".stripMargin) { c =>
+      import c.t
+      val ev = t("events").select(
+        expr("unix_micros(ts) div 3600000000").as("hr"), $"event_type")
+      val counts = ev.groupBy($"hr", $"event_type").agg(count(lit(1)).as("n"))
+      val hours = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select(explode(sequence($"h0", $"h1")).as("hr"))
+      val types = ev.select($"event_type").distinct()
+      hours.crossJoin(broadcast(types))
+        .join(counts, Seq("hr", "event_type"), "left")
+        .select($"event_type", ($"hr" * 3600).as("hour_start"),
+          coalesce($"n", lit(0L)).as("n"))
+    },
+
     q("q90_tumbling_hourly",
       """SELECT cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS hour_start,
         |  event_type, count(*) AS n,

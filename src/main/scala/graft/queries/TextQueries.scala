@@ -86,8 +86,11 @@ object TextQueries extends QueryDsl {
       val cands = SimHash.candidatePairs(docs, "doc_id", "text",
           maxHamming = 3, maxBucketSize = 1000)
         .select($"doc_a", $"doc_b", lit(true).as("found"))
+      // joins into both pair sides below — persisted so the simhash
+      // kernel runs once per doc, not once per plan reference
       val fp = docs.select($"doc_id",
-        SimHash.simhash(TF.wsTokens(lower($"text"))).as("fp"))
+          SimHash.simhash(TF.wsTokens(lower($"text"))).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       exact
         .join(fp.select($"doc_id".as("doc_a"), $"fp".as("fp_a")), Seq("doc_a"))
         .join(fp.select($"doc_id".as("doc_b"), $"fp".as("fp_b")), Seq("doc_b"))
@@ -216,8 +219,11 @@ object TextQueries extends QueryDsl {
       val postings = fps.select($"doc_id", explode($"fps").as("fp"))
       val ubiquitous = postings.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" > 1000).select($"fp")
+      // two-sided join frame: persisted so the fingerprint kernel +
+      // df-cut run once, not once per pair side
       val surviving = postings.join(broadcast(ubiquitous), Seq("fp"), "left_anti")
         .groupBy($"doc_id").agg(collect_set($"fp").as("sfps"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val empty = array().cast("array<long>")
       exact
         .join(surviving.select($"doc_id".as("doc_a"), $"sfps".as("sa")), Seq("doc_a"), "left")
@@ -313,8 +319,11 @@ object TextQueries extends QueryDsl {
             Ann.srpSignature($"embedding", 8, 64, 42L + tb)): _*)))
         .select($"vec_id", $"pos".as("tbl"), $"col".as("bkt"))
       val oversized = MinHashLSH.oversizedBuckets(postings, Seq("tbl", "bkt"), 10000)
+      // two-sided join frame: persisted so the 8-table signature
+      // re-derivation runs once, not once per pair side
       val surviving = postings.join(broadcast(oversized), Seq("tbl", "bkt"), "left_anti")
         .groupBy($"vec_id").agg(collect_set(struct($"tbl", $"bkt")).as("tb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val emptyTb = array().cast("array<struct<tbl:int,bkt:int>>")
       exact
         .join(surviving.select($"vec_id".as("vec_a"), $"tb".as("ta")), Seq("vec_a"), "left")
