@@ -479,6 +479,45 @@ object TextQueries extends QueryDsl {
     },
 
     // ---- text analysis --------------------------------------------------
+    // PII scrubbing — the redaction pass every training corpus runs
+    // before the tokenizer. The fixture text is letter-soup with no
+    // real PII, so the query PLANTS a deterministic email + phone
+    // derived from doc_id (both engines build the identical string)
+    // and then redacts: counts prove detection, the md5 of the
+    // redacted text proves byte-identical replacement. Pure codegen'd
+    // column expressions (regexp_replace/extract_all) — one pass, no
+    // UDFs; patterns stay in the Java∩RE2 regex subset so Spark and
+    // DuckDB agree (no lookaround, no backreferences).
+    q("q77_pii_redact",
+      """WITH planted AS (
+        |  SELECT doc_id, lang,
+        |    text || ' contact user' || cast(doc_id AS varchar)
+        |         || '@mail.example.com or 555-'
+        |         || lpad(cast(doc_id % 10000 AS varchar), 4, '0') AS raw
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM planted""".stripMargin) { c =>
+      import c.t
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+      val raw = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@mail.example.com or 555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"))
+      t("documents")
+        .select($"doc_id", $"lang", raw.as("raw"))
+        .select($"doc_id", $"lang",
+          size(regexp_extract_all($"raw", lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all($"raw", lit(phoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace($"raw",
+            lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")).cast("binary")).as("redacted_md5"))
+    },
+
     q("q80_token_stats",
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
