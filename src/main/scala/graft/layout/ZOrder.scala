@@ -49,6 +49,24 @@ object ZOrder {
       ((c.cast("double") - lo) / (hi - lo + 1) * buckets).cast("long")))
   }
 
+  /** Rank-scale a SKEWED dimension onto the curve domain: equi-depth
+    * boundaries from `approxQuantile` (a driver-side array bounded by
+    * the curve domain size, not the data — same control-plane budget
+    * as k-means training), bucket = #boundaries <= value, computed by
+    * the `aggregate` HOF over the literal boundary array (codegen'd,
+    * no UDF). Monotone by construction, so pruning still works; under
+    * heavy skew it spends the curve's resolution where the data is,
+    * where `linearBucket` would dump most rows into one cell. */
+  def quantileBucket(df: DataFrame, dim: String, bits: Int,
+      relErr: Double = 0.001): Column = {
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(dim, probs, relErr).distinct.sorted
+    val arr = array(bounds.toIndexedSeq.map(lit(_)): _*)
+    aggregate(arr, lit(0L),
+      (acc, b) => acc + when(col(dim).cast("double") >= b, 1L).otherwise(0L))
+  }
+
   /** The same interleave as ANSI SQL text (for oracles / other
     * engines reading the layout definition). `dims` are SQL
     * expressions yielding integers. */

@@ -42,6 +42,27 @@ class ZOrderSpec extends SparkSpec {
     assert(rows(2000L) === 15L)   // clamped high
   }
 
+  test("quantileBucket balances a heavy-tailed dimension where linearBucket collapses") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    // log-normal-ish long tail over ~5 orders of magnitude
+    val df = (1 to 50000).map(_ => math.exp(rnd.nextGaussian() * 2 + 3).toLong)
+      .toDF("v")
+    val q = df.select(ZOrder.quantileBucket(df, "v", 4).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(1))
+    val mx = df.agg(max($"v")).collect()(0).getLong(0)
+    val lin = df.select(ZOrder.linearBucket($"v", 0L, mx, 4).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(1))
+    // equi-depth: no bucket holds more than 3x the even share;
+    // linear: the tail crushes nearly everything into one bucket
+    assert(q.max <= 50000 / 16 * 3, s"quantile buckets skewed: ${q.sorted.reverse.take(3).mkString(",")}")
+    assert(lin.max > 50000 * 9 / 10, s"expected linear collapse, got max ${lin.max}")
+    // monotone: bucket of a larger value never decreases
+    val pairs = df.limit(2000).select($"v", ZOrder.quantileBucket(df, "v", 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    pairs.sliding(2).foreach { case Array((_, b1), (_, b2)) => assert(b1 <= b2) ; case _ => }
+  }
+
   test("Z-ordered layout prunes files on BOTH dimensions; row set unchanged") {
     val sp = spark; import sp.implicits._
     // uniform 2-d grid: both dimensions carry real spread (a dim with
