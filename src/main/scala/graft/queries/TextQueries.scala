@@ -479,6 +479,34 @@ object TextQueries extends QueryDsl {
     },
 
     // ---- text analysis --------------------------------------------------
+    // Adjacent-pair (bigram) statistics — the counting step BPE
+    // tokenizer training iterates: which token pairs co-occur most.
+    // Pairs are built with zip_with over two offset slices of the
+    // token array (codegen'd HOF, no explode-join self-pairing), then
+    // one partial+final count and a TakeOrdered top-k. Complements
+    // q88's unigram vocabulary. The DuckDB oracle mirrors the slices
+    // with a 1-indexed list comprehension.
+    q("q78_bpe_pair_stats",
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair
+        |  FROM toks)
+        |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { c =>
+      import c.t
+      val toks = TF.wsTokens(lower($"text"))
+      t("documents")
+        .filter(length(trim($"text")) > 0)
+        .select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair").limit(20)
+    },
+
     // PII scrubbing — the redaction pass every training corpus runs
     // before the tokenizer. The fixture text is letter-soup with no
     // real PII, so the query PLANTS a deterministic email + phone
