@@ -37,7 +37,24 @@ object CorpusPipeline {
       nearDupJaccard: Double = 0.8,
       // per-language admission rate in [0,1]; default keeps everything
       sampleRates: Map[String, Double] = Map.empty,
-      salt: String = ":graft")
+      salt: String = ":graft",
+      // PII scrub before anything hashes the text (q77's patterns):
+      // dedup/fingerprints must see the REDACTED bytes, or two docs
+      // differing only in PII stay distinct and the PII survives in
+      // the keeper
+      redactPii: Boolean = false,
+      // post-write per-partition compaction target; None = skip
+      compactTargetBytes: Option[Long] = None)
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Email/phone scrub (same Java∩RE2 patterns q77 oracle-checks). */
+  def redact(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      regexp_replace(regexp_replace(col("text"),
+        lit(emailRe), lit("<EMAIL>")),
+        lit(phoneRe), lit("<PHONE>")))
 
   /** The stateless cleaning stage. Shared with the streaming twin
     * (`streaming.StreamingCorpusPipeline`) so batch and continuous
@@ -55,8 +72,11 @@ object CorpusPipeline {
   def curate(docs: DataFrame, outDir: String, opts: Options = Options()): Report = {
     val input = docs.count()
 
+    // 0. optional PII scrub — BEFORE any content hashing (see Options)
+    val scrubbed = if (opts.redactPii) redact(docs) else docs
+
     // 1. clean
-    val cleaned = clean(docs, opts.minWords, opts.maxWords, opts.minQuality)
+    val cleaned = clean(scrubbed, opts.minWords, opts.maxWords, opts.minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterClean = cleaned.count()
 
@@ -99,6 +119,11 @@ object CorpusPipeline {
     // 5. write partitioned by language
     sampled.drop("n_words", "quality")
       .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
+
+    // 6. optional small-files hygiene: each micro-partition rewritten
+    // toward the target independently (crash bounded to one partition)
+    opts.compactTargetBytes.foreach(t =>
+      graft.layout.Compaction.compactPartitions(docs.sparkSession, outDir, t))
 
     Seq(cleaned, exact, nearDeduped).foreach(_.unpersist())
     Report(input, afterClean, afterExactDedup, afterNearDedup, nSampled)

@@ -38,4 +38,38 @@ class CorpusPipelineSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("lang="))
     assert(dirs.nonEmpty)
   }
+
+  test("curate with redactPii + compaction: PII never reaches the store, partitions compact") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    // two docs differing ONLY in their planted PII: after redaction
+    // they are byte-identical, so exact dedup must collapse them —
+    // the reason the scrub runs before anything hashes text. The body
+    // is synthetic (not derived from a corpus doc) so the near-dup
+    // stage doesn't also purge the survivor against the real corpus.
+    val body = (1 to 40).map(i => s"zzsynth$i").mkString(" ")
+    val planted = Seq(
+      (200001L, body + " reach me at alice@example.com", "en", "planted"),
+      (200002L, body + " reach me at bob@other.org", "en", "planted"))
+      .toDF("doc_id", "text", "lang", "source")
+    val input = docs.select("doc_id", "text", "lang", "source").unionByName(planted)
+
+    val out = Files.createTempDirectory("curated_pii").toString + "/corpus"
+    val r = CorpusPipeline.curate(input, out,
+      CorpusPipeline.Options(minWords = 5, minQuality = 0.0,
+        redactPii = true, compactTargetBytes = Some(512L << 20)))
+
+    val curated = spark.read.parquet(out)
+    assert(curated.filter($"text".contains("@")).count() === 0,
+      "PII survived into the curated store")
+    // the two planted docs collapsed to one via post-redaction dedup
+    assert(curated.filter($"doc_id".isin(200001L, 200002L)).count() === 1)
+    assert(r.afterExactDedup < r.afterClean)
+    // compaction: one file per lang partition at this tiny scale
+    new java.io.File(out).listFiles().filter(_.getName.startsWith("lang=")).foreach { d =>
+      val dataFiles = d.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      assert(dataFiles === 1, s"${d.getName}: expected 1 compacted file, got $dataFiles")
+    }
+  }
 }
