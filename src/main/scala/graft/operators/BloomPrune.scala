@@ -53,7 +53,14 @@ object BloomPrune {
   /** One-row frame holding the bloom sketch of `key` as binary
     * (`sketch`). Partial+final aggregate: each task builds a local
     * sketch, merge is bitwise OR — the build side never shuffles rows,
-    * only fixed-size sketches. */
+    * only fixed-size sketches.
+    *
+    * Sizing note: `BloomFilterAggregate` clamps to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 64M bits ≈ 8 MiB). Billion-key
+    * keeper sets need those confs raised, or the clamp silently
+    * raises the false-positive rate — more survivors reach the exact
+    * join (slower), never a wrong result. */
   def sketch(build: DataFrame, key: Column, expectedItems: Long, fpp: Double): DataFrame = {
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(key)),

@@ -86,11 +86,13 @@ object TextQueries extends QueryDsl {
       val cands = SimHash.candidatePairs(docs, "doc_id", "text",
           maxHamming = 3, maxBucketSize = 1000)
         .select($"doc_a", $"doc_b", lit(true).as("found"))
-      // joins into both pair sides below — persisted so the simhash
-      // kernel runs once per doc, not once per plan reference
+      // joins into both pair sides below; deliberately NOT persisted —
+      // measured at sf0.1, caching these small frames costs more than
+      // recomputing the kernel per side (the persist hides size stats
+      // from the planner, turning the pair-side broadcast joins into
+      // sort-merge joins)
       val fp = docs.select($"doc_id",
-          SimHash.simhash(TF.wsTokens(lower($"text"))).as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        SimHash.simhash(TF.wsTokens(lower($"text"))).as("fp"))
       exact
         .join(fp.select($"doc_id".as("doc_a"), $"fp".as("fp_a")), Seq("doc_a"))
         .join(fp.select($"doc_id".as("doc_b"), $"fp".as("fp_b")), Seq("doc_b"))
@@ -219,11 +221,10 @@ object TextQueries extends QueryDsl {
       val postings = fps.select($"doc_id", explode($"fps").as("fp"))
       val ubiquitous = postings.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" > 1000).select($"fp")
-      // two-sided join frame: persisted so the fingerprint kernel +
-      // df-cut run once, not once per pair side
+      // two-sided join frame; NOT persisted (see q63b note: the cache
+      // hides size stats and demotes the pair-side broadcasts)
       val surviving = postings.join(broadcast(ubiquitous), Seq("fp"), "left_anti")
         .groupBy($"doc_id").agg(collect_set($"fp").as("sfps"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val empty = array().cast("array<long>")
       exact
         .join(surviving.select($"doc_id".as("doc_a"), $"sfps".as("sa")), Seq("doc_a"), "left")
@@ -319,11 +320,10 @@ object TextQueries extends QueryDsl {
             Ann.srpSignature($"embedding", 8, 64, 42L + tb)): _*)))
         .select($"vec_id", $"pos".as("tbl"), $"col".as("bkt"))
       val oversized = MinHashLSH.oversizedBuckets(postings, Seq("tbl", "bkt"), 10000)
-      // two-sided join frame: persisted so the 8-table signature
-      // re-derivation runs once, not once per pair side
+      // two-sided join frame; NOT persisted (see q63b note: the cache
+      // hides size stats and demotes the pair-side broadcasts)
       val surviving = postings.join(broadcast(oversized), Seq("tbl", "bkt"), "left_anti")
         .groupBy($"vec_id").agg(collect_set(struct($"tbl", $"bkt")).as("tb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val emptyTb = array().cast("array<struct<tbl:int,bkt:int>>")
       exact
         .join(surviving.select($"vec_id".as("vec_a"), $"tb".as("ta")), Seq("vec_a"), "left")
