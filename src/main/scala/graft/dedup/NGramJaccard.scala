@@ -27,7 +27,41 @@ object NGramJaccard {
       textCol: String,
       shingleN: Int = 3,
       minJaccard: Double = 0.5,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = Int.MaxValue): DataFrame =
+    intersections(docs, idCol, textCol, shingleN, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Asymmetric CONTAINMENT pairs: inter / min(|A|, |B|) — "the
+    * smaller document's shingles are (mostly) inside the larger one".
+    * The contamination / train-test-overlap detector: a benchmark item
+    * quoted inside a long web document has tiny Jaccard (the union is
+    * dominated by the big doc) but containment ~1. Same inverted-index
+    * machinery and scale shape as `pairs`. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minContainment: Double = 0.8,
+      maxDf: Int = Int.MaxValue): DataFrame =
+    intersections(docs, idCol, textCol, shingleN, maxDf)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+
+  /** Shared core: (doc_a, doc_b, sz_a, sz_b, inter) for every pair
+    * co-occurring under at least one (df-cut-surviving) shingle. */
+  private def intersections(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      maxDf: Int): DataFrame = {
 
     // (doc, shingle_hash) postings; 64-bit hashes, not strings, cross
     // the shuffle. Collision probability at 100 TB corpus cardinality
@@ -67,9 +101,5 @@ object NGramJaccard {
     a.join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 }

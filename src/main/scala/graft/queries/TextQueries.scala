@@ -38,6 +38,28 @@ object TextQueries extends QueryDsl {
       NGramJaccard.pairs(t("documents"), "doc_id", "text", shingleN = 3, minJaccard = 0.5)
     },
 
+    // CONTAMINATION detection: asymmetric containment
+    // inter / min(|A|,|B|) over the same shingle inverted index as
+    // q61. A benchmark item quoted inside a long document has tiny
+    // Jaccard (the union is dominated by the long doc) but containment
+    // ~1 — this is the train/test-overlap pass an LLM corpus runs
+    // against its eval sets. Same index, df-cut, and shuffle shape as
+    // the Jaccard path.
+    q("q79_contamination",
+      s"""WITH ${jaccardPairsCte(0.0)},
+        |cont AS (
+        |  SELECT doc_a, doc_b,
+        |    round(i / least(sa.sz, sb.sz), 6) AS containment
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE i / least(sa.sz, sb.sz) >= 0.6)
+        |SELECT doc_a, doc_b, containment FROM cont""".stripMargin) { c =>
+      import c.t
+      NGramJaccard.containmentPairs(t("documents"), "doc_id", "text",
+        shingleN = 3, minContainment = 0.6)
+    },
+
     // Full LSH dedup pipeline: banded-MinHash candidate generation +
     // exact-Jaccard verification of the candidates ONLY (never all
     // pairs). With 32 bands of 4 rows the miss probability at
