@@ -44,6 +44,30 @@ class DedupSpec extends SparkSpec {
     assert(cutPairs.forall { case (a, b) => a <= 2 && b <= 2 })
   }
 
+  test("containment catches a quoted benchmark item that Jaccard misses") {
+    val sp = spark; import sp.implicits._
+    // a short "benchmark item" quoted verbatim inside a much longer
+    // document: the union is dominated by the long doc, so Jaccard is
+    // tiny, but every shingle of the item appears in the host doc —
+    // containment 1.0. This asymmetry is the whole reason the
+    // contamination pass exists.
+    val item = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val host = (1 to 300).map(i => s"filler$i").mkString(" ") + " " + item
+    val corpus = Seq((1L, item), (2L, host)).toDF("doc_id", "text")
+
+    val jac = NGramJaccard.pairs(corpus, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cont = NGramJaccard.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, minContainment = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    assert(jac((1L, 2L)) < 0.1, s"expected tiny jaccard, got ${jac((1L, 2L))}")
+    assert(cont((1L, 2L)) === 1.0, s"expected containment 1.0, got ${cont.get((1L, 2L))}")
+    // and a 0.8-Jaccard dedup threshold would NOT have caught it
+    assert(jac((1L, 2L)) < 0.8)
+  }
+
   test("SimHash pairs are within the declared hamming radius and symmetric-free") {
     val pairs = SimHash.candidatePairs(docs, "doc_id", "text", maxHamming = 3).collect()
     assert(pairs.nonEmpty)
