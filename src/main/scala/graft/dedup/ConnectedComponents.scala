@@ -154,4 +154,73 @@ object ConnectedComponents {
     allNodes.join(e.select($"u".as("n"), $"v".as("root")), Seq("n"), "left")
       .select($"n".as("member"), coalesce($"root", $"n").as("cluster_root"))
   }
+
+  /** Scale-adaptive entry point: near-dup edge graphs are SPARSE
+    * (edges ≈ duplicate count, a sliver of the corpus), and the
+    * iterative paths pay 2 Spark jobs per round regardless of size —
+    * measured ~4.7 s for an 85-edge graph at 32 shuffle partitions,
+    * pure scheduling overhead. Below `driverMaxEdges` (default 2M
+    * edges ≈ tens of MB — the same bounded-collect contract as the
+    * k-means training sample) the component structure is solved
+    * driver-side with union-find in one collect; above it, the
+    * distributed min-label propagation runs unchanged. Output contract
+    * identical: one (member, cluster_root=component min) row per
+    * distinct node appearing in the edge frame. Requires integral id
+    * columns on the driver path (all call sites use long ids); other
+    * types fall through to the distributed path.
+    *
+    * NOTE: unlike the lazy `run`, this is an ACTION — the edge plan
+    * executes (localCheckpoint + count, plus the collect on the small
+    * path) when runAdaptive is called, not when the returned frame is
+    * first used. */
+  def runAdaptive(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      driverMaxEdges: Long = 2L << 20,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val integral = Seq(uCol, vCol).forall(c =>
+      edges.schema(c).dataType == LongType || edges.schema(c).dataType == IntegerType)
+    // one cheap job; callers' edge frames are the output of heavy
+    // LSH/verify plans, so force a localCheckpoint first to avoid
+    // recomputing that plan for the count AND again for the solve
+    if (!integral) return run(edges, uCol, vCol, maxIter)
+    val pinned = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      .localCheckpoint()
+    if (pinned.count() > driverMaxEdges) {
+      run(pinned, "u", "v", maxIter)
+        .select(col("member").cast(edges.schema(uCol).dataType).as("member"),
+          col("cluster_root").cast(edges.schema(uCol).dataType).as("cluster_root"))
+    } else {
+      val pairs = pinned.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // union-find with path compression; roots canonicalized to the
+      // component minimum afterwards
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val members = parent.keys.toArray
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+      members.foreach { m =>
+        val r = find(m)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, m), m)
+      }
+      val out = members.map(m => (m, minOfRoot(find(m))))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      out.toSeq.toDF("member", "cluster_root")
+        .select(col("member").cast(edges.schema(uCol).dataType).as("member"),
+          col("cluster_root").cast(edges.schema(uCol).dataType).as("cluster_root"))
+    }
+  }
 }

@@ -96,7 +96,7 @@ object CorpusPipeline {
       numHashes = 128, bands = 32, shingleN = 3)
     val verified = MinHashLSH.verifyJaccard(candidates, exact, "doc_id", "text",
       shingleN = 3, minJaccard = opts.nearDupJaccard)
-    val clusters = ConnectedComponents.run(verified, "doc_a", "doc_b")
+    val clusters = ConnectedComponents.runAdaptive(verified, "doc_a", "doc_b")
     val victims = clusters.filter(col("member") =!= col("cluster_root"))
       .select(col("member").as("doc_id"))
     val nearDeduped = exact.join(victims, Seq("doc_id"), "left_anti")

@@ -171,7 +171,7 @@ object TextQueries extends QueryDsl {
       import c.t
       val pairs = NGramJaccard.pairs(t("documents"), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5)
-      graft.dedup.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      graft.dedup.ConnectedComponents.runAdaptive(pairs, "doc_a", "doc_b")
     },
 
     // The SCALE path for clustering (q68's bucketed twin): banded-LSH
@@ -202,7 +202,7 @@ object TextQueries extends QueryDsl {
         numHashes = 128, bands = 32, shingleN = 3)
       val verified = MinHashLSH.verifyJaccard(candidates, docs, "doc_id", "text",
         shingleN = 3, minJaccard = 0.8)
-      graft.dedup.ConnectedComponents.run(verified, "doc_a", "doc_b")
+      graft.dedup.ConnectedComponents.runAdaptive(verified, "doc_a", "doc_b")
     },
 
     // Winnowing (rolling-hash) fingerprint blocking, MOSS-style: pairs
@@ -289,7 +289,7 @@ object TextQueries extends QueryDsl {
       import c.t
       val pairs = cosinePairs(t("embeddings"), 0.35)
         .select($"vec_a".as("va"), $"vec_b".as("vb"))
-      graft.dedup.ConnectedComponents.run(pairs, "va", "vb")
+      graft.dedup.ConnectedComponents.runAdaptive(pairs, "va", "vb")
     },
 
     // LSH-blocked near-dup: the scale path for q64 (no quadratic pair
@@ -367,7 +367,7 @@ object TextQueries extends QueryDsl {
       val pairs = Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
           threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
         .select($"vec_a".as("va"), $"vec_b".as("vb"))
-      graft.dedup.ConnectedComponents.run(pairs, "va", "vb")
+      graft.dedup.ConnectedComponents.runAdaptive(pairs, "va", "vb")
         .orderBy($"member")
     },
 

@@ -155,6 +155,25 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("adaptive CC (driver union-find) equals distributed min-label on random graphs") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { _ =>
+      // random sparse graph incl. self-loops and duplicate edges
+      val edges = (1 to 400).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .toDF("doc_a", "doc_b")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = canon(ConnectedComponents.run(edges, "doc_a", "doc_b"))
+      val local = canon(ConnectedComponents.runAdaptive(edges, "doc_a", "doc_b"))
+      assert(local === dist)
+      // above-threshold dispatch also agrees (forces the distributed path)
+      val forced = canon(ConnectedComponents.runAdaptive(edges, "doc_a", "doc_b",
+        driverMaxEdges = 1L))
+      assert(forced === dist)
+    }
+  }
+
   test("star-contraction CC equals min-label CC; handles chains past min-label's round budget") {
     val sp = spark; import sp.implicits._
     // same fixture as the min-label test, plus a self-loop-only node
