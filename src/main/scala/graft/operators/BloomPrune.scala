@@ -92,6 +92,14 @@ object BloomPrune {
       buildKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    // xxhash64 is TYPE-SENSITIVE: int 5 and long 5 hash differently,
+    // so mismatched key types would make the bloom silently drop true
+    // matches (a wrong result, not a slow one). Fail loud instead;
+    // the caller casts one side.
+    val (pt, bt) = (probe.schema(probeKey).dataType, build.schema(buildKey).dataType)
+    require(pt == bt,
+      s"bloom semi-join key types must match exactly (xxhash64 is type-sensitive): " +
+        s"$probeKey is $pt, $buildKey is $bt — cast one side first")
     val pre = probe.filter(mightContain(sketch(build, col(buildKey), expectedItems, fpp),
       col(probeKey)))
     // exact verification join: false positives die here. The build

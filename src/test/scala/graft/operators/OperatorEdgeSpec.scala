@@ -40,6 +40,15 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("BloomPrune: mismatched key types fail loud (xxhash64 is type-sensitive)") {
+    val sp = spark; import sp.implicits._
+    val probe = (1 to 100).map(_.toLong).toDF("k")
+    val build = (1 to 50).toDF("k") // int, not long
+    val ex = intercept[IllegalArgumentException](
+      BloomPrune.semiJoin(probe, build, "k", "k", 100L))
+    assert(ex.getMessage.contains("type"))
+  }
+
   test("IncrementalAgg: empty delta folds as a no-op; fold order never changes the state") {
     val sp = spark; import sp.implicits._
     val keys = Seq("k")
