@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *                                not history-sized)
   *   mergeIntoStore(...)        — same fold against a parquet store,
   *                                rewriting ONLY the partitions the
-  *                                delta touched (dynamic partition
-  *                                overwrite + partition-pruned state read)
+  *                                delta touched (partition-pruned state
+  *                                read, staged write + crash-resumable
+  *                                per-partition SwapDir publish)
   *
   * Mergeability is the whole trick: `cnt` and `sum` merge by sum,
   * `min`/`max` by min/max — so partials of partials are partials, the
@@ -80,9 +81,23 @@ object IncrementalAgg {
     * `partitionKey` (must be one of `keys`). Reads back ONLY the
     * state partitions the delta touched (partition-pruned by an IN
     * filter on the collected — bounded, MV-partition-count-sized —
-    * touched-value set), merges, and rewrites only those partitions
-    * (dynamic partition overwrite). Untouched history is never read
-    * and never rewritten. First call bootstraps the store. */
+    * touched-value set), merges, and publishes only those partitions.
+    * Untouched history is never read and never rewritten. First call
+    * bootstraps the store.
+    *
+    * Publish protocol (the fold is additive, NOT idempotent, so a
+    * half-applied fold must be completable, never re-applied):
+    * merged partitions are written to a hidden staging dir, a pending
+    * marker is created, each staged `k=v` dir is SwapDir-swapped into
+    * the store, then the marker is removed. A crash mid-swap leaves
+    * marker + the not-yet-swapped staging children; the next call
+    * finishes those swaps before folding anything new (a swapped
+    * child has been renamed OUT of staging, so completion never
+    * re-applies a partition). A crash before the marker exists means
+    * the store was never touched — staging is discarded and the
+    * caller's delta retry re-folds cleanly. Session config is never
+    * mutated (no partitionOverwriteMode games).
+    */
   def mergeIntoStore(
       spark: SparkSession,
       storePath: String,
@@ -91,7 +106,14 @@ object IncrementalAgg {
       measures: Seq[Measure],
       partitionKey: String): Unit = {
     require(keys.contains(partitionKey), s"$partitionKey must be a grouping key")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".merging")
+    val marker = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".merging.pending")
+    completePendingPublish(fs, staging, marker, root)
+
     val deltaPartials = partials(delta, keys, measures)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -99,21 +121,83 @@ object IncrementalAgg {
       // also swallow transient/corrupt-store read failures and fold
       // the delta as a BOOTSTRAP, silently replacing merged partitions
       // with delta-only state
-      val hadoopPath = new org.apache.hadoop.fs.Path(storePath)
-      val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val exists = fs.exists(hadoopPath)
-      val merged = if (!exists) deltaPartials else {
-        // touched partitions only: collect is bounded by the number of
-        // MV partitions in ONE delta (e.g. days in a daily batch)
-        val touched = deltaPartials.select(partitionKey).distinct()
-          .collect().map(_.get(0))
-        val state = spark.read.parquet(storePath)
-          .filter(col(partitionKey).isin(touched.toIndexedSeq: _*))
-        merge(state, deltaPartials, keys)
+      if (!fs.exists(root)) {
+        // bootstrap: stage then one rename, so a crashed first write
+        // never leaves a half-committed dir that a rerun mistakes for
+        // existing state
+        deltaPartials.write.mode("overwrite")
+          .partitionBy(partitionKey).parquet(staging.toString)
+        if (!fs.rename(staging, root))
+          throw new java.io.IOException(s"failed to publish bootstrap $staging to $root")
+        return
       }
+      // touched partitions only: collect is bounded by the number of
+      // MV partitions in ONE delta (e.g. days in a daily batch)
+      val touched = deltaPartials.select(partitionKey).distinct()
+        .collect().map(_.get(0))
+      // isin(null) never matches, so a null partition key in the delta
+      // needs an explicit isNull disjunct or the stored
+      // __HIVE_DEFAULT_PARTITION__ state would be replaced by
+      // delta-only partials
+      val touchedNonNull = touched.filter(_ != null)
+      val inTouched = col(partitionKey).isin(touchedNonNull.toIndexedSeq: _*)
+      val touchFilter =
+        if (touched.contains(null)) inTouched || col(partitionKey).isNull else inTouched
+      SwapDir.healAll(fs, root)
+      val state = spark.read.parquet(storePath).filter(touchFilter)
+      val merged = merge(state, deltaPartials, keys)
+      if (fs.exists(staging)) fs.delete(staging, true)
       merged.write.mode("overwrite")
-        .partitionBy(partitionKey)
-        .parquet(storePath)
+        .partitionBy(partitionKey).parquet(staging.toString)
+      fs.create(marker, true).close()
+      swapStagedPartitions(fs, staging, root)
+      fs.delete(marker, false)
+      fs.delete(staging, true)
     } finally deltaPartials.unpersist()
   }
+
+  /** Repair a store whose last fold crashed mid-publish (also runs
+    * implicitly at the start of every `mergeIntoStore`). Safe to call
+    * any time — a clean store is a no-op. */
+  def heal(spark: SparkSession, storePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".merging")
+    val marker = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".merging.pending")
+    completePendingPublish(fs, staging, marker, root)
+    if (fs.exists(root)) SwapDir.healAll(fs, root)
+  }
+
+  /** Swap every staged `k=v` partition dir into the store root. Names
+    * are copied verbatim (Spark already escaped the values when it
+    * wrote staging, including null → __HIVE_DEFAULT_PARTITION__), so
+    * no value→path re-encoding can drift. */
+  private def swapStagedPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      root: org.apache.hadoop.fs.Path): Unit =
+    fs.listStatus(staging).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.contains("="))
+        SwapDir.swap(fs, st.getPath, new org.apache.hadoop.fs.Path(root, st.getPath.getName))
+    }
+
+  /** Finish (or discard) the publish a previous crashed fold left
+    * behind. Marker present → the fold was mid-publish: swap the
+    * remaining staged partitions (already-swapped ones are gone from
+    * staging). No marker → the store was never touched: drop the
+    * stale staging so the caller's delta retry folds cleanly. */
+  private def completePendingPublish(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      marker: org.apache.hadoop.fs.Path,
+      root: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(marker)) {
+      if (fs.exists(staging)) swapStagedPartitions(fs, staging, root)
+      fs.delete(marker, false)
+      if (fs.exists(staging)) fs.delete(staging, true)
+    } else if (fs.exists(staging)) {
+      fs.delete(staging, true)
+    }
 }

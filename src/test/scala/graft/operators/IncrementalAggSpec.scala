@@ -61,6 +61,66 @@ class IncrementalAggSpec extends SparkSpec {
       "untouched partition files were rewritten by the fold")
   }
 
+  test("heal completes a fold that crashed mid-publish (marker + staged partitions)") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("incmv-crash")
+    val dir = base.toString + "/mv"
+    val dHi = events.agg(max("event_day")).collect()(0).getLong(0)
+    IncrementalAgg.mergeIntoStore(sp, dir,
+      events.filter(col("event_day") < dHi).drop("event_id"), keys, measures, "event_day")
+
+    // simulate the crash window: merged output staged, pending marker
+    // written, process died before any swap happened
+    IncrementalAgg.partials(
+        events.filter(col("event_day") === dHi).drop("event_id"), keys, measures)
+      .write.partitionBy("event_day").parquet(base.toString + "/.mv.merging")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(base.toString, ".mv.merging.pending"))
+
+    IncrementalAgg.heal(sp, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_day"), col("event_type"), col("cnt_value"),
+      round(col("sum_value"), 6).as("sum_value"),
+      col("min_value"), col("max_value"))
+    val full = canon(IncrementalAgg.partials(events.drop("event_id"), keys, measures))
+    val stored = canon(sp.read.parquet(dir))
+    assert(full.exceptAll(stored).isEmpty && stored.exceptAll(full).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base.toString, ".mv.merging")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base.toString, ".mv.merging.pending")))
+  }
+
+  test("heal discards staging from a crash BEFORE publish (no marker) — store untouched") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("incmv-stale")
+    val dir = base.toString + "/mv"
+    val dHi = events.agg(max("event_day")).collect()(0).getLong(0)
+    val batch1 = events.filter(col("event_day") < dHi).drop("event_id")
+    IncrementalAgg.mergeIntoStore(sp, dir, batch1, keys, measures, "event_day")
+    val before = sp.read.parquet(dir).count()
+
+    IncrementalAgg.partials(
+        events.filter(col("event_day") === dHi).drop("event_id"), keys, measures)
+      .write.partitionBy("event_day").parquet(base.toString + "/.mv.merging")
+    IncrementalAgg.heal(sp, dir)
+    assert(sp.read.parquet(dir).count() === before,
+      "stale staging (crash before marker) must not reach the store")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base.toString, ".mv.merging")))
+  }
+
+  test("null partition-key state accumulates across folds (not replaced by delta-only partials)") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incmv-null").toString + "/mv"
+    def batch = Seq((Some(1L), "a", 1.0), (Option.empty[Long], "a", 2.0))
+      .toDF("event_day", "event_type", "value")
+    IncrementalAgg.mergeIntoStore(sp, dir, batch, keys, measures, "event_day")
+    IncrementalAgg.mergeIntoStore(sp, dir, batch, keys, measures, "event_day")
+    val nullRow = sp.read.parquet(dir).filter(col("event_day").isNull).collect()
+    assert(nullRow.length === 1)
+    assert(nullRow(0).getAs[Long]("cnt_value") === 2L,
+      "null-keyed partition state was overwritten instead of merged")
+    assert(sp.read.parquet(dir).filter(col("event_day") === 1L)
+      .collect()(0).getAs[Long]("cnt_value") === 2L)
+  }
+
   test("re-folding the same delta is NOT idempotent — double-count is the caller's contract") {
     // the algebra is additive by design; exactly-once delta delivery
     // is the ingestion layer's job (streaming paths checkpoint)
