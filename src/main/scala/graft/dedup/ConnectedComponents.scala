@@ -155,19 +155,28 @@ object ConnectedComponents {
       .select($"n".as("member"), coalesce($"root", $"n").as("cluster_root"))
   }
 
+  /** Spark conf key tuning `runAdaptive`'s driver-path edge bound per
+    * deployment (driver heap ≠ one-size-fits-all); an explicit
+    * `driverMaxEdges` argument still wins. */
+  val DriverMaxEdgesConf = "spark.graft.cc.driverMaxEdges"
+  val DriverMaxEdgesDefault: Long = 2L << 20
+
   /** Scale-adaptive entry point: near-dup edge graphs are SPARSE
     * (edges ≈ duplicate count, a sliver of the corpus), and the
     * iterative paths pay 2 Spark jobs per round regardless of size —
     * measured ~4.7 s for an 85-edge graph at 32 shuffle partitions,
-    * pure scheduling overhead. Below `driverMaxEdges` (default 2M
-    * edges ≈ tens of MB — the same bounded-collect contract as the
-    * k-means training sample) the component structure is solved
+    * pure scheduling overhead. Below the driver-edge bound (explicit
+    * `driverMaxEdges` arg, else `spark.graft.cc.driverMaxEdges` conf,
+    * else 2M edges ≈ tens of MB — the same bounded-collect contract as
+    * the k-means training sample) the component structure is solved
     * driver-side with union-find in one collect; above it, the
     * distributed min-label propagation runs unchanged. Output contract
     * identical: one (member, cluster_root=component min) row per
-    * distinct node appearing in the edge frame. Requires integral id
-    * columns on the driver path (all call sites use long ids); other
-    * types fall through to the distributed path.
+    * distinct node appearing in the edge frame, typed as the WIDER of
+    * the two id columns (int u joined with long v must not truncate
+    * v-side ids). Requires integral id columns on the driver path (all
+    * call sites use long ids); other types fall through to the
+    * distributed path.
     *
     * NOTE: unlike the lazy `run`, this is an ACTION — the edge plan
     * executes (localCheckpoint + count, plus the collect on the small
@@ -177,21 +186,26 @@ object ConnectedComponents {
       edges: DataFrame,
       uCol: String,
       vCol: String,
-      driverMaxEdges: Long = 2L << 20,
+      driverMaxEdges: Long = -1L,
       maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
-    val integral = Seq(uCol, vCol).forall(c =>
-      edges.schema(c).dataType == LongType || edges.schema(c).dataType == IntegerType)
+    val bound =
+      if (driverMaxEdges >= 0) driverMaxEdges
+      else edges.sparkSession.conf
+        .get(DriverMaxEdgesConf, DriverMaxEdgesDefault.toString).toLong
+    val idTypes = Seq(uCol, vCol).map(c => edges.schema(c).dataType)
+    val integral = idTypes.forall(t => t == LongType || t == IntegerType)
     // one cheap job; callers' edge frames are the output of heavy
     // LSH/verify plans, so force a localCheckpoint first to avoid
     // recomputing that plan for the count AND again for the solve
     if (!integral) return run(edges, uCol, vCol, maxIter)
+    val outType = if (idTypes.contains(LongType)) LongType else IntegerType
     val pinned = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
       .localCheckpoint()
-    if (pinned.count() > driverMaxEdges) {
+    if (pinned.count() > bound) {
       run(pinned, "u", "v", maxIter)
-        .select(col("member").cast(edges.schema(uCol).dataType).as("member"),
-          col("cluster_root").cast(edges.schema(uCol).dataType).as("cluster_root"))
+        .select(col("member").cast(outType).as("member"),
+          col("cluster_root").cast(outType).as("cluster_root"))
     } else {
       val pairs = pinned.collect().map(r => (r.getLong(0), r.getLong(1)))
       // union-find with path compression; roots canonicalized to the
@@ -219,8 +233,8 @@ object ConnectedComponents {
       val spark = edges.sparkSession
       import spark.implicits._
       out.toSeq.toDF("member", "cluster_root")
-        .select(col("member").cast(edges.schema(uCol).dataType).as("member"),
-          col("cluster_root").cast(edges.schema(uCol).dataType).as("cluster_root"))
+        .select(col("member").cast(outType).as("member"),
+          col("cluster_root").cast(outType).as("cluster_root"))
     }
   }
 }

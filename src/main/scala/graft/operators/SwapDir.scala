@@ -34,7 +34,12 @@ object SwapDir {
   }
 
   /** Heal every interrupted swap under `root` (e.g. a partitioned
-    * store's table root before a read). */
+    * store's table root before a read), recursively: a multi-level
+    * partition layout (k1=a/k2=b) can crash a swap at any depth, and
+    * a `.k2=b.swapold` two levels down would otherwise stay hidden
+    * forever (the vanished dst dir is skipped by listings). Heals
+    * each level before descending, so a just-restored directory's
+    * own interior is scanned too. */
   def healAll(fs: FileSystem, root: Path): Unit =
     if (fs.exists(root)) {
       fs.listStatus(root).foreach { st =>
@@ -43,6 +48,11 @@ object SwapDir {
           val dst = new Path(root, name.stripPrefix(".").stripSuffix(".swapold"))
           heal(fs, dst)
         }
+      }
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith(".") && !name.startsWith("_"))
+          healAll(fs, st.getPath)
       }
     }
 

@@ -174,6 +174,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("adaptive CC: mixed int/long id columns widen to long — ids past Int range survive both paths") {
+    val sp = spark; import sp.implicits._
+    val big = Int.MaxValue.toLong + 5L
+    val edges = Seq((1, big), (2, 2L)).toDF("u", "v") // IntegerType u, LongType v
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      assert(df.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType), "output must widen to the long side")
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val expected = Map(1L -> 1L, big -> 1L, 2L -> 2L)
+    assert(canon(ConnectedComponents.runAdaptive(edges, "u", "v")) === expected)
+    assert(canon(ConnectedComponents.runAdaptive(edges, "u", "v",
+      driverMaxEdges = 0L)) === expected)
+  }
+
+  test("adaptive CC: driver-edge bound is conf-tunable; above it the plan is distributed, not a collected LocalRelation") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    def isLocal(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    // default bound: tiny graph is solved driver-side → LocalRelation
+    assert(isLocal(ConnectedComponents.runAdaptive(edges, "doc_a", "doc_b")))
+    // conf forces the distributed path with NO code change at the call site
+    sp.conf.set(ConnectedComponents.DriverMaxEdgesConf, "0")
+    try {
+      val dist = ConnectedComponents.runAdaptive(edges, "doc_a", "doc_b")
+      assert(!isLocal(dist), "conf bound 0 must dispatch to the distributed solver")
+      assert(dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally sp.conf.unset(ConnectedComponents.DriverMaxEdgesConf)
+  }
+
   test("star-contraction CC equals min-label CC; handles chains past min-label's round budget") {
     val sp = spark; import sp.implicits._
     // same fixture as the min-label test, plus a self-loop-only node

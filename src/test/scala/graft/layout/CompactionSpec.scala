@@ -35,6 +35,27 @@ class CompactionSpec extends SparkSpec {
     assert(n >= 2 && n <= 8, s"expected ~4-5 files, got $n")
   }
 
+  test("compactPartitions heals a crashed swap at depth 2 of a nested partition layout") {
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compacth").toString + "/t"
+    (1 to 400).map(i => (i.toLong, s"a${i % 2}", s"x${i % 3}", i * 1.0))
+      .toDF("id", "k1", "k2", "v")
+      .repartition(8).write.partitionBy("k1", "k2").parquet(root)
+    val total = sp.read.parquet(root).count()
+
+    // simulate a swap that died between its two renames: the partition
+    // dir was moved aside and the replacement never landed
+    val part = java.nio.file.Paths.get(root, "k1=a0", "k2=x1")
+    val aside = java.nio.file.Paths.get(root, "k1=a0", ".k2=x1.swapold")
+    java.nio.file.Files.move(part, aside)
+    assert(sp.read.parquet(root).count() < total, "fixture: partition must be invisible")
+
+    Compaction.compactPartitions(sp, root, targetBytes = 512L << 20)
+    assert(sp.read.parquet(root).count() === total,
+      "depth-2 crashed swap was not healed by compactPartitions")
+    assert(!java.nio.file.Files.exists(aside))
+  }
+
   test("compactPartitions compacts each leaf independently and keeps the table readable") {
     val sp = spark; import sp.implicits._
     val root = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
