@@ -25,21 +25,16 @@ object Ivf {
     def nlist: Int = centroids.length
   }
 
-  /** argmin-cell assignment column for a vector column, given
-    * broadcast centroid literals: one SquaredL2Distance kernel call
-    * per centroid, folded into a least() chain. */
-  private def cellCol(vec: org.apache.spark.sql.Column, m: Model): org.apache.spark.sql.Column = {
-    val dists = m.centroids.map { case (cid, ctr) =>
-      struct(l2DistanceTo(vec, ctr).as("d"), lit(cid).as("cid"))
-    }
-    // array_min on structs orders by first field => nearest centroid
-    array_min(array(dists.toIndexedSeq: _*)).getField("cid")
-  }
-
-  private def l2DistanceTo(vec: org.apache.spark.sql.Column, ctr: Array[Double]) = {
-    val carr = array(ctr.map(lit).toIndexedSeq: _*)
-    graft.functions.VectorFunctions.l2Distance(vec, carr)
-  }
+  /** argmin-cell assignment column for a vector column: one codegen
+    * ArgminCell kernel carrying the centroids as a flattened double[]
+    * reference object. Replaces the former
+    * `array_min(array(struct(l2, cid), ...))` literal forest, whose
+    * generated code grew with nlist x dim and fell out of codegen at
+    * production nlist (see IvfKernels.scala for the bit-for-bit
+    * equivalence argument; IvfKernelSpec proves it at nlist=256). */
+  private[ann] def cellCol(vec: org.apache.spark.sql.Column, m: Model): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ArgminCell(org.apache.spark.sql.graft.ColumnBridge.expression(vec), m.centroids))
 
   /** Train by Lloyd's algorithm on a bounded deterministic sample.
     *
@@ -81,14 +76,11 @@ object Ivf {
       queryVecCol: String,
       model: Model,
       nprobe: Int): DataFrame = {
-    val cellDists = model.centroids.map { case (cid, ctr) =>
-      struct(l2DistanceTo(col(queryVecCol), ctr).as("d"), lit(cid).as("cid"))
-    }
-    queries
-      .withColumn("__probe",
-        explode(slice(array_sort(array(cellDists.toIndexedSeq: _*)), 1, nprobe)))
-      .withColumn("cell", col("__probe.cid"))
-      .drop("__probe")
+    val nearest = org.apache.spark.sql.graft.ColumnBridge.column(
+      NearestCells(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(queryVecCol)),
+        model.centroids, nprobe))
+    queries.withColumn("cell", explode(nearest))
   }
 
   /** Top-k by cosine probing the nprobe nearest cells per query. */
