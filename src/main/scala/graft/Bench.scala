@@ -40,7 +40,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r3(ok.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout of this run is captured via log tail and has been truncated
+    // two rounds running — also land the record in a file the driver
+    // (and a human) can always read whole
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"bench record write failed: $e") }
     spark.stop()
   }
 }

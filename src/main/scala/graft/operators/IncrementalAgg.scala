@@ -39,6 +39,19 @@ object IncrementalAgg {
   /** One mergeable measure over a source column. */
   final case class Measure(name: String, source: Column)
 
+  /** What `heal`/the implicit entry recovery actually did — the fold
+    * is additive, so the caller MUST be able to tell "your crashed
+    * delta is now fully applied, do NOT retry it" apart from "the
+    * store was never touched, retry the delta". */
+  sealed trait HealOutcome
+  /** Nothing pending: the store was never touched by the crashed fold
+    * (or there was no crash). A delta retry folds cleanly. */
+  case object Clean extends HealOutcome
+  /** A crashed mid-publish fold was COMPLETED: its delta is now fully
+    * applied. `batchId` is the id the crashed fold recorded (None if
+    * it supplied none) — retrying that same batch would double-count. */
+  final case class CompletedPublish(batchId: Option[String]) extends HealOutcome
+
   /** Fold `delta` into per-key partial-aggregate rows (one pass,
     * partial+final inside the job). */
   def partials(delta: DataFrame, keys: Seq[String], measures: Seq[Measure]): DataFrame = {
@@ -97,6 +110,21 @@ object IncrementalAgg {
     * the store was never touched — staging is discarded and the
     * caller's delta retry re-folds cleanly. Session config is never
     * mutated (no partitionOverwriteMode games).
+    *
+    * Retry protocol: pass a stable `batchId` per delta. It is recorded
+    * in the pending marker, so when entry recovery completes a crashed
+    * publish OF THE SAME batch, the fold is skipped (returns
+    * `CompletedPublish`) instead of double-counting; `heal` reports
+    * the same outcome for external retry logic. Without a batchId the
+    * caller must consult `heal()`'s outcome before retrying a delta.
+    *
+    * SINGLE WRITER ONLY. Concurrent folds into one store are not
+    * coordinated — entry recovery would discard or half-adopt the
+    * other writer's live staging. A lease file (`.merging.lock`)
+    * makes the second writer FAIL FAST instead of corrupting state;
+    * a crashed writer's lease expires after
+    * `spark.graft.mv.lockLeaseMs` (default 1h — raise it if a single
+    * fold can legitimately run longer).
     */
   def mergeIntoStore(
       spark: SparkSession,
@@ -104,7 +132,8 @@ object IncrementalAgg {
       delta: DataFrame,
       keys: Seq[String],
       measures: Seq[Measure],
-      partitionKey: String): Unit = {
+      partitionKey: String,
+      batchId: Option[String] = None): HealOutcome = {
     require(keys.contains(partitionKey), s"$partitionKey must be a grouping key")
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,7 +141,18 @@ object IncrementalAgg {
       root.getParent, "." + root.getName + ".merging")
     val marker = new org.apache.hadoop.fs.Path(
       root.getParent, "." + root.getName + ".merging.pending")
-    completePendingPublish(fs, staging, marker, root)
+    val leaseMs = spark.conf.getOption("spark.graft.mv.lockLeaseMs")
+      .map(_.toLong).getOrElse(3600L * 1000)
+    val lock = acquireLock(fs, root, leaseMs)
+    try {
+      val recovered = completePendingPublish(fs, staging, marker, root)
+      recovered match {
+        case CompletedPublish(Some(bid)) if batchId.contains(bid) =>
+          // this exact delta was already fully applied by the crashed
+          // fold — re-folding it would double-count
+          return recovered
+        case _ => ()
+      }
 
     val deltaPartials = partials(delta, keys, measures)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -129,7 +169,7 @@ object IncrementalAgg {
           .partitionBy(partitionKey).parquet(staging.toString)
         if (!fs.rename(staging, root))
           throw new java.io.IOException(s"failed to publish bootstrap $staging to $root")
-        return
+        return recovered
       }
       // touched partitions only: collect is bounded by the number of
       // MV partitions in ONE delta (e.g. days in a daily batch)
@@ -143,31 +183,91 @@ object IncrementalAgg {
       val inTouched = col(partitionKey).isin(touchedNonNull.toIndexedSeq: _*)
       val touchFilter =
         if (touched.contains(null)) inTouched || col(partitionKey).isNull else inTouched
-      SwapDir.healAll(fs, root)
+      // the store is a single-level partitionBy layout: depth 1 = one
+      // listing per fold, not one per partition
+      SwapDir.healAll(fs, root, maxDepth = 1)
       val state = spark.read.parquet(storePath).filter(touchFilter)
       val merged = merge(state, deltaPartials, keys)
       if (fs.exists(staging)) fs.delete(staging, true)
       merged.write.mode("overwrite")
         .partitionBy(partitionKey).parquet(staging.toString)
-      fs.create(marker, true).close()
+      writeMarker(fs, marker, batchId)
       swapStagedPartitions(fs, staging, root)
       fs.delete(marker, false)
       fs.delete(staging, true)
+      recovered
     } finally deltaPartials.unpersist()
+    } finally releaseLock(fs, lock)
   }
+
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path,
+      batchId: Option[String]): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(batchId.getOrElse("").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMarkerBatchId(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Option[String] = {
+    val in = fs.open(marker)
+    try {
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      val s = new String(bytes, "UTF-8")
+      if (s.isEmpty) None else Some(s)
+    } finally in.close()
+  }
+
+  /** Acquire the single-writer lease, failing fast on a live one. A
+    * lease left by a crashed writer expires after `leaseMs` (its
+    * content is the acquisition epoch-millis) and is stolen. */
+  private def acquireLock(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      leaseMs: Long): org.apache.hadoop.fs.Path = {
+    val lock = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".merging.lock")
+    if (fs.exists(lock)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      if (age < leaseMs)
+        throw new java.io.IOException(
+          s"another fold holds $lock (age ${age}ms < lease ${leaseMs}ms); " +
+            "mergeIntoStore is single-writer — serialize folds, or raise " +
+            "spark.graft.mv.lockLeaseMs if a crashed writer left this lease")
+      fs.delete(lock, false) // expired: the writer is dead
+    }
+    // not atomic on stores without create-exclusive semantics; the
+    // lease is a fail-fast guard for the documented single-writer
+    // contract, not a distributed mutex
+    val out = fs.create(lock, false)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+    lock
+  }
+
+  private def releaseLock(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Unit =
+    try fs.delete(lock, false)
+    catch { case _: java.io.IOException => () }
 
   /** Repair a store whose last fold crashed mid-publish (also runs
     * implicitly at the start of every `mergeIntoStore`). Safe to call
-    * any time — a clean store is a no-op. */
-  def heal(spark: SparkSession, storePath: String): Unit = {
+    * any time — a clean store is a no-op returning `Clean`. Returns
+    * `CompletedPublish` when a crashed fold's publish was finished
+    * here: that fold's delta IS applied and must not be retried. */
+  def heal(spark: SparkSession, storePath: String): HealOutcome = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(
       root.getParent, "." + root.getName + ".merging")
     val marker = new org.apache.hadoop.fs.Path(
       root.getParent, "." + root.getName + ".merging.pending")
-    completePendingPublish(fs, staging, marker, root)
-    if (fs.exists(root)) SwapDir.healAll(fs, root)
+    val outcome = completePendingPublish(fs, staging, marker, root)
+    if (fs.exists(root)) SwapDir.healAll(fs, root, maxDepth = 1)
+    outcome
   }
 
   /** Swap every staged `k=v` partition dir into the store root. Names
@@ -186,18 +286,23 @@ object IncrementalAgg {
   /** Finish (or discard) the publish a previous crashed fold left
     * behind. Marker present → the fold was mid-publish: swap the
     * remaining staged partitions (already-swapped ones are gone from
-    * staging). No marker → the store was never touched: drop the
-    * stale staging so the caller's delta retry folds cleanly. */
+    * staging) and report `CompletedPublish` with the batch id the
+    * marker recorded. No marker → the store was never touched: drop
+    * the stale staging and report `Clean` — the caller's delta retry
+    * folds cleanly. */
   private def completePendingPublish(
       fs: org.apache.hadoop.fs.FileSystem,
       staging: org.apache.hadoop.fs.Path,
       marker: org.apache.hadoop.fs.Path,
-      root: org.apache.hadoop.fs.Path): Unit =
+      root: org.apache.hadoop.fs.Path): HealOutcome =
     if (fs.exists(marker)) {
+      val bid = readMarkerBatchId(fs, marker)
       if (fs.exists(staging)) swapStagedPartitions(fs, staging, root)
       fs.delete(marker, false)
       if (fs.exists(staging)) fs.delete(staging, true)
-    } else if (fs.exists(staging)) {
-      fs.delete(staging, true)
+      CompletedPublish(bid)
+    } else {
+      if (fs.exists(staging)) fs.delete(staging, true)
+      Clean
     }
 }

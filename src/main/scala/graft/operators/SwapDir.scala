@@ -37,22 +37,41 @@ object SwapDir {
     * store's table root before a read), recursively: a multi-level
     * partition layout (k1=a/k2=b) can crash a swap at any depth, and
     * a `.k2=b.swapold` two levels down would otherwise stay hidden
-    * forever (the vanished dst dir is skipped by listings). Heals
-    * each level before descending, so a just-restored directory's
-    * own interior is scanned too. */
-  def healAll(fs: FileSystem, root: Path): Unit =
-    if (fs.exists(root)) {
-      fs.listStatus(root).foreach { st =>
+    * forever (the vanished dst dir is skipped by listings).
+    *
+    * ONE listStatus per directory (metadata ops are the cost on object
+    * stores): both the heal pass and the recursion are driven from the
+    * same listing; a just-restored directory is descended into
+    * explicitly. When the aside AND its dst both exist the swap had
+    * already completed — the aside is a stale leftover and is deleted
+    * (the same rule swap() applies at entry), so a later legitimate
+    * delete of dst can never resurrect stale data from it.
+    *
+    * `maxDepth` caps the recursion for callers that KNOW their layout
+    * (a single-level `partitionBy(k)` store needs depth 1 — one
+    * listing per heal instead of one per partition). */
+  def healAll(fs: FileSystem, root: Path, maxDepth: Int = Int.MaxValue): Unit =
+    if (maxDepth >= 1 && fs.exists(root)) {
+      val entries = fs.listStatus(root)
+      val liveNames = entries.map(_.getPath.getName).toSet
+      entries.foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory && name.startsWith(".") && name.endsWith(".swapold")) {
-          val dst = new Path(root, name.stripPrefix(".").stripSuffix(".swapold"))
-          heal(fs, dst)
+          val dstName = name.stripPrefix(".").stripSuffix(".swapold")
+          if (liveNames.contains(dstName)) {
+            fs.delete(st.getPath, true) // completed swap's leftover
+          } else {
+            val dst = new Path(root, dstName)
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(s"failed to restore ${st.getPath} to $dst")
+            healAll(fs, dst, maxDepth - 1) // scan the restored interior
+          }
         }
       }
-      fs.listStatus(root).foreach { st =>
+      entries.foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory && !name.startsWith(".") && !name.startsWith("_"))
-          healAll(fs, st.getPath)
+          healAll(fs, st.getPath, maxDepth - 1)
       }
     }
 

@@ -133,6 +133,91 @@ class IncrementalAggSpec extends SparkSpec {
     assert(n2 === 2 * n1)
   }
 
+  test("heal reports CompletedPublish with the crashed fold's batch id; Clean otherwise") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("incmv-outcome")
+    val dir = base.toString + "/mv"
+    val dHi = events.agg(max("event_day")).collect()(0).getLong(0)
+    IncrementalAgg.mergeIntoStore(sp, dir,
+      events.filter(col("event_day") < dHi).drop("event_id"), keys, measures, "event_day")
+    assert(IncrementalAgg.heal(sp, dir) === IncrementalAgg.Clean)
+
+    // crash window: staged output + marker recording the batch id
+    IncrementalAgg.partials(
+        events.filter(col("event_day") === dHi).drop("event_id"), keys, measures)
+      .write.partitionBy("event_day").parquet(base.toString + "/.mv.merging")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base.toString, ".mv.merging.pending"), "batch-42".getBytes)
+
+    assert(IncrementalAgg.heal(sp, dir) ===
+      IncrementalAgg.CompletedPublish(Some("batch-42")))
+    assert(IncrementalAgg.heal(sp, dir) === IncrementalAgg.Clean,
+      "second heal must see a clean store")
+  }
+
+  test("retrying the batch a crashed publish already applied is suppressed, not double-counted") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("incmv-retry")
+    val dir = base.toString + "/mv"
+    val dHi = events.agg(max("event_day")).collect()(0).getLong(0)
+    val delta = events.filter(col("event_day") === dHi).drop("event_id")
+    IncrementalAgg.mergeIntoStore(sp, dir,
+      events.filter(col("event_day") < dHi).drop("event_id"), keys, measures,
+      "event_day", batchId = Some("b1"))
+
+    // fold of batch b2 crashes mid-publish (staged + marker, no swap)
+    IncrementalAgg.partials(delta, keys, measures)
+      .write.partitionBy("event_day").parquet(base.toString + "/.mv.merging")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base.toString, ".mv.merging.pending"), "b2".getBytes)
+
+    // ingestion retries b2: entry recovery completes the crashed
+    // publish and the re-fold is SKIPPED
+    val outcome = IncrementalAgg.mergeIntoStore(
+      sp, dir, delta, keys, measures, "event_day", batchId = Some("b2"))
+    assert(outcome === IncrementalAgg.CompletedPublish(Some("b2")))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_day"), col("event_type"), col("cnt_value"),
+      round(col("sum_value"), 6).as("sum_value"),
+      col("min_value"), col("max_value"))
+    val full = canon(IncrementalAgg.partials(events.drop("event_id"), keys, measures))
+    val stored = canon(sp.read.parquet(dir))
+    assert(full.exceptAll(stored).isEmpty && stored.exceptAll(full).isEmpty,
+      "retried batch was double-counted")
+
+    // a DIFFERENT batch folds normally afterwards
+    assert(IncrementalAgg.mergeIntoStore(
+      sp, dir, delta, keys, measures, "event_day", batchId = Some("b3")) ===
+      IncrementalAgg.Clean)
+    assert(canon(sp.read.parquet(dir)).exceptAll(full).count() > 0,
+      "b3 should have changed the state")
+  }
+
+  test("a live writer lease makes a second fold fail fast; an expired lease is stolen") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("incmv-lock")
+    val dir = base.toString + "/mv"
+    val delta = events.drop("event_id")
+    val lock = java.nio.file.Paths.get(base.toString, ".mv.merging.lock")
+
+    java.nio.file.Files.write(lock, "123".getBytes) // fresh: live writer
+    val err = intercept[java.io.IOException](
+      IncrementalAgg.mergeIntoStore(sp, dir, delta, keys, measures, "event_day"))
+    assert(err.getMessage.contains("single-writer"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "fold must not have run under a held lease")
+
+    // age the lease past the (lowered) lease window: stolen, fold runs
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    sp.conf.set("spark.graft.mv.lockLeaseMs", "1000")
+    try IncrementalAgg.mergeIntoStore(sp, dir, delta, keys, measures, "event_day")
+    finally sp.conf.unset("spark.graft.mv.lockLeaseMs")
+    assert(sp.read.parquet(dir).count() > 0)
+    assert(!java.nio.file.Files.exists(lock), "lease must be released after the fold")
+  }
+
   test("merge rejects frames that break the column convention") {
     val sp = spark; import sp.implicits._
     val bad = Seq((1L, "a", 2.0)).toDF("event_day", "event_type", "weird_value")
