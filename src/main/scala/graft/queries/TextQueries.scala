@@ -371,6 +371,51 @@ object TextQueries extends QueryDsl {
         .orderBy($"member")
     },
 
+    // Contract twin for q69b: rows = the exact >0.35 cosine pair set
+    // (the same DuckDB-expressible frame as q65b), and `cluster_ok`
+    // re-derives the clustering guarantee per row through two routes
+    // independent of the production q69b path:
+    //   (1) edge containment — a pair the LSH graph found MUST land in
+    //       one component (a dropped edge / label bug fails its row);
+    //   (2) implementation cross-check — union-find (runAdaptive) and
+    //       star contraction (runStar) must assign both endpoints the
+    //       SAME canonical root (both canonicalize to the component
+    //       minimum); an over- or under-merge cannot hide unless two
+    //       different algorithms make it identically.
+    // Endpoints outside the edge graph are their own singleton root.
+    q("q69c_embedding_clusters_contract",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(cast(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS double), 4) AS cos,
+        |  true AS cluster_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val exact = cosinePairs(emb, 0.35)
+        .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
+      val pairs = Ann.lshNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+        .select($"vec_a".as("va"), $"vec_b".as("vb"))
+        .localCheckpoint() // 3 consumers below; don't re-run the LSH plan
+      val found = pairs.select($"va".as("vec_a"), $"vb".as("vec_b"), lit(true).as("found"))
+      val ccA = graft.dedup.ConnectedComponents.runAdaptive(pairs, "va", "vb")
+      val ccS = graft.dedup.ConnectedComponents.runStar(pairs, "va", "vb")
+      def roots(cc: org.apache.spark.sql.DataFrame, side: String, as: String) =
+        cc.select($"member".as(side), $"cluster_root".as(as))
+      exact
+        .join(found, Seq("vec_a", "vec_b"), "left")
+        .join(roots(ccA, "vec_a", "ra_a"), Seq("vec_a"), "left")
+        .join(roots(ccA, "vec_b", "ra_b"), Seq("vec_b"), "left")
+        .join(roots(ccS, "vec_a", "rs_a"), Seq("vec_a"), "left")
+        .join(roots(ccS, "vec_b", "rs_b"), Seq("vec_b"), "left")
+        .select($"vec_a", $"vec_b", $"cos",
+          ((!coalesce($"found", lit(false)) ||
+              coalesce($"ra_a", $"vec_a") === coalesce($"ra_b", $"vec_b")) &&
+            coalesce($"ra_a", $"vec_a") === coalesce($"rs_a", $"vec_a") &&
+            coalesce($"ra_b", $"vec_b") === coalesce($"rs_b", $"vec_b")).as("cluster_ok"))
+    },
+
     // ---- similarity search ---------------------------------------------
     q("q70_ann_bruteforce", annTop5Oracle) { c =>
       import c.t
