@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample dataflows.
   *
-  * The container has no codec libraries, so the *decode kernel* is an
-  * injected interface with a clearly-marked stub (`RealDecoder` =>
-  * `???`) and a deterministic fake used by tests and demos. Everything
+  * The decode kernel is an injected interface: `RealDecoder` decodes
+  * the formats the JDK ships codecs for (PNG/BMP/GIF/JPEG via
+  * javax.imageio, WAV/AU/AIFF via javax.sound.sampled) and fails loud
+  * on the rest (video needs external codecs this container lacks);
+  * `FakeDecoder` is the deterministic byte-derived fake for pipeline
+  * tests that must not depend on pixel semantics. Everything
   * Spark-side is real and tested: the schema, the mapPartitions batch
   * shape (one decoder instance per partition, streamed rows, no
   * collect), partition sizing for ~MB-scale blobs, and the downstream
@@ -56,11 +59,86 @@ object MediaOps {
     def features(mediaId: Long, kind: String, bytes: Array[Byte]): MediaFeatures
   }
 
-  /** Placeholder for the real codec-backed decoder. Intentionally
-    * unimplemented in this container (no image/audio libs). */
-  final class RealDecoder extends Decoder {
-    def features(mediaId: Long, kind: String, bytes: Array[Byte]): MediaFeatures =
-      ??? // requires codec libraries; see FakeDecoder for the contract
+  /** Codec-backed decoder for the formats the JDK itself ships codecs
+    * for — no external libraries:
+    *   - image: PNG/BMP/GIF/JPEG via `javax.imageio` — embedding is a
+    *     `dim`-bucket luminance histogram over the decoded pixels,
+    *     L1-normalized (deterministic in the pixel data, invariant to
+    *     how the bytes were container-encoded);
+    *   - audio: WAV/AU/AIFF via `javax.sound.sampled` — embedding is a
+    *     `dim`-bucket histogram of normalized PCM amplitude;
+    *   - video: no JDK codec exists — fails loud (a silently zeroed
+    *     embedding would look plausible downstream).
+    * Undecodable/corrupt bytes also fail loud, same rationale. One
+    * instance per partition (the `decode` mapPartitions contract);
+    * codec state is transient and per-call. */
+  final class RealDecoder(dim: Int = 16) extends Decoder {
+    @transient private lazy val md5 =
+      java.security.MessageDigest.getInstance("MD5")
+
+    def features(mediaId: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
+      val hex = md5.digest(bytes).map(b => f"$b%02x").mkString
+      val emb = kind match {
+        case "image" => imageHistogram(mediaId, bytes)
+        case "audio" => audioHistogram(mediaId, bytes)
+        case other => throw new UnsupportedOperationException(
+          s"media $mediaId: no JDK codec for kind '$other' (video needs an external decoder)")
+      }
+      MediaFeatures(mediaId, kind, bytes.length.toLong, hex, emb)
+    }
+
+    private def imageHistogram(mediaId: Long, bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"media $mediaId: bytes are not a JDK-decodable image (png/bmp/gif/jpeg)")
+      val hist = new Array[Float](dim)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          val b = math.min((lum * dim / 256.0).toInt, dim - 1)
+          hist(b) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      l1Normalize(hist, (w.toLong * h).toFloat)
+    }
+
+    private def audioHistogram(mediaId: Long, bytes: Array[Byte]): Array[Float] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+          throw new IllegalArgumentException(
+            s"media $mediaId: only 16-bit little-endian PCM supported, got $fmt")
+        val raw = in.readAllBytes()
+        val hist = new Array[Float](dim)
+        val n = raw.length / 2
+        var i = 0
+        while (i < n) {
+          val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort
+          // normalize [-32768, 32767] -> [0, dim)
+          val b = math.min(((s.toInt + 32768) * dim / 65536), dim - 1)
+          hist(b) += 1f
+          i += 1
+        }
+        l1Normalize(hist, n.toFloat)
+      } finally in.close()
+    }
+
+    private def l1Normalize(hist: Array[Float], n: Float): Array[Float] = {
+      require(n > 0, "empty media payload")
+      var i = 0
+      while (i < hist.length) { hist(i) /= n; i += 1 }
+      hist
+    }
   }
 
   /** Deterministic fake: features derived purely from the bytes, so

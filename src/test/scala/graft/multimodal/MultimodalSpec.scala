@@ -62,9 +62,74 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("RealDecoder is an explicit stub (documents the codec boundary)") {
-    intercept[NotImplementedError] {
-      new MediaOps.RealDecoder().features(1L, "image", Array[Byte](1, 2))
+  /** A 6x4 image, top half black, bottom half white, encoded by the
+    * JDK's own writer for `format` (png/bmp). */
+  private def tinyImage(format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, if (y < 2) 0x000000 else 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"JDK cannot write $format")
+    out.toByteArray
+  }
+
+  /** 16-bit LE mono PCM WAV: n samples alternating min/max amplitude. */
+  private def tinyWav(n: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s: Short = if (i % 2 == 0) Short.MinValue else Short.MaxValue
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("RealDecoder decodes PNG/BMP through the mapPartitions path; embedding is pixel-derived") {
+    val sp = spark; import sp.implicits._
+    val png = tinyImage("png")
+    val bmp = tinyImage("bmp")
+    val df = Seq((1L, "image", png), (2L, "image", bmp))
+      .toDF("media_id", "kind", "bytes")
+    val feats = MediaOps.decode(df, new MediaOps.RealDecoder(16))
+      .collect().sortBy(_.media_id)
+
+    // content hash is the real md5 of the container bytes
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    assert(feats(0).content_hash === md5.digest(png).map(b => f"$b%02x").mkString)
+
+    // half the pixels are black (bucket 0), half white (bucket 15)
+    feats.foreach { f =>
+      assert(math.abs(f.embedding.sum - 1f) < 1e-6)
+      assert(math.abs(f.embedding(0) - 0.5f) < 1e-6, f.embedding.mkString(","))
+      assert(math.abs(f.embedding(15) - 0.5f) < 1e-6)
+    }
+    // same pixels, different container: same embedding, different hash
+    assert(feats(0).embedding.sameElements(feats(1).embedding))
+    assert(feats(0).content_hash !== feats(1).content_hash)
+  }
+
+  test("RealDecoder decodes WAV; amplitude histogram is normalized and split across extremes") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((3L, "audio", tinyWav(64))).toDF("media_id", "kind", "bytes")
+    val f = MediaOps.decode(df, new MediaOps.RealDecoder(16)).collect().head
+    assert(math.abs(f.embedding.sum - 1f) < 1e-6)
+    assert(math.abs(f.embedding(0) - 0.5f) < 1e-6)   // Short.MinValue bucket
+    assert(math.abs(f.embedding(15) - 0.5f) < 1e-6)  // Short.MaxValue bucket
+  }
+
+  test("RealDecoder fails loud on video and on undecodable image bytes") {
+    val dec = new MediaOps.RealDecoder(16)
+    intercept[UnsupportedOperationException] {
+      dec.features(4L, "video", Array[Byte](1, 2, 3))
+    }
+    intercept[IllegalArgumentException] {
+      dec.features(5L, "image", Array[Byte](1, 2, 3))
     }
   }
 }
