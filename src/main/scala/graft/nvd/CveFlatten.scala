@@ -46,6 +46,16 @@ object CveFlatten {
     }
   }
 
+  /** Conf flag: when true, `flattenItems` appends `cve_item_v`, the
+    * document sidecar as a native Spark 4 VARIANT (`parse_json` of the
+    * same re-serialized item the string sidecar carries). Variant
+    * keeps the document queryable with `variant_get` path extraction —
+    * typed, shreddable in parquet, no per-query JSON re-parse — while
+    * the string `cve_item` stays the exchange form the reference's
+    * nvd_json table defines. Default off: a second encoded copy of
+    * every document is a storage decision the operator should make. */
+  val VariantSidecarConf = "spark.graft.nvd.variantSidecar"
+
   /** items: a DataFrame with one column `item` of NvdSchema.cveItem
     * (i.e. after `explode(CVE_Items)`), plus any passthrough columns
     * (e.g. feed_rank). Returns the flattened 15-column frame with
@@ -54,6 +64,10 @@ object CveFlatten {
   def flattenItems(items: DataFrame, strictReferenceSemantics: Boolean = true): DataFrame = {
     val it = col("item")
     val passthrough = items.columns.filter(_ != "item").map(col).toSeq
+    val variantSidecar =
+      if (items.sparkSession.conf.get(VariantSidecarConf, "false").toBoolean)
+        Seq(parse_json(to_json(it)).as("cve_item_v"))
+      else Seq.empty
     items.select(passthrough ++ Seq(
       it.getField("cve").getField("CVE_data_meta").getField("ID").as("cve_id"),
       // descriptions concatenated with NO separator (reference :220-221)
@@ -108,7 +122,7 @@ object CveFlatten {
       // asserted field-for-field in NvdPipelineSpec. (Key order and
       // whitespace still differ from Python json.dumps; compare
       // parsed, not byte-wise — SURVEY F3.)
-      to_json(it).as("cve_item")): _*)
+      to_json(it).as("cve_item")) ++ variantSidecar: _*)
   }
 
   private def cvss(item: Column, field: String): Column =

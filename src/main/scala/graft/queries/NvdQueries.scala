@@ -46,5 +46,45 @@ object NvdQueries extends QueryDsl {
       parsed.select(CvssV3.severityOf(score).as("severity"), score.as("s"))
         .groupBy($"severity")
         .agg(count(lit(1)).as("n"), round(avg($"s"), 4).as("avg_score"))
+    },
+
+    // VARIANT path extraction (SURVEY §1.2): the same NVD-shaped JSON,
+    // but queried through Spark 4's native VariantType — parse_json
+    // once, then typed variant_get path extraction (no per-access
+    // re-parse, shreddable at rest) exactly as the cve_item_v sidecar
+    // is meant to be used. Exact aggregates only (count/min/max — the
+    // gate compares stringified values). The oracle re-derives the
+    // same paths with DuckDB's JSON extraction.
+    q("q100_variant_extract",
+      """SELECT json_extract_string(doc, '$.cve.CVE_data_meta.ASSIGNER') AS assigner,
+        |  count(*) AS n,
+        |  min(json_extract(doc, '$.impact.baseMetricV3.cvssV3.baseScore')::DOUBLE) AS min_score,
+        |  max(json_extract(doc, '$.impact.baseMetricV3.cvssV3.baseScore')::DOUBLE) AS max_score,
+        |  max(json_extract_string(doc, '$.cve.CVE_data_meta.ID')) AS max_id
+        |FROM (
+        |  SELECT '{"cve":{"CVE_data_meta":{"ID":"CVE-2021-' || o_orderkey ||
+        |    '","ASSIGNER":"org-' || (o_orderkey % 7) ||
+        |    '"}},"impact":{"baseMetricV3":{"cvssV3":{"baseScore":' ||
+        |    ((o_orderkey % 101) / 10.0) || '}}}}' AS doc
+        |  FROM orders WHERE o_orderkey <= 20000)
+        |GROUP BY 1""".stripMargin) { c =>
+      import c.t
+      val doc = concat(
+        lit("""{"cve":{"CVE_data_meta":{"ID":"CVE-2021-"""),
+        $"o_orderkey".cast("string"),
+        lit("""","ASSIGNER":"org-"""),
+        ($"o_orderkey" % 7).cast("string"),
+        lit(""""}},"impact":{"baseMetricV3":{"cvssV3":{"baseScore":"""),
+        (($"o_orderkey" % 101) / lit(10.0)).cast("string"),
+        lit("""}}}}"""))
+      val v = t("orders").filter($"o_orderkey" <= 20000)
+        .select(parse_json(doc).as("v"))
+      v.select(
+          variant_get($"v", "$.cve.CVE_data_meta.ASSIGNER", "string").as("assigner"),
+          variant_get($"v", "$.impact.baseMetricV3.cvssV3.baseScore", "double").as("s"),
+          variant_get($"v", "$.cve.CVE_data_meta.ID", "string").as("id"))
+        .groupBy($"assigner")
+        .agg(count(lit(1)).as("n"), min($"s").as("min_score"),
+          max($"s").as("max_score"), max($"id").as("max_id"))
     })
 }

@@ -126,6 +126,36 @@ class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.getAs[Seq[String]]("cwes") === Seq.empty)
   }
 
+  test("variant sidecar (flag-gated): native VARIANT column, path-extractable, parquet-stable") {
+    val feed = Seq(fixtures.resolve("2021.json").toUri.toString)
+    // default off: no second copy of the document unless asked for
+    assert(!CveFlatten.flattenFeed(spark, feed).columns.contains("cve_item_v"))
+
+    spark.conf.set(CveFlatten.VariantSidecarConf, "true")
+    try {
+      val flat = CveFlatten.flattenFeed(spark, feed)
+      assert(flat.schema("cve_item_v").dataType ===
+        org.apache.spark.sql.types.VariantType)
+      // variant path extraction agrees with the flattened columns
+      val checked = flat.select(
+        col("cve_id"),
+        variant_get(col("cve_item_v"), "$.cve.CVE_data_meta.ID", "string").as("vid"),
+        variant_get(col("cve_item_v"), "$.impact.baseMetricV3.cvssV3.baseScore", "double").as("vs3"),
+        col("score_v3"))
+      assert(checked.filter(col("cve_id") =!= col("vid")).count() === 0)
+      assert(checked.filter(coalesce(col("vs3"), lit(0.0)) =!= col("score_v3")).count() === 0)
+      // survives a parquet round trip (shredded storage path)
+      val dir = java.nio.file.Files.createTempDirectory("variant").toString
+      flat.write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      assert(back.schema("cve_item_v").dataType ===
+        org.apache.spark.sql.types.VariantType)
+      assert(back.filter(
+        variant_get(col("cve_item_v"), "$.cve.CVE_data_meta.ID", "string")
+          =!= col("cve_id")).count() === 0)
+    } finally spark.conf.unset(CveFlatten.VariantSidecarConf)
+  }
+
   test("last-write-wins dedup: later feed rank replaces earlier (reference REPLACE, :449-464)") {
     val f1 = flat2002.withColumn("feed_rank", lit(0))
     val f2 = CveFlatten.flattenFeed(spark, Seq(fixtures.resolve("modified.json").toUri.toString))
