@@ -828,6 +828,85 @@ object TextQueries extends QueryDsl {
         round(avg($"n_chars".cast("double")), 4).as("avg_chars"),
         min($"n_chars").as("min_chars"),
         max($"n_chars").as("max_chars"))
+    },
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): components
+    // over the exact >0.35 cosine pair graph, keep the smallest id per
+    // component. Output annotates EVERY vector with its keeper and a
+    // kept flag (filter kept for the deduplicated corpus; the full
+    // frame is the attrition report). Oracle re-derives components via
+    // the recursive-CTE reachability of q68/q69.
+    q("q101_semantic_dedup",
+      """WITH RECURSIVE prs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |), edges AS (
+        |  SELECT va AS u, vb AS v FROM prs UNION SELECT vb, va FROM prs
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |), comp AS (
+        |  SELECT u AS member, min(r) AS root FROM reach GROUP BY u
+        |)
+        |SELECT e.vec_id, coalesce(c.root, e.vec_id) AS keeper,
+        |  coalesce(c.root, e.vec_id) = e.vec_id AS kept
+        |FROM embeddings e LEFT JOIN comp c ON c.member = e.vec_id""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val pairs = cosinePairs(emb, 0.35)
+        .select($"vec_a".as("va"), $"vec_b".as("vb"))
+      graft.dedup.SemanticDedup.keepers(emb, "vec_id", pairs, "va", "vb")
+    },
+
+    // Domain-mix resampling (the training-mix step): downsample every
+    // language to the smallest language's size via a deterministic
+    // md5-gated uniform — no RNG state, so the oracle replicates the
+    // accept/reject decision bit for bit. One count aggregate broadcast
+    // back; the corpus is filtered in place, never shuffled.
+    q("q102_domain_mix",
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tgt AS (SELECT min(n) AS m FROM counts),
+        |rated AS (SELECT lang, (SELECT m FROM tgt) * 1.0 / n AS rate FROM counts),
+        |scored AS (
+        |  SELECT d.lang, d.doc_id,
+        |    ('0x' || substr(md5(cast(d.doc_id AS varchar) || ':mix'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents d)
+        |SELECT s.lang, count(*) AS n_kept, min(s.doc_id) AS first_doc
+        |FROM scored s JOIN rated r ON s.lang = r.lang
+        |WHERE s.u < r.rate GROUP BY s.lang""".stripMargin) { c =>
+      import c.t
+      graft.operators.DomainMix.balanceToSmallest(t("documents"), "lang", "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("first_doc"))
+    },
+
+    // Within-document repetition stats (the Gopher/MassiveText
+    // boilerplate signals): token count, distinct-token fraction, and
+    // most-frequent-token fraction per document. Two partial+final
+    // aggregations over exploded tokens — no window, no self-join.
+    q("q103_repetition_stats",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+        |)
+        |SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+        |  round(count(*) * 1.0 / sum(c), 6) AS distinct_frac,
+        |  round(max(c) * 1.0 / sum(c), 6) AS top_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin) { c =>
+      import c.t
+      val cnt = t("documents").filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      cnt.groupBy($"doc_id").agg(
+        sum($"c").as("n_tokens"),
+        round(count(lit(1)) * lit(1.0) / sum($"c"), 6).as("distinct_frac"),
+        round(max($"c") * lit(1.0) / sum($"c"), 6).as("top_frac"))
     })
 
   /** Brute-force top-5-by-cosine oracle, shared by q70 and the three
