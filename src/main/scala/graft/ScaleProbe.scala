@@ -33,7 +33,12 @@ object ScaleProbe {
         // round-4 additions: bloom-pruned semi-join, z-order cells,
         // incremental MV fold, weighted sampling
         "q49_bloom_semi_join", "q33_zorder_cells",
-        "q34_incremental_mv", "q85b_weighted_sample"))
+        "q34_incremental_mv", "q85b_weighted_sample",
+        // round-6 additions: domain-mix resampling and repetition
+        // stats (q101 semantic dedup stays off the default list — its
+        // oracle route is the exact all-pairs graph, which the planted
+        // replica families make output-quadratic, same as q61/q79)
+        "q102_domain_mix", "q103_repetition_stats"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
