@@ -54,6 +54,38 @@ object NGramJaccard {
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
 
+  /** Per-document shingle NOVELTY: the fraction of a document's
+    * distinct shingles that occur in no other document — a curation
+    * signal (near-1 = fresh content, near-0 = boilerplate / heavily
+    * templated). Same inverted index as `pairs`, but LINEAR: one
+    * df aggregate and one postings-to-df join, no pair explosion —
+    * this is the cheap query of the family at scale. */
+  /** (doc, shs) cached shingle-hash arrays, shared by the pair and
+    * novelty paths — see the cache rationale inside `intersections`. */
+  private def shingleFrame(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    graft.operators.Partitioning.spread(docs)
+      .select(col(idCol).as("doc"),
+        ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def noveltyStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val docShingles = shingleFrame(docs, idCol, textCol, shingleN)
+    val postings = docShingles.select(col("doc"), explode(col("shs")).as("sh"))
+    val df = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    postings.join(df, Seq("sh"))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc").as(idCol), col("n_shingles"), col("n_unique"),
+        round(col("n_unique") * lit(1.0) / col("n_shingles"), 6).as("novelty"))
+  }
+
   /** Shared core: (doc_a, doc_b, sz_a, sz_b, inter) for every pair
     * co-occurring under at least one (df-cut-surviving) shingle. */
   private def intersections(
@@ -81,10 +113,7 @@ object NGramJaccard {
     // the hash kernel runs up to 3x per row per side. Cached it runs
     // once per document; the cache holds (id, array<long>) — a few
     // percent of corpus size, spilling to disk if needed.
-    val docShingles = graft.operators.Partitioning.spread(docs)
-      .select(col(idCol).as("doc"),
-        ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docShingles = shingleFrame(docs, idCol, textCol, shingleN)
 
     val postings = docShingles
       .select(col("doc"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))

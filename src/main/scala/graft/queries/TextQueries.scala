@@ -907,6 +907,53 @@ object TextQueries extends QueryDsl {
         sum($"c").as("n_tokens"),
         round(count(lit(1)) * lit(1.0) / sum($"c"), 6).as("distinct_frac"),
         round(max($"c") * lit(1.0) / sum($"c"), 6).as("top_frac"))
+    },
+
+    // Shingle NOVELTY per document: fraction of a doc's distinct
+    // shingles occurring in no other doc (near-1 = fresh content,
+    // near-0 = boilerplate). Same inverted index as q61 but LINEAR —
+    // one df aggregate + one postings join, no pair explosion; the
+    // oracle reuses the shared shingle CTE so the semantics cannot
+    // drift from the kernel.
+    q("q104_shingle_novelty",
+      s"""WITH ${jaccardPairsCte(0.0)},
+        |dfreq AS (SELECT s, count(*) AS df FROM postings GROUP BY s)
+        |SELECT p.doc_id, count(*) AS n_shingles,
+        |  cast(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+        |FROM postings p JOIN dfreq d ON p.s = d.s
+        |GROUP BY p.doc_id""".stripMargin) { c =>
+      import c.t
+      graft.dedup.NGramJaccard.noveltyStats(t("documents"), "doc_id", "text", shingleN = 3)
+    },
+
+    // Hash-feature linear scorer (the fasttext-shaped model-scoring
+    // dataflow): each token maps to a fixed weight derived from
+    // md5(token) — a stand-in for a broadcast learned weight table —
+    // and the document score is the mean activation. Integer weight
+    // sums stay EXACT across engines; only the final division is
+    // floating point. No model state, no UDF: pure codegen'd
+    // expressions, corpus scanned once.
+    q("q105_hash_feature_score",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), w AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000 AS wi
+        |  FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  cast(sum(wi) AS BIGINT) AS sum_w,
+        |  round(sum(wi) * 1.0 / count(*), 6) AS score
+        |FROM w GROUP BY doc_id""".stripMargin) { c =>
+      import c.t
+      t("documents").filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("tok"))
+        .withColumn("wi",
+          conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 1000)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"wi").as("sum_w"),
+          round(sum($"wi") * lit(1.0) / count(lit(1)), 6).as("score"))
     })
 
   /** Brute-force top-5-by-cosine oracle, shared by q70 and the three

@@ -44,6 +44,26 @@ class DedupSpec extends SparkSpec {
     assert(cutPairs.forall { case (a, b) => a <= 2 && b <= 2 })
   }
 
+  test("noveltyStats: unique doc scores 1, exact duplicates score 0, partial overlap in between") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // all shingles unique
+      (2L, "one two three four five six"),          // duplicated by 3
+      (3L, "one two three four five six"),
+      (4L, "one two three four shared tail words")) // overlaps 2/3's prefix
+      .toDF("doc_id", "text")
+    val out = NGramJaccard.noveltyStats(df, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 === 1.0)
+    assert(out(2L)._3 === 0.0 && out(3L)._3 === 0.0,
+      "every shingle of an exact duplicate occurs elsewhere")
+    assert(out(4L)._3 > 0.0 && out(4L)._3 < 1.0)
+    // n_unique consistent with the fraction
+    out.values.foreach { case (n, u, f) =>
+      assert(math.abs(f - u.toDouble / n) < 1e-6)
+    }
+  }
+
   test("containment catches a quoted benchmark item that Jaccard misses") {
     val sp = spark; import sp.implicits._
     // a short "benchmark item" quoted verbatim inside a much longer
