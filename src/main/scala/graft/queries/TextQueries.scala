@@ -954,6 +954,36 @@ object TextQueries extends QueryDsl {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum($"wi").as("sum_w"),
           round(sum($"wi") * lit(1.0) / count(lit(1)), 6).as("score"))
+    },
+
+    // Sequence packing (training-prep): the concat-then-chunk layout —
+    // per language shard, documents concatenate in deterministic
+    // (lang, doc_id) order and split into 512-token windows; each doc
+    // reports its token offset and the chunks it spans. The running
+    // sum is a window PARTITIONED BY shard (no global single-partition
+    // sort); offsets use integral `div` so they stay exact past 2^53.
+    q("q106_sequence_packing",
+      """WITH wc AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents
+        |), packed AS (
+        |  SELECT lang, doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |  FROM wc WHERE n_tokens > 0)
+        |SELECT lang, doc_id, n_tokens,
+        |  cast(e - n_tokens AS BIGINT) AS start_off,
+        |  cast((e - n_tokens) // 512 AS BIGINT) AS chunk_first,
+        |  cast((e - 1) // 512 AS BIGINT) AS chunk_last,
+        |  cast((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS BIGINT) AS n_chunks_spanned
+        |FROM packed""".stripMargin) { c =>
+      import c.t
+      graft.operators.SequencePacking.concatChunk(
+          t("documents"), "lang", "doc_id", TF.wordCount($"text"), seqLen = 512)
+        .select($"lang", $"doc_id", $"n_tokens", $"start_off",
+          $"chunk_first", $"chunk_last", $"n_chunks_spanned")
     })
 
   /** Brute-force top-5-by-cosine oracle, shared by q70 and the three
