@@ -10,12 +10,18 @@ import graft.functions.{TextFunctions => TF}
   *
   *   1. CLEAN — language known, token-count band, quality floor
   *      (filters push to the scan; no shuffle),
+  *   1b. REPETITION GATE (optional) — drop docs whose most frequent
+  *      token dominates (the Gopher boilerplate rule),
   *   2. EXACT DEDUP — md5 keeper per content group (digest groupBy),
   *   3. NEAR-DUP DEDUP — banded-MinHash candidates, exact-Jaccard
   *      verification, connected components over the verified pair
   *      graph, keep each cluster's minimum id,
   *   4. SAMPLE — deterministic per-language md5-threshold rates,
-  *   5. WRITE — parquet partitioned by language.
+  *   4b. DOMAIN BALANCE (optional) — md5-gated downsampling of every
+  *      language toward the smallest one (`operators.DomainMix`),
+  *   5. WRITE — parquet partitioned by language; optionally a
+  *      `.packing` sidecar with the concat-then-chunk sequence layout
+  *      (`operators.SequencePacking`).
   *
   * Every stage is the same code the query surface exercises against
   * DuckDB oracles (q67/q60/q62/q68/q85); the pipeline report makes the
@@ -26,9 +32,11 @@ object CorpusPipeline {
   final case class Report(
       input: Long,
       afterClean: Long,
+      afterRepetitionGate: Long,
       afterExactDedup: Long,
       afterNearDedup: Long,
-      sampled: Long)
+      sampled: Long,
+      balanced: Long)
 
   final case class Options(
       minWords: Int = 10,
@@ -44,7 +52,16 @@ object CorpusPipeline {
       // the keeper
       redactPii: Boolean = false,
       // post-write per-partition compaction target; None = skip
-      compactTargetBytes: Option[Long] = None)
+      compactTargetBytes: Option[Long] = None,
+      // drop docs whose most frequent token exceeds this fraction
+      // (Gopher-style boilerplate gate); None = skip
+      maxTopTokenFrac: Option[Double] = None,
+      // downsample every language toward the smallest one after
+      // sampling (DomainMix.balanceToSmallest)
+      balanceDomains: Boolean = false,
+      // write `<outDir>.packing` with the concat-then-chunk layout at
+      // this sequence length; None = skip
+      packSeqLen: Option[Int] = None)
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
@@ -80,13 +97,31 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterClean = cleaned.count()
 
+    // 1b. optional repetition gate (Gopher boilerplate rule): the
+    // q103 top-token statistic as an admission predicate — two
+    // partial+final aggs and a semi-join, no window
+    val gated = opts.maxTopTokenFrac match {
+      case Some(cap) =>
+        val admitted = cleaned
+          .select(col("doc_id"), explode(TF.wsTokens(lower(col("text")))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg((max(col("c")) * lit(1.0) / sum(col("c"))).as("top_frac"))
+          .filter(col("top_frac") <= cap)
+          .select(col("doc_id"))
+        cleaned.join(admitted, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => cleaned
+    }
+    val afterRepetitionGate = if (opts.maxTopTokenFrac.isDefined) gated.count() else afterClean
+
     // 2. exact dedup: keeper = min doc_id per content digest
-    val keepers = cleaned.groupBy(md5(col("text").cast("binary")))
+    val keepers = gated.groupBy(md5(col("text").cast("binary")))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     // no broadcast hint: the keeper set is O(corpus) rows — let the
     // planner shuffle (or AQE pick broadcast when it actually fits)
-    val exact = cleaned.join(keepers, Seq("doc_id"), "left_semi")
+    val exact = gated.join(keepers, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterExactDedup = exact.count()
 
@@ -116,9 +151,29 @@ object CorpusPipeline {
       }
     val nSampled = sampled.count()
 
+    // 4b. optional domain balance: every language toward the smallest
+    val balancedFrame =
+      if (opts.balanceDomains)
+        graft.operators.DomainMix.balanceToSmallest(
+          sampled, "lang", "doc_id", opts.salt + ":mix")
+      else sampled
+    val nBalanced = if (opts.balanceDomains) balancedFrame.count() else nSampled
+
     // 5. write partitioned by language
-    sampled.drop("n_words", "quality")
+    balancedFrame.drop("n_words", "quality")
       .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
+
+    // 5b. optional packing sidecar: the concat-then-chunk sequence
+    // layout of the WRITTEN corpus (read back so the sidecar can never
+    // drift from what actually landed on disk)
+    opts.packSeqLen.foreach { len =>
+      graft.operators.SequencePacking.concatChunk(
+          docs.sparkSession.read.parquet(outDir), "lang", "doc_id",
+          TF.wordCount(col("text")), len)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_off"),
+          col("chunk_first"), col("chunk_last"), col("n_chunks_spanned"))
+        .write.mode(SaveMode.Overwrite).parquet(outDir + ".packing")
+    }
 
     // 6. optional small-files hygiene: each micro-partition rewritten
     // toward the target independently (crash bounded to one partition)
@@ -126,7 +181,9 @@ object CorpusPipeline {
       graft.layout.Compaction.compactPartitions(docs.sparkSession, outDir, t))
 
     Seq(cleaned, exact, nearDeduped).foreach(_.unpersist())
-    Report(input, afterClean, afterExactDedup, afterNearDedup, nSampled)
+    if (opts.maxTopTokenFrac.isDefined) gated.unpersist()
+    Report(input, afterClean, afterRepetitionGate, afterExactDedup,
+      afterNearDedup, nSampled, nBalanced)
   }
 }
 
@@ -150,8 +207,10 @@ object CorpusPipelineMain {
     val r = CorpusPipeline.curate(docs, outDir,
       CorpusPipeline.Options(sampleRates = rates))
     println(s"""{"input":${r.input},"after_clean":${r.afterClean},""" +
+      s""""after_repetition_gate":${r.afterRepetitionGate},""" +
       s""""after_exact_dedup":${r.afterExactDedup},""" +
-      s""""after_near_dedup":${r.afterNearDedup},"sampled":${r.sampled}}""")
+      s""""after_near_dedup":${r.afterNearDedup},"sampled":${r.sampled},""" +
+      s""""balanced":${r.balanced}}""")
     spark.stop()
   }
 }

@@ -72,4 +72,42 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(dataFiles === 1, s"${d.getName}: expected 1 compacted file, got $dataFiles")
     }
   }
+
+  test("curate with repetition gate, domain balance, and packing sidecar") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    // plant a boilerplate doc the gate must drop: one token repeated
+    val planted = Seq(
+      (300001L, ("spam " * 40).trim, "en", "planted"))
+      .toDF("doc_id", "text", "lang", "source")
+    val input = docs.select("doc_id", "text", "lang", "source").unionByName(planted)
+
+    val out = Files.createTempDirectory("curated_mix").toString + "/corpus"
+    val r = CorpusPipeline.curate(input, out,
+      CorpusPipeline.Options(minWords = 5, minQuality = 0.0,
+        maxTopTokenFrac = Some(0.5), balanceDomains = true, packSeqLen = Some(256)))
+
+    assert(r.afterRepetitionGate < r.afterClean, "gate must drop the planted boilerplate")
+    assert(r.balanced <= r.sampled)
+    val curated = spark.read.parquet(out)
+    assert(curated.filter($"doc_id" === 300001L).count() === 0)
+    // balanced: every lang within the binomial band of the smallest
+    val counts = curated.groupBy("lang").count().collect()
+      .map(rr => rr.getString(0) -> rr.getLong(1)).toMap
+    val minN = counts.values.min
+    counts.values.foreach(n => assert(n <= minN + 30, s"unbalanced langs: $counts"))
+
+    // packing sidecar: readable, offsets contiguous within each lang
+    val packing = spark.read.parquet(out + ".packing")
+    assert(packing.count() === curated.count())
+    packing.orderBy("lang", "doc_id").collect()
+      .groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+        rows.sliding(2).foreach {
+          case Array(p, n) =>
+            assert(n.getAs[Long]("start_off") ===
+              p.getAs[Long]("start_off") + p.getAs[Long]("n_tokens"))
+          case _ => ()
+        }
+      }
+  }
 }
