@@ -98,18 +98,18 @@ object CorpusPipeline {
     val afterClean = cleaned.count()
 
     // 1b. optional repetition gate (Gopher boilerplate rule): the
-    // q103 top-token statistic as an admission predicate — two
-    // partial+final aggs and a semi-join, no window
+    // q103 top-token statistic as an admission predicate — the
+    // TokenStatsExpr kernel computes it row-locally in the scan, so
+    // the gate is a stateless filter (zero shuffle), same as clean()
     val gated = opts.maxTopTokenFrac match {
       case Some(cap) =>
-        val admitted = cleaned
-          .select(col("doc_id"), explode(TF.wsTokens(lower(col("text")))).as("tok"))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg((max(col("c")) * lit(1.0) / sum(col("c"))).as("top_frac"))
-          .filter(col("top_frac") <= cap)
-          .select(col("doc_id"))
-        cleaned.join(admitted, Seq("doc_id"), "left_semi")
+        val ts = graft.functions.TokenStatsExpr.of(TF.wsTokens(lower(col("text"))))
+        cleaned
+          .withColumn("__ts", ts)
+          .filter(col("__ts").getField("n_tokens") === 0 ||
+            col("__ts").getField("top_count") * lit(1.0) /
+              col("__ts").getField("n_tokens") <= cap)
+          .drop("__ts")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => cleaned
     }

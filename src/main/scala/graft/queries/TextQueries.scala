@@ -886,8 +886,11 @@ object TextQueries extends QueryDsl {
 
     // Within-document repetition stats (the Gopher/MassiveText
     // boilerplate signals): token count, distinct-token fraction, and
-    // most-frequent-token fraction per document. Two partial+final
-    // aggregations over exploded tokens — no window, no self-join.
+    // most-frequent-token fraction per document. The statistic is
+    // per-document, so it computes ROW-LOCALLY in the scan via the
+    // codegen TokenStatsExpr kernel — zero shuffle (the oracle keeps
+    // the explode+groupBy formulation, which doubles as an
+    // equivalence check of the kernel).
     q("q103_repetition_stats",
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
@@ -900,13 +903,14 @@ object TextQueries extends QueryDsl {
         |  round(max(c) * 1.0 / sum(c), 6) AS top_frac
         |FROM cnt GROUP BY doc_id""".stripMargin) { c =>
       import c.t
-      val cnt = t("documents").filter(length(trim($"text")) > 0)
-        .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      cnt.groupBy($"doc_id").agg(
-        sum($"c").as("n_tokens"),
-        round(count(lit(1)) * lit(1.0) / sum($"c"), 6).as("distinct_frac"),
-        round(max($"c") * lit(1.0) / sum($"c"), 6).as("top_frac"))
+      t("documents").filter(length(trim($"text")) > 0)
+        .withColumn("__ts", graft.functions.TokenStatsExpr.of(TF.wsTokens(lower($"text"))))
+        .select($"doc_id",
+          $"__ts".getField("n_tokens").as("n_tokens"),
+          round($"__ts".getField("n_distinct") * lit(1.0) /
+            $"__ts".getField("n_tokens"), 6).as("distinct_frac"),
+          round($"__ts".getField("top_count") * lit(1.0) /
+            $"__ts".getField("n_tokens"), 6).as("top_frac"))
     },
 
     // Shingle NOVELTY per document: fraction of a doc's distinct
