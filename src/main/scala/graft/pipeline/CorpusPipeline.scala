@@ -86,6 +86,19 @@ object CorpusPipeline {
         col("n_words").between(minWords, maxWords) &&
         col("quality") >= minQuality)
 
+  /** The Gopher-style boilerplate gate as a STATELESS filter (the
+    * TokenStatsExpr kernel computes the top-token fraction row-locally
+    * in the scan — zero shuffle), shared with the streaming twin.
+    * Token-less docs pass (nothing to repeat). */
+  def repetitionGate(docs: DataFrame, maxTopTokenFrac: Double): DataFrame = {
+    val ts = graft.functions.TokenStatsExpr.of(TF.wsTokens(lower(col("text"))))
+    docs.withColumn("__ts", ts)
+      .filter(col("__ts").getField("n_tokens") === 0 ||
+        col("__ts").getField("top_count") * lit(1.0) /
+          col("__ts").getField("n_tokens") <= maxTopTokenFrac)
+      .drop("__ts")
+  }
+
   def curate(docs: DataFrame, outDir: String, opts: Options = Options()): Report = {
     val input = docs.count()
 
@@ -103,13 +116,7 @@ object CorpusPipeline {
     // the gate is a stateless filter (zero shuffle), same as clean()
     val gated = opts.maxTopTokenFrac match {
       case Some(cap) =>
-        val ts = graft.functions.TokenStatsExpr.of(TF.wsTokens(lower(col("text"))))
-        cleaned
-          .withColumn("__ts", ts)
-          .filter(col("__ts").getField("n_tokens") === 0 ||
-            col("__ts").getField("top_count") * lit(1.0) /
-              col("__ts").getField("n_tokens") <= cap)
-          .drop("__ts")
+        repetitionGate(cleaned, cap)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => cleaned
     }

@@ -112,6 +112,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("cms_estimate", args, 2, 2)
         graft.functions.CmsEstimate(args(0), args(1))
+      }),
+    (FunctionIdentifier("token_stats"),
+      info("token_stats",
+        "token_stats(tokens) - struct(n_tokens, n_distinct, top_count) repetition stats of an array<string>"),
+      (args: Seq[Expression]) => {
+        arity("token_stats", args, 1, 1)
+        graft.functions.TokenStatsExpr(args.head)
       }))
 }
 

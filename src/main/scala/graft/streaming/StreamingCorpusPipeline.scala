@@ -37,16 +37,23 @@ object StreamingCorpusPipeline {
       minWords: Int = 10,
       maxWords: Int = 5000,
       minQuality: Double = 0.3,
-      nearDupJaccard: Double = 0.8)
+      nearDupJaccard: Double = 0.8,
+      // Gopher-style boilerplate gate; stateless (row-local kernel),
+      // so it composes with streaming exactly like clean()
+      maxTopTokenFrac: Option[Double] = None)
 
   final case class BatchReport(
       input: Long, afterClean: Long, admitted: Long, healed: Long = 0L)
 
-  /** The stateless cleaning stage — THE batch pipeline's, not a
-    * copy, so batch and continuous curation cannot diverge. */
-  def clean(docs: DataFrame, opts: Options): DataFrame =
-    graft.pipeline.CorpusPipeline.clean(
+  /** The stateless cleaning stage (incl. the optional repetition
+    * gate) — THE batch pipeline's, not a copy, so batch and continuous
+    * curation cannot diverge. */
+  def clean(docs: DataFrame, opts: Options): DataFrame = {
+    val base = graft.pipeline.CorpusPipeline.clean(
       docs, opts.minWords, opts.maxWords, opts.minQuality)
+    opts.maxTopTokenFrac.fold(base)(
+      graft.pipeline.CorpusPipeline.repetitionGate(base, _))
+  }
 
   /** One micro-batch step; exposed for direct (batch) use and tests. */
   def processBatch(

@@ -20,6 +20,15 @@ class GraftSqlSpec extends AnyFunSuite {
           |FROM embeddings WHERE vec_id < 3""".stripMargin).collect()
       assert(selfdot.length === 3)
       selfdot.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3))
+      // repetition-stats kernel from pure SQL
+      val ts = spark.sql(
+        """SELECT token_stats(split(trim(lower(text)), '\\s+')) AS ts
+          |FROM documents WHERE length(trim(text)) > 0 LIMIT 5""".stripMargin).collect()
+      assert(ts.length === 5)
+      ts.foreach { r =>
+        val s = r.getStruct(0)
+        assert(s.getLong(0) >= s.getLong(1) && s.getLong(1) >= 1 && s.getLong(2) >= 1)
+      }
     } finally spark.stop()
   }
 }

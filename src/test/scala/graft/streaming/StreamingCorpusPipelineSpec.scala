@@ -103,4 +103,21 @@ class StreamingCorpusPipelineSpec extends SparkSpec {
     assert(r2.healed === 0 && r2.admitted === 0)
     assert(spark.read.parquet(store).count() === 2)
   }
+
+  test("repetition gate drops boilerplate in the streaming clean stage (batch parity)") {
+    val sp = spark; import sp.implicits._
+    val store = Files.createTempDirectory("ccgstore").toString + "/store"
+    val state = Files.createTempDirectory("ccgstate").toString + "/state"
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders across the wide green field looking for something interesting to chase"
+    val batch = Seq(
+      (1L, good, "en"),
+      (2L, ("spam " * 40).trim, "en")) // one token dominates
+      .toDF("doc_id", "text", "lang")
+    val opts = StreamingCorpusPipeline.Options(
+      minWords = 5, minQuality = 0.0, maxTopTokenFrac = Some(0.5))
+    val r = StreamingCorpusPipeline.processBatch(spark, batch, store, state, opts)
+    assert(r.afterClean === 1, "gate must run inside the streaming clean stage")
+    assert(spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
