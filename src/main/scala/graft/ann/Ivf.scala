@@ -70,7 +70,10 @@ object Ivf {
     corpus.withColumn("cell", cellCol(col(vecCol), model))
 
   /** Explode each query row into its `nprobe` nearest cells (adds a
-    * `cell` column). Shared by the pure-IVF and IVF-PQ probe paths. */
+    * `cell` column). Shared by the pure-IVF and IVF-PQ probe paths.
+    * A null query vector produces no probes — the query row is
+    * dropped (explode of the kernel's null output), which is also
+    * the only sound answer for a vectorless query. */
   private[ann] def probeCells(
       queries: DataFrame,
       queryVecCol: String,

@@ -23,11 +23,14 @@ import org.apache.spark.sql.types._
   * distance is sqrt of a left-to-right double accumulation of
   * (x-c)^2 (same as SquaredL2Distance + sqrt), comparison is on the
   * sqrt'd value (so two squared distances that round to the same
-  * sqrt still tie, exactly as the struct compare sees them), and ties
+  * sqrt still tie, exactly as the struct compare sees them), ties
   * break to the smallest cell id (struct's second field) — which a
-  * first-wins strict `<` scan gives for free because the centroids
-  * are sorted by id at construction. Null vector -> null; null
-  * elements -> 0.0 (matching VecBinaryKernel).
+  * first-wins scan gives for free because the centroids are sorted by
+  * id at construction — and NaN distances sort LAST (Spark's double
+  * ordering places NaN above every value, so a NaN-bearing vector
+  * still assigns to its nearest finite centroid; a bare `<` would
+  * have frozen on the first NaN). Null vector -> null; null elements
+  * -> 0.0 (matching VecBinaryKernel).
   */
 abstract class CentroidKernel extends UnaryExpression {
 
@@ -140,7 +143,8 @@ case class ArgminCell(child: Expression, centroids: Array[(Int, Array[Double])])
     var best = 0
     var i = 1
     while (i < nlist) {
-      if (d(i) < d(best)) best = i
+      // NaN sorts last: a finite distance beats a NaN incumbent
+      if (d(i) < d(best) || (d(best).isNaN && !d(i).isNaN)) best = i
       i += 1
     }
     idsEval(best)
@@ -156,7 +160,8 @@ case class ArgminCell(child: Expression, centroids: Array[(Int, Array[Double])])
          |${distsJava(ctx, v, dist)}
          |int $best = 0;
          |for (int $i = 1; $i < $nlist; $i++) {
-         |  if ($dist[$i] < $dist[$best]) $best = $i;
+         |  if ($dist[$i] < $dist[$best] ||
+         |      (Double.isNaN($dist[$best]) && !Double.isNaN($dist[$i]))) $best = $i;
          |}
          |${ev.value} = $idsRef[$best];
        """.stripMargin
@@ -192,7 +197,8 @@ case class NearestCells(
       var best = -1
       var i = 0
       while (i < nlist) {
-        if (!used(i) && (best < 0 || d(i) < d(best))) best = i
+        if (!used(i) && (best < 0 || d(i) < d(best) ||
+            (d(best).isNaN && !d(i).isNaN))) best = i
         i += 1
       }
       used(best) = true
@@ -218,7 +224,8 @@ case class NearestCells(
          |for (int $s = 0; $s < $take; $s++) {
          |  int $best = -1;
          |  for (int $i = 0; $i < $nlist; $i++) {
-         |    if (!$used[$i] && ($best < 0 || $dist[$i] < $dist[$best])) $best = $i;
+         |    if (!$used[$i] && ($best < 0 || $dist[$i] < $dist[$best] ||
+         |        (Double.isNaN($dist[$best]) && !Double.isNaN($dist[$i])))) $best = $i;
          |  }
          |  $used[$best] = true;
          |  $out[$s] = $idsRef[$best];

@@ -61,7 +61,11 @@ object NGramJaccard {
     * df aggregate and one postings-to-df join, no pair explosion —
     * this is the cheap query of the family at scale. */
   /** (doc, shs) cached shingle-hash arrays, shared by the pair and
-    * novelty paths — see the cache rationale inside `intersections`. */
+    * novelty paths — see the cache rationale inside `intersections`.
+    * Lifecycle: the cache lives until the session evicts it (LRU) or
+    * the caller runs `spark.catalog.clearCache()`; long-running
+    * sessions issuing many distinct dedup/novelty plans should clear
+    * between rounds (the bench harness does). */
   private def shingleFrame(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     graft.operators.Partitioning.spread(docs)

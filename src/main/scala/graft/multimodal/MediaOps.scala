@@ -115,15 +115,20 @@ object MediaOps {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+        if (fmt.getSampleSizeInBits != 16)
           throw new IllegalArgumentException(
-            s"media $mediaId: only 16-bit little-endian PCM supported, got $fmt")
+            s"media $mediaId: only 16-bit PCM supported, got $fmt")
+        // WAV is little-endian; AU/AIFF are big-endian by spec —
+        // honor the container's declared byte order
+        val big = fmt.isBigEndian
         val raw = in.readAllBytes()
         val hist = new Array[Float](dim)
         val n = raw.length / 2
         var i = 0
         while (i < n) {
-          val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort
+          val s =
+            if (big) ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)).toShort
+            else ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort
           // normalize [-32768, 32767] -> [0, dim)
           val b = math.min(((s.toInt + 32768) * dim / 65536), dim - 1)
           hist(b) += 1f

@@ -40,7 +40,10 @@ object DomainMix {
   /** Downsample toward explicit relative weights: group g's expected
     * share of the kept corpus is weight_g / sum(weights). Groups whose
     * target exceeds their size keep everything (rate caps at 1 —
-    * upsampling is a repeat-epoch decision, not a sampler's). */
+    * upsampling is a repeat-epoch decision, not a sampler's).
+    * Groups ABSENT from `weights` are EXCLUDED from the output
+    * entirely (weight 0): the map defines the whole mix, so list
+    * every group you want kept. */
   def toWeights(
       docs: DataFrame, groupCol: String, idCol: String,
       weights: Map[String, Double], salt: String = ":mix"): DataFrame = {

@@ -193,8 +193,13 @@ object IncrementalAgg {
         .partitionBy(partitionKey).parquet(staging.toString)
       writeMarker(fs, marker, batchId)
       swapStagedPartitions(fs, staging, root)
-      fs.delete(marker, false)
+      // staging BEFORE marker: a crash between the two deletes must
+      // leave (marker, no staging) = "publish completed", never
+      // (staging, no marker) = "store never touched" — the latter
+      // would classify a fully-applied fold as Clean and a delta
+      // retry would double-count
       fs.delete(staging, true)
+      fs.delete(marker, false)
       recovered
     } finally deltaPartials.unpersist()
     } finally releaseLock(fs, lock)
@@ -265,9 +270,17 @@ object IncrementalAgg {
       root.getParent, "." + root.getName + ".merging")
     val marker = new org.apache.hadoop.fs.Path(
       root.getParent, "." + root.getName + ".merging.pending")
-    val outcome = completePendingPublish(fs, staging, marker, root)
-    if (fs.exists(root)) SwapDir.healAll(fs, root, maxDepth = 1)
-    outcome
+    // heal mutates the same staging/marker/root state as a fold, so it
+    // takes the SAME lease: healing while a live writer is between its
+    // staging write and its marker would delete that writer's staging
+    val leaseMs = spark.conf.getOption("spark.graft.mv.lockLeaseMs")
+      .map(_.toLong).getOrElse(3600L * 1000)
+    val lock = acquireLock(fs, root, leaseMs)
+    try {
+      val outcome = completePendingPublish(fs, staging, marker, root)
+      if (fs.exists(root)) SwapDir.healAll(fs, root, maxDepth = 1)
+      outcome
+    } finally releaseLock(fs, lock)
   }
 
   /** Swap every staged `k=v` partition dir into the store root. Names
@@ -297,9 +310,11 @@ object IncrementalAgg {
       root: org.apache.hadoop.fs.Path): HealOutcome =
     if (fs.exists(marker)) {
       val bid = readMarkerBatchId(fs, marker)
-      if (fs.exists(staging)) swapStagedPartitions(fs, staging, root)
+      if (fs.exists(staging)) {
+        swapStagedPartitions(fs, staging, root)
+        fs.delete(staging, true) // staging first — see mergeIntoStore
+      }
       fs.delete(marker, false)
-      if (fs.exists(staging)) fs.delete(staging, true)
       CompletedPublish(bid)
     } else {
       if (fs.exists(staging)) fs.delete(staging, true)

@@ -89,11 +89,13 @@ object CorpusPipeline {
   /** The Gopher-style boilerplate gate as a STATELESS filter (the
     * TokenStatsExpr kernel computes the top-token fraction row-locally
     * in the scan — zero shuffle), shared with the streaming twin.
-    * Token-less docs pass (nothing to repeat). */
+    * Empty/whitespace-only docs pass (nothing to repeat) — guarded on
+    * trimmed length, because `split` on empty text yields one
+    * empty-string token, not zero tokens. */
   def repetitionGate(docs: DataFrame, maxTopTokenFrac: Double): DataFrame = {
     val ts = graft.functions.TokenStatsExpr.of(TF.wsTokens(lower(col("text"))))
     docs.withColumn("__ts", ts)
-      .filter(col("__ts").getField("n_tokens") === 0 ||
+      .filter(length(trim(col("text"))) === 0 ||
         col("__ts").getField("top_count") * lit(1.0) /
           col("__ts").getField("n_tokens") <= maxTopTokenFrac)
       .drop("__ts")

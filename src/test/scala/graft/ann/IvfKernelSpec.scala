@@ -72,6 +72,40 @@ class IvfKernelSpec extends SparkSpec {
     assert(got === Seq(0, 2, 1))
   }
 
+  test("NaN-bearing vectors still assign to the nearest finite centroid (NaN sorts last)") {
+    // centroid 0 at the NaN vector's position would win on a naive
+    // strict-< scan that freezes on the first NaN distance
+    val m = Ivf.Model(Array(0 -> Array(9.0, 9.0), 1 -> Array(1.0, 1.0)))
+    val df = spark.range(1).select(
+      array(lit(Double.NaN), lit(1.0)).as("nanv"),
+      array(lit(1.0), lit(1.0)).as("ok"))
+    // distance to BOTH centroids is NaN (the NaN element poisons the
+    // sum), so argmin must fall back to the smallest id — and a vector
+    // with no NaN must be unaffected by the NaN branch
+    val r = df.select(
+      ColumnBridge.column(ArgminCell(ColumnBridge.expression(col("nanv")), m.centroids)),
+      ColumnBridge.column(ArgminCell(ColumnBridge.expression(col("ok")), m.centroids)),
+      ColumnBridge.column(NearestCells(ColumnBridge.expression(col("ok")), m.centroids, 2)))
+      .first()
+    assert(r.getInt(0) === 0, "all-NaN distances: first (smallest id) wins, matching struct compare")
+    assert(r.getInt(1) === 1)
+    assert(r.getSeq[Int](2) === Seq(1, 0))
+  }
+
+  test("a centroid at a NaN-free position beats a NaN-distance centroid") {
+    // make only ONE distance NaN: centroid 0 contains NaN, centroid 1
+    // is finite — the finite centroid must win even though it is
+    // scanned second
+    val m = Ivf.Model(Array(0 -> Array(Double.NaN, 0.0), 1 -> Array(5.0, 5.0)))
+    val df = spark.range(1).select(array(lit(1.0), lit(1.0)).as("v"))
+    val got = df.select(
+      ColumnBridge.column(ArgminCell(ColumnBridge.expression(col("v")), m.centroids)),
+      ColumnBridge.column(NearestCells(ColumnBridge.expression(col("v")), m.centroids, 2)))
+      .first()
+    assert(got.getInt(0) === 1, "finite distance must beat the NaN incumbent")
+    assert(got.getSeq[Int](1) === Seq(1, 0), "NaN-distance cell probes last")
+  }
+
   test("ArgminCell survives null vectors and rejects dimension mismatch") {
     val m = Ivf.Model(Array(0 -> Array(0.0, 0.0)))
     val df = spark.range(1).select(

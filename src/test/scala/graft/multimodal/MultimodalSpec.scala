@@ -123,6 +123,28 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.embedding(15) - 0.5f) < 1e-6)  // Short.MaxValue bucket
   }
 
+  test("RealDecoder honors container byte order: big-endian AIFF == little-endian WAV") {
+    val sp = spark; import sp.implicits._
+    val n = 64
+    val fmtBE = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcmBE = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s: Short = if (i % 2 == 0) Short.MinValue else Short.MaxValue
+      pcmBE(2 * i) = ((s >> 8) & 0xFF).toByte
+      pcmBE(2 * i + 1) = (s & 0xFF).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBE), fmtBE, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val df = Seq((6L, "audio", out.toByteArray)).toDF("media_id", "kind", "bytes")
+    val f = MediaOps.decode(df, new MediaOps.RealDecoder(16)).collect().head
+    // same alternating-extremes signal as the WAV test: half min, half max
+    assert(math.abs(f.embedding(0) - 0.5f) < 1e-6, f.embedding.mkString(","))
+    assert(math.abs(f.embedding(15) - 0.5f) < 1e-6)
+  }
+
   test("RealDecoder fails loud on video and on undecodable image bytes") {
     val dec = new MediaOps.RealDecoder(16)
     intercept[UnsupportedOperationException] {

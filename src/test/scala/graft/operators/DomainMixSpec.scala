@@ -49,6 +49,26 @@ class DomainMixSpec extends SparkSpec {
     assert(skewed("fr") < full("fr"))
   }
 
+  test("toWeights excludes groups absent from the weights map (the map IS the mix)") {
+    val kept = DomainMix.toWeights(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "fr" -> 1.0))
+    val langs = kept.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs === Set("en", "fr"), s"unlisted groups must be excluded, got $langs")
+  }
+
+  test("repetitionGate passes empty/whitespace-only docs (nothing to repeat)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "", "en", "s"),
+      (2L, "   ", "en", "s"),
+      (3L, ("spam " * 20).trim, "en", "s"),
+      (4L, "a perfectly normal varied sentence here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = graft.pipeline.CorpusPipeline.repetitionGate(df, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L), s"got $kept")
+  }
+
   test("toWeights rejects empty or non-positive weights") {
     intercept[IllegalArgumentException](
       DomainMix.toWeights(docs, "lang", "doc_id", Map.empty))
