@@ -40,7 +40,21 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r3(ok.map(_._2).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // self-diagnosing capture: host load (1/5/15-min averages) and a
+    // wall-clock stamp INSIDE the record, so a load-contaminated run is
+    // identifiable from the JSON alone instead of by rerun adjudication
+    val loadavg =
+      try {
+        val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        val l1 = r3(la.getSystemLoadAverage)
+        val l515 =
+          try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+            .split("\\s+").slice(1, 3).map(s => r3(s.toDouble))
+          catch { case _: Throwable => Array(-1.0, -1.0) }
+        s"[$l1,${l515(0)},${l515(1)}]"
+      } catch { case _: Throwable => "[-1,-1,-1]" }
+    val stamp = java.time.Instant.now().toString
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","cpus":$cpus,"loadavg":$loadavg,"ts":"$stamp","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout of this run is captured via log tail and has been truncated
     // two rounds running — also land the record in a file the driver

@@ -54,18 +54,12 @@ object NGramJaccard {
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
 
-  /** Per-document shingle NOVELTY: the fraction of a document's
-    * distinct shingles that occur in no other document — a curation
-    * signal (near-1 = fresh content, near-0 = boilerplate / heavily
-    * templated). Same inverted index as `pairs`, but LINEAR: one
-    * df aggregate and one postings-to-df join, no pair explosion —
-    * this is the cheap query of the family at scale. */
-  /** (doc, shs) cached shingle-hash arrays, shared by the pair and
-    * novelty paths — see the cache rationale inside `intersections`.
-    * Lifecycle: the cache lives until the session evicts it (LRU) or
-    * the caller runs `spark.catalog.clearCache()`; long-running
-    * sessions issuing many distinct dedup/novelty plans should clear
-    * between rounds (the bench harness does). */
+  /** (doc, shs) cached shingle-hash arrays for the PAIR paths — see
+    * the cache rationale inside `intersections` (both join sides read
+    * it within one plan). Lifecycle: the cache lives until the session
+    * evicts it (LRU) or the caller runs `spark.catalog.clearCache()`;
+    * long-running sessions issuing many distinct dedup plans should
+    * clear between rounds (the bench harness does). */
   private def shingleFrame(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     graft.operators.Partitioning.spread(docs)
@@ -73,15 +67,27 @@ object NGramJaccard {
         ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Per-document shingle NOVELTY: the fraction of a document's
+    * distinct shingles that occur in no other document — a curation
+    * signal (near-1 = fresh content, near-0 = boilerplate / heavily
+    * templated). Same postings as `pairs`, but LINEAR: the per-shingle
+    * document frequency comes from a count over a window partitioned
+    * by shingle hash — one shuffle, the shingle kernel runs once, and
+    * (unlike the pair paths) NOTHING is persisted, so long-lived
+    * sessions calling this over many corpora accumulate no cached
+    * frames. No pair explosion — this is the cheap query of the
+    * family at scale. */
   def noveltyStats(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val docShingles = shingleFrame(docs, idCol, textCol, shingleN)
-    val postings = docShingles.select(col("doc"), explode(col("shs")).as("sh"))
-    val df = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    postings.join(df, Seq("sh"))
+    val postings = graft.operators.Partitioning.spread(docs)
+      .select(col(idCol).as("doc"),
+        explode(ShingleHashes.of(
+          TextFunctions.wsTokens(lower(col(textCol))), shingleN)).as("sh"))
+    val perShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    postings.withColumn("df", count(lit(1)).over(perShingle))
       .groupBy(col("doc"))
       .agg(
         count(lit(1)).as("n_shingles"),

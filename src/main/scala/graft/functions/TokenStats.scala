@@ -62,10 +62,11 @@ object TokenStatsExpr {
     val n = toks.numElements()
     if (n == 0)
       return new GenericInternalRow(Array[Any](0L, 0L, 0L))
-    // cap doubles past 2n; above 2^30 elements the Int shift would
-    // wrap and the probe loop below could never find a free slot —
-    // fail loud instead of hanging the task
-    require(n < (1 << 30), s"token_stats: array too large ($n elements)")
+    // cap doubles past 2n, so cap may reach 2^30 (the largest Int
+    // power of two); n above 2^29 would need cap > 2^30, where the
+    // shift wraps negative and the probe loop could never find a free
+    // slot — fail loud instead of hanging the task
+    require(n <= (1 << 29), s"token_stats: array too large ($n elements)")
     var cap = 8
     while (cap < n * 2) cap <<= 1
     val mask = cap - 1

@@ -51,7 +51,12 @@ object DomainMix {
     val spark = docs.sparkSession
     import spark.implicits._
     val wsum = weights.values.sum
+    // toDF types the key as string; cast it to the docs column's type
+    // explicitly so the join never leans on implicit coercion (which
+    // can silently mismatch e.g. integer group ids under ANSI rules)
+    val gType = docs.schema(groupCol).dataType
     val w = weights.toSeq.toDF(groupCol, "__w")
+      .select(col(groupCol).cast(gType).as(groupCol), col("__w"))
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .join(broadcast(w), Seq(groupCol), "inner")
     // scale so the most-constrained group binds: the largest feasible

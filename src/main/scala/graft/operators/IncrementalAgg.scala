@@ -151,6 +151,19 @@ object IncrementalAgg {
           // this exact delta was already fully applied by the crashed
           // fold — re-folding it would double-count
           return recovered
+        case CompletedPublish(recordedBid)
+            if batchId.isEmpty || recordedBid.isEmpty =>
+          // a crashed publish was just completed but one side has no
+          // batch id, so we CANNOT prove the supplied delta is not that
+          // same batch — if it is, the fold below double-counts. The
+          // safe protocol is heal()-then-decide; make the unsafe path
+          // at least observable.
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"mergeIntoStore($storePath): recovery completed a crashed publish " +
+              s"(recorded batchId=$recordedBid, supplied batchId=$batchId) and the fold " +
+              "is proceeding anyway — if this delta IS the crashed batch it will be " +
+              "double-counted. Pass a stable batchId, or call heal() and check the " +
+              "outcome before retrying.")
         case _ => ()
       }
 

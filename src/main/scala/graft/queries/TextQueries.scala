@@ -401,14 +401,18 @@ object TextQueries extends QueryDsl {
       val found = pairs.select($"va".as("vec_a"), $"vb".as("vec_b"), lit(true).as("found"))
       val ccA = graft.dedup.ConnectedComponents.runAdaptive(pairs, "va", "vb")
       val ccS = graft.dedup.ConnectedComponents.runStar(pairs, "va", "vb")
-      def roots(cc: org.apache.spark.sql.DataFrame, side: String, as: String) =
-        cc.select($"member".as(side), $"cluster_root".as(as))
+      // one pre-merged (member, ra, rs) labeling — both algorithms label
+      // exactly the edge-graph member set, so one inner join here turns
+      // the four per-endpoint root joins below into two
+      val roots = ccA.select($"member", $"cluster_root".as("ra"))
+        .join(ccS.select($"member", $"cluster_root".as("rs")), Seq("member"))
+        .localCheckpoint() // referenced once per endpoint side below
+      def side(s: String) = roots.select(
+        $"member".as(s), $"ra".as(s"ra_${s.last}"), $"rs".as(s"rs_${s.last}"))
       exact
         .join(found, Seq("vec_a", "vec_b"), "left")
-        .join(roots(ccA, "vec_a", "ra_a"), Seq("vec_a"), "left")
-        .join(roots(ccA, "vec_b", "ra_b"), Seq("vec_b"), "left")
-        .join(roots(ccS, "vec_a", "rs_a"), Seq("vec_a"), "left")
-        .join(roots(ccS, "vec_b", "rs_b"), Seq("vec_b"), "left")
+        .join(side("vec_a"), Seq("vec_a"), "left")
+        .join(side("vec_b"), Seq("vec_b"), "left")
         .select($"vec_a", $"vec_b", $"cos",
           ((!coalesce($"found", lit(false)) ||
               coalesce($"ra_a", $"vec_a") === coalesce($"ra_b", $"vec_b")) &&
