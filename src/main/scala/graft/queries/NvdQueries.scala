@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.nvd.{CvssV3, NvdSchema}
+import graft.nvd.{CpeParser, CveFlatten, CvssV3, NvdSchema}
 
 /** NVD-domain query surface that is still oracle-checkable: the
   * harness's DuckDB gate only sees the ten testdata tables, so these
@@ -14,6 +15,84 @@ import graft.nvd.{CvssV3, NvdSchema}
   * contract allows.
   */
 object NvdQueries extends QueryDsl {
+
+  /** Deterministic NVD-1.1-shaped item JSON from an integer key — the
+    * q99 synthesis pattern extended to the structures the FLATTEN
+    * itself consumes (q107/q108): multi-element description_data (with
+    * a value-less element), reference_data with a url-less entry and an
+    * empty-array case, and a configurations tree with mixed vulnerable
+    * flags, a flag-less cpe_match entry, an escaped-colon vendor
+    * (`v\:4` — exercises CpeParser's lookbehind split), child and
+    * grandchild nodes. Every branch is keyed on k so the DuckDB oracle
+    * can rebuild the flattened strings with CASE arithmetic. */
+  private def synthDoc(k: Column): Column = {
+    val kS = k.cast("string")
+    def m(n: Int) = (k % n).cast("string")
+    val nothing = lit("")
+    // JSON text v\\:4 -> parsed string v\:4 -> CPE-unescaped vendor v:4
+    val vendorJson = when(k % 5 === 4, lit("""v\\:4"""))
+      .otherwise(concat(lit("v"), m(5)))
+    val desc = when(k % 4 === 0, nothing).otherwise(concat(
+      lit(""""description":{"description_data":[{"lang":"en","value":"Order """),
+      kS,
+      lit(""" vulnerability. "},{"lang":"en","value":"Severity class """),
+      m(7), lit("""."}"""),
+      when(k % 5 === 0, lit(""",{"lang":"es"}""")).otherwise(nothing),
+      lit("]},")))
+    val refs = concat(
+      lit(""""references":{"reference_data":["""),
+      when(k % 3 === 0, nothing).otherwise(concat(
+        lit("""{"url":"https://ex.com/a/"""), kS,
+        lit("""","tags":["Patch"]},{"url":"https://ex.com/b/"""), m(13),
+        lit(""""}"""),
+        when(k % 5 === 1, lit(""",{"name":"no-url"}""")).otherwise(nothing))),
+      lit("]}"))
+    val node0 = concat(
+      lit("""{"operator":"OR","cpe_match":[{"vulnerable":true,"cpe23Uri":"cpe:2.3:a:"""),
+      vendorJson, lit(""":p"""), m(11),
+      lit(""":1.0"},{"vulnerable":false,"cpe23Uri":"cpe:2.3:a:nv:q:2.0"}"""),
+      when(k % 2 === 0, concat(
+        lit(""",{"vulnerable":true,"cpe23Uri":"cpe:2.3:o:w"""), m(3),
+        lit(""":r:3.0"}"""))).otherwise(nothing),
+      when(k % 7 === 0,
+        lit(""",{"cpe23Uri":"cpe:2.3:a:noflag:z:5.0"}""")).otherwise(nothing),
+      lit("]}"))
+    val node1 = when(k % 6 < 3, concat(
+      lit(""",{"operator":"AND","children":[{"operator":"OR","cpe_match":[{"vulnerable":true,"cpe23Uri":"cpe:2.3:h:child"""),
+      m(3), lit(""":c:4.0"}]"""),
+      when(k % 6 === 0,
+        lit(""","children":[{"cpe_match":[{"vulnerable":true,"cpe23Uri":"cpe:2.3:h:gc:g:6.0"}]}]"""))
+        .otherwise(nothing),
+      lit("}]}"))).otherwise(nothing)
+    val impact = when(k % 2 === 1, concat(
+      lit(""""impact":{"baseMetricV2":{"cvssV2":{"baseScore":"""),
+      ((k % 90) / lit(10.0) + lit(1.0)).cast("string"),
+      lit(""","accessVector":"NETWORK"}}},"""))).otherwise(nothing)
+    concat(
+      lit("""{"cve":{"CVE_data_meta":{"ID":"CVE-2020-"""), kS, lit(""""},"""),
+      desc, refs, lit("},"),
+      lit(""""configurations":{"nodes":["""), node0, node1, lit("]},"),
+      impact,
+      lit(""""publishedDate":"2020-"""),
+      lpad(((k % 12) + 1).cast("string"), 2, "0"), lit("-"),
+      lpad(((k % 28) + 1).cast("string"), 2, "0"),
+      lit("""T00:00Z","lastModifiedDate":"2021-01-0"""),
+      ((k % 9) + 1).cast("string"),
+      lit("""T00:00Z"}"""))
+  }
+
+  /** Synthesized items parsed through the feed-ingest contract
+    * (explicit NvdSchema, same as readFeed). */
+  private def synthItems(c: Ctx): DataFrame =
+    c.t("orders").filter($"o_orderkey" <= 2000)
+      .select(from_json(synthDoc($"o_orderkey"), NvdSchema.cveItem).as("item"))
+
+  /** DuckDB rebuild of the strict-mode vulnerable list (top-level
+    * vulnerable cpe_match only; flag-less and vulnerable:false dropped). */
+  private val vslStrictSql =
+    """'cpe:2.3:a:' || CASE WHEN k % 5 = 4 THEN 'v\:4' ELSE 'v' || (k % 5) END ||
+      |    ':p' || (k % 11) || ':1.0' ||
+      |    CASE WHEN k % 2 = 0 THEN ',cpe:2.3:o:w' || (k % 3) || ':r:3.0' ELSE '' END""".stripMargin
 
   def all: Seq[Q] = Seq(
 
@@ -86,5 +165,75 @@ object NvdQueries extends QueryDsl {
         .groupBy($"assigner")
         .agg(count(lit(1)).as("n"), min($"s").as("min_score"),
           max($"s").as("max_score"), max($"id").as("max_id"))
+    },
+
+    // The NVD flatten ITSELF under the hash gate (the reference's most
+    // central operator, CveFlatten.flattenItems / nvd2mysqlloader.py:
+    // 193-269): synthesized items with multi-element descriptions,
+    // url-less and empty reference lists, and a full configurations
+    // tree go through the REAL flatten in strict reference mode
+    // (top-level cpe_match only, children dropped — the verified
+    // :186-188 behavior); the oracle rebuilds summary / urls /
+    // vulnerable_software_list with CASE string arithmetic.
+    q("q107_nvd_flatten",
+      """SELECT 'CVE-2020-' || k AS cve_id,
+        |  CASE WHEN k % 4 = 0 THEN ''
+        |       ELSE 'Order ' || k || ' vulnerability. Severity class ' || (k % 7) || '.' END AS summary,
+        |  CASE WHEN k % 3 = 0 THEN ''
+        |       ELSE 'https://ex.com/a/' || k || ',https://ex.com/b/' || (k % 13) ||
+        |            CASE WHEN k % 5 = 1 THEN ',' ELSE '' END END AS urls,
+        |  """.stripMargin + vslStrictSql + """ AS vulnerable_software_list,
+        |  (1 + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_vuln,
+        |  CASE WHEN k % 2 = 1 THEN (k % 90) / 10.0 + 1 ELSE 0.0 END AS score,
+        |  CASE WHEN k % 2 = 1 THEN 'NETWORK' ELSE '' END AS access_vector,
+        |  '2020-' || lpad((k % 12 + 1)::VARCHAR, 2, '0') || '-' ||
+        |    lpad((k % 28 + 1)::VARCHAR, 2, '0') || 'T00:00Z' AS published_datetime
+        |FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000)""".stripMargin) { c =>
+      CveFlatten.flattenItems(synthItems(c))
+        .select($"cve_id", $"summary", $"urls", $"vulnerable_software_list",
+          size($"vulnerable_cpes").cast("long").as("n_vuln"),
+          $"score", $"access_vector", $"published_datetime")
+    },
+
+    // Corrected-mode twin: children[*] and children[*].children[*]
+    // cpe_match entries are INCLUDED (appended after all top-level
+    // URIs, node order preserved) — the semantics the reference's
+    // swallowed KeyError loses.
+    q("q107b_nvd_flatten_corrected",
+      """SELECT 'CVE-2020-' || k AS cve_id,
+        |  """.stripMargin + vslStrictSql + " || " + """CASE WHEN k % 6 < 3 THEN ',cpe:2.3:h:child' || (k % 3) || ':c:4.0' ||
+        |         CASE WHEN k % 6 = 0 THEN ',cpe:2.3:h:gc:g:6.0' ELSE '' END
+        |         ELSE '' END AS vulnerable_software_list,
+        |  (1 + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN k % 6 < 3 THEN 1 ELSE 0 END
+        |     + CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_vuln
+        |FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000)""".stripMargin) { c =>
+      CveFlatten.flattenItems(synthItems(c), strictReferenceSemantics = false)
+        .select($"cve_id", $"vulnerable_software_list",
+          size($"vulnerable_cpes").cast("long").as("n_vuln"))
+    },
+
+    // The CPE star (nvd.sql:97-131, declared by the reference but never
+    // populated): cve2cpe explodes the typed CPE array through the REAL
+    // CpeParser — unescaped-colon split + component unescape ('v\:4'
+    // comes back as vendor 'v:4') — then a vendor/product rollup. The
+    // oracle rebuilds the fact rows from the same key arithmetic.
+    q("q108_cpe_star",
+      """WITH uris AS (
+        |  SELECT k, CASE WHEN k % 5 = 4 THEN 'v:4' ELSE 'v' || (k % 5) END AS vendor,
+        |         'p' || (k % 11) AS product, '1.0' AS version
+        |  FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000)
+        |  UNION ALL
+        |  SELECT k, 'w' || (k % 3), 'r', '3.0'
+        |  FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000)
+        |  WHERE k % 2 = 0)
+        |SELECT vendor, product, count(*)::BIGINT AS n_pairs,
+        |  count(DISTINCT k)::BIGINT AS n_cve, max(version) AS max_version
+        |FROM uris GROUP BY 1, 2""".stripMargin) { c =>
+      val fact = CpeParser.cve2cpe(CveFlatten.flattenItems(synthItems(c)))
+      fact.groupBy($"vendor", $"product")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"cve_id").as("n_cve"),
+          max($"version").as("max_version"))
     })
 }
