@@ -38,7 +38,11 @@ object ScaleProbe {
         // stats (q101 semantic dedup stays off the default list — its
         // oracle route is the exact all-pairs graph, which the planted
         // replica families make output-quadratic, same as q61/q79)
-        "q102_domain_mix", "q103_repetition_stats"))
+        "q102_domain_mix", "q103_repetition_stats",
+        // round-7 addition: the semantic-dedup SCALE route (LSH pair
+        // graph -> keepers); q101 itself stays off the list — its
+        // oracle route is all-pairs by contract
+        "q101b_semantic_dedup_lsh"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")

@@ -25,4 +25,72 @@ object CvssV3 {
       .when(score < 7.0, "MEDIUM")
       .when(score < 9.0, "HIGH")
       .otherwise("CRITICAL")
+
+  /** One metric letter out of a CVSS v3.x vector string
+    * (`CVSS:3.1/AV:N/AC:L/...`). Anchored on start-or-slash so the
+    * `S:` of the `CVSS:` prefix can never match the Scope metric;
+    * absent metric -> '' (regexp_extract's no-match), which the weight
+    * chains below turn into null. */
+  def vectorMetric(vs: Column, name: String): Column =
+    regexp_extract(vs, "(?:^|/)" + name + ":([A-Z])", 1)
+
+  /** vectorString -> struct of the eight base-metric letters. */
+  def vectorParsed(vs: Column): Column = struct(
+    vectorMetric(vs, "AV").as("av"), vectorMetric(vs, "AC").as("ac"),
+    vectorMetric(vs, "PR").as("pr"), vectorMetric(vs, "UI").as("ui"),
+    vectorMetric(vs, "S").as("s"), vectorMetric(vs, "C").as("c"),
+    vectorMetric(vs, "I").as("i"), vectorMetric(vs, "A").as("a"))
+
+  /** CVSS v3.1 base score computed FROM the vector string (spec
+    * section 7.1) — pure codegen'd expressions end to end: metric
+    * regexes -> weight when-chains -> the ISS/Impact/Exploitability
+    * algebra -> the spec's Roundup. The 15th power in the
+    * changed-scope Impact is an explicit square-and-multiply chain
+    * (y^8*y^4*y^2*y) rather than pow(): libm pow differs across
+    * engines by an ulp, the multiply chain is IEEE-deterministic, so
+    * an oracle replicating the same chain matches bit for bit.
+    * Unknown/absent metric letters yield null, not a wrong score. */
+  def baseScoreOfVector(vs: Column): Column = {
+    def m(name: String) = vectorMetric(vs, name)
+    def w(c: Column, pairs: (String, Double)*): Column =
+      pairs.tail.foldLeft(when(c === pairs.head._1, lit(pairs.head._2))) {
+        case (acc, (l, v)) => acc.when(c === l, lit(v))
+      }
+    val scopeChanged = m("S") === "C"
+    val av = w(m("AV"), "N" -> 0.85, "A" -> 0.62, "L" -> 0.55, "P" -> 0.2)
+    val ac = w(m("AC"), "L" -> 0.77, "H" -> 0.44)
+    // PR weights depend on Scope (spec table 7.4)
+    val pr = when(scopeChanged, w(m("PR"), "N" -> 0.85, "L" -> 0.68, "H" -> 0.5))
+      .otherwise(w(m("PR"), "N" -> 0.85, "L" -> 0.62, "H" -> 0.27))
+    val ui = w(m("UI"), "N" -> 0.85, "R" -> 0.62)
+    def cia(name: String) = w(m(name), "H" -> 0.56, "L" -> 0.22, "N" -> 0.0)
+    val iss = lit(1.0) - (lit(1.0) - cia("C")) * (lit(1.0) - cia("I")) * (lit(1.0) - cia("A"))
+    val y = iss - lit(0.02)
+    val y2 = y * y
+    val y4 = y2 * y2
+    val y8 = y4 * y4
+    val impact = when(scopeChanged,
+        lit(7.52) * (iss - lit(0.029)) - lit(3.25) * (y8 * y4 * y2 * y))
+      .otherwise(lit(6.42) * iss)
+    val expl = lit(8.22) * av * ac * pr * ui
+    val sum = impact + expl
+    // explicit null guard: `least` returns the least NON-null operand,
+    // so a missing metric's null sum would otherwise come back as the
+    // 10.0 cap instead of null
+    when(sum.isNull, lit(null).cast("double"))
+      .when(impact <= 0.0, lit(0.0))
+      .otherwise(roundup1(
+        when(scopeChanged, least(lit(1.08) * sum, lit(10.0)))
+          .otherwise(least(sum, lit(10.0)))))
+  }
+
+  /** The spec's Roundup (v3.1 appendix A): smallest one-decimal value
+    * >= x, through an integer snap at 1e-5 so float noise below that
+    * cannot shift the result — the exact fix 3.1 made over 3.0's naive
+    * ceil. */
+  def roundup1(x: Column): Column = {
+    val i = round(x * lit(100000.0))
+    when(i % 10000 === 0, i / lit(100000.0))
+      .otherwise((floor(i / lit(10000.0)) + lit(1)) / lit(10.0))
+  }
 }

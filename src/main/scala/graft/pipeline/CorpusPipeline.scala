@@ -61,7 +61,11 @@ object CorpusPipeline {
       balanceDomains: Boolean = false,
       // write `<outDir>.packing` with the concat-then-chunk layout at
       // this sequence length; None = skip
-      packSeqLen: Option[Int] = None)
+      packSeqLen: Option[Int] = None,
+      // when false, skip the per-stage attrition counts (every Report
+      // field is -1): a throughput-only run saves one count job per
+      // stage; the stages themselves are unchanged
+      reportCounts: Boolean = true)
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
@@ -102,7 +106,12 @@ object CorpusPipeline {
   }
 
   def curate(docs: DataFrame, outDir: String, opts: Options = Options()): Report = {
-    val input = docs.count()
+    // attrition counts are the Report's semantics, but each one is a
+    // job launch; reportCounts=false trades the audit trail for
+    // throughput (fields come back -1). The persists stay either way —
+    // they serve the multi-consumer stages, not the counts.
+    def cnt(df: DataFrame): Long = if (opts.reportCounts) df.count() else -1L
+    val input = cnt(docs)
 
     // 0. optional PII scrub — BEFORE any content hashing (see Options)
     val scrubbed = if (opts.redactPii) redact(docs) else docs
@@ -110,7 +119,7 @@ object CorpusPipeline {
     // 1. clean
     val cleaned = clean(scrubbed, opts.minWords, opts.maxWords, opts.minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val afterClean = cleaned.count()
+    val afterClean = cnt(cleaned)
 
     // 1b. optional repetition gate (Gopher boilerplate rule): the
     // q103 top-token statistic as an admission predicate — the
@@ -122,7 +131,7 @@ object CorpusPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => cleaned
     }
-    val afterRepetitionGate = if (opts.maxTopTokenFrac.isDefined) gated.count() else afterClean
+    val afterRepetitionGate = if (opts.maxTopTokenFrac.isDefined) cnt(gated) else afterClean
 
     // 2. exact dedup: keeper = min doc_id per content digest
     val keepers = gated.groupBy(md5(col("text").cast("binary")))
@@ -132,7 +141,7 @@ object CorpusPipeline {
     // planner shuffle (or AQE pick broadcast when it actually fits)
     val exact = gated.join(keepers, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val afterExactDedup = exact.count()
+    val afterExactDedup = cnt(exact)
 
     // 3. near-dup dedup: LSH candidates -> exact verify -> clusters ->
     //    keep each cluster's min id (members other than the root drop)
@@ -145,7 +154,7 @@ object CorpusPipeline {
       .select(col("member").as("doc_id"))
     val nearDeduped = exact.join(victims, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val afterNearDedup = nearDeduped.count()
+    val afterNearDedup = cnt(nearDeduped)
 
     // 4. deterministic stratified sample (md5-prefix threshold)
     val sampled =
@@ -158,7 +167,7 @@ object CorpusPipeline {
         nearDeduped.filter(
           substring(md5(concat(col("doc_id").cast("string"), lit(opts.salt))), 1, 8) < cut)
       }
-    val nSampled = sampled.count()
+    val nSampled = cnt(sampled)
 
     // 4b. optional domain balance: every language toward the smallest
     val balancedFrame =
@@ -166,7 +175,7 @@ object CorpusPipeline {
         graft.operators.DomainMix.balanceToSmallest(
           sampled, "lang", "doc_id", opts.salt + ":mix")
       else sampled
-    val nBalanced = if (opts.balanceDomains) balancedFrame.count() else nSampled
+    val nBalanced = if (opts.balanceDomains) cnt(balancedFrame) else nSampled
 
     // 5. write partitioned by language
     balancedFrame.drop("n_words", "quality")

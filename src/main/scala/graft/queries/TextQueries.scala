@@ -865,6 +865,22 @@ object TextQueries extends QueryDsl {
       graft.dedup.SemanticDedup.keepers(emb, "vec_id", pairs, "va", "vb")
     },
 
+    // The SCALE route of q101: same keeper selection, but the pair
+    // graph comes from banded SRP-LSH (id-only shuffles, no all-pairs
+    // step) — the composition a 100 TB corpus runs. Approximate for the
+    // same reason as q69b (sub-0.6 cosine recall), so rows-only; q101
+    // is the exact-pair-graph twin under the hash gate, and
+    // SemanticDedupSpec asserts the LSH composition recovers planted
+    // duplicate groups. ScaleProbe measures this route at 32x.
+    q("q101b_semantic_dedup_lsh") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val pairs = Ann.lshNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+        .select($"vec_a".as("va"), $"vec_b".as("vb"))
+      graft.dedup.SemanticDedup.keepers(emb, "vec_id", pairs, "va", "vb")
+    },
+
     // Domain-mix resampling (the training-mix step): downsample every
     // language to the smallest language's size via a deterministic
     // md5-gated uniform — no RNG state, so the oracle replicates the

@@ -1,0 +1,55 @@
+package graft.nvd
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** CVSS v3.1 vector-string parsing and base-score computation against
+  * published scores (the spec's own rating examples / ubiquitous
+  * real-feed vectors).
+  */
+class CvssV3Spec extends SparkSpec {
+
+  private def scoreOf(vectors: String*): Seq[java.lang.Double] = {
+    val sp = spark; import sp.implicits._
+    vectors.toDF("vs")
+      .select(CvssV3.baseScoreOfVector(col("vs")).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0)))
+      .toSeq
+  }
+
+  test("base scores match published values") {
+    assert(scoreOf(
+      "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H", // the classic 9.8
+      "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:C/C:H/I:H/A:H", // worst case
+      "CVSS:3.1/AV:N/AC:L/PR:N/UI:R/S:C/C:L/I:L/A:N", // textbook XSS
+      "CVSS:3.1/AV:N/AC:L/PR:L/UI:N/S:U/C:L/I:L/A:N",
+      "CVSS:3.1/AV:L/AC:H/PR:H/UI:R/S:U/C:N/I:N/A:N", // no impact
+      "CVSS:3.1/AV:L/AC:L/PR:L/UI:N/S:U/C:H/I:H/A:H"  // local privesc
+    ) === Seq(9.8, 10.0, 6.1, 5.4, 0.0, 7.8))
+  }
+
+  test("v3.0 prefix parses identically; missing metrics yield null") {
+    assert(scoreOf("CVSS:3.0/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H") === Seq(9.8))
+    assert(scoreOf("CVSS:3.1/AV:N/AC:L") === Seq(null))
+    assert(scoreOf("") === Seq(null))
+  }
+
+  test("vectorParsed extracts the eight letters; CVSS: prefix never matches Scope") {
+    val sp = spark; import sp.implicits._
+    val r = Seq("CVSS:3.1/AV:A/AC:H/PR:L/UI:R/S:C/C:L/I:N/A:H").toDF("vs")
+      .select(CvssV3.vectorParsed(col("vs")).as("p"))
+      .select("p.av", "p.ac", "p.pr", "p.ui", "p.s", "p.c", "p.i", "p.a")
+      .first()
+    assert(r.toSeq === Seq("A", "H", "L", "R", "C", "L", "N", "H"))
+  }
+
+  test("roundup1 is the spec's integer-snapped ceiling") {
+    val sp = spark; import sp.implicits._
+    val vals = Seq(4.0, 4.02, 4.000001, 8.6 - 1e-9, 0.0).toDF("x")
+      .select(CvssV3.roundup1(col("x")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    // 4.000001 snaps DOWN to 4.0 (noise below 1e-5); 4.02 rounds up to
+    // 4.1; 8.6-1e-9 snaps to 8.6 exactly
+    assert(vals === Seq(4.0, 4.1, 4.0, 8.6, 0.0))
+  }
+}

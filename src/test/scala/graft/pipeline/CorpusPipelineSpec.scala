@@ -73,6 +73,38 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("curate(reportCounts=false): no attrition fields, fewer jobs, same output") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+    def countJobs(body: => CorpusPipeline.Report): (CorpusPipeline.Report, Int) = {
+      def jobsSoFar = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val before = jobsSoFar
+      val r = body
+      (r, jobsSoFar - before)
+    }
+
+    val outA = Files.createTempDirectory("curated_counted").toString + "/corpus"
+    val outB = Files.createTempDirectory("curated_silent").toString + "/corpus"
+    val opts = CorpusPipeline.Options(minWords = 5, minQuality = 0.0)
+    val (counted, jobsCounted) = countJobs(CorpusPipeline.curate(docs, outA, opts))
+    val (silent, jobsSilent) =
+      countJobs(CorpusPipeline.curate(docs, outB, opts.copy(reportCounts = false)))
+
+    // the silent run reports nothing...
+    assert(Seq(silent.input, silent.afterClean, silent.afterRepetitionGate,
+      silent.afterExactDedup, silent.afterNearDedup, silent.sampled,
+      silent.balanced).forall(_ === -1L))
+    // ...launches strictly fewer jobs (one count action per stage saved)...
+    assert(jobsSilent < jobsCounted,
+      s"expected fewer jobs without counts: $jobsSilent vs $jobsCounted")
+    // ...and writes the identical corpus
+    val a = spark.read.parquet(outA)
+    val b = spark.read.parquet(outB)
+    assert(b.count() === a.count())
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("curate with repetition gate, domain balance, and packing sidecar") {
     val sp = spark; import sp.implicits._
     val docs = graft.Tables.documents(spark, sf001)
