@@ -74,7 +74,27 @@ object Ann {
       tables: Int = 8,
       dim: Int = 64,
       seed: Long = 42L,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    lshNearDupPairsReleasable(corpus, idCol, vecCol, threshold, nBits,
+      tables, dim, seed, maxBucketSize)._1
+
+  /** `lshNearDupPairs` plus a release handle: `release()` unpersists
+    * the internal postings cache (the one the skew guard and both
+    * self-join sides share). One-shot callers can ignore it (session
+    * LRU / clearCache reclaims, as the bench harness does); LOOPING
+    * callers — a streaming drain per micro-batch — must call it after
+    * materializing everything derived from the pairs, or cached
+    * postings over ever-growing history accumulate without bound. */
+  def lshNearDupPairsReleasable(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     val spreadC = graft.operators.Partitioning.spread(corpus)
     // vectors + norms, joined per matched id at verify time. NOT
     // cached: each verify side re-reads the (column-pruned) scan —
@@ -105,7 +125,7 @@ object Ann {
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(vecs.select(col("__id").as("vec_a"), col("__vec").as("va"), col("__n").as("na")),
         Seq("vec_a"))
       .join(vecs.select(col("__id").as("vec_b"), col("__vec").as("vb"), col("__n").as("nb")),
@@ -113,6 +133,7 @@ object Ann {
       .withColumn("cos_raw", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos_raw") > threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
+    (pairs, () => { rawPostings.unpersist(); () })
   }
 
   /** Deterministic pseudo-random hyperplanes: nBits x dim standard

@@ -74,10 +74,13 @@ object CvssV3 {
       .otherwise(lit(6.42) * iss)
     val expl = lit(8.22) * av * ac * pr * ui
     val sum = impact + expl
-    // explicit null guard: `least` returns the least NON-null operand,
-    // so a missing metric's null sum would otherwise come back as the
-    // 10.0 cap instead of null
-    when(sum.isNull, lit(null).cast("double"))
+    // explicit null guards: `least` returns the least NON-null
+    // operand, so a missing metric's null sum would otherwise come
+    // back as the 10.0 cap — and Scope is the one metric that never
+    // enters the null web (it is only ever compared, and '' === 'C' is
+    // false, not null), so a vector with S missing or unrecognized
+    // would silently score as Scope:Unchanged without its own check
+    when(sum.isNull || !m("S").isin("U", "C"), lit(null).cast("double"))
       .when(impact <= 0.0, lit(0.0))
       .otherwise(roundup1(
         when(scopeChanged, least(lit(1.08) * sum, lit(10.0)))

@@ -55,7 +55,13 @@ object StreamingSemanticDedup {
     val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.operators.SwapDir.heal(fs, new Path(stateDir))
     val hasState = fs.exists(new Path(stateDir))
+    // within-batch id dedup FIRST: an at-least-once source can deliver
+    // the same doc_id twice inside one drain, and the state anti-join
+    // below only screens against PRIOR state — without this both
+    // copies would be admitted and appended, permanently breaking the
+    // one-row-per-admitted-doc state invariant
     val rawIncoming = batch.select(col("doc_id").as("doc"), col("embedding"))
+      .dropDuplicates("doc")
     val state =
       if (hasState) spark.read.parquet(stateDir)
       else rawIncoming.limit(0)
@@ -66,10 +72,11 @@ object StreamingSemanticDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val union = state.unionByName(incoming)
-    val pairs = Ann.lshNearDupPairs(union, "doc", "embedding",
-        threshold = threshold, nBits = nBits, tables = tables, dim = dim,
-        maxBucketSize = maxBucketSize)
-      .select(col("vec_a").as("va"), col("vec_b").as("vb"))
+    val (rawPairs, releasePairs) = Ann.lshNearDupPairsReleasable(
+      union, "doc", "embedding",
+      threshold = threshold, nBits = nBits, tables = tables, dim = dim,
+      maxBucketSize = maxBucketSize)
+    val pairs = rawPairs.select(col("vec_a").as("va"), col("vec_b").as("vb"))
 
     // keepers over the union: keeper = component minimum (or self for
     // singletons). A component holding ANY admitted doc is history —
@@ -79,16 +86,24 @@ object StreamingSemanticDedup {
     val contaminated = keep
       .join(state.select(col("doc")), Seq("doc"), "left_semi")
       .select(col("keeper")).distinct()
-      // duplicate-GROUP sized, and read by one anti-join below
+      // usually duplicate-GROUP sized, and read by one anti-join below.
+      // NO forced broadcast: under dup-heavy input (re-ingesting an
+      // already-curated corpus) this approaches batch cardinality, and
+      // a broadcast hint would collect it to the driver regardless of
+      // size — the planner/AQE broadcasts it when it actually fits
       .localCheckpoint(true)
     val admittedIds = keep.filter(col("kept"))
-      .join(broadcast(contaminated), Seq("keeper"), "left_anti")
+      .join(contaminated, Seq("keeper"), "left_anti")
       .select(col("doc"))
 
     // SNAPSHOT with lineage cut before appending into a path the plan
     // reads (same recacheByPath hazard as StreamingNearDupDedup)
     val admitted = incoming.join(admittedIds, Seq("doc"), "left_semi")
       .localCheckpoint(true)
+    // everything derived from the pairs is materialized now — release
+    // the postings cache, or each drain leaks one cached copy of the
+    // ever-growing history's signatures
+    releasePairs()
     admitted.write.mode(SaveMode.Append).parquet(stateDir)
     onAdmitted(admitted.select(col("doc")))
     incoming.unpersist()
@@ -111,7 +126,10 @@ object StreamingSemanticDedup {
     graft.operators.SwapDir.swap(fs, staging, dst)
   }
 
-  /** Admit an embedding stream (parquet drop dir) into `stateDir`. */
+  /** Admit an embedding stream (parquet drop dir) into `stateDir`.
+    * All of `process`'s knobs pass through — recall tuning (nBits /
+    * tables) is corpus-dependent, and `onAdmitted` is how downstream
+    * sinks consume each drain's admitted ids. */
   def start(
       spark: SparkSession,
       streamDir: String,
@@ -119,11 +137,16 @@ object StreamingSemanticDedup {
       checkpointDir: String,
       schema: org.apache.spark.sql.types.StructType,
       threshold: Double = 0.9,
-      dim: Int = 64): StreamingQuery =
+      dim: Int = 64,
+      nBits: Int = 8,
+      tables: Int = 8,
+      maxBucketSize: Int = 10000,
+      onAdmitted: DataFrame => Unit = _ => ()): StreamingQuery =
     spark.readStream.schema(schema).parquet(streamDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        process(spark, batch, stateDir, threshold, dim)
+        process(spark, batch, stateDir, threshold, dim, nBits, tables,
+          maxBucketSize, onAdmitted)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -32,6 +32,13 @@ class CvssV3Spec extends SparkSpec {
     assert(scoreOf("CVSS:3.0/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H") === Seq(9.8))
     assert(scoreOf("CVSS:3.1/AV:N/AC:L") === Seq(null))
     assert(scoreOf("") === Seq(null))
+    // Scope never enters the null web through the weight chains ('' or
+    // an unknown letter just compares false to 'C'), so it needs its
+    // own validity check — missing/invalid S must NOT score as
+    // Scope:Unchanged
+    assert(scoreOf(
+      "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/C:H/I:H/A:H",
+      "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:X/C:H/I:H/A:H") === Seq(null, null))
   }
 
   test("vectorParsed extracts the eight letters; CVSS: prefix never matches Scope") {

@@ -26,10 +26,12 @@ class StreamingSemanticDedupSpec extends SparkSpec {
     val state = Files.createTempDirectory("semstate").toString + "/state"
 
     // batch 1: docs 1 and 2 are semantic dups (one component, keeper
-    // 1); doc 3 is orthogonal
+    // 1); doc 3 is orthogonal; doc 3 is ALSO delivered twice within
+    // the batch (at-least-once source) — exactly one copy may land in
+    // state
     var admitted1: Seq[Long] = Nil
     StreamingSemanticDedup.process(spark,
-      Seq((1L, eA), (2L, eAish), (3L, eB)).toDF("doc_id", "embedding"),
+      Seq((1L, eA), (2L, eAish), (3L, eB), (3L, eB)).toDF("doc_id", "embedding"),
       state, threshold = 0.9, dim = D,
       onAdmitted = ids => admitted1 = ids.as[Long].collect().sorted.toSeq)
     assert(admitted1 === Seq(1L, 3L))
