@@ -73,4 +73,49 @@ object CpeParser {
   def cvesForProduct(fact: DataFrame, vendor: String, product: String): DataFrame =
     fact.filter(col("vendor") === vendor && col("product") === product)
       .select(col("cve_id")).distinct()
+
+  /** Sortable key for dotted numeric versions: first four components,
+    * each zero-padded to 10 chars, missing components = 0 — so plain
+    * string comparison orders "1.2.9" < "1.2.10" and "1.2" == "1.2.0",
+    * the two places naive lexicographic version compare goes wrong.
+    * Exact for numeric-dotted versions (the overwhelming NVD case);
+    * non-numeric fragments compare bytewise within their slot. */
+  def versionKey(v: Column): Column = {
+    val parts = split(coalesce(v, lit("")), "\\.")
+    concat_ws(".", (0 until 4).map(i =>
+      lpad(coalesce(try_element_at(parts, lit(i + 1)), lit("0")), 10, "0")): _*)
+  }
+
+  /** NVD cpe_match range containment: is `version` inside the
+    * [start, end) bounds? A null bound is OPEN (the feed omits bounds
+    * it does not constrain) — exactly the cpe_match
+    * versionStart/End Including/Excluding semantics. */
+  def versionInRange(
+      version: Column,
+      startIncl: Column, startExcl: Column,
+      endIncl: Column, endExcl: Column): Column = {
+    val vk = versionKey(version)
+    (startIncl.isNull || vk >= versionKey(startIncl)) &&
+      (startExcl.isNull || vk > versionKey(startExcl)) &&
+      (endIncl.isNull || vk <= versionKey(endIncl)) &&
+      (endExcl.isNull || vk < versionKey(endExcl))
+  }
+
+  /** Vulnerable cpe_match entries WITH their version-range bounds —
+    * the typed form of the range fields the reference's sidecar
+    * archives but never reads (nvd2mysqlloader.py:305-313;
+    * NvdSchema.cpeMatch). Strict reference scope: top-level entries
+    * only, matching `vulnerableCpeArray`'s default. */
+  def vulnerableMatches(configurations: Column): Column =
+    flatten(transform(
+      coalesce(configurations.getField("nodes"), array()),
+      n => transform(
+        filter(coalesce(n.getField("cpe_match"), array()),
+          m => coalesce(m.getField("vulnerable"), lit(false))),
+        m => struct(
+          m.getField("cpe23Uri").as("cpe23Uri"),
+          m.getField("versionStartIncluding").as("start_incl"),
+          m.getField("versionStartExcluding").as("start_excl"),
+          m.getField("versionEndIncluding").as("end_incl"),
+          m.getField("versionEndExcluding").as("end_excl")))))
 }

@@ -50,7 +50,13 @@ object NvdQueries extends QueryDsl {
     val node0 = concat(
       lit("""{"operator":"OR","cpe_match":[{"vulnerable":true,"cpe23Uri":"cpe:2.3:a:"""),
       vendorJson, lit(""":p"""), m(11),
-      lit(""":1.0"},{"vulnerable":false,"cpe23Uri":"cpe:2.3:a:nv:q:2.0"}"""),
+      // version-range bounds on the first (vulnerable) entry: start
+      // inclusive 1.<k%7>.0, end exclusive 1.<k%7>.<k%12> (end minor
+      // reaches 10/11 so q110 exercises the numeric-vs-lexicographic
+      // compare); q107/q108 never read these fields
+      lit(""":1.0","versionStartIncluding":"1."""), m(7),
+      lit(""".0","versionEndExcluding":"1."""), m(7), lit("""."""), m(12),
+      lit(""""},{"vulnerable":false,"cpe23Uri":"cpe:2.3:a:nv:q:2.0"}"""),
       when(k % 2 === 0, concat(
         lit(""",{"vulnerable":true,"cpe23Uri":"cpe:2.3:o:w"""), m(3),
         lit(""":r:3.0"}"""))).otherwise(nothing),
@@ -310,5 +316,37 @@ object NvdQueries extends QueryDsl {
           vector.as("vector"))
         .withColumn("score", CvssV3.baseScoreOfVector($"vector"))
         .withColumn("severity", CvssV3.severityOf($"score"))
+    },
+
+    // The "which CVEs affect version V" question — cpe_match
+    // version-RANGE containment through the real typed extraction
+    // (CpeParser.vulnerableMatches) and the real versionKey compare
+    // (zero-padded component key: "1.2.9" < "1.2.10" numerically even
+    // though lexicographically it is not — probe minors reach 9
+    // against end bounds of 10/11, so a naive string compare fails
+    // this oracle). Probes broadcast against the match table — the
+    // 100 TB shape for a small advisory list vs the full CVE corpus.
+    q("q110_cpe_version_range",
+      """SELECT '1.' || r || '.' || (r * 3) AS version,
+        |  count(DISTINCT k)::BIGINT AS n_cve
+        |FROM (SELECT r_regionkey AS r FROM region)
+        |JOIN (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000)
+        |  ON (k % 7) = r AND (r * 3) < (k % 12)
+        |GROUP BY 1""".stripMargin) { c =>
+      import c.t
+      val matches = synthItems(c).select(
+          col("item.cve.CVE_data_meta.ID").as("cve_id"),
+          explode(CpeParser.vulnerableMatches(col("item.configurations"))).as("m"))
+        .select($"cve_id", $"m.start_incl", $"m.start_excl",
+          $"m.end_incl", $"m.end_excl")
+        .filter($"start_incl".isNotNull) // the ranged entries
+      val probes = t("region").select(
+        concat(lit("1."), $"r_regionkey".cast("string"), lit("."),
+          ($"r_regionkey" * 3).cast("string")).as("version"))
+      matches.join(broadcast(probes),
+          CpeParser.versionInRange($"version", $"start_incl", $"start_excl",
+            $"end_incl", $"end_excl"))
+        .groupBy($"version")
+        .agg(countDistinct($"cve_id").as("n_cve"))
     })
 }

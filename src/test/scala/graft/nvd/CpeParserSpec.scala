@@ -30,6 +30,29 @@ class CpeParserSpec extends SparkSpec {
     assert(rows(1).toSeq === Seq("short", null, null, null))
   }
 
+  test("versionKey orders numerically; versionInRange honors bound kinds and open bounds") {
+    val sp = spark; import sp.implicits._
+    def keyed(vs: String*): Seq[String] = vs.toDF("v")
+      .select(CpeParser.versionKey(col("v")).as("k")).collect().map(_.getString(0)).toSeq
+    // the two classic failures of naive string compare
+    val Seq(k9, k10) = keyed("1.2.9", "1.2.10")
+    assert(k9 < k10, "1.2.9 must order below 1.2.10")
+    val Seq(kShort, kPadded) = keyed("1.2", "1.2.0")
+    assert(kShort === kPadded, "1.2 must equal 1.2.0")
+
+    def inRange(v: String, si: String, se: String, ei: String, ee: String): Boolean =
+      Seq((v, si, se, ei, ee)).toDF("v", "si", "se", "ei", "ee")
+        .select(CpeParser.versionInRange(col("v"), col("si"), col("se"),
+          col("ei"), col("ee")).as("r"))
+        .first().getBoolean(0)
+    assert(inRange("1.2.10", "1.2.9", null, null, "1.2.11"))   // inside [9, 11)
+    assert(!inRange("1.2.11", "1.2.9", null, null, "1.2.11"))  // end exclusive
+    assert(inRange("1.2.11", "1.2.9", null, "1.2.11", null))   // end inclusive
+    assert(!inRange("1.2.9", null, "1.2.9", null, null))       // start exclusive
+    assert(inRange("1.2.9", "1.2.9", null, null, null))        // start inclusive
+    assert(inRange("7.7.7", null, null, null, null))           // all bounds open
+  }
+
   test("cve2cpe star populates from the flattened feed and answers the product query") {
     val flat = CveFlatten.flattenFeed(spark,
       Seq(java.nio.file.Paths.get("src/test/resources/nvdfeed/2002.json").toUri.toString))
