@@ -821,6 +821,35 @@ object TextQueries extends QueryDsl {
         .select($"w", $"tf", $"df", round($"score", 4).as("tfidf"))
     },
 
+    // Unigram log-probability quality scoring (the CCNet-style LM
+    // filter proxy): score every document by the mean log corpus
+    // frequency of its tokens — low = rare-token gibberish, high =
+    // common-word boilerplate; curation keeps the middle band. Scale
+    // shape: exploded postings -> vocab count (partial+final, one
+    // shuffle) -> postings⋈vocab (vocab is dictionary-sized, planner/
+    // AQE broadcasts when it fits) -> per-doc avg. Linear end to end,
+    // no pair explosion.
+    q("q111_unigram_logprob",
+      """WITH postings AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), vocab AS (SELECT w, count(*) AS cnt FROM postings GROUP BY w),
+        |tot AS (SELECT sum(cnt) AS t FROM vocab)
+        |SELECT p.doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(cnt / cast(t AS double))), 4) AS avg_logprob
+        |FROM postings p JOIN vocab USING (w), tot
+        |GROUP BY p.doc_id""".stripMargin) { c =>
+      import c.t
+      val postings = t("documents").filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("w"))
+      val vocab = postings.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum($"cnt").as("t"))
+      postings.join(vocab, Seq("w")).crossJoin(broadcast(tot))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log($"cnt" / $"t".cast("double"))), 4).as("avg_logprob"))
+    },
+
     q("q84_doc_stats_by_lang",
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(cast(n_chars AS double)), 4) AS avg_chars,
