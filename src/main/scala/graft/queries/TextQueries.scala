@@ -18,6 +18,21 @@ import graft.ann.{Ann, Ivf, Pq}
   */
 object TextQueries extends QueryDsl {
 
+  /** DuckDB replica of `TF.wordCount` (empty/whitespace-only -> 0). */
+  private val tokCountSql =
+    """CASE WHEN length(trim(text)) = 0 THEN 0
+      | ELSE len(regexp_split_to_array(trim(text), '\s+')) END""".stripMargin
+
+  /** DuckDB replica of `TF.qualityScore` BEFORE its final round(6) —
+    * shared by q81 (rounds it) and q112 (orders by the rounded value). */
+  private val qualityExprSql =
+    s"""least($tokCountSql / 100.0, 1.0) * 0.3
+      |  + coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nullif(length(text), 0), 0) * 0.3
+      |  + greatest(0.0, 1.0 - coalesce(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / nullif(length(text), 0), 0) * 10.0) * 0.2
+      |  + (CASE WHEN (length(regexp_replace(text, '\\s+', '', 'g'))
+      |         / nullif($tokCountSql, 0))
+      |         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // ---- deduplication --------------------------------------------------
@@ -632,17 +647,7 @@ object TextQueries extends QueryDsl {
     },
 
     q("q81_quality_score",
-      """SELECT doc_id, round(
-        |  least(CASE WHEN length(trim(text)) = 0 THEN 0
-        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END / 100.0, 1.0) * 0.3
-        |  + coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nullif(length(text), 0), 0) * 0.3
-        |  + greatest(0.0, 1.0 - coalesce(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / nullif(length(text), 0), 0) * 10.0) * 0.2
-        |  + (CASE WHEN (length(regexp_replace(text, '\s+', '', 'g'))
-        |         / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
-        |                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0))
-        |         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
-        |, 6) AS quality
-        |FROM documents""".stripMargin) { c =>
+      s"SELECT doc_id, round($qualityExprSql, 6) AS quality FROM documents") { c =>
       import c.t
       t("documents").select($"doc_id", TF.qualityScore($"text").as("quality"))
     },
@@ -848,6 +853,39 @@ object TextQueries extends QueryDsl {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(log($"cnt" / $"t".cast("double"))), 4).as("avg_logprob"))
+    },
+
+    // Token-budget selection (the data-mixing primitive): per language,
+    // keep the highest-quality documents until a token budget fills —
+    // greedy by quality with doc_id tie-break. Ordering is on the
+    // ROUNDED quality (qualityScore rounds to 6 internally, and q81's
+    // hash gate proves both engines agree on that value), so the sort
+    // is cross-engine deterministic where raw-double ordering would
+    // not be. Scale shape: one window per language shard — no global
+    // sort, same pattern as q106's per-shard packing.
+    q("q112_token_budget_select",
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, ($tokCountSql)::BIGINT AS n_tokens,
+        |    round($qualityExprSql, 6) AS quality
+        |  FROM documents),
+        |cum AS (
+        |  SELECT *, (sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, lang, n_tokens, quality, cum_tokens
+        |FROM cum WHERE cum_tokens <= 2000""".stripMargin) { c =>
+      import c.t
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t("documents")
+        .select($"doc_id", $"lang",
+          TF.wordCount($"text").cast("long").as("n_tokens"),
+          TF.qualityScore($"text").as("quality"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .filter($"cum_tokens" <= 2000)
     },
 
     q("q84_doc_stats_by_lang",
