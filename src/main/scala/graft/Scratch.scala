@@ -112,6 +112,39 @@ object Scratch {
       require(mvState.select(sum("cnt_qty")).collect()(0).getLong(0) ==
         mvFull.select(sum("cnt_qty")).collect()(0).getLong(0), "MV fold lost rows")
       println(s"incremental MV state rows: ${mvState.count()}")
+
+      println("== CVSS v3.1 vector scoring ==")
+      val cvssRows = Seq(
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:R/S:C/C:L/I:L/A:N").toDF("vs")
+        .select($"vs", graft.nvd.CvssV3.baseScoreOfVector($"vs").as("score"))
+        .collect().map(r => r.getString(0).takeRight(30) -> r.getDouble(1))
+      require(cvssRows.map(_._2).toSeq == Seq(9.8, 6.1), s"CVSS scores off: ${cvssRows.toSeq}")
+      println(s"cvss scores: ${cvssRows.map(_._2).mkString(", ")}")
+
+      println("== CPE version-range containment ==")
+      val vr = Seq(("1.2.10", "1.2.9", "1.2.11"), ("1.2.11", "1.2.9", "1.2.11"))
+        .toDF("v", "lo", "hi")
+        .select(graft.nvd.CpeParser.versionInRange(
+          $"v", $"lo", lit(null), lit(null), $"hi").as("in"))
+        .collect().map(_.getBoolean(0)).toSeq
+      require(vr == Seq(true, false), s"version range off: $vr")
+      println(s"version containment: $vr")
+
+      println("== streaming semantic dedup (2 batches) ==")
+      val semState = java.nio.file.Files.createTempDirectory("scratch_sem").toString + "/state"
+      def v8(i: Int, x: Float) = { val a = new Array[Float](8); a(i) = 1f; a(1) = x; a }
+      graft.streaming.StreamingSemanticDedup.process(spark,
+        Seq((1L, v8(0, 0f)), (2L, v8(0, 0.01f)), (3L, v8(2, 0f)))
+          .toDF("doc_id", "embedding"),
+        semState, threshold = 0.9, dim = 8)
+      graft.streaming.StreamingSemanticDedup.process(spark,
+        Seq((10L, v8(0, 0.02f)), (11L, v8(4, 0f))).toDF("doc_id", "embedding"),
+        semState, threshold = 0.9, dim = 8)
+      val semAdmitted = spark.read.parquet(semState).select("doc")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      require(semAdmitted == Seq(1L, 3L, 11L), s"semantic state off: $semAdmitted")
+      println(s"semantic dedup admitted: $semAdmitted")
       println("SCRATCH OK")
     } finally spark.stop()
   }
