@@ -36,7 +36,8 @@ object CorpusPipeline {
       afterExactDedup: Long,
       afterNearDedup: Long,
       sampled: Long,
-      balanced: Long)
+      balanced: Long,
+      budgeted: Long = -1L)
 
   final case class Options(
       minWords: Int = 10,
@@ -65,7 +66,11 @@ object CorpusPipeline {
       // when false, skip the per-stage attrition counts (every Report
       // field is -1): a throughput-only run saves one count job per
       // stage; the stages themselves are unchanged
-      reportCounts: Boolean = true)
+      reportCounts: Boolean = true,
+      // per-language token budget: keep the highest-quality documents
+      // (quality desc, doc_id tie-break) until the budget fills — the
+      // q112 data-mixing primitive as a pipeline stage; None = skip
+      tokenBudgetPerLang: Option[Long] = None)
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
@@ -177,8 +182,24 @@ object CorpusPipeline {
       else sampled
     val nBalanced = if (opts.balanceDomains) cnt(balancedFrame) else nSampled
 
+    // 4c. optional per-language token budget (the q112 selection as a
+    // stage): greedy by the round-6 quality clean() already computed,
+    // doc_id tie-break, running token sum windowed PER LANGUAGE — no
+    // global sort, same shard-local shape as the packing sidecar
+    val budgetedFrame = opts.tokenBudgetPerLang match {
+      case Some(b) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        balancedFrame.withColumn("__cum", sum(col("n_words")).over(w))
+          .filter(col("__cum") <= b).drop("__cum")
+      case None => balancedFrame
+    }
+    val nBudgeted = if (opts.tokenBudgetPerLang.isDefined) cnt(budgetedFrame) else -1L
+
     // 5. write partitioned by language
-    balancedFrame.drop("n_words", "quality")
+    budgetedFrame.drop("n_words", "quality")
       .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
 
     // 5b. optional packing sidecar: the concat-then-chunk sequence
@@ -201,7 +222,7 @@ object CorpusPipeline {
     Seq(cleaned, exact, nearDeduped).foreach(_.unpersist())
     if (opts.maxTopTokenFrac.isDefined) gated.unpersist()
     Report(input, afterClean, afterRepetitionGate, afterExactDedup,
-      afterNearDedup, nSampled, nBalanced)
+      afterNearDedup, nSampled, nBalanced, nBudgeted)
   }
 }
 
@@ -228,7 +249,7 @@ object CorpusPipelineMain {
       s""""after_repetition_gate":${r.afterRepetitionGate},""" +
       s""""after_exact_dedup":${r.afterExactDedup},""" +
       s""""after_near_dedup":${r.afterNearDedup},"sampled":${r.sampled},""" +
-      s""""balanced":${r.balanced}}""")
+      s""""balanced":${r.balanced},"budgeted":${r.budgeted}}""")
     spark.stop()
   }
 }

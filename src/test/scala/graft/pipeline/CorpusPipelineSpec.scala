@@ -105,6 +105,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("curate with tokenBudgetPerLang keeps the highest-quality docs under budget") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val out = Files.createTempDirectory("curated_budget").toString + "/corpus"
+    val budget = 2000L
+    val r = CorpusPipeline.curate(docs, out,
+      CorpusPipeline.Options(minWords = 5, minQuality = 0.0,
+        tokenBudgetPerLang = Some(budget)))
+
+    assert(r.budgeted > 0 && r.budgeted < r.balanced.max(r.sampled),
+      s"budget must bind: ${r.budgeted} of ${r.sampled}")
+    val kept = spark.read.parquet(out)
+    assert(kept.count() === r.budgeted)
+    // per language the kept token sum is within budget (the greedy-
+    // by-quality selection semantics themselves are oracle-checked by
+    // q112, which runs the same window)
+    kept.select(col("lang"),
+        graft.functions.TextFunctions.wordCount(col("text")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("tot"))
+      .collect().foreach(row =>
+        assert(row.getLong(1) <= budget, s"${row.getString(0)} over budget: ${row.getLong(1)}"))
+  }
+
   test("curate with repetition gate, domain balance, and packing sidecar") {
     val sp = spark; import sp.implicits._
     val docs = graft.Tables.documents(spark, sf001)
