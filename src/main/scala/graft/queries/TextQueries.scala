@@ -855,6 +855,38 @@ object TextQueries extends QueryDsl {
           round(avg(log($"cnt" / $"t".cast("double"))), 4).as("avg_logprob"))
     },
 
+    // Paragraph-level exact dedup (the Dolma-style sub-document pass):
+    // repeated paragraphs keep only their FIRST (doc, position)
+    // occurrence — including within one document — and documents
+    // reassemble from survivors in original order. The corpus has no
+    // paragraph structure, so the input is synthesized from orders
+    // keys (the q99/q107 trick): 'alpha k%7' repeats across docs,
+    // 'beta k' is unique, 'gamma k%3' repeats heavily, and a second
+    // 'alpha k%7' inside the same doc exercises the within-doc drop.
+    // The oracle rebuilds each surviving text with min-per-group CASE
+    // arithmetic.
+    q("q113_paragraph_dedup",
+      """WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |m7 AS (SELECT k % 7 AS g, min(k) AS mk FROM ks GROUP BY 1),
+        |m3 AS (SELECT k % 3 AS g, min(k) AS mk FROM ks GROUP BY 1)
+        |SELECT k AS doc_id,
+        |  (CASE WHEN k = m7.mk THEN 'alpha ' || (k % 7) || chr(10) || chr(10) ELSE '' END)
+        |  || 'beta ' || k
+        |  || (CASE WHEN k = m3.mk THEN chr(10) || chr(10) || 'gamma ' || (k % 3) ELSE '' END) AS text,
+        |  (1 + CASE WHEN k = m7.mk THEN 1 ELSE 0 END
+        |     + CASE WHEN k = m3.mk THEN 1 ELSE 0 END)::BIGINT AS n_paras_kept
+        |FROM ks JOIN m7 ON k % 7 = m7.g JOIN m3 ON k % 3 = m3.g""".stripMargin) { c =>
+      import c.t
+      val k = $"o_orderkey"
+      val docs = t("orders").filter(k <= 2000).select(
+        k.as("doc_id"),
+        concat(lit("alpha "), (k % 7).cast("string"),
+          lit("\n\nbeta "), k.cast("string"),
+          lit("\n\ngamma "), (k % 3).cast("string"),
+          lit("\n\nalpha "), (k % 7).cast("string")).as("text"))
+      graft.dedup.ParagraphDedup.dedup(docs, "doc_id", "text")
+    },
+
     // Token-budget selection (the data-mixing primitive): per language,
     // keep the highest-quality documents until a token budget fills —
     // greedy by quality with doc_id tie-break. Ordering is on the
