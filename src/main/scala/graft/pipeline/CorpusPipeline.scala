@@ -70,7 +70,13 @@ object CorpusPipeline {
       // per-language token budget: keep the highest-quality documents
       // (quality desc, doc_id tie-break) until the budget fills — the
       // q112 data-mixing primitive as a pipeline stage; None = skip
-      tokenBudgetPerLang: Option[Long] = None)
+      tokenBudgetPerLang: Option[Long] = None,
+      // paragraph-level exact dedup BEFORE cleaning (dedup.ParagraphDedup):
+      // repeated paragraphs keep their first (doc, position) occurrence
+      // corpus-wide; runs pre-clean so word counts / quality are computed
+      // on the deduped text, and a doc emptied of paragraphs falls to the
+      // minWords filter
+      paragraphDedup: Boolean = false)
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
@@ -121,8 +127,18 @@ object CorpusPipeline {
     // 0. optional PII scrub — BEFORE any content hashing (see Options)
     val scrubbed = if (opts.redactPii) redact(docs) else docs
 
+    // 0b. optional paragraph dedup (Dolma ordering: sub-document dedup
+    // before quality filtering). The operator returns (id, text) only,
+    // so passthrough columns rejoin by id.
+    val paraDeduped =
+      if (!opts.paragraphDedup) scrubbed
+      else scrubbed.drop("text").join(
+        graft.dedup.ParagraphDedup.dedup(scrubbed, "doc_id", "text")
+          .drop("n_paras_kept"),
+        Seq("doc_id"))
+
     // 1. clean
-    val cleaned = clean(scrubbed, opts.minWords, opts.maxWords, opts.minQuality)
+    val cleaned = clean(paraDeduped, opts.minWords, opts.maxWords, opts.minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterClean = cnt(cleaned)
 

@@ -128,6 +128,33 @@ class CorpusPipelineSpec extends SparkSpec {
         assert(row.getLong(1) <= budget, s"${row.getString(0)} over budget: ${row.getLong(1)}"))
   }
 
+  test("curate with paragraphDedup: shared boilerplate survives only in its first doc") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val footer = "subscribe to our newsletter for updates every single week"
+    val bodyA = (1 to 30).map(i => s"aatext$i").mkString(" ")
+    val bodyB = (1 to 30).map(i => s"bbtext$i").mkString(" ")
+    val planted = Seq(
+      (400001L, bodyA + "\n\n" + footer, "en", "planted"),
+      (400002L, bodyB + "\n\n" + footer, "en", "planted"))
+      .toDF("doc_id", "text", "lang", "source")
+    val input = docs.unionByName(planted)
+
+    val out = Files.createTempDirectory("curated_para").toString + "/corpus"
+    CorpusPipeline.curate(input, out,
+      CorpusPipeline.Options(minWords = 5, minQuality = 0.0, paragraphDedup = true))
+
+    val kept = spark.read.parquet(out)
+    val t1 = kept.filter(col("doc_id") === 400001L).select("text").collect()
+    val t2 = kept.filter(col("doc_id") === 400002L).select("text").collect()
+    assert(t1.nonEmpty && t1.head.getString(0).contains(footer),
+      "first doc keeps the shared paragraph")
+    assert(t2.nonEmpty && !t2.head.getString(0).contains(footer),
+      "second doc loses the repeated paragraph")
+    assert(t2.head.getString(0).contains("bbtext1"), "unique body survives")
+  }
+
   test("curate with repetition gate, domain balance, and packing sidecar") {
     val sp = spark; import sp.implicits._
     val docs = graft.Tables.documents(spark, sf001)
