@@ -39,10 +39,13 @@ object ScaleProbe {
         // oracle route is the exact all-pairs graph, which the planted
         // replica families make output-quadratic, same as q61/q79)
         "q102_domain_mix", "q103_repetition_stats",
-        // round-7 addition: the semantic-dedup SCALE route (LSH pair
-        // graph -> keepers); q101 itself stays off the list — its
-        // oracle route is all-pairs by contract
-        "q101b_semantic_dedup_lsh"))
+        // round-7 additions: the semantic-dedup SCALE route (LSH pair
+        // graph -> keepers; q101 itself stays off the list — its
+        // oracle route is all-pairs by contract), version-range
+        // containment, the two curation scorers, and paragraph dedup
+        "q101b_semantic_dedup_lsh", "q110_cpe_version_range",
+        "q111_unigram_logprob", "q112_token_budget_select",
+        "q113_paragraph_dedup"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
