@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.nvd.{CpeParser, CveFlatten, CvssV3, NvdSchema}
+import graft.nvd.{CpeParser, CveDelta, CveFlatten, CvssV3, NvdSchema}
 
 /** NVD-domain query surface that is still oracle-checkable: the
   * harness's DuckDB gate only sees the ten testdata tables, so these
@@ -25,7 +25,7 @@ object NvdQueries extends QueryDsl {
     * (`v\:4` — exercises CpeParser's lookbehind split), child and
     * grandchild nodes. Every branch is keyed on k so the DuckDB oracle
     * can rebuild the flattened strings with CASE arithmetic. */
-  private def synthDoc(k: Column): Column = {
+  private def synthDoc(k: Column, scoreBump: Column = lit(0.0)): Column = {
     val kS = k.cast("string")
     def m(n: Int) = (k % n).cast("string")
     val nothing = lit("")
@@ -72,7 +72,7 @@ object NvdQueries extends QueryDsl {
       lit("}]}"))).otherwise(nothing)
     val impact = when(k % 2 === 1, concat(
       lit(""""impact":{"baseMetricV2":{"cvssV2":{"baseScore":"""),
-      ((k % 90) / lit(10.0) + lit(1.0)).cast("string"),
+      ((k % 90) / lit(10.0) + lit(1.0) + scoreBump).cast("string"),
       lit(""","accessVector":"NETWORK"}}},"""))).otherwise(nothing)
     concat(
       lit("""{"cve":{"CVE_data_meta":{"ID":"CVE-2020-"""), kS, lit(""""},"""),
@@ -89,9 +89,11 @@ object NvdQueries extends QueryDsl {
 
   /** Synthesized items parsed through the feed-ingest contract
     * (explicit NvdSchema, same as readFeed). */
-  private def synthItems(c: Ctx): DataFrame =
-    c.t("orders").filter($"o_orderkey" <= 2000)
-      .select(from_json(synthDoc($"o_orderkey"), NvdSchema.cveItem).as("item"))
+  private def synthItems(
+      c: Ctx, lo: Long = -1L, hi: Long = 2000L,
+      scoreBump: Column = lit(0.0)): DataFrame =
+    c.t("orders").filter($"o_orderkey" > lo && $"o_orderkey" <= hi)
+      .select(from_json(synthDoc($"o_orderkey", scoreBump), NvdSchema.cveItem).as("item"))
 
   /** DuckDB rebuild of the strict-mode vulnerable list (top-level
     * vulnerable cpe_match only; flag-less and vulnerable:false dropped). */
@@ -348,5 +350,33 @@ object NvdQueries extends QueryDsl {
             $"end_incl", $"end_excl"))
         .groupBy($"version")
         .agg(countDistinct($"cve_id").as("n_cve"))
+    },
+
+    // Snapshot delta report (CveDelta.diff): two feed snapshots — old
+    // covers keys 1..1500, new covers 501..2000 with every third
+    // odd-keyed item's CVSS score bumped — full-outer joined on
+    // cve_id and classified added / removed / modified / unchanged
+    // with changed-field attribution. The item-level form of the
+    // reference's freshness check (its meta sha answers "did the feed
+    // change"; this answers "which CVEs, in what field"). The oracle
+    // replicates the key-interval arithmetic.
+    q("q114_nvd_delta",
+      """SELECT status, count(*)::BIGINT AS n, sum(nchanged)::BIGINT AS n_changed_fields
+        |FROM (
+        |  SELECT k, CASE WHEN k > 1500 THEN 'added'
+        |                 WHEN k <= 500 THEN 'removed'
+        |                 WHEN k % 2 = 1 AND k % 3 = 0 THEN 'modified'
+        |                 ELSE 'unchanged' END AS status,
+        |         CASE WHEN k > 500 AND k <= 1500 AND k % 2 = 1 AND k % 3 = 0
+        |              THEN 1 ELSE 0 END AS nchanged
+        |  FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000))
+        |GROUP BY 1""".stripMargin) { c =>
+      val oldSnap = CveFlatten.flattenItems(synthItems(c, -1, 1500))
+      val newSnap = CveFlatten.flattenItems(synthItems(c, 500, 2000,
+        scoreBump = when($"o_orderkey" % 3 === 0, lit(0.5)).otherwise(lit(0.0))))
+      CveDelta.diff(oldSnap, newSnap, "cve_id", Seq("score", "summary"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"),
+          sum(size($"changed_fields")).cast("long").as("n_changed_fields"))
     })
 }
