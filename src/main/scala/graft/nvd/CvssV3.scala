@@ -87,6 +87,31 @@ object CvssV3 {
           .otherwise(least(sum, lit(10.0)))))
   }
 
+  /** CVSS v3.1 TEMPORAL score (spec section 7.2): the base score
+    * degraded by Exploit Code Maturity (E), Remediation Level (RL) and
+    * Report Confidence (RC) — `Roundup(base × E × RL × RC)`. Metrics
+    * may be absent from the vector entirely; absent or X ("not
+    * defined") weighs 1.0 per the spec, so a bare base vector's
+    * temporal score equals its base score. A null base score stays
+    * null. */
+  def temporalScoreOfVector(vs: Column): Column = {
+    def w(name: String, pairs: (String, Double)*): Column = {
+      val letter = vectorMetric(vs, name)
+      // absent ('') or X -> 1.0 (NOT null): "not defined" is a defined
+      // weight in the temporal equation, unlike base metrics
+      pairs.foldLeft(when(letter === "" || letter === "X", lit(1.0))) {
+        case (acc, (l, v)) => acc.when(letter === l, lit(v))
+      }
+    }
+    val e = w("E", "U" -> 0.91, "P" -> 0.94, "F" -> 0.97, "H" -> 1.0)
+    val rl = w("RL", "O" -> 0.95, "T" -> 0.96, "W" -> 0.97, "U" -> 1.0)
+    val rc = w("RC", "U" -> 0.92, "R" -> 0.96, "C" -> 1.0)
+    val base = baseScoreOfVector(vs)
+    when(base.isNull || e.isNull || rl.isNull || rc.isNull,
+      lit(null).cast("double"))
+      .otherwise(roundup1(base * e * rl * rc))
+  }
+
   /** The spec's Roundup (v3.1 appendix A): smallest one-decimal value
     * >= x, through an integer snap at 1e-5 so float noise below that
     * cannot shift the result — the exact fix 3.1 made over 3.0's naive

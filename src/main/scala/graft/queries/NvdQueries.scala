@@ -95,6 +95,68 @@ object NvdQueries extends QueryDsl {
     c.t("orders").filter($"o_orderkey" > lo && $"o_orderkey" <= hi)
       .select(from_json(synthDoc($"o_orderkey", scoreBump), NvdSchema.cveItem).as("item"))
 
+  /** Spark side of the synthesized CVSS v3.1 base vector (letters keyed
+    * on k), shared by q109 and q115. */
+  private def baseVector(k: Column): Column = {
+    def letter(idx: Column, ls: String*) =
+      element_at(array(ls.map(lit): _*), (idx + 1).cast("int"))
+    concat(
+      lit("CVSS:3.1/AV:"), letter(k % 4, "N", "A", "L", "P"),
+      lit("/AC:"), letter(k % 2, "L", "H"),
+      lit("/PR:"), letter(k % 3, "N", "L", "H"),
+      lit("/UI:"), when(k % 5 < 3, "N").otherwise("R"),
+      lit("/S:"), when(k % 7 < 4, "U").otherwise("C"),
+      lit("/C:"), letter((k % 11) % 3, "H", "L", "N"),
+      lit("/I:"), letter((k % 13) % 3, "H", "L", "N"),
+      lit("/A:"), letter((k % 17) % 3, "H", "L", "N"))
+  }
+
+  /** DuckDB replica of the CVSS v3.1 base-score chain over the
+    * synthesized vectors — CTEs ending in `scored` (k, letter columns,
+    * score), shared by q109 (base) and q115 (temporal). Every weight
+    * is ::DOUBLE-cast so decimal literals never leak exact-decimal
+    * arithmetic into the double path; the y^15 multiply chain and the
+    * Roundup integer snap mirror the Spark expressions association for
+    * association. */
+  private val cvss3ScoredCtes =
+    """WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+      |m AS (SELECT k,
+      |  CASE k % 4 WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END AS av_l,
+      |  CASE k % 2 WHEN 0 THEN 'L' ELSE 'H' END AS ac_l,
+      |  CASE k % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END AS pr_l,
+      |  CASE WHEN k % 5 < 3 THEN 'N' ELSE 'R' END AS ui_l,
+      |  CASE WHEN k % 7 < 4 THEN 'U' ELSE 'C' END AS s_l,
+      |  CASE (k % 11) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS c_l,
+      |  CASE (k % 13) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS i_l,
+      |  CASE (k % 17) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS a_l
+      |  FROM ks),
+      |w AS (SELECT *, (s_l = 'C') AS sc,
+      |  (CASE av_l WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END)::DOUBLE AS av,
+      |  (CASE ac_l WHEN 'L' THEN 0.77 ELSE 0.44 END)::DOUBLE AS ac,
+      |  (CASE WHEN s_l = 'C' THEN CASE pr_l WHEN 'N' THEN 0.85 WHEN 'L' THEN 0.68 ELSE 0.5 END
+      |        ELSE CASE pr_l WHEN 'N' THEN 0.85 WHEN 'L' THEN 0.62 ELSE 0.27 END END)::DOUBLE AS pr,
+      |  (CASE ui_l WHEN 'N' THEN 0.85 ELSE 0.62 END)::DOUBLE AS ui,
+      |  (CASE c_l WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS cw,
+      |  (CASE i_l WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS iw,
+      |  (CASE a_l WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS aw
+      |  FROM m),
+      |c1 AS (SELECT *, 1 - (1 - cw) * (1 - iw) * (1 - aw) AS iss FROM w),
+      |c2 AS (SELECT *, iss - 0.02 AS y FROM c1),
+      |c3 AS (SELECT *, y * y AS y2 FROM c2),
+      |c4 AS (SELECT *, y2 * y2 AS y4 FROM c3),
+      |c5 AS (SELECT *, y4 * y4 AS y8 FROM c4),
+      |c6 AS (SELECT *,
+      |  CASE WHEN sc THEN 7.52 * (iss - 0.029) - 3.25 * (y8 * y4 * y2 * y)
+      |       ELSE 6.42 * iss END AS impact,
+      |  8.22 * av * ac * pr * ui AS expl FROM c5),
+      |c7 AS (SELECT *, CASE WHEN sc THEN least(1.08 * (impact + expl), 10.0)
+      |                      ELSE least(impact + expl, 10.0) END AS capped FROM c6),
+      |c8 AS (SELECT *, round(capped * 100000.0) AS ri FROM c7),
+      |scored AS (SELECT *,
+      |  CASE WHEN impact <= 0 THEN 0.0
+      |       WHEN ri % 10000 = 0 THEN ri / 100000.0
+      |       ELSE (floor(ri / 10000.0) + 1) / 10.0 END AS score FROM c8)""".stripMargin
+
   /** DuckDB rebuild of the strict-mode vulnerable list (top-level
     * vulnerable cpe_match only; flag-less and vulnerable:false dropped). */
   private val vslStrictSql =
@@ -254,45 +316,8 @@ object NvdQueries extends QueryDsl {
     // to weights and replicates the formula — including the explicit
     // y^15 multiply chain and the Roundup integer snap, so both
     // engines walk the identical IEEE path.
-    q("q109_cvss3_vector",
-      """WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
-        |m AS (SELECT k,
-        |  CASE k % 4 WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END AS av_l,
-        |  CASE k % 2 WHEN 0 THEN 'L' ELSE 'H' END AS ac_l,
-        |  CASE k % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END AS pr_l,
-        |  CASE WHEN k % 5 < 3 THEN 'N' ELSE 'R' END AS ui_l,
-        |  CASE WHEN k % 7 < 4 THEN 'U' ELSE 'C' END AS s_l,
-        |  CASE (k % 11) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS c_l,
-        |  CASE (k % 13) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS i_l,
-        |  CASE (k % 17) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS a_l
-        |  FROM ks),
-        |w AS (SELECT *, (s_l = 'C') AS sc,
-        |  (CASE av_l WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END)::DOUBLE AS av,
-        |  (CASE ac_l WHEN 'L' THEN 0.77 ELSE 0.44 END)::DOUBLE AS ac,
-        |  (CASE WHEN s_l = 'C' THEN CASE pr_l WHEN 'N' THEN 0.85 WHEN 'L' THEN 0.68 ELSE 0.5 END
-        |        ELSE CASE pr_l WHEN 'N' THEN 0.85 WHEN 'L' THEN 0.62 ELSE 0.27 END END)::DOUBLE AS pr,
-        |  (CASE ui_l WHEN 'N' THEN 0.85 ELSE 0.62 END)::DOUBLE AS ui,
-        |  (CASE c_l WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS cw,
-        |  (CASE i_l WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS iw,
-        |  (CASE a_l WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS aw
-        |  FROM m),
-        |c1 AS (SELECT *, 1 - (1 - cw) * (1 - iw) * (1 - aw) AS iss FROM w),
-        |c2 AS (SELECT *, iss - 0.02 AS y FROM c1),
-        |c3 AS (SELECT *, y * y AS y2 FROM c2),
-        |c4 AS (SELECT *, y2 * y2 AS y4 FROM c3),
-        |c5 AS (SELECT *, y4 * y4 AS y8 FROM c4),
-        |c6 AS (SELECT *,
-        |  CASE WHEN sc THEN 7.52 * (iss - 0.029) - 3.25 * (y8 * y4 * y2 * y)
-        |       ELSE 6.42 * iss END AS impact,
-        |  8.22 * av * ac * pr * ui AS expl FROM c5),
-        |c7 AS (SELECT *, CASE WHEN sc THEN least(1.08 * (impact + expl), 10.0)
-        |                      ELSE least(impact + expl, 10.0) END AS capped FROM c6),
-        |c8 AS (SELECT *, round(capped * 100000.0) AS ri FROM c7),
-        |scored AS (SELECT *,
-        |  CASE WHEN impact <= 0 THEN 0.0
-        |       WHEN ri % 10000 = 0 THEN ri / 100000.0
-        |       ELSE (floor(ri / 10000.0) + 1) / 10.0 END AS score FROM c8)
-        |SELECT 'CVE-2020-' || k AS cve_id,
+    q("q109_cvss3_vector", cvss3ScoredCtes + "\n" +
+      """SELECT 'CVE-2020-' || k AS cve_id,
         |  'CVSS:3.1/AV:' || av_l || '/AC:' || ac_l || '/PR:' || pr_l || '/UI:' || ui_l ||
         |    '/S:' || s_l || '/C:' || c_l || '/I:' || i_l || '/A:' || a_l AS vector,
         |  score,
@@ -302,22 +327,42 @@ object NvdQueries extends QueryDsl {
         |FROM scored""".stripMargin) { c =>
       import c.t
       val k = $"o_orderkey"
+      t("orders").filter(k <= 2000)
+        .select(concat(lit("CVE-2020-"), k.cast("string")).as("cve_id"),
+          baseVector(k).as("vector"))
+        .withColumn("score", CvssV3.baseScoreOfVector($"vector"))
+        .withColumn("severity", CvssV3.severityOf($"score"))
+    },
+
+    // Temporal score (spec section 7.2): base degraded by Exploit Code
+    // Maturity / Remediation Level / Report Confidence, absent-or-X
+    // weighing 1.0 by definition. Same shared-CTE base-score chain,
+    // one more weight product and Roundup on each side.
+    q("q115_cvss3_temporal", cvss3ScoredCtes + ",\n" +
+      """tw AS (SELECT *,
+        |  (CASE (k % 9) % 5 WHEN 1 THEN 0.91 WHEN 2 THEN 0.94 WHEN 3 THEN 0.97 ELSE 1.0 END)::DOUBLE AS ew,
+        |  (CASE (k % 19) % 5 WHEN 1 THEN 0.95 WHEN 2 THEN 0.96 WHEN 3 THEN 0.97 ELSE 1.0 END)::DOUBLE AS rlw,
+        |  (CASE (k % 23) % 4 WHEN 1 THEN 0.92 WHEN 2 THEN 0.96 ELSE 1.0 END)::DOUBLE AS rcw
+        |  FROM scored),
+        |t2 AS (SELECT *, round(score * ew * rlw * rcw * 100000.0) AS tri FROM tw)
+        |SELECT 'CVE-2020-' || k AS cve_id, score,
+        |  CASE WHEN tri % 10000 = 0 THEN tri / 100000.0
+        |       ELSE (floor(tri / 10000.0) + 1) / 10.0 END AS temporal_score
+        |FROM t2""".stripMargin) { c =>
+      import c.t
+      val k = $"o_orderkey"
       def letter(idx: Column, ls: String*) =
         element_at(array(ls.map(lit): _*), (idx + 1).cast("int"))
-      val vector = concat(
-        lit("CVSS:3.1/AV:"), letter(k % 4, "N", "A", "L", "P"),
-        lit("/AC:"), letter(k % 2, "L", "H"),
-        lit("/PR:"), letter(k % 3, "N", "L", "H"),
-        lit("/UI:"), when(k % 5 < 3, "N").otherwise("R"),
-        lit("/S:"), when(k % 7 < 4, "U").otherwise("C"),
-        lit("/C:"), letter((k % 11) % 3, "H", "L", "N"),
-        lit("/I:"), letter((k % 13) % 3, "H", "L", "N"),
-        lit("/A:"), letter((k % 17) % 3, "H", "L", "N"))
+      val vector = concat(baseVector(k),
+        lit("/E:"), letter((k % 9) % 5, "X", "U", "P", "F", "H"),
+        lit("/RL:"), letter((k % 19) % 5, "X", "O", "T", "W", "U"),
+        lit("/RC:"), letter((k % 23) % 4, "X", "U", "R", "C"))
       t("orders").filter(k <= 2000)
         .select(concat(lit("CVE-2020-"), k.cast("string")).as("cve_id"),
           vector.as("vector"))
-        .withColumn("score", CvssV3.baseScoreOfVector($"vector"))
-        .withColumn("severity", CvssV3.severityOf($"score"))
+        .select($"cve_id",
+          CvssV3.baseScoreOfVector($"vector").as("score"),
+          CvssV3.temporalScoreOfVector($"vector").as("temporal_score"))
     },
 
     // The "which CVEs affect version V" question — cpe_match

@@ -41,6 +41,19 @@ class CvssV3Spec extends SparkSpec {
       "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:X/C:H/I:H/A:H") === Seq(null, null))
   }
 
+  test("temporal score: degraded by E/RL/RC; absent or X weighs 1.0") {
+    val sp = spark; import sp.implicits._
+    def temporal(vs: String*): Seq[Double] = vs.toDF("vs")
+      .select(CvssV3.temporalScoreOfVector(col("vs")).as("t"))
+      .collect().map(_.getDouble(0)).toSeq
+    val base = "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H" // 9.8
+    assert(temporal(
+      base + "/E:F/RL:O/RC:C", // 9.8*0.97*0.95 = 9.0307 -> 9.1
+      base + "/E:X/RL:X/RC:X", // not-defined = 1.0
+      base                      // absent = 1.0
+    ) === Seq(9.1, 9.8, 9.8))
+  }
+
   test("vectorParsed extracts the eight letters; CVSS: prefix never matches Scope") {
     val sp = spark; import sp.implicits._
     val r = Seq("CVSS:3.1/AV:A/AC:H/PR:L/UI:R/S:C/C:L/I:N/A:H").toDF("vs")
