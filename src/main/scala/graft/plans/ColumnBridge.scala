@@ -14,6 +14,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager ColumnNode -> Expression conversion. `expression` wraps the
+    * node lazily (ColumnNodeExpression), which only the classic Dataset
+    * paths unwrap; an expression returned from a FunctionRegistry
+    * builder never is, and dies at codegen. This converts up front to a
+    * plain Catalyst tree (UnresolvedFunctions inside resolve normally). */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a hand-built LogicalPlan (e.g. graft.plans.AsOfJoinPlan) as
     * a DataFrame — `Dataset.ofRows` is `private[sql]` in Spark 4. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

@@ -119,7 +119,52 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("token_stats", args, 1, 1)
         graft.functions.TokenStatsExpr(args.head)
+      }),
+    // Column-composition functions (CVSS / CPE): the builder wraps the
+    // argument expressions in Columns, composes the same built-in
+    // expression trees the Scala API produces, and unwraps — the
+    // analyzer resolves the composite like any SQL expression.
+    (FunctionIdentifier("cvss3_base_score"),
+      info("cvss3_base_score",
+        "cvss3_base_score(vector) - CVSS v3.1 base score from a vector string (null on invalid/missing metrics)"),
+      (args: Seq[Expression]) => {
+        arity("cvss3_base_score", args, 1, 1)
+        asExpr(graft.nvd.CvssV3.baseScoreOfVector(asCol(args.head)))
+      }),
+    (FunctionIdentifier("cvss3_temporal_score"),
+      info("cvss3_temporal_score",
+        "cvss3_temporal_score(vector) - CVSS v3.1 temporal score (E/RL/RC; absent or X weighs 1.0)"),
+      (args: Seq[Expression]) => {
+        arity("cvss3_temporal_score", args, 1, 1)
+        asExpr(graft.nvd.CvssV3.temporalScoreOfVector(asCol(args.head)))
+      }),
+    (FunctionIdentifier("cvss3_severity"),
+      info("cvss3_severity",
+        "cvss3_severity(score) - v3.1 qualitative rating (NONE/LOW/MEDIUM/HIGH/CRITICAL)"),
+      (args: Seq[Expression]) => {
+        arity("cvss3_severity", args, 1, 1)
+        asExpr(graft.nvd.CvssV3.severityOf(asCol(args.head)))
+      }),
+    (FunctionIdentifier("cpe_version_in_range"),
+      info("cpe_version_in_range",
+        "cpe_version_in_range(v, start_incl, start_excl, end_incl, end_excl) - NVD cpe_match range containment (null bound = open)"),
+      (args: Seq[Expression]) => {
+        arity("cpe_version_in_range", args, 5, 5)
+        asExpr(graft.nvd.CpeParser.versionInRange(asCol(args(0)),
+          asCol(args(1)), asCol(args(2)), asCol(args(3)), asCol(args(4))))
+      }),
+    (FunctionIdentifier("cpe_parsed"),
+      info("cpe_parsed",
+        "cpe_parsed(cpe23Uri) - struct(part, vendor, product, version) with CPE escape handling"),
+      (args: Seq[Expression]) => {
+        arity("cpe_parsed", args, 1, 1)
+        asExpr(graft.nvd.CpeParser.parsed(asCol(args.head)))
       }))
+
+  private def asCol(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def asExpr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.graft.ColumnBridge.resolvedExpression(c)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

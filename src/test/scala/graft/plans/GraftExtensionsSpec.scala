@@ -38,4 +38,22 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first().getLong(0)
     assert(r.getAs[Long]("sh") === dsl)
   }
+
+  test("cvss3_* and cpe_* column-composition functions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  cvss3_base_score('CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H') AS base,
+        |  cvss3_temporal_score('CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H/E:F/RL:O/RC:C') AS temp,
+        |  cvss3_severity(9.8) AS sev,
+        |  cpe_version_in_range('1.2.10', '1.2.9', NULL, NULL, '1.2.11') AS in_range,
+        |  cpe_parsed('cpe:2.3:a:foo\\:bar:baz:1.0:*:*:*:*:*:*:*') AS p
+        |""".stripMargin).first()
+    assert(r.getAs[Double]("base") === 9.8)
+    assert(r.getAs[Double]("temp") === 9.1)
+    assert(r.getAs[String]("sev") === "CRITICAL")
+    assert(r.getAs[Boolean]("in_range"))
+    val p = r.getAs[org.apache.spark.sql.Row]("p")
+    assert(p.getAs[String]("vendor") === "foo:bar")
+    assert(p.getAs[String]("product") === "baz")
+  }
 }
