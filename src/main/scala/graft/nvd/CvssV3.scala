@@ -49,9 +49,31 @@ object CvssV3 {
     * (y^8*y^4*y^2*y) rather than pow(): libm pow differs across
     * engines by an ulp, the multiply chain is IEEE-deterministic, so
     * an oracle replicating the same chain matches bit for bit.
-    * Unknown/absent metric letters yield null, not a wrong score. */
-  def baseScoreOfVector(vs: Column): Column = {
-    def m(name: String) = vectorMetric(vs, name)
+    * Unknown/absent metric letters yield null, not a wrong score.
+    *
+    * Every `m(name)` reference inlines its own regexp_extract, so this
+    * single-Column form builds a LARGE tree (fine for one-off use; the
+    * runtime cost dedups under codegen subexpression elimination, but
+    * analysis + janino compile scale with tree size). Query code that
+    * also needs the letters or a temporal score should stage through
+    * [[baseScoreOfLetters]] over a projection of [[vectorMetric]]
+    * columns instead: letters referenced as attributes are cheap, and
+    * CollapseProject keeps non-cheap producer expressions (the regexes)
+    * un-reinlined when consumed more than once. */
+  def baseScoreOfVector(vs: Column): Column =
+    baseScoreOfLetters(vectorMetric(vs, "AV"), vectorMetric(vs, "AC"),
+      vectorMetric(vs, "PR"), vectorMetric(vs, "UI"), vectorMetric(vs, "S"),
+      vectorMetric(vs, "C"), vectorMetric(vs, "I"), vectorMetric(vs, "A"))
+
+  /** Base score from already-extracted metric letters (pass attribute
+    * references from a prior projection to keep the tree small —
+    * scaladoc on [[baseScoreOfVector]]). Arithmetic is identical to
+    * the vector-string form, association for association. */
+  def baseScoreOfLetters(avL: Column, acL: Column, prL: Column,
+      uiL: Column, sL: Column, cL: Column, iL: Column, aL: Column): Column = {
+    val byName = Map("AV" -> avL, "AC" -> acL, "PR" -> prL, "UI" -> uiL,
+      "S" -> sL, "C" -> cL, "I" -> iL, "A" -> aL)
+    def m(name: String) = byName(name)
     def w(c: Column, pairs: (String, Double)*): Column =
       pairs.tail.foldLeft(when(c === pairs.head._1, lit(pairs.head._2))) {
         case (acc, (l, v)) => acc.when(c === l, lit(v))
@@ -94,19 +116,26 @@ object CvssV3 {
     * defined") weighs 1.0 per the spec, so a bare base vector's
     * temporal score equals its base score. A null base score stays
     * null. */
-  def temporalScoreOfVector(vs: Column): Column = {
-    def w(name: String, pairs: (String, Double)*): Column = {
-      val letter = vectorMetric(vs, name)
-      // absent ('') or X -> 1.0 (NOT null): "not defined" is a defined
-      // weight in the temporal equation, unlike base metrics
+  def temporalScoreOfVector(vs: Column): Column =
+    temporalScoreOf(baseScoreOfVector(vs), vectorMetric(vs, "E"),
+      vectorMetric(vs, "RL"), vectorMetric(vs, "RC"))
+
+  /** Temporal score from an already-computed base score and extracted
+    * E/RL/RC letters. The vector-string form references the ENTIRE
+    * base-score subtree three times (null guard + product); staging
+    * base/letters through a projection keeps those references as
+    * attributes and the tree ~10x smaller. */
+  def temporalScoreOf(base: Column, eL: Column, rlL: Column,
+      rcL: Column): Column = {
+    // absent ('') or X -> 1.0 (NOT null): "not defined" is a defined
+    // weight in the temporal equation, unlike base metrics
+    def w(letter: Column, pairs: (String, Double)*): Column =
       pairs.foldLeft(when(letter === "" || letter === "X", lit(1.0))) {
         case (acc, (l, v)) => acc.when(letter === l, lit(v))
       }
-    }
-    val e = w("E", "U" -> 0.91, "P" -> 0.94, "F" -> 0.97, "H" -> 1.0)
-    val rl = w("RL", "O" -> 0.95, "T" -> 0.96, "W" -> 0.97, "U" -> 1.0)
-    val rc = w("RC", "U" -> 0.92, "R" -> 0.96, "C" -> 1.0)
-    val base = baseScoreOfVector(vs)
+    val e = w(eL, "U" -> 0.91, "P" -> 0.94, "F" -> 0.97, "H" -> 1.0)
+    val rl = w(rlL, "O" -> 0.95, "T" -> 0.96, "W" -> 0.97, "U" -> 1.0)
+    val rc = w(rcL, "U" -> 0.92, "R" -> 0.96, "C" -> 1.0)
     when(base.isNull || e.isNull || rl.isNull || rc.isNull,
       lit(null).cast("double"))
       .otherwise(roundup1(base * e * rl * rc))

@@ -327,11 +327,21 @@ object NvdQueries extends QueryDsl {
         |FROM scored""".stripMargin) { c =>
       import c.t
       val k = $"o_orderkey"
+      // Stage: vector -> letters -> score. Letters referenced as
+      // attributes keep each metric regex ONCE in the plan
+      // (CollapseProject won't re-inline a non-cheap producer used
+      // more than once); the single-Column baseScoreOfVector form
+      // inlines a regex per reference and pays it in janino compile.
+      val letters = Seq("AV", "AC", "PR", "UI", "S", "C", "I", "A")
       t("orders").filter(k <= 2000)
         .select(concat(lit("CVE-2020-"), k.cast("string")).as("cve_id"),
           baseVector(k).as("vector"))
-        .withColumn("score", CvssV3.baseScoreOfVector($"vector"))
+        .select($"cve_id" +: $"vector" +:
+          letters.map(n => CvssV3.vectorMetric($"vector", n).as("__" + n)): _*)
+        .withColumn("score", CvssV3.baseScoreOfLetters(
+          $"__AV", $"__AC", $"__PR", $"__UI", $"__S", $"__C", $"__I", $"__A"))
         .withColumn("severity", CvssV3.severityOf($"score"))
+        .select("cve_id", "vector", "score", "severity")
     },
 
     // Temporal score (spec section 7.2): base degraded by Exploit Code
@@ -357,12 +367,20 @@ object NvdQueries extends QueryDsl {
         lit("/E:"), letter((k % 9) % 5, "X", "U", "P", "F", "H"),
         lit("/RL:"), letter((k % 19) % 5, "X", "O", "T", "W", "U"),
         lit("/RC:"), letter((k % 23) % 4, "X", "U", "R", "C"))
+      // Same letters-staging as q109 (regexes once, attributes after);
+      // the temporal product then references the base score as an
+      // attribute instead of re-inlining its whole subtree 3x.
+      val letters = Seq("AV", "AC", "PR", "UI", "S", "C", "I", "A", "E", "RL", "RC")
       t("orders").filter(k <= 2000)
         .select(concat(lit("CVE-2020-"), k.cast("string")).as("cve_id"),
           vector.as("vector"))
-        .select($"cve_id",
-          CvssV3.baseScoreOfVector($"vector").as("score"),
-          CvssV3.temporalScoreOfVector($"vector").as("temporal_score"))
+        .select($"cve_id" +:
+          letters.map(n => CvssV3.vectorMetric($"vector", n).as("__" + n)): _*)
+        .withColumn("score", CvssV3.baseScoreOfLetters(
+          $"__AV", $"__AC", $"__PR", $"__UI", $"__S", $"__C", $"__I", $"__A"))
+        .select($"cve_id", $"score",
+          CvssV3.temporalScoreOf($"score", $"__E", $"__RL", $"__RC")
+            .as("temporal_score"))
     },
 
     // The "which CVEs affect version V" question — cpe_match
