@@ -887,6 +887,29 @@ object TextQueries extends QueryDsl {
       graft.dedup.ParagraphDedup.dedup(docs, "doc_id", "text")
     },
 
+    // RAG-style overlapping chunking: 128-char windows, 32-char overlap
+    // (stride 96), stable (doc_id, chunk_idx) identity + char offsets.
+    // One narrow generator projection — no shuffle, no UDFs; fanout is
+    // bounded by len/stride so output tracks corpus character count.
+    // The oracle replays the integer chunk-count arithmetic and substr
+    // windows via a correlated generate_series.
+    q("q116_doc_chunking",
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |n AS (SELECT doc_id, text,
+        |  (CASE WHEN len <= 128 THEN 1 ELSE 1 + (len - 128 + 95) // 96 END)::BIGINT AS n_chunks
+        |  FROM d)
+        |, g AS (SELECT doc_id, n_chunks, text,
+        |  unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+        |SELECT doc_id, n_chunks, chunk_idx, chunk_idx * 96 AS chunk_start,
+        |  substr(text, (chunk_idx * 96 + 1)::INT, 128) AS chunk_text
+        |FROM g""".stripMargin) { c =>
+      import c.t
+      graft.operators.Chunker
+        .chunk(t("documents").select($"doc_id", $"text"),
+          chunkSize = 128, overlap = 32)
+        .select($"doc_id", $"n_chunks", $"chunk_idx", $"chunk_start", $"chunk_text")
+    },
+
     // Token-budget selection (the data-mixing primitive): per language,
     // keep the highest-quality documents until a token budget fills —
     // greedy by quality with doc_id tie-break. Ordering is on the
