@@ -910,6 +910,25 @@ object TextQueries extends QueryDsl {
         .select($"doc_id", $"n_chunks", $"chunk_idx", $"chunk_start", $"chunk_text")
     },
 
+    // Seeded deterministic corpus shuffle + shard assignment (the
+    // training-export step): shard membership and within-shard order
+    // are pure functions of (doc_id, seed) — no rand(), so task
+    // retries and re-runs reproduce byte-identical shards. One narrow
+    // projection + one window partitioned by shard (a single hash
+    // shuffle into 8 groups, no global sort).
+    q("q117_corpus_shard",
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::varchar || ':42'), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 8 AS shard,
+        |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+        |FROM h""".stripMargin) { c =>
+      import c.t
+      graft.operators.CorpusShuffle
+        .assign(t("documents").select($"doc_id"), "doc_id", nShards = 8, seed = "42")
+        .select($"doc_id", $"shard", $"pos")
+    },
+
     // Token-budget selection (the data-mixing primitive): per language,
     // keep the highest-quality documents until a token budget fills —
     // greedy by quality with doc_id tie-break. Ordering is on the
