@@ -444,6 +444,42 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // Int8 scalar quantization + similarity over the CODES: cosine is
+    // scale-invariant, so top-k runs directly on the quantized bytes
+    // (4x less memory than float32, exact integer dots). floor(x+0.5)
+    // rounding on both engines — no round-half-mode ambiguity — and
+    // the quantized-domain dots are exact integers, so 4dp-rounded
+    // cosines hash-match. Quantization itself is a narrow HOF
+    // projection, no shuffle.
+    q("q118_ann_int8",
+      """WITH m AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(e, x -> 0.0)
+        |         ELSE list_transform(e, x -> floor(x * 127.0 / ma + 0.5)) END AS qv
+        |  FROM m),
+        |queries AS (SELECT vec_id AS query_id, qv AS qvec FROM qq WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    cast(list_cosine_similarity(qvec, c.qv) AS double) AS cs
+        |  FROM queries, qq c),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cs, 4) AS qcos, rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec0"))
+      graft.ann.ScalarQuant.topK(emb, queries, "vec_id", "embedding", "qid", "qvec0", 5)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("qcos"), $"rnk")
+    },
+
     // IVF ANN: train (strided Lloyd), index into Voronoi cells, probe
     // nprobe nearest cells. The PRUNED setting is approximate => rows-
     // only; the same machinery at nprobe=nlist is oracle-backed as
