@@ -159,6 +159,51 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("cpe_parsed", args, 1, 1)
         asExpr(graft.nvd.CpeParser.parsed(asCol(args.head)))
+      }),
+    // Text-pipeline scalar functions (graft.functions.TextFunctions) —
+    // the corpus-curation surface, callable from SQL.
+    (FunctionIdentifier("token_count"),
+      info("token_count",
+        "token_count(text) - whitespace token count (empty/blank -> 0)"),
+      (args: Seq[Expression]) => {
+        arity("token_count", args, 1, 1)
+        asExpr(graft.functions.TextFunctions.wordCount(asCol(args.head)))
+      }),
+    (FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count",
+        "bpe_token_count(text) - BPE-ish subword proxy count (letter runs | digit runs | symbols)"),
+      (args: Seq[Expression]) => {
+        arity("bpe_token_count", args, 1, 1)
+        asExpr(graft.functions.TextFunctions.bpeIshTokenCount(asCol(args.head)))
+      }),
+    (FunctionIdentifier("lang_id"),
+      info("lang_id",
+        "lang_id(text) - marker-stopword language-ID heuristic (en/de/fr/es/...)"),
+      (args: Seq[Expression]) => {
+        arity("lang_id", args, 1, 1)
+        asExpr(graft.functions.TextFunctions.langId(asCol(args.head)))
+      }),
+    (FunctionIdentifier("quality_score"),
+      info("quality_score",
+        "quality_score(text) - [0,1] heuristic quality (length/alpha/punct/word-shape mix), rounded to 6"),
+      (args: Seq[Expression]) => {
+        arity("quality_score", args, 1, 1)
+        asExpr(graft.functions.TextFunctions.qualityScore(asCol(args.head)))
+      }),
+    (FunctionIdentifier("doc_fingerprint"),
+      info("doc_fingerprint",
+        "doc_fingerprint(text) - md5 of the sorted distinct word set (word-order-insensitive identity)"),
+      (args: Seq[Expression]) => {
+        arity("doc_fingerprint", args, 1, 1)
+        asExpr(graft.functions.TextFunctions.fingerprint(asCol(args.head)))
+      }),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, n) - distinct word n-gram shingles (n a constant, default 3)"),
+      (args: Seq[Expression]) => {
+        arity("word_shingles", args, 1, 2)
+        val n = if (args.length > 1) constLong("word_shingles", "n", args(1)).toInt else 3
+        asExpr(graft.functions.TextFunctions.wordShingles(asCol(args.head), n))
       }))
 
   private def asCol(e: Expression): org.apache.spark.sql.Column =

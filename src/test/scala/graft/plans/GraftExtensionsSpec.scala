@@ -56,4 +56,28 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.getAs[String]("vendor") === "foo:bar")
     assert(p.getAs[String]("product") === "baz")
   }
+
+  test("text-pipeline functions are callable from SQL and match the Scala API") {
+    import graft.functions.{TextFunctions => TF}
+    val sql = spark.sql(
+      """SELECT token_count('  a b  c ') AS tc,
+        |  bpe_token_count('don''t stop-me now2') AS bc,
+        |  lang_id(' the cat and the dog of the house ') AS lid,
+        |  quality_score('A plain sentence, with words of usual shape.') AS qs,
+        |  doc_fingerprint('b a a c') AS fp,
+        |  size(word_shingles('a b c d', 2)) AS sh
+        |""".stripMargin).first()
+    assert(sql.getAs[Int]("tc") === 3)
+    assert(sql.getAs[String]("lid") === "en")
+    assert(sql.getAs[String]("fp") ===
+      spark.range(1).select(TF.fingerprint(org.apache.spark.sql.functions.lit("a c b a")))
+        .first().getString(0), "order-insensitive word-set identity")
+    assert(sql.getAs[Int]("sh") === 3)
+    val dsl = spark.range(1)
+      .select(TF.bpeIshTokenCount(org.apache.spark.sql.functions.lit("don't stop-me now2")),
+        TF.qualityScore(org.apache.spark.sql.functions.lit("A plain sentence, with words of usual shape.")))
+      .first()
+    assert(sql.getAs[Int]("bc") === dsl.getInt(0))
+    assert(sql.getAs[Double]("qs") === dsl.getDouble(1))
+  }
 }
