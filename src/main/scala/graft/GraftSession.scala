@@ -41,6 +41,10 @@ object GraftSession {
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder().master(s"local[$cpus]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the graft SQL surface (kernel + composition functions, as-of
+    // strategy) is part of the engine, not an opt-in: install on every
+    // locally built session (idempotent)
+    graft.plans.GraftExtensions.ensureRegistered(s)
     s
   }
 }

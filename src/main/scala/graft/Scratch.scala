@@ -145,6 +145,35 @@ object Scratch {
         .collect().map(_.getLong(0)).sorted.toSeq
       require(semAdmitted == Seq(1L, 3L, 11L), s"semantic state off: $semAdmitted")
       println(s"semantic dedup admitted: $semAdmitted")
+
+      println("== overlapping chunking ==")
+      val chunked = graft.operators.Chunker.chunk(docs, chunkSize = 128, overlap = 32)
+      val chunkAgg = chunked.agg(count(lit(1)), sum(when($"chunk_idx" === 0, 1).otherwise(0))).first()
+      require(chunkAgg.getLong(1) == docs.count(), "every doc must have a chunk 0")
+      println(s"chunks: ${chunkAgg.getLong(0)} over ${docs.count()} docs")
+
+      println("== seeded corpus shuffle ==")
+      val sharded = graft.operators.CorpusShuffle.assign(docs, "doc_id", 4, "scratch")
+      require(sharded.select("shard").distinct().count() == 4, "expected 4 shards")
+      require(sharded.count() == docs.count(), "shuffle must not lose docs")
+      println(s"shards populated, ${sharded.count()} docs")
+
+      println("== int8 scalar quantization ==")
+      val sqQueries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val sqTop = graft.ann.ScalarQuant.topK(
+        emb, sqQueries, "vec_id", "embedding", "qid", "qv", 3)
+      require(sqTop.filter($"rnk" === 1 && $"query_id" === $"neighbor_id").count() == 5,
+        "each query's own vector must rank first under SQ8")
+      println(s"sq8 top-3 rows: ${sqTop.count()}")
+
+      println("== SQL function registry (text + cvss) ==")
+      val sqlRow = spark.sql(
+        "SELECT token_count(' a b c ') AS tc, lang_id(' the cat and the dog of ') AS lid, " +
+        "cvss3_severity(cvss3_base_score('CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H')) AS sev").first()
+      require(sqlRow.getAs[Int]("tc") == 3 && sqlRow.getAs[String]("sev") == "CRITICAL",
+        s"sql registry off: $sqlRow")
+      println(s"sql registry: token_count=3, lang=${sqlRow.getAs[String]("lid")}, sev=CRITICAL")
       println("SCRATCH OK")
     } finally spark.stop()
   }

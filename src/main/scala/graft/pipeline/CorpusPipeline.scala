@@ -76,7 +76,17 @@ object CorpusPipeline {
       // corpus-wide; runs pre-clean so word counts / quality are computed
       // on the deduped text, and a doc emptied of paragraphs falls to the
       // minWords filter
-      paragraphDedup: Boolean = false)
+      paragraphDedup: Boolean = false,
+      // write `<outDir>.chunks` with (chunkSize, overlap) character
+      // chunks of the WRITTEN corpus (operators.Chunker) — the
+      // retrieval-side layout next to the training-side packing
+      // sidecar; None = skip
+      chunkSidecar: Option[(Int, Int)] = None,
+      // write `<outDir>.shards` — seeded deterministic shuffle of the
+      // WRITTEN corpus into (nShards, seed) balanced shard directories
+      // (operators.CorpusShuffle), rows inside each shard in shuffled
+      // order; None = skip
+      shardExport: Option[(Int, String)] = None)
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
@@ -228,6 +238,26 @@ object CorpusPipeline {
         .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_off"),
           col("chunk_first"), col("chunk_last"), col("n_chunks_spanned"))
         .write.mode(SaveMode.Overwrite).parquet(outDir + ".packing")
+    }
+
+    // 5c. optional chunk sidecar: the retrieval-side twin of packing —
+    // overlapping character windows of the written corpus, stable
+    // (doc_id, chunk_idx) identity (same read-back-what-landed rule)
+    opts.chunkSidecar.foreach { case (size, overlap) =>
+      graft.operators.Chunker.chunk(
+          docs.sparkSession.read.parquet(outDir), "text", size, overlap)
+        .select(col("lang"), col("doc_id"), col("n_chunks"), col("chunk_idx"),
+          col("chunk_start"), col("chunk_text"))
+        .write.mode(SaveMode.Overwrite).parquet(outDir + ".chunks")
+    }
+
+    // 5d. optional shard export: the training-reader layout — seeded
+    // deterministic shuffle into balanced shard directories, byte-
+    // identical across re-runs (no rand())
+    opts.shardExport.foreach { case (n, seed) =>
+      graft.operators.CorpusShuffle.writeShards(
+        docs.sparkSession.read.parquet(outDir), "doc_id", n, seed,
+        outDir + ".shards")
     }
 
     // 6. optional small-files hygiene: each micro-partition rewritten

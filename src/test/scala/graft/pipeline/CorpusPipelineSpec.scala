@@ -192,4 +192,36 @@ class CorpusPipelineSpec extends SparkSpec {
         }
       }
   }
+
+  test("curate with chunk sidecar and shard export: retrieval + training layouts of what landed") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text", "lang", "source")
+    val out = Files.createTempDirectory("curated_layouts").toString + "/corpus"
+    CorpusPipeline.curate(docs, out,
+      CorpusPipeline.Options(minWords = 5, minQuality = 0.0,
+        chunkSidecar = Some((128, 32)), shardExport = Some((4, "exp")),
+        reportCounts = false))
+
+    val curated = spark.read.parquet(out)
+
+    // chunk sidecar covers every curated doc, ids trace back
+    val chunks = spark.read.parquet(out + ".chunks")
+    assert(chunks.select("doc_id").distinct().count() === curated.count())
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.countDistinct($"chunk_idx").as("n"),
+        org.apache.spark.sql.functions.max($"n_chunks").as("expected"))
+      .filter($"n" =!= $"expected").count()
+    assert(perDoc === 0, "every doc must carry exactly n_chunks chunk rows")
+
+    // shard export: all docs present exactly once across 4 shard dirs,
+    // and membership is reproducible (pure function of id + seed)
+    val shards = spark.read.parquet(out + ".shards")
+    assert(shards.count() === curated.count())
+    assert(shards.select("shard").distinct().count() === 4)
+    val again = graft.operators.CorpusShuffle.assign(curated, "doc_id", 4, "exp")
+      .select($"doc_id", $"shard".as("shard2"))
+    assert(shards.join(again, Seq("doc_id"))
+      .filter($"shard" =!= $"shard2").count() === 0)
+  }
 }
