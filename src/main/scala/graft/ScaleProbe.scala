@@ -45,7 +45,10 @@ object ScaleProbe {
         // containment, the two curation scorers, and paragraph dedup
         "q101b_semantic_dedup_lsh", "q110_cpe_version_range",
         "q111_unigram_logprob", "q112_token_budget_select",
-        "q113_paragraph_dedup"))
+        "q113_paragraph_dedup",
+        // round-7 (cont.): chunking (narrow generator), seeded shard
+        // assignment (one window shuffle), SQ8 quantized cosine top-k
+        "q116_doc_chunking", "q117_corpus_shard", "q118_ann_int8"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
