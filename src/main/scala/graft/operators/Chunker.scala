@@ -40,7 +40,11 @@ object Chunker {
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap must be in [0, chunkSize), got $overlap")
     val stride = chunkSize - overlap
-    val len = length(col(textCol)).cast("long")
+    // null text counts as empty: without the coalesce a null length
+    // nulls n_chunks, explode emits zero rows, and the doc_id silently
+    // vanishes — breaking the every-doc-survives invariant below
+    val text = coalesce(col(textCol), lit(""))
+    val len = length(text).cast("long")
     // ceil((len - chunkSize) / stride) in exact integer arithmetic;
     // operands are non-negative in the > chunkSize branch so the
     // truncating cast IS floor, and +stride-1 turns floor into ceil
@@ -52,6 +56,6 @@ object Chunker {
       .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
       .withColumn("chunk_start", col("chunk_idx") * stride)
       .withColumn("chunk_text",
-        col(textCol).substr((col("chunk_start") + 1).cast("int"), lit(chunkSize)))
+        text.substr((col("chunk_start") + 1).cast("int"), lit(chunkSize)))
   }
 }

@@ -60,7 +60,11 @@ object CorpusShuffle {
       seed: String,
       path: String): Unit =
     assign(docs, idCol, nShards, seed)
-      .repartition(nShards, col("shard"))
+      // range, not hash: hash-partitioning the shard VALUE collides
+      // several shards into one task (pmod(murmur3(k), n)) leaving
+      // others idle; a range split over n distinct values gives the
+      // intended one-shard-per-task layout
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -228,12 +228,15 @@ object CorpusPipeline {
     budgetedFrame.drop("n_words", "quality")
       .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
 
+    // 5b-5d read back the WRITTEN corpus (one shared frame) so the
+    // sidecars can never drift from what actually landed on disk
+    lazy val landed = docs.sparkSession.read.parquet(outDir)
+
     // 5b. optional packing sidecar: the concat-then-chunk sequence
-    // layout of the WRITTEN corpus (read back so the sidecar can never
-    // drift from what actually landed on disk)
+    // layout
     opts.packSeqLen.foreach { len =>
       graft.operators.SequencePacking.concatChunk(
-          docs.sparkSession.read.parquet(outDir), "lang", "doc_id",
+          landed, "lang", "doc_id",
           TF.wordCount(col("text")), len)
         .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_off"),
           col("chunk_first"), col("chunk_last"), col("n_chunks_spanned"))
@@ -244,8 +247,7 @@ object CorpusPipeline {
     // overlapping character windows of the written corpus, stable
     // (doc_id, chunk_idx) identity (same read-back-what-landed rule)
     opts.chunkSidecar.foreach { case (size, overlap) =>
-      graft.operators.Chunker.chunk(
-          docs.sparkSession.read.parquet(outDir), "text", size, overlap)
+      graft.operators.Chunker.chunk(landed, "text", size, overlap)
         .select(col("lang"), col("doc_id"), col("n_chunks"), col("chunk_idx"),
           col("chunk_start"), col("chunk_text"))
         .write.mode(SaveMode.Overwrite).parquet(outDir + ".chunks")
@@ -256,8 +258,7 @@ object CorpusPipeline {
     // identical across re-runs (no rand())
     opts.shardExport.foreach { case (n, seed) =>
       graft.operators.CorpusShuffle.writeShards(
-        docs.sparkSession.read.parquet(outDir), "doc_id", n, seed,
-        outDir + ".shards")
+        landed, "doc_id", n, seed, outDir + ".shards")
     }
 
     // 6. optional small-files hygiene: each micro-partition rewritten

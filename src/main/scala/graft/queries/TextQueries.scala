@@ -930,7 +930,8 @@ object TextQueries extends QueryDsl {
     // The oracle replays the integer chunk-count arithmetic and substr
     // windows via a correlated generate_series.
     q("q116_doc_chunking",
-      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+        |  length(coalesce(text, '')) AS len FROM documents),
         |n AS (SELECT doc_id, text,
         |  (CASE WHEN len <= 128 THEN 1 ELSE 1 + (len - 128 + 95) // 96 END)::BIGINT AS n_chunks
         |  FROM d)

@@ -10,7 +10,8 @@ class ChunkerSpec extends SparkSpec {
     val docs = Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz"), // 26 chars -> 3 chunks at 10/2
       (2L, "short"),                      // single chunk
-      (3L, "")                            // empty doc still yields one chunk
+      (3L, ""),                           // empty doc still yields one chunk
+      (4L, null.asInstanceOf[String])     // null text counts as empty
     ).toDF("doc_id", "text")
     val out = Chunker.chunk(docs, chunkSize = 10, overlap = 2)
       .orderBy($"doc_id", $"chunk_idx").collect()
@@ -35,6 +36,9 @@ class ChunkerSpec extends SparkSpec {
     assert(d2.length === 1 && d2.head.getAs[String]("chunk_text") === "short")
     val d3 = out.filter(_.getAs[Long]("doc_id") == 3L)
     assert(d3.length === 1 && d3.head.getAs[String]("chunk_text") === "")
+    // every doc_id survives into the chunk table — including null text
+    val d4 = out.filter(_.getAs[Long]("doc_id") == 4L)
+    assert(d4.length === 1 && d4.head.getAs[String]("chunk_text") === "")
   }
 
   test("chunk: last-chunk boundary cases and full coverage at scale sizes") {
