@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   * Everything is a narrow projection (HOF transform + array_max) —
   * no shuffle, no UDFs; the rounding is floor(x + 0.5) explicitly so
   * the arithmetic is engine-portable (no round-half-mode ambiguity).
+  * (Reference scope: nvd2mysqlloader has no vector surface — part of
+  * the mandated similarity-search extension set.)
   */
 object ScalarQuant {
 

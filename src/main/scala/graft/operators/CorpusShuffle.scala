@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * shards whose membership and internal order are pure functions of
   * (id, seed) — re-running the export, on any cluster layout, yields
   * byte-identical shards. No `rand()`: nondeterministic functions make
-  * task retries produce different shards mid-write.
+  * task retries produce different shards mid-write. (Reference scope:
+  * nvd2mysqlloader has no corpus/export surface — this is part of the
+  * mandated training-data extension set.)
   *
   * Order key = the md5-derived 60-bit integer of `id:seed` (the repo's
   * portable-hash pattern, q85b) — uniform, so shards balance to

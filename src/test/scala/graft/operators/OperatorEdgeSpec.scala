@@ -86,4 +86,21 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(graft.layout.Compaction.compactPartitions(sp, missing) === 0)
     assert(graft.layout.Compaction.dataBytes(sp, missing) === 0L)
   }
+
+  test("Chunker/CorpusShuffle: invalid parameters fail loud at construction, empty frames pass") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Chunker.chunk(docs, chunkSize = 0))
+    intercept[IllegalArgumentException](Chunker.chunk(docs, chunkSize = 10, overlap = 10))
+    intercept[IllegalArgumentException](Chunker.chunk(docs, chunkSize = 10, overlap = -1))
+    intercept[IllegalArgumentException](CorpusShuffle.assign(docs, "doc_id", 0, "s"))
+    // empty input: both operators yield empty, well-typed output
+    val none = docs.filter($"doc_id" < 0)
+    assert(Chunker.chunk(none).count() === 0)
+    assert(CorpusShuffle.assign(none, "doc_id", 4, "s").count() === 0)
+    // SQ8 on an empty frame: no rows, schema still carries the codes
+    val emptyQ = graft.ann.ScalarQuant.quantize(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), "embedding")
+    assert(emptyQ.count() === 0 && emptyQ.columns.contains("qvec"))
+  }
 }
