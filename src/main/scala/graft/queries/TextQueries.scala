@@ -947,6 +947,43 @@ object TextQueries extends QueryDsl {
         .select($"doc_id", $"n_chunks", $"chunk_idx", $"chunk_start", $"chunk_text")
     },
 
+    // Positional inverted-index search. q119: exact consecutive-phrase
+    // match — postings filtered PER TERM before joining (filter pushes
+    // to the scan; the join touches only the phrase terms' postings),
+    // keyed on (doc_id, pos - offset) so all words of one occurrence
+    // align on the same anchor. The oracle rebuilds positions via
+    // DuckDB's zipped parallel unnests.
+    q("q119_phrase_search",
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, unnest(t) AS term,
+        |  unnest(range(1, len(t) + 1)) AS pos FROM toks),
+        |a AS (SELECT doc_id, pos AS anchor FROM pos WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos - 1 AS anchor FROM pos WHERE term = 'hash')
+        |SELECT a.doc_id, count(*)::BIGINT AS n_matches,
+        |  min(a.anchor)::BIGINT AS first_pos
+        |FROM a JOIN b USING (doc_id, anchor)
+        |GROUP BY a.doc_id""".stripMargin) { c =>
+      import c.t
+      graft.operators.InvertedIndex.phraseSearch(
+        t("documents"), "doc_id", "text", Seq("table", "hash"))
+    },
+
+    // q120: all-terms conjunction — one aggregation over the
+    // IN-filtered postings with a distinct-term count; never joins.
+    q("q120_terms_search",
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, unnest(t) AS term FROM toks)
+        |SELECT doc_id, count(*)::BIGINT AS n_hits
+        |FROM pos WHERE term IN ('vector', 'stream', 'window')
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3""".stripMargin) { c =>
+      import c.t
+      graft.operators.InvertedIndex.allTermsSearch(
+        t("documents"), "doc_id", "text", Seq("vector", "stream", "window"))
+    },
+
     // Seeded deterministic corpus shuffle + shard assignment (the
     // training-export step): shard membership and within-shard order
     // are pure functions of (doc_id, seed) — no rand(), so task

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class InvertedIndexSpec extends SparkSpec {
+
+  test("phraseSearch: consecutive-only matches, overlaps, repeated words, counts and positions") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // single match at 2
+      (2L, "quick brown quick brown fox"),  // two matches (1, 3)
+      (3L, "brown quick"),                  // reversed order: no match
+      (4L, "quick x brown"),                // gap: no match
+      (5L, "go go go"),                     // repeated-word phrase test
+      (6L, "")                              // empty doc: no postings
+    ).toDF("doc_id", "text")
+
+    val m = InvertedIndex.phraseSearch(docs, "doc_id", "text", Seq("quick", "brown"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos"))).toMap
+    assert(m === Map(1L -> (1L, 2L), 2L -> (2L, 1L)))
+
+    // overlapping occurrences of a repeated-word phrase: "go go" in
+    // "go go go" matches at anchors 1 and 2
+    val g = InvertedIndex.phraseSearch(docs, "doc_id", "text", Seq("go", "go"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_matches")).toMap
+    assert(g === Map(5L -> 2L))
+
+    // case-insensitive on both sides
+    val ci = InvertedIndex.phraseSearch(docs, "doc_id", "text", Seq("QUICK", "Brown"))
+      .count()
+    assert(ci === 2)
+  }
+
+  test("allTermsSearch: conjunction semantics and hit counting") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c a"),  // has a,b,c; 4 hits for {a,b,c}... a twice
+      (2L, "a b"),      // missing c
+      (3L, "c c c a b") // all three, 5 hits
+    ).toDF("doc_id", "text")
+    val r = InvertedIndex.allTermsSearch(docs, "doc_id", "text", Seq("a", "b", "c"))
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("n_hits")).toMap
+    assert(r === Map(1L -> 4L, 3L -> 5L))
+    // duplicate query terms must not change the required distinct count
+    val dup = InvertedIndex.allTermsSearch(docs, "doc_id", "text", Seq("a", "A", "b", "c"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dup === Set(1L, 3L))
+  }
+
+  test("postings: 1-based positions, lowercased terms, empty docs contribute nothing") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, " Hello  world "), (2L, "   ")).toDF("doc_id", "text")
+    val p = InvertedIndex.postings(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("pos"))).toSet
+    assert(p === Set(("hello", 1L, 1L), ("world", 1L, 2L)))
+  }
+}
