@@ -947,6 +947,20 @@ object TextQueries extends QueryDsl {
         .select($"doc_id", $"n_chunks", $"chunk_idx", $"chunk_start", $"chunk_text")
     },
 
+    // Edit-distance near-dup pairs: length-band bucket EQUI-join
+    // prunes the quadratic space (|len diff| lower-bounds levenshtein,
+    // so band width maxDist+1 forces candidates into adjacent
+    // buckets), thresholded early-exit DP on survivors only.
+    q("q121_edit_distance_pairs",
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.text, b.text)::BIGINT AS dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.text) - length(b.text)) <= 20
+        |  AND levenshtein(a.text, b.text) <= 20""".stripMargin) { c =>
+      import c.t
+      graft.dedup.EditDistance.pairs(t("documents"), "doc_id", "text", maxDist = 20)
+    },
+
     // Positional inverted-index search. q119: exact consecutive-phrase
     // match — postings filtered PER TERM before joining (filter pushes
     // to the scan; the join touches only the phrase terms' postings),

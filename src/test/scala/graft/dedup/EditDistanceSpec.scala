@@ -1,0 +1,47 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EditDistanceSpec extends SparkSpec {
+
+  test("pairs: band pruning loses nothing vs the unpruned cross join (incl. bucket boundaries)") {
+    val sp = spark; import sp.implicits._
+    // strings straddling bucket boundaries for maxDist=3 (width 4):
+    // lengths 3|4 and 7|8 sit in adjacent buckets but within the band
+    val docs = Seq(
+      (1L, "abc"), (2L, "abcd"), (3L, "abcde"),
+      (4L, "abcdefg"), (5L, "abcdefgh"), (6L, "zzzzzzzz"),
+      (7L, "abc")).toDF("doc_id", "text")
+
+    val banded = EditDistance.pairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))).toSet
+
+    val crossRef = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(banded === crossRef, "band join must find exactly the cross-join pairs")
+    assert(banded.contains((1L, 7L, 0L)), "identical docs at distance 0")
+    assert(banded.contains((4L, 5L, 1L)), "adjacent-bucket pair must survive")
+    assert(!banded.exists { case (a, b, _) => (a, b) == (5L, 6L) },
+      "same-length far strings filtered by the DP")
+  }
+
+  test("pairs: each pair produced exactly once, maxDist=0 means exact duplicates") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("doc_id", "text")
+    val out = EditDistance.pairs(docs, "doc_id", "text", maxDist = 0).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 2L &&
+      out.head.getAs[Long]("dist") === 0L)
+    // no cartesian in the plan: candidates come from the bucket equi-join
+    val plan = EditDistance.pairs(docs, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"expected an equi-join plan:\n$plan")
+  }
+}
