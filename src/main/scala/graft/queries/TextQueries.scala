@@ -947,6 +947,36 @@ object TextQueries extends QueryDsl {
         .select($"doc_id", $"n_chunks", $"chunk_idx", $"chunk_start", $"chunk_text")
     },
 
+    // Robust per-group outlier detection (median/MAD — the curation
+    // "length anomaly" gate): two tiny per-language aggregates
+    // broadcast back onto the corpus, docs deviating more than 2 MADs
+    // from their language's median length flagged. Exact interpolated
+    // percentile on both engines (q09's proven parity), stats rounded
+    // to 4 before the comparison so the threshold itself is
+    // cross-engine identical.
+    q("q122_outlier_docs",
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |m AS (SELECT lang, round(quantile_cont(cast(n_chars AS double), 0.5), 4) AS med
+        |      FROM d GROUP BY lang),
+        |dev AS (SELECT d.doc_id, d.lang, d.n_chars, m.med,
+        |        abs(n_chars - m.med) AS ad FROM d JOIN m USING (lang)),
+        |md AS (SELECT lang, round(quantile_cont(ad, 0.5), 4) AS mad
+        |       FROM dev GROUP BY lang)
+        |SELECT doc_id, dev.lang, n_chars, med, mad
+        |FROM dev JOIN md USING (lang) WHERE ad > 2 * mad""".stripMargin) { c =>
+      import c.t
+      val d = t("documents").select($"doc_id", $"lang", $"n_chars")
+      val m = d.groupBy($"lang")
+        .agg(round(percentile($"n_chars".cast("double"), lit(0.5)), 4).as("med"))
+      val dev = d.join(broadcast(m), Seq("lang"))
+        .withColumn("ad", abs($"n_chars" - $"med"))
+      val md = dev.groupBy($"lang")
+        .agg(round(percentile($"ad", lit(0.5)), 4).as("mad"))
+      dev.join(broadcast(md), Seq("lang"))
+        .filter($"ad" > $"mad" * 2)
+        .select($"doc_id", $"lang", $"n_chars", $"med", $"mad")
+    },
+
     // Edit-distance near-dup pairs: length-band bucket EQUI-join
     // prunes the quadratic space (|len diff| lower-bounds levenshtein,
     // so band width maxDist+1 forces candidates into adjacent
