@@ -47,8 +47,11 @@ object ScaleProbe {
         "q111_unigram_logprob", "q112_token_budget_select",
         "q113_paragraph_dedup",
         // round-7 (cont.): chunking (narrow generator), seeded shard
-        // assignment (one window shuffle), SQ8 quantized cosine top-k
-        "q116_doc_chunking", "q117_corpus_shard", "q118_ann_int8"))
+        // assignment (one window shuffle), SQ8 quantized cosine top-k,
+        // inverted-index search, banded edit distance, MAD outliers
+        "q116_doc_chunking", "q117_corpus_shard", "q118_ann_int8",
+        "q119_phrase_search", "q120_terms_search",
+        "q121_edit_distance_pairs", "q122_outlier_docs"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")

@@ -985,10 +985,14 @@ object TextQueries extends QueryDsl {
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  levenshtein(a.text, b.text)::BIGINT AS dist
         |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-        |WHERE abs(length(a.text) - length(b.text)) <= 20
-        |  AND levenshtein(a.text, b.text) <= 20""".stripMargin) { c =>
+        |WHERE abs(length(a.text) - length(b.text)) <= 5
+        |  AND levenshtein(a.text, b.text) <= 5""".stripMargin) { c =>
       import c.t
-      graft.dedup.EditDistance.pairs(t("documents"), "doc_id", "text", maxDist = 20)
+      // maxDist=5: the band keeps ~2% of the quadratic space and the
+      // early-exit DP is O(len*5) — the exact formulation stays
+      // bench-tractable at sf0.1 (the corpus-scale route composes
+      // MinHash-LSH candidates with the same thresholded DP verify)
+      graft.dedup.EditDistance.pairs(t("documents"), "doc_id", "text", maxDist = 5)
     },
 
     // Positional inverted-index search. q119: exact consecutive-phrase
