@@ -44,4 +44,20 @@ class EditDistanceSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"expected an equi-join plan:\n$plan")
   }
+
+  test("lshPairs: the LSH route recovers the exact near-dup pairs on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val exact = EditDistance.pairs(docs, "doc_id", "text", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))).toSet
+    val lsh = EditDistance.lshPairs(docs, "doc_id", "text", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))).toSet
+    // LSH is a subset of exact (DP verify removes false positives) and
+    // at 32 bands of 4 hashes recall on near-identical docs is ~1
+    assert(lsh.subsetOf(exact), "verified LSH pairs must all be true near-dups")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+    }
+  }
 }
