@@ -947,6 +947,53 @@ object TextQueries extends QueryDsl {
         .select($"doc_id", $"n_chunks", $"chunk_idx", $"chunk_start", $"chunk_text")
     },
 
+    // Approximate twin of q121: the LSH candidate route (banded
+    // MinHash -> thresholded DP verify). Rows-only by the approximate-
+    // family convention — its exact twin q121 is the oracle-backed
+    // contract, and EditDistanceSpec pins subset+recall against it.
+    q("q121b_edit_distance_lsh") { c =>
+      import c.t
+      graft.dedup.EditDistance.lshPairs(t("documents"), "doc_id", "text", maxDist = 5)
+    },
+
+    // Bigram language-model scoring (the q111 unigram's conditional
+    // extension): p(w2|w1) = c(w1 w2) / c(w1), per-doc mean log
+    // conditional probability over its bigrams. The same
+    // corpus-aggregate-then-broadcast shape: bigram and unigram count
+    // tables are corpus-sized aggregates joined back to the postings —
+    // linear, no pair explosion; ln/avg/round(4) parity per q111/q89.
+    // Single-token docs carry no bigram and drop (count over an empty
+    // group) — both engines agree because the join is inner.
+    q("q123_bigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |  WHERE len(t) >= 2),
+        |uni AS (SELECT w1 AS w, count(*) AS cw FROM bg GROUP BY 1),
+        |bic AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(cb / cast(cw AS double))), 4) AS avg_cond_logprob
+        |FROM bg b JOIN bic USING (w1, w2) JOIN uni ON b.w1 = uni.w
+        |GROUP BY b.doc_id""".stripMargin) { c =>
+      import c.t
+      val toks = t("documents").filter(length(trim($"text")) > 0)
+        .select($"doc_id", TF.wsTokens(lower($"text")).as("t"))
+        .filter(size($"t") >= 2)
+      val bg = toks.select($"doc_id",
+          explode(expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+      val uni = bg.groupBy($"w1".as("w")).agg(count(lit(1)).as("cw"))
+      val bic = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      bg.join(bic, Seq("w1", "w2"))
+        .join(uni, $"w1" === $"w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log($"cb" / $"cw".cast("double"))), 4).as("avg_cond_logprob"))
+    },
+
     // Robust per-group outlier detection (median/MAD — the curation
     // "length anomaly" gate): two tiny per-language aggregates
     // broadcast back onto the corpus, docs deviating more than 2 MADs
