@@ -56,6 +56,50 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
   }
 
+  /** BM25-ranked retrieval (Robertson/Okapi, the Lucene `+1` IDF
+    * variant so every score is positive):
+    *   score(d, q) = Σ_{t∈q} ln(1 + (N - df + 0.5)/(df + 0.5))
+    *       · tf·(k1+1) / (tf + k1·(1 − b + b·len(d)/avglen))
+    * Corpus statistics (N, avglen, per-term df) are tiny aggregates
+    * broadcast back; per-doc term frequencies come from one groupBy of
+    * the IN-filtered postings. Output: (doc_id, score, rnk) for the
+    * top `k`, ranked on the 4dp-rounded score (doc_id tie-break) so
+    * the ordering is reproducible across engines. */
+  def bm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val query = terms.map(_.toLowerCase).distinct
+    val post = postings(docs, idCol, textCol)
+    val docLen = post.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val corpus = docLen.agg(count(lit(1)).as("__n"),
+      avg(col("__dl").cast("double")).as("__avgdl"))
+    val tf = post.filter(col("term").isin(query: _*))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__s", col("__idf") * col("__tf") * (k1 + 1) /
+        (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 4).as("score"))
+    // TakeOrderedAndProject bounds the sort to k rows (a bare global
+    // window here would single-partition the whole scored set); the
+    // row_number window then ranks only the k survivors
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
   /** Docs containing ALL of `terms` (any positions): one aggregation
     * over the IN-filtered postings with a distinct-term count. */
   def allTermsSearch(

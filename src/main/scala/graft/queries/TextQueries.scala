@@ -1064,6 +1064,39 @@ object TextQueries extends QueryDsl {
         t("documents"), "doc_id", "text", Seq("table", "hash"))
     },
 
+    // BM25 retrieval (Okapi with the Lucene +1 IDF): corpus stats
+    // (N, avgdl, df) are tiny broadcast aggregates, tf one groupBy of
+    // the IN-filtered postings, top-k via TakeOrderedAndProject with
+    // the rank window on the k survivors only. Scored on the
+    // 4dp-rounded sum with doc_id tie-break so ordering is
+    // cross-engine reproducible; every double literal in the oracle
+    // is ::DOUBLE-cast to keep DuckDB decimals out of the float path.
+    q("q124_bm25_search",
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |post AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM post GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n, avg(cast(dlen AS double)) AS avgdl FROM dl),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM post
+        |       WHERE term IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln((1.0)::DOUBLE + (n - df + (0.5)::DOUBLE) / (df + (0.5)::DOUBLE))
+        |        * tf * (2.2)::DOUBLE
+        |        / (tf + (1.2)::DOUBLE * ((1.0)::DOUBLE - (0.75)::DOUBLE
+        |            + (0.75)::DOUBLE * dlen / avgdl))), 4) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { c =>
+      import c.t
+      graft.operators.InvertedIndex.bm25Search(
+        t("documents"), "doc_id", "text", Seq("vector", "stream", "window"), k = 20)
+    },
+
     // q120: all-terms conjunction — one aggregation over the
     // IN-filtered postings with a distinct-term count; never joins.
     q("q120_terms_search",

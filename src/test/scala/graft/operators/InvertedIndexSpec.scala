@@ -49,6 +49,32 @@ class InvertedIndexSpec extends SparkSpec {
     assert(dup === Set(1L, 3L))
   }
 
+  test("bm25Search: rare terms outweigh common ones, tf saturates, top-k plan bounded") {
+    val sp = spark; import sp.implicits._
+    // 'rare' appears in 1 of 6 docs, 'common' in 5 — doc 1 (rare hit)
+    // must outrank doc 2 (common hit) despite equal tf
+    val docs = Seq(
+      (1L, "rare filler filler filler"),
+      (2L, "common filler filler filler"),
+      (3L, "common x y z"), (4L, "common a b c"),
+      (5L, "common d e f"), (6L, "common g h i")
+    ).toDF("doc_id", "text")
+    val r = InvertedIndex.bm25Search(docs, "doc_id", "text", Seq("rare", "common"), k = 6)
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("score")).toMap
+    assert(r(1L) > r(2L), s"rare-term doc must outrank common-term doc: $r")
+
+    // tf saturation: doubling tf must gain less than the first hit (k1 bound)
+    val sat = Seq((1L, "t filler"), (2L, "t t filler")).toDF("doc_id", "text")
+    val s = InvertedIndex.bm25Search(sat, "doc_id", "text", Seq("t"), k = 2)
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("score")).toMap
+    assert(s(2L) > s(1L) && s(2L) < 2 * s(1L), s"tf must saturate: $s")
+
+    // the global sort is a TakeOrdered, not a full exchange+sort
+    val plan = InvertedIndex.bm25Search(docs, "doc_id", "text", Seq("rare"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
+  }
+
   test("postings: 1-based positions, lowercased terms, empty docs contribute nothing") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, " Hello  world "), (2L, "   ")).toDF("doc_id", "text")
