@@ -309,5 +309,20 @@ object EventQueries extends QueryDsl {
         .agg(count(lit(1)).as("n"),
           round(min($"value".cast("double")), 4).as("lo"),
           round(max($"value".cast("double")), 4).as("hi"))
+    },
+
+    // Key-skew diagnostics (operators.SkewReport): the measurement
+    // that decides between plain shuffle join, SaltedJoin, or AQE
+    // skew thresholds — top heavy keys with share and ratio to the
+    // mean per-key load. One count aggregation + a tiny broadcast
+    // global aggregate + TakeOrdered; nothing corpus-sized sorts.
+    q("q125_skew_report",
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS rows_, count(*) AS keys_ FROM c)
+        |SELECT user_id, cnt, round(cnt / cast(rows_ AS double), 6) AS share,
+        |  round((cnt * keys_) / cast(rows_ AS double), 6) AS ratio_to_mean
+        |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin) { c =>
+      import c.t
+      graft.operators.SkewReport.topKeys(t("events"), "user_id", k = 10)
     })
 }

@@ -103,4 +103,16 @@ class OperatorEdgeSpec extends SparkSpec {
       Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), "embedding")
     assert(emptyQ.count() === 0 && emptyQ.columns.contains("qvec"))
   }
+
+  test("SkewReport: planted hot key dominates with the right share and mean ratio") {
+    val sp = spark; import sp.implicits._
+    // 90 rows on 'hot', 10 uniform keys with 1 row each: 100 rows, 11 keys
+    val df = ((1 to 90).map(_ => "hot") ++ (1 to 10).map(i => s"k$i")).toDF("key")
+    val top = SkewReport.topKeys(df, "key", k = 3).collect()
+    assert(top.head.getString(0) === "hot")
+    assert(top.head.getAs[Long]("cnt") === 90L)
+    assert(top.head.getAs[Double]("share") === 0.9)
+    assert(top.head.getAs[Double]("ratio_to_mean") === 9.9) // 90 * 11 / 100
+    assert(top.length === 3 && top(1).getAs[Long]("cnt") === 1L)
+  }
 }
