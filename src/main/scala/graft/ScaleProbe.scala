@@ -51,7 +51,8 @@ object ScaleProbe {
         // inverted-index search, banded edit distance, MAD outliers
         "q116_doc_chunking", "q117_corpus_shard", "q118_ann_int8",
         "q119_phrase_search", "q120_terms_search",
-        "q121_edit_distance_pairs", "q122_outlier_docs"))
+        "q121_edit_distance_pairs", "q122_outlier_docs",
+        "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
