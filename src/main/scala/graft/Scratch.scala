@@ -171,6 +171,25 @@ object Scratch {
         "each query's own vector must appear at quantized cosine ~1")
       println(s"sq8 top-3 rows: ${sqTop.count()}")
 
+      println("== inverted-index search + BM25 ==")
+      val phrase = graft.operators.InvertedIndex.phraseSearch(docs, "doc_id", "text", Seq("table", "hash"))
+      val bm25 = graft.operators.InvertedIndex.bm25Search(docs, "doc_id", "text", Seq("vector", "stream"), k = 5)
+      require(bm25.count() == 5, "bm25 top-5 must fill")
+      println(s"phrase hits: ${phrase.count()} docs; bm25 top-5 ok")
+
+      println("== edit-distance near-dups (band + LSH routes) ==")
+      val edExact = graft.dedup.EditDistance.pairs(docs, "doc_id", "text", maxDist = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val edLsh = graft.dedup.EditDistance.lshPairs(docs, "doc_id", "text", maxDist = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(edLsh.subsetOf(edExact), "LSH route produced a false pair")
+      println(s"edit-distance pairs: exact=${edExact.size} lsh=${edLsh.size}")
+
+      println("== skew report ==")
+      val skew = graft.operators.SkewReport.topKeys(ev, "user_id", 5).collect()
+      require(skew.length == 5 && skew.head.getAs[Long]("cnt") >= skew.last.getAs[Long]("cnt"))
+      println(s"top key carries ${skew.head.getAs[Double]("ratio_to_mean")}x the mean load")
+
       println("== SQL function registry (text + cvss) ==")
       val sqlRow = spark.sql(
         "SELECT token_count(' a b c ') AS tc, lang_id(' the cat and the dog of ') AS lid, " +
