@@ -28,6 +28,15 @@ import graft.functions.{TextFunctions => TF}
   */
 object InvertedIndex {
 
+  /** Query terms must be single tokens: a term containing whitespace
+    * (or an empty string) can never match a whitespace-split posting,
+    * so the search would silently return empty instead of failing. */
+  private def validTerms(fn: String, terms: Seq[String]): Unit = {
+    require(terms.nonEmpty, s"$fn: terms must be non-empty")
+    terms.foreach(t => require(t.nonEmpty && !t.exists(_.isWhitespace),
+      s"$fn: '$t' is not a single token — split the query into words"))
+  }
+
   /** (term, doc_id, pos) postings; whitespace tokens of the lowercased
     * text, pos 1-based. Empty/whitespace-only docs contribute none. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -44,7 +53,7 @@ object InvertedIndex {
       idCol: String,
       textCol: String,
       phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "phrase must have at least one word")
+    validTerms("phraseSearch", phrase)
     val post = postings(docs, idCol, textCol)
     phrase.zipWithIndex
       .map { case (w, i) =>
@@ -73,10 +82,15 @@ object InvertedIndex {
       k: Int = 20,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
+    validTerms("bm25Search", terms)
     val query = terms.map(_.toLowerCase).distinct
     val post = postings(docs, idCol, textCol)
-    val docLen = post.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    // doc length as a NARROW per-row projection (token count ==
+    // postings count for the same non-empty docs) — not a corpus-wide
+    // explode + re-aggregate just to recover per-doc lengths
+    val docLen = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        graft.functions.TextFunctions.wordCount(col(textCol)).cast("long").as("__dl"))
     val corpus = docLen.agg(count(lit(1)).as("__n"),
       avg(col("__dl").cast("double")).as("__avgdl"))
     val tf = post.filter(col("term").isin(query: _*))
@@ -107,7 +121,7 @@ object InvertedIndex {
       idCol: String,
       textCol: String,
       terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
+    validTerms("allTermsSearch", terms)
     val lower = terms.map(_.toLowerCase).distinct
     postings(docs, idCol, textCol)
       .filter(col("term").isin(lower: _*))

@@ -27,9 +27,11 @@ object SkewReport {
       sum(col("cnt")).as("__rows"), count(lit(1)).as("__keys"))
     counts.crossJoin(broadcast(totals))
       .withColumn("share", round(col("cnt") / col("__rows").cast("double"), 6))
-      // cnt * __keys stays exact in long arithmetic; one double division
+      // the product goes through double: cnt * __keys in LONG overflows
+      // (and ANSI mode throws) at exactly the huge-cardinality scale
+      // this diagnostic targets; 6dp rounding absorbs the precision gap
       .withColumn("ratio_to_mean",
-        round((col("cnt") * col("__keys")) / col("__rows").cast("double"), 6))
+        round(col("cnt").cast("double") * col("__keys") / col("__rows").cast("double"), 6))
       .select(col(keyCol), col("cnt"), col("share"), col("ratio_to_mean"))
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(k)

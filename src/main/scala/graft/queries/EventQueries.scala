@@ -320,7 +320,7 @@ object EventQueries extends QueryDsl {
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |t AS (SELECT sum(cnt) AS rows_, count(*) AS keys_ FROM c)
         |SELECT user_id, cnt, round(cnt / cast(rows_ AS double), 6) AS share,
-        |  round((cnt * keys_) / cast(rows_ AS double), 6) AS ratio_to_mean
+        |  round(cast(cnt AS double) * keys_ / cast(rows_ AS double), 6) AS ratio_to_mean
         |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin) { c =>
       import c.t
       graft.operators.SkewReport.topKeys(t("events"), "user_id", k = 10)

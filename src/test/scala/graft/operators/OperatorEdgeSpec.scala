@@ -94,6 +94,12 @@ class OperatorEdgeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Chunker.chunk(docs, chunkSize = 10, overlap = 10))
     intercept[IllegalArgumentException](Chunker.chunk(docs, chunkSize = 10, overlap = -1))
     intercept[IllegalArgumentException](CorpusShuffle.assign(docs, "doc_id", 0, "s"))
+    intercept[IllegalArgumentException](
+      graft.dedup.EditDistance.lshPairs(docs, "doc_id", "text", maxDist = -1))
+    intercept[IllegalArgumentException](
+      InvertedIndex.phraseSearch(docs, "doc_id", "text", Seq("two words")))
+    intercept[IllegalArgumentException](
+      InvertedIndex.bm25Search(docs, "doc_id", "text", Seq("")))
     // empty input: both operators yield empty, well-typed output
     val none = docs.filter($"doc_id" < 0)
     assert(Chunker.chunk(none).count() === 0)
