@@ -138,6 +138,20 @@ object GraftExtensions {
         arity("cvss3_temporal_score", args, 1, 1)
         asExpr(graft.nvd.CvssV3.temporalScoreOfVector(asCol(args.head)))
       }),
+    (FunctionIdentifier("cvss2_base_score"),
+      info("cvss2_base_score",
+        "cvss2_base_score(vector) - CVSS v2 base score from a vector string (null on invalid/missing metrics)"),
+      (args: Seq[Expression]) => {
+        arity("cvss2_base_score", args, 1, 1)
+        asExpr(graft.nvd.CvssV2.baseScoreOfVector(asCol(args.head)))
+      }),
+    (FunctionIdentifier("cvss2_severity"),
+      info("cvss2_severity",
+        "cvss2_severity(score) - v2 qualitative rating (LOW/MEDIUM/HIGH)"),
+      (args: Seq[Expression]) => {
+        arity("cvss2_severity", args, 1, 1)
+        asExpr(graft.nvd.CvssV2.severityOf(asCol(args.head)))
+      }),
     (FunctionIdentifier("cvss3_severity"),
       info("cvss3_severity",
         "cvss3_severity(score) - v3.1 qualitative rating (NONE/LOW/MEDIUM/HIGH/CRITICAL)"),

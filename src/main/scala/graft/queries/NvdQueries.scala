@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.nvd.{CpeParser, CveDelta, CveFlatten, CvssV3, NvdSchema}
+import graft.nvd.{CpeParser, CveDelta, CveFlatten, CvssV2, CvssV3, NvdSchema}
 
 /** NVD-domain query surface that is still oracle-checkable: the
   * harness's DuckDB gate only sees the ten testdata tables, so these
@@ -381,6 +381,68 @@ object NvdQueries extends QueryDsl {
         .select($"cve_id", $"score",
           CvssV3.temporalScoreOf($"score", $"__E", $"__RL", $"__RC")
             .as("temporal_score"))
+    },
+
+    // CVSS v2 base score from the vector string — the score family
+    // the reference actually STORES (it flattens baseMetricV2 fields
+    // verbatim): computing it validates the archive. Same synthesis +
+    // letters-staging + fixed-association determinism as q109/q115;
+    // v2's rounding is plain half-up to one decimal (not v3.1's
+    // Roundup), emitted as an integer snap + floor(x*10+0.5)/10 that
+    // both engines compute identically.
+    q("q126_cvss2_vector",
+      """WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |m AS (SELECT k,
+        |  CASE k % 3 WHEN 0 THEN 'L' WHEN 1 THEN 'A' ELSE 'N' END AS av_l,
+        |  CASE (k % 5) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'M' ELSE 'L' END AS ac_l,
+        |  CASE (k % 7) % 3 WHEN 0 THEN 'M' WHEN 1 THEN 'S' ELSE 'N' END AS au_l,
+        |  CASE (k % 11) % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'C' END AS c_l,
+        |  CASE (k % 13) % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'C' END AS i_l,
+        |  CASE (k % 17) % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'C' END AS a_l
+        |  FROM ks),
+        |w AS (SELECT *,
+        |  (CASE av_l WHEN 'L' THEN 0.395 WHEN 'A' THEN 0.646 ELSE 1.0 END)::DOUBLE AS av,
+        |  (CASE ac_l WHEN 'H' THEN 0.35 WHEN 'M' THEN 0.61 ELSE 0.71 END)::DOUBLE AS ac,
+        |  (CASE au_l WHEN 'M' THEN 0.45 WHEN 'S' THEN 0.56 ELSE 0.704 END)::DOUBLE AS au,
+        |  (CASE c_l WHEN 'N' THEN 0.0 WHEN 'P' THEN 0.275 ELSE 0.66 END)::DOUBLE AS cw,
+        |  (CASE i_l WHEN 'N' THEN 0.0 WHEN 'P' THEN 0.275 ELSE 0.66 END)::DOUBLE AS iw,
+        |  (CASE a_l WHEN 'N' THEN 0.0 WHEN 'P' THEN 0.275 ELSE 0.66 END)::DOUBLE AS aw
+        |  FROM m),
+        |s AS (SELECT *,
+        |  (10.41)::DOUBLE * ((1.0)::DOUBLE - ((1.0)::DOUBLE - cw) * ((1.0)::DOUBLE - iw) * ((1.0)::DOUBLE - aw)) AS impact,
+        |  (20.0)::DOUBLE * av * ac * au AS expl FROM w),
+        |r AS (SELECT *, ((0.6)::DOUBLE * impact + (0.4)::DOUBLE * expl - (1.5)::DOUBLE) * (1.176)::DOUBLE AS raw FROM s),
+        |f AS (SELECT k, av_l, ac_l, au_l, c_l, i_l, a_l,
+        |  CASE WHEN impact = 0 THEN 0.0
+        |       ELSE floor((round(raw * 100000.0) / 100000.0) * 10.0 + 0.5) / 10.0 END AS score
+        |  FROM r)
+        |SELECT 'CVE-2019-' || k AS cve_id,
+        |  'AV:' || av_l || '/AC:' || ac_l || '/Au:' || au_l
+        |    || '/C:' || c_l || '/I:' || i_l || '/A:' || a_l AS vector,
+        |  score,
+        |  CASE WHEN score < 4 THEN 'LOW' WHEN score < 7 THEN 'MEDIUM' ELSE 'HIGH' END AS severity
+        |FROM f""".stripMargin) { c =>
+      import c.t
+      val k = $"o_orderkey"
+      def letter(idx: Column, ls: String*) =
+        element_at(array(ls.map(lit): _*), (idx + 1).cast("int"))
+      val vector = concat(
+        lit("AV:"), letter(k % 3, "L", "A", "N"),
+        lit("/AC:"), letter((k % 5) % 3, "H", "M", "L"),
+        lit("/Au:"), letter((k % 7) % 3, "M", "S", "N"),
+        lit("/C:"), letter((k % 11) % 3, "N", "P", "C"),
+        lit("/I:"), letter((k % 13) % 3, "N", "P", "C"),
+        lit("/A:"), letter((k % 17) % 3, "N", "P", "C"))
+      val letters = Seq("AV", "AC", "Au", "C", "I", "A")
+      t("orders").filter(k <= 2000)
+        .select(concat(lit("CVE-2019-"), k.cast("string")).as("cve_id"),
+          vector.as("vector"))
+        .select($"cve_id" +: $"vector" +:
+          letters.map(n => CvssV2.vectorMetric($"vector", n).as("__" + n)): _*)
+        .withColumn("score", CvssV2.baseScoreOfLetters(
+          $"__AV", $"__AC", $"__Au", $"__C", $"__I", $"__A"))
+        .withColumn("severity", CvssV2.severityOf($"score"))
+        .select("cve_id", "vector", "score", "severity")
     },
 
     // The "which CVEs affect version V" question — cpe_match

@@ -51,6 +51,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("base") === 9.8)
     assert(r.getAs[Double]("temp") === 9.1)
     assert(r.getAs[String]("sev") === "CRITICAL")
+    val v2 = spark.sql(
+      "SELECT cvss2_base_score('AV:N/AC:L/Au:N/C:P/I:P/A:P') AS s, " +
+      "cvss2_severity(cvss2_base_score('AV:N/AC:L/Au:N/C:P/I:P/A:P')) AS sev").first()
+    assert(v2.getAs[Double]("s") === 7.5 && v2.getAs[String]("sev") === "HIGH")
     assert(r.getAs[Boolean]("in_range"))
     val p = r.getAs[org.apache.spark.sql.Row]("p")
     assert(p.getAs[String]("vendor") === "foo:bar")
