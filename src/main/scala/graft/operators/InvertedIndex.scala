@@ -65,6 +65,35 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
   }
 
+  /** Unordered proximity search: docs where `termA` and `termB` occur
+    * within `slop` words of each other, with the co-occurrence count
+    * and the closest distance. The join is per-document on the two
+    * terms' postings (tiny frames after the term filters); the slop
+    * predicate is a band on the position difference. slop = 1 with
+    * ordered positions is phrase adjacency — use [[phraseSearch]] for
+    * exact phrases. */
+  def proximitySearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      termA: String,
+      termB: String,
+      slop: Int): DataFrame = {
+    validTerms("proximitySearch", Seq(termA, termB))
+    require(slop >= 1, s"slop must be >= 1, got $slop")
+    val post = postings(docs, idCol, textCol)
+    val a = post.filter(col("term") === termA.toLowerCase)
+      .select(col(idCol), col("pos").as("__pa"))
+    val bb = post.filter(col("term") === termB.toLowerCase)
+      .select(col(idCol), col("pos").as("__pb"))
+    a.join(bb, Seq(idCol))
+      .filter(col("__pa") =!= col("__pb") &&
+        abs(col("__pa") - col("__pb")) <= slop)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("__pa") - col("__pb"))).as("min_distance"))
+  }
+
   /** BM25-ranked retrieval (Robertson/Okapi, the Lucene `+1` IDF
     * variant so every score is positive):
     *   score(d, q) = Σ_{t∈q} ln(1 + (N - df + 0.5)/(df + 0.5))

@@ -1064,6 +1064,27 @@ object TextQueries extends QueryDsl {
         t("documents"), "doc_id", "text", Seq("table", "hash"))
     },
 
+    // Unordered proximity search: the two terms' postings joined per
+    // doc (tiny frames after the term filters), band predicate on the
+    // position difference. Different-token positions only (pa != pb
+    // is vacuous across distinct terms but keeps the semantics stated).
+    q("q127_proximity_search",
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, unnest(t) AS term,
+        |  unnest(range(1, len(t) + 1)) AS pos FROM toks),
+        |a AS (SELECT doc_id, pos AS pa FROM pos WHERE term = 'vector'),
+        |b AS (SELECT doc_id, pos AS pb FROM pos WHERE term = 'table')
+        |SELECT a.doc_id, count(*)::BIGINT AS n_pairs,
+        |  min(abs(pa - pb))::BIGINT AS min_distance
+        |FROM a JOIN b USING (doc_id)
+        |WHERE pa <> pb AND abs(pa - pb) <= 5
+        |GROUP BY a.doc_id""".stripMargin) { c =>
+      import c.t
+      graft.operators.InvertedIndex.proximitySearch(
+        t("documents"), "doc_id", "text", "vector", "table", slop = 5)
+    },
+
     // BM25 retrieval (Okapi with the Lucene +1 IDF): corpus stats
     // (N, avgdl, df) are tiny broadcast aggregates, tf one groupBy of
     // the IN-filtered postings, top-k via TakeOrderedAndProject with

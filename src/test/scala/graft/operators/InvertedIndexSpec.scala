@@ -75,6 +75,22 @@ class InvertedIndexSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
   }
 
+  test("proximitySearch: slop window, unordered, multiple co-occurrences") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "x a y b z"),        // |2-4| = 2: within slop 2
+      (2L, "b x x x a"),        // reversed order, distance 4: only slop >= 4
+      (3L, "a x x x x x b"),    // distance 6: outside slop 4
+      (4L, "a b x a")           // pairs (1,2)=1 and (4,2)=2
+    ).toDF("doc_id", "text")
+    val r2 = InvertedIndex.proximitySearch(docs, "doc_id", "text", "a", "b", slop = 2)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_pairs"), r.getAs[Long]("min_distance"))).toMap
+    assert(r2 === Map(1L -> (1L, 2L), 4L -> (2L, 1L)))
+    val r4 = InvertedIndex.proximitySearch(docs, "doc_id", "text", "a", "b", slop = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(r4 === Set(1L, 2L, 4L), "unordered: reversed order within slop matches")
+  }
+
   test("postings: 1-based positions, lowercased terms, empty docs contribute nothing") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, " Hello  world "), (2L, "   ")).toDF("doc_id", "text")
