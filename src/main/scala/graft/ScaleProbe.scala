@@ -52,7 +52,8 @@ object ScaleProbe {
         "q116_doc_chunking", "q117_corpus_shard", "q118_ann_int8",
         "q119_phrase_search", "q120_terms_search",
         "q121_edit_distance_pairs", "q122_outlier_docs",
-        "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report"))
+        "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report",
+        "q126_cvss2_vector", "q127_proximity_search"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
