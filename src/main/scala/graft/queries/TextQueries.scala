@@ -994,6 +994,42 @@ object TextQueries extends QueryDsl {
           round(avg(log($"cb" / $"cw".cast("double"))), 4).as("avg_cond_logprob"))
     },
 
+    // Fixed-iteration PageRank over the near-dup similarity graph
+    // (document centrality as a data-selection signal): the q61 exact
+    // Jaccard pairs symmetrized into a directed edge list, 3
+    // message-passing rounds at d=0.85. The oracle unrolls the same 3
+    // rounds as chained CTEs — every constant ::DOUBLE-cast and the
+    // (1-d)/n + d*in association identical to the operator's.
+    q("q128_pagerank_neardup",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |      UNION ALL SELECT doc_b, doc_a FROM prs),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |p0 AS (SELECT node, (1.0)::DOUBLE / n AS pr FROM nd CROSS JOIN nn),
+        |c1 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p0 JOIN e ON p0.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p1 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p1 JOIN e ON p1.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p2 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p2 JOIN e ON p2.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p3 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node AS doc_id, round(pr, 6) AS pr FROM p3""".stripMargin) { c =>
+      import c.t
+      val pairs = NGramJaccard.pairs(t("documents"), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5)
+        .select($"doc_a", $"doc_b")
+      val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 3, damping = 0.85)
+        .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
+    },
+
     // Robust per-group outlier detection (median/MAD — the curation
     // "length anomaly" gate): two tiny per-language aggregates
     // broadcast back onto the corpus, docs deviating more than 2 MADs
