@@ -994,6 +994,21 @@ object TextQueries extends QueryDsl {
           round(avg(log($"cb" / $"cw".cast("double"))), 4).as("avg_cond_logprob"))
     },
 
+    // Order-invariant per-language content digests (export integrity:
+    // shard XOR must equal corpus digest; layout/order never matter).
+    // DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics on the escape step.
+    q("q129_dataset_digest",
+      """SELECT lang, bit_xor(('0x' || substr(md5(
+        |    regexp_replace(coalesce(cast(doc_id AS varchar), ''), '\|', '\\|', 'g')
+        |    || '|' ||
+        |    regexp_replace(coalesce(text, ''), '\|', '\\|', 'g')), 1, 15))::BIGINT) AS digest
+        |FROM documents GROUP BY lang""".stripMargin) { c =>
+      import c.t
+      graft.operators.DatasetDigest.digestBy(
+        t("documents"), Seq("lang"), Seq("doc_id", "text"))
+    },
+
     // Fixed-iteration PageRank over the near-dup similarity graph
     // (document centrality as a data-selection signal): the q61 exact
     // Jaccard pairs symmetrized into a directed edge list, 3
