@@ -174,6 +174,18 @@ object GraftExtensions {
         arity("cpe_parsed", args, 1, 1)
         asExpr(graft.nvd.CpeParser.parsed(asCol(args.head)))
       }),
+    // UDTF leg: the chunking GENERATOR — one doc row expands to chunk
+    // rows inside GenerateExec (LATERAL VIEW chunk_spans(text, n, o)).
+    (FunctionIdentifier("chunk_spans"),
+      info("chunk_spans",
+        "chunk_spans(text, chunkSize, overlap) - generator: (chunk_idx, chunk_start, chunk_text) overlapping windows (defaults 512, 64)"),
+      (args: Seq[Expression]) => {
+        arity("chunk_spans", args, 1, 3)
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        graft.functions.ChunkSpans(args(0),
+          if (args.length > 1) args(1) else Literal(512),
+          if (args.length > 2) args(2) else Literal(64))
+      }),
     // Text-pipeline scalar functions (graft.functions.TextFunctions) —
     // the corpus-curation surface, callable from SQL.
     (FunctionIdentifier("token_count"),

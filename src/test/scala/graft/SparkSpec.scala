@@ -17,6 +17,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the SQL surface is a session default (same as GraftSession.local)
+    graft.plans.GraftExtensions.ensureRegistered(spark)
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 }
