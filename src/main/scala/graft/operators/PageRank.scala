@@ -38,9 +38,15 @@ object PageRank {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // loop-invariant frames are materialized ONCE: without the
+    // checkpoint every iteration re-executes the caller's whole
+    // edge-building plan (e.g. a shingle inverted index) three times
+    // per round through e/nodes/deg, and the rank lineage compounds it
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
     var pr = nodes.crossJoin(n)
