@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-regression gate: every query in `SparkEntry.queries` must
+  * plan successfully at sf0.001 and stay free of unexpected
+  * cartesian / nested-loop joins. The whitelist names the queries
+  * whose SEMANTICS are all-pairs (exact contract formulations whose
+  * oracle is the quadratic pair set, cross-join-by-design) — a new
+  * query accidentally planning a CartesianProduct fails here before
+  * it ever reaches the bench.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // all-pairs BY CONTRACT: the exact pair-set formulations (their LSH
+  // twins are the scale routes) and the broadcast query-set ANN scorers
+  private val allPairsByDesign = Set(
+    "q64_embedding_neardup", "q65b_neardup_lsh_contract",
+    "q69_embedding_clusters", "q69c_embedding_clusters_contract",
+    "q101_semantic_dedup", "q70_ann_bruteforce", "q118_ann_int8",
+    "q71b_ann_lsh_exhaustive", "q72_ann_ivf", "q72b_ann_ivf_exhaustive",
+    "q73_ann_pq", "q73b_ann_pq_exhaustive", "q74_ann_ivfpq",
+    "q74b_ann_ivfpq_exhaustive", "q71_ann_lsh")
+
+  // SCALAR-BROADCAST idiom: a one-row global aggregate (corpus total,
+  // avgdl, merged HLL/CMS sketch, timeline bounds, PageRank's N)
+  // crossJoin'd into the frame — plans as a BroadcastNestedLoopJoin
+  // with a SINGLE build row, which is the intended shape, not a scale
+  // hazard. Only add here when the joined side is provably one row.
+  private val scalarBroadcast = Set(
+    "q102_domain_mix", "q110_cpe_version_range", "q111_unigram_logprob",
+    "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report",
+    "q128_pagerank_neardup", "q19_hll_mergeable", "q35_gapfill_hourly",
+    "q86_cms_heavy_hitters", "q89_tfidf_topk")
+
+  test("every query plans at sf0.001; cartesian joins only where the semantics demand them") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf001).queryExecution.executedPlan.toString
+        val crossy = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (crossy && !allPairsByDesign.contains(name) &&
+          !scalarBroadcast.contains(name)) offenders += name
+      } catch {
+        case e: Exception => failures += s"$name: ${e.getMessage.take(200)}"
+      }
+    }
+    assert(failures.isEmpty, s"queries failed to plan:\n${failures.mkString("\n")}")
+    assert(offenders.isEmpty,
+      s"unexpected cartesian/nested-loop plans (add to whitelist ONLY if all-pairs is the semantics):\n${offenders.mkString("\n")}")
+  }
+}
