@@ -23,17 +23,22 @@ import org.apache.spark.sql.functions._
   * two sources differing by an even number of copies of the same row
   * collide. Run after exact dedup (or include a uniquifying id in
   * `cols`) when multiplicity matters. Null columns fold as the empty
-  * string inside a `|`-separated render; a literal `|` in data is
-  * escaped first so field boundaries cannot be forged.
+  * string inside a `|`-separated render; the render escapes the
+  * ESCAPE CHARACTER first and then the separator (`\` -> `\\`,
+  * `|` -> `\|`) — escaping only the separator would let a trailing
+  * backslash forge a field boundary (("\\", "|") and ("|\\", "")
+  * would render identically).
   */
 object DatasetDigest {
 
-  /** 60-bit row hash (md5-prefix BIGINT — the repo's portable-hash
-    * pattern) of the `|`-joined escaped render of `cols`. */
-  def rowHash(cols: Seq[Column]): Column = {
+  /** Single definition of the 60-bit row hash (md5-prefix BIGINT —
+    * the repo's portable-hash pattern) over the `|`-joined escaped
+    * render of `cols`; literal `replace` (not regex) on both engines.
+    */
+  private def rowHashSql(cols: Seq[String]): String = {
     val rendered = cols.map(c =>
-      regexp_replace(coalesce(c.cast("string"), lit("")), "\\|", "\\\\|"))
-    conv(substring(md5(concat_ws("|", rendered: _*)), 1, 15), 16, 10).cast("long")
+      s"replace(replace(coalesce(cast(`$c` AS string), ''), '\\\\', '\\\\\\\\'), '|', '\\\\|')")
+    s"cast(conv(substring(md5(concat_ws('|', ${rendered.mkString(", ")})), 1, 15), 16, 10) AS long)"
   }
 
   /** The order/layout-invariant digest of `df` over `cols` (all
@@ -41,20 +46,13 @@ object DatasetDigest {
     */
   def digest(df: DataFrame, cols: Seq[String] = Seq.empty): Long = {
     val use = if (cols.nonEmpty) cols else df.columns.toSeq
-    val d = df.agg(coalesce(
+    df.agg(coalesce(
       expr(s"bit_xor(${rowHashSql(use)})"), lit(0L)).as("d"))
       .first().getLong(0)
-    d
   }
 
   /** Per-group digests as a DataFrame (group cols + `digest`). */
   def digestBy(df: DataFrame, groupCols: Seq[String], cols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"bit_xor(${rowHashSql(cols)})").as("digest"))
-
-  private def rowHashSql(cols: Seq[String]): String = {
-    val rendered = cols.map(c =>
-      s"regexp_replace(coalesce(cast(`$c` AS string), ''), '\\\\|', '\\\\\\\\|')")
-    s"cast(conv(substring(md5(concat_ws('|', ${rendered.mkString(", ")})), 1, 15), 16, 10) AS long)"
-  }
 }

@@ -81,6 +81,10 @@ object InvertedIndex {
       slop: Int): DataFrame = {
     validTerms("proximitySearch", Seq(termA, termB))
     require(slop >= 1, s"slop must be >= 1, got $slop")
+    // identical terms would join a postings set with itself and count
+    // every co-occurrence twice ((pa,pb) and (pb,pa))
+    require(termA.toLowerCase != termB.toLowerCase,
+      s"proximitySearch: terms must differ, got '$termA' twice")
     val post = postings(docs, idCol, textCol)
     val a = post.filter(col("term") === termA.toLowerCase)
       .select(col(idCol), col("pos").as("__pa"))

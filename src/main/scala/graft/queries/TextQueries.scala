@@ -996,13 +996,15 @@ object TextQueries extends QueryDsl {
 
     // Order-invariant per-language content digests (export integrity:
     // shard XOR must equal corpus digest; layout/order never matter).
-    // DuckDB's regexp_replace needs the 'g' flag to match Spark's
-    // replace-all semantics on the escape step.
+    // Literal replace on both engines, escape char BEFORE separator
+    // (backslash-then-pipe) so field boundaries cannot be forged.
+    // DuckDB string literals are standard SQL (no backslash escapes):
+    // '\' is one backslash.
     q("q129_dataset_digest",
       """SELECT lang, bit_xor(('0x' || substr(md5(
-        |    regexp_replace(coalesce(cast(doc_id AS varchar), ''), '\|', '\\|', 'g')
+        |    replace(replace(coalesce(cast(doc_id AS varchar), ''), '\', '\\'), '|', '\|')
         |    || '|' ||
-        |    regexp_replace(coalesce(text, ''), '\|', '\\|', 'g')), 1, 15))::BIGINT) AS digest
+        |    replace(replace(coalesce(text, ''), '\', '\\'), '|', '\|')), 1, 15))::BIGINT) AS digest
         |FROM documents GROUP BY lang""".stripMargin) { c =>
       import c.t
       graft.operators.DatasetDigest.digestBy(

@@ -13,14 +13,19 @@ import graft.operators.DatasetDigest
   * the incremental fold equal the batch digest:
   * digest(A ∪ B) = digest(A) XOR digest(B) for disjoint batches.
   *
-  * State is a single long in a tiny text file, updated with the same
-  * staged-rename protocol the other streaming states use (write
-  * staging, rename over — a crashed batch leaves the previous state
-  * intact; Structured Streaming replays the batch and the fold is
-  * redone from the surviving value). At-least-once REPLAY of the same
-  * batch would double-fold — `process` is therefore keyed by batchId
-  * and skips an id it has already folded, the standard idempotent
-  * foreachBatch discipline.
+  * State is a single long in a tiny text file, updated by staged
+  * rename with READ-SIDE recovery: the writer stages the new value,
+  * deletes the main file, renames staging over it — and the reader
+  * accepts whichever of (main, staging) parses with the HIGHER
+  * batchId. The two crash windows both resolve: crash mid-staging
+  * leaves a corrupt staging but an intact main (delete only happens
+  * after a successful staging close); crash between delete and rename
+  * leaves no main but a COMPLETE staging, which the reader recovers.
+  * A bare delete-then-rename without the read-side recovery would
+  * silently restart from zero in that second window (the exact hazard
+  * `operators.SwapDir` documents for directories). At-least-once
+  * REPLAY of the same batch would double-fold — `process` is keyed by
+  * batchId and skips an id it has already folded.
   */
 object StreamingDigest {
 
@@ -35,24 +40,36 @@ object StreamingDigest {
       cols: Seq[String] = Seq.empty): Long = {
     val fs = new Path(stateFile).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(stateFile)
-    val (seen, current) =
-      if (fs.exists(p)) {
-        val s = scala.io.Source.fromInputStream(fs.open(p))
-        val Array(b, d) = try s.mkString.trim.split(":") finally s.close()
-        (b.toLong, java.lang.Long.parseLong(d))
-      } else (-1L, 0L)
+    val staging = new Path(stateFile + ".staging")
+    val (seen, current) = readState(fs, p, staging)
     if (batchId <= seen) current // replayed batch: already folded
     else {
       val folded = current ^ DatasetDigest.digest(batch, cols)
-      val staging = new Path(stateFile + ".staging")
       val out = fs.create(staging, true)
       try out.write(s"$batchId:$folded".getBytes("UTF-8")) finally out.close()
-      // rename-over: a crash before this point leaves the old state
       fs.delete(p, false)
       if (!fs.rename(staging, p))
         throw new java.io.IOException(s"digest state rename failed: $stateFile")
       folded
     }
+  }
+
+  /** Best (batchId, digest) among main and staging — whichever parses
+    * with the higher batchId wins (read-side half of the crash-safe
+    * protocol; see object scaladoc). */
+  private def readState(
+      fs: org.apache.hadoop.fs.FileSystem,
+      main: Path,
+      staging: Path): (Long, Long) = {
+    def tryRead(p: Path): Option[(Long, Long)] =
+      if (!fs.exists(p)) None
+      else try {
+        val s = scala.io.Source.fromInputStream(fs.open(p))
+        val Array(b, d) = try s.mkString.trim.split(":") finally s.close()
+        Some((b.toLong, java.lang.Long.parseLong(d)))
+      } catch { case _: Exception => None } // partial write: ignore
+    (tryRead(main) ++ tryRead(staging)).toSeq
+      .sortBy(-_._1).headOption.getOrElse((-1L, 0L))
   }
 
   /** Start the stream: parquet source -> per-batch digest fold. */

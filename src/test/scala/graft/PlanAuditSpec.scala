@@ -42,7 +42,7 @@ class PlanAuditSpec extends SparkSpec {
         if (crossy && !allPairsByDesign.contains(name) &&
           !scalarBroadcast.contains(name)) offenders += name
       } catch {
-        case e: Exception => failures += s"$name: ${e.getMessage.take(200)}"
+        case e: Exception => failures += s"$name: ${String.valueOf(e.getMessage).take(200)}"
       }
     }
     assert(failures.isEmpty, s"queries failed to plan:\n${failures.mkString("\n")}")

@@ -36,6 +36,12 @@ class DatasetDigestSpec extends SparkSpec {
     val x = DatasetDigest.digest(Seq(("a|b", "c")).toDF("u", "v"))
     val y = DatasetDigest.digest(Seq(("a", "b|c")).toDF("u", "v"))
     assert(x !== y)
+    // ...including when a trailing backslash tries to neutralize the
+    // escaped separator: ("\", "|") vs ("|\", "") collide if only the
+    // separator is escaped (the escape char must be escaped FIRST)
+    val bs1 = DatasetDigest.digest(Seq(("\\", "|")).toDF("u", "v"))
+    val bs2 = DatasetDigest.digest(Seq(("|\\", "")).toDF("u", "v"))
+    assert(bs1 !== bs2, "backslash must not forge a field boundary")
 
     // the documented multiplicity caveat: an even number of copies of
     // the same row cancels — include a unique id when that matters

@@ -89,6 +89,9 @@ class InvertedIndexSpec extends SparkSpec {
     val r4 = InvertedIndex.proximitySearch(docs, "doc_id", "text", "a", "b", slop = 4)
       .collect().map(_.getLong(0)).toSet
     assert(r4 === Set(1L, 2L, 4L), "unordered: reversed order within slop matches")
+    // identical terms (after case folding) would double-count pairs
+    intercept[IllegalArgumentException](
+      InvertedIndex.proximitySearch(docs, "doc_id", "text", "a", "A", slop = 2))
   }
 
   test("postings: 1-based positions, lowercased terms, empty docs contribute nothing") {

@@ -33,6 +33,28 @@ class StreamingDigestSpec extends SparkSpec {
     assert(DatasetDigest.digest(corrupted) !== d1)
   }
 
+  test("crash between delete and rename: reader recovers the staged state") {
+    val sp = spark; import sp.implicits._
+    val state = java.nio.file.Files.createTempDirectory("sdg_crash").toString + "/digest"
+    val b0 = (1L to 50L).map(i => (i, s"x $i")).toDF("doc_id", "text")
+    val d0 = StreamingDigest.process(spark, b0, state, batchId = 0)
+
+    // simulate the crash window: main deleted, complete staging present
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(state)
+    val staging = new org.apache.hadoop.fs.Path(state + ".staging")
+    val out = fs.create(staging, true)
+    out.write(s"0:$d0".getBytes("UTF-8")); out.close()
+    fs.delete(main, false)
+
+    // next batch must fold on top of the recovered value, not restart at 0
+    val b1 = (51L to 80L).map(i => (i, s"x $i")).toDF("doc_id", "text")
+    val d1 = StreamingDigest.process(spark, b1, state, batchId = 1)
+    assert(d1 === DatasetDigest.digest(b0.unionByName(b1)),
+      "reader must recover the staged state after a delete/rename crash")
+  }
+
   test("end-to-end stream over a parquet drop directory") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sdg_stream").toString
