@@ -29,32 +29,45 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** (node, pr) after `iterations` rounds at damping `d`. */
+  /** (node, pr) after `iterations` rounds at damping `d`. With a
+    * `weightCol`, a node's rank splits across its out-edges in
+    * proportion to edge weight (pr·w/Σw_out) instead of uniformly —
+    * similarity-weighted centrality when edges carry Jaccard/cosine;
+    * weights must be positive. The unweighted path divides by the
+    * out-degree count directly (pr·1.0/deg is bit-identical to pr/deg
+    * — multiplying by exactly 1.0 is an IEEE identity — so both paths
+    * share one loop). */
   def run(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val wExpr = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     // loop-invariant frames are materialized ONCE: without the
     // checkpoint every iteration re-executes the caller's whole
     // edge-building plan (e.g. a shingle inverted index) three times
     // per round through e/nodes/deg, and the rank lineage compounds it
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), wExpr.as("w"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = weightCol match {
+      case None => e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    }
     val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
     var pr = nodes.crossJoin(n)
       .select(col("node"), (lit(1.0) / col("__n").cast("double")).as("pr"))
     for (_ <- 1 to iterations) {
       val contrib = pr.join(e, pr("node") === e("src"))
         .join(deg, Seq("src"))
-        .select(col("dst").as("node"), (col("pr") / col("deg").cast("double")).as("__c"))
+        .select(col("dst").as("node"),
+          (col("pr") * col("w") / col("deg").cast("double")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
       pr = nodes.crossJoin(n)
         .join(contrib, Seq("node"), "left")

@@ -28,6 +28,29 @@ class PageRankSpec extends SparkSpec {
       s"hub ${pr(1L)} should be near closed form $hubClosed")
   }
 
+  test("run with weights: rank splits in proportion to edge weight; unweighted path unchanged") {
+    val sp = spark; import sp.implicits._
+    // hub 1 points to 2 (w=9) and 3 (w=1): after one round node 2
+    // receives 9x node 3's contribution from the hub
+    val edges = Seq((1L, 2L, 9.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val pr = PageRank.run(edges, "src", "dst", iterations = 1,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    val base = (1 - 0.85) / 3.0
+    assert(math.abs((pr(2L) - base) / (pr(3L) - base) - 9.0) < 1e-9,
+      s"weighted split must be 9:1, got $pr")
+
+    // weightCol = None must equal an explicit all-equal-weights run
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val a = PageRank.run(und, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    val b = PageRank.run(und.withColumn("w", org.apache.spark.sql.functions.lit(2.5)),
+        "src", "dst", iterations = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12,
+      s"constant weights must match unweighted: $k") }
+  }
+
   test("run: dangling-free on symmetric input; directed chain leaks mass as documented") {
     val sp = spark; import sp.implicits._
     val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 3 has no out-edges
