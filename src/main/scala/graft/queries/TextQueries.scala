@@ -1047,6 +1047,43 @@ object TextQueries extends QueryDsl {
         .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
     },
 
+    // Weighted twin of q128: rank splits across out-edges in
+    // proportion to the pair's Jaccard similarity (pr·w/Σw_out) —
+    // similarity-weighted centrality. Same 3-round unroll; the weight
+    // is the ROUNDED jaccard both engines already hash-agree on (q61),
+    // so the weighted arithmetic starts from identical doubles.
+    q("q130_pagerank_weighted",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM prs
+        |      UNION ALL SELECT doc_b, doc_a, jaccard FROM prs),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |p0 AS (SELECT node, (1.0)::DOUBLE / n AS pr FROM nd CROSS JOIN nn),
+        |c1 AS (SELECT dst AS node, sum(pr * w / wout) AS inn
+        |       FROM p0 JOIN e ON p0.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p1 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT dst AS node, sum(pr * w / wout) AS inn
+        |       FROM p1 JOIN e ON p1.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p2 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT dst AS node, sum(pr * w / wout) AS inn
+        |       FROM p2 JOIN e ON p2.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p3 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node AS doc_id, round(pr, 6) AS pr FROM p3""".stripMargin) { c =>
+      import c.t
+      val pairs = NGramJaccard.pairs(t("documents"), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5)
+        .select($"doc_a", $"doc_b", $"jaccard")
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"), $"jaccard".as("w"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"), $"jaccard".as("w")))
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 3,
+          damping = 0.85, weightCol = Some("w"))
+        .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
+    },
+
     // Robust per-group outlier detection (median/MAD — the curation
     // "length anomaly" gate): two tiny per-language aggregates
     // broadcast back onto the corpus, docs deviating more than 2 MADs
