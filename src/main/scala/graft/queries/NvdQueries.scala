@@ -445,6 +445,47 @@ object NvdQueries extends QueryDsl {
         .select("cve_id", "vector", "score", "severity")
     },
 
+    // CWE histogram through the REAL problemtype/CWE extraction
+    // (CveFlatten's nested flatten-of-transforms over
+    // problemtype_data[].description[].value — a field the reference
+    // archives in nvd_json but never surfaces). Items synthesized with
+    // 1-2 CWE assignments keyed on k (plus a value-less description
+    // element that must fold to '' and an unassigned item yielding an
+    // EMPTY array that explode drops); the oracle rebuilds the
+    // assignment arithmetic with CASE chains.
+    q("q131_cwe_histogram",
+      """WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |one AS (SELECT k, 'CWE-' || (79 + (k % 5) * 10) AS cwe FROM ks WHERE k % 7 <> 0),
+        |two AS (SELECT k, 'CWE-200' AS cwe FROM ks WHERE k % 7 <> 0 AND k % 3 = 0),
+        |blank AS (SELECT k, '' AS cwe FROM ks WHERE k % 7 <> 0 AND k % 5 = 0),
+        |assigned AS (SELECT * FROM one UNION ALL SELECT * FROM two UNION ALL SELECT * FROM blank)
+        |SELECT cwe, count(*)::BIGINT AS n_cve
+        |FROM assigned GROUP BY cwe""".stripMargin) { c =>
+      import c.t
+      val k = $"o_orderkey"
+      val kS = k.cast("string")
+      // assigned items carry CWE-<79+10*(k%5)> plus CWE-200 when k%3=0
+      // plus a value-less description element when k%5=0; k%7=0 items
+      // have NO problemtype at all (empty cwes array after flatten)
+      val doc = concat(
+        lit("""{"cve":{"CVE_data_meta":{"ID":"CVE-2021-"""), kS, lit(""""}"""),
+        when(k % 7 === 0, lit("")).otherwise(concat(
+          lit(""","problemtype":{"problemtype_data":[{"description":[{"lang":"en","value":"CWE-"""),
+          (lit(79) + (k % 5) * 10).cast("string"), lit(""""}"""),
+          when(k % 5 === 0, lit(""",{"lang":"en"}""")).otherwise(lit("")),
+          lit("]}"),
+          when(k % 3 === 0,
+            lit(""",{"description":[{"lang":"en","value":"CWE-200"}]}"""))
+            .otherwise(lit("")),
+          lit("]}"))),
+        lit("}}"))
+      val items = t("orders").filter(k <= 2000)
+        .select(from_json(doc, NvdSchema.cveItem).as("item"))
+      CveFlatten.flattenItems(items)
+        .select(explode($"cwes").as("cwe"))
+        .groupBy($"cwe").agg(count(lit(1)).as("n_cve"))
+    },
+
     // The "which CVEs affect version V" question — cpe_match
     // version-RANGE containment through the real typed extraction
     // (CpeParser.vulnerableMatches) and the real versionKey compare
