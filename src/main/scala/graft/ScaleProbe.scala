@@ -54,7 +54,8 @@ object ScaleProbe {
         "q121_edit_distance_pairs", "q122_outlier_docs",
         "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report",
         "q126_cvss2_vector", "q127_proximity_search",
-        "q128_pagerank_neardup", "q129_dataset_digest"))
+        "q128_pagerank_neardup", "q129_dataset_digest",
+        "q130_pagerank_weighted", "q131_cwe_histogram"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
