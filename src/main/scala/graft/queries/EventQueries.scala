@@ -311,6 +311,84 @@ object EventQueries extends QueryDsl {
           round(max($"value".cast("double")), 4).as("hi"))
     },
 
+    // Linear interpolation over the gapped hourly series — the
+    // time-series densification q35 zero-fill doesn't cover: missing
+    // hours take the straight line between their known neighbors
+    // (edge gaps hold the nearest known value). Window pair per
+    // direction (last/first with IGNORE NULLS over the q35 timeline),
+    // identical association on both engines, round(4) absorbs
+    // avg-order noise.
+    q("q132_linear_interpolate",
+      """WITH bounds AS (
+        |  SELECT min(epoch_us(ts) // 3600000000) AS h0,
+        |         max(epoch_us(ts) // 3600000000) AS h1 FROM events
+        |), hours AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM bounds
+        |), types AS (SELECT DISTINCT event_type FROM events
+        |), vals AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+        |         round(avg(cast(value AS double)), 6) AS v
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT t.event_type, h.hr, v.v
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN vals v ON v.hr = h.hr AND v.event_type = t.event_type
+        |), ctx AS (
+        |  SELECT event_type, hr, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM grid)
+        |SELECT event_type, hr * 3600 AS hour_start,
+        |  round((CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |      THEN pv + (nv - pv) * (hr - ph) / (nh - ph)
+        |    WHEN pv IS NOT NULL THEN pv
+        |    ELSE nv END) * 10000.0) / 10000.0 AS v_interp,
+        |  (v IS NOT NULL) AS is_actual
+        |FROM ctx""".stripMargin) { c =>
+      import c.t
+      val w = org.apache.spark.sql.expressions.Window
+      val back = w.partitionBy($"event_type").orderBy($"hr")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)
+      val fwd = w.partitionBy($"event_type").orderBy($"hr")
+        .rowsBetween(w.currentRow, w.unboundedFollowing)
+      val ev = t("events").select(
+        expr("unix_micros(ts) div 3600000000").as("hr"), $"event_type", $"value")
+      // avg ROUNDED to 6 before interpolating: both engines then start
+      // from identical doubles, so the interpolation arithmetic and
+      // the final round(4) cannot hit an engine-divergent boundary
+      // (the q34 divided-aggregate lesson)
+      val vals = ev.groupBy($"hr", $"event_type")
+        .agg(round(avg($"value".cast("double")), 6).as("v"))
+      val hours = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select(explode(sequence($"h0", $"h1")).as("hr"))
+      val types = ev.select($"event_type").distinct()
+      hours.crossJoin(broadcast(types))
+        .join(vals, Seq("hr", "event_type"), "left")
+        .withColumn("pv", last($"v", ignoreNulls = true).over(back))
+        .withColumn("ph", last(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(back))
+        .withColumn("nv", first($"v", ignoreNulls = true).over(fwd))
+        .withColumn("nh", first(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(fwd))
+        .select($"event_type", ($"hr" * 3600).as("hour_start"),
+          // integer snap, not round(,4): Spark's decimal rounding goes
+          // through the double's shortest string while DuckDB rounds
+          // the binary value — at a .xxxx5 boundary they disagree; the
+          // *1e4-round-/1e4 form rounds the same binary double in both
+          (round(when($"v".isNotNull, $"v")
+            .when($"pv".isNotNull && $"nv".isNotNull,
+              $"pv" + ($"nv" - $"pv") * ($"hr" - $"ph") / ($"nh" - $"ph"))
+            .when($"pv".isNotNull, $"pv")
+            .otherwise($"nv") * 10000.0) / 10000.0).as("v_interp"),
+          $"v".isNotNull.as("is_actual"))
+    },
+
     // Key-skew diagnostics (operators.SkewReport): the measurement
     // that decides between plain shuffle join, SaltedJoin, or AQE
     // skew thresholds — top heavy keys with share and ratio to the
