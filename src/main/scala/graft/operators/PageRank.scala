@@ -46,7 +46,15 @@ object PageRank {
       weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val wExpr = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    // weights must be strictly positive: a zero/negative/null weight
+    // would make wout 0 (pr/0 = NaN, which sum() spreads to every
+    // reachable node) or silently drop the edge — fail loud per row
+    val wExpr = weightCol
+      .map(c => when(col(c).isNull || col(c).cast("double") <= 0.0,
+          raise_error(concat(lit(s"PageRank: non-positive weight in '$c': "),
+            coalesce(col(c).cast("string"), lit("null")))))
+        .otherwise(col(c).cast("double")))
+      .getOrElse(lit(1.0))
     // loop-invariant frames are materialized ONCE: without the
     // checkpoint every iteration re-executes the caller's whole
     // edge-building plan (e.g. a shingle inverted index) three times

@@ -17,6 +17,37 @@ object EventQueries extends QueryDsl {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Shared gapped-timeline scaffold (q35 zero-fill, q132
+    * interpolation): the complete hourly timeline x event-type grid
+    * left-joined with per-(hour, type) aggregates of `perHour`. The
+    * timeline is calendar-bounded (a 1-row min/max aggregate +
+    * sequence), never data-bounded; the type dim broadcasts. */
+  private def hourlyGrid(c: Ctx): org.apache.spark.sql.DataFrame = {
+    import c.t
+    val ev = t("events").select(
+      expr("unix_micros(ts) div 3600000000").as("hr"), $"event_type", $"value")
+    // unused aggregate columns prune away per consumer (q35 keeps n,
+    // q132 keeps __avg), so sharing both costs neither query anything
+    val cells = ev.groupBy($"hr", $"event_type")
+      .agg(count(lit(1)).as("n"), avg($"value".cast("double")).as("__avg"))
+    val hours = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select(explode(sequence($"h0", $"h1")).as("hr"))
+    val types = ev.select($"event_type").distinct()
+    hours.crossJoin(broadcast(types))
+      .join(cells, Seq("hr", "event_type"), "left")
+  }
+
+  /** DuckDB twin of [[hourlyGrid]]'s timeline CTEs — `hours(hr)` and
+    * `types(event_type)`; queries append their own cell aggregate. */
+  private val hourlyGridCtes =
+    """bounds AS (
+      |  SELECT min(epoch_us(ts) // 3600000000) AS h0,
+      |         max(epoch_us(ts) // 3600000000) AS h1 FROM events
+      |), hours AS (
+      |  SELECT unnest(range(h0, h1 + 1)) AS hr FROM bounds
+      |), types AS (SELECT DISTINCT event_type FROM events
+      |)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Incremental materialized-view maintenance (operators.
@@ -67,27 +98,13 @@ object EventQueries extends QueryDsl {
     // broadcasts the tiny type dim against it, and left-joins the
     // real hourly counts. DuckDB mirrors it with range()+unnest.
     q("q35_gapfill_hourly",
-      """WITH bounds AS (
-        |  SELECT min(epoch_us(ts) // 3600000000) AS h0,
-        |         max(epoch_us(ts) // 3600000000) AS h1 FROM events
-        |), hours AS (
-        |  SELECT unnest(range(h0, h1 + 1)) AS hr FROM bounds
-        |), types AS (SELECT DISTINCT event_type FROM events
-        |), counts AS (
+      s"""WITH $hourlyGridCtes, counts AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type, count(*) AS n
         |  FROM events GROUP BY 1, 2)
         |SELECT t.event_type, h.hr * 3600 AS hour_start, coalesce(c.n, 0) AS n
         |FROM hours h CROSS JOIN types t
         |LEFT JOIN counts c ON c.hr = h.hr AND c.event_type = t.event_type""".stripMargin) { c =>
-      import c.t
-      val ev = t("events").select(
-        expr("unix_micros(ts) div 3600000000").as("hr"), $"event_type")
-      val counts = ev.groupBy($"hr", $"event_type").agg(count(lit(1)).as("n"))
-      val hours = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
-        .select(explode(sequence($"h0", $"h1")).as("hr"))
-      val types = ev.select($"event_type").distinct()
-      hours.crossJoin(broadcast(types))
-        .join(counts, Seq("hr", "event_type"), "left")
+      hourlyGrid(c)
         .select($"event_type", ($"hr" * 3600).as("hour_start"),
           coalesce($"n", lit(0L)).as("n"))
     },
@@ -319,14 +336,9 @@ object EventQueries extends QueryDsl {
     // identical association on both engines, round(4) absorbs
     // avg-order noise.
     q("q132_linear_interpolate",
-      """WITH bounds AS (
-        |  SELECT min(epoch_us(ts) // 3600000000) AS h0,
-        |         max(epoch_us(ts) // 3600000000) AS h1 FROM events
-        |), hours AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM bounds
-        |), types AS (SELECT DISTINCT event_type FROM events
-        |), vals AS (
+      s"""WITH $hourlyGridCtes, vals AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
-        |         round(avg(cast(value AS double)), 6) AS v
+        |         round(avg(cast(value AS double)) * 1000000.0) / 1000000.0 AS v
         |  FROM events GROUP BY 1, 2
         |), grid AS (
         |  SELECT t.event_type, h.hr, v.v
@@ -353,25 +365,18 @@ object EventQueries extends QueryDsl {
         |    ELSE nv END) * 10000.0) / 10000.0 AS v_interp,
         |  (v IS NOT NULL) AS is_actual
         |FROM ctx""".stripMargin) { c =>
-      import c.t
       val w = org.apache.spark.sql.expressions.Window
       val back = w.partitionBy($"event_type").orderBy($"hr")
         .rowsBetween(w.unboundedPreceding, w.currentRow)
       val fwd = w.partitionBy($"event_type").orderBy($"hr")
         .rowsBetween(w.currentRow, w.unboundedFollowing)
-      val ev = t("events").select(
-        expr("unix_micros(ts) div 3600000000").as("hr"), $"event_type", $"value")
-      // avg ROUNDED to 6 before interpolating: both engines then start
-      // from identical doubles, so the interpolation arithmetic and
-      // the final round(4) cannot hit an engine-divergent boundary
-      // (the q34 divided-aggregate lesson)
-      val vals = ev.groupBy($"hr", $"event_type")
-        .agg(round(avg($"value".cast("double")), 6).as("v"))
-      val hours = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
-        .select(explode(sequence($"h0", $"h1")).as("hr"))
-      val types = ev.select($"event_type").distinct()
-      hours.crossJoin(broadcast(types))
-        .join(vals, Seq("hr", "event_type"), "left")
+      // avg SNAPPED to 6 decimals before interpolating (integer-snap
+      // form, same reason as the output: plain round(x, N) diverges
+      // cross-engine at half-boundaries): both engines then start from
+      // identical doubles, so the interpolation arithmetic cannot
+      // diverge (the q34 divided-aggregate lesson)
+      hourlyGrid(c)
+        .withColumn("v", round($"__avg" * 1000000.0) / 1000000.0)
         .withColumn("pv", last($"v", ignoreNulls = true).over(back))
         .withColumn("ph", last(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(back))
         .withColumn("nv", first($"v", ignoreNulls = true).over(fwd))

@@ -29,7 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "q102_domain_mix", "q110_cpe_version_range", "q111_unigram_logprob",
     "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report",
     "q128_pagerank_neardup", "q130_pagerank_weighted",
-    "q19_hll_mergeable", "q35_gapfill_hourly",
+    "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
     "q86_cms_heavy_hitters", "q89_tfidf_topk")
 
   test("every query plans at sf0.001; cartesian joins only where the semantics demand them") {
