@@ -55,7 +55,8 @@ object ScaleProbe {
         "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report",
         "q126_cvss2_vector", "q127_proximity_search",
         "q128_pagerank_neardup", "q129_dataset_digest",
-        "q130_pagerank_weighted", "q131_cwe_histogram"))
+        "q130_pagerank_weighted", "q131_cwe_histogram",
+        "q132_linear_interpolate"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
