@@ -994,6 +994,28 @@ object TextQueries extends QueryDsl {
           round(avg(log($"cb" / $"cw".cast("double"))), 4).as("avg_cond_logprob"))
     },
 
+    // Deterministic train/val/test split: each doc's split is a pure
+    // function of (doc_id, salt) — stable under corpus growth (no
+    // migration between splits), reproducible across layouts, no RNG
+    // state. Hash uniformity makes the 90/5/5 fractions hold per
+    // stratum for free; the query reports the per-(lang, split)
+    // realized counts.
+    q("q133_data_split",
+      """WITH h AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(doc_id::varchar || ':split'), 1, 15))::BIGINT
+        |    / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |  count(*)::BIGINT AS n
+        |FROM h GROUP BY 1, 2""".stripMargin) { c =>
+      import c.t
+      graft.operators.DataSplit.assign(
+          t("documents"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
+    },
+
     // Order-invariant per-language content digests (export integrity:
     // shard XOR must equal corpus digest; layout/order never matter).
     // Literal replace on both engines, escape char BEFORE separator
