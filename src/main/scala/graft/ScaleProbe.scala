@@ -56,7 +56,7 @@ object ScaleProbe {
         "q126_cvss2_vector", "q127_proximity_search",
         "q128_pagerank_neardup", "q129_dataset_digest",
         "q130_pagerank_weighted", "q131_cwe_histogram",
-        "q132_linear_interpolate"))
+        "q132_linear_interpolate", "q133_data_split"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
