@@ -38,5 +38,13 @@ class DataSplitSpec extends SparkSpec {
       DataSplit.assign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
     intercept[IllegalArgumentException](
       DataSplit.assign(docs, "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      DataSplit.assign(docs, "doc_id", Seq("a" -> 0.5, "a" -> 0.4, "b" -> 0.1)))
+
+    // null ids fail loud at evaluation (no stable split exists)
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    intercept[Exception] {
+      DataSplit.assign(withNull, "doc_id", cuts).collect()
+    }
   }
 }
