@@ -3,7 +3,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // validate once: a non-numeric SPARK_GRAFT_CPUS would otherwise be
+    // interpolated raw into the JSON record and corrupt it silently
+    val cpus = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      try raw.trim.toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_CPUS must be an integer, got '$raw'") }
+    }
     val spark = GraftSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,6 +70,15 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench record write failed: $e") }
+    // the driver captures stdout by TAIL and the full per-query map has
+    // overflowed it two rounds running ("parsed": null) — emit a compact
+    // record (total, counts, load, top-5 heaviest) as the FINAL line so
+    // the tail always contains one complete parseable JSON object
+    val top5 = ok.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"runs":$runs,"agg":"min","cpus":$cpus,"loadavg":$loadavg,"ts":"$stamp","failed":$failedJson,"queries":$top5,"top5":true,"sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }

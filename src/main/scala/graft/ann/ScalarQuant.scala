@@ -30,13 +30,19 @@ object ScalarQuant {
 
   /** Adds `qCol` (array<tinyint>) and `scaleCol` (double). Zero
     * vectors quantize to zeros with scale 0 (the guard keeps the
-    * division from producing Infinity under ANSI). */
+    * division from producing Infinity under ANSI). A null vector
+    * fails loud (repo convention — DataSplit/PageRank): silently
+    * passing null through would surface later as null cosines in
+    * topK, far from the cause. */
   def quantize(
       df: DataFrame,
       vecCol: String,
       qCol: String = "qvec",
       scaleCol: String = "qscale"): DataFrame = {
-    val ma = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val checked = when(col(vecCol).isNull,
+      raise_error(lit(s"ScalarQuant: null vector in '$vecCol' cannot be quantized")))
+      .otherwise(col(vecCol))
+    val ma = array_max(transform(checked, x => abs(x.cast("double"))))
     df.withColumn("__ma", ma)
       .withColumn(scaleCol, col("__ma") / 127.0)
       .withColumn(qCol,

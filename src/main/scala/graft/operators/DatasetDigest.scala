@@ -36,7 +36,9 @@ object DatasetDigest {
     * render of `cols`; literal `replace` (not regex) on both engines.
     */
   private def rowHashSql(cols: Seq[String]): String = {
-    val rendered = cols.map(c =>
+    // identifier quoting must escape embedded backticks, or a column
+    // literally named with ` breaks out of the quoted identifier
+    val rendered = cols.map(_.replace("`", "``")).map(c =>
       s"replace(replace(coalesce(cast(`$c` AS string), ''), '\\\\', '\\\\\\\\'), '|', '\\\\|')")
     s"cast(conv(substring(md5(concat_ws('|', ${rendered.mkString(", ")})), 1, 15), 16, 10) AS long)"
   }

@@ -26,11 +26,20 @@ class PlanAuditSpec extends SparkSpec {
   // with a SINGLE build row, which is the intended shape, not a scale
   // hazard. Only add here when the joined side is provably one row.
   private val scalarBroadcast = Set(
-    "q102_domain_mix", "q110_cpe_version_range", "q111_unigram_logprob",
+    "q102_domain_mix", "q111_unigram_logprob",
     "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report",
     "q128_pagerank_neardup", "q130_pagerank_weighted",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
     "q86_cms_heavy_hitters", "q89_tfidf_topk")
+
+  // SMALL-BROADCAST THETA JOIN by design: a deliberately tiny probe
+  // frame (bounded by construction, NOT one row) joined on a range /
+  // inequality predicate — no equi-key exists, so BNLJ over a
+  // broadcast build of known-small cardinality is the correct plan.
+  // Distinct from `scalarBroadcast` (provably one row) so each
+  // whitelist's invariant stays checkable against its members.
+  private val smallBroadcastTheta = Set(
+    "q110_cpe_version_range")
 
   test("every query plans at sf0.001; cartesian joins only where the semantics demand them") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
@@ -41,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
         val crossy = plan.contains("CartesianProduct") ||
           plan.contains("BroadcastNestedLoopJoin")
         if (crossy && !allPairsByDesign.contains(name) &&
-          !scalarBroadcast.contains(name)) offenders += name
+          !scalarBroadcast.contains(name) &&
+          !smallBroadcastTheta.contains(name)) offenders += name
       } catch {
         case e: Exception => failures += s"$name: ${String.valueOf(e.getMessage).take(200)}"
       }

@@ -35,6 +35,15 @@ class ScalarQuantSpec extends SparkSpec {
       .select($"qscale", $"qvec").first()
     assert(z.getAs[Double]("qscale") === 0.0)
     assert(z.getAs[Seq[Byte]]("qvec") === Seq[Byte](0, 0, 0))
+
+    // null vector fails loud (repo convention), not a silent null qvec
+    val nullVec = Seq((1L, Option.empty[Seq[Float]]), (2L, Option(Seq(1f, 2f))))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      ScalarQuant.quantize(nullVec, "embedding").collect()
+    }
+    assert(e.getMessage.contains("null vector") ||
+      String.valueOf(e.getCause).contains("null vector"), s"unexpected: $e")
   }
 
   test("topK over codes: high recall vs exact brute force, plan stays narrow until the window") {

@@ -47,6 +47,13 @@ class DatasetDigestSpec extends SparkSpec {
     // the same row cancels — include a unique id when that matters
     val twice = Seq(("dup", 1), ("dup", 1)).toDF("t", "k")
     assert(DatasetDigest.digest(twice) === 0L)
+
+    // a column name carrying a backtick must not break (or escape) the
+    // generated identifier quoting
+    val weird = Seq(("x", 1), ("y", 2)).toDF("a`b", "k")
+    assert(DatasetDigest.digest(weird, Seq("a`b", "k")) !== 0L)
+    assert(DatasetDigest.digest(weird.repartition(3), Seq("a`b", "k")) ===
+      DatasetDigest.digest(weird, Seq("a`b", "k")))
   }
 
   test("writeShards round trip: shard dirs reassemble to the source digest") {
