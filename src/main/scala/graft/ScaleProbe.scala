@@ -56,7 +56,13 @@ object ScaleProbe {
         "q126_cvss2_vector", "q127_proximity_search",
         "q128_pagerank_neardup", "q129_dataset_digest",
         "q130_pagerank_weighted", "q131_cwe_histogram",
-        "q132_linear_interpolate", "q133_data_split"))
+        "q132_linear_interpolate", "q133_data_split",
+        // round-8 additions: the store-backed search twins — their
+        // serve-time cost per term should be bucket-bound (prune to
+        // 1/nBuckets of the postings), not corpus-bound like the
+        // inline rescans they twin
+        "q119b_phrase_search_store", "q120b_terms_search_store",
+        "q124b_bm25_search_store", "q127b_proximity_search_store"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
@@ -106,7 +112,15 @@ object ScaleProbe {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
-    timeAll(src) // warm
+    timeAll(src) // warm (also builds any write-if-absent stores for src)
+    // store-backed queries amortize a one-time index build; pre-run
+    // them once on the replica dir so the TIMED pass measures the
+    // serve path on both sides, not build-vs-serve
+    queries.filter(_.endsWith("_store")).foreach { name =>
+      try SparkEntry.queries(name)(spark, big).count()
+      catch { case e: Throwable => println(s"SCALE $name prebuild FAILED: ${e.getMessage}") }
+    }
+    spark.catalog.clearCache()
     val base = timeAll(src)
     val scaled = timeAll(big)
     println(f"SCALE ${"query"}%-28s ${"1x"}%8s ${s"${k}x"}%8s  ratio (data ${k}x)")

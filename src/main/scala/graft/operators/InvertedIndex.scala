@@ -21,17 +21,24 @@ import graft.functions.{TextFunctions => TF}
   * so only the phrase terms' postings ever reach the join shuffle.
   * Inline over raw documents the term filter applies right after the
   * generator (the corpus is still scanned once per term); the 100 TB
-  * shape MATERIALIZES `postings` partitioned/bucketed by term, where
-  * the same filter becomes partition pruning and each term reads only
-  * its own slice. `allTermsSearch` is a single groupBy over the
+  * shape MATERIALIZES the postings bucketed by term —
+  * [[PostingsStore]] — where the same filter becomes partition
+  * pruning + parquet row-group skipping and each term reads only its
+  * own slice. `allTermsSearch` is a single groupBy over the
   * IN-filtered postings — one scan regardless of term count.
+  *
+  * Every search shape is implemented ONCE against a term-postings
+  * provider (`*Impl`); the inline form (scan + filter) and the
+  * store-backed form (pruned read) plug in their own provider, so the
+  * two routes are the same arithmetic by construction and the store
+  * twins hash-match the inline queries.
   */
 object InvertedIndex {
 
   /** Query terms must be single tokens: a term containing whitespace
     * (or an empty string) can never match a whitespace-split posting,
     * so the search would silently return empty instead of failing. */
-  private def validTerms(fn: String, terms: Seq[String]): Unit = {
+  private[operators] def validTerms(fn: String, terms: Seq[String]): Unit = {
     require(terms.nonEmpty, s"$fn: terms must be non-empty")
     terms.foreach(t => require(t.nonEmpty && !t.exists(_.isWhitespace),
       s"$fn: '$t' is not a single token — split the query into words"))
@@ -45,19 +52,27 @@ object InvertedIndex {
         posexplode(TF.wsTokens(lower(col(textCol)))).as(Seq("pos0", "term")))
       .select(col("term"), col(idCol), (col("pos0") + 1).cast("long").as("pos"))
 
-  /** Docs containing the words of `phrase` consecutively, with the
-    * match count and first match position (1-based). Repeated words in
-    * the phrase are handled naturally by the positional join. */
-  def phraseSearch(
-      docs: DataFrame,
+  /** Per-doc token lengths (idCol, __dl) — the BM25 side table. A
+    * narrow per-row projection (token count == postings count for the
+    * same non-empty docs), not a corpus-wide explode + re-aggregate. */
+  private[operators] def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TF.wordCount(col(textCol)).cast("long").as("__dl"))
+
+  // ---- shared search implementations ---------------------------------
+  // `termPost(t)` must return the postings rows of lowercase term `t`
+  // as (idCol, pos); `termsPost(ts)` the union for a term set as
+  // (term, idCol, pos). Providers: inline = filter-after-generator,
+  // store = bucket-pruned parquet read.
+
+  private[operators] def phraseImpl(
       idCol: String,
-      textCol: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String],
+      termPost: String => DataFrame): DataFrame = {
     validTerms("phraseSearch", phrase)
-    val post = postings(docs, idCol, textCol)
     phrase.zipWithIndex
       .map { case (w, i) =>
-        post.filter(col("term") === w.toLowerCase)
+        termPost(w.toLowerCase)
           .select(col(idCol), (col("pos") - i).as("anchor"))
       }
       .reduce((a, b) => a.join(b, Seq(idCol, "anchor")))
@@ -65,31 +80,20 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
   }
 
-  /** Unordered proximity search: docs where `termA` and `termB` occur
-    * within `slop` words of each other, with the co-occurrence count
-    * and the closest distance. The join is per-document on the two
-    * terms' postings (tiny frames after the term filters); the slop
-    * predicate is a band on the position difference. slop = 1 with
-    * ordered positions is phrase adjacency — use [[phraseSearch]] for
-    * exact phrases. */
-  def proximitySearch(
-      docs: DataFrame,
+  private[operators] def proximityImpl(
       idCol: String,
-      textCol: String,
       termA: String,
       termB: String,
-      slop: Int): DataFrame = {
+      slop: Int,
+      termPost: String => DataFrame): DataFrame = {
     validTerms("proximitySearch", Seq(termA, termB))
     require(slop >= 1, s"slop must be >= 1, got $slop")
     // identical terms would join a postings set with itself and count
     // every co-occurrence twice ((pa,pb) and (pb,pa))
     require(termA.toLowerCase != termB.toLowerCase,
       s"proximitySearch: terms must differ, got '$termA' twice")
-    val post = postings(docs, idCol, textCol)
-    val a = post.filter(col("term") === termA.toLowerCase)
-      .select(col(idCol), col("pos").as("__pa"))
-    val bb = post.filter(col("term") === termB.toLowerCase)
-      .select(col(idCol), col("pos").as("__pb"))
+    val a = termPost(termA.toLowerCase).select(col(idCol), col("pos").as("__pa"))
+    val bb = termPost(termB.toLowerCase).select(col(idCol), col("pos").as("__pb"))
     a.join(bb, Seq(idCol))
       .filter(col("__pa") =!= col("__pb") &&
         abs(col("__pa") - col("__pb")) <= slop)
@@ -98,35 +102,42 @@ object InvertedIndex {
         min(abs(col("__pa") - col("__pb"))).as("min_distance"))
   }
 
-  /** BM25-ranked retrieval (Robertson/Okapi, the Lucene `+1` IDF
-    * variant so every score is positive):
+  private[operators] def allTermsImpl(
+      idCol: String,
+      terms: Seq[String],
+      termsPost: Seq[String] => DataFrame): DataFrame = {
+    validTerms("allTermsSearch", terms)
+    val lower = terms.map(_.toLowerCase).distinct
+    termsPost(lower)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+      .filter(col("n_terms") === lower.length)
+      .select(col(idCol), col("n_hits"))
+  }
+
+  /** BM25 (Robertson/Okapi, the Lucene `+1` IDF variant so every
+    * score is positive):
     *   score(d, q) = Σ_{t∈q} ln(1 + (N - df + 0.5)/(df + 0.5))
     *       · tf·(k1+1) / (tf + k1·(1 − b + b·len(d)/avglen))
     * Corpus statistics (N, avglen, per-term df) are tiny aggregates
     * broadcast back; per-doc term frequencies come from one groupBy of
-    * the IN-filtered postings. Output: (doc_id, score, rnk) for the
+    * the term-filtered postings. Output: (doc_id, score, rnk) for the
     * top `k`, ranked on the 4dp-rounded score (doc_id tie-break) so
     * the ordering is reproducible across engines. */
-  def bm25Search(
-      docs: DataFrame,
+  private[operators] def bm25Impl(
       idCol: String,
-      textCol: String,
       terms: Seq[String],
-      k: Int = 20,
-      k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      k: Int,
+      k1: Double,
+      b: Double,
+      termsPost: Seq[String] => DataFrame,
+      docLen: DataFrame): DataFrame = {
     validTerms("bm25Search", terms)
     val query = terms.map(_.toLowerCase).distinct
-    val post = postings(docs, idCol, textCol)
-    // doc length as a NARROW per-row projection (token count ==
-    // postings count for the same non-empty docs) — not a corpus-wide
-    // explode + re-aggregate just to recover per-doc lengths
-    val docLen = docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol),
-        graft.functions.TextFunctions.wordCount(col(textCol)).cast("long").as("__dl"))
     val corpus = docLen.agg(count(lit(1)).as("__n"),
       avg(col("__dl").cast("double")).as("__avgdl"))
-    val tf = post.filter(col("term").isin(query: _*))
+    val tf = termsPost(query)
       .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("__tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val scored = tf.join(broadcast(df), Seq("term"))
@@ -147,6 +158,53 @@ object InvertedIndex {
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  // ---- inline forms (scan + filter providers) -------------------------
+
+  /** Docs containing the words of `phrase` consecutively, with the
+    * match count and first match position (1-based). Repeated words in
+    * the phrase are handled naturally by the positional join. */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    phraseImpl(idCol, phrase, t => post.filter(col("term") === t))
+  }
+
+  /** Unordered proximity search: docs where `termA` and `termB` occur
+    * within `slop` words of each other, with the co-occurrence count
+    * and the closest distance. The join is per-document on the two
+    * terms' postings (tiny frames after the term filters); the slop
+    * predicate is a band on the position difference. slop = 1 with
+    * ordered positions is phrase adjacency — use [[phraseSearch]] for
+    * exact phrases. */
+  def proximitySearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      termA: String,
+      termB: String,
+      slop: Int): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    proximityImpl(idCol, termA, termB, slop, t => post.filter(col("term") === t))
+  }
+
+  /** BM25-ranked retrieval over the inline postings. */
+  def bm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    bm25Impl(idCol, terms, k, k1, b,
+      ts => post.filter(col("term").isin(ts: _*)),
+      docLengths(docs, idCol, textCol))
+  }
+
   /** Docs containing ALL of `terms` (any positions): one aggregation
     * over the IN-filtered postings with a distinct-term count. */
   def allTermsSearch(
@@ -154,14 +212,7 @@ object InvertedIndex {
       idCol: String,
       textCol: String,
       terms: Seq[String]): DataFrame = {
-    validTerms("allTermsSearch", terms)
-    val lower = terms.map(_.toLowerCase).distinct
-    postings(docs, idCol, textCol)
-      .filter(col("term").isin(lower: _*))
-      .groupBy(col(idCol))
-      .agg(countDistinct(col("term")).as("n_terms"),
-        count(lit(1)).as("n_hits"))
-      .filter(col("n_terms") === lower.length)
-      .select(col(idCol), col("n_hits"))
+    val post = postings(docs, idCol, textCol)
+    allTermsImpl(idCol, terms, ts => post.filter(col("term").isin(ts: _*)))
   }
 }

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
   // hazard. Only add here when the joined side is provably one row.
   private val scalarBroadcast = Set(
     "q102_domain_mix", "q111_unigram_logprob",
-    "q123_bigram_logprob", "q124_bm25_search", "q125_skew_report",
+    "q123_bigram_logprob", "q124_bm25_search", "q124b_bm25_search_store",
+    "q125_skew_report",
     "q128_pagerank_neardup", "q130_pagerank_weighted",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
     "q86_cms_heavy_hitters", "q89_tfidf_topk")

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PostingsStoreSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("store").toString
+
+  test("store-backed searches return exactly the inline results") {
+    val path = tmp("poststore")
+    val h = PostingsStore.build(docs, "doc_id", "text", path, nBuckets = 16)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    assert(rows(h.phraseSearch(Seq("table", "hash"))) ===
+      rows(InvertedIndex.phraseSearch(docs, "doc_id", "text", Seq("table", "hash"))))
+    assert(rows(h.proximitySearch("vector", "table", slop = 5)) ===
+      rows(InvertedIndex.proximitySearch(docs, "doc_id", "text", "vector", "table", 5)))
+    assert(rows(h.allTermsSearch(Seq("vector", "stream", "window"))) ===
+      rows(InvertedIndex.allTermsSearch(docs, "doc_id", "text",
+        Seq("vector", "stream", "window"))))
+    assert(rows(h.bm25Search(Seq("vector", "stream", "window"), k = 20)) ===
+      rows(InvertedIndex.bm25Search(docs, "doc_id", "text",
+        Seq("vector", "stream", "window"), k = 20)))
+  }
+
+  test("term lookup prunes partitions (directory skip) and pushes the term filter") {
+    val path = tmp("poststore_prune")
+    val h = PostingsStore.build(docs, "doc_id", "text", path, nBuckets = 16)
+
+    val probe = h.termPostings("table")
+    val plan = probe.queryExecution.executedPlan.toString
+    // the bucket predicate must reach the scan as a PARTITION filter
+    // (constant-folded literal on the partition column) and the term
+    // equality as a pushed parquet filter — row filtering alone would
+    // mean the store is being rescanned like the inline form
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*term_bucket[^\\]]*\\].*"), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(term,table\\)[^\\]]*\\].*"), plan)
+    assert(probe.count() > 0)
+
+    // the pruned read touches a strict subset of the store's files:
+    // inputFiles ignores partition pruning, so read the scan node's
+    // post-execution numFiles metric instead
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.count()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.getOrElse(sys.error("no FileSourceScanExec in plan"))
+    }
+    val allFiles = h.postings.inputFiles.length.toLong
+    val probedFiles = scannedFiles(probe)
+    assert(probedFiles < allFiles,
+      s"term probe read $probedFiles of $allFiles files — no pruning happened")
+
+    // multi-term lookup keeps the bucket predicate a partition filter
+    val multi = h.termsPostings(Seq("vector", "stream", "window"))
+    val mplan = multi.queryExecution.executedPlan.toString
+    assert(mplan.matches("(?s).*PartitionFilters: \\[[^\\]]*term_bucket[^\\]]*\\].*"), mplan)
+  }
+
+  test("open/ensure round trip, meta validation, crash heal") {
+    val path = tmp("poststore_meta")
+    PostingsStore.build(docs, "doc_id", "text", path, nBuckets = 8)
+
+    val h = PostingsStore.open(spark, path)
+    assert(h.idCol === "doc_id" && h.nBuckets === 8)
+
+    // ensure() on an existing store opens instead of rebuilding
+    // (by-name docs arg: passing a poisoned frame proves no rebuild)
+    val poisoned = docs.withColumn("text",
+      raise_error(lit("ensure() must not re-tokenize an existing store")).cast("string"))
+    val h2 = PostingsStore.ensure(poisoned, "doc_id", "text", spark, path)
+    assert(h2.nBuckets === 8)
+
+    // idCol mismatch fails loud instead of serving wrong columns
+    val e = intercept[IllegalArgumentException] {
+      PostingsStore.ensure(docs, "vec_id", "text", spark, path)
+    }
+    assert(e.getMessage.contains("idCol"))
+
+    // a crashed swap (store moved aside, nothing in place) heals on open
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val aside = new org.apache.hadoop.fs.Path(
+      dst.getParent, "." + dst.getName + ".swapold")
+    assert(fs.rename(dst, aside))
+    val healed = PostingsStore.open(spark, path)
+    assert(healed.termPostings("table").count() > 0)
+  }
+
+  test("empty corpus builds a readable (flat, nothing-to-prune) store") {
+    val path = tmp("poststore_empty")
+    val empty = docs.filter(col("doc_id") < 0)
+    val h = PostingsStore.build(empty, "doc_id", "text", path, nBuckets = 4)
+    assert(h.termPostings("anything").count() === 0)
+    assert(h.docLens.count() === 0)
+  }
+}
