@@ -146,6 +146,26 @@ object CveFlatten {
       strictReferenceSemantics: Boolean = true): DataFrame =
     flattenItems(readFeed(spark, paths), strictReferenceSemantics)
 
+  /** Per-document parse audit over feed files: (file, corrupt,
+    * corrupt_sample, n_items). A malformed document surfaces as
+    * corrupt=true with the head of its raw text (PERMISSIVE +
+    * `_corrupt_record`, SURVEY §1.3) — without this, a broken feed
+    * reads as a zero-item feed and the load silently drops a year.
+    * One row per feed FILE (a feed is a single multiLine document),
+    * so the frame is control-plane sized: `Pipeline.run` collects it
+    * to quarantine broken feeds before the flatten. */
+  def feedAudit(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(NvdSchema.feed)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .json(paths: _*)
+      .select(
+        input_file_name().as("file"),
+        col(NvdSchema.corruptRecordCol).isNotNull.as("corrupt"),
+        substring(coalesce(col(NvdSchema.corruptRecordCol), lit("")), 1, 200)
+          .as("corrupt_sample"),
+        coalesce(size(col("CVE_Items")), lit(0)).cast("long").as("n_items"))
+
   /** Read feed ZIPS directly — decompression happens in the scan
     * tasks (graft.sources.ZipTextSource), not on the driver like the
     * reference's `unzip` (nvd2mysqlloader.py:113-123). `path` is a
@@ -160,6 +180,23 @@ object CveFlatten {
         from_json(col("content"), NvdSchema.feed).as("feed"),
         col("file"), col("entry"))
       .select(explode(col("feed.CVE_Items")).as("item"), col("file"), col("entry"))
+
+  /** Zip-direct twin of [[feedAudit]]: (file, entry, corrupt,
+    * corrupt_sample, n_items) per archive entry. `from_json` fills the
+    * schema's `_corrupt_record` field with the raw input when the
+    * document does not parse (PERMISSIVE), so the detection is the
+    * same column the file reader uses. */
+  def feedAuditZips(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("ziptext").load(path)
+      .select(
+        from_json(col("content"), NvdSchema.feed).as("feed"),
+        col("file"), col("entry"))
+      .select(
+        col("file"), col("entry"),
+        col("feed").getField(NvdSchema.corruptRecordCol).isNotNull.as("corrupt"),
+        substring(coalesce(col("feed").getField(NvdSchema.corruptRecordCol), lit("")), 1, 200)
+          .as("corrupt_sample"),
+        coalesce(size(col("feed.CVE_Items")), lit(0)).cast("long").as("n_items"))
 
   /** Zip-direct variant of `flattenFeed`; keeps (file, entry)
     * provenance columns alongside the 15-column flatten.

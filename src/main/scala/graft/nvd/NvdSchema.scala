@@ -144,12 +144,25 @@ object NvdSchema {
     StructField("publishedDate", StringType),
     StructField("lastModifiedDate", StringType)))
 
-  /** Whole-feed document: one JSON object per file. */
+  /** Whole-feed document: one JSON object per file.
+    *
+    * Carries `_corrupt_record` (SURVEY §1.3: PERMISSIVE +
+    * `_corrupt_record`): on the file read path a malformed feed
+    * document lands its RAW TEXT here instead of silently becoming a
+    * zero-item feed — the audit trail that distinguishes "empty feed"
+    * from "broken feed" (the reference at least crashed loudly;
+    * PERMISSIVE without the column loses even that signal). The item
+    * explode drops these rows (null `CVE_Items`), so carrying the
+    * column costs the flatten path nothing; `CveFlatten.feedAudit`
+    * and the ingest quarantine read it. */
+  val corruptRecordCol = "_corrupt_record"
+
   val feed: StructType = StructType(Seq(
     StructField("CVE_data_type", StringType),
     StructField("CVE_data_format", StringType),
     StructField("CVE_data_version", StringType),
     StructField("CVE_data_numberOfCVEs", StringType),
     StructField("CVE_data_timestamp", StringType),
-    StructField("CVE_Items", ArrayType(cveItem))))
+    StructField("CVE_Items", ArrayType(cveItem)),
+    StructField(corruptRecordCol, StringType)))
 }

@@ -74,11 +74,17 @@ object Pipeline {
     } finally zf.close()
   }
 
+  /** One quarantined feed: the document fetched but failed to parse.
+    * `sample` is the head of the raw text (the `_corrupt_record`
+    * content) — enough to eyeball truncation vs garbage. */
+  final case class CorruptFeed(modifier: String, file: String, sample: String)
+
   final case class LoadReport(
       feedsConsidered: Int,
       feedsLoaded: Int,
       cvesBefore: Long,
-      cvesAfter: Long) {
+      cvesAfter: Long,
+      corruptFeeds: Seq[CorruptFeed] = Nil) {
     def added: Long = cvesAfter - cvesBefore
   }
 
@@ -143,12 +149,38 @@ object Pipeline {
       }
     }
 
-    if (fetched.nonEmpty) {
+    // Parse audit BEFORE the flatten (SURVEY §1.3 PERMISSIVE +
+    // _corrupt_record): a feed that fetched but does not parse is
+    // QUARANTINED — excluded from the load and from history (so the
+    // next cycle retries it) and surfaced in the report — instead of
+    // silently contributing zero rows. One Spark job over all fetched
+    // files; the frame is one row per feed, so the collect is
+    // control-plane bounded like the meta loop above.
+    val corrupt: Seq[CorruptFeed] =
+      if (fetched.isEmpty) Nil
+      else {
+        val byName = fetched.map { case (f, p) =>
+          p.split('/').last -> f.modifier
+        }.toMap
+        CveFlatten.feedAudit(spark, fetched.map(_._2))
+          .filter(col("corrupt")).collect().toSeq
+          .map { r =>
+            val file = r.getAs[String]("file")
+            CorruptFeed(byName.getOrElse(file.split('/').last, "?"),
+              file, r.getAs[String]("corrupt_sample"))
+          }
+      }
+    corrupt.foreach(cf => System.err.println(
+      s"[pipeline] quarantining feed '${cf.modifier}': document does not parse; head: ${cf.sample.take(80)}"))
+    val corruptModifiers = corrupt.map(_.modifier).toSet
+    val loadable = fetched.filterNot { case (f, _) => corruptModifiers.contains(f.modifier) }
+
+    if (loadable.nonEmpty) {
       // One tagged read per feed unioned into a single plan — the
       // union's scans execute as parallel tasks (one+ per file), so
       // ~27 feeds load concurrently where the reference looped
       // sequentially.
-      val flat = fetched.map { case (f, p) =>
+      val flat = loadable.map { case (f, p) =>
         CveFlatten.readFeed(spark, Seq(p)).withColumn("feed_rank", lit(f.rank))
       }.map(CveFlatten.flattenItems(_, strictReferenceSemantics))
         .reduce(_ unionByName _)
@@ -162,7 +194,9 @@ object Pipeline {
       // converge on the same content per cve_id.
       jdbcMirror.foreach(conf => MySqlSink.upsert(deduped.drop("feed_rank"), conf))
 
-      val fetchedNames = fetched.map(_._1.modifier).toSet
+      // history records only feeds that actually LOADED — a
+      // quarantined feed stays stale and is re-fetched next cycle
+      val fetchedNames = loadable.map(_._1.modifier).toSet
       val loadedMetas = metas.filter(m => fetchedNames.contains(m.downloadName))
       val historyRows = FeedCatalog.historyRows(spark, loadedMetas, now())
       historyRows.write.mode("append").parquet(historyPath)
@@ -174,7 +208,7 @@ object Pipeline {
       if (NvdStore.pathExists(spark, storePath))
         NvdStore.cveTally(NvdStore.read(spark, storePath))
       else 0L
-    val report = LoadReport(feeds.size, fetched.size, before, after)
+    val report = LoadReport(feeds.size, loadable.size, before, after, corrupt)
     audit(report)
     report
   }
@@ -191,6 +225,8 @@ object Pipeline {
       log.info("nvd load: There were no new CVEs added since last update.")
     else
       log.info(s"nvd load: There were ${r.feedsLoaded} feeds loaded or updated with ${r.added} CVEs added.")
+    r.corruptFeeds.foreach(cf =>
+      log.warn(s"nvd load: feed '${cf.modifier}' quarantined (document does not parse)"))
   }
 
   private def now(): String = java.time.LocalDateTime.now().toString

@@ -544,5 +544,36 @@ object NvdQueries extends QueryDsl {
         .groupBy($"status")
         .agg(count(lit(1)).as("n"),
           sum(size($"changed_fields")).cast("long").as("n_changed_fields"))
+    },
+
+    // Malformed-feed audit under the hash gate (SURVEY §1.3): feed
+    // documents synthesized from orders keys, with every k % 7 == 0
+    // document deterministically BROKEN (unparseable text) — pushed
+    // through the real ingest parse (from_json + NvdSchema.feed, the
+    // zip-direct route's exact semantics: PERMISSIVE fills the
+    // schema's _corrupt_record with the raw text). Output mirrors the
+    // quarantine row: corrupt flag, raw-text sample, item count. The
+    // oracle re-derives all three from the corruption rule — corruption
+    // here is engine-detected, oracle-predicted.
+    q("q136_feed_corrupt_audit",
+      """SELECT k,
+        |  (k % 7 = 0) AS corrupt,
+        |  CASE WHEN k % 7 = 0 THEN 'BROKEN{' || k ELSE '' END AS corrupt_sample,
+        |  (CASE WHEN k % 7 = 0 THEN 0 WHEN k % 4 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_items
+        |FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000)""".stripMargin) { c =>
+      val k = $"o_orderkey"
+      val item = synthDoc(k)
+      val feedDoc = when(k % 7 === 0, concat(lit("BROKEN{"), k.cast("string")))
+        .otherwise(concat(lit("""{"CVE_Items":["""), item,
+          when(k % 4 === 0, concat(lit(","), item)).otherwise(lit("")),
+          lit("]}")))
+      val cr = $"feed".getField(NvdSchema.corruptRecordCol)
+      c.t("orders").filter(k <= 2000)
+        .select(k.as("k"), feedDoc.as("doc"))
+        .select($"k", from_json($"doc", NvdSchema.feed).as("feed"))
+        .select($"k",
+          cr.isNotNull.as("corrupt"),
+          substring(coalesce(cr, lit("")), 1, 200).as("corrupt_sample"),
+          coalesce(size($"feed.CVE_Items"), lit(0)).cast("long").as("n_items"))
     })
 }

@@ -16,6 +16,15 @@ import graft.nvd.{CveFlatten, NvdDedup, NvdSchema, NvdStore}
   * cve_id — so re-delivered or amended CVEs overwrite (last write
   * wins), giving end-to-end idempotence on top of exactly-once source
   * tracking from the checkpoint.
+  *
+  * Malformed feed documents are QUARANTINED, not dropped: when
+  * `quarantineDir` is set, each micro-batch appends (file, batch_id,
+  * corrupt_sample) rows for documents that failed to parse — the
+  * PERMISSIVE `_corrupt_record` column on the file path, the raw
+  * `content` on the zip path — and only parseable documents reach the
+  * flatten. Without a quarantine dir the corrupt rows are still
+  * excluded from the load (the explode drops them); the dir just adds
+  * the audit trail.
   */
 object NvdStreamIngest {
 
@@ -36,20 +45,36 @@ object NvdStreamIngest {
       .otherwise(lit(0))
   }
 
-  /** Shared sink tail: flatten, rank within batch, keyed upsert. */
+  /** Shared sink tail over a feed-level stream carrying
+    * (file, corrupt, corrupt_sample, items). Quarantine append + keyed
+    * upsert happen per micro-batch. */
   private def sinkTo(
-      items: DataFrame,
+      feedRows: DataFrame,
       storePath: String,
       checkpointDir: String,
-      strictReferenceSemantics: Boolean): StreamingQuery =
-    CveFlatten.flattenItems(items, strictReferenceSemantics).writeStream
+      strictReferenceSemantics: Boolean,
+      quarantineDir: Option[String]): StreamingQuery =
+    feedRows.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quarantineDir.foreach { qd =>
+          val bad = batch.filter(col("corrupt"))
+            .select(col("file"), lit(batchId).as("batch_id"),
+              col("corrupt_sample"))
+          // an append of zero rows would still CREATE the quarantine
+          // dir — only write when something is actually quarantined
+          if (!bad.isEmpty)
+            bad.write.mode("append").parquet(qd)
+        }
+        val items = batch.filter(!col("corrupt"))
+          .select(explode(col("items")).as("item"),
+            feedPriority(col("file")).as("feed_rank"))
         // rank = arrival batch then per-file priority within the batch;
         // across batches the keyed store upsert is the dedup
         val deduped = NvdDedup.lastWriteWins(
-          batch.withColumn("feed_rank", lit(batchId) * 1000 + col("feed_rank")))
+          CveFlatten.flattenItems(items, strictReferenceSemantics)
+            .withColumn("feed_rank", lit(batchId) * 1000 + col("feed_rank")))
         NvdStore.upsert(batch.sparkSession, deduped.drop("feed_rank"), storePath)
         ()
       }
@@ -61,32 +86,48 @@ object NvdStreamIngest {
       stagingDir: String,
       storePath: String,
       checkpointDir: String,
-      strictReferenceSemantics: Boolean = true): StreamingQuery = {
-    val items = spark.readStream
+      strictReferenceSemantics: Boolean = true,
+      quarantineDir: Option[String] = None): StreamingQuery = {
+    val feedRows = spark.readStream
       .schema(NvdSchema.feed)
       .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
       .option("maxFilesPerTrigger", "8")
       .json(stagingDir)
-      .select(explode(col("CVE_Items")).as("item"))
-      .withColumn("feed_rank", feedPriority(input_file_name()))
-    sinkTo(items, storePath, checkpointDir, strictReferenceSemantics)
+      .select(
+        input_file_name().as("file"),
+        col(NvdSchema.corruptRecordCol).isNotNull.as("corrupt"),
+        substring(coalesce(col(NvdSchema.corruptRecordCol), lit("")), 1, 200)
+          .as("corrupt_sample"),
+        col("CVE_Items").as("items"))
+    sinkTo(feedRows, storePath, checkpointDir, strictReferenceSemantics,
+      quarantineDir)
   }
 
   /** Zip-direct ingest: feed ARCHIVES dropped into `zipDir` stream
     * through the ziptext micro-batch source — no staging unzip step
     * exists at all, on the driver or anywhere else. Decompression and
     * parsing happen in the scan tasks of each micro-batch; the file
-    * priority comes from the archive's entry name. */
+    * priority comes from the archive's entry name. Corrupt detection
+    * is the same `_corrupt_record` column as the file path: `from_json`
+    * fills it with the raw input when the document does not parse. */
   def startFromZips(
       spark: SparkSession,
       zipDir: String,
       storePath: String,
       checkpointDir: String,
-      strictReferenceSemantics: Boolean = true): StreamingQuery = {
-    val items = spark.readStream.format("ziptext").load(zipDir)
-      .select(from_json(col("content"), NvdSchema.feed).as("feed"), col("entry"))
-      .select(explode(col("feed.CVE_Items")).as("item"),
-        feedPriority(col("entry")).as("feed_rank"))
-    sinkTo(items, storePath, checkpointDir, strictReferenceSemantics)
+      strictReferenceSemantics: Boolean = true,
+      quarantineDir: Option[String] = None): StreamingQuery = {
+    val feedRows = spark.readStream.format("ziptext").load(zipDir)
+      .select(from_json(col("content"), NvdSchema.feed).as("feed"),
+        col("entry"))
+      .select(
+        col("entry").as("file"),
+        col("feed").getField(NvdSchema.corruptRecordCol).isNotNull.as("corrupt"),
+        substring(coalesce(col("feed").getField(NvdSchema.corruptRecordCol), lit("")), 1, 200)
+          .as("corrupt_sample"),
+        col("feed.CVE_Items").as("items"))
+    sinkTo(feedRows, storePath, checkpointDir, strictReferenceSemantics,
+      quarantineDir)
   }
 }

@@ -188,6 +188,46 @@ class NvdPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.cvesAfter === 4)
   }
 
+  test("corrupt feed: audited via _corrupt_record, quarantined from load AND history, retried next cycle") {
+    // the audit frame itself: malformed document -> corrupt=true with
+    // the raw-text head; healthy document -> item count
+    val audit = CveFlatten.feedAudit(spark, Seq(
+        fixtures.resolve("2002.json").toUri.toString,
+        fixtures.resolve("corrupt.json").toUri.toString))
+      .collect().map(r => r.getAs[String]("file").split('/').last ->
+        ((r.getAs[Boolean]("corrupt"), r.getAs[Long]("n_items"),
+          r.getAs[String]("corrupt_sample")))).toMap
+    assert(audit("2002.json") === ((false, 3L, "")))
+    val (corrupt, nItems, sample) = audit("corrupt.json")
+    assert(corrupt, "malformed document must surface corrupt=true")
+    assert(nItems === 0L)
+    assert(sample.contains("CVE_data_type"),
+      s"sample must carry the raw text head, got: $sample")
+
+    // end-to-end: the broken feed is excluded from the load and from
+    // history (so the freshness gate re-fetches it next cycle), and
+    // the report names it — never a silent zero-item year
+    val tmp = Files.createTempDirectory("nvdcorrupt")
+    val store = tmp.resolve("store").toString
+    val hist = tmp.resolve("hist").toString
+    val staging = Files.createDirectory(tmp.resolve("staging"))
+    val feeds = Seq(FeedCatalog.Feed("2002", 0), FeedCatalog.Feed("corrupt", 1))
+    val fetcher = new Pipeline.LocalFetcher(fixtures)
+
+    val r1 = Pipeline.run(spark, feeds, fetcher, store, hist, staging)
+    assert(r1.feedsLoaded === 1)
+    assert(r1.corruptFeeds.map(_.modifier) === Seq("corrupt"))
+    assert(r1.corruptFeeds.head.sample.nonEmpty)
+    assert(r1.cvesAfter === 3) // only 2002's CVEs
+
+    // next cycle: 2002 is fresh (history) but the quarantined feed is
+    // still stale -> re-fetched, still broken, quarantined again
+    val r2 = Pipeline.run(spark, feeds, fetcher, store, hist, staging)
+    assert(r2.feedsLoaded === 0)
+    assert(r2.corruptFeeds.map(_.modifier) === Seq("corrupt"))
+    assert(r2.cvesAfter === 3)
+  }
+
   test("a feed with an unreachable .meta is skipped, not fatal (failFast=false default)") {
     val tmp = Files.createTempDirectory("nvdskip")
     val feeds = Seq(FeedCatalog.Feed("2002", 0), FeedCatalog.Feed("nonexistent", 1))

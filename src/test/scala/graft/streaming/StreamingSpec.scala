@@ -99,6 +99,66 @@ class StreamingSpec extends SparkSpec {
       .first().getAs[Double]("score") === 10.0)
   }
 
+  test("NVD stream ingest quarantines malformed feed files; healthy files in the same batch still load") {
+    val staging = Files.createTempDirectory("nvdqstream").toString
+    val store = Files.createTempDirectory("nvdqstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("nvdqckpt").toString
+    val quarantine = Files.createTempDirectory("nvdqdir").toString + "/bad"
+
+    Files.copy(
+      java.nio.file.Paths.get("src/test/resources/nvdfeed/2002.json"),
+      java.nio.file.Paths.get(staging, "2002.json"))
+    Files.copy(
+      java.nio.file.Paths.get("src/test/resources/nvdfeed/corrupt.json"),
+      java.nio.file.Paths.get(staging, "corrupt.json"))
+
+    NvdStreamIngest.start(spark, staging, store, ckpt,
+      quarantineDir = Some(quarantine)).awaitTermination(120000)
+    // healthy feed loaded in full, corrupt one contributed nothing
+    assert(graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store)) === 3)
+    // ...but left its audit row: file + raw-text sample
+    val bad = spark.read.parquet(quarantine).collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("file").endsWith("corrupt.json"))
+    assert(bad.head.getAs[String]("corrupt_sample").contains("CVE_data_type"))
+  }
+
+  test("NVD zip-direct stream ingest quarantines an archive whose document does not parse") {
+    val zips = Files.createTempDirectory("nvdqzips")
+    val store = Files.createTempDirectory("nvdqzstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("nvdqzckpt").toString
+    val quarantine = Files.createTempDirectory("nvdqzdir").toString + "/bad"
+    def dropZip(feed: String): Unit = {
+      val tmp = Files.createTempFile("nvdqstage", ".zip")
+      val zout = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(tmp))
+      try {
+        zout.putNextEntry(new java.util.zip.ZipEntry(s"nvdcve-1.1-$feed.json"))
+        zout.write(Files.readAllBytes(
+          java.nio.file.Paths.get(s"src/test/resources/nvdfeed/$feed.json")))
+        zout.closeEntry()
+      } finally zout.close()
+      Files.move(tmp, zips.resolve(s"nvdcve-1.1-$feed.json.zip"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    dropZip("2002")
+    dropZip("corrupt")
+    NvdStreamIngest.startFromZips(spark, zips.toString, store, ckpt,
+      quarantineDir = Some(quarantine)).awaitTermination(120000)
+    assert(graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store)) === 3)
+    val bad = spark.read.parquet(quarantine).collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("file").endsWith("corrupt.json"))
+    assert(bad.head.getAs[String]("corrupt_sample").nonEmpty)
+
+    // the batch audit twin over the same archives agrees
+    val audit = graft.nvd.CveFlatten.feedAuditZips(spark, zips.toString)
+      .collect().map(r => r.getAs[String]("entry") ->
+        ((r.getAs[Boolean]("corrupt"), r.getAs[Long]("n_items")))).toMap
+    assert(audit("nvdcve-1.1-2002.json") === ((false, 3L)))
+    assert(audit("nvdcve-1.1-corrupt.json")._1 === true)
+  }
+
   test("stream-stream interval join equals the batch join (q96's twin)") {
     val staged = Files.createTempDirectory("ssjoin").toString
     val batchEvents = graft.Tables.events(spark, sf001)
