@@ -107,7 +107,6 @@ object SimHash {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val chunks = 4 // pigeonhole blocks for maxHamming <= 3
     // Fingerprints are CACHED (16 bytes/doc): the blocked frame feeds
     // a self-join, and without the cache the simhash kernel runs once
     // per join side.
@@ -115,12 +114,38 @@ object SimHash {
       col(idCol).as("doc"),
       simhash(TextFunctions.wsTokens(lower(col(textCol)))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromFingerprints(fp, maxHamming, maxBucketSize,
+      chunks = 4, chunkBits = 16) // pigeonhole blocks for maxHamming <= 3
+  }
 
+  /** The pigeonhole Hamming join over ANY int64 fingerprint frame
+    * (`doc`, `fp`) — shared by text SimHash and the perceptual-hash
+    * image dedup (graft.multimodal.ImageDedup): block by `chunks`
+    * chunks of `chunkBits` bits, join per block, verify `bit_count` of
+    * the XOR. Exact (every pair within `maxHamming` found) as long as
+    * `chunks > maxHamming` and no agreeing bucket was dropped: a pair
+    * differing in <= maxHamming bits must agree on at least one of
+    * maxHamming+1 chunks.
+    *
+    * Fingerprints narrower than 64 bits just leave the high chunks
+    * constant-zero — those blocks then bucket EVERYTHING together, so
+    * callers with an n-bit hash should pass chunks*chunkBits = n. */
+  def pairsFromFingerprints(
+      fp: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      chunks: Int,
+      chunkBits: Int): DataFrame = {
+    require(chunks > maxHamming,
+      s"pigeonhole needs chunks ($chunks) > maxHamming ($maxHamming)")
+    require(chunks * chunkBits <= 64,
+      s"chunks*chunkBits must fit in 64 bits, got ${chunks * chunkBits}")
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
     val blocked = fp.select(
       col("doc"), col("fp"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("blk"),
-          col("fp").bitwiseAND(lit(0xFFFFL << (16 * c))).as("key"))
+          col("fp").bitwiseAND(lit(mask << (chunkBits * c))).as("key"))
       }: _*)).as("b"))
       .select(col("doc"), col("fp"), col("b.blk"), col("b.key"))
     val sized = MinHashLSH.dropOversizedBuckets(blocked, Seq("blk", "key"), maxBucketSize)

@@ -255,6 +255,43 @@ object EventQueries extends QueryDsl {
         .select($"media_id", $"kind", $"n_bytes", $"content_hash")
     },
 
+    // Perceptual near-dup media pairs (multimodal x dedup bridge):
+    // byte-derived 16-bucket features in the FakeDecoder mold but
+    // constructed oracle-exact — emb[d] = byte d of md5 / 256, a
+    // dyadic rational, so the average-hash mean compare is exact on
+    // both engines — then ImageDedup's pigeonhole Hamming join
+    // (2 chunks x 8 bits, maxHamming 1 < chunks => the banded join is
+    // EXACT, verified here by the oracle's all-pairs form). The Spark
+    // side never goes all-pairs: same bounded bucket-join shape as
+    // text SimHash. RealDecoder pixel-feature dedup is specced on
+    // generated PNGs in ImageDedupSpec (no image fixtures in the
+    // harness tables).
+    q("q134_image_phash_pairs",
+      """WITH e AS (SELECT doc_id,
+        |  [('0x' || substr(md5(text), 2*d+1, 2))::BIGINT / (256.0)::DOUBLE
+        |   for d in range(0, 16)] AS emb
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  list_sum([CASE WHEN emb[d+1] * (16.0)::DOUBLE > list_sum(emb)
+        |    THEN (1::BIGINT << d) ELSE 0::BIGINT END for d in range(0, 16)]) AS fp
+        |  FROM e)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 1""".stripMargin) { c =>
+      import c.t
+      val hx = md5($"text".cast("binary"))
+      val features = t("documents").select(
+        $"doc_id",
+        array((0 until 16).map(d =>
+          conv(substring(hx, 2 * d + 1, 2), 16, 10).cast("long")
+            .cast("double") / 256.0): _*).as("emb"))
+      graft.multimodal.ImageDedup
+        .nearDupPairs(features, "doc_id", "emb",
+          maxHamming = 1, maxBucketSize = 1000000, chunks = 2, chunkBits = 8)
+        .withColumn("hamming", $"hamming".cast("long"))
+    },
+
     // Funnel: click -> view -> purchase progression per user, counted
     // by deepest ordered stage reached. Times compared at microsecond
     // precision on BOTH engines (epoch_us truncates DuckDB's native
