@@ -444,5 +444,34 @@ object EventQueries extends QueryDsl {
         |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin) { c =>
       import c.t
       graft.operators.SkewReport.topKeys(t("events"), "user_id", k = 10)
+    },
+
+    // The diagnostic WIRED to the mitigation (SkewAwareJoin): a
+    // planted-skew probe (70% of orders pile onto key 0, ~68x the mean
+    // per-key load) joined to a 97-row dim. The measured ratio routes
+    // the plan through SaltedJoin (ratio > saltThreshold; factor =
+    // ceil(ratio) capped at maxSalt) — the oracle computes the same
+    // join plainly, proving the strategy moves shuffle load without
+    // touching semantics. SkewAwareJoinSpec asserts the plan actually
+    // switches (plain / AQE / salted) at the thresholds.
+    q("q135_skew_aware_join",
+      """WITH probe AS (SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0
+        |    ELSE o_orderkey % 97 END AS skey, o_orderkey FROM orders),
+        |build AS (SELECT unnest(range(0, 97)) AS skey)
+        |SELECT skey % 5 AS grp, count(*)::BIGINT AS n_rows,
+        |  sum(o_orderkey)::BIGINT AS sum_keys
+        |FROM probe JOIN build USING (skey)
+        |GROUP BY 1""".stripMargin) { c =>
+      import c.t
+      val probe = t("orders").select(
+        when($"o_orderkey" % 10 < 7, 0L).otherwise($"o_orderkey" % 97).as("skey"),
+        $"o_orderkey")
+      val build = c.spark.range(0, 97).select($"id".as("skey"))
+      val (joined, decision) = graft.operators.SkewAwareJoin
+        .innerDecided(probe, build, "skey")
+      assert(decision.strategy.isInstanceOf[graft.operators.SkewAwareJoin.Salted],
+        s"planted 68x skew must route through the salted join, got $decision")
+      joined.groupBy(($"skey" % 5).as("grp"))
+        .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_keys"))
     })
 }
