@@ -260,6 +260,22 @@ class DedupSpec extends SparkSpec {
     assert(starChain.length === 120 && starChain.forall(_._2 === 0L))
   }
 
+  test("union-find and star contraction agree on q69c's real LSH pair graph (the in-query cross-check moved here in r8)") {
+    val sp = spark; import sp.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = graft.ann.Ann.lshNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+      .select($"vec_a".as("va"), $"vec_b".as("vb"))
+      .localCheckpoint()
+    val adaptive = ConnectedComponents.runAdaptive(pairs, "va", "vb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = ConnectedComponents.runStar(pairs, "va", "vb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adaptive === star,
+      "the two CC implementations must produce identical labelings on the production edge graph")
+    assert(adaptive.nonEmpty, "fixture graph should not be empty")
+  }
+
   test("exact dedup keeper selection: min doc_id per content group") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
