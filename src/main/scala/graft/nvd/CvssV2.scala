@@ -60,6 +60,85 @@ object CvssV2 {
       vectorMetric(vs, "Au"), vectorMetric(vs, "C"), vectorMetric(vs, "I"),
       vectorMetric(vs, "A"))
 
+  /** Multi-letter metric out of a v2 vector — temporal/environmental
+    * metric VALUES are 1-3 letters (POC, OF, ND, UC, LM, ...), unlike
+    * the single-letter base metrics. Same start-or-slash anchor, so
+    * `C:` never matches inside `RC:` or `CDP:`. */
+  def vectorMetricML(vs: Column, name: String): Column =
+    regexp_extract(vs, "(?:^|/)" + name + ":([A-Z]+)", 1)
+
+  /** Absent ('') or ND -> 1.0 (a DEFINED weight in the temporal and
+    * environmental equations); unknown letters -> null. */
+  private def wnd(c: Column, pairs: (String, Double)*): Column =
+    pairs.foldLeft(when(c === "" || c === "ND", lit(1.0))) {
+      case (acc, (l, v)) => acc.when(c === l, lit(v))
+    }
+
+  /** Temporal score (v2 guide 3.2.2):
+    *   TemporalScore = round₁(BaseScore · E · RL · RC)
+    * from an already-computed base score and extracted E/RL/RC values
+    * (multi-letter — use [[vectorMetricML]]). Null base or unknown
+    * letter -> null. */
+  def temporalScoreOf(base: Column, eV: Column, rlV: Column, rcV: Column): Column = {
+    val e = wnd(eV, "U" -> 0.85, "POC" -> 0.9, "F" -> 0.95, "H" -> 1.0)
+    val rl = wnd(rlV, "OF" -> 0.87, "TF" -> 0.90, "W" -> 0.95, "U" -> 1.0)
+    val rc = wnd(rcV, "UC" -> 0.90, "UR" -> 0.95, "C" -> 1.0)
+    when(base.isNull || e.isNull || rl.isNull || rc.isNull,
+      lit(null).cast("double"))
+      .otherwise(round1(base * e * rl * rc))
+  }
+
+  /** Environmental score (v2 guide 3.2.3), from base letters plus
+    * temporal (E/RL/RC) and environmental (CDP/TD/CR/IR/AR) values:
+    *
+    *   AdjImpact   = min(10, 10.41·(1 − (1−C·CR)(1−I·IR)(1−A·AR)))
+    *   AdjBase     = round₁(((0.6·AdjImpact) + (0.4·Expl) − 1.5) · f)
+    *   AdjTemporal = round₁(AdjBase · E · RL · RC)
+    *   EnvScore    = round₁((AdjTemporal + (10 − AdjTemporal)·CDP) · TD)
+    *
+    * Intermediate one-decimal rounding at each named score mirrors the
+    * NVD calculator's staging (each of AdjBase/AdjTemporal is a score
+    * the spec defines as rounded). The `least` for min(10, ·) is
+    * null-guarded explicitly — Spark's `least` SKIPS nulls, which
+    * would turn an unknown letter into a confident 10.0. */
+  def environmentalScoreOfLetters(
+      avL: Column, acL: Column, auL: Column,
+      cL: Column, iL: Column, aL: Column,
+      eV: Column, rlV: Column, rcV: Column,
+      cdpV: Column, tdV: Column,
+      crV: Column, irV: Column, arV: Column): Column = {
+    val av = w(avL, "L" -> 0.395, "A" -> 0.646, "N" -> 1.0)
+    val ac = w(acL, "H" -> 0.35, "M" -> 0.61, "L" -> 0.71)
+    val au = w(auL, "M" -> 0.45, "S" -> 0.56, "N" -> 0.704)
+    def cia(c: Column) = w(c, "N" -> 0.0, "P" -> 0.275, "C" -> 0.66)
+    def req(c: Column) = wnd(c, "L" -> 0.5, "M" -> 1.0, "H" -> 1.51)
+    val cdp = pairsWithNd(cdpV, 0.0,
+      "N" -> 0.0, "L" -> 0.1, "LM" -> 0.3, "MH" -> 0.4, "H" -> 0.5)
+    val td = wnd(tdV, "N" -> 0.0, "L" -> 0.25, "M" -> 0.75, "H" -> 1.0)
+    val adjImpactRaw = lit(10.41) * (lit(1.0) -
+      (lit(1.0) - cia(cL) * req(crV)) *
+        (lit(1.0) - cia(iL) * req(irV)) *
+        (lit(1.0) - cia(aL) * req(arV)))
+    val adjImpact = when(adjImpactRaw.isNull, lit(null).cast("double"))
+      .otherwise(least(lit(10.0), adjImpactRaw))
+    val expl = lit(20.0) * av * ac * au
+    val adjBaseRaw = (lit(0.6) * adjImpact + lit(0.4) * expl - lit(1.5)) * lit(1.176)
+    val adjBase = when(adjImpact.isNull || expl.isNull, lit(null).cast("double"))
+      .when(adjImpact === 0.0, lit(0.0))
+      .otherwise(round1(adjBaseRaw))
+    val adjTemporal = temporalScoreOf(adjBase, eV, rlV, rcV)
+    when(adjTemporal.isNull || cdp.isNull || td.isNull,
+      lit(null).cast("double"))
+      .otherwise(round1((adjTemporal + (lit(10.0) - adjTemporal) * cdp) * td))
+  }
+
+  /** Like [[wnd]] but ND maps to `ndValue` (CDP's "not defined" is 0,
+    * not 1). */
+  private def pairsWithNd(c: Column, ndValue: Double, pairs: (String, Double)*): Column =
+    pairs.foldLeft(when(c === "" || c === "ND", lit(ndValue))) {
+      case (acc, (l, v)) => acc.when(c === l, lit(v))
+    }
+
   /** v2 severity rating (NVD convention): 0.0-3.9 LOW, 4.0-6.9 MEDIUM,
     * 7.0-10.0 HIGH. Null score stays null. */
   def severityOf(score: Column): Column =

@@ -546,6 +546,103 @@ object NvdQueries extends QueryDsl {
           sum(size($"changed_fields")).cast("long").as("n_changed_fields"))
     },
 
+    // CVSS v2 temporal + environmental equations (guide 3.2.2/3.2.3)
+    // over synthesized FULL vectors — completes the v2 scoring family
+    // next to the v3 temporal (q115): same pure-expression staging
+    // (letters through one projection so each regex exists once in the
+    // plan), same cross-engine float rules (fixed association, no
+    // pow(), the round1 integer snap at every named score, explicit
+    // null guard around min(10,·) because Spark's least SKIPS nulls).
+    // Temporal/environmental metric VALUES are multi-letter (POC, OF,
+    // LM, ...), exercising the vectorMetricML parser.
+    q("q137_cvss2_temporal_env",
+      """WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |m AS (SELECT k,
+        |  CASE k % 3 WHEN 0 THEN 'L' WHEN 1 THEN 'A' ELSE 'N' END AS av_l,
+        |  CASE (k % 5) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'M' ELSE 'L' END AS ac_l,
+        |  CASE (k % 7) % 3 WHEN 0 THEN 'M' WHEN 1 THEN 'S' ELSE 'N' END AS au_l,
+        |  CASE (k % 11) % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'C' END AS c_l,
+        |  CASE (k % 13) % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'C' END AS i_l,
+        |  CASE (k % 17) % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'C' END AS a_l,
+        |  CASE (k % 19) % 5 WHEN 0 THEN 'U' WHEN 1 THEN 'POC' WHEN 2 THEN 'F' WHEN 3 THEN 'H' ELSE 'ND' END AS e_l,
+        |  CASE (k % 23) % 5 WHEN 0 THEN 'OF' WHEN 1 THEN 'TF' WHEN 2 THEN 'W' WHEN 3 THEN 'U' ELSE 'ND' END AS rl_l,
+        |  CASE (k % 29) % 4 WHEN 0 THEN 'UC' WHEN 1 THEN 'UR' WHEN 2 THEN 'C' ELSE 'ND' END AS rc_l,
+        |  CASE (k % 31) % 6 WHEN 0 THEN 'N' WHEN 1 THEN 'L' WHEN 2 THEN 'LM' WHEN 3 THEN 'MH' WHEN 4 THEN 'H' ELSE 'ND' END AS cdp_l,
+        |  CASE (k % 37) % 5 WHEN 0 THEN 'N' WHEN 1 THEN 'L' WHEN 2 THEN 'M' WHEN 3 THEN 'H' ELSE 'ND' END AS td_l,
+        |  CASE (k % 41) % 4 WHEN 0 THEN 'L' WHEN 1 THEN 'M' WHEN 2 THEN 'H' ELSE 'ND' END AS cr_l,
+        |  CASE (k % 43) % 4 WHEN 0 THEN 'L' WHEN 1 THEN 'M' WHEN 2 THEN 'H' ELSE 'ND' END AS ir_l,
+        |  CASE (k % 47) % 4 WHEN 0 THEN 'L' WHEN 1 THEN 'M' WHEN 2 THEN 'H' ELSE 'ND' END AS ar_l
+        |  FROM ks),
+        |w AS (SELECT *,
+        |  (CASE av_l WHEN 'L' THEN 0.395 WHEN 'A' THEN 0.646 ELSE 1.0 END)::DOUBLE AS av,
+        |  (CASE ac_l WHEN 'H' THEN 0.35 WHEN 'M' THEN 0.61 ELSE 0.71 END)::DOUBLE AS ac,
+        |  (CASE au_l WHEN 'M' THEN 0.45 WHEN 'S' THEN 0.56 ELSE 0.704 END)::DOUBLE AS au,
+        |  (CASE c_l WHEN 'N' THEN 0.0 WHEN 'P' THEN 0.275 ELSE 0.66 END)::DOUBLE AS cw,
+        |  (CASE i_l WHEN 'N' THEN 0.0 WHEN 'P' THEN 0.275 ELSE 0.66 END)::DOUBLE AS iw,
+        |  (CASE a_l WHEN 'N' THEN 0.0 WHEN 'P' THEN 0.275 ELSE 0.66 END)::DOUBLE AS aw,
+        |  (CASE e_l WHEN 'U' THEN 0.85 WHEN 'POC' THEN 0.9 WHEN 'F' THEN 0.95 ELSE 1.0 END)::DOUBLE AS ew,
+        |  (CASE rl_l WHEN 'OF' THEN 0.87 WHEN 'TF' THEN 0.90 WHEN 'W' THEN 0.95 ELSE 1.0 END)::DOUBLE AS rlw,
+        |  (CASE rc_l WHEN 'UC' THEN 0.90 WHEN 'UR' THEN 0.95 ELSE 1.0 END)::DOUBLE AS rcw,
+        |  (CASE cdp_l WHEN 'L' THEN 0.1 WHEN 'LM' THEN 0.3 WHEN 'MH' THEN 0.4 WHEN 'H' THEN 0.5 ELSE 0.0 END)::DOUBLE AS cdpw,
+        |  (CASE td_l WHEN 'N' THEN 0.0 WHEN 'L' THEN 0.25 WHEN 'M' THEN 0.75 ELSE 1.0 END)::DOUBLE AS tdw,
+        |  (CASE cr_l WHEN 'L' THEN 0.5 WHEN 'H' THEN 1.51 ELSE 1.0 END)::DOUBLE AS crw,
+        |  (CASE ir_l WHEN 'L' THEN 0.5 WHEN 'H' THEN 1.51 ELSE 1.0 END)::DOUBLE AS irw,
+        |  (CASE ar_l WHEN 'L' THEN 0.5 WHEN 'H' THEN 1.51 ELSE 1.0 END)::DOUBLE AS arw
+        |  FROM m),
+        |s AS (SELECT *,
+        |  (10.41)::DOUBLE * ((1.0)::DOUBLE - ((1.0)::DOUBLE - cw) * ((1.0)::DOUBLE - iw) * ((1.0)::DOUBLE - aw)) AS impact,
+        |  least((10.0)::DOUBLE, (10.41)::DOUBLE * ((1.0)::DOUBLE - ((1.0)::DOUBLE - cw * crw) * ((1.0)::DOUBLE - iw * irw) * ((1.0)::DOUBLE - aw * arw))) AS adjimpact,
+        |  (20.0)::DOUBLE * av * ac * au AS expl FROM w),
+        |r AS (SELECT *,
+        |  CASE WHEN impact = 0 THEN 0.0
+        |       ELSE floor((round((((0.6)::DOUBLE * impact + (0.4)::DOUBLE * expl - (1.5)::DOUBLE) * (1.176)::DOUBLE) * 100000.0) / 100000.0) * 10.0 + 0.5) / 10.0 END AS score,
+        |  CASE WHEN adjimpact = 0 THEN 0.0
+        |       ELSE floor((round((((0.6)::DOUBLE * adjimpact + (0.4)::DOUBLE * expl - (1.5)::DOUBLE) * (1.176)::DOUBLE) * 100000.0) / 100000.0) * 10.0 + 0.5) / 10.0 END AS adjbase
+        |  FROM s),
+        |f AS (SELECT *,
+        |  floor((round((score * ew * rlw * rcw) * 100000.0) / 100000.0) * 10.0 + 0.5) / 10.0 AS temporal,
+        |  floor((round((adjbase * ew * rlw * rcw) * 100000.0) / 100000.0) * 10.0 + 0.5) / 10.0 AS adjtemporal
+        |  FROM r)
+        |SELECT 'CVE-2018-' || k AS cve_id, score, temporal,
+        |  floor((round(((adjtemporal + ((10.0)::DOUBLE - adjtemporal) * cdpw) * tdw) * 100000.0) / 100000.0) * 10.0 + 0.5) / 10.0 AS env
+        |FROM f""".stripMargin) { c =>
+      import c.t
+      val k = $"o_orderkey"
+      def pick(idx: Column, ls: String*) =
+        element_at(array(ls.map(lit): _*), (idx + 1).cast("int"))
+      val vector = concat(
+        lit("AV:"), pick(k % 3, "L", "A", "N"),
+        lit("/AC:"), pick((k % 5) % 3, "H", "M", "L"),
+        lit("/Au:"), pick((k % 7) % 3, "M", "S", "N"),
+        lit("/C:"), pick((k % 11) % 3, "N", "P", "C"),
+        lit("/I:"), pick((k % 13) % 3, "N", "P", "C"),
+        lit("/A:"), pick((k % 17) % 3, "N", "P", "C"),
+        lit("/E:"), pick((k % 19) % 5, "U", "POC", "F", "H", "ND"),
+        lit("/RL:"), pick((k % 23) % 5, "OF", "TF", "W", "U", "ND"),
+        lit("/RC:"), pick((k % 29) % 4, "UC", "UR", "C", "ND"),
+        lit("/CDP:"), pick((k % 31) % 6, "N", "L", "LM", "MH", "H", "ND"),
+        lit("/TD:"), pick((k % 37) % 5, "N", "L", "M", "H", "ND"),
+        lit("/CR:"), pick((k % 41) % 4, "L", "M", "H", "ND"),
+        lit("/IR:"), pick((k % 43) % 4, "L", "M", "H", "ND"),
+        lit("/AR:"), pick((k % 47) % 4, "L", "M", "H", "ND"))
+      val base = Seq("AV", "AC", "Au", "C", "I", "A")
+      val multi = Seq("E", "RL", "RC", "CDP", "TD", "CR", "IR", "AR")
+      t("orders").filter(k <= 2000)
+        .select(concat(lit("CVE-2018-"), k.cast("string")).as("cve_id"),
+          vector.as("vector"))
+        .select($"cve_id" +:
+          (base.map(n => CvssV2.vectorMetric($"vector", n).as("__" + n)) ++
+            multi.map(n => CvssV2.vectorMetricML($"vector", n).as("__" + n))): _*)
+        .withColumn("score", CvssV2.baseScoreOfLetters(
+          $"__AV", $"__AC", $"__Au", $"__C", $"__I", $"__A"))
+        .withColumn("temporal",
+          CvssV2.temporalScoreOf($"score", $"__E", $"__RL", $"__RC"))
+        .withColumn("env", CvssV2.environmentalScoreOfLetters(
+          $"__AV", $"__AC", $"__Au", $"__C", $"__I", $"__A",
+          $"__E", $"__RL", $"__RC", $"__CDP", $"__TD", $"__CR", $"__IR", $"__AR"))
+        .select("cve_id", "score", "temporal", "env")
+    },
+
     // Malformed-feed audit under the hash gate (SURVEY §1.3): feed
     // documents synthesized from orders keys, with every k % 7 == 0
     // document deterministically BROKEN (unparseable text) — pushed
