@@ -28,10 +28,12 @@ object GraftSession {
       // scanning a fact table and scanning the ~1% of it that joins.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // The testdata events table carries parquet TIMESTAMP(NANOS);
-      // Spark has no nanosecond timestamp type, so read it as raw
-      // nanos (LongType) and convert with `ts div 1000` -> micros.
-      // (DuckDB performs the identical truncation when it reads ns.)
+      // Some testdata generations ship events.ts as parquet
+      // TIMESTAMP(NANOS); Spark has no nanosecond timestamp type, so
+      // read those as raw nanos (LongType) — Tables.events truncates
+      // to micros, the identical truncation DuckDB applies. This conf
+      // only touches NANOS columns; micros files are unaffected, and
+      // Tables.events branches on the loaded dtype either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Write micros (not INT96) so external readers (DuckDB/Arrow)
       // see the same instants we computed.
