@@ -29,3 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 scalacOptions += "-deprecation"
+// The bench/verify drivers tail stdout and parse the LAST line as JSON.
+// Two sbt behaviors break that: the "[success] Total time" epilogue lands
+// after the program's final println, and forked-run output is re-logged
+// with an "[info] " prefix. Suppress the epilogue (exit codes still
+// report success) and let forked processes write stdout directly.
+Global / showSuccess := false
+outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -78,7 +78,11 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"runs":$runs,"agg":"min","cpus":$cpus,"loadavg":$loadavg,"ts":"$stamp","failed":$failedJson,"queries":$top5,"top5":true,"sf":"$sfDir"}"""
-    println(summary)
+    // stop FIRST: with build.sbt's StdoutOutput + showSuccess=false the
+    // summary printed after shutdown is the process's (and sbt's) true
+    // final stdout line — nothing can interleave behind it
     spark.stop()
+    println(summary)
+    System.out.flush()
   }
 }
