@@ -35,4 +35,5 @@ scalacOptions += "-deprecation"
 // with an "[info] " prefix. Suppress the epilogue (exit codes still
 // report success) and let forked processes write stdout directly.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -11,6 +11,10 @@ object Bench {
       catch { case _: NumberFormatException =>
         sys.error(s"SPARK_GRAFT_CPUS must be an integer, got '$raw'") }
     }
+    // ambient host load BEFORE we add our own 32 threads: this is the
+    // number that tells a reader whether the capture was contaminated
+    // (sampling at the end only reflects the bench's own load)
+    val loadavg = readLoadavg()
     val spark = GraftSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,19 +51,6 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r3(ok.map(_._2).sum)
-    // self-diagnosing capture: host load (1/5/15-min averages) and a
-    // wall-clock stamp INSIDE the record, so a load-contaminated run is
-    // identifiable from the JSON alone instead of by rerun adjudication
-    val loadavg =
-      try {
-        val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        val l1 = r3(la.getSystemLoadAverage)
-        val l515 =
-          try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-            .split("\\s+").slice(1, 3).map(s => r3(s.toDouble))
-          catch { case _: Throwable => Array(-1.0, -1.0) }
-        s"[$l1,${l515(0)},${l515(1)}]"
-      } catch { case _: Throwable => "[-1,-1,-1]" }
     val stamp = java.time.Instant.now().toString
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","cpus":$cpus,"loadavg":$loadavg,"ts":"$stamp","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -85,4 +76,19 @@ object Bench {
     println(summary)
     System.out.flush()
   }
+
+  /** 1/5/15-min load averages as a JSON array string — self-diagnosing
+    * capture: a load-contaminated run is identifiable from the record
+    * alone instead of by rerun adjudication. */
+  private def readLoadavg(): String =
+    try {
+      def r3(v: Double) = math.rint(v * 1000) / 1000
+      val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val l1 = r3(la.getSystemLoadAverage)
+      val l515 =
+        try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+          .split("\\s+").slice(1, 3).map(s => r3(s.toDouble))
+        catch { case _: Throwable => Array(-1.0, -1.0) }
+      s"[$l1,${l515(0)},${l515(1)}]"
+    } catch { case _: Throwable => "[-1,-1,-1]" }
 }

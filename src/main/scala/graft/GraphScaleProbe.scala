@@ -70,26 +70,29 @@ object GraphScaleProbe {
       // edge build = the q68b scale route (banded LSH -> exact verify
       // of candidates only); checkpointed so every algorithm below
       // starts from materialized edges, not the LSH plan
-      val (edges, tBuild) = time {
+      val ((edges, eCount), tBuild) = time {
         val cand = MinHashLSH.candidatePairs(docs, "doc_id", "text",
           numHashes = 128, bands = 32, shingleN = 3)
         val e = MinHashLSH.verifyJaccard(cand, docs, "doc_id", "text",
             shingleN = 3, minJaccard = 0.8)
           .select($"doc_a", $"doc_b", $"jaccard")
           .localCheckpoint()
-        e.count()
-        e
+        (e, e.count())
       }
-      val eCount = edges.count()
 
       val sym = edges
         .select($"doc_a".as("src"), $"doc_b".as("dst"), $"jaccard".as("w"))
         .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst"), $"jaccard".as("w")))
         .localCheckpoint()
 
-      val (_, tPr) = time(PageRank.run(sym, "src", "dst", iterations = 3).count())
+      val prIters = 3
+      val (_, tPr) = time(PageRank.run(sym, "src", "dst", iterations = prIters).count())
       val (_, tPrW) = time(
-        PageRank.run(sym, "src", "dst", iterations = 3, weightCol = Some("w")).count())
+        PageRank.run(sym, "src", "dst", iterations = prIters, weightCol = Some("w")).count())
+      // per-MESSAGE cost: PageRank passes over the symmetrized frame
+      // (2x undirected edges) once per iteration, so that's the
+      // denominator that should stay flat across tiers
+      val usPerMsg = tPr * 1e6 / math.max(2.0 * eCount * prIters, 1.0)
       // CC crossover: identical edge frame, three strategies
       val (_, tUf) = time(ConnectedComponents
         .runAdaptive(edges, "doc_a", "doc_b", driverMaxEdges = Long.MaxValue).count())
@@ -98,16 +101,32 @@ object GraphScaleProbe {
       val (_, tStar) = time(ConnectedComponents.runStar(edges, "doc_a", "doc_b").count())
 
       println(f"GRAPH $tag%-4s edges=$eCount%9d  build=$tBuild%7.2fs  " +
-        f"pr=$tPr%6.2fs (${tPr * 1e6 / math.max(eCount, 1)}%6.1f us/edge)  " +
+        f"pr=$tPr%6.2fs ($usPerMsg%6.1f us/msg)  " +
         f"prW=$tPrW%6.2fs  ccUnionFind=$tUf%6.2fs  ccLabelProp=$tLp%6.2fs  " +
         f"ccStar=$tStar%6.2fs")
       spark.catalog.clearCache()
     }
 
     // warm pass at 1x (JIT + codegen cache), then the timed passes
-    probe("warm")(src)
-    probe("1x")(src)
-    probe(s"${k}x")(big)
-    spark.stop()
+    try {
+      probe("warm")(src)
+      probe("1x")(src)
+      probe(s"${k}x")(big)
+    } finally {
+      spark.stop()
+      // the k-fold replica can be tens of GB — always reclaim it
+      deleteRecursively(java.nio.file.Paths.get(big))
+    }
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
+    }
   }
 }

@@ -159,6 +159,52 @@ class StreamingSpec extends SparkSpec {
     assert(audit("nvdcve-1.1-corrupt.json")._1 === true)
   }
 
+  test("corrupt zip dropped MID-STREAM: quarantined, then the pipeline keeps ingesting") {
+    val zips = Files.createTempDirectory("nvdmzips")
+    val store = Files.createTempDirectory("nvdmzstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("nvdmzckpt").toString
+    val quarantine = Files.createTempDirectory("nvdmzdir").toString + "/bad"
+    def dropZip(feed: String): Unit = {
+      val tmp = Files.createTempFile("nvdmstage", ".zip")
+      val zout = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(tmp))
+      try {
+        zout.putNextEntry(new java.util.zip.ZipEntry(s"nvdcve-1.1-$feed.json"))
+        zout.write(Files.readAllBytes(
+          java.nio.file.Paths.get(s"src/test/resources/nvdfeed/$feed.json")))
+        zout.closeEntry()
+      } finally zout.close()
+      Files.move(tmp, zips.resolve(s"nvdcve-1.1-$feed.json.zip"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def drain(): Unit = NvdStreamIngest.startFromZips(spark, zips.toString,
+      store, ckpt, quarantineDir = Some(quarantine)).awaitTermination(120000)
+    def tally(): Long = graft.nvd.NvdStore.cveTally(graft.nvd.NvdStore.read(spark, store))
+
+    // 1: healthy archive establishes the store and the checkpoint
+    dropZip("2002")
+    drain()
+    assert(tally() === 3)
+
+    // 2: a corrupt archive arrives mid-stream — quarantined with an
+    // audit row, store untouched, stream completes normally
+    dropZip("corrupt")
+    drain()
+    assert(tally() === 3)
+    val bad = spark.read.parquet(quarantine).collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("file").endsWith("corrupt.json"))
+    assert(bad.head.getAs[String]("corrupt_sample").nonEmpty)
+
+    // 3: the pipeline CONTINUES past the poison file — the next healthy
+    // archive loads (amend + add), and quarantine gains nothing new
+    dropZip("modified")
+    drain()
+    assert(tally() === 4)
+    assert(graft.nvd.NvdStore.read(spark, store)
+      .filter(col("cve_id") === "CVE-2002-0001").first().getAs[Double]("score") === 10.0)
+    assert(spark.read.parquet(quarantine).count() === 1)
+  }
+
   test("stream-stream interval join equals the batch join (q96's twin)") {
     val staged = Files.createTempDirectory("ssjoin").toString
     val batchEvents = graft.Tables.events(spark, sf001)
