@@ -115,18 +115,7 @@ object GraphScaleProbe {
     } finally {
       spark.stop()
       // the k-fold replica can be tens of GB — always reclaim it
-      deleteRecursively(java.nio.file.Paths.get(big))
-    }
-  }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
-    import java.util.Comparator
-    if (Files.exists(root)) {
-      val stream = Files.walk(root)
-      try stream.sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally stream.close()
+      ScaleProbe.deleteRecursively(java.nio.file.Paths.get(big))
     }
   }
 }

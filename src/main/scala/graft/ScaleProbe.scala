@@ -112,21 +112,37 @@ object ScaleProbe {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
-    timeAll(src) // warm (also builds any write-if-absent stores for src)
-    // store-backed queries amortize a one-time index build; pre-run
-    // them once on the replica dir so the TIMED pass measures the
-    // serve path on both sides, not build-vs-serve
-    queries.filter(_.endsWith("_store")).foreach { name =>
-      try SparkEntry.queries(name)(spark, big).count()
-      catch { case e: Throwable => println(s"SCALE $name prebuild FAILED: ${e.getMessage}") }
+    try {
+      timeAll(src) // warm (also builds any write-if-absent stores for src)
+      // store-backed queries amortize a one-time index build; pre-run
+      // them once on the replica dir so the TIMED pass measures the
+      // serve path on both sides, not build-vs-serve
+      queries.filter(_.endsWith("_store")).foreach { name =>
+        try SparkEntry.queries(name)(spark, big).count()
+        catch { case e: Throwable => println(s"SCALE $name prebuild FAILED: ${e.getMessage}") }
+      }
+      spark.catalog.clearCache()
+      val base = timeAll(src)
+      val scaled = timeAll(big)
+      println(f"SCALE ${"query"}%-28s ${"1x"}%8s ${s"${k}x"}%8s  ratio (data ${k}x)")
+      queries.foreach { q =>
+        println(f"SCALE $q%-28s ${base(q)}%8.2f ${scaled(q)}%8.2f  ${scaled(q) / base(q)}%5.1fx")
+      }
+    } finally {
+      spark.stop()
+      // the k-fold replica can be tens of GB — always reclaim it
+      deleteRecursively(java.nio.file.Paths.get(big))
     }
-    spark.catalog.clearCache()
-    val base = timeAll(src)
-    val scaled = timeAll(big)
-    println(f"SCALE ${"query"}%-28s ${"1x"}%8s ${s"${k}x"}%8s  ratio (data ${k}x)")
-    queries.foreach { q =>
-      println(f"SCALE $q%-28s ${base(q)}%8.2f ${scaled(q)}%8.2f  ${scaled(q) / base(q)}%5.1fx")
+  }
+
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
     }
-    spark.stop()
   }
 }

@@ -157,9 +157,17 @@ object ConnectedComponents {
 
   /** Spark conf key tuning `runAdaptive`'s driver-path edge bound per
     * deployment (driver heap ≠ one-size-fits-all); an explicit
-    * `driverMaxEdges` argument still wins. */
+    * `driverMaxEdges` argument still wins.
+    *
+    * Default = 512k edges, from the measured GraphScaleProbe crossover
+    * (COVERAGE.md round-9 deep tier, 48g driver, 32 cores): driver
+    * union-find wins at 155k edges (1.5 s vs star contraction's
+    * 4.2 s) and loses at 2.72M (22.9 s vs 7.8 s); linear
+    * interpolation of both curves crosses at ~540k. Memory is not the
+    * binding constraint at this size (512k edges ≈ 8 MB collected) —
+    * wall time is. */
   val DriverMaxEdgesConf = "spark.graft.cc.driverMaxEdges"
-  val DriverMaxEdgesDefault: Long = 2L << 20
+  val DriverMaxEdgesDefault: Long = 1L << 19
 
   /** Scale-adaptive entry point: near-dup edge graphs are SPARSE
     * (edges ≈ duplicate count, a sliver of the corpus), and the
@@ -167,10 +175,10 @@ object ConnectedComponents {
     * measured ~4.7 s for an 85-edge graph at 32 shuffle partitions,
     * pure scheduling overhead. Below the driver-edge bound (explicit
     * `driverMaxEdges` arg, else `spark.graft.cc.driverMaxEdges` conf,
-    * else 2M edges ≈ tens of MB — the same bounded-collect contract as
+    * else 512k edges ≈ 8 MB — the same bounded-collect contract as
     * the k-means training sample) the component structure is solved
     * driver-side with union-find in one collect; above it, the
-    * distributed min-label propagation runs unchanged. Output contract
+    * distributed large/small-star contraction runs. Output contract
     * identical: one (member, cluster_root=component min) row per
     * distinct node appearing in the edge frame, typed as the WIDER of
     * the two id columns (int u joined with long v must not truncate
@@ -203,7 +211,12 @@ object ConnectedComponents {
     val pinned = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
       .localCheckpoint()
     if (pinned.count() > bound) {
-      run(pinned, "u", "v", maxIter)
+      // star contraction, not min-label propagation: the round-9 probe
+      // measured star faster at BOTH distributed tiers (4.2 s vs 4.6 s
+      // at 155k edges, 7.8 s vs 10.7 s at 2.72M) on the clique-ish
+      // near-dup graph that favors label-prop, and star's O(log n)
+      // round bound is diameter-independent — the safer 100x default.
+      runStar(pinned, "u", "v", maxIter)
         .select(col("member").cast(outType).as("member"),
           col("cluster_root").cast(outType).as("cluster_root"))
     } else {
