@@ -132,14 +132,22 @@ object InvertedIndex {
       k1: Double,
       b: Double,
       termsPost: Seq[String] => DataFrame,
-      docLen: DataFrame): DataFrame = {
+      docLen: DataFrame,
+      dfStats: Option[Seq[String] => DataFrame] = None): DataFrame = {
     validTerms("bm25Search", terms)
     val query = terms.map(_.toLowerCase).distinct
     val corpus = docLen.agg(count(lit(1)).as("__n"),
       avg(col("__dl").cast("double")).as("__avgdl"))
     val tf = termsPost(query)
       .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("__tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    // df: from the store's collection statistics when available (one
+    // pruned vocabulary read, no extra aggregation stage), else
+    // derived from tf — identical values either way, since stats df
+    // IS countDistinct(id) of the same postings
+    val df = dfStats match {
+      case Some(stats) => stats(query).select(col("term"), col("df").as("__df"))
+      case None => tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    }
     val scored = tf.join(broadcast(df), Seq("term"))
       .join(docLen, Seq(idCol))
       .crossJoin(broadcast(corpus))

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *     directory prune;
   *   - `doclen/…parquet` — (id, __dl) per-doc token counts, the BM25
   *     side table (tiny relative to postings);
+  *   - `termstats/term_bucket=<b>/…parquet` — (term, df, cf)
+  *     collection statistics, vocabulary-sized, bucketed like the
+  *     postings: serve-time df lookups prune the same way, feeding
+  *     the df-ordered conjunction route and BM25's IDF without an
+  *     extra aggregation over postings;
   *   - `_graft_meta` — `key=value` lines (nBuckets, idCol, version).
   *
   * Why hash buckets, not `partitionBy(term)`: a real corpus has
@@ -51,7 +56,10 @@ import org.apache.spark.sql.functions._
   */
 object PostingsStore {
 
-  private val Version = 1
+  // v2: adds the `termstats` side table (per-term df/cf, same bucket
+  // scheme as postings) — collection statistics for df-ordered
+  // conjunction and serve-time IDF without re-aggregating postings.
+  private val Version = 2
 
   /** An opened store. `postings`/`docLens` are the raw frames;
     * `termPostings` is the pruned per-term read. */
@@ -63,6 +71,30 @@ object PostingsStore {
 
     def postings: DataFrame = spark.read.parquet(s"$path/postings")
     def docLens: DataFrame = spark.read.parquet(s"$path/doclen")
+
+    /** (term_bucket, term, df, cf) — document and collection
+      * frequency per term, vocabulary-sized (tiny next to postings),
+      * bucketed like the postings so per-term stat lookups prune. */
+    def termStats: DataFrame = spark.read.parquet(s"$path/termstats")
+
+    /** Stats rows of a term set — same directory prune as
+      * [[termsPostings]], over the vocabulary-sized table. */
+    def statsPostings(terms: Seq[String]): DataFrame = {
+      require(terms.nonEmpty, "statsPostings: terms must be non-empty")
+      val bucketPred = terms.map(t => col("term_bucket") === bucketOf(t))
+        .reduce(_ || _)
+      termStats.filter(bucketPred && col("term").isin(terms: _*))
+    }
+
+    /** df per query term via a pruned stats lookup — terms absent
+      * from the corpus come back as 0. Bounded collect: |terms| rows
+      * out of a vocabulary-sized table. */
+    def termDfs(terms: Seq[String]): Map[String, Long] = {
+      val found = statsPostings(terms)
+        .select(col("term"), col("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      terms.map(t => t -> found.getOrElse(t, 0L)).toMap
+    }
 
     /** `pmod(xxhash64(term), nBuckets)` for a literal term — Catalyst
       * constant-folds this to a literal, so `term_bucket === bucketOf`
@@ -95,16 +127,63 @@ object PostingsStore {
     def proximitySearch(termA: String, termB: String, slop: Int): DataFrame =
       InvertedIndex.proximityImpl(idCol, termA, termB, slop, termPostings)
 
-    def allTermsSearch(terms: Seq[String]): DataFrame =
-      InvertedIndex.allTermsImpl(idCol, terms, termsPostings)
+    /** All-terms conjunction, df-ORDERED: the store's collection
+      * statistics pick the plan the way a text engine would.
+      *   - any query term with df=0 → empty result, NO postings read;
+      *   - dfs skewed (max/min >= [[DfSkewRatio]]) → rarest-first:
+      *     the rarest term's doc set (df_min rows, the smallest set
+      *     any conjunction plan can touch) semi-join-prunes the other
+      *     terms' postings BEFORE the aggregation, so the groupBy
+      *     sees O(df_min · |terms|) rows instead of Σ df_t. At 100 TB
+      *     a conjunction with one selective term is df_min-bound, not
+      *     posting-volume-bound.
+      *   - dfs flat → the plain one-aggregation route (the prune
+      *     could save nothing and would add a join).
+      * Same output contract/arithmetic as the inline route — the
+      * qualifying doc set and its hit counts are identical. */
+    def allTermsSearch(terms: Seq[String]): DataFrame = {
+      val lower = terms.map(_.toLowerCase).distinct
+      val dfs = termDfs(lower)
+      val (dfMin, dfMax) = (dfs.values.min, dfs.values.max)
+      if (dfMin == 0L) {
+        // a term nobody contains: conjunction is empty by definition —
+        // same (idCol, n_hits) shape as the aggregation would produce,
+        // id type inherited from the store
+        postings.select(col(idCol)).limit(0).withColumn("n_hits", lit(0L))
+      } else if (dfMax >= DfSkewRatio * dfMin) {
+        val rarest = dfs.minBy(_._2)._1
+        val rareDocs = termPostings(rarest).select(col(idCol)).distinct()
+        // df tells us the build side's exact size BEFORE planning:
+        // hint broadcast only when it provably fits, else let the
+        // semi-join shuffle (AQE may still upgrade it at runtime)
+        val build =
+          if (dfs(rarest) <= BroadcastDfLimit) broadcast(rareDocs) else rareDocs
+        val pruned = termsPostings(lower).join(build, Seq(idCol), "left_semi")
+        InvertedIndex.allTermsImpl(idCol, lower, _ => pruned)
+      } else {
+        InvertedIndex.allTermsImpl(idCol, lower, termsPostings)
+      }
+    }
 
     def bm25Search(
         terms: Seq[String],
         k: Int = 20,
         k1: Double = 1.2,
         b: Double = 0.75): DataFrame =
-      InvertedIndex.bm25Impl(idCol, terms, k, k1, b, termsPostings, docLens)
+      InvertedIndex.bm25Impl(idCol, terms, k, k1, b, termsPostings, docLens,
+        dfStats = Some(statsPostings))
   }
+
+  /** df-skew threshold for the rarest-first conjunction route: prune
+    * only when the widest/narrowest document-frequency ratio among the
+    * query terms is at least this — below it the semi-join cannot
+    * remove enough postings to pay for itself. */
+  val DfSkewRatio: Long = 4L
+
+  /** Largest rarest-term doc set the conjunction route will force to
+    * the broadcast side (1M longs ≈ 8 MB serialized — comfortably
+    * inside executor broadcast budgets); larger sets shuffle. */
+  val BroadcastDfLimit: Long = 1L << 20
 
   /** Tokenize `docs` and publish the store at `path` (crash-safe: the
     * whole store is staged and swapped in; a reader never sees a
@@ -128,7 +207,8 @@ object PostingsStore {
     val post = InvertedIndex.postings(docs, idCol, textCol)
       .withColumn("term_bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
-    if (post.isEmpty) {
+    val empty = post.isEmpty
+    if (empty) {
       // partitionBy of zero rows writes no partition dirs and the read
       // path would fail schema inference — write the empty frame flat
       // (term_bucket becomes a data column; the same filters still
@@ -147,6 +227,25 @@ object PostingsStore {
     }
     InvertedIndex.docLengths(docs, idCol, textCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
+    // collection statistics: df (docs containing term) + cf (total
+    // occurrences), vocabulary-sized, bucketed + term-sorted like the
+    // postings so serve-time stat lookups take the same pruned path.
+    // Computed from the STAGED postings (one columnar read of
+    // term/id), not by re-tokenizing the corpus.
+    val stats = spark.read.parquet(s"$staging/postings")
+      .groupBy(col("term_bucket"), col("term"))
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("cf"))
+    if (empty) {
+      // same zero-row partitionBy hazard as the postings above
+      stats.write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
+    } else {
+      stats
+        .repartitionByRange(math.max(1, nBuckets / 8),
+          col("term_bucket"), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("term_bucket").parquet(s"$staging/termstats")
+    }
     writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
@@ -182,10 +281,18 @@ object PostingsStore {
       path: String,
       nBuckets: Int = 64): Handle =
     if (exists(spark, path)) {
-      val h = open(spark, path)
-      require(h.idCol == idCol,
-        s"postings store at $path was built with idCol=${h.idCol}, asked for $idCol")
-      h
+      val meta = readMeta(spark, s"$path/_graft_meta")
+      if (meta.getOrElse("version", "?") != Version.toString) {
+        // layout changed since this store was published (e.g. v1 had
+        // no termstats): rebuild in place — the swap is atomic, so
+        // concurrent readers see old-complete or new-complete
+        build(docs, idCol, textCol, path, nBuckets)
+      } else {
+        val h = open(spark, path)
+        require(h.idCol == idCol,
+          s"postings store at $path was built with idCol=${h.idCol}, asked for $idCol")
+        h
+      }
     } else build(docs, idCol, textCol, path, nBuckets)
 
   // the meta file is plain `key=value` lines written through the

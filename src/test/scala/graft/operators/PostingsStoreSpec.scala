@@ -97,6 +97,79 @@ class PostingsStoreSpec extends SparkSpec {
     assert(healed.termPostings("table").count() > 0)
   }
 
+  test("termstats agree with a recomputation from the postings; lookups prune") {
+    val path = tmp("poststore_stats")
+    val h = PostingsStore.build(docs, "doc_id", "text", path, nBuckets = 16)
+
+    val fromStats = h.statsPostings(Seq("vector", "table"))
+      .select("term", "df", "cf").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fromPostings = h.termsPostings(Seq("vector", "table"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fromStats === fromPostings)
+    assert(h.termDfs(Seq("vector", "definitely_not_a_term")).apply("definitely_not_a_term") === 0L)
+
+    // the stats lookup prunes directories exactly like the postings one
+    val plan = h.statsPostings(Seq("vector")).queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*term_bucket[^\\]]*\\].*"), plan)
+  }
+
+  test("df-ordered conjunction: skewed dfs take the rarest-first semi-join route, same rows") {
+    val path = tmp("poststore_dford")
+    // planted skew: 'needle' in 3 docs, 'the-ish' terms in all 40
+    val rows = (0L until 40L).map { i =>
+      val rare = if (i % 13 == 0) " needle" else ""
+      (i, s"alpha beta gamma common$rare words alpha beta")
+    }
+    val s = spark
+    import s.implicits._
+    val d = rows.toDF("doc_id", "text")
+    val h = PostingsStore.build(d, "doc_id", "text", path, nBuckets = 8)
+
+    // df skew 40/4 >= DfSkewRatio — route must plant a semi-join
+    val q = h.allTermsSearch(Seq("common", "needle"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // identical rows to the inline (scan + tokenize) formulation
+    val inline = InvertedIndex.allTermsSearch(d, "doc_id", "text", Seq("common", "needle"))
+    assert(q.collect().map(_.toSeq).toSet === inline.collect().map(_.toSeq).toSet)
+    assert(q.count() === 4) // docs 0, 13, 26, 39
+
+    // flat dfs (both terms everywhere) stay on the single-aggregation
+    // route — no join anywhere in the plan
+    val flat = h.allTermsSearch(Seq("alpha", "beta"))
+    assert(!flat.queryExecution.executedPlan.toString.contains("Join"))
+    assert(flat.count() === 40)
+
+    // a term with df=0 short-circuits to an empty frame of the same shape
+    val none = h.allTermsSearch(Seq("common", "zzz_absent"))
+    assert(none.columns.toSeq === Seq("doc_id", "n_hits"))
+    assert(none.count() === 0)
+  }
+
+  test("ensure rebuilds a stale-version store in place") {
+    val path = tmp("poststore_upgrade")
+    PostingsStore.build(docs, "doc_id", "text", path, nBuckets = 8)
+    // regress the published meta to v1 (the pre-termstats layout)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val out = fs.create(meta, true)
+    out.write("version=1\nidCol=doc_id\nnBuckets=8\n".getBytes("UTF-8")); out.close()
+    // open() refuses a stale store…
+    assert(intercept[IllegalArgumentException] {
+      PostingsStore.open(spark, path)
+    }.getMessage.contains("version"))
+    // …ensure() rebuilds it with the CALLER's layout config (the
+    // stale store's is as outdated as its format) and the upgraded
+    // store serves stats
+    val h = PostingsStore.ensure(docs, "doc_id", "text", spark, path, nBuckets = 8)
+    assert(h.termDfs(Seq("table")).apply("table") > 0L)
+    assert(PostingsStore.open(spark, path).nBuckets === 8)
+  }
+
   test("empty corpus builds a readable (flat, nothing-to-prune) store") {
     val path = tmp("poststore_empty")
     val empty = docs.filter(col("doc_id") < 0)
