@@ -984,6 +984,43 @@ object TextQueries extends QueryDsl {
       graft.dedup.ParagraphDedup.dedup(docs, "doc_id", "text")
     },
 
+    // Repeated-SPAN detection (ExactSubstr dedup, rolling-window
+    // form): 8-token windows hashed corpus-wide, duplicated windows
+    // merged per doc into maximal spans. The oracle keys windows on
+    // their raw text where the operator keys on xxhash64 of it —
+    // identical equality semantics (64-bit collisions aside), and the
+    // hash never reaches the output. Three linear shuffles; document
+    // text never shuffles.
+    q("q138_repeated_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 7], ' ') AS w
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) > 1),
+        |marked AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM marked),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM isl)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 8)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+        |FROM grp GROUP BY doc_id, g""".stripMargin) { c =>
+      import c.t
+      graft.dedup.SpanDedup.repeatedSpans(t("documents"), "doc_id", "text",
+          windowTokens = 8)
+        .select($"doc_id", $"span_start".cast("long").as("span_start"),
+          $"span_end".cast("long").as("span_end"), $"n_windows")
+    },
+
     // RAG-style overlapping chunking: 128-char windows, 32-char overlap
     // (stride 96), stable (doc_id, chunk_idx) identity + char offsets.
     // One narrow generator projection — no shuffle, no UDFs; fanout is
