@@ -134,7 +134,10 @@ object SpanDedup {
       idCol: String,
       textCol: String,
       windowTokens: Int): DataFrame =
-    docs
+    // tokenize+hash+explode collapse into the scan stage: floor its
+    // parallelism (see Spread — a 1-row-group corpus would hash every
+    // window in one task)
+    graft.operators.Spread.ensureMinPartitions(docs)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       // sequence(0, n) runs DESCENDING when n < 0 — docs shorter than
       // one window have no windows and must not reach the sequence

@@ -45,6 +45,29 @@ class EditDistanceSpec extends SparkSpec {
       s"expected an equi-join plan:\n$plan")
   }
 
+  test("pairs: histogram prefilter loses nothing on randomized corpora (incl. empty strings)") {
+    val sp = spark; import sp.implicits._
+    // adversarial shape for the histogram bound: tiny alphabet (diffs
+    // cancel across bins), duplicated lengths, empty and 1-char strings
+    val rng = new scala.util.Random(20260813)
+    val alpha = "abAB !"
+    val strs = (1L to 60L).map { i =>
+      val n = rng.nextInt(12) // 0..11 chars
+      i -> (0 until n).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    }
+    val docs = strs.toDF("doc_id", "text")
+    for (maxDist <- Seq(0, 1, 3)) {
+      val banded = EditDistance.pairs(docs, "doc_id", "text", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))).toSet
+      val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          levenshtein(col("a.text"), col("b.text")).cast("long").as("d"))
+        .filter(col("d") <= maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded === brute, s"maxDist=$maxDist")
+    }
+  }
+
   test("lshPairs: the LSH route recovers the exact near-dup pairs on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
