@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * LSH dedup path should stay tractable where the exact-pair path
   * inherently explodes quadratically on a replicated corpus.
   *
-  * Usage: runMain graft.ScaleProbe [k] [srcSf] [q1,q2,...]
+  * Usage: runMain graft.ScaleProbe [k] [srcSf] [q1,q2,...] [tbl1,tbl2,...]
+  * The 4th arg restricts which fact tables are replicated k-fold
+  * (the rest copy through at 1x) — deep tiers on one family should
+  * not pay to replicate tables the probed queries never read.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(8)
     val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val replTables = args.drop(3).headOption.map(_.split(",").toSet)
     val queries = args.drop(2).headOption
       .map(_.split(",").toSeq)
       .getOrElse(Seq("q01_pricing_summary", "q11_join_fact_fact", "q14_outer_join_histogram",
@@ -62,7 +66,10 @@ object ScaleProbe {
         // 1/nBuckets of the postings), not corpus-bound like the
         // inline rescans they twin
         "q119b_phrase_search_store", "q120b_terms_search_store",
-        "q124b_bm25_search_store", "q127b_proximity_search_store"))
+        "q124b_bm25_search_store", "q127b_proximity_search_store",
+        // round-9 addition: repeated-span (ExactSubstr) detection —
+        // three linear shuffles over window hashes
+        "q138_repeated_spans"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
@@ -73,6 +80,12 @@ object ScaleProbe {
 
     def replicate(name: String, idCols: Seq[String], perturb: DataFrame => DataFrame = identity)
         : Unit = {
+      if (!replTables.forall(_.contains(name))) {
+        // not in the requested replica set: pass through at 1x
+        spark.read.parquet(s"$src/$name.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$big/$name.parquet")
+        return
+      }
       val base = spark.read.parquet(s"$src/$name.parquet")
       val maxIds = idCols.map(c => c -> (base.agg(max(col(c))).first().getLong(0) + 1L)).toMap
       val parts = (0 until k).map { r =>
