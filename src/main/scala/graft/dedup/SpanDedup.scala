@@ -47,11 +47,19 @@ object SpanDedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      windowTokens: Int = 8): DataFrame = {
-    val marked = markedWindows(docs, idCol, textCol, windowTokens)
-    // gaps-and-islands: marks closer than a window length overlap (or
-    // touch) the previous span — same island; further apart starts a
-    // new island. Runs per doc over positions already shuffled there.
+      windowTokens: Int = 8): DataFrame =
+    mergeMarked(markedWindows(docs, idCol, textCol, windowTokens),
+      idCol, windowTokens)
+
+  /** Merge marked window positions (idCol, pos) into maximal spans —
+    * gaps-and-islands: marks closer than a window length overlap (or
+    * touch) the previous span — same island; further apart starts a
+    * new island. Runs per doc over positions already shuffled there.
+    * Shared by the batch route and the streaming twin. */
+  private[graft] def mergeMarked(
+      marked: DataFrame,
+      idCol: String,
+      windowTokens: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val islands = marked
       .withColumn("brk",
@@ -129,7 +137,7 @@ object SpanDedup {
 
   /** One row per rolling window: (idCol, pos, whash). Narrow until the
     * posexplode; only (id, int, long) rows ever shuffle. */
-  private[dedup] def windowHashes(
+  private[graft] def windowHashes(
       docs: DataFrame,
       idCol: String,
       textCol: String,

@@ -205,6 +205,63 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(quarantine).count() === 1)
   }
 
+  test("streaming span dedup: cross-drain repeated spans detected, one-drain equals batch, replays ignored") {
+    val sp = spark; import sp.implicits._
+    val drop = Files.createTempDirectory("spanstream").toString
+    val state = Files.createTempDirectory("spanstate").toString + "/state"
+    val ckpt = Files.createTempDirectory("spanckpt").toString
+    val block = "the quick brown fox jumps over the lazy" // 8 tokens
+    def filler(tag: String) = (1 to 10).map(i => s"u$tag$i").mkString(" ")
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+
+    var drained = Vector.empty[(Long, Int, Int)]
+    def drain(): Unit = {
+      StreamingSpanDedup.start(spark, drop, state, ckpt, schema,
+        onSpans = s => drained ++= s.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      ).awaitTermination(120000)
+    }
+
+    // drain 1: two unique docs — nothing repeats
+    Seq(1L -> s"${filler("a")} $block", 2L -> filler("b"))
+      .toDF("doc_id", "text").write.mode("append").parquet(drop)
+    drain()
+    assert(drained.isEmpty)
+
+    // drain 2: doc 3 repeats doc 1's block (history hit) at offset 10
+    drained = Vector.empty
+    Seq(3L -> s"${filler("c")} $block").toDF("doc_id", "text")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(drained === Vector((3L, 10, 18)))
+
+    // drain 3: doc 1 re-delivered — replay filter keeps it out of
+    // self-match; a genuinely fresh doc 4 still detects
+    drained = Vector.empty
+    Seq(1L -> s"${filler("a")} $block", 4L -> s"$block ${filler("d")}")
+      .toDF("doc_id", "text").write.mode("append").parquet(drop)
+    drain()
+    assert(drained === Vector((4L, 0, 8)))
+
+    // one-drain stream over a corpus == the batch detection
+    val corpus = Seq(
+      11L -> s"${filler("x")} $block", 12L -> s"${filler("y")} $block",
+      13L -> filler("z")).toDF("doc_id", "text")
+    val drop2 = Files.createTempDirectory("spanstream2").toString
+    val state2 = Files.createTempDirectory("spanstate2").toString + "/state"
+    val ckpt2 = Files.createTempDirectory("spanckpt2").toString
+    corpus.write.mode("append").parquet(drop2)
+    var oneShot = Set.empty[(Long, Int, Int)]
+    StreamingSpanDedup.start(spark, drop2, state2, ckpt2, schema,
+      onSpans = s => oneShot ++= s.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    ).awaitTermination(120000)
+    val batch = graft.dedup.SpanDedup.repeatedSpans(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(oneShot === batch)
+    assert(oneShot === Set((11L, 10, 18), (12L, 10, 18)))
+  }
+
   test("stream-stream interval join equals the batch join (q96's twin)") {
     val staged = Files.createTempDirectory("ssjoin").toString
     val batchEvents = graft.Tables.events(spark, sf001)
