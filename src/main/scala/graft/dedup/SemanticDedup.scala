@@ -38,4 +38,37 @@ object SemanticDedup {
         coalesce(col("cluster_root"), col(idCol)).as("keeper"))
       .withColumn("kept", col(idCol) === col("keeper"))
   }
+
+  /** Keeper election with a QUALITY prior: within each duplicate
+    * component the keeper is the highest-`priorityCol` member
+    * (smallest id on ties), not the smallest id — what a curation
+    * pipeline actually wants when near-duplicates differ in quality
+    * score, length, or source trust. `priorityCol` may be any
+    * orderable type (numeric, string); components whose members are
+    * all null-priority fall back to the smallest id (null-safe
+    * compare). Same output contract as [[keepers]]:
+    * (idCol, keeper, kept). Cost: the same component build plus two
+    * component-keyed aggregations — no new shuffle shape. */
+  def keepersBy(
+      corpus: DataFrame,
+      idCol: String,
+      priorityCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val comp = ConnectedComponents.runAdaptive(pairs, aCol, bCol)
+      .select(col("member").as(idCol), col("cluster_root"))
+    val labeled = corpus.select(col(idCol), col(priorityCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("cluster_root"), col(idCol)))
+    val best = labeled.groupBy(col("__comp"))
+      .agg(max(col(priorityCol)).as("__bp"))
+    val keeperPerComp = labeled.join(best, Seq("__comp"))
+      // null-safe: an all-null-priority component still elects min id
+      .filter(col(priorityCol) <=> col("__bp"))
+      .groupBy(col("__comp")).agg(min(col(idCol)).as("keeper"))
+    labeled.join(keeperPerComp, Seq("__comp"))
+      .select(col(idCol), col("keeper"),
+        (col(idCol) === col("keeper")).as("kept"))
+  }
 }

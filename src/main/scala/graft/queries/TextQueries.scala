@@ -1421,6 +1421,45 @@ object TextQueries extends QueryDsl {
       graft.dedup.SemanticDedup.keepers(emb, "vec_id", pairs, "va", "vb")
     },
 
+    // Quality-prior keeper election over the same exact pair graph as
+    // q101: the keeper is the component's highest-priority member
+    // (min id on ties), not its smallest id — the election a curation
+    // pipeline runs when near-dups differ in quality. Priority here is
+    // an md5-derived string (deterministic on both engines), so the
+    // winner is genuinely different from q101's min-id keeper.
+    q("q139_keeper_by_quality",
+      """WITH RECURSIVE prs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |), edges AS (
+        |  SELECT va AS u, vb AS v FROM prs UNION SELECT vb, va FROM prs
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |), comp AS (
+        |  SELECT u AS member, min(r) AS root FROM reach GROUP BY u
+        |), lab AS (
+        |  SELECT e.vec_id, coalesce(c.root, e.vec_id) AS cp,
+        |    substr(md5(cast(e.vec_id AS varchar) || ':q139'), 1, 8) AS h
+        |  FROM embeddings e LEFT JOIN comp c ON c.member = e.vec_id
+        |), best AS (SELECT cp, max(h) AS bh FROM lab GROUP BY cp
+        |), kp AS (
+        |  SELECT l.cp, min(l.vec_id) AS keeper
+        |  FROM lab l JOIN best b ON l.cp = b.cp AND l.h = b.bh GROUP BY l.cp)
+        |SELECT l.vec_id, k.keeper, l.vec_id = k.keeper AS kept
+        |FROM lab l JOIN kp k ON l.cp = k.cp""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+        .withColumn("h",
+          substring(md5(concat($"vec_id".cast("string"), lit(":q139"))), 1, 8))
+      val pairs = cosinePairs(t("embeddings"), 0.35)
+        .select($"vec_a".as("va"), $"vec_b".as("vb"))
+      graft.dedup.SemanticDedup.keepersBy(emb, "vec_id", "h", pairs, "va", "vb")
+    },
+
     // The SCALE route of q101: same keeper selection, but the pair
     // graph comes from banded SRP-LSH (id-only shuffles, no all-pairs
     // step) — the composition a 100 TB corpus runs. Approximate for the
