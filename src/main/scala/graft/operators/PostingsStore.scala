@@ -252,6 +252,66 @@ object PostingsStore {
     Handle(spark, path, idCol, nBuckets)
   }
 
+  /** Fold NEW documents into a published store without rebuilding it —
+    * the refresh path of a serving index (a rebuild re-tokenizes the
+    * whole corpus; an append tokenizes only the delta).
+    *
+    * Contract: `delta` ids must be DISJOINT from the store's (the same
+    * contract the postings themselves need — a re-appended doc would
+    * duplicate its postings rows; upsert = caller deletes+rebuilds or
+    * keys a new store). Under it the statistics merge is exact:
+    * df/cf are additive across disjoint doc sets, so the new stats
+    * are old + delta aggregated — a vocabulary-sized job, no postings
+    * rescan.
+    *
+    * Crash safety: postings/doclen go through Spark's job-commit
+    * protocol (append is visible only on job success); termstats then
+    * rebuilds via the same staged SwapDir publish the store itself
+    * uses — a crash between the two leaves stats one delta behind,
+    * which the caller repairs by re-running append with an empty
+    * delta... or simply re-invoking; searches never see a torn dir. */
+  def append(
+      delta: DataFrame,
+      textCol: String,
+      handle: Handle): Handle = {
+    import handle.{idCol, nBuckets, path, spark}
+    // a store built from an EMPTY corpus is laid out flat (no
+    // partition dirs — see build); appending partitioned files into it
+    // would mix layouts, so the first real delta just builds
+    if (handle.postings.isEmpty)
+      return build(delta, idCol, textCol, path, nBuckets)
+    val post = InvertedIndex.postings(delta, idCol, textCol)
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+    if (!post.isEmpty) {
+      post
+        .repartitionByRange(nBuckets, col("term_bucket"), col("term"))
+        .sortWithinPartitions(col("term"), col(idCol), col("pos"))
+        .write.mode(SaveMode.Append)
+        .partitionBy("term_bucket").parquet(s"$path/postings")
+      InvertedIndex.docLengths(delta, idCol, textCol)
+        .write.mode(SaveMode.Append).parquet(s"$path/doclen")
+      // merged stats: additive under the disjoint-ids contract
+      val deltaStats = post
+        .groupBy(col("term_bucket"), col("term"))
+        .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("cf"))
+      val merged = handle.termStats.unionByName(deltaStats)
+        .groupBy(col("term_bucket"), col("term"))
+        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new Path(s"$path/.termstats.staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      merged
+        .repartitionByRange(math.max(1, nBuckets / 8),
+          col("term_bucket"), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("term_bucket").parquet(staging.toString)
+      SwapDir.swap(fs, staging, new Path(s"$path/termstats"))
+    }
+    handle
+  }
+
   /** Open an existing store (heals an interrupted swap first). */
   def open(spark: SparkSession, path: String): Handle = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -170,6 +170,43 @@ class PostingsStoreSpec extends SparkSpec {
     assert(PostingsStore.open(spark, path).nBuckets === 8)
   }
 
+  test("append folds new docs in: every search equals a from-scratch build of the union") {
+    val incPath = tmp("poststore_inc")
+    val fullPath = tmp("poststore_full")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+
+    val h = PostingsStore.build(half1, "doc_id", "text", incPath, nBuckets = 16)
+    PostingsStore.append(half2, "text", h)
+    val full = PostingsStore.build(docs, "doc_id", "text", fullPath, nBuckets = 16)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(h.phraseSearch(Seq("table", "hash"))) ===
+      rows(full.phraseSearch(Seq("table", "hash"))))
+    assert(rows(h.proximitySearch("vector", "table", slop = 5)) ===
+      rows(full.proximitySearch("vector", "table", slop = 5)))
+    assert(rows(h.allTermsSearch(Seq("vector", "stream", "window"))) ===
+      rows(full.allTermsSearch(Seq("vector", "stream", "window"))))
+    assert(rows(h.bm25Search(Seq("vector", "stream", "window"), k = 20)) ===
+      rows(full.bm25Search(Seq("vector", "stream", "window"), k = 20)))
+    // merged statistics equal the union build's exactly
+    assert(rows(h.termStats.select("term", "df", "cf")) ===
+      rows(full.termStats.select("term", "df", "cf")))
+    // appended postings stay pruned: partition filter still on the plan
+    val plan = h.termPostings("table").queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*term_bucket[^\\]]*\\].*"), plan)
+
+    // appending to an empty-corpus (flat) store falls back to a build
+    val emptyPath = tmp("poststore_inc_empty")
+    val he = PostingsStore.build(docs.filter(col("doc_id") < 0),
+      "doc_id", "text", emptyPath, nBuckets = 8)
+    val he2 = PostingsStore.append(half1, "text", he)
+    assert(rows(he2.phraseSearch(Seq("table", "hash"))) ===
+      rows(PostingsStore.build(half1, "doc_id", "text",
+        tmp("poststore_inc_ref"), nBuckets = 8).phraseSearch(Seq("table", "hash"))))
+  }
+
   test("empty corpus builds a readable (flat, nothing-to-prune) store") {
     val path = tmp("poststore_empty")
     val empty = docs.filter(col("doc_id") < 0)
