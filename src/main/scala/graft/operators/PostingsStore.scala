@@ -59,7 +59,9 @@ object PostingsStore {
   // v2: adds the `termstats` side table (per-term df/cf, same bucket
   // scheme as postings) — collection statistics for df-ordered
   // conjunction and serve-time IDF without re-aggregating postings.
-  private val Version = 2
+  // v3: termstats carries `max_tf` (largest within-doc term frequency)
+  // — the per-term score upper bound MaxScore top-k pruning needs.
+  private val Version = 3
 
   /** An opened store. `postings`/`docLens` are the raw frames;
     * `termPostings` is the pruned per-term read. */
@@ -172,7 +174,121 @@ object PostingsStore {
         b: Double = 0.75): DataFrame =
       InvertedIndex.bm25Impl(idCol, terms, k, k1, b, termsPostings, docLens,
         dfStats = Some(statsPostings))
+
+    // ---- MaxScore top-k pruning (Turtle & Flood 1995; the batch,
+    // two-pass reading of it) --------------------------------------
+
+    /** Exact BM25 scores of only the docs in `cands`, over all
+      * `present` terms — the completion pass: every term's postings
+      * are still bucket-pruned, and the semi-join (with the session's
+      * runtime bloom filter) keeps non-candidate postings out of the
+      * score aggregation. */
+    private def scoreCandidates(
+        present: Seq[String], cands: DataFrame,
+        k: Int, k1: Double, b: Double): DataFrame =
+      InvertedIndex.bm25Impl(idCol, present, k, k1, b,
+        ts => termsPostings(ts).join(cands, Seq(idCol), "left_semi"),
+        docLens, dfStats = Some(statsPostings))
+
+    /** MaxScore decomposition of a BM25 top-k query, or None when
+      * pruning cannot help (single present term, corpus smaller than
+      * k on the seed list, or no term provably non-essential).
+      *
+      * Per-term score upper bound from the store's collection
+      * statistics alone (no postings read): BM25's per-term
+      * contribution rises in tf and falls in dl, so
+      * `ub_t = idf_t · max_tf·(k1+1) / (max_tf + k1·(1−b+b·dl_min/avgdl))`
+      * bounds every doc. θ_lb = the k-th best EXACT score among docs
+      * containing the highest-ub seed term (any k exact scores
+      * lower-bound the true k-th best). The maximal ub-ascending
+      * prefix whose ub-sum stays under θ_lb is non-essential: a doc
+      * containing only those terms scores below k already-seen docs
+      * and can never enter the top-k — its postings are skipped at
+      * candidate-generation time. */
+    def bm25MaxScorePlan(
+        terms: Seq[String],
+        k: Int = 20,
+        k1: Double = 1.2,
+        b: Double = 0.75): Option[MaxScorePlan] = {
+      val query = terms.map(_.toLowerCase).distinct
+      val stat = statsPostings(query)
+        .select(col("term"), col("df"), col("max_tf"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val present = query.filter(t => stat.get(t).exists(_._1 > 0L))
+      if (present.size < 2) return None
+      val corpus = docLens.agg(count(lit(1)).as("n"),
+        avg(col("__dl").cast("double")).as("avgdl"),
+        min(col("__dl").cast("double")).as("dlmin")).first()
+      val (n, avgdl, dlMin) =
+        (corpus.getLong(0).toDouble, corpus.getDouble(1), corpus.getDouble(2))
+      val kDenom = k1 * (1.0 - b + b * dlMin / avgdl)
+      val ubs = present.map { t =>
+        val (df, maxTf) = stat(t)
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        t -> idf * maxTf * (k1 + 1.0) / (maxTf + kDenom)
+      }.toMap
+      // seed = highest-ub term (rarest on ties): its doc list is both
+      // the cheapest source of k strong exact scores and guaranteed
+      // essential
+      val seed = present.minBy(t => (-ubs(t), stat(t)._1, t))
+      val seedDocs = termPostings(seed).select(col(idCol)).distinct()
+      val seedTop = scoreCandidates(present, seedDocs, k, k1, b)
+        .select(col("score")).collect().map(_.getDouble(0))
+      if (seedTop.length < k) return None
+      // scores leave bm25Impl rounded to 4 dp; back the threshold off
+      // by one rounding quantum so a true-score tie can never be
+      // pruned into a wrong top-k
+      val thetaLb = seedTop.min - 1e-4
+      val asc = present.sortBy(t => (ubs(t), t))
+      val cums = asc.scanLeft(0.0) { case (acc, t) => acc + ubs(t) }.tail
+      val nonEss = asc.zip(cums).takeWhile(_._2 < thetaLb).map(_._1)
+      if (nonEss.isEmpty) None
+      else Some(MaxScorePlan(
+        essential = present.filterNot(nonEss.contains),
+        nonEssential = nonEss, thetaLb = thetaLb, upperBounds = ubs))
+    }
+
+    /** BM25 top-k with MaxScore pruning: candidate docs come from the
+      * ESSENTIAL terms' postings only — the high-df low-impact terms
+      * never feed the candidate set, so the score aggregation sees
+      * O(Σ df_essential) rows instead of Σ df_all. Falls back to the
+      * plain store route when the decomposition finds nothing to
+      * prune. Output contract (and oracle) identical to
+      * [[bm25Search]] — pruning only removes docs that provably
+      * cannot reach the top-k. */
+    def bm25SearchPruned(
+        terms: Seq[String],
+        k: Int = 20,
+        k1: Double = 1.2,
+        b: Double = 0.75): DataFrame =
+      bm25MaxScorePlan(terms, k, k1, b) match {
+        case Some(plan) =>
+          val cands = termsPostings(plan.essential).select(col(idCol)).distinct()
+          scoreCandidates(plan.essential ++ plan.nonEssential, cands, k, k1, b)
+        case None => bm25Search(terms, k, k1, b)
+      }
   }
+
+  /** A MaxScore decomposition: docs containing only `nonEssential`
+    * terms are bounded below `thetaLb` (k exact scores already beat
+    * them) and are skipped at candidate-generation time. */
+  final case class MaxScorePlan(
+      essential: Seq[String],
+      nonEssential: Seq[String],
+      thetaLb: Double,
+      upperBounds: Map[String, Double])
+
+  /** Per-term collection statistics of a postings frame: df (distinct
+    * docs), cf (total occurrences), max_tf (largest within-doc
+    * frequency). One pass: per-(term, doc) tf first, then the
+    * per-term rollup — df = row count, cf = Σ tf, max_tf = max tf. */
+  private def termStatsOf(post: DataFrame, idCol: String): DataFrame =
+    post
+      .groupBy(col("term_bucket"), col("term"), col(idCol))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("term_bucket"), col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("cf"),
+        max(col("__tf")).as("max_tf"))
 
   /** df-skew threshold for the rarest-first conjunction route: prune
     * only when the widest/narrowest document-frequency ratio among the
@@ -227,14 +343,13 @@ object PostingsStore {
     }
     InvertedIndex.docLengths(docs, idCol, textCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
-    // collection statistics: df (docs containing term) + cf (total
-    // occurrences), vocabulary-sized, bucketed + term-sorted like the
-    // postings so serve-time stat lookups take the same pruned path.
-    // Computed from the STAGED postings (one columnar read of
-    // term/id), not by re-tokenizing the corpus.
-    val stats = spark.read.parquet(s"$staging/postings")
-      .groupBy(col("term_bucket"), col("term"))
-      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("cf"))
+    // collection statistics: df (docs containing term), cf (total
+    // occurrences), max_tf (largest within-doc frequency — the BM25
+    // upper-bound ingredient), vocabulary-sized, bucketed +
+    // term-sorted like the postings so serve-time stat lookups take
+    // the same pruned path. Computed from the STAGED postings (one
+    // columnar read of term/id), not by re-tokenizing the corpus.
+    val stats = termStatsOf(spark.read.parquet(s"$staging/postings"), idCol)
     if (empty) {
       // same zero-row partitionBy hazard as the postings above
       stats.write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
@@ -291,13 +406,13 @@ object PostingsStore {
         .partitionBy("term_bucket").parquet(s"$path/postings")
       InvertedIndex.docLengths(delta, idCol, textCol)
         .write.mode(SaveMode.Append).parquet(s"$path/doclen")
-      // merged stats: additive under the disjoint-ids contract
-      val deltaStats = post
-        .groupBy(col("term_bucket"), col("term"))
-        .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("cf"))
+      // merged stats: df/cf additive, max_tf a max — both exact under
+      // the disjoint-ids contract
+      val deltaStats = termStatsOf(post, idCol)
       val merged = handle.termStats.unionByName(deltaStats)
         .groupBy(col("term_bucket"), col("term"))
-        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+          max(col("max_tf")).as("max_tf"))
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staging = new Path(s"$path/.termstats.staging")
       if (fs.exists(staging)) fs.delete(staging, true)

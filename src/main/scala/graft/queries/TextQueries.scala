@@ -61,14 +61,15 @@ object TextQueries extends QueryDsl {
       |WHERE pa <> pb AND abs(pa - pb) <= 5
       |GROUP BY a.doc_id""".stripMargin
 
-  private val bm25SearchSql =
-    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  private def bm25Sql(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
       |  FROM documents WHERE length(trim(text)) > 0),
       |post AS (SELECT doc_id, unnest(t) AS term FROM toks),
       |dl AS (SELECT doc_id, count(*) AS dlen FROM post GROUP BY 1),
       |corpus AS (SELECT count(*) AS n, avg(cast(dlen AS double)) AS avgdl FROM dl),
       |tf AS (SELECT term, doc_id, count(*) AS tf FROM post
-      |       WHERE term IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+      |       WHERE term IN ($inList) GROUP BY 1, 2),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |scored AS (
       |  SELECT tf.doc_id,
@@ -82,6 +83,9 @@ object TextQueries extends QueryDsl {
       |SELECT doc_id, score,
       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
       |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  private val bm25SearchSql = bm25Sql(Seq("vector", "stream", "window"))
 
   private val allTermsSearchSql =
     """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -1319,6 +1323,15 @@ object TextQueries extends QueryDsl {
 
     q("q124b_bm25_search_store", bm25SearchSql) { c =>
       docStore(c).bm25Search(Seq("vector", "stream", "window"), k = 20)
+    },
+
+    // MaxScore-pruned top-k: the rare planted term 'dup' (df ~5% of
+    // corpus) is the one essential term — the two high-df terms'
+    // postings never feed candidate generation, only the semi-joined
+    // completion pass. Same oracle as the exact BM25: pruning only
+    // drops docs that provably cannot reach the top-k.
+    q("q124c_bm25_maxscore", bm25Sql(Seq("dup", "stream", "window"))) { c =>
+      docStore(c).bm25SearchPruned(Seq("dup", "stream", "window"), k = 20)
     },
 
     q("q120b_terms_search_store", allTermsSearchSql) { c =>

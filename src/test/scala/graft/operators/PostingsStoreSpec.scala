@@ -102,12 +102,15 @@ class PostingsStoreSpec extends SparkSpec {
     val h = PostingsStore.build(docs, "doc_id", "text", path, nBuckets = 16)
 
     val fromStats = h.statsPostings(Seq("vector", "table"))
-      .select("term", "df", "cf").collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .select("term", "df", "cf", "max_tf").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val fromPostings = h.termsPostings(Seq("vector", "table"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        max(col("tf")).as("max_tf"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(fromStats === fromPostings)
     assert(h.termDfs(Seq("vector", "definitely_not_a_term")).apply("definitely_not_a_term") === 0L)
 
@@ -147,6 +150,57 @@ class PostingsStoreSpec extends SparkSpec {
     val none = h.allTermsSearch(Seq("common", "zzz_absent"))
     assert(none.columns.toSeq === Seq("doc_id", "n_hits"))
     assert(none.count() === 0)
+  }
+
+  test("MaxScore: high-df low-impact terms go non-essential; pruned top-k is exact") {
+    val path = tmp("poststore_maxscore")
+    // planted skew: 'needle' in 5 of 60 docs, 'common' in all of them
+    // (varying tf so scores spread); docs WITHOUT needle must be
+    // prunable — only needle's 5 docs can reach the top-3
+    val s = spark
+    import s.implicits._
+    val d = (0L until 60L).map { i =>
+      val rare = if (i % 12 == 0) " needle" else ""
+      val pad = "filler " * (i % 7).toInt
+      (i, s"${pad}common words common here$rare common")
+    }.toDF("doc_id", "text")
+    val h = PostingsStore.build(d, "doc_id", "text", path, nBuckets = 8)
+
+    val plan = h.bm25MaxScorePlan(Seq("needle", "common"), k = 3)
+    assert(plan.isDefined, "expected a MaxScore decomposition on 12x df skew")
+    assert(plan.get.nonEssential === Seq("common"), plan.get.toString)
+    assert(plan.get.essential === Seq("needle"))
+    assert(plan.get.upperBounds("needle") > plan.get.upperBounds("common"))
+
+    // pruned result identical to the unpruned store route and the
+    // inline formulation
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    val pruned = h.bm25SearchPruned(Seq("needle", "common"), k = 3)
+    assert(rows(pruned) === rows(h.bm25Search(Seq("needle", "common"), k = 3)))
+    assert(rows(pruned) === rows(InvertedIndex.bm25Search(
+      d, "doc_id", "text", Seq("needle", "common"), k = 3)))
+
+    // flat dfs: the decomposition may still find a low-impact term
+    // non-essential (impact differs through tf even at equal df) —
+    // whatever it decides, the soundness invariant Σub(nonEss) < θ_lb
+    // holds and the pruned result stays exact
+    h.bm25MaxScorePlan(Seq("common", "words"), k = 3).foreach { p =>
+      assert(p.nonEssential.map(p.upperBounds).sum < p.thetaLb, p.toString)
+    }
+    assert(rows(h.bm25SearchPruned(Seq("common", "words"), k = 3)) ===
+      rows(h.bm25Search(Seq("common", "words"), k = 3)))
+
+    // k exceeding the seed term's doc list → no threshold, no plan,
+    // route falls back to the plain store search
+    assert(h.bm25MaxScorePlan(Seq("needle", "common"), k = 10).isEmpty)
+    assert(rows(h.bm25SearchPruned(Seq("needle", "common"), k = 10)) ===
+      rows(h.bm25Search(Seq("needle", "common"), k = 10)))
+
+    // absent terms drop out of the decomposition; all-absent falls
+    // back to the plain (empty) route
+    assert(h.bm25MaxScorePlan(Seq("needle", "zzz_absent"), k = 3).isEmpty)
+    assert(h.bm25SearchPruned(Seq("zzz_absent"), k = 3).count() === 0)
   }
 
   test("ensure rebuilds a stale-version store in place") {
@@ -190,9 +244,10 @@ class PostingsStoreSpec extends SparkSpec {
       rows(full.allTermsSearch(Seq("vector", "stream", "window"))))
     assert(rows(h.bm25Search(Seq("vector", "stream", "window"), k = 20)) ===
       rows(full.bm25Search(Seq("vector", "stream", "window"), k = 20)))
-    // merged statistics equal the union build's exactly
-    assert(rows(h.termStats.select("term", "df", "cf")) ===
-      rows(full.termStats.select("term", "df", "cf")))
+    // merged statistics equal the union build's exactly (df/cf sum,
+    // max_tf max — all exact under disjoint ids)
+    assert(rows(h.termStats.select("term", "df", "cf", "max_tf")) ===
+      rows(full.termStats.select("term", "df", "cf", "max_tf")))
     // appended postings stay pruned: partition filter still on the plan
     val plan = h.termPostings("table").queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*term_bucket[^\\]]*\\].*"), plan)
