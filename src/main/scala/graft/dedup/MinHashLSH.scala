@@ -150,13 +150,23 @@ object MinHashLSH {
       col(idCol).as("__id"),
       ShingleHashes.of(TextFunctions.wsTokens(lower(col(textCol))), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccardHashed(pairs, sh, minJaccard)
+  }
+
+  /** [[verifyJaccard]] over a PRE-HASHED shingle frame (__id, __sh:
+    * array<long>) — the route for callers that already materialized
+    * shingles (the [[LshStore]] keeps them on disk so verification
+    * never re-reads document text). */
+  def verifyJaccardHashed(
+      pairs: DataFrame,
+      shingleFrame: DataFrame,
+      minJaccard: Double = 0.0): DataFrame =
     pairs
-      .join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sh", "sh_a"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sh", "sh_b"), Seq("doc_b"))
+      .join(shingleFrame.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sh", "sh_a"), Seq("doc_a"))
+      .join(shingleFrame.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sh", "sh_b"), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 }

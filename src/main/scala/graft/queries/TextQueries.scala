@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.dedup.{MinHashLSH, NGramJaccard, SimHash}
+import graft.dedup.{LshStore, MinHashLSH, NGramJaccard, SimHash}
 import graft.ann.{Ann, Ivf, Pq}
 
 /** Training-data-pipeline query surface over `documents` and
@@ -164,6 +164,26 @@ object TextQueries extends QueryDsl {
         numHashes = 128, bands = 32, shingleN = 3)
       MinHashLSH.verifyJaccard(candidates, docs, "doc_id", "text",
         shingleN = 3, minJaccard = 0.8)
+    },
+
+    // Incremental dedup against a PERSISTED index: the corpus (3/4 of
+    // docs) is signatured once into an LshStore; the delta (doc_id %
+    // 4 == 0) is signatured fresh and bucket-joined against stored
+    // signatures — corpus text is never re-read. Same LSH family as
+    // q62, so the exact-Jaccard oracle carries over restricted to
+    // pairs touching the delta.
+    q("q140_neardup_incremental",
+      s"WITH ${jaccardPairsCte(0.8)} SELECT doc_a, doc_b, jaccard FROM prs " +
+        "WHERE doc_a % 4 = 0 OR doc_b % 4 = 0") { c =>
+      import c.t
+      val docs = t("documents")
+      val corpus = docs.filter(pmod($"doc_id", lit(4)) =!= 0)
+      val delta = docs.filter(pmod($"doc_id", lit(4)) === 0)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshstore_$key"
+      LshStore.ensure(corpus, "doc_id", "text", c.spark, path)
+        .nearDupsOfDelta(delta, "text", minJaccard = 0.8)
     },
 
     // maxBucketSize passed EXPLICITLY: q63 has no DuckDB oracle, so a
