@@ -96,11 +96,26 @@ object Ivf {
       queryVecCol: String,
       model: Model,
       k: Int,
+      nprobe: Int): DataFrame =
+    topKPrepared(indexed.withColumn("__cn", l2Norm(col(vecCol))),
+      queries, idCol, vecCol, queryIdCol, queryVecCol, model, k, nprobe)
+
+  /** [[topK]] over a corpus that ALREADY carries its `__cn` l2-norm
+    * column — the route for [[IvfStore]], which persists the norm so
+    * serve-time probes skip the recompute. Same arithmetic by
+    * construction. */
+  private[ann] def topKPrepared(
+      corpusN: DataFrame, // corpus with `cell` and `__cn`
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      model: Model,
+      k: Int,
       nprobe: Int): DataFrame = {
 
     val probed = probeCells(queries, queryVecCol, model, nprobe)
-
-    val corpusN = indexed.withColumn("__cn", l2Norm(col(vecCol)))
     val queriesN = probed.withColumn("__qn", l2Norm(col(queryVecCol)))
 
     val joined = corpusN.join(broadcast(queriesN), Seq("cell"))

@@ -580,6 +580,25 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // PERSISTED IVF index: same model and arithmetic as q72 (training
+    // is deterministic), but the corpus is read back from the
+    // cell-partitioned store — probes prune to the probed cells'
+    // directories instead of re-scanning/re-assigning. Approximate =>
+    // rows-only; IvfStoreSpec asserts row equality with the in-memory
+    // route and the partition prune on the plan.
+    q("q141_ann_ivf_store") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_$key"
+      graft.ann.IvfStore.ensure(emb, "vec_id", "embedding", c.spark, path, nlist = 16)
+        .topK(qs, "qid", "qvec", k = 5, nprobe = 4)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // IVF-PQ: the composed scale index — cell pruning bounds WHICH
     // rows are touched (nprobe/nlist of the corpus), codes bound WHAT
     // is read per row, ADC bounds the WORK per row; exact re-rank of

@@ -1,0 +1,100 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfStoreSpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("store").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def queries =
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("store topK equals the in-memory IVF route; probes prune partitions") {
+    val path = tmp("ivfstore")
+    val h = IvfStore.build(emb, "vec_id", "embedding", path, nlist = 16)
+
+    // training is deterministic: an independent train on the same
+    // corpus reproduces the stored model, so the two routes share it
+    val model = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iterations = 2)
+    val inMem = Ivf.topK(Ivf.index(emb, "embedding", model), queries,
+      "vec_id", "embedding", "qid", "qvec", model, k = 5, nprobe = 4)
+    val store = h.topK(queries, "qid", "qvec", k = 5, nprobe = 4)
+    assert(rows(store) === rows(inMem))
+    assert(store.count() > 0)
+
+    // the probed read is a PARTITION filter (cell directories), and
+    // it touches a strict subset of the store's files. The plan is
+    // adaptive (joins => exchanges), so walk through AQE wrappers and
+    // query stages to reach the scan node.
+    val probe = h.topK(queries.limit(1), "qid", "qvec", k = 5, nprobe = 2)
+    probe.count()
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScans(q.plan)
+      case other => (other.children ++ other.subqueries).flatMap(findScans)
+    }
+    val scan = findScans(probe.queryExecution.executedPlan)
+      .find(_.schema.fieldNames.contains("__cn"))
+      .getOrElse(sys.error("no vector scan in plan"))
+    assert(scan.toString.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      scan.toString)
+    val all = h.vectors.inputFiles.length.toLong
+    assert(scan.metrics("numFiles").value < all,
+      s"probe read ${scan.metrics("numFiles").value} of $all files — no pruning")
+  }
+
+  test("append assigns by the stored model: equals indexing the union under it") {
+    val path = tmp("ivfstore_append")
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half2 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+
+    val h = IvfStore.build(half1, "vec_id", "embedding", path, nlist = 8)
+    h.append(half2)
+
+    // reference: the SAME frozen model over the whole corpus in memory
+    val model = Ivf.train(half1, "vec_id", "embedding", nlist = 8, iterations = 2)
+    val ref = Ivf.topK(Ivf.index(emb, "embedding", model), queries,
+      "vec_id", "embedding", "qid", "qvec", model, k = 5, nprobe = 3)
+    assert(rows(h.topK(queries, "qid", "qvec", k = 5, nprobe = 3)) === rows(ref))
+
+    // empty delta is a no-op
+    assert(h.append(emb.filter(col("vec_id") < 0)).vectors.count() ===
+      h.vectors.count())
+  }
+
+  test("open/ensure round trip restores the model; mismatched columns fail loud") {
+    val path = tmp("ivfstore_meta")
+    val built = IvfStore.build(emb, "vec_id", "embedding", path, nlist = 8)
+
+    val h = IvfStore.open(spark, path)
+    assert(h.idCol === "vec_id" && h.vecCol === "embedding")
+    assert(h.model.nlist === 8)
+    assert(h.model.centroids.map(_._1).toSeq === built.model.centroids.map(_._1).toSeq)
+    assert(h.model.centroids.map(_._2.toSeq).toSeq ===
+      built.model.centroids.map(_._2.toSeq).toSeq)
+
+    // ensure() on an existing store opens instead of retraining
+    val poisoned = emb.withColumn("embedding",
+      raise_error(lit("ensure() must not retrain an existing store"))
+        .cast("array<double>"))
+    assert(IvfStore.ensure(poisoned, "vec_id", "embedding", spark, path,
+      nlist = 8).model.nlist === 8)
+
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.ensure(emb, "doc_id", "embedding", spark, path, nlist = 8)
+    }
+    assert(e.getMessage.contains("idCol") || e.getMessage.contains("doc_id"))
+  }
+}
