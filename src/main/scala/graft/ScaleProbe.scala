@@ -69,7 +69,12 @@ object ScaleProbe {
         "q124b_bm25_search_store", "q127b_proximity_search_store",
         // round-9 addition: repeated-span (ExactSubstr) detection —
         // three linear shuffles over window hashes
-        "q138_repeated_spans"))
+        "q138_repeated_spans",
+        // round-10 additions: MaxScore-pruned BM25 (candidate set
+        // bounded by the essential terms' dfs), incremental LSH dedup
+        // against the persisted signature store, cell-pruned IVF serve
+        "q124c_bm25_maxscore", "q140_neardup_incremental",
+        "q141_ann_ivf_store"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
@@ -130,7 +135,8 @@ object ScaleProbe {
       // store-backed queries amortize a one-time index build; pre-run
       // them once on the replica dir so the TIMED pass measures the
       // serve path on both sides, not build-vs-serve
-      queries.filter(_.endsWith("_store")).foreach { name =>
+      queries.filter(q => q.endsWith("_store") || q.endsWith("_maxscore") ||
+          q == "q140_neardup_incremental").foreach { name =>
         try SparkEntry.queries(name)(spark, big).count()
         catch { case e: Throwable => println(s"SCALE $name prebuild FAILED: ${e.getMessage}") }
       }

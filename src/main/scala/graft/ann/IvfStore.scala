@@ -125,6 +125,32 @@ object IvfStore {
     Handle(spark, path, idCol, vecCol, model)
   }
 
+  /** Rewrite the cell directories at bounded file counts — small-files
+    * hygiene after many [[Handle.append]]s (each append lands new
+    * files under every touched cell). No re-assign, no retrain: rows
+    * regroup under their existing cells; centroids and meta copy
+    * through. Crash-safe via the same staged whole-store swap as
+    * [[build]]. A flat-layout (empty-corpus) store has nothing to
+    * compact. */
+  def compact(handle: Handle, filesPerCellGroup: Int = 64): Handle = {
+    import handle.{idCol, model, path, spark, vecCol}
+    if (handle.vectors.isEmpty) return handle
+    val staging = path + ".staging"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+
+    handle.vectors
+      .repartition(math.max(1, math.min(model.nlist, filesPerCellGroup)), col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$staging/vectors")
+    centroidFrame(spark, model)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, model.nlist)
+
+    SwapDir.swap(fs, new Path(staging), new Path(path))
+    Handle(spark, path, idCol, vecCol, model)
+  }
+
   /** Open an existing index (heals an interrupted swap first). */
   def open(spark: SparkSession, path: String): Handle = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

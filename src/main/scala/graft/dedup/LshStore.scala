@@ -161,6 +161,27 @@ object LshStore {
     Handle(spark, path, idCol, cfg)
   }
 
+  /** Rewrite the index at a target file count — small-files hygiene
+    * after many [[Handle.append]]s. Signatures and shingles coalesce
+    * from their own rows (no re-signaturing); crash-safe via the same
+    * staged whole-store swap as [[build]]. */
+  def compact(handle: Handle, targetFiles: Int = 8): Handle = {
+    import handle.{cfg, idCol, path, spark}
+    val staging = path + ".staging"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+
+    handle.sigs.coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs")
+    handle.shingles.repartitionByRange(targetFiles, col("__id"))
+      .sortWithinPartitions(col("__id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, cfg)
+
+    SwapDir.swap(fs, new Path(staging), new Path(path))
+    Handle(spark, path, idCol, cfg)
+  }
+
   /** Open an existing index (heals an interrupted swap first). */
   def open(spark: SparkSession, path: String): Handle = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

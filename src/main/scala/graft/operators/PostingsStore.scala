@@ -427,6 +427,43 @@ object PostingsStore {
     handle
   }
 
+  /** Rewrite the store's data dirs at target file counts — the
+    * small-files hygiene pass a store needs after many [[append]]s
+    * (each append lands ~nBuckets new postings files; object-store
+    * listings and task scheduling degrade as they pile up). No
+    * re-tokenize, no stats recompute: postings re-sort from their own
+    * rows (restoring the tight per-row-group term min/max appends
+    * interleave), doclen and termstats coalesce as-is. Crash-safe via
+    * the same staged whole-store swap as [[build]]; a flat-layout
+    * (empty-corpus) store has nothing to compact. */
+  def compact(handle: Handle, numFiles: Int = 0): Handle = {
+    import handle.{idCol, nBuckets, path, spark}
+    if (handle.postings.isEmpty) return handle
+    val files = if (numFiles > 0) numFiles else nBuckets
+    val staging = path + ".staging"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+
+    handle.postings
+      .repartitionByRange(files, col("term_bucket"), col("term"))
+      .sortWithinPartitions(col("term"), col(idCol), col("pos"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("term_bucket").parquet(s"$staging/postings")
+    handle.docLens
+      .coalesce(math.max(1, files / 8))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
+    handle.termStats
+      .repartitionByRange(math.max(1, nBuckets / 8),
+        col("term_bucket"), col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("term_bucket").parquet(s"$staging/termstats")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets)
+
+    SwapDir.swap(fs, new Path(staging), new Path(path))
+    Handle(spark, path, idCol, nBuckets)
+  }
+
   /** Open an existing store (heals an interrupted swap first). */
   def open(spark: SparkSession, path: String): Handle = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -74,6 +74,20 @@ class IvfStoreSpec extends SparkSpec {
       h.vectors.count())
   }
 
+  test("compact shrinks an appended index; topK and pruning unchanged") {
+    val path = tmp("ivfstore_compact")
+    val parts = (0 until 4).map(i => emb.filter(pmod(col("vec_id"), lit(4)) === i))
+    var h = IvfStore.build(parts.head, "vec_id", "embedding", path, nlist = 8)
+    parts.tail.foreach(p => h.append(p))
+
+    val before = h.vectors.inputFiles.length
+    val pre = rows(h.topK(queries, "qid", "qvec", k = 5, nprobe = 3))
+    val c = IvfStore.compact(h, filesPerCellGroup = 8)
+    assert(c.vectors.inputFiles.length < before,
+      s"compact left ${c.vectors.inputFiles.length} of $before files")
+    assert(rows(c.topK(queries, "qid", "qvec", k = 5, nprobe = 3)) === pre)
+  }
+
   test("open/ensure round trip restores the model; mismatched columns fail loud") {
     val path = tmp("ivfstore_meta")
     val built = IvfStore.build(emb, "vec_id", "embedding", path, nlist = 8)

@@ -56,6 +56,20 @@ class LshStoreSpec extends SparkSpec {
     assert(h.nearDupsOfDelta(none, "text", 0.8).count() === 0)
   }
 
+  test("compact shrinks an appended index; dedup results unchanged") {
+    val path = tmp("lshstore_compact")
+    val parts = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(4)) === i))
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+    var h = LshStore.build(parts.head, "doc_id", "text", path)
+    parts.tail.foreach(p => h.append(p, "text"))
+
+    val before = h.sigs.inputFiles.length + h.shingles.inputFiles.length
+    val pre = rows(h.nearDupsOfDelta(delta, "text", 0.8))
+    val c = LshStore.compact(h, targetFiles = 2)
+    assert(c.sigs.inputFiles.length + c.shingles.inputFiles.length < before)
+    assert(rows(c.nearDupsOfDelta(delta, "text", 0.8)) === pre)
+  }
+
   test("open/ensure round trip preserves the LSH family; idCol mismatch fails loud") {
     val path = tmp("lshstore_meta")
     val cfg = LshStore.Config(numHashes = 64, bands = 16, shingleN = 2, seed = 7L)

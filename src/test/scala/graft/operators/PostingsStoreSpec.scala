@@ -262,6 +262,28 @@ class PostingsStoreSpec extends SparkSpec {
         tmp("poststore_inc_ref"), nBuckets = 8).phraseSearch(Seq("table", "hash"))))
   }
 
+  test("compact shrinks an appended store's file count; every search unchanged") {
+    val path = tmp("poststore_compact")
+    val parts = (0 until 4).map(i => docs.filter(col("doc_id") % 4 === i))
+    var h = PostingsStore.build(parts.head, "doc_id", "text", path, nBuckets = 8)
+    parts.tail.foreach(p => h = PostingsStore.append(p, "text", h))
+
+    val before = h.postings.inputFiles.length
+    def snapshot(s: PostingsStore.Handle) = Seq(
+      s.phraseSearch(Seq("table", "hash")).collect().map(_.toSeq).toSet,
+      s.bm25Search(Seq("vector", "stream", "window"), k = 20).collect().map(_.toSeq).toSet,
+      s.termDfs(Seq("vector", "table")))
+    val pre = snapshot(h)
+
+    val c = PostingsStore.compact(h)
+    assert(c.postings.inputFiles.length < before,
+      s"compact left ${c.postings.inputFiles.length} of $before files")
+    assert(snapshot(c) === pre)
+    // the compacted layout still prunes
+    val plan = c.termPostings("table").queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*term_bucket[^\\]]*\\].*"), plan)
+  }
+
   test("empty corpus builds a readable (flat, nothing-to-prune) store") {
     val path = tmp("poststore_empty")
     val empty = docs.filter(col("doc_id") < 0)

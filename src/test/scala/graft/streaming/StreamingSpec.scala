@@ -262,6 +262,44 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot === Set((11L, 10, 18), (12L, 10, 18)))
   }
 
+  test("streaming search-index ingest: docs stream into a PostingsStore, searches stay exact") {
+    import graft.operators.PostingsStore
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val storePath = Files.createTempDirectory("poststream").resolve("store").toString
+    val dropDir = Files.createTempDirectory("poststream_in").toString
+    val ckpt = Files.createTempDirectory("poststream_ck").toString
+
+    // seed the index with the first half; stream the second half in
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val seeded = PostingsStore.build(half1, "doc_id", "text", storePath, nBuckets = 16)
+
+    half2.write.mode("overwrite").parquet(dropDir)
+    val q = spark.readStream.schema(docs.schema).parquet(dropDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PostingsStore.append(batch, "text", seeded); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // the live index now answers every search exactly as a from-scratch
+    // build of the full corpus would
+    val full = PostingsStore.build(docs, "doc_id", "text",
+      Files.createTempDirectory("poststream_ref").resolve("store").toString,
+      nBuckets = 16)
+    val live = PostingsStore.open(spark, storePath)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(live.bm25Search(Seq("vector", "stream", "window"), k = 20)) ===
+      rows(full.bm25Search(Seq("vector", "stream", "window"), k = 20)))
+    assert(rows(live.phraseSearch(Seq("table", "hash"))) ===
+      rows(full.phraseSearch(Seq("table", "hash"))))
+    assert(rows(live.termStats.select("term", "df", "cf", "max_tf")) ===
+      rows(full.termStats.select("term", "df", "cf", "max_tf")))
+  }
+
   test("stream-stream interval join equals the batch join (q96's twin)") {
     val staged = Files.createTempDirectory("ssjoin").toString
     val batchEvents = graft.Tables.events(spark, sf001)
