@@ -61,7 +61,7 @@ object TextQueries extends QueryDsl {
       |WHERE pa <> pb AND abs(pa - pb) <= 5
       |GROUP BY a.doc_id""".stripMargin
 
-  private def bm25Sql(terms: Seq[String]): String = {
+  private[queries] def bm25Sql(terms: Seq[String]): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
       |  FROM documents WHERE length(trim(text)) > 0),
@@ -98,14 +98,20 @@ object TextQueries extends QueryDsl {
 
   /** The materialized postings store of a corpus dir: built once per
     * dir under java.io.tmpdir (content-keyed path; write-if-absent
-    * behind a crash-safe swap), opened on every later use. */
-  private def docStore(c: Ctx): graft.operators.PostingsStore.Handle = {
+    * behind a crash-safe swap), opened on every later use. Shared with
+    * SearchQueries (same key ⇒ same on-disk store). */
+  private[queries] def docStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.PostingsStore.Handle = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_postings_v1_$key"
     graft.operators.PostingsStore.ensure(
-      c.t("documents"), "doc_id", "text", c.spark, path)
+      graft.Tables.load(spark, dir, "documents"), "doc_id", "text", spark, path)
   }
+
+  private def docStore(c: Ctx): graft.operators.PostingsStore.Handle =
+    docStore(c.spark, c.dir)
 
   def all: Seq[Q] = Seq(
 

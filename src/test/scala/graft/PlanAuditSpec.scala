@@ -28,6 +28,12 @@ class PlanAuditSpec extends SparkSpec {
   private val scalarBroadcast = Set(
     "q102_domain_mix", "q111_unigram_logprob",
     "q123_bigram_logprob", "q124_bm25_search", "q124b_bm25_search_store",
+    // q124c: MaxScore's θ_lb (k-th best seed score) is a one-row
+    // aggregate crossJoined into the candidate cut; the BM25 corpus
+    // stats are the same idiom. q142/q142b: the single query VECTOR
+    // (vec_id = 0) broadcast against the corpus for the cosine leg,
+    // plus the lexical leg's one-row corpus stats.
+    "q124c_bm25_maxscore", "q142_hybrid_rrf", "q142b_hybrid_rrf_store",
     "q125_skew_report",
     "q128_pagerank_neardup", "q130_pagerank_weighted",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
