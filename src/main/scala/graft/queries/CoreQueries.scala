@@ -874,5 +874,45 @@ object CoreQueries extends QueryDsl {
       t("events").filter($"event_id" <= 500)
         .select($"event_id",
           get_json_object($"props", "$.k").cast("int").as("k"))
+    },
+
+    // Declarative data-quality gate (see operators.DataAudit): all five
+    // row-local checks fold into ONE aggregation pass over lineitem;
+    // referential integrity adds a semi-join count against orders. The
+    // oracle replays every ratio and the rounded-then-compared pass
+    // rule, so metric arithmetic AND gating semantics are both checked.
+    q("q147_quality_audit",
+      """WITH m AS (SELECT
+        |    count(*)::DOUBLE AS n,
+        |    count(l_quantity)::DOUBLE AS c1,
+        |    sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0 AND l_discount <= 0.1
+        |        THEN 1 ELSE 0 END)::DOUBLE AS c2,
+        |    sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END)::DOUBLE AS c3,
+        |    sum(CASE WHEN regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END)::DOUBLE AS c4,
+        |    count(DISTINCT (l_orderkey, l_linenumber))::DOUBLE AS c5
+        |  FROM lineitem),
+        |ri AS (SELECT count(*)::DOUBLE AS hits FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+        |SELECT 'completeness' AS check_name, 'l_quantity' AS col_name,
+        |  round(c1 / n, 6) AS metric, 0.99 AS threshold, round(c1 / n, 6) >= 0.99 AS passed FROM m
+        |UNION ALL SELECT 'in_range', 'l_discount',
+        |  round(c2 / n, 6), 0.95, round(c2 / n, 6) >= 0.95 FROM m
+        |UNION ALL SELECT 'in_set', 'l_returnflag',
+        |  round(c3 / n, 6), 1.0, round(c3 / n, 6) >= 1.0 FROM m
+        |UNION ALL SELECT 'matches_regex', 'l_linestatus',
+        |  round(c4 / n, 6), 1.0, round(c4 / n, 6) >= 1.0 FROM m
+        |UNION ALL SELECT 'uniqueness', 'l_orderkey,l_linenumber',
+        |  round(c5 / n, 6), 1.0, round(c5 / n, 6) >= 1.0 FROM m
+        |UNION ALL SELECT 'referential_integrity', 'l_orderkey->o_orderkey',
+        |  round(hits / n, 6), 1.0, round(hits / n, 6) >= 1.0 FROM ri, m""".stripMargin) { c =>
+      import c.t
+      import graft.operators.DataAudit._
+      run(t("lineitem"), Seq(
+        Completeness("l_quantity", 0.99),
+        InRange("l_discount", 0.0, 0.1, 0.95),
+        InSet("l_returnflag", Seq("A", "N", "R"), 1.0),
+        MatchesRegex("l_linestatus", "^[OF]$", 1.0),
+        Uniqueness(Seq("l_orderkey", "l_linenumber"), 1.0),
+        ReferentialIntegrity("l_orderkey", t("orders"), "o_orderkey", 1.0)))
     })
 }

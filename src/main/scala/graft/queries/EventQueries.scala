@@ -473,5 +473,30 @@ object EventQueries extends QueryDsl {
         s"planted 68x skew must route through the salted join, got $decision")
       joined.groupBy(($"skey" % 5).as("grp"))
         .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_keys"))
+    },
+
+    // Time-decayed per-user engagement (the recency-weighted feature a
+    // ranking/feed pipeline maintains): each event contributes
+    // value · 2^(−whole hours of age), age anchored at the table's max
+    // ts (a one-row scalar broadcast). 2^(−integer) is EXACT in binary
+    // floating point, so the per-event contribution carries no libm
+    // rounding ambiguity between engines — only the 4dp-rounded sum
+    // crosses the oracle boundary. One scan + one groupBy.
+    q("q146_decayed_user_value",
+      """WITH b AS (SELECT max(ts) AS tmax FROM events),
+        |d AS (SELECT user_id,
+        |    value * power(2.0, -floor(date_diff('second', ts, tmax) / 3600.0)) AS dv
+        |  FROM events, b)
+        |SELECT user_id, round(sum(dv), 4) AS decayed_value,
+        |  count(*)::BIGINT AS n_events
+        |FROM d GROUP BY user_id""".stripMargin) { c =>
+      val ev = c.t("events")
+      val bounds = ev.agg(max($"ts").as("tmax"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("dv", $"value" * pow(lit(2.0),
+          -floor((unix_timestamp($"tmax") - unix_timestamp($"ts")).cast("double") / 3600.0)))
+        .groupBy($"user_id")
+        .agg(round(sum($"dv"), 4).as("decayed_value"),
+          count(lit(1)).as("n_events"))
     })
 }

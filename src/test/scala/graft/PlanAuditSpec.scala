@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     // (vec_id = 0) broadcast against the corpus for the cosine leg,
     // plus the lexical leg's one-row corpus stats.
     "q124c_bm25_maxscore", "q142_hybrid_rrf", "q142b_hybrid_rrf_store",
+    // q146: the max-ts anchor; q147: the audit's two one-row count
+    // frames (hits × total) joined into the RI ratio row
+    "q146_decayed_user_value", "q147_quality_audit",
     "q125_skew_report",
     "q128_pagerank_neardup", "q130_pagerank_weighted",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
