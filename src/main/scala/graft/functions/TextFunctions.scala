@@ -102,6 +102,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(trim(text)), "\\s+"))), " "))
 
+  /** Positional word n-grams (NON-distinct, one entry per position) —
+    * the frequency-carrying counterpart of [[wordShingles]], the input
+    * unit for within-document repetition statistics (top-n-gram share,
+    * duplicate-n-gram mass). Lowercased like the dedup family. Fewer
+    * than n words -> empty array. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val toks = wsTokens(lower(text))
+    val k = size(toks) - (n - 1)
+    when(length(trim(text)) === 0 || k <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), k - 1),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
   /** Word n-gram shingles (distinct), the input unit for Jaccard /
     * MinHash dedup. */
   def wordShingles(text: Column, n: Int): Column = {

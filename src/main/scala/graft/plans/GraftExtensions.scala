@@ -120,6 +120,18 @@ object GraftExtensions {
         arity("token_stats", args, 1, 1)
         graft.functions.TokenStatsExpr(args.head)
       }),
+    (FunctionIdentifier("ngram_stats"),
+      info("ngram_stats",
+        "ngram_stats(tokens, n) - struct(n_tokens, n_distinct, top_count, singleton_count) repetition stats over the length-n windows of an array<string>"),
+      (args: Seq[Expression]) => {
+        arity("ngram_stats", args, 2, 2)
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ngram_stats: n must be an integer literal, got $other")
+        }
+        graft.functions.NGramStatsExpr(args.head, n)
+      }),
     // Column-composition functions (CVSS / CPE): the builder wraps the
     // argument expressions in Columns, composes the same built-in
     // expression trees the Scala API produces, and unwraps — the

@@ -1557,6 +1557,53 @@ object TextQueries extends QueryDsl {
         .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("first_doc"))
     },
 
+    // Temperature-scaled sampling mixture (the multilingual-corpus
+    // rebalance of Conneau & Lample 2019 / mT5): per-language sampling
+    // probability p_l proportional to share^alpha, flattening the head
+    // so low-resource languages are not drowned. alpha = 0.5 so the
+    // power is sqrt — IEEE-correctly-rounded in BOTH engines, where an
+    // arbitrary pow() would be libm-dependent. All heavy work is one
+    // tiny groupBy; the scalar normalizers ride windows over the
+    // 5-row aggregate, never touching the corpus again.
+    q("q150_temperature_mix",
+      """WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT cast(sum(n_docs) AS DOUBLE) AS t FROM s),
+        |w AS (SELECT lang, n_docs, sqrt(n_docs / t) AS wt FROM s, tot),
+        |z AS (SELECT sum(wt) AS sw FROM w)
+        |SELECT lang, cast(n_docs AS BIGINT) AS n_docs,
+        |  round(wt / sw, 6) AS p_sample,
+        |  cast(round(wt / sw * 10000, 0) AS BIGINT) AS budget_per_10k
+        |FROM w, z""".stripMargin) { c =>
+      import c.t
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      t("documents").groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("wt", sqrt($"n_docs" / sum($"n_docs").over(all).cast("double")))
+        .withColumn("p", $"wt" / sum($"wt").over(all))
+        .select($"lang", $"n_docs",
+          round($"p", 6).as("p_sample"),
+          round($"p" * 10000, 0).cast("long").as("budget_per_10k"))
+    },
+
+    // GLOBAL running token total — the corpus-cut primitive ("where
+    // does the first trillion tokens end?"). `SUM OVER (ORDER BY ...)`
+    // with no PARTITION BY is a single-task window in Spark;
+    // PrefixSum.runningTotal computes the identical column with range
+    // buckets + per-bucket windows + broadcast exclusive-prefix
+    // offsets — every stage cluster-wide (see operators/PrefixSum).
+    q("q151_global_running_total",
+      s"""WITH s AS (SELECT doc_id, ($tokCountSql)::BIGINT AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT
+        |    AS cum_tokens
+        |FROM s""".stripMargin) { c =>
+      import c.t
+      val scored = t("documents")
+        .select($"doc_id", TF.wordCount($"text").cast("long").as("n_tokens"))
+      graft.operators.PrefixSum
+        .runningTotal(scored, "doc_id", Nil, $"n_tokens", "cum_tokens")
+        .select($"doc_id", $"n_tokens", $"cum_tokens")
+    },
+
     // Within-document repetition stats (the Gopher/MassiveText
     // boilerplate signals): token count, distinct-token fraction, and
     // most-frequent-token fraction per document. The statistic is
@@ -1584,6 +1631,54 @@ object TextQueries extends QueryDsl {
             $"__ts".getField("n_tokens"), 6).as("distinct_frac"),
           round($"__ts".getField("top_count") * lit(1.0) /
             $"__ts".getField("n_tokens"), 6).as("top_frac"))
+    },
+
+    // Gopher/MassiveText n-gram repetition FILTER (Rae et al. 2021,
+    // table A1): per document, the top-bigram occupancy share and the
+    // fraction of trigram occurrences whose trigram repeats within the
+    // document; docs above either threshold are machine-generated /
+    // boilerplate suspects. Per-document statistic -> computes
+    // ROW-LOCALLY in the scan via the TokenStatsExpr kernel over the
+    // positional n-gram arrays (top_count for bigrams,
+    // n_tokens - singleton_count = duplicated occurrence mass for
+    // trigrams) — ZERO shuffle at any corpus size. The oracle keeps
+    // the explode+groupBy formulation, doubling as an equivalence
+    // check of the kernel's singleton accounting.
+    q("q148_repetition_filter",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents
+        |  WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 3),
+        |bi AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram FROM bi),
+        |bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+        |ba AS (SELECT doc_id, max(c) AS maxc, cast(sum(c) AS BIGINT) AS tot FROM bc GROUP BY doc_id),
+        |ti AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+        |tg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM ti),
+        |tc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY doc_id, gram),
+        |ta AS (SELECT doc_id,
+        |         cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+        |         cast(sum(c) AS BIGINT) AS tot FROM tc GROUP BY doc_id)
+        |SELECT ba.doc_id,
+        |  round(ba.maxc * 1.0 / ba.tot, 6) AS top_bigram_share,
+        |  round(ta.dup_occ * 1.0 / ta.tot, 6) AS dup_trigram_frac,
+        |  CASE WHEN ba.maxc * 1.0 / ba.tot <= 0.08
+        |        AND ta.dup_occ * 1.0 / ta.tot <= 0.10 THEN 1 ELSE 0 END AS keep
+        |FROM ba JOIN ta USING (doc_id)""".stripMargin) { c =>
+      import c.t
+      t("documents").filter(TF.wordCount($"text") >= 3)
+        .select($"doc_id",
+          graft.functions.NGramStatsExpr.of(TF.wsTokens(lower($"text")), 2).as("s2"),
+          graft.functions.NGramStatsExpr.of(TF.wsTokens(lower($"text")), 3).as("s3"))
+        .select($"doc_id",
+          ($"s2.top_count".cast("double") / $"s2.n_tokens".cast("double")).as("rawTop"),
+          (($"s3.n_tokens" - $"s3.singleton_count").cast("double")
+            / $"s3.n_tokens".cast("double")).as("rawDup"))
+        .select($"doc_id",
+          round($"rawTop", 6).as("top_bigram_share"),
+          round($"rawDup", 6).as("dup_trigram_frac"),
+          when($"rawTop" <= 0.08 && $"rawDup" <= 0.10, 1).otherwise(0).as("keep"))
     },
 
     // Shingle NOVELTY per document: fraction of a doc's distinct
