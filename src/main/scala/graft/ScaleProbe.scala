@@ -74,7 +74,12 @@ object ScaleProbe {
         // bounded by the essential terms' dfs), incremental LSH dedup
         // against the persisted signature store, cell-pruned IVF serve
         "q124c_bm25_maxscore", "q140_neardup_incremental",
-        "q141_ann_ivf_store"))
+        "q141_ann_ivf_store",
+        // round-10 (cont.): the n-gram repetition filter (row-local
+        // kernel — should track the scan), the temperature mixture
+        // (one tiny groupBy), and the distributed global prefix sum
+        "q148_repetition_filter", "q150_temperature_mix",
+        "q151_global_running_total"))
 
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")

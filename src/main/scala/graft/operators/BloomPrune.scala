@@ -100,10 +100,31 @@ object BloomPrune {
     require(pt == bt,
       s"bloom semi-join key types must match exactly (xxhash64 is type-sensitive): " +
         s"$probeKey is $pt, $buildKey is $bt — cast one side first")
-    val pre = probe.filter(mightContain(sketch(build, col(buildKey), expectedItems, fpp),
-      col(probeKey)))
+    val pre = prune(probe, probeKey, build, buildKey, expectedItems, fpp)
     // exact verification join: false positives die here. The build
     // side is keys-only (pruned to one column) for the shuffle.
     pre.join(build.select(col(buildKey).as(probeKey)).distinct(), Seq(probeKey), "left_semi")
+  }
+
+  /** Bloom-ONLY pruning: probe rows passing the membership test, with
+    * NO exact verification join — a superset of the true semi-join
+    * (false positives survive at rate ~fpp, misses never happen).
+    * For callers whose downstream tolerates approximation (candidate
+    * generation, contamination screening) and whose probe side is too
+    * large to re-shuffle — the filter runs AT THE SCAN, zero shuffle.
+    */
+  def prune(
+      probe: DataFrame,
+      probeKey: String,
+      build: DataFrame,
+      buildKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val (pt, bt) = (probe.schema(probeKey).dataType, build.schema(buildKey).dataType)
+    require(pt == bt,
+      s"bloom prune key types must match exactly (xxhash64 is type-sensitive): " +
+        s"$probeKey is $pt, $buildKey is $bt — cast one side first")
+    probe.filter(mightContain(sketch(build, col(buildKey), expectedItems, fpp),
+      col(probeKey)))
   }
 }

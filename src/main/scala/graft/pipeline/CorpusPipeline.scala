@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.{ConnectedComponents, MinHashLSH, NGramJaccard}
 import graft.functions.{TextFunctions => TF}
@@ -57,6 +57,13 @@ object CorpusPipeline {
       // drop docs whose most frequent token exceeds this fraction
       // (Gopher-style boilerplate gate); None = skip
       maxTopTokenFrac: Option[Double] = None,
+      // n-gram tier of the Gopher gate (q148): drop docs whose top
+      // BIGRAM occupies more than this share of bigram positions /
+      // whose repeated TRIGRAMS carry more than this fraction of
+      // trigram occurrences. Row-local NGramStatsExpr kernel — the
+      // gate stays a stateless zero-shuffle filter. None = skip.
+      maxTopBigramShare: Option[Double] = None,
+      maxDupTrigramFrac: Option[Double] = None,
       // downsample every language toward the smallest one after
       // sampling (DomainMix.balanceToSmallest)
       balanceDomains: Boolean = false,
@@ -126,6 +133,34 @@ object CorpusPipeline {
       .drop("__ts")
   }
 
+  /** The n-gram tier of the Gopher gate (q148's predicate as an
+    * admission filter): top-bigram occupancy share and repeated-
+    * trigram occurrence fraction, both row-local via the
+    * NGramStatsExpr window-hash kernel — zero shuffle, shared with
+    * the streaming twin. Docs with fewer windows than the n-gram
+    * order pass (nothing to repeat; n_tokens = 0 guards the
+    * division). Pass None to skip either predicate. */
+  def ngramRepetitionGate(
+      docs: DataFrame,
+      maxTopBigramShare: Option[Double],
+      maxDupTrigramFrac: Option[Double]): DataFrame = {
+    val toks = TF.wsTokens(lower(col("text")))
+    def share(stats: Column, num: Column, cap: Option[Double]): Column =
+      cap.fold(lit(true)) { c =>
+        stats.getField("n_tokens") === 0L ||
+          num * lit(1.0) / stats.getField("n_tokens") <= c
+      }
+    val s2 = graft.functions.NGramStatsExpr.of(toks, 2)
+    val s3 = graft.functions.NGramStatsExpr.of(toks, 3)
+    docs.withColumn("__s2", s2).withColumn("__s3", s3)
+      .filter(length(trim(col("text"))) === 0 ||
+        (share(col("__s2"), col("__s2").getField("top_count"), maxTopBigramShare) &&
+         share(col("__s3"),
+           col("__s3").getField("n_tokens") - col("__s3").getField("singleton_count"),
+           maxDupTrigramFrac)))
+      .drop("__s2", "__s3")
+  }
+
   def curate(docs: DataFrame, outDir: String, opts: Options = Options()): Report = {
     // attrition counts are the Report's semantics, but each one is a
     // job launch; reportCounts=false trades the audit trail for
@@ -156,13 +191,17 @@ object CorpusPipeline {
     // q103 top-token statistic as an admission predicate — the
     // TokenStatsExpr kernel computes it row-locally in the scan, so
     // the gate is a stateless filter (zero shuffle), same as clean()
-    val gated = opts.maxTopTokenFrac match {
-      case Some(cap) =>
-        repetitionGate(cleaned, cap)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case None => cleaned
+    val anyRepGate = opts.maxTopTokenFrac.isDefined ||
+      opts.maxTopBigramShare.isDefined || opts.maxDupTrigramFrac.isDefined
+    val gated = if (!anyRepGate) cleaned else {
+      val unigramGated =
+        opts.maxTopTokenFrac.fold(cleaned)(repetitionGate(cleaned, _))
+      val ngramGated =
+        if (opts.maxTopBigramShare.isEmpty && opts.maxDupTrigramFrac.isEmpty) unigramGated
+        else ngramRepetitionGate(unigramGated, opts.maxTopBigramShare, opts.maxDupTrigramFrac)
+      ngramGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val afterRepetitionGate = if (opts.maxTopTokenFrac.isDefined) cnt(gated) else afterClean
+    val afterRepetitionGate = if (anyRepGate) cnt(gated) else afterClean
 
     // 2. exact dedup: keeper = min doc_id per content digest
     val keepers = gated.groupBy(md5(col("text").cast("binary")))
@@ -267,7 +306,7 @@ object CorpusPipeline {
       graft.layout.Compaction.compactPartitions(docs.sparkSession, outDir, t))
 
     Seq(cleaned, exact, nearDeduped).foreach(_.unpersist())
-    if (opts.maxTopTokenFrac.isDefined) gated.unpersist()
+    if (anyRepGate) gated.unpersist()
     Report(input, afterClean, afterRepetitionGate, afterExactDedup,
       afterNearDedup, nSampled, nBalanced, nBudgeted)
   }

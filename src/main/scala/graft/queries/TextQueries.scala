@@ -1584,6 +1584,53 @@ object TextQueries extends QueryDsl {
           round($"p" * 10000, 0).cast("long").as("budget_per_10k"))
     },
 
+    // Train/eval DECONTAMINATION (GPT-3 appendix C / Dolma): fraction
+    // of each training doc's distinct shingles appearing anywhere in
+    // the eval corpus (eval = doc_id % 17 == 0 here); >= 0.5 flags the
+    // doc. The semi-join is bloom-PRE-FILTERED (BloomPrune.semiJoin:
+    // eval shingles fold to one broadcast sketch, non-hits drop at the
+    // scan, false positives die in the exact join) — output is exactly
+    // the naive semi-join the oracle runs. q152b is the bloom-ONLY
+    // screening twin (zero exact join): superset flags, rows-only.
+    q("q152_decontamination",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
+        |    END AS shingles FROM toks
+        |), postings AS (
+        |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+        |), ev AS (SELECT DISTINCT s FROM postings WHERE doc_id % 17 = 0),
+        |tr AS (SELECT doc_id, s FROM postings WHERE doc_id % 17 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+        |hit AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+        |SELECT t.doc_id, cast(t.n_shingles AS BIGINT) AS n_shingles,
+        |  cast(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) * 1.0 / t.n_shingles, 6) AS overlap_frac,
+        |  CASE WHEN coalesce(h.n_hits, 0) * 1.0 / t.n_shingles >= 0.5
+        |       THEN 1 ELSE 0 END AS contaminated
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      graft.dedup.Decontamination.overlapReport(
+        docs.filter($"doc_id" % 17 =!= 0), docs.filter($"doc_id" % 17 === 0),
+        "doc_id", "text", shingleN = 3, tau = 0.5)
+    },
+
+    // Bloom-only decontamination SCREEN: same report, hits counted off
+    // the membership test alone — the training side never shuffles
+    // shingles, the eval side is one sketch aggregate. Flags are a
+    // superset of q152's (false positives only inflate); the spec
+    // asserts the containment, the harness records rows.
+    q("q152b_decontamination_bloom") { c =>
+      import c.t
+      val docs = t("documents")
+      graft.dedup.Decontamination.bloomOverlapReport(
+        docs.filter($"doc_id" % 17 =!= 0), docs.filter($"doc_id" % 17 === 0),
+        "doc_id", "text", shingleN = 3, tau = 0.5)
+    },
+
     // GLOBAL running token total — the corpus-cut primitive ("where
     // does the first trillion tokens end?"). `SUM OVER (ORDER BY ...)`
     // with no PARTITION BY is a single-task window in Spark;

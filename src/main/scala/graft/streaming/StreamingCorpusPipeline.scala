@@ -40,7 +40,11 @@ object StreamingCorpusPipeline {
       nearDupJaccard: Double = 0.8,
       // Gopher-style boilerplate gate; stateless (row-local kernel),
       // so it composes with streaming exactly like clean()
-      maxTopTokenFrac: Option[Double] = None)
+      maxTopTokenFrac: Option[Double] = None,
+      // n-gram tier of the gate (top-bigram share / repeated-trigram
+      // fraction) — also stateless, see CorpusPipeline.ngramRepetitionGate
+      maxTopBigramShare: Option[Double] = None,
+      maxDupTrigramFrac: Option[Double] = None)
 
   final case class BatchReport(
       input: Long, afterClean: Long, admitted: Long, healed: Long = 0L)
@@ -51,8 +55,11 @@ object StreamingCorpusPipeline {
   def clean(docs: DataFrame, opts: Options): DataFrame = {
     val base = graft.pipeline.CorpusPipeline.clean(
       docs, opts.minWords, opts.maxWords, opts.minQuality)
-    opts.maxTopTokenFrac.fold(base)(
+    val unigram = opts.maxTopTokenFrac.fold(base)(
       graft.pipeline.CorpusPipeline.repetitionGate(base, _))
+    if (opts.maxTopBigramShare.isEmpty && opts.maxDupTrigramFrac.isEmpty) unigram
+    else graft.pipeline.CorpusPipeline.ngramRepetitionGate(
+      unigram, opts.maxTopBigramShare, opts.maxDupTrigramFrac)
   }
 
   /** One micro-batch step; exposed for direct (batch) use and tests. */

@@ -193,6 +193,42 @@ class CorpusPipelineSpec extends SparkSpec {
       }
   }
 
+  test("ngram repetition gate: drops looped bigrams, keeps varied text, matches q148 predicate") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text", "lang", "source")
+    // looped bigram: "buy now buy now ..." — unigram gate at 0.5 would
+    // PASS it (two tokens at 0.5 each), the bigram gate must drop it
+    val planted = Seq(
+      (400001L, ("buy now " * 30).trim, "en", "planted"),
+      // trigram-repeater: a 6-word phrase looped — dup-trigram frac ~1
+      (400002L, (("the quick brown fox jumps high " * 10).trim), "en", "planted"))
+      .toDF("doc_id", "text", "lang", "source")
+    val input = docs.unionByName(planted)
+
+    val gated = CorpusPipeline.ngramRepetitionGate(
+      input, Some(0.08), Some(0.10))
+    assert(gated.filter($"doc_id" >= 400001L).count() === 0,
+      "planted loops must be dropped")
+
+    // the gate's keep set over eligible docs == q148's keep flag
+    val q148 = graft.queries.Registry.queries("q148_repetition_filter")(spark, sf001)
+    val keepIds = q148.filter($"keep" === 1).select($"doc_id")
+    val gatedIds = CorpusPipeline.ngramRepetitionGate(
+        docs.filter(graft.functions.TextFunctions.wordCount($"text") >= 3),
+        Some(0.08), Some(0.10))
+      .select($"doc_id")
+    assert(gatedIds.exceptAll(keepIds).isEmpty && keepIds.exceptAll(gatedIds).isEmpty)
+
+    // streaming twin uses the same gate through clean()
+    val streamed = graft.streaming.StreamingCorpusPipeline.clean(
+      input.withColumn("lang", lit("en")),
+      graft.streaming.StreamingCorpusPipeline.Options(
+        minWords = 5, minQuality = 0.0,
+        maxTopBigramShare = Some(0.08), maxDupTrigramFrac = Some(0.10)))
+    assert(streamed.filter($"doc_id" >= 400001L).count() === 0)
+  }
+
   test("curate with chunk sidecar and shard export: retrieval + training layouts of what landed") {
     val sp = spark; import sp.implicits._
     val docs = graft.Tables.documents(spark, sf001)
