@@ -1631,6 +1631,87 @@ object TextQueries extends QueryDsl {
         "doc_id", "text", shingleN = 3, tau = 0.5)
     },
 
+    // Snapshot DIFF (release-to-release change audit): statuses of
+    // every key across two corpus versions — B is derived from the
+    // documents table deterministically (drop doc_id%13==5, append
+    // ' v2' where doc_id%11==0, add shifted copies of doc_id%29==0).
+    // The operator reduces each side to (key, digest) in the scan, so
+    // the full-outer shuffle moves 16-byte digests, never documents;
+    // the oracle compares raw text equality — identical semantics
+    // (md5 equality == content equality modulo collisions).
+    q("q153_snapshot_diff",
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text = b.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val before = docs.select($"doc_id", $"text")
+      val after = docs.filter($"doc_id" % 13 =!= 5)
+        .select($"doc_id",
+          when($"doc_id" % 11 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text").as("text"))
+        .unionByName(docs.filter($"doc_id" % 29 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      graft.operators.SnapshotDiff.diff(before, after, "doc_id", Seq("text"))
+    },
+
+    // SCD2 history merge (time-travelable metadata store): version-0
+    // history = all docs open; version-1 snapshot = q153's derived B
+    // (drops, edits, adds). Output = the merged history — closed
+    // intervals for deleted/edited keys, fresh opens for edited/added,
+    // untouched opens for the rest. `valid_to` is nullable long;
+    // rendered as -1 for the hash compare (no raw NULL-vs-NaN
+    // ambiguity across the pandas bridge).
+    q("q154_scd2_merge",
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0),
+        |merged AS (
+        |  -- still-open unchanged rows
+        |  SELECT a.doc_id, a.text, 0 AS valid_from, -1 AS valid_to
+        |  FROM a JOIN b ON a.doc_id = b.doc_id AND a.text = b.text
+        |  UNION ALL
+        |  -- rows closed at v1: deleted or edited
+        |  SELECT a.doc_id, a.text, 0, 1 FROM a
+        |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.doc_id = a.doc_id AND b.text = a.text)
+        |  UNION ALL
+        |  -- fresh opens at v1: edited or added
+        |  SELECT b.doc_id, b.text, 1, -1 FROM b
+        |  WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.doc_id = b.doc_id AND a.text = b.text))
+        |SELECT doc_id, md5(text) AS text_md5,
+        |  cast(valid_from AS BIGINT) AS valid_from,
+        |  cast(valid_to AS BIGINT) AS valid_to
+        |FROM merged""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val before = docs.select($"doc_id", $"text")
+      val after = docs.filter($"doc_id" % 13 =!= 5)
+        .select($"doc_id",
+          when($"doc_id" % 11 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text").as("text"))
+        .unionByName(docs.filter($"doc_id" % 29 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      graft.operators.Scd2.merge(
+          graft.operators.Scd2.init(before, version = 0L),
+          after, "doc_id", Seq("text"), version = 1L)
+        .select($"doc_id", md5($"text").as("text_md5"),
+          $"valid_from", coalesce($"valid_to", lit(-1L)).as("valid_to"))
+    },
+
     // GLOBAL running token total — the corpus-cut primitive ("where
     // does the first trillion tokens end?"). `SUM OVER (ORDER BY ...)`
     // with no PARTITION BY is a single-task window in Spark;
