@@ -1712,6 +1712,26 @@ object TextQueries extends QueryDsl {
           $"valid_from", coalesce($"valid_to", lit(-1L)).as("valid_to"))
     },
 
+    // DATA-DRIFT monitor between corpus versions: per-column metric
+    // profiles (one aggregation pass per side — numeric n/null_frac/
+    // mean/min/max, categorical n/null_frac/n_distinct) joined on
+    // (col_name, metric) with a relative-delta flag. B is q153's
+    // derived snapshot minus the text edits (drops + shifted adds);
+    // at 2% tolerance the row-count metrics drift, the value ranges
+    // and language inventory must not.
+    q("q155_drift_report", DriftOracle.sql) { c =>
+      import c.t
+      val docs = t("documents")
+      val after = docs.filter($"doc_id" % 13 =!= 5)
+        .unionByName(docs.filter($"doc_id" % 29 === 0)
+          .withColumn("doc_id", $"doc_id" + 1000000L))
+      graft.operators.DriftReport.compare(
+        docs, after,
+        numericCols = Seq("n_chars"),
+        categoricalCols = Seq("lang", "source"),
+        maxRelDelta = 0.02)
+    },
+
     // GLOBAL running token total — the corpus-cut primitive ("where
     // does the first trillion tokens end?"). `SUM OVER (ORDER BY ...)`
     // with no PARTITION BY is a single-task window in Spark;
@@ -1923,6 +1943,44 @@ object TextQueries extends QueryDsl {
     * by q61/q62 (pair queries) and q68 (clusters); one definition so
     * the three oracles cannot drift from each other or from the
     * kernel. */
+  /** DuckDB replica of DriftReport.compare over the q155 snapshots:
+    * the profile is a UNION ALL of one-metric aggregates (same values
+    * the one-pass Spark aggregate computes, each rounded to 6dp
+    * BEFORE the delta, exactly as the operator does). */
+  private object DriftOracle {
+    private def prof(src: String): String = {
+      def m(col: String, metric: String, expr: String) =
+        s"SELECT '$col' AS col_name, '$metric' AS metric, round(CAST($expr AS DOUBLE), 6) AS v FROM $src"
+      val numeric = Seq(
+        m("n_chars", "n", "count(n_chars)"),
+        m("n_chars", "null_frac",
+          "sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)"),
+        m("n_chars", "mean", "avg(CAST(n_chars AS DOUBLE))"),
+        m("n_chars", "min", "min(CAST(n_chars AS DOUBLE))"),
+        m("n_chars", "max", "max(CAST(n_chars AS DOUBLE))"))
+      val cats = Seq("lang", "source").flatMap { c =>
+        Seq(
+          m(c, "n", s"count($c)"),
+          m(c, "null_frac", s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)"),
+          m(c, "n_distinct", s"count(DISTINCT $c)"))
+      }
+      (numeric ++ cats).mkString("\n  UNION ALL ")
+    }
+
+    val sql: String =
+      s"""WITH b AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 13 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id % 29 = 0),
+        |pa AS (${prof("documents")}),
+        |pb AS (${prof("b")})
+        |SELECT pa.col_name, pa.metric, pa.v AS before, pb.v AS after,
+        |  round(abs(pb.v - pa.v) / greatest(abs(pa.v), 1e-9), 6) AS rel_delta,
+        |  CASE WHEN abs(pb.v - pa.v) / greatest(abs(pa.v), 1e-9) > 0.02
+        |       THEN 1 ELSE 0 END AS drifted
+        |FROM pa JOIN pb ON pa.col_name = pb.col_name AND pa.metric = pb.metric""".stripMargin
+  }
+
   private def jaccardPairsCte(minJaccard: Double): String =
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
