@@ -1,0 +1,99 @@
+package graft.functions
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary training (Sennrich et al. 2016, the
+  * word-dictionary formulation): learn the top-k byte-pair merges of
+  * a corpus.
+  *
+  * Scale shape: the CORPUS is touched exactly once — one linear
+  * tokenize + groupBy into the word-frequency dictionary (distinct
+  * words with counts), which is orders of magnitude smaller than the
+  * corpus and bounded by vocabulary, not data size. The k training
+  * iterations run over THAT dictionary: each scores adjacent symbol
+  * pairs (explode + weighted groupBy — map-side combined), takes the
+  * argmax (driver collect of ONE row), and rewrites the merged pair
+  * into the symbol sequences (codegen'd regexp_replace). Lineage is
+  * localCheckpoint'ed every few rounds, the PageRank pattern for
+  * driver-loop operators.
+  *
+  * Determinism: argmax ties break on (count desc, left asc, right
+  * asc), so the merge sequence is reproducible across partitionings
+  * and engines.
+  */
+object BpeTrain {
+
+  /** `(rank, left, right, n)` — the learned merge table, rank 0 first.
+    *
+    * @param docs corpus frame
+    * @param textCol text column (whitespace-tokenized, lowercased)
+    * @param merges how many merges to learn (k driver rounds)
+    * @param endOfWord terminator symbol appended to each word (the
+    *        standard trick so merges cannot cross word boundaries and
+    *        suffixes learn distinct units)
+    */
+  def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      endOfWord: String = "</w>"): Seq[(Int, String, String, Long)] = {
+    require(merges >= 0, s"merges must be >= 0: $merges")
+    // corpus -> word dict: the ONLY corpus-wide pass
+    val words = docs
+      .select(explode(TextFunctions.wsTokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // initial symbol sequence: characters space-joined + terminator.
+    // Spark's split(w, "") keeps a trailing empty element (limit -1
+    // semantics) — array_remove drops it, matching String#split.
+    var dict = words.select(
+      concat(array_join(array_remove(split(col("w"), ""), ""), " "),
+        lit(" " + endOfWord)).as("sym"),
+      col("n"))
+      .localCheckpoint()
+
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    while (rank < merges) {
+      // adjacent pair scores, weighted by word frequency
+      val best = dict
+        .select(col("n"), split(col("sym"), " ").as("s"))
+        .select(col("n"),
+          posexplode(slice(col("s"), lit(1), size(col("s")) - 1)).as(Seq("i", "l")),
+          col("s"))
+        .select(col("n"), col("l"), element_at(col("s"), col("i") + 2).as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("n")).as("pn"))
+        .orderBy(col("pn").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) return out.result()
+      val l: String = best.head.getString(0)
+      val r: String = best.head.getString(1)
+      val pn: Long = best.head.getLong(2)
+      if (pn <= 0L) return out.result()
+      out += ((rank, l, r, pn))
+
+      // merge the winning pair inside every symbol sequence. The
+      // lookahead does not consume the trailing separator, so runs
+      // like "a a a" merge left-to-right greedily (reference BPE).
+      val pat = s"(?<=^|\\s)${Pattern.quote(l)} ${Pattern.quote(r)}(?=\\s|$$)"
+      val rep = Matcher.quoteReplacement(l + r)
+      dict = dict.select(
+        regexp_replace(col("sym"), pat, rep).as("sym"), col("n"))
+      if (rank % 4 == 3) dict = dict.localCheckpoint()
+      rank += 1
+    }
+    out.result()
+  }
+
+  /** [[learnMerges]] as a DataFrame `(rank, left, right, n)` for the
+    * query surface. */
+  def learnMergesDf(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, textCol, merges)
+      .toDF("rank", "left", "right", "n")
+  }
+}

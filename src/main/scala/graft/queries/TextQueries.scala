@@ -1732,6 +1732,18 @@ object TextQueries extends QueryDsl {
         maxRelDelta = 0.02)
     },
 
+    // BPE vocabulary TRAINING (Sennrich 2016): top-20 learned merges
+    // of the corpus. The corpus is scanned ONCE into the word-freq
+    // dictionary; the 20 driver rounds iterate over that dictionary
+    // (pair explode + weighted groupBy + one-row argmax + codegen
+    // regexp merge). No SQL analogue of the iterative argmax exists —
+    // rows-only here; correctness authority is BpeTrainSpec's
+    // reference-implementation equivalence on the same corpus.
+    q("q156_bpe_train") { c =>
+      import c.t
+      graft.functions.BpeTrain.learnMergesDf(t("documents"), "text", merges = 20)
+    },
+
     // GLOBAL running token total — the corpus-cut primitive ("where
     // does the first trillion tokens end?"). `SUM OVER (ORDER BY ...)`
     // with no PARTITION BY is a single-task window in Spark;

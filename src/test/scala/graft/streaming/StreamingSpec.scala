@@ -353,6 +353,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet === Set("gold", "silver", "bronze"))
   }
 
+  test("streaming drift gate: per-micro-batch profile vs reference, alerts on the shifted batch") {
+    val sp = spark; import sp.implicits._
+    val staged = Files.createTempDirectory("driftstream").toString
+    val reference = graft.Tables.documents(spark, sf001)
+      .select($"doc_id", $"n_chars", $"lang")
+    // batch 1: a faithful slice of the corpus; batch 2: lengths
+    // doubled and one language nulled — the drift the gate must catch
+    reference.filter($"doc_id" % 2 === 0)
+      .write.mode("overwrite").parquet(s"$staged/b=1")
+    reference.filter($"doc_id" % 2 === 1)
+      .withColumn("n_chars", $"n_chars" * 3)
+      .withColumn("lang", when($"lang" === "en", lit(null: String)).otherwise($"lang"))
+      .write.mode("overwrite").parquet(s"$staged/b=2")
+
+    val alerts = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val stream = spark.readStream.schema(reference.schema).parquet(s"$staged/b=*")
+    val q = stream.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the gate is ONE call: the batch-static compare of q155,
+        // relative row-count drift ignored via a generous tolerance
+        // on n (micro-batches are always smaller than the corpus)
+        val drifted = graft.operators.DriftReport
+          .compare(reference, batch, Seq("n_chars"), Seq("lang"), 0.25)
+          .filter($"drifted" === 1 && $"metric" =!= "n")
+          .collect()
+        drifted.foreach(r => alerts.synchronized {
+          alerts += ((id, r.getString(0), r.getString(1))); ()
+        })
+        ()
+      }.start()
+    q.awaitTermination(120000)
+
+    val metricsHit = alerts.map { case (_, c, m) => s"$c.$m" }.toSet
+    // the tripled lengths move the mean; the nulled lang moves its
+    // null_frac — whatever the file-source batching, both must alert
+    assert(metricsHit.contains("n_chars.mean"))
+    assert(metricsHit.contains("lang.null_frac"))
+  }
+
   test("streaming dedup within watermark: re-delivered rows collapse to one") {
     val sp = spark; import sp.implicits._
     val staged = Files.createTempDirectory("dedupstream").toString
