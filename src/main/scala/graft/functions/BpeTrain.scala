@@ -96,4 +96,41 @@ object BpeTrain {
     learnMerges(docs, textCol, merges)
       .toDF("rank", "left", "right", "n")
   }
+
+  /** Apply a learned merge table and report per-document token stats:
+    * `(idCol, n_words, n_bpe_tokens, fertility)` where fertility is
+    * BPE tokens per whitespace word (the tokenizer-efficiency metric
+    * corpora are screened with — text a tokenizer shatters is a
+    * quality signal).
+    *
+    * Scale shape: the merges fold into ONE projection chain of k
+    * codegen regexp_replace steps over the DISTINCT-WORD dictionary
+    * (rank order = application order, exactly as trained), so the
+    * expensive rewriting is vocabulary-bound; the corpus-side work is
+    * a tokenize + a join on the word (dict broadcast when small) + a
+    * per-doc sum. */
+  def tokenizeStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      endOfWord: String = "</w>"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(TextFunctions.wsTokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+    val dict0 = words.select(col("w")).distinct().select(col("w"),
+      concat(array_join(array_remove(split(col("w"), ""), ""), " "),
+        lit(" " + endOfWord)).as("sym"))
+    val dict = merges.foldLeft(dict0) { case (d, (l, r)) =>
+      val pat = s"(?<=^|\\s)${Pattern.quote(l)} ${Pattern.quote(r)}(?=\\s|$$)"
+      d.withColumn("sym", regexp_replace(col("sym"), pat, Matcher.quoteReplacement(l + r)))
+    }
+    val tokPerWord = dict.select(col("w"),
+      size(split(col("sym"), " ")).cast("long").as("t"))
+    words.join(tokPerWord, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6))
+  }
 }

@@ -1744,6 +1744,20 @@ object TextQueries extends QueryDsl {
       graft.functions.BpeTrain.learnMergesDf(t("documents"), "text", merges = 20)
     },
 
+    // BPE APPLICATION: tokenize the corpus with the 20 learned merges
+    // and report per-doc fertility (BPE tokens per word — the
+    // tokenizer-efficiency screen). Merges fold into one projection
+    // chain over the distinct-word dict; rows-only like q156 (the
+    // merge table is runtime-learned, invisible to static SQL), with
+    // BpeTrainSpec's reference-tokenizer equivalence as authority.
+    q("q157_bpe_fertility") { c =>
+      import c.t
+      val docs = t("documents")
+      val merges = graft.functions.BpeTrain.learnMerges(docs, "text", merges = 20)
+        .map(m => (m._2, m._3))
+      graft.functions.BpeTrain.tokenizeStats(docs, "doc_id", "text", merges)
+    },
+
     // GLOBAL running token total — the corpus-cut primitive ("where
     // does the first trillion tokens end?"). `SUM OVER (ORDER BY ...)`
     // with no PARTITION BY is a single-task window in Spark;

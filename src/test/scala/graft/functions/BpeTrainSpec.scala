@@ -70,6 +70,40 @@ class BpeTrainSpec extends SparkSpec {
     assert(m.length < 50)
   }
 
+  test("tokenizeStats == reference tokenizer applied word-by-word") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val merges = BpeTrain.learnMerges(docs, "text", merges = 10).map(m => (m._2, m._3))
+    val stats = BpeTrain.tokenizeStats(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    def refTokens(word: String): Int = {
+      var syms = word.split("").toSeq :+ "</w>"
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms.length
+    }
+    val ref = docs.select(col("doc_id"),
+        explode(TextFunctions.wsTokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> (rows.length.toLong, rows.map(r => refTokens(r.getString(1)).toLong).sum)
+      }
+    assert(stats === ref)
+    // every fertility >= 1 (a word is at least one token) and the
+    // merges actually compress: corpus mean fertility < chars+1
+    assert(stats.values.forall { case (w, t) => t >= w })
+  }
+
   test("determinism: two runs produce the identical merge sequence") {
     val docs = graft.Tables.documents(spark, sf001)
     val a = BpeTrain.learnMerges(docs, "text", merges = 6)
