@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Dsir, EmbeddingOutliers, NaiveBayes}
+
+/** Learned-curation query family: the model-based data-selection
+  * operators an LLM pipeline runs between raw dedup and the training
+  * mix — a distributed Naive Bayes source/language classifier (the
+  * closed-form fastText stand-in), DSIR importance resampling toward
+  * a target corpus, embedding-space outlier screening, and the
+  * marginal-vocabulary report that decides which source even moves
+  * the mix.
+  *
+  * Oracle notes: every model quantity here is closed-form (counts,
+  * logs, argmax, deterministic md5 sampling), so the DuckDB oracles
+  * replicate training AND inference term for term — these are
+  * hash-exact ML queries, not rows-only approximations. The one
+  * xxhash64-based route (q159c hashed DSIR) has no DuckDB equivalent
+  * and is contract-checked in DsirSpec instead.
+  */
+object MlQueries extends QueryDsl {
+
+  /** Shared SQL prelude: lowercased whitespace unigrams with
+    * multiplicity, non-empty docs only (the operators' tokenizer). */
+  private val tokensCte =
+    """base AS (SELECT doc_id, lang, source, lower(trim(text)) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |toks AS (SELECT doc_id, lang, source,
+      |  unnest(regexp_split_to_array(t, '\s+')) AS token FROM base)""".stripMargin
+
+  private val nbConfusionSql =
+    s"""WITH $tokensCte,
+      |tr AS (SELECT doc_id, lang, token FROM toks WHERE doc_id % 5 <> 0),
+      |counts AS (SELECT lang AS label, token, count(*) AS n FROM tr GROUP BY 1, 2),
+      |classtot AS (SELECT label, sum(n) AS tot FROM counts GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+      |priors AS (SELECT lang AS label, count(*) AS docs
+      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |stats AS (SELECT p.label,
+      |    ln(p.docs * 1.0 / (SELECT sum(docs) FROM priors)) AS log_prior,
+      |    ln(1.0 / (ct.tot + (SELECT v FROM vocab))) AS log_unseen
+      |  FROM priors p JOIN classtot ct ON p.label = ct.label),
+      |logp AS (SELECT c.token, c.label,
+      |    ln((c.n + 1.0) / (ct.tot + (SELECT v FROM vocab))) AS log_prob
+      |  FROM counts c JOIN classtot ct ON c.label = ct.label),
+      |hotoks AS (SELECT doc_id, token, count(*) AS cnt
+      |  FROM toks WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+      |invocab AS (SELECT h.* FROM hotoks h
+      |  JOIN (SELECT DISTINCT token FROM counts) vt ON h.token = vt.token),
+      |ev AS (SELECT iv.doc_id, s.label,
+      |    sum(iv.cnt * coalesce(lp.log_prob, s.log_unseen)) AS evidence
+      |  FROM invocab iv CROSS JOIN stats s
+      |  LEFT JOIN logp lp ON iv.token = lp.token AND s.label = lp.label
+      |  GROUP BY 1, 2),
+      |scores AS (SELECT d.doc_id, s.label,
+      |    s.log_prior + coalesce(e.evidence, 0.0) AS score
+      |  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      |  CROSS JOIN stats s
+      |  LEFT JOIN ev e ON d.doc_id = e.doc_id AND s.label = e.label),
+      |pred AS (SELECT doc_id, label AS predicted,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
+      |  FROM scores)
+      |SELECT d.lang, p.predicted, cast(count(*) AS BIGINT) AS n
+      |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+      |WHERE p.rn = 1 GROUP BY 1, 2""".stripMargin
+
+  /** Shared DSIR SQL: smoothed log ratio target(src0) vs pool(rest)
+    * over the joint vocabulary, per-doc weights over the pool. */
+  private val dsirWeightsCte =
+    s"""$tokensCte,
+      |tcnt AS (SELECT token, count(*) AS nt FROM toks WHERE source = 'src0' GROUP BY 1),
+      |pcnt AS (SELECT token, count(*) AS np FROM toks WHERE source <> 'src0' GROUP BY 1),
+      |joint AS (SELECT coalesce(t.token, p.token) AS token,
+      |    coalesce(nt, 0) AS nt, coalesce(np, 0) AS np
+      |  FROM tcnt t FULL OUTER JOIN pcnt p ON t.token = p.token),
+      |tot AS (SELECT sum(nt) AS tot_t, sum(np) AS tot_p, count(*) AS v FROM joint),
+      |ratio AS (SELECT token,
+      |    ln((nt + 1.0) / (tot_t + v)) - ln((np + 1.0) / (tot_p + v)) AS log_ratio
+      |  FROM joint, tot),
+      |dt AS (SELECT doc_id, token, count(*) AS cnt
+      |  FROM toks WHERE source <> 'src0' GROUP BY 1, 2),
+      |sc AS (SELECT dt.doc_id, sum(dt.cnt) AS n_toks,
+      |    sum(dt.cnt * r.log_ratio) AS log_w
+      |  FROM dt JOIN ratio r ON dt.token = r.token GROUP BY 1),
+      |w AS (SELECT d.doc_id, cast(coalesce(sc.n_toks, 0) AS BIGINT) AS n_toks,
+      |    coalesce(sc.log_w, 0.0) AS log_w
+      |  FROM (SELECT DISTINCT doc_id FROM documents WHERE source <> 'src0') d
+      |  LEFT JOIN sc ON d.doc_id = sc.doc_id)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // Multinomial NB language classifier, trained distributed on the
+    // %5<>0 split, evaluated as a confusion matrix on the %5==0
+    // holdout. Training is one aggregation pass; inference is a
+    // vocabulary join — both replicated exactly by the oracle, so the
+    // WHOLE learned model is hash-checked, classes, smoothing,
+    // priors, tie-breaks and all.
+    q("q158_nb_confusion", nbConfusionSql) { c =>
+      import c.t
+      val docs = t("documents")
+      val train = docs.filter($"doc_id" % 5 =!= 0)
+      val holdout = docs.filter($"doc_id" % 5 === 0)
+      val model = NaiveBayes.train(train, "lang", "text")
+      NaiveBayes.confusion(model, holdout, "doc_id", "text", "lang")
+    },
+
+    // DSIR importance weights: every pool document (source <> src0)
+    // scored by the smoothed unigram log-likelihood ratio toward the
+    // src0 target corpus.
+    q("q159_dsir_weights",
+      s"""WITH $dsirWeightsCte
+        |SELECT doc_id, n_toks, round(log_w, 6) AS log_w FROM w""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val ratio = Dsir.ratioTable(
+        docs.filter($"source" === "src0"), docs.filter($"source" =!= "src0"), "text")
+      Dsir.logWeights(docs.filter($"source" =!= "src0"), "doc_id", "text", ratio)
+        .select($"doc_id", $"n_toks", round($"log_w", 6).as("log_w"))
+    },
+
+    // DSIR resample: Gumbel top-k draw (deterministic md5-uniform,
+    // q85b's construction) with selection probability proportional to
+    // exp(log_w) — the actual "importance resampling" step, oracled
+    // term for term including the sampling keys.
+    q("q159b_dsir_resample",
+      s"""WITH $dsirWeightsCte,
+        |keyed AS (SELECT doc_id, n_toks, log_w,
+        |    ln(-ln((('0x' || substr(md5(cast(doc_id AS varchar) || ':dsir'), 1, 15))::BIGINT
+        |      + 1.0) / 1152921504606846978.0)) - log_w AS k
+        |  FROM w)
+        |SELECT doc_id, n_toks, round(log_w, 6) AS log_w
+        |FROM keyed ORDER BY k, doc_id LIMIT 100""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val ratio = Dsir.ratioTable(
+        docs.filter($"source" === "src0"), docs.filter($"source" =!= "src0"), "text")
+      Dsir.resample(docs.filter($"source" =!= "src0"), "doc_id", "text", ratio, k = 100)
+        .select($"doc_id", $"n_toks", round($"log_w", 6).as("log_w"))
+    },
+
+    // Hashed-feature DSIR — the fixed-width ratio table (2^13 buckets)
+    // that stays broadcastable at any corpus size. xxhash64 has no
+    // DuckDB twin: rows-only here; DsirSpec asserts rank agreement
+    // with the exact route on the same data.
+    q("q159c_dsir_hashed") { c =>
+      import c.t
+      val docs = t("documents")
+      val target = docs.filter($"source" === "src0")
+      val pool = docs.filter($"source" =!= "src0")
+      val ratio = Dsir.hashedRatioTable(target, pool, "text", bits = 13)
+      Dsir.logWeights(pool, "doc_id", "text", ratio, tokenizer = Dsir.bucketizer(13))
+        .select($"doc_id", $"n_toks", round($"log_w", 6).as("log_w"))
+    },
+
+    // Embedding-space outlier screen: bottom-5 cosine-to-own-centroid
+    // per label. Centroids, scores and ranks all oracle-replicated
+    // (DuckDB list_cosine_similarity over the same per-dim averages).
+    q("q160_embedding_outliers",
+      """WITH pos AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings),
+        |cent AS (SELECT label, pos, avg(v) AS m FROM pos GROUP BY 1, 2),
+        |cvec AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY 1),
+        |sc AS (SELECT e.label, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) AS cos
+        |  FROM embeddings e JOIN cvec c ON e.label = c.label),
+        |r AS (SELECT label, vec_id, cos,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rank
+        |  FROM sc)
+        |SELECT label, vec_id, round(cos, 4) AS cos, cast(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin) { c =>
+      import c.t
+      EmbeddingOutliers.outliers(t("embeddings"), "label", "vec_id", "embedding", k = 5)
+        .select($"label", $"vec_id", round($"cos", 4).as("cos"), $"rank".cast("long").as("rank"))
+    },
+
+    // Marginal vocabulary contribution: each distinct 3-shingle of the
+    // corpus attributed to its first source in priority order (source
+    // name asc) — the "what does this source add that earlier ones
+    // don't" report behind mix/inclusion decisions. Linear: one
+    // distinct + two keyed shuffles, shingle-count-bounded.
+    q("q161_vocab_novelty",
+      """WITH toksv AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS tv
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, source, CASE WHEN len(tv) <= 3 THEN [array_to_string(tv, ' ')]
+        |    ELSE list_distinct([array_to_string(tv[i:i+2], ' ') for i in range(1, len(tv)-1)])
+        |    END AS shingles FROM toksv
+        |), pairs AS (
+        |  SELECT DISTINCT source, unnest(shingles) AS s FROM sh
+        |), per_source AS (
+        |  SELECT source, count(*) AS n_shingles FROM pairs GROUP BY 1
+        |), owner AS (
+        |  SELECT s, min(source) AS source FROM pairs GROUP BY 1
+        |), novel AS (
+        |  SELECT source, count(*) AS n_novel FROM owner GROUP BY 1
+        |)
+        |SELECT p.source, cast(p.n_shingles AS BIGINT) AS n_shingles,
+        |  cast(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |  round(coalesce(n.n_novel, 0) * 1.0 / p.n_shingles, 6) AS novelty_frac
+        |FROM per_source p LEFT JOIN novel n ON p.source = n.source""".stripMargin) { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      val pairs = t("documents")
+        .select($"source", explode(TF.wordShingles($"text", 3)).as("s"))
+        .distinct()
+      val perSource = pairs.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+      val novel = pairs.groupBy($"s").agg(min($"source").as("source"))
+        .groupBy($"source").agg(count(lit(1)).as("n_novel"))
+      perSource.join(novel, Seq("source"), "left")
+        .select($"source", $"n_shingles",
+          coalesce($"n_novel", lit(0L)).as("n_novel"),
+          round(coalesce($"n_novel", lit(0L)) * lit(1.0) / $"n_shingles", 6).as("novelty_frac"))
+    }
+  )
+}

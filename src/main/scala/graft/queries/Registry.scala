@@ -31,7 +31,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ SqlQueries.all ++ TextQueries.all ++ EventQueries.all ++
-      NvdQueries.all ++ SearchQueries.all
+      NvdQueries.all ++ SearchQueries.all ++ MlQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

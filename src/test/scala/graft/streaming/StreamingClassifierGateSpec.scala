@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.ml.NaiveBayes
+import org.apache.spark.sql.functions._
+
+class StreamingClassifierGateSpec extends SparkSpec {
+
+  private def model = {
+    val sp = spark; import sp.implicits._
+    val train = Seq(
+      (1L, "good", "clean prose with verbs and structure here"),
+      (2L, "good", "clean structure and prose with meaning"),
+      (3L, "spam", "buy buy cheap cheap click click"),
+      (4L, "spam", "cheap click buy now now now")
+    ).toDF("doc_id", "label", "text")
+    NaiveBayes.train(train, "label", "text")
+  }
+
+  test("scoredWithMargin: margin is best-minus-second and positive") {
+    val sp = spark; import sp.implicits._
+    val batch = Seq((10L, "clean prose with structure"), (11L, "buy cheap click"))
+      .toDF("doc_id", "text")
+    val s = StreamingClassifierGate.scoredWithMargin(model, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    assert(s(10L)._1 == "good")
+    assert(s(11L)._1 == "spam")
+    assert(s(10L)._2 > 0 && s(11L)._2 > 0)
+  }
+
+  test("process routes admitted vs quarantined with reasons") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("gate").toString
+    val batch = Seq(
+      (10L, "clean prose with structure and verbs"), // good, margin ~5.9
+      (11L, "buy cheap click click"),                // spam -> class_not_allowed
+      (12L, "clean prose")                           // good but margin ~2.1 < 2.5
+    ).toDF("doc_id", "text")
+    StreamingClassifierGate.process(batch, model, "doc_id", "text",
+      allowed = Set("good"), minMargin = 2.5,
+      keepDir = s"$dir/keep", quarantineDir = s"$dir/quarantine")
+    val keep = spark.read.parquet(s"$dir/keep")
+    val quar = spark.read.parquet(s"$dir/quarantine")
+    assert(keep.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
+    val reasons = quar.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(reasons(11L) == "class_not_allowed")
+    assert(reasons(12L) == "low_margin")
+  }
+
+  test("file-stream drive: two batches gate identically to one batch run") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("gates").toString
+    val in = s"$dir/in"
+    new java.io.File(in).mkdirs()
+    val b1 = Seq((20L, "clean structure and prose"), (21L, "cheap click buy"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((22L, "prose with clean verbs"), (23L, "click click cheap"))
+      .toDF("doc_id", "text")
+    b1.write.parquet(s"$in/b1")
+    b2.write.parquet(s"$in/b2")
+    val m = model
+    val q = StreamingClassifierGate.stream(spark, s"$in/*/",
+      b1.schema, m, "doc_id", "text",
+      allowed = Set("good"), minMargin = 0.0,
+      keepDir = s"$dir/keep", quarantineDir = s"$dir/quarantine",
+      checkpointDir = s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val kept = spark.read.parquet(s"$dir/keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rej = spark.read.parquet(s"$dir/quarantine")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L, 22L), s"kept=$kept")
+    assert(rej == Set(21L, 23L), s"rej=$rej")
+  }
+}
