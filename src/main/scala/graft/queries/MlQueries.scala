@@ -87,6 +87,31 @@ object MlQueries extends QueryDsl {
       |  FROM (SELECT DISTINCT doc_id FROM documents WHERE source <> 'src0') d
       |  LEFT JOIN sc ON d.doc_id = sc.doc_id)""".stripMargin
 
+  /** One LPA round as DuckDB CTEs: votes (neighbor labels + self),
+    * counts, argmax with (cnt desc, lbl asc) — integer-exact. */
+  private def lpaRoundSql(r: Int): String = {
+    val prev = if (r == 1) "l0" else s"l${r - 1}"
+    s"""v$r AS (SELECT e.u AS node, l.lbl FROM edges e JOIN $prev l ON e.v = l.node
+      |  UNION ALL SELECT node, lbl FROM $prev),
+      |c$r AS (SELECT node, lbl, count(*) AS cnt FROM v$r GROUP BY 1, 2),
+      |l$r AS (SELECT node, lbl FROM (SELECT node, lbl,
+      |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+      |  FROM c$r) WHERE rn = 1)""".stripMargin
+  }
+
+  private val lpaCommunitiesSql =
+    s"""WITH prs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+      |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+      |), edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
+      |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
+      |${lpaRoundSql(1)},
+      |${lpaRoundSql(2)},
+      |${lpaRoundSql(3)}
+      |SELECT node AS vec_id, lbl AS community FROM l3""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Multinomial NB language classifier, trained distributed on the
@@ -211,6 +236,33 @@ object MlQueries extends QueryDsl {
         .select($"source", $"n_shingles",
           coalesce($"n_novel", lit(0L)).as("n_novel"),
           round(coalesce($"n_novel", lit(0L)) * lit(1.0) / $"n_shingles", 6).as("novelty_frac"))
+    },
+
+    // Label-propagation communities on the exact cosine>0.35 pair
+    // graph — 3 synchronous rounds, integer-exact, unrolled in the
+    // oracle round for round (q128's idiom). The exact pair graph is
+    // the ORACLE route (quadratic by contract, like q64/q69); the
+    // scale route is q162b on the LSH pair graph.
+    q("q162_lpa_communities", lpaCommunitiesSql) { c =>
+      import c.t
+      val pairs = TextQueries.cosinePairs(t("embeddings"), 0.35)
+        .select($"vec_a", $"vec_b")
+      graft.operators.LabelPropagation.run(pairs, "vec_a", "vec_b", rounds = 3)
+        .select($"node".as("vec_id"), $"community")
+    },
+
+    // The 100 TB route: same LPA over the banded SRP-LSH candidate
+    // graph (collision-bounded, never all-pairs). Rows-only — the
+    // bucket hashes have no SQL twin; LabelPropagationSpec asserts
+    // exact-vs-LSH community agreement on planted families.
+    q("q162b_lpa_communities_lsh") { c =>
+      import c.t
+      val pairs = graft.ann.Ann.lshNearDupPairs(
+        t("embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+        .select($"vec_a", $"vec_b")
+      graft.operators.LabelPropagation.run(pairs, "vec_a", "vec_b", rounds = 3)
+        .select($"node".as("vec_id"), $"community")
     }
   )
 }

@@ -1952,7 +1952,7 @@ object TextQueries extends QueryDsl {
     * and q69 so threshold/guard semantics cannot diverge): spread left
     * side (a 1-split x 1-split cross join would run every dot kernel
     * in one task), norms precomputed once per row. */
-  private def cosinePairs(emb: org.apache.spark.sql.DataFrame, threshold: Double)
+  private[queries] def cosinePairs(emb: org.apache.spark.sql.DataFrame, threshold: Double)
       : org.apache.spark.sql.DataFrame = {
     val a = graft.operators.Partitioning.spread(emb)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),

@@ -18,7 +18,10 @@ class PlanAuditSpec extends SparkSpec {
     "q101_semantic_dedup", "q70_ann_bruteforce", "q118_ann_int8",
     "q71b_ann_lsh_exhaustive", "q72_ann_ivf", "q72b_ann_ivf_exhaustive",
     "q73_ann_pq", "q73b_ann_pq_exhaustive", "q74_ann_ivfpq",
-    "q74b_ann_ivfpq_exhaustive", "q71_ann_lsh")
+    "q74b_ann_ivfpq_exhaustive", "q71_ann_lsh",
+    // exact cosine pair graph as LPA's oracle route (q162b is the
+    // LSH-bucketed scale twin)
+    "q162_lpa_communities")
 
   // SCALAR-BROADCAST idiom: a one-row global aggregate (corpus total,
   // avgdl, merged HLL/CMS sketch, timeline bounds, PageRank's N)
