@@ -71,10 +71,14 @@ object Dsir {
     * log factors per token); over occupied keys the two routes agree
     * exactly until collisions actually happen. */
   private def ratioFromCounts(t: DataFrame, p: DataFrame, keyCol: String): Ratio = {
+    // materialized ONCE (vocab-bounded): totals, table and oov all
+    // derive from it — without the checkpoint each re-runs both
+    // corpus-count aggregations
     val joint = t.join(p, Seq(keyCol), "full_outer")
       .select(col(keyCol).as("token"),
         coalesce(col("nt"), lit(0L)).as("nt"),
         coalesce(col("np"), lit(0L)).as("np"))
+      .localCheckpoint()
     val totals = joint.agg(
       sum(col("nt")).as("tot_t"), sum(col("np")).as("tot_p"),
       count(lit(1)).as("v"))

@@ -52,8 +52,12 @@ object NaiveBayes {
   /** Fit by one aggregation pass over `docs(labelCol, textCol)`. */
   def train(docs: DataFrame, labelCol: String, textCol: String): Model = {
     val toks = tokens(docs, textCol, col(labelCol).as("label"))
-    // per-(class, token) counts — THE shuffle of training, keyed by the pair
+    // per-(class, token) counts — THE shuffle of training, keyed by the
+    // pair. Materialized ONCE (vocab x |C|-bounded, corpus-independent
+    // size): totals, |V|, log-probs and class stats all derive from it,
+    // and without the checkpoint each would re-run the corpus explode
     val counts = toks.groupBy(col("label"), col("token")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val classTot = counts.groupBy(col("label")).agg(sum(col("n")).as("tot"))
     // |V| (distinct tokens across classes) as a 1-row frame, kept
     // relational so the whole fit is one lazy plan

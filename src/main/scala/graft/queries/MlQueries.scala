@@ -226,7 +226,7 @@ object MlQueries extends QueryDsl {
         |FROM per_source p LEFT JOIN novel n ON p.source = n.source""".stripMargin) { c =>
       import c.t
       import graft.functions.{TextFunctions => TF}
-      val pairs = t("documents")
+      val pairs = graft.operators.Partitioning.spread(t("documents"))
         .select($"source", explode(TF.wordShingles($"text", 3)).as("s"))
         .distinct()
       val perSource = pairs.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
