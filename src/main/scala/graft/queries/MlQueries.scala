@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ml.{Dsir, EmbeddingOutliers, NaiveBayes}
+import graft.ml.{Dsir, EmbeddingOutliers, NaiveBayes, Pca}
 
 /** Learned-curation query family: the model-based data-selection
   * operators an LLM pipeline runs between raw dedup and the training
@@ -263,6 +263,144 @@ object MlQueries extends QueryDsl {
         .select($"vec_a", $"vec_b")
       graft.operators.LabelPropagation.run(pairs, "vec_a", "vec_b", rounds = 3)
         .select($"node".as("vec_id"), $"community")
+    },
+
+    // Embedding covariance (upper triangle, population): ONE
+    // treeAggregate pass with d(d+1)/2 doubles of state — no row
+    // blowup — against an oracle that computes the same moments
+    // relationally. The d x d artifact is what PCA/whitening/SQ
+    // calibration all start from.
+    q("q163_embedding_covariance",
+      """WITH pos AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS d FROM embeddings),
+        |p AS (SELECT a.d - 1 AS i, b.d - 1 AS j, avg(a.v * b.v) AS exy
+        |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
+        |  GROUP BY 1, 2),
+        |m AS (SELECT d - 1 AS i, avg(v) AS mu FROM pos GROUP BY 1)
+        |SELECT cast(p.i AS INT) AS i, cast(p.j AS INT) AS j,
+        |  round(p.exy - ma.mu * mb.mu, 6) + 0.0 AS cov
+        |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i""".stripMargin) { c =>
+      import c.t
+      // + 0.0: canonicalize IEEE negative zero (round can yield -0.0
+      // on one engine and 0.0 on the other; -0.0 + 0.0 = +0.0 always)
+      Pca.covarianceDf(t("embeddings"), "embedding", dim = 64)
+        .select($"i", $"j", (round($"cov", 6) + lit(0.0)).as("cov"))
+    },
+
+    // Top-8 PCA projection: distributed covariance -> driver Jacobi on
+    // the 64x64 matrix -> literal-array dot kernels over the scan.
+    // Rows-only (eigenvector sign/rotation has no SQL twin); PcaSpec
+    // pins variance ordering, orthonormality, and planted-direction
+    // recovery.
+    q("q163b_pca_projection") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val model = Pca.fit(emb, "embedding", dim = 64, k = 8)
+      Pca.project(emb, "embedding", model)
+        .select($"vec_id" +: (0 until 8).map(j => round(col(s"pc$j"), 4).as(s"pc$j")): _*)
+    },
+
+    // Zipf fit over the top-1000 token ranks: least-squares slope of
+    // ln(freq) on ln(rank) — the vocabulary health number (natural
+    // text ~ -1; templated/spammy corpora flatten or steepen it). The
+    // top-k cut is the standard fit practice AND the scale shape: the
+    // rank window runs over a k-bounded TakeOrdered result, never the
+    // full 100 TB vocabulary.
+    q("q164_zipf_fit",
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |freq AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+        |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r
+        |  FROM freq ORDER BY n DESC, token ASC LIMIT 1000),
+        |pts AS (SELECT ln(r * 1.0) AS x, ln(n * 1.0) AS y FROM top),
+        |agg AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |SELECT (SELECT cast(count(*) AS BIGINT) FROM freq) AS n_types,
+        |  round((sxy - sx * sy / m) / (sxx - sx * sx / m), 4) AS slope,
+        |  round(sy / m - ((sxy - sx * sy / m) / (sxx - sx * sx / m)) * sx / m, 4) AS intercept
+        |FROM agg""".stripMargin) { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      val freq = t("documents")
+        .filter(length(trim($"text")) > 0)
+        .select(explode(TF.wsTokens(lower($"text"))).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+      val top = freq.orderBy($"n".desc, $"token".asc).limit(1000)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"token".asc)))
+      val pts = top.select(log($"r" * lit(1.0)).as("x"), log($"n" * lit(1.0)).as("y"))
+      val agg = pts.agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      val nTypes = freq.agg(count(lit(1)).as("n_types"))
+      val slope = ($"sxy" - $"sx" * $"sy" / $"m") / ($"sxx" - $"sx" * $"sx" / $"m")
+      agg.crossJoin(broadcast(nTypes))
+        .select($"n_types", round(slope, 4).as("slope"),
+          round($"sy" / $"m" - slope * $"sx" / $"m", 4).as("intercept"))
+    },
+
+    // Per-source curation scorecard: the one-table summary a mix
+    // decision reads — volume, mean quality, mean length, exact-dup
+    // exposure (corpus-wide fingerprint collisions), and marginal
+    // vocabulary novelty, all from existing oracle-shared formulas.
+    q("q165_source_scorecard",
+      s"""WITH q AS (SELECT source, doc_id,
+        |    ${TextQueries.qualityExprSql} AS quality,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+        |  FROM documents),
+        |fpc AS (SELECT fp, count(*) AS c FROM q GROUP BY 1),
+        |base AS (SELECT q.source, count(*) AS n_docs,
+        |    cast(sum(cast(round(round(q.quality, 6) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS quality_sum_micros,
+        |    round(avg(q.n_words * 1.0), 4) AS mean_words,
+        |    cast(sum(CASE WHEN fpc.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |  FROM q JOIN fpc ON q.fp = fpc.fp GROUP BY 1),
+        |toksv AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS tv
+        |  FROM documents),
+        |sh AS (SELECT source, CASE WHEN len(tv) <= 3 THEN [array_to_string(tv, ' ')]
+        |  ELSE list_distinct([array_to_string(tv[i:i+2], ' ') for i in range(1, len(tv)-1)])
+        |  END AS shingles FROM toksv),
+        |pairs AS (SELECT DISTINCT source, unnest(shingles) AS s FROM sh),
+        |own AS (SELECT s, min(source) AS source FROM pairs GROUP BY 1),
+        |nv AS (SELECT p.source, p.n_shingles,
+        |    cast(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel
+        |  FROM (SELECT source, count(*) AS n_shingles FROM pairs GROUP BY 1) p
+        |  LEFT JOIN (SELECT source, count(*) AS n_novel FROM own GROUP BY 1) n
+        |    ON p.source = n.source)
+        |SELECT b.source, cast(b.n_docs AS BIGINT) AS n_docs, b.quality_sum_micros,
+        |  b.mean_words, b.dup_docs,
+        |  round(nv.n_novel * 1.0 / nv.n_shingles, 6) AS novelty_frac
+        |FROM base b JOIN nv ON b.source = nv.source""".stripMargin) { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      val docs = t("documents")
+      val q = docs.select($"source", $"doc_id",
+        TF.qualityScore($"text").as("quality"),
+        TF.wordCount($"text").cast("long").as("n_words"),
+        TF.fingerprint($"text").as("fp"))
+      val fpc = q.groupBy($"fp").agg(count(lit(1)).as("c"))
+      // quality aggregated in integer micro-units: per-doc quality is a
+      // 6-decimal multiple (qualityScore rounds), so AVERAGES land
+      // exactly on rounding boundaries and the two engines' half-way
+      // rules disagree — the micro-unit SUM is integer-exact instead
+      val base = q.join(fpc, "fp")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round($"quality" * 1000000.0).cast("long")).as("quality_sum_micros"),
+          round(avg($"n_words" * lit(1.0)), 4).as("mean_words"),
+          sum(when($"c" > 1, 1L).otherwise(0L)).as("dup_docs"))
+      val pairs = graft.operators.Partitioning.spread(docs)
+        .select($"source", explode(TF.wordShingles($"text", 3)).as("s"))
+        .distinct()
+      val nv = pairs.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+        .join(pairs.groupBy($"s").agg(min($"source").as("source"))
+          .groupBy($"source").agg(count(lit(1)).as("n_novel")), Seq("source"), "left")
+        .select($"source", $"n_shingles", coalesce($"n_novel", lit(0L)).as("n_novel"))
+      base.join(nv, "source")
+        .select($"source", $"n_docs", $"quality_sum_micros", $"mean_words", $"dup_docs",
+          round($"n_novel" * lit(1.0) / $"n_shingles", 6).as("novelty_frac"))
     }
   )
 }

@@ -25,7 +25,7 @@ object TextQueries extends QueryDsl {
 
   /** DuckDB replica of `TF.qualityScore` BEFORE its final round(6) —
     * shared by q81 (rounds it) and q112 (orders by the rounded value). */
-  private val qualityExprSql =
+  private[queries] val qualityExprSql =
     s"""least($tokCountSql / 100.0, 1.0) * 0.3
       |  + coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nullif(length(text), 0), 0) * 0.3
       |  + greatest(0.0, 1.0 - coalesce(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / nullif(length(text), 0), 0) * 10.0) * 0.2

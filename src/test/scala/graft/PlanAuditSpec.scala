@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     "q125_skew_report",
     "q128_pagerank_neardup", "q130_pagerank_weighted",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
-    "q86_cms_heavy_hitters", "q89_tfidf_topk")
+    "q86_cms_heavy_hitters", "q89_tfidf_topk",
+    // q164: the one-row regression-moment frame crossJoined with the
+    // one-row distinct-type count
+    "q164_zipf_fit")
 
   // SMALL-BROADCAST THETA JOIN by design: a deliberately tiny probe
   // frame (bounded by construction, NOT one row) joined on a range /

@@ -1,0 +1,90 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+
+  /** Deterministic anisotropic cloud in 4d: variance concentrated on
+    * the (1,1,0,0)/sqrt(2) direction, small noise elsewhere. */
+  private def planted = {
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 400).map { n =>
+      // hash-derived pseudo-noise, no RNG state
+      def u(salt: Int): Double =
+        (((n * 2654435761L + salt * 40503L) & 0xffff) / 65536.0) - 0.5
+      val t = (n % 40) - 20.0 // strong signal in [-20, 20)
+      (n.toLong, Seq(
+        (t / math.sqrt(2) + 0.01 * u(1)).toFloat,
+        (t / math.sqrt(2) + 0.01 * u(2)).toFloat,
+        (0.3 * u(3)).toFloat,
+        (0.2 * u(4)).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("fitStats: count, mean and covariance match hand computation on a 2d fixture") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)), (3L, Seq(5.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val st = Pca.fitStats(df, "embedding", 2)
+    assert(st.n == 3)
+    assert(math.abs(st.mean(0) - 3.0) < 1e-12)
+    assert(math.abs(st.mean(1) - 6.0) < 1e-12)
+    val c = st.covMatrix
+    // var x = ((1-3)^2 + 0 + (5-3)^2)/3 = 8/3; y = 2x exactly
+    assert(math.abs(c(0)(0) - 8.0 / 3) < 1e-9)
+    assert(math.abs(c(1)(1) - 32.0 / 3) < 1e-9)
+    assert(math.abs(c(0)(1) - 16.0 / 3) < 1e-9)
+  }
+
+  test("eigSym recovers a known symmetric spectrum") {
+    // A = [[2,1],[1,2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2
+    val (vals, vecs) = Pca.eigSym(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-9)
+    assert(math.abs(vals(1) - 1.0) < 1e-9)
+    val v0 = vecs(0)
+    assert(math.abs(math.abs(v0(0)) - math.abs(v0(1))) < 1e-9)
+  }
+
+  test("planted direction is PC1; variances are descending; components orthonormal") {
+    val m = Pca.fit(planted, "embedding", dim = 4, k = 4)
+    // PC1 aligns with (1,1,0,0)/sqrt(2) up to sign
+    val p = m.components(0)
+    val align = math.abs(p(0) / math.sqrt(2) * math.sqrt(2) + p(1)) / math.sqrt(2) // |p·dir|
+    val dir = Array(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0, 0.0)
+    val dot = p.zip(dir).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) > 0.999, s"PC1 alignment ${math.abs(dot)}")
+    // descending variances
+    assert(m.variances.sliding(2).forall(w => w(0) >= w(1) - 1e-12))
+    // orthonormal rows
+    for (i <- m.components.indices; j <- m.components.indices) {
+      val d = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-8, s"<c$i,c$j> = $d")
+    }
+  }
+
+  test("projection: pc0 variance equals eigenvalue 0; total projected variance preserved at k=d") {
+    val m = Pca.fit(planted, "embedding", dim = 4, k = 4)
+    val proj = Pca.project(planted, "embedding", m)
+    val stats = proj.agg(
+      var_pop(col("pc0")).as("v0"), var_pop(col("pc1")).as("v1"),
+      var_pop(col("pc2")).as("v2"), var_pop(col("pc3")).as("v3"))
+      .head()
+    val vs = (0 until 4).map(i => stats.getDouble(i))
+    assert(math.abs(vs(0) - m.variances(0)) < 1e-6 * math.max(1.0, m.variances(0)))
+    val total = m.variances.sum
+    assert(math.abs(vs.sum - total) < 1e-6 * total,
+      s"projected variance ${vs.sum} vs trace $total")
+  }
+
+  test("covarianceDf on the harness embeddings: 64x65/2 rows, diagonal positive") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val cdf = Pca.covarianceDf(emb, "embedding", 64)
+    assert(cdf.count() == 64 * 65 / 2)
+    val diag = cdf.filter(col("i") === col("j")).select("cov").collect().map(_.getDouble(0))
+    assert(diag.length == 64 && diag.forall(_ > 0))
+  }
+}
