@@ -49,8 +49,12 @@ object NaiveBayes {
       .select(keep :+ explode(TF.wsTokens(lower(col(textCol)))).as("token"): _*)
       .filter(col("token") =!= "")
 
-  /** Fit by one aggregation pass over `docs(labelCol, textCol)`. */
-  def train(docs: DataFrame, labelCol: String, textCol: String): Model = {
+  /** Sufficient statistics of a labelled corpus: per-(class, token)
+    * counts `(label, token, n)` and per-class document counts
+    * `(label, docs)`. Counts form a monoid (merge = sum) — the basis
+    * of [[NbModelStore]]'s incremental maintenance. */
+  def tokenStats(docs: DataFrame, labelCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     val toks = tokens(docs, textCol, col(labelCol).as("label"))
     // per-(class, token) counts — THE shuffle of training, keyed by the
     // pair. Materialized ONCE (vocab x |C|-bounded, corpus-independent
@@ -58,11 +62,18 @@ object NaiveBayes {
     // and without the checkpoint each would re-run the corpus explode
     val counts = toks.groupBy(col("label"), col("token")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    val priors = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("docs"))
+    (counts, priors)
+  }
+
+  /** Closed-form model from sufficient statistics — shared by batch
+    * [[train]] and the persisted store's [[NbModelStore.model]], so an
+    * incrementally-merged store yields the bit-identical model. */
+  def modelFromStats(counts: DataFrame, priors: DataFrame): Model = {
     val classTot = counts.groupBy(col("label")).agg(sum(col("n")).as("tot"))
     // |V| (distinct tokens across classes) as a 1-row frame, kept
     // relational so the whole fit is one lazy plan
     val vocabN = counts.select(col("token")).distinct().agg(count(lit(1)).as("v"))
-    val priors = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("docs"))
     val classStats = priors
       .crossJoin(broadcast(priors.agg(sum(col("docs")).as("all_docs"))))
       .join(classTot, "label")
@@ -74,6 +85,12 @@ object NaiveBayes {
       .select(col("token"), col("label"),
         log((col("n") + lit(1.0)) / (col("tot") + col("v"))).as("log_prob"))
     Model(tokenLogProb, classStats)
+  }
+
+  /** Fit by one aggregation pass over `docs(labelCol, textCol)`. */
+  def train(docs: DataFrame, labelCol: String, textCol: String): Model = {
+    val (counts, priors) = tokenStats(docs, labelCol, textCol)
+    modelFromStats(counts, priors)
   }
 
   /** Per-document class scores: `(idCol, label, score)`, |C| rows per

@@ -74,4 +74,39 @@ class StreamingClassifierGateSpec extends SparkSpec {
     assert(kept == Set(20L, 22L), s"kept=$kept")
     assert(rej == Set(21L, 23L), s"rej=$rej")
   }
+
+  test("learning loop: labelled stream feeds the model store; the refreshed model gates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("gatelearn").toString
+    val in = s"$dir/in"
+    new java.io.File(in).mkdirs()
+    // two labelled training batches arrive as files
+    Seq((1L, "good", "clean prose with verbs"), (2L, "spam", "buy cheap click"))
+      .toDF("doc_id", "label", "text").write.parquet(s"$in/b1")
+    Seq((3L, "good", "structure and meaning in prose"), (4L, "spam", "click now cheap buy"))
+      .toDF("doc_id", "label", "text").write.parquet(s"$in/b2")
+    graft.ml.NbModelStore.create(spark,
+      Seq.empty[(Long, String, String)].toDF("doc_id", "label", "text"),
+      "label", "text", s"$dir/model")
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val q = spark.readStream.schema(schema).parquet(s"$in/*/")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ml.NbModelStore.append(spark, batch, "label", "text", s"$dir/model")
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // the streamed-in store now equals batch training on all 4 docs
+    val m = graft.ml.NbModelStore.model(spark, s"$dir/model")
+    val gate = Seq((10L, "clean prose"), (11L, "cheap click")).toDF("doc_id", "text")
+    StreamingClassifierGate.process(gate, m, "doc_id", "text",
+      allowed = Set("good"), minMargin = 0.0,
+      keepDir = s"$dir/keep", quarantineDir = s"$dir/quarantine")
+    val kept = spark.read.parquet(s"$dir/keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L))
+  }
 }
