@@ -196,4 +196,26 @@ object Pca {
       df.withColumn(s"pc$j", VectorFunctions.dot(x, vLit) - lit(shift))
     }
   }
+
+  /** Mahalanobis distance (squared) of every vector under a FULL-rank
+    * model (k = dim): sum_j pc_j^2 / lambda_j, each pc_j one codegen'd
+    * dot kernel against a literal direction. Directions with variance
+    * below `minVar` are dropped from the sum (near-null directions
+    * would divide by ~0 and flag numerical noise as outliers).
+    *
+    * This is the covariance-AWARE outlier score: a point one unit off
+    * along a low-variance direction is a glaring outlier that
+    * centroid-cosine ([[EmbeddingOutliers]]) can entirely miss,
+    * because cosine weights every direction equally. */
+  def mahalanobis(emb: DataFrame, vecCol: String, model: Model,
+      minVar: Double = 1e-9): DataFrame = {
+    val projected = project(emb, vecCol, model)
+    val terms = model.variances.zipWithIndex.collect {
+      case (v, j) if v > minVar => col(s"pc$j") * col(s"pc$j") / lit(v)
+    }
+    require(terms.nonEmpty, "Mahalanobis: all directions below minVar")
+    projected
+      .withColumn("maha", terms.reduce(_ + _))
+      .drop(model.components.indices.map(j => s"pc$j"): _*)
+  }
 }

@@ -401,6 +401,57 @@ object MlQueries extends QueryDsl {
       base.join(nv, "source")
         .select($"source", $"n_docs", $"quality_sum_micros", $"mean_words", $"dup_docs",
           round($"n_novel" * lit(1.0) / $"n_shingles", 6).as("novelty_frac"))
+    },
+
+    // Per-document unigram entropy — the repetitiveness signal
+    // (templated/spammy text has low token entropy): H = ln(n) -
+    // (sum cnt*ln(cnt))/n over the doc's token multiplicities, the
+    // numerically-stable regrouping both engines evaluate identically.
+    q("q166_token_entropy",
+      s"""WITH $tokensCte,
+        |tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |h AS (SELECT doc_id, sum(cnt) AS n,
+        |    ln(sum(cnt) * 1.0) - sum(cnt * ln(cnt * 1.0)) / sum(cnt) AS ent
+        |  FROM tc GROUP BY 1)
+        |SELECT d.doc_id, cast(coalesce(h.n, 0) AS BIGINT) AS n_toks,
+        |  round(coalesce(h.ent, 0.0), 6) + 0.0 AS entropy
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin) { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      val docs = t("documents")
+      val tc = docs.filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      val h = tc.groupBy($"doc_id")
+        .agg(sum($"cnt").as("n"),
+          (log(sum($"cnt") * lit(1.0)) -
+            sum($"cnt" * log($"cnt" * lit(1.0))) / sum($"cnt")).as("ent"))
+      docs.select($"doc_id").join(h, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n", lit(0L)).as("n_toks"),
+          (round(coalesce($"ent", lit(0.0)), 6) + lit(0.0)).as("entropy"))
+    },
+
+    // Covariance-aware outliers: full-rank Mahalanobis distance under
+    // the PCA model — flags vectors far out along LOW-variance
+    // directions, which centroid-cosine (q160) weights the same as any
+    // other direction and misses. Rows-only (eigen has no SQL twin);
+    // PcaSpec pins the planted case where the two screens disagree.
+    q("q167_mahalanobis_outliers") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val model = Pca.fit(emb, "embedding", dim = 64, k = 64)
+      // top-k via TakeOrdered (per-partition heads + driver merge of
+      // 50), THEN rank the k-bounded result — never a global window
+      Pca.mahalanobis(emb, "embedding", model)
+        .select($"vec_id", $"label", round($"maha", 4).as("maha"))
+        .orderBy($"maha".desc, $"vec_id".asc)
+        .limit(50)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"maha".desc, $"vec_id".asc)).cast("long"))
     }
   )
 }

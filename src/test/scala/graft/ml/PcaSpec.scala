@@ -80,6 +80,28 @@ class PcaSpec extends SparkSpec {
       s"projected variance ${vs.sum} vs trace $total")
   }
 
+  test("mahalanobis flags a low-variance-direction outlier that cosine misses") {
+    val sp = spark; import sp.implicits._
+    // cluster around (10, 0): wide along dim0, whisper-thin along dim1
+    val cluster = (0 until 200).map { n =>
+      val t = (n % 20) - 10.0
+      (n.toLong, Seq((10.0 + t).toFloat, (0.001 * ((n % 7) - 3)).toFloat))
+    }
+    val outlier = Seq((999L, Seq(10.0f, 1.0f))) // 1 unit off the thin axis
+    val df = (cluster ++ outlier).toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 2, k = 2)
+    val maha = Pca.mahalanobis(df, "embedding", model)
+      .orderBy(col("maha").desc).select("vec_id").head().getLong(0)
+    assert(maha == 999L, "Mahalanobis must rank the thin-axis deviation first")
+    // centroid cosine does NOT rank it first: its angle to the centroid
+    // is tiny because dim0 dominates the norms
+    val byCos = df.withColumn("label", lit(0))
+    val cosWorst = EmbeddingOutliers.outliers(byCos, "label", "vec_id", "embedding", k = 1)
+      .select("vec_id").head().getLong(0)
+    assert(cosWorst != 999L,
+      s"cosine screen flagged $cosWorst — the planted case should separate the two screens")
+  }
+
   test("covarianceDf on the harness embeddings: 64x65/2 rows, diagonal positive") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val cdf = Pca.covarianceDf(emb, "embedding", 64)
