@@ -452,6 +452,43 @@ object MlQueries extends QueryDsl {
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy($"maha".desc, $"vec_id".asc)).cast("long"))
+    },
+
+    // Cross-corpus SEMANTIC decontamination: train vectors near any
+    // eval vector in embedding space — catches paraphrased benchmark
+    // leakage the n-gram screen (q152) cannot. Exact all-pairs is the
+    // oracle route (the eval side is benchmark-small by construction);
+    // q168b is the banded cross-side SRP route.
+    q("q168_semantic_contamination",
+      """WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+        |ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0),
+        |hits AS (SELECT t.vec_id,
+        |    list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+        |  FROM tr t JOIN ev e
+        |    ON isfinite(list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |   AND list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.35)
+        |SELECT vec_id, cast(count(*) AS BIGINT) AS n_eval_hits,
+        |  round(max(cos), 4) AS max_cos
+        |FROM hits GROUP BY 1""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      graft.dedup.SemanticContamination.exactReport(
+        emb.filter($"vec_id" % 17 =!= 0), emb.filter($"vec_id" % 17 === 0),
+        "vec_id", "embedding", tau = 0.35)
+        .select($"vec_id", $"n_eval_hits", round($"max_cos", 4).as("max_cos"))
+    },
+
+    // The 100 TB route: both sides signed with shared SRP hyperplanes,
+    // candidates = cross-side bucket collisions. Rows-only; the spec
+    // pins recall against the exact route and the planted-leak case.
+    q("q168b_semantic_contamination_lsh") { c =>
+      import c.t
+      val emb = t("embeddings")
+      graft.dedup.SemanticContamination.lshReport(
+        emb.filter($"vec_id" % 17 =!= 0), emb.filter($"vec_id" % 17 === 0),
+        "vec_id", "embedding", tau = 0.35, nBits = 8, tables = 8, dim = 64,
+        maxBucketSize = 10000)
+        .select($"vec_id", $"n_eval_hits", round($"max_cos", 4).as("max_cos"))
     }
   )
 }

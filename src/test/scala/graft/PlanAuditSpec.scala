@@ -21,7 +21,11 @@ class PlanAuditSpec extends SparkSpec {
     "q74b_ann_ivfpq_exhaustive", "q71_ann_lsh",
     // exact cosine pair graph as LPA's oracle route (q162b is the
     // LSH-bucketed scale twin)
-    "q162_lpa_communities")
+    "q162_lpa_communities",
+    // exact train x eval screen as semantic decontamination's oracle
+    // route (q168b is the cross-side SRP scale twin; the eval side is
+    // benchmark-small by construction, so the plan is a broadcast)
+    "q168_semantic_contamination")
 
   // SCALAR-BROADCAST idiom: a one-row global aggregate (corpus total,
   // avgdl, merged HLL/CMS sketch, timeline bounds, PageRank's N)
