@@ -50,7 +50,7 @@ object Dsir {
       .groupBy(keep :+ col("token"): _*)
       .agg(count(lit(1)).as("cnt"))
 
-  private def corpusCounts(df: DataFrame, textCol: String, as: String): DataFrame =
+  private[ml] def corpusCounts(df: DataFrame, textCol: String, as: String): DataFrame =
     df.filter(length(trim(col(textCol))) > 0)
       .select(explode(TF.wsTokens(lower(col(textCol)))).as("token"))
       .filter(col("token") =!= "")
@@ -70,7 +70,7 @@ object Dsir {
     * space dwarfs the vocabulary (tot_t and tot_p shift by different
     * log factors per token); over occupied keys the two routes agree
     * exactly until collisions actually happen. */
-  private def ratioFromCounts(t: DataFrame, p: DataFrame, keyCol: String): Ratio = {
+  private[ml] def ratioFromCounts(t: DataFrame, p: DataFrame, keyCol: String): Ratio = {
     // materialized ONCE (vocab-bounded): totals, table and oov all
     // derive from it — without the checkpoint each re-runs both
     // corpus-count aggregations

@@ -39,24 +39,45 @@ object LabelPropagation {
       srcCol: String,
       dstCol: String,
       rounds: Int = 3,
-      symmetrize: Boolean = true): DataFrame = {
+      symmetrize: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // weighted variant: a neighbor's vote counts its edge weight
+    // (similarity-weighted communities when edges carry cosine /
+    // Jaccard); the self-vote always weighs 1.0. Weights must be
+    // positive — fail loud per row, a zero/negative vote silently
+    // reverses the argmax.
+    val wExpr = weightCol
+      .map(c => when(col(c).isNull || col(c).cast("double") <= 0.0,
+          raise_error(concat(lit(s"LabelPropagation: non-positive weight in '$c': "),
+            coalesce(col(c).cast("string"), lit("null")))))
+        .otherwise(col(c).cast("double")))
+      .getOrElse(lit(1.0))
     val e0 = edges.select(
-      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-    val eSym = if (symmetrize) e0.union(e0.select(col("v").as("u"), col("u").as("v"))) else e0
+      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+      wExpr.as("w"))
+    val eSym = if (symmetrize)
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w"))) else e0
     // materialize once: every round re-reads the edge frame
     val e = eSym.localCheckpoint()
-    var labels = e.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    // self-vote weight = the node's strongest incident edge (exactly
+    // 1.0 in the unweighted case, so the unweighted semantics are
+    // unchanged): strong enough to damp pair oscillation, never strong
+    // enough to freeze a node whose edges all weigh < 1
+    val selfW = e.groupBy(col("u").as("node")).agg(max(col("w")).as("sw"))
+      .localCheckpoint()
+    var labels = selfW.select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
-      // node u hears the labels of its neighbors v, plus its own
+      // node u hears the labels of its neighbors v (weighted), plus
+      // its own at the self weight
       val votes = e.join(labels.withColumnRenamed("node", "v"), "v")
-        .select(col("u").as("node"), col("lbl"))
-        .unionByName(labels)
-      // argmax by (count desc, label asc) without a window: min over
-      // the lexicographic struct (-cnt, lbl)
+        .select(col("u").as("node"), col("lbl"), col("w"))
+        .unionByName(labels.join(selfW, "node")
+          .select(col("node"), col("lbl"), col("sw").as("w")))
+      // argmax by (weight desc, label asc) without a window: min over
+      // the lexicographic struct (-w, lbl)
       labels = votes.groupBy(col("node"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("w")).as("cnt"))
         .groupBy(col("node"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("lbl"))

@@ -489,6 +489,21 @@ object MlQueries extends QueryDsl {
         "vec_id", "embedding", tau = 0.35, nBits = 8, tables = 8, dim = 64,
         maxBucketSize = 10000)
         .select($"vec_id", $"n_eval_hits", round($"max_cos", 4).as("max_cos"))
+    },
+
+    // Similarity-WEIGHTED label propagation on the LSH pair graph:
+    // votes carry the verified cosine, so a community boundary falls
+    // on weak ties even when edge counts tie. Rows-only (double-sum
+    // argmax has no stable SQL twin); the weighted semantics are
+    // spec-pinned (heavier side wins, positive-weight guard).
+    q("q169_lpa_weighted") { c =>
+      import c.t
+      val pairs = graft.ann.Ann.lshNearDupPairs(
+        t("embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+      graft.operators.LabelPropagation.run(
+        pairs, "vec_a", "vec_b", rounds = 3, weightCol = Some("cos"))
+        .select($"node".as("vec_id"), $"community")
     }
   )
 }

@@ -53,6 +53,32 @@ class LabelPropagationSpec extends SparkSpec {
     assert(out(1L) != out(7L), s"bridge must not merge: $out")
   }
 
+  test("weighted votes: a node between two communities adopts the heavier side") {
+    val sp = spark; import sp.implicits._
+    // node 5 touches community {1,2} (weights 0.9 each) and community
+    // {10,11} (weights 0.2 each): unweighted it's a 2-2 tie -> min
+    // label; weighted it must side with {1,2}
+    val edges = Seq(
+      (1L, 2L, 0.9), (1L, 5L, 0.9), (2L, 5L, 0.9),
+      (10L, 11L, 0.2), (10L, 5L, 0.2), (11L, 5L, 0.2)
+    ).toDF("a", "b", "w")
+    val weighted = labelsOf(LabelPropagation.run(
+      edges, "a", "b", rounds = 3, weightCol = Some("w")))
+    assert(weighted(5L) == weighted(1L),
+      s"node 5 must join the strongly-linked community: $weighted")
+    assert(weighted(10L) == weighted(11L))
+    assert(weighted(1L) != weighted(10L))
+  }
+
+  test("weighted run rejects non-positive weights loudly") {
+    val sp = spark; import sp.implicits._
+    val bad = Seq((1L, 2L, 0.0)).toDF("a", "b", "w")
+    val ex = intercept[Exception] {
+      LabelPropagation.run(bad, "a", "b", rounds = 1, weightCol = Some("w")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("deterministic under repartitioning") {
     val sp = spark; import sp.implicits._
     val edges = Seq(
