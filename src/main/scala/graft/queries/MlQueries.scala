@@ -504,6 +504,107 @@ object MlQueries extends QueryDsl {
       graft.operators.LabelPropagation.run(
         pairs, "vec_a", "vec_b", rounds = 3, weightCol = Some("cos"))
         .select($"node".as("vec_id"), $"community")
+    },
+
+    // PMI collocations — the phrase-mining signal behind tokenizer
+    // vocab / merge decisions: pointwise mutual information of
+    // adjacent token pairs, ln(p(ab) / (p(a) p(b))), min-support 5,
+    // top-100 by (pmi desc, bigram asc). Unigram and bigram
+    // distributions are each ONE aggregation over the token scan;
+    // the PMI join is bigram-vocabulary-sized.
+    q("q170_pmi_collocations",
+      """WITH toksv AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tv
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT unnest(tv) AS w FROM toksv),
+        |ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+        |utot AS (SELECT sum(n) AS n1 FROM ucnt),
+        |bi AS (SELECT unnest([tv[i] || ' ' || tv[i+1] for i in range(1, len(tv))]) AS bg
+        |  FROM toksv WHERE len(tv) >= 2),
+        |bcnt AS (SELECT bg, count(*) AS nab,
+        |    string_split(bg, ' ')[1] AS wa, string_split(bg, ' ')[2] AS wb
+        |  FROM bi GROUP BY 1),
+        |btot AS (SELECT sum(nab) AS n2 FROM bcnt),
+        |pmi AS (SELECT bg AS bigram, nab,
+        |    round(ln((nab * 1.0 / n2) / ((ua.n * 1.0 / n1) * (ub.n * 1.0 / n1))), 4) AS pmi
+        |  FROM bcnt, btot, utot
+        |  JOIN ucnt ua ON bcnt.wa = ua.w
+        |  JOIN ucnt ub ON bcnt.wb = ub.w
+        |  WHERE nab >= 5)
+        |SELECT bigram, cast(nab AS BIGINT) AS nab, pmi
+        |FROM pmi ORDER BY pmi DESC, bigram ASC LIMIT 100""".stripMargin) { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      // spread: the token/bigram explodes are the whole cost and the
+      // dense single-row-group scan would run them in ONE task;
+      // checkpoint the two count tables so totals + the PMI join don't
+      // re-run the explodes
+      val docs = graft.operators.Partitioning.spread(
+        t("documents").filter(length(trim($"text")) > 0))
+      val uni = docs.select(explode(TF.wsTokens(lower($"text"))).as("w"))
+      val ucnt = uni.groupBy($"w").agg(count(lit(1)).as("n")).localCheckpoint()
+      val utot = ucnt.agg(sum($"n").as("n1"))
+      val bi = docs.select(explode(TF.wordNGrams($"text", 2)).as("bigram"))
+      val bcntAll = bi.groupBy($"bigram").agg(count(lit(1)).as("nab")).localCheckpoint()
+      val btot = bcntAll.agg(sum($"nab").as("n2"))
+      val bcnt = bcntAll
+        .filter($"nab" >= 5)
+        .withColumn("wa", split($"bigram", " ").getItem(0))
+        .withColumn("wb", split($"bigram", " ").getItem(1))
+      bcnt
+        .join(ucnt.select($"w".as("wa"), $"n".as("na")), "wa")
+        .join(ucnt.select($"w".as("wb"), $"n".as("nb")), "wb")
+        .crossJoin(broadcast(btot))
+        .crossJoin(broadcast(utot))
+        .select($"bigram", $"nab",
+          round(log(($"nab" * lit(1.0) / $"n2") /
+            (($"na" * lit(1.0) / $"n1") * ($"nb" * lit(1.0) / $"n1"))), 4).as("pmi"))
+        .orderBy($"pmi".desc, $"bigram".asc)
+        .limit(100)
+    },
+
+    // Embedding drift between corpus versions (q153's derived-version
+    // convention): B drops vec_id%13==5 and scales vec_id%11==0 by
+    // 1.1. Per-label centroid shift + mean-norm change — the
+    // representation-drift gate before an index trained on A serves B.
+    q("q171_embedding_drift",
+      """WITH a AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT label, vec_id,
+        |    CASE WHEN vec_id % 11 = 0 THEN list_transform(embedding::DOUBLE[], x -> x * 1.1)
+        |         ELSE embedding::DOUBLE[] END AS v
+        |  FROM embeddings WHERE vec_id % 13 <> 5),
+        |posa AS (SELECT label, unnest(v) AS x,
+        |    unnest(range(1, len(v) + 1)) AS p FROM a),
+        |posb AS (SELECT label, unnest(v) AS x,
+        |    unnest(range(1, len(v) + 1)) AS p FROM b),
+        |ca AS (SELECT label, p, avg(x) AS m FROM posa GROUP BY 1, 2),
+        |cb AS (SELECT label, p, avg(x) AS m FROM posb GROUP BY 1, 2),
+        |shift AS (SELECT ca.label, sqrt(sum((ca.m - cb.m) * (ca.m - cb.m))) AS centroid_shift
+        |  FROM ca JOIN cb ON ca.label = cb.label AND ca.p = cb.p GROUP BY 1),
+        |na AS (SELECT label, count(*) AS n_a,
+        |    avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mean_norm_a
+        |  FROM a GROUP BY 1),
+        |nb AS (SELECT label, count(*) AS n_b,
+        |    avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mean_norm_b
+        |  FROM b GROUP BY 1)
+        |SELECT na.label, cast(n_a AS BIGINT) AS n_a, cast(n_b AS BIGINT) AS n_b,
+        |  round(s.centroid_shift, 6) AS centroid_shift,
+        |  round(mean_norm_a, 6) AS mean_norm_a, round(mean_norm_b, 6) AS mean_norm_b
+        |FROM na JOIN nb ON na.label = nb.label
+        |JOIN shift s ON na.label = s.label""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val a = emb.select($"label", $"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      val b = emb.filter($"vec_id" % 13 =!= 5)
+        .select($"label", $"vec_id",
+          when($"vec_id" % 11 === 0,
+            transform($"embedding".cast("array<double>"), x => x * lit(1.1)))
+            .otherwise($"embedding".cast("array<double>")).as("embedding"))
+      graft.ml.EmbeddingDrift.report(a, b, "label", "embedding")
+        .select($"label", $"n_a", $"n_b",
+          round($"centroid_shift", 6).as("centroid_shift"),
+          round($"mean_norm_a", 6).as("mean_norm_a"),
+          round($"mean_norm_b", 6).as("mean_norm_b"))
     }
   )
 }

@@ -50,7 +50,10 @@ class PlanAuditSpec extends SparkSpec {
     "q86_cms_heavy_hitters", "q89_tfidf_topk",
     // q164: the one-row regression-moment frame crossJoined with the
     // one-row distinct-type count
-    "q164_zipf_fit")
+    "q164_zipf_fit",
+    // q170: the one-row unigram and bigram totals crossJoined into the
+    // PMI formula
+    "q170_pmi_collocations")
 
   // SMALL-BROADCAST THETA JOIN by design: a deliberately tiny probe
   // frame (bounded by construction, NOT one row) joined on a range /
