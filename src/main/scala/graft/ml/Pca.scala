@@ -52,15 +52,20 @@ object Pca {
     }
   }
 
-  /** One distributed pass: treeAggregate of (n, Σx, Σ upper xxᵀ). */
+  /** One distributed pass: treeAggregate of (n, Σx, Σ upper xxᵀ).
+    * Rows deserialize straight to primitive `Array[Double]` (Dataset
+    * encoder) — the per-element boxing of a Row-based RDD would
+    * dominate the whole pass at depth 64. */
   def fitStats(emb: DataFrame, vecCol: String, dim: Int): Stats = {
     val tri = dim * (dim + 1) / 2
+    val sp = emb.sparkSession
+    import sp.implicits._
     val vecs = emb.select(col(vecCol).cast("array<double>")).na.drop()
+      .as[Array[Double]]
     val zero = (0L, new Array[Double](dim), new Array[Double](tri))
     val (n, sums, prods) = vecs.rdd
       .treeAggregate(zero)(
-        seqOp = { case ((cnt, s, p), row) =>
-          val a = row.getSeq[Double](0)
+        seqOp = { case ((cnt, s, p), a) =>
           require(a.length == dim, s"PCA: vector of length ${a.length}, expected $dim")
           var i = 0
           var idx = 0
