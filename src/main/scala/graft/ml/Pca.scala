@@ -193,13 +193,24 @@ object Pca {
     * the direction enters the plan as a literal array against the
     * codegen'd dot kernel — pure map-side scan work, no shuffle, no
     * driver round-trips past the (tiny) fitted model. */
+  private def shifts(model: Model): Array[Double] =
+    model.components.map(_.zip(model.mean).map { case (a, b) => a * b }.sum)
+
   def project(emb: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val x = col(vecCol).cast("array<double>")
-    model.components.zipWithIndex.foldLeft(emb) { case (df, (comp, j)) =>
-      val vLit = array(comp.map(lit): _*)
-      val shift = comp.zip(model.mean).map { case (a, b) => a * b }.sum
-      df.withColumn(s"pc$j", VectorFunctions.dot(x, vLit) - lit(shift))
-    }
+    // ONE fused kernel for all k directions (graft.functions
+    // .MatVecProject): k separate dot expressions blow the codegen
+    // method budget around k~64 and drop the whole scan to
+    // interpreted evaluation
+    val pcs = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MatVecProject(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+        model.components, shifts(model)))
+    val withPcs = emb.withColumn("__pcs", pcs)
+    model.components.indices
+      .foldLeft(withPcs) { case (df, j) =>
+        df.withColumn(s"pc$j", element_at(col("__pcs"), j + 1))
+      }
+      .drop("__pcs")
   }
 
   /** Mahalanobis distance (squared) of every vector under a FULL-rank
@@ -214,13 +225,13 @@ object Pca {
     * because cosine weights every direction equally. */
   def mahalanobis(emb: DataFrame, vecCol: String, model: Model,
       minVar: Double = 1e-9): DataFrame = {
-    val projected = project(emb, vecCol, model)
-    val terms = model.variances.zipWithIndex.collect {
-      case (v, j) if v > minVar => col(s"pc$j") * col(s"pc$j") / lit(v)
-    }
-    require(terms.nonEmpty, "Mahalanobis: all directions below minVar")
-    projected
-      .withColumn("maha", terms.reduce(_ + _))
-      .drop(model.components.indices.map(j => s"pc$j"): _*)
+    val keep = model.variances.zipWithIndex.filter(_._1 > minVar)
+    require(keep.nonEmpty, "Mahalanobis: all directions below minVar")
+    val mat = keep.map { case (_, j) => model.components(j) }
+    val sh = shifts(model)
+    val kernel = graft.functions.MahalanobisDistSq(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+      mat, keep.map { case (_, j) => sh(j) }, keep.map { case (v, _) => 1.0 / v })
+    emb.withColumn("maha", org.apache.spark.sql.graft.ColumnBridge.column(kernel))
   }
 }

@@ -102,6 +102,37 @@ class PcaSpec extends SparkSpec {
       s"cosine screen flagged $cosWorst — the planted case should separate the two screens")
   }
 
+  test("mat-vec kernels survive Java serialization (executor task shipping)") {
+    // regression: an eager field in the kernels' shared superclass NPE'd
+    // during deserialization (the initializer runs before case-class
+    // fields restore) — every multi-partition run failed
+    import java.io._
+    val e = graft.functions.MahalanobisDistSq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(0.0, 0.0), Array(1.0, 1.0))
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos); oos.writeObject(e); oos.close()
+    val back = new ObjectInputStream(new ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.functions.MahalanobisDistSq]
+    // the restored kernel still evaluates: (1,2) under identity, w=1 -> 1+4
+    assert(math.abs(back.nullSafeEval(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0f, 2.0f)))
+      .asInstanceOf[Double] - 5.0) < 1e-12)
+  }
+
+  test("projection on a multi-partition frame is identical to single-partition") {
+    val m = Pca.fit(planted, "embedding", dim = 4, k = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Pca.mahalanobis(df, "embedding", m)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("maha")).toMap
+    val one = rows(planted.coalesce(1))
+    val many = rows(planted.repartition(13))
+    assert(one.keySet == many.keySet)
+    one.foreach { case (k2, v) => assert(math.abs(v - many(k2)) < 1e-12) }
+  }
+
   test("covarianceDf on the harness embeddings: 64x65/2 rows, diagonal positive") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val cdf = Pca.covarianceDf(emb, "embedding", 64)
