@@ -605,6 +605,61 @@ object MlQueries extends QueryDsl {
           round($"centroid_shift", 6).as("centroid_shift"),
           round($"mean_norm_a", 6).as("mean_norm_a"),
           round($"mean_norm_b", 6).as("mean_norm_b"))
+    },
+
+    // Population stability index of the quality-score distribution
+    // between corpus versions — the standard model-monitoring drift
+    // number, over FIXED-width deciles of [0,1] (fixed bins dodge
+    // cross-engine percentile-interpolation hazards; quality is
+    // bounded by construction). Smoothed proportions (+0.5/bucket) so
+    // empty buckets contribute finitely. Version B = q153's derived
+    // convention (drop doc_id%13==5, ' v2' suffix where %11==0).
+    q("q172_psi_quality",
+      s"""WITH a AS (SELECT round(${TextQueries.qualityExprSql}, 6) AS q FROM documents),
+        |b AS (SELECT round(${TextQueries.qualityExprSql}, 6) AS q FROM (
+        |  SELECT CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 5)),
+        |ba AS (SELECT least(9, cast(floor(q * 10) AS INT)) AS bucket, count(*) AS n
+        |  FROM a GROUP BY 1),
+        |bb AS (SELECT least(9, cast(floor(q * 10) AS INT)) AS bucket, count(*) AS n
+        |  FROM b GROUP BY 1),
+        |na AS (SELECT sum(n) AS t FROM ba), nb AS (SELECT sum(n) AS t FROM bb),
+        |spine AS (SELECT unnest(range(0, 10)) AS bucket),
+        |j AS (SELECT s.bucket,
+        |    coalesce(ba.n, 0) AS n_a, coalesce(bb.n, 0) AS n_b,
+        |    (coalesce(ba.n, 0) + 0.5) / (na.t + 5.0) AS pa,
+        |    (coalesce(bb.n, 0) + 0.5) / (nb.t + 5.0) AS pb
+        |  FROM spine s
+        |  LEFT JOIN ba ON s.bucket = ba.bucket
+        |  LEFT JOIN bb ON s.bucket = bb.bucket
+        |  CROSS JOIN na CROSS JOIN nb)
+        |SELECT cast(bucket AS INT) AS bucket,
+        |  cast(n_a AS BIGINT) AS n_a, cast(n_b AS BIGINT) AS n_b,
+        |  round((pa - pb) * ln(pa / pb), 6) + 0.0 AS psi_contrib
+        |FROM j""".stripMargin) { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      val docs = t("documents")
+      def buckets(df: org.apache.spark.sql.DataFrame) =
+        df.select(least(lit(9), floor(TF.qualityScore($"text") * 10).cast("int")).as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      val ba = buckets(docs)
+      val bb = buckets(docs.filter($"doc_id" % 13 =!= 5)
+        .select(when($"doc_id" % 11 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text")))
+      val spine = c.spark.range(0, 10).select($"id".cast("int").as("bucket"))
+      val na = ba.agg(sum($"n").as("ta"))
+      val nb = bb.agg(sum($"n").as("tb"))
+      val j = spine
+        .join(ba.withColumnRenamed("n", "na_"), Seq("bucket"), "left")
+        .join(bb.withColumnRenamed("n", "nb_"), Seq("bucket"), "left")
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select($"bucket",
+          coalesce($"na_", lit(0L)).as("n_a"), coalesce($"nb_", lit(0L)).as("n_b"),
+          ((coalesce($"na_", lit(0L)) + lit(0.5)) / ($"ta" + lit(5.0))).as("pa"),
+          ((coalesce($"nb_", lit(0L)) + lit(0.5)) / ($"tb" + lit(5.0))).as("pb"))
+      j.select($"bucket", $"n_a", $"n_b",
+        (round(($"pa" - $"pb") * log($"pa" / $"pb"), 6) + lit(0.0)).as("psi_contrib"))
     }
   )
 }

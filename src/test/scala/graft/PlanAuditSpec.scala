@@ -53,7 +53,10 @@ class PlanAuditSpec extends SparkSpec {
     "q164_zipf_fit",
     // q170: the one-row unigram and bigram totals crossJoined into the
     // PMI formula
-    "q170_pmi_collocations")
+    "q170_pmi_collocations",
+    // q172: the two one-row version totals crossJoined into the PSI
+    // proportions
+    "q172_psi_quality")
 
   // SMALL-BROADCAST THETA JOIN by design: a deliberately tiny probe
   // frame (bounded by construction, NOT one row) joined on a range /
