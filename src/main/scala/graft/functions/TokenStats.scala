@@ -103,7 +103,7 @@ object TokenStatsExpr {
   def of(tokens: Column): Column =
     ColumnBridge.column(TokenStatsExpr(ColumnBridge.expression(tokens)))
 
-  private final val Seed = 0x7A57C0DEL
+  private[functions] final val Seed = 0x7A57C0DEL
 
   def compute(toks: ArrayData): InternalRow = computeGrams(toks, 1)
 
@@ -163,5 +163,74 @@ object TokenStatsExpr {
       i += 1
     }
     new GenericInternalRow(Array[Any](k.toLong, distinct, top.toLong, singletons))
+  }
+}
+
+/** Per-document unigram ENTROPY as one row-local expression:
+  * array<string> tokens -> H = ln(n) - (sum c ln c)/n over the token
+  * multiset — the repetitiveness score (q166's semantics) computed
+  * inside the scan with [[TokenStatsExpr]]'s open-addressing hash
+  * table instead of two corpus-wide shuffles. Zero or one tokens ->
+  * 0.0. Deterministic: the table iteration order depends only on the
+  * token hashes, never on partitioning. */
+case class TokenEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "token_entropy"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_entropy requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenEntropyExpr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenEntropyExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropyExpr =
+    copy(child = newChild)
+}
+
+object TokenEntropyExpr {
+  def of(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TokenEntropyExpr(org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
+
+  /** Shared interpreted/codegen kernel (TokenStatsExpr's table). */
+  def compute(toks: ArrayData): Double = {
+    val m = toks.numElements()
+    if (m <= 1) return 0.0
+    require(m <= (1 << 29), s"token_entropy: array too large ($m elements)")
+    val mask = {
+      var cap = 8
+      while (cap < m * 2) cap <<= 1
+      cap - 1
+    }
+    val keys = new Array[Long](mask + 1)
+    val counts = new Array[Int](mask + 1)
+    var i = 0
+    while (i < m) {
+      val h = if (toks.isNullAt(i)) 0x9E3779B97F4A7C15L else {
+        val t = toks.getUTF8String(i)
+        XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, TokenStatsExpr.Seed)
+      }
+      var slot = (h & mask).toInt
+      while (counts(slot) != 0 && keys(slot) != h) slot = (slot + 1) & mask
+      if (counts(slot) == 0) keys(slot) = h
+      counts(slot) += 1
+      i += 1
+    }
+    var clnc = 0.0
+    var s = 0
+    while (s <= mask) {
+      val c = counts(s)
+      if (c > 1) clnc += c * math.log(c.toDouble) // c == 1 contributes 0
+      s += 1
+    }
+    math.log(m.toDouble) - clnc / m
   }
 }

@@ -64,6 +64,12 @@ object CorpusPipeline {
       // gate stays a stateless zero-shuffle filter. None = skip.
       maxTopBigramShare: Option[Double] = None,
       maxDupTrigramFrac: Option[Double] = None,
+      // drop docs whose unigram entropy falls below this floor
+      // (templated/near-constant text the top-token rule can miss when
+      // repetition spreads over a few tokens). TokenEntropyExpr kernel
+      // — row-local, zero shuffle, same gate family as the above.
+      // None = skip
+      minEntropy: Option[Double] = None,
       // downsample every language toward the smallest one after
       // sampling (DomainMix.balanceToSmallest)
       balanceDomains: Boolean = false,
@@ -140,6 +146,15 @@ object CorpusPipeline {
     * the streaming twin. Docs with fewer windows than the n-gram
     * order pass (nothing to repeat; n_tokens = 0 guards the
     * division). Pass None to skip either predicate. */
+  /** Entropy floor (q166's statistic as an admission predicate): drop
+    * near-constant/templated documents whose token entropy falls below
+    * the floor. Row-local TokenEntropyExpr kernel — stateless, zero
+    * shuffle, shared with the streaming twin. Empty/whitespace docs
+    * pass (minWords already polices emptiness). */
+  def entropyGate(docs: DataFrame, minEntropy: Double): DataFrame =
+    docs.filter(length(trim(col("text"))) === 0 ||
+      graft.functions.TokenEntropyExpr.of(TF.wsTokens(lower(col("text")))) >= minEntropy)
+
   def ngramRepetitionGate(
       docs: DataFrame,
       maxTopBigramShare: Option[Double],
@@ -192,14 +207,16 @@ object CorpusPipeline {
     // TokenStatsExpr kernel computes it row-locally in the scan, so
     // the gate is a stateless filter (zero shuffle), same as clean()
     val anyRepGate = opts.maxTopTokenFrac.isDefined ||
-      opts.maxTopBigramShare.isDefined || opts.maxDupTrigramFrac.isDefined
+      opts.maxTopBigramShare.isDefined || opts.maxDupTrigramFrac.isDefined ||
+      opts.minEntropy.isDefined
     val gated = if (!anyRepGate) cleaned else {
       val unigramGated =
         opts.maxTopTokenFrac.fold(cleaned)(repetitionGate(cleaned, _))
       val ngramGated =
         if (opts.maxTopBigramShare.isEmpty && opts.maxDupTrigramFrac.isEmpty) unigramGated
         else ngramRepetitionGate(unigramGated, opts.maxTopBigramShare, opts.maxDupTrigramFrac)
-      ngramGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val entropyGated = opts.minEntropy.fold(ngramGated)(entropyGate(ngramGated, _))
+      entropyGated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val afterRepetitionGate = if (anyRepGate) cnt(gated) else afterClean
 

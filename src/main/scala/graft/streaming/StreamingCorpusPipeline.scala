@@ -44,7 +44,9 @@ object StreamingCorpusPipeline {
       // n-gram tier of the gate (top-bigram share / repeated-trigram
       // fraction) — also stateless, see CorpusPipeline.ngramRepetitionGate
       maxTopBigramShare: Option[Double] = None,
-      maxDupTrigramFrac: Option[Double] = None)
+      maxDupTrigramFrac: Option[Double] = None,
+      // entropy floor (CorpusPipeline.entropyGate) — stateless too
+      minEntropy: Option[Double] = None)
 
   final case class BatchReport(
       input: Long, afterClean: Long, admitted: Long, healed: Long = 0L)
@@ -57,9 +59,12 @@ object StreamingCorpusPipeline {
       docs, opts.minWords, opts.maxWords, opts.minQuality)
     val unigram = opts.maxTopTokenFrac.fold(base)(
       graft.pipeline.CorpusPipeline.repetitionGate(base, _))
-    if (opts.maxTopBigramShare.isEmpty && opts.maxDupTrigramFrac.isEmpty) unigram
-    else graft.pipeline.CorpusPipeline.ngramRepetitionGate(
-      unigram, opts.maxTopBigramShare, opts.maxDupTrigramFrac)
+    val ngram =
+      if (opts.maxTopBigramShare.isEmpty && opts.maxDupTrigramFrac.isEmpty) unigram
+      else graft.pipeline.CorpusPipeline.ngramRepetitionGate(
+        unigram, opts.maxTopBigramShare, opts.maxDupTrigramFrac)
+    opts.minEntropy.fold(ngram)(
+      graft.pipeline.CorpusPipeline.entropyGate(ngram, _))
   }
 
   /** One micro-batch step; exposed for direct (batch) use and tests. */

@@ -73,4 +73,44 @@ class TokenStatsSpec extends SparkSpec {
     assert(out(3L) === (4L, 4L, 1L, 4L))
     assert(out(4L) === (4L, 2L, 2L, 0L)) // nulls collapse to one sentinel value
   }
+
+  test("TokenEntropyExpr: matches the exact groupBy entropy and handles edges") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Seq[String]()),                         // no tokens -> 0
+      (2L, Seq("a")),                              // single -> 0
+      (3L, Seq("a", "a", "a")),                    // uniform repeat -> 0
+      (4L, Seq("a", "b", "c", "d")),               // all distinct -> ln 4
+      (5L, Seq("a", "a", "b", "b")),               // two pairs -> ln 2
+      (6L, Seq("x", null, "x", null, "y")))        // nulls = one sentinel token
+      .toDF("id", "toks")
+    val out = df.select(col("id"), TokenEntropyExpr.of(col("toks")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0)
+    assert(math.abs(out(3L)) < 1e-12)
+    assert(math.abs(out(4L) - math.log(4.0)) < 1e-12)
+    assert(math.abs(out(5L) - math.log(2.0)) < 1e-12)
+    // {x:2, null:2, y:1}: H = ln 5 - (2ln2 + 2ln2)/5
+    assert(math.abs(out(6L) - (math.log(5.0) - 4 * math.log(2.0) / 5)) < 1e-12)
+  }
+
+  test("TokenEntropyExpr agrees with the shuffle formulation on harness documents") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.Tables.documents(spark, sf001)
+      .filter(length(trim(col("text"))) > 0)
+    val kernel = docs.select(col("doc_id"),
+      TokenEntropyExpr.of(TF.wsTokens(lower(col("text")))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = docs
+      .select(col("doc_id"), explode(TF.wsTokens(lower(col("text")))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((log(sum(col("c")) * lit(1.0)) -
+        sum(col("c") * log(col("c") * lit(1.0))) / sum(col("c"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel.keySet == exact.keySet)
+    kernel.foreach { case (id, h) =>
+      assert(math.abs(h - exact(id)) < 1e-9, s"doc $id: kernel $h vs exact ${exact(id)}")
+    }
+  }
 }

@@ -229,6 +229,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(streamed.filter($"doc_id" >= 400001L).count() === 0)
   }
 
+  test("entropy gate: drops few-token-loop text the top-token rule misses; streaming twin agrees") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text", "lang", "source")
+    // spread repetition: 4 tokens looped — top-token frac is only 0.25
+    // (a 0.3 unigram gate passes it) but entropy is ln(4) ~ 1.39,
+    // far below natural text on a 30-word vocabulary
+    val planted = Seq(
+      (500001L, ("alpha beta gamma delta " * 15).trim, "en", "planted"))
+      .toDF("doc_id", "text", "lang", "source")
+    val input = docs.unionByName(planted)
+    val gated = CorpusPipeline.entropyGate(input, minEntropy = 2.0)
+    assert(gated.filter($"doc_id" === 500001L).count() === 0, "loop must drop")
+    // natural harness docs survive a 2.0-nat floor overwhelmingly
+    val kept = gated.count()
+    assert(kept > docs.count() * 8 / 10, s"gate too aggressive: kept $kept")
+    // the unigram repetition gate at 0.3 does NOT catch the planted doc
+    val uniOnly = CorpusPipeline.repetitionGate(input, maxTopTokenFrac = 0.3)
+    assert(uniOnly.filter($"doc_id" === 500001L).count() === 1)
+    // streaming twin routes through the same gate
+    val streamed = graft.streaming.StreamingCorpusPipeline.clean(
+      input, graft.streaming.StreamingCorpusPipeline.Options(
+        minWords = 5, minQuality = 0.0, minEntropy = Some(2.0)))
+    assert(streamed.filter($"doc_id" === 500001L).count() === 0)
+  }
+
   test("curate with chunk sidecar and shard export: retrieval + training layouts of what landed") {
     val sp = spark; import sp.implicits._
     val docs = graft.Tables.documents(spark, sf001)
