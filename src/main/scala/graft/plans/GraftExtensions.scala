@@ -120,6 +120,13 @@ object GraftExtensions {
         arity("token_stats", args, 1, 1)
         graft.functions.TokenStatsExpr(args.head)
       }),
+    (FunctionIdentifier("token_entropy"),
+      info("token_entropy",
+        "token_entropy(tokens) - unigram entropy ln(n) - sum(c ln c)/n of an array<string> token multiset"),
+      (args: Seq[Expression]) => {
+        arity("token_entropy", args, 1, 1)
+        graft.functions.TokenEntropyExpr(args.head)
+      }),
     (FunctionIdentifier("ngram_stats"),
       info("ngram_stats",
         "ngram_stats(tokens, n) - struct(n_tokens, n_distinct, top_count, singleton_count) repetition stats over the length-n windows of an array<string>"),

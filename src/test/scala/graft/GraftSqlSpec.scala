@@ -29,6 +29,15 @@ class GraftSqlSpec extends AnyFunSuite {
         val s = r.getStruct(0)
         assert(s.getLong(0) >= s.getLong(1) && s.getLong(1) >= 1 && s.getLong(2) >= 1)
       }
+      // entropy kernel from pure SQL: bounded by ln(n_tokens)
+      val ent = spark.sql(
+        """SELECT token_entropy(split(trim(lower(text)), '\\s+')) AS h,
+          |  size(split(trim(lower(text)), '\\s+')) AS n
+          |FROM documents WHERE length(trim(text)) > 0 LIMIT 5""".stripMargin).collect()
+      assert(ent.length === 5)
+      ent.foreach { r =>
+        assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= math.log(r.getInt(1).toDouble) + 1e-12)
+      }
     } finally spark.stop()
   }
 }
