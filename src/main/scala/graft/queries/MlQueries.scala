@@ -660,6 +660,31 @@ object MlQueries extends QueryDsl {
           ((coalesce($"nb_", lit(0L)) + lit(0.5)) / ($"tb" + lit(5.0))).as("pb"))
       j.select($"bucket", $"n_a", $"n_b",
         (round(($"pa" - $"pb") * log($"pa" / $"pb"), 6) + lit(0.0)).as("psi_contrib"))
+    },
+
+    // q161's 100 TB route: marginal vocabulary novelty from MERGEABLE
+    // HLL sketches — per source one sketch of its distinct shingles
+    // (map-side partials, no (source, shingle) distinct shuffle), then
+    // prefix unions over the |sources|-bounded sketch table. novel ~=
+    // cumulative estimate minus previous cumulative; error is the
+    // sketch's (~1-2% at lgConfigK 14). Rows-only (sketch internals
+    // have no SQL twin); the spec pins relative error against exact
+    // q161.
+    q("q161b_vocab_novelty_hll") { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      val sk = graft.operators.Partitioning.spread(t("documents"))
+        .select($"source", explode(TF.wordShingles($"text", 3)).as("s"))
+        .groupBy($"source").agg(hll_sketch_agg($"s", lit(14)).as("sk"))
+      val cum = sk.as("a").join(sk.as("b"), col("b.source") <= col("a.source"))
+        .groupBy(col("a.source").as("source"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"), lit(true))).as("cum_est"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"source".asc)
+      sk.select($"source", hll_sketch_estimate($"sk").as("n_shingles_est"))
+        .join(cum, "source")
+        .withColumn("novel_est",
+          $"cum_est" - coalesce(lag($"cum_est", 1).over(w), lit(0L)))
+        .select($"source", $"n_shingles_est", $"novel_est")
     }
   )
 }

@@ -65,7 +65,10 @@ class PlanAuditSpec extends SparkSpec {
   // Distinct from `scalarBroadcast` (provably one row) so each
   // whitelist's invariant stays checkable against its members.
   private val smallBroadcastTheta = Set(
-    "q110_cpe_version_range")
+    "q110_cpe_version_range",
+    // q161b: prefix unions over the |sources|-row HLL sketch table —
+    // a <= theta join on a frame bounded by the source count
+    "q161b_vocab_novelty_hll")
 
   // BOUNDED CROSS by semantics: every row is deliberately paired with
   // every member of a tiny bounded frame because that IS the
