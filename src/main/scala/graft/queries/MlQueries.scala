@@ -129,6 +129,51 @@ object MlQueries extends QueryDsl {
       NaiveBayes.confusion(model, holdout, "doc_id", "text", "lang")
     },
 
+    // Per-class precision / recall / F1 derived from the SAME learned
+    // model as q158 — the evaluation-metrics artifact a gate's
+    // operator reads. Zero-denominator cells are defined to 0 (a class
+    // never predicted has precision 0, not NaN) so both engines agree.
+    q("q158b_nb_class_metrics",
+      s"""WITH cm AS ($nbConfusionSql),
+        |act AS (SELECT lang AS label, sum(n) AS a_tot FROM cm GROUP BY 1),
+        |prd AS (SELECT predicted AS label, sum(n) AS p_tot FROM cm GROUP BY 1),
+        |tp AS (SELECT lang AS label, sum(n) AS tp FROM cm WHERE lang = predicted GROUP BY 1),
+        |m AS (SELECT act.label,
+        |    coalesce(tp.tp, 0) AS tp, act.a_tot,
+        |    coalesce(prd.p_tot, 0) AS p_tot
+        |  FROM act LEFT JOIN tp ON act.label = tp.label
+        |  LEFT JOIN prd ON act.label = prd.label),
+        |pr AS (SELECT label, cast(tp AS BIGINT) AS tp,
+        |    cast(a_tot AS BIGINT) AS support,
+        |    CASE WHEN p_tot = 0 THEN 0.0 ELSE tp * 1.0 / p_tot END AS p,
+        |    CASE WHEN a_tot = 0 THEN 0.0 ELSE tp * 1.0 / a_tot END AS r
+        |  FROM m)
+        |SELECT label, tp, support, round(p, 6) AS precision_, round(r, 6) AS recall_,
+        |  round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS f1
+        |FROM pr""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val model = NaiveBayes.train(docs.filter($"doc_id" % 5 =!= 0), "lang", "text")
+      val cm = NaiveBayes.confusion(
+        model, docs.filter($"doc_id" % 5 === 0), "doc_id", "text", "lang")
+        .localCheckpoint() // three derivations below; don't re-score per branch
+      val act = cm.groupBy($"lang".as("label")).agg(sum($"n").as("a_tot"))
+      val prd = cm.groupBy($"predicted".as("label")).agg(sum($"n").as("p_tot"))
+      val tp = cm.filter($"lang" === $"predicted")
+        .groupBy($"lang".as("label")).agg(sum($"n").as("tp"))
+      val scored = act.join(tp, Seq("label"), "left").join(prd, Seq("label"), "left")
+        .select($"label",
+          coalesce($"tp", lit(0L)).as("tp"), $"a_tot",
+          coalesce($"p_tot", lit(0L)).as("p_tot"))
+        .select($"label", $"tp", $"a_tot",
+          when($"p_tot" === 0, 0.0).otherwise($"tp" * lit(1.0) / $"p_tot").as("p"),
+          when($"a_tot" === 0, 0.0).otherwise($"tp" * lit(1.0) / $"a_tot").as("r"))
+      scored.select($"label", $"tp", $"a_tot".as("support"),
+        round($"p", 6).as("precision_"), round($"r", 6).as("recall_"),
+        round(when($"p" + $"r" === 0, 0.0)
+          .otherwise(lit(2.0) * $"p" * $"r" / ($"p" + $"r")), 6).as("f1"))
+    },
+
     // DSIR importance weights: every pool document (source <> src0)
     // scored by the smoothed unigram log-likelihood ratio toward the
     // src0 target corpus.
@@ -660,6 +705,51 @@ object MlQueries extends QueryDsl {
           ((coalesce($"nb_", lit(0L)) + lit(0.5)) / ($"tb" + lit(5.0))).as("pb"))
       j.select($"bucket", $"n_a", $"n_b",
         (round(($"pa" - $"pb") * log($"pa" / $"pb"), 6) + lit(0.0)).as("psi_contrib"))
+    },
+
+    // Chi-square token-class association: the feature-selection /
+    // diagnostics table behind a classifier gate — which tokens
+    // actually separate the classes. One (class, token) count shuffle;
+    // the full contingency (zero cells included) comes from crossing
+    // the vocab with the |C|-bounded class totals. Min support 10,
+    // top-50 by (chi2 desc, token asc).
+    q("q173_token_chi2",
+      s"""WITH $tokensCte,
+        |tc AS (SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2),
+        |tok_tot AS (SELECT token, sum(n) AS nt FROM tc GROUP BY 1),
+        |cls_tot AS (SELECT lang, sum(n) AS nc FROM tc GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM tc),
+        |cells AS (SELECT t.token, c.lang, t.nt,
+        |    coalesce(tc.n, 0) AS o, t.nt * c.nc * 1.0 / tot.nn AS e
+        |  FROM tok_tot t CROSS JOIN cls_tot c CROSS JOIN tot
+        |  LEFT JOIN tc ON tc.token = t.token AND tc.lang = c.lang
+        |  WHERE t.nt >= 10),
+        |chi AS (SELECT token, max(nt) AS nt,
+        |    round(sum((o - e) * (o - e) / e), 4) AS chi2
+        |  FROM cells GROUP BY 1)
+        |SELECT token, cast(nt AS BIGINT) AS nt, chi2
+        |FROM chi ORDER BY chi2 DESC, token ASC LIMIT 50""".stripMargin) { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      val toks = graft.operators.Partitioning.spread(
+        t("documents").filter(length(trim($"text")) > 0))
+        .select($"lang", explode(TF.wsTokens(lower($"text"))).as("token"))
+      val tc = toks.groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tokTot = tc.groupBy($"token").agg(sum($"n").as("nt")).filter($"nt" >= 10)
+      val clsTot = tc.groupBy($"lang").agg(sum($"n").as("nc"))
+      val tot = tc.agg(sum($"n").as("nn"))
+      val cells = tokTot.crossJoin(broadcast(clsTot)).crossJoin(broadcast(tot))
+        .join(tc, Seq("token", "lang"), "left")
+        .select($"token", $"nt",
+          coalesce($"n", lit(0L)).as("o"),
+          ($"nt" * $"nc" * lit(1.0) / $"nn").as("e"))
+      cells.groupBy($"token")
+        .agg(max($"nt").as("nt"),
+          round(sum(($"o" - $"e") * ($"o" - $"e") / $"e"), 4).as("chi2"))
+        .orderBy($"chi2".desc, $"token".asc)
+        .limit(50)
+        .select($"token", $"nt", $"chi2")
     },
 
     // q161's 100 TB route: marginal vocabulary novelty from MERGEABLE

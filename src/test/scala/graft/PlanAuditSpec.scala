@@ -77,7 +77,11 @@ class PlanAuditSpec extends SparkSpec {
   // constants (scalar-broadcast shape) into vocabulary-sized frames.
   private val boundedCross = Set(
     "q158_nb_confusion", "q159_dsir_weights", "q159b_dsir_resample",
-    "q159c_dsir_hashed")
+    "q159c_dsir_hashed",
+    // q158b derives from q158's scores (same doc x class cross);
+    // q173's full contingency crosses the vocab with the |C|-row class
+    // totals + the one-row grand total
+    "q158b_nb_class_metrics", "q173_token_chi2")
 
   test("every query plans at sf0.001; cartesian joins only where the semantics demand them") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
