@@ -752,6 +752,41 @@ object MlQueries extends QueryDsl {
         .select($"token", $"nt", $"chi2")
     },
 
+    // Triangle counts + local clustering coefficients on the exact
+    // cosine pair graph — the cohesion signal (template families form
+    // cliques, topical neighborhoods don't). Implementation is the
+    // degree-ordered orientation (wedge fan-out bounded ~sqrt(|E|) per
+    // node); the oracle is the naive a<b<c triple join, equivalent by
+    // construction. Exact pair graph = oracle route (q64's contract);
+    // the LSH graph composes identically for the scale route.
+    q("q174_triangle_lcc",
+      """WITH prs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |), sym AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+        |tri AS (SELECT p1.va AS a, p1.vb AS b, p2.vb AS c
+        |  FROM prs p1
+        |  JOIN prs p2 ON p1.va = p2.va AND p1.vb < p2.vb
+        |  JOIN prs p3 ON p3.va = p1.vb AND p3.vb = p2.vb),
+        |pern AS (SELECT node, count(*) AS t FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT d.node AS vec_id, cast(d.deg AS BIGINT) AS degree,
+        |  cast(coalesce(p.t, 0) AS BIGINT) AS triangles,
+        |  round(CASE WHEN d.deg < 2 THEN 0.0
+        |    ELSE 2.0 * coalesce(p.t, 0) / (d.deg * (d.deg - 1)) END, 6) AS lcc
+        |FROM deg d LEFT JOIN pern p ON d.node = p.node""".stripMargin) { c =>
+      import c.t
+      val pairs = TextQueries.cosinePairs(t("embeddings"), 0.35)
+        .select($"vec_a", $"vec_b")
+      graft.operators.Triangles.perNode(pairs, "vec_a", "vec_b")
+        .select($"node".as("vec_id"), $"degree", $"triangles",
+          round($"lcc", 6).as("lcc"))
+    },
+
     // q161's 100 TB route: marginal vocabulary novelty from MERGEABLE
     // HLL sketches — per source one sketch of its distinct shingles
     // (map-side partials, no (source, shingle) distinct shuffle), then
