@@ -787,6 +787,45 @@ object MlQueries extends QueryDsl {
           round($"lcc", 6).as("lcc"))
     },
 
+    // Degree assortativity of the near-dup graph: Pearson correlation
+    // of endpoint degrees over the symmetrized edges — one number that
+    // says whether high-degree (template-y) nodes link to each other
+    // (assortative, > 0) or to the periphery. Manual moment formula,
+    // mirrored term for term.
+    q("q175_degree_assortativity",
+      """WITH prs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |), sym AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
+        |deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1),
+        |pairs AS (SELECT du.d * 1.0 AS x, dv.d * 1.0 AS y
+        |  FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM pairs)
+        |SELECT cast(n AS BIGINT) AS n_directed_edges,
+        |  round((sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS assortativity
+        |FROM m""".stripMargin) { c =>
+      import c.t
+      val prs = TextQueries.cosinePairs(t("embeddings"), 0.35)
+        .select($"vec_a".as("va"), $"vec_b".as("vb"))
+      val sym = prs.select($"va".as("u"), $"vb".as("v"))
+        .union(prs.select($"vb".as("u"), $"va".as("v")))
+      val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+      val pairs = sym
+        .join(deg.select($"node".as("u"), ($"d" * lit(1.0)).as("x")), "u")
+        .join(deg.select($"node".as("v"), ($"d" * lit(1.0)).as("y")), "v")
+      pairs.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .select($"n".as("n_directed_edges"),
+          round(($"sxy" - $"sx" * $"sy" / $"n") /
+            (sqrt($"sxx" - $"sx" * $"sx" / $"n") *
+              sqrt($"syy" - $"sy" * $"sy" / $"n")), 6).as("assortativity"))
+    },
+
     // q161's 100 TB route: marginal vocabulary novelty from MERGEABLE
     // HLL sketches — per source one sketch of its distinct shingles
     // (map-side partials, no (source, shingle) distinct shuffle), then

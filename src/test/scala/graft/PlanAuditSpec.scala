@@ -25,7 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     // exact train x eval screen as semantic decontamination's oracle
     // route (q168b is the cross-side SRP scale twin; the eval side is
     // benchmark-small by construction, so the plan is a broadcast)
-    "q168_semantic_contamination")
+    "q168_semantic_contamination",
+    // exact cosine pair graph as the assortativity oracle route (the
+    // LSH graph composes identically at scale)
+    "q175_degree_assortativity")
 
   // SCALAR-BROADCAST idiom: a one-row global aggregate (corpus total,
   // avgdl, merged HLL/CMS sketch, timeline bounds, PageRank's N)
