@@ -826,6 +826,24 @@ object MlQueries extends QueryDsl {
               sqrt($"syy" - $"sy" * $"sy" / $"n")), 6).as("assortativity"))
     },
 
+    // 2-core of the LSH near-dup graph: the robust dense-cluster
+    // extractor (cyclically-linked duplicate families survive the
+    // peel; chains and stars of borderline near-dups dissolve — at
+    // this corpus the 2-core keeps ~10 of ~1000 linked nodes, and the
+    // 3-core is empty, which is itself the signal: no clique-forming
+    // template families). Iterative peeling has no fixed-depth SQL
+    // twin — rows-only; KCoreSpec pins the exact semantics on planted
+    // shapes (K4+tail, cascading chains).
+    q("q176_kcore_neardup") { c =>
+      import c.t
+      val pairs = graft.ann.Ann.lshNearDupPairs(
+        t("embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+        .select($"vec_a", $"vec_b")
+      graft.operators.KCore.run(pairs, "vec_a", "vec_b", k = 2)
+        .select($"node".as("vec_id"), $"core_degree")
+    },
+
     // q161's 100 TB route: marginal vocabulary novelty from MERGEABLE
     // HLL sketches — per source one sketch of its distinct shingles
     // (map-side partials, no (source, shingle) distinct shuffle), then

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KCoreSpec extends SparkSpec {
+
+  private def core(edges: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Long] =
+    KCore.run(edges, "a", "b", k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // K4 with a tail: 1-2-3-4 complete, 5 hangs off 1, 6 off 5
+  private def fixture = {
+    val sp = spark; import sp.implicits._
+    (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((1L, 5L), (5L, 6L))).toDF("a", "b")
+  }
+
+  test("2-core strips the tail; 3-core is exactly the K4; 4-core is empty") {
+    val c2 = core(fixture, 2)
+    assert(c2.keySet == Set(1L, 2L, 3L, 4L), s"2-core: $c2")
+    val c3 = core(fixture, 3)
+    assert(c3.keySet == Set(1L, 2L, 3L, 4L))
+    assert(c3.values.forall(_ == 3L))
+    assert(core(fixture, 4).isEmpty)
+  }
+
+  test("peeling cascades: a chain fully dissolves at k=2") {
+    val sp = spark; import sp.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    // every interior node has degree 2, but removing the endpoints
+    // cascades: no 2-core survives
+    assert(core(chain, 2).isEmpty)
+    // a 4-cycle DOES survive at k=2
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    assert(core(cycle, 2).keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("coreNumbers: tail nodes 1, K4 members 3") {
+    val cn = KCore.coreNumbers(fixture, "a", "b", maxK = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cn(6L) == 1 && cn(5L) == 1)
+    Seq(1L, 2L, 3L, 4L).foreach(n => assert(cn(n) == 3, s"node $n: ${cn(n)}"))
+  }
+
+  test("deterministic under repartitioning; duplicate/reversed edges collapse") {
+    val sp = spark; import sp.implicits._
+    val messy = fixture.union(fixture.select($"b".as("a"), $"a".as("b")))
+    assert(core(messy, 3) == core(fixture.repartition(7), 3))
+  }
+}
