@@ -32,8 +32,10 @@ object KCore {
       .distinct()
     var cur = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    // one count per round: the previous round's size carries over
+    var curCount = cur.count()
     var rounds = 0
-    var done = false
+    var done = curCount == 0
     while (!done && rounds < maxRounds) {
       val deg = cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("node"))
@@ -42,10 +44,11 @@ object KCore {
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint()
-      val (before, after) = (cur.count(), next.count())
+      val after = next.count()
+      done = after == curCount
       cur = next
+      curCount = after
       rounds += 1
-      done = before == after
     }
     cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
