@@ -844,6 +844,70 @@ object MlQueries extends QueryDsl {
         .select($"node".as("vec_id"), $"core_degree")
     },
 
+    // Rank-biased overlap (RBO, p=0.9, truncated at depth 100) between
+    // two curation scorers' document rankings — quality-score order vs
+    // token-entropy order. The inter-scorer agreement number that says
+    // whether a second signal adds information or re-ranks the same
+    // docs. Each doc in both top-100s contributes sum_{d>=max(ra,rb)}
+    // p^(d-1)/d — computed against a 100-row weight spine, so the
+    // whole metric is two TakeOrdered top-100s + a bounded join.
+    q("q177_rbo_quality_entropy",
+      s"""WITH scored AS (SELECT doc_id,
+        |    round(${TextQueries.qualityExprSql}, 6) AS q
+        |  FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        |    FROM documents WHERE length(trim(text)) > 0) GROUP BY 1, 2),
+        |ent AS (SELECT doc_id,
+        |    ln(sum(cnt) * 1.0) - sum(cnt * ln(cnt * 1.0)) / sum(cnt) AS h
+        |  FROM tc GROUP BY 1),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY q DESC, doc_id ASC) AS r
+        |  FROM scored ORDER BY q DESC, doc_id ASC LIMIT 100),
+        |rbq AS (SELECT doc_id, round(h, 9) AS h FROM ent),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY h DESC, doc_id ASC) AS r
+        |  FROM rbq ORDER BY h DESC, doc_id ASC LIMIT 100),
+        |both_ AS (SELECT ra.doc_id, greatest(ra.r, rb.r) AS m
+        |  FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+        |spine AS (SELECT unnest(range(1, 101)) AS d),
+        |contrib AS (SELECT b.doc_id, sum(pow(0.9, d - 1) / d) AS w
+        |  FROM both_ b JOIN spine s ON s.d >= b.m GROUP BY 1)
+        |SELECT cast((SELECT count(*) FROM both_) AS BIGINT) AS shared_docs,
+        |  round(0.1 * coalesce((SELECT sum(w) FROM contrib), 0.0), 6) AS rbo
+        |""".stripMargin) { c =>
+      import c.t
+      import graft.functions.{TextFunctions => TF}
+      val docs = t("documents")
+      val ra = docs
+        .select($"doc_id", TF.qualityScore($"text").as("q"))
+        .orderBy($"q".desc, $"doc_id".asc).limit(100)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"q".desc, $"doc_id".asc)))
+        .select($"doc_id", $"r".as("ra"))
+      val tcnt = docs.filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      // round(h, 9): identical token multisets give bit-different sums
+      // across engines (addition order) — collapse 1-ulp ties so the
+      // doc_id tie-break decides identically on both sides
+      val rb = tcnt.groupBy($"doc_id")
+        .agg(round(log(sum($"cnt") * lit(1.0)) -
+          sum($"cnt" * log($"cnt" * lit(1.0))) / sum($"cnt"), 9).as("h"))
+        .orderBy($"h".desc, $"doc_id".asc).limit(100)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"h".desc, $"doc_id".asc)))
+        .select($"doc_id", $"r".as("rb"))
+      val both = ra.join(rb, "doc_id")
+        .select($"doc_id", greatest($"ra", $"rb").as("m"))
+      val spine = c.spark.range(1, 101).select($"id".as("d"))
+      val contrib = both.join(spine, $"d" >= $"m")
+        .groupBy($"doc_id").agg(sum(pow(lit(0.9), $"d" - 1) / $"d").as("w"))
+      val shared = both.agg(count(lit(1)).as("shared_docs"))
+      val total = contrib.agg(sum($"w").as("sw"))
+      shared.crossJoin(total)
+        .select($"shared_docs",
+          round(lit(0.1) * coalesce($"sw", lit(0.0)), 6).as("rbo"))
+    },
+
     // q161's 100 TB route: marginal vocabulary novelty from MERGEABLE
     // HLL sketches — per source one sketch of its distinct shingles
     // (map-side partials, no (source, shingle) distinct shuffle), then

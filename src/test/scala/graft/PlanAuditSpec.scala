@@ -71,7 +71,10 @@ class PlanAuditSpec extends SparkSpec {
     "q110_cpe_version_range",
     // q161b: prefix unions over the |sources|-row HLL sketch table —
     // a <= theta join on a frame bounded by the source count
-    "q161b_vocab_novelty_hll")
+    "q161b_vocab_novelty_hll",
+    // q177: the top-100 shared-docs frame theta-joined against the
+    // 100-row RBO weight spine (d >= m), plus the one-row totals cross
+    "q177_rbo_quality_entropy")
 
   // BOUNDED CROSS by semantics: every row is deliberately paired with
   // every member of a tiny bounded frame because that IS the
