@@ -908,6 +908,28 @@ object MlQueries extends QueryDsl {
           round(lit(0.1) * coalesce($"sw", lit(0.0)), 6).as("rbo"))
     },
 
+    // Events-to-graph bridge: user co-presence pairs (shared 10-minute
+    // activity windows, min 3) — collusion/recommendation neighborhoods
+    // from the event stream; the output edge list feeds the graph
+    // family (LPA/k-core/triangles) directly. Per-window self-join,
+    // never all user pairs; hot windows are the LSH-bucket analogue
+    // and carry a documented skew cut.
+    q("q178_user_copresence",
+      """WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+        |  FROM events),
+        |e AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS shared
+        |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
+        |  GROUP BY 1, 2)
+        |SELECT ua, ub, cast(shared AS BIGINT) AS shared
+        |FROM e WHERE shared >= 3
+        |ORDER BY shared DESC, ua ASC, ub ASC LIMIT 50""".stripMargin) { c =>
+      import c.t
+      graft.operators.CoPresence.pairs(t("events"), "user_id", "ts",
+        windowSec = 600, minShared = 3)
+        .orderBy($"shared".desc, $"ua".asc, $"ub".asc)
+        .limit(50)
+    },
+
     // q161's 100 TB route: marginal vocabulary novelty from MERGEABLE
     // HLL sketches — per source one sketch of its distinct shingles
     // (map-side partials, no (source, shingle) distinct shuffle), then
