@@ -924,10 +924,43 @@ object MlQueries extends QueryDsl {
         |FROM e WHERE shared >= 3
         |ORDER BY shared DESC, ua ASC, ub ASC LIMIT 50""".stripMargin) { c =>
       import c.t
+      // guard pinned at the call site (rows would silently change if a
+      // default drifted): 100 actors/window is far above the harness
+      // corpus (max 42 at sf0.1) so the oracle is unaffected, and it
+      // caps the quadratic pair growth on denser corpora — co-presence
+      // output is inherently quadratic in window occupancy, and the
+      // guard is the knob that bounds it
       graft.operators.CoPresence.pairs(t("events"), "user_id", "ts",
-        windowSec = 600, minShared = 3)
+        windowSec = 600, minShared = 3, maxWindowActors = 100)
         .orderBy($"shared".desc, $"ua".asc, $"ub".asc)
         .limit(50)
+    },
+
+    // Event transition matrix: consecutive event-type pairs per user
+    // (ordered by time, event_id tie-break) with transition
+    // probabilities — first-order behavioral Markov model from the
+    // stream; one window pass keyed by user, one count shuffle.
+    q("q179_event_transitions",
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tr AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT src, sum(n) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.src, tr.dst, cast(tr.n AS BIGINT) AS n,
+        |  round(tr.n * 1.0 / st.tot, 6) AS p
+        |FROM tr JOIN st ON tr.src = st.src""".stripMargin) { c =>
+      import c.t
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val tr = t("events")
+        .select($"user_id", $"event_type", lead($"event_type", 1).over(w).as("nxt"))
+        .filter($"nxt".isNotNull)
+        .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val st = tr.groupBy($"src").agg(sum($"n").as("tot"))
+      tr.join(st, "src")
+        .select($"src", $"dst", $"n", round($"n" * lit(1.0) / $"tot", 6).as("p"))
     },
 
     // q161's 100 TB route: marginal vocabulary novelty from MERGEABLE
