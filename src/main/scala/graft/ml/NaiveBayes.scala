@@ -74,9 +74,16 @@ object NaiveBayes {
     // |V| (distinct tokens across classes) as a 1-row frame, kept
     // relational so the whole fit is one lazy plan
     val vocabN = counts.select(col("token")).distinct().agg(count(lit(1)).as("v"))
+    // classTot LEFT-joined with tot coalesced to 0: a class whose
+    // training documents are all empty/whitespace has a priors row but
+    // no token counts — an inner join would silently drop it from the
+    // model (unpredictable forever) while its doc count still deflates
+    // every other class's log_prior. With tot=0 it keeps its prior and
+    // smooths every token at log_unseen = ln(1/(0+|V|)).
     val classStats = priors
       .crossJoin(broadcast(priors.agg(sum(col("docs")).as("all_docs"))))
-      .join(classTot, "label")
+      .join(classTot, Seq("label"), "left")
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
       .crossJoin(broadcast(vocabN))
       .select(col("label"),
         log(col("docs").cast("double") / col("all_docs")).as("log_prior"),

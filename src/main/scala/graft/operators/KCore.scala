@@ -50,6 +50,13 @@ object KCore {
       curCount = after
       rounds += 1
     }
+    // fail loud, never silently under-peel: a path/chain graph needs
+    // ~n/2 rounds at k=2, so a fixed budget CAN run out — returning the
+    // partially-peeled edge set would report non-core nodes as core
+    // members with no signal. Callers with deep graphs raise maxRounds.
+    require(done,
+      s"k-core did not converge in $maxRounds rounds ($curCount edges still " +
+        s"peeling at k=$k) — raise maxRounds")
     cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 

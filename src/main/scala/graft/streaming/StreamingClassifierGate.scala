@@ -61,17 +61,25 @@ object StreamingClassifierGate {
     if (batch.isEmpty) return
     // persist: the two routed writes below would otherwise re-run the
     // whole scoring join per sink
+    // __admit coalesced to false: a null-id row never equi-joins back
+    // from the scorer, so predicted/margin are null and a raw predicate
+    // would be null too — filter(p) AND filter(!p) would BOTH drop it,
+    // losing the row from keep and quarantine alike. Unscored rows must
+    // land in quarantine (the module's no-silent-drop contract).
     val scored = batch.join(
       scoredWithMargin(model, batch, idCol, textCol), Seq(idCol), "left")
       .withColumn("__admit",
-        col("predicted").isin(allowed.toSeq: _*) && col("margin") >= minMargin)
+        coalesce(
+          col("predicted").isin(allowed.toSeq: _*) && col("margin") >= minMargin,
+          lit(false)))
       .persist()
     try {
       scored.filter(col("__admit")).drop("__admit")
         .write.mode(SaveMode.Append).parquet(keepDir)
       scored.filter(!col("__admit"))
         .withColumn("reason",
-          when(!col("predicted").isin(allowed.toSeq: _*), lit("class_not_allowed"))
+          when(col("predicted").isNull, lit("unscored"))
+            .when(!col("predicted").isin(allowed.toSeq: _*), lit("class_not_allowed"))
             .otherwise(lit("low_margin")))
         .drop("__admit")
         .write.mode(SaveMode.Append).parquet(quarantineDir)

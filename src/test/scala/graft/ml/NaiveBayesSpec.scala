@@ -62,6 +62,27 @@ class NaiveBayesSpec extends SparkSpec {
     assert(s.groupBy("doc_id").count().filter(col("count") =!= 2).count() == 0)
   }
 
+  test("a token-free class keeps its prior and stays predictable") {
+    val sp = spark; import sp.implicits._
+    // class "empty" has priors rows (3 docs) but zero token counts —
+    // an inner classTot join would silently drop it from the model
+    val docs = Seq(
+      (1L, "empty", ""), (2L, "empty", "   "), (3L, "empty", "\t"),
+      (4L, "en", "hello world hello")
+    ).toDF("doc_id", "lang", "text")
+    val m = train(docs, "lang", "text")
+    val stats = m.classStats.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(stats.keySet == Set("empty", "en"), s"classes: ${stats.keySet}")
+    // prior survives at ln(3/4); unseen smoothing is ln(1/(0+|V|)), |V|=2
+    assert(math.abs(stats("empty")._1 - math.log(3.0 / 4.0)) < 1e-12)
+    assert(math.abs(stats("empty")._2 - math.log(1.0 / 2.0)) < 1e-12)
+    // an OOV doc is prior-only and the majority (token-free) class wins
+    val pred = predict(m, Seq((10L, "zzz qqq")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(pred.length == 1 && pred(0).getString(1) == "empty")
+  }
+
   test("confusion on the harness data is a total partition of the holdout") {
     val docs = graft.Tables.documents(spark, sf001)
     val holdout = docs.filter(col("doc_id") % 5 === 0)

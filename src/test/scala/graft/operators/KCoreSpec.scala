@@ -43,6 +43,20 @@ class KCoreSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 4L).foreach(n => assert(cn(n) == 3, s"node $n: ${cn(n)}"))
   }
 
+  test("non-convergence fails loud instead of returning a half-peeled core") {
+    val sp = spark; import sp.implicits._
+    // a 12-node chain needs ~6 cascade rounds at k=2; with a 2-round
+    // budget the peel is mid-flight and MUST throw, never report the
+    // surviving interior nodes as 2-core members (the true 2-core is empty)
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      KCore.run(chain, "a", "b", k = 2, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with budget, the same chain converges to the empty core
+    assert(KCore.run(chain, "a", "b", k = 2).isEmpty)
+  }
+
   test("deterministic under repartitioning; duplicate/reversed edges collapse") {
     val sp = spark; import sp.implicits._
     val messy = fixture.union(fixture.select($"b".as("a"), $"a".as("b")))

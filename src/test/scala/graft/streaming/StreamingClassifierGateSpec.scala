@@ -49,6 +49,28 @@ class StreamingClassifierGateSpec extends SparkSpec {
     assert(reasons(12L) == "low_margin")
   }
 
+  test("null-id rows are quarantined as unscored, never silently lost") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("gatenull").toString
+    // a null id never equi-joins back from the scorer: predicted/margin
+    // stay null, and an un-coalesced admit predicate would drop the row
+    // from BOTH sinks — the no-silent-drop contract requires quarantine
+    val batch = Seq[(java.lang.Long, String)](
+      (10L, "clean prose with structure and verbs"),
+      (null, "clean prose with structure and verbs")
+    ).toDF("doc_id", "text")
+    StreamingClassifierGate.process(batch, model, "doc_id", "text",
+      allowed = Set("good"), minMargin = 0.0,
+      keepDir = s"$dir/keep", quarantineDir = s"$dir/quarantine")
+    val keep = spark.read.parquet(s"$dir/keep")
+    val quar = spark.read.parquet(s"$dir/quarantine")
+    assert(keep.count() + quar.count() == 2, "a row was silently dropped")
+    assert(keep.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
+    val qRows = quar.collect()
+    assert(qRows.length == 1 && qRows(0).isNullAt(qRows(0).fieldIndex("doc_id")))
+    assert(qRows(0).getAs[String]("reason") == "unscored")
+  }
+
   test("file-stream drive: two batches gate identically to one batch run") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("gates").toString
