@@ -139,9 +139,15 @@ object ScaleProbe {
       timeAll(src) // warm (also builds any write-if-absent stores for src)
       // store-backed queries amortize a one-time index build; pre-run
       // them once on the replica dir so the TIMED pass measures the
-      // serve path on both sides, not build-vs-serve
+      // serve path on both sides, not build-vs-serve. The pair-graph
+      // family (q128/q130/q101b/q162b/q169/q176/q180) serves from the
+      // shared PairGraphStore, so any one of them triggers its build.
+      val pairGraphServed = Set(
+        "q101b_semantic_dedup_lsh", "q162b_lpa_communities_lsh",
+        "q169_lpa_weighted", "q176_kcore_neardup", "q180_kcore_incremental",
+        "q128_pagerank_neardup", "q130_pagerank_weighted")
       queries.filter(q => q.endsWith("_store") || q.endsWith("_maxscore") ||
-          q == "q140_neardup_incremental").foreach { name =>
+          q == "q140_neardup_incremental" || pairGraphServed(q)).foreach { name =>
         try SparkEntry.queries(name)(spark, big).count()
         catch { case e: Throwable => println(s"SCALE $name prebuild FAILED: ${e.getMessage}") }
       }

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** localCheckpoint + plan-statistics reset (see
+    * ColumnBridge.checkpointStatsReset): without the reset each
+    * round's join tree multiplies the previous round's BigInt size
+    * estimate and deep iterations choke the driver on BigInteger
+    * planning arithmetic. */
+  private def cps(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.checkpointStatsReset(df)
+
   /** @param edges pair frame with two node columns (e.g. doc_a, doc_b)
     * @return (member, cluster_root) — every node that appears in at
     *         least one edge, labeled with its component's minimum id */
@@ -35,7 +43,7 @@ object ConnectedComponents {
     val sym = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .union(edges.select(col(vCol).as("u"), col(uCol).as("v")))
       .distinct()
-      .localCheckpoint()
+      .transform(cps)
 
     var labels = sym.select($"u").distinct().withColumn("lbl", $"u")
     var changed = 1L
@@ -50,7 +58,7 @@ object ConnectedComponents {
         .select(col("l.u").as("u"),
           least(col("l.lbl"), coalesce(col("n.nbr_lbl"), col("l.lbl"))).as("lbl"),
           col("l.lbl").as("prev"))
-        .localCheckpoint()
+        .transform(cps)
       changed = next.filter($"lbl" =!= $"prev").count()
       labels = next.select($"u", $"lbl")
       i += 1
@@ -107,12 +115,12 @@ object ConnectedComponents {
     // self-loop-only nodes still get a (member, member) row)
     val allNodes = edges.select(col(uCol).as("n"))
       .union(edges.select(col(vCol).as("n")))
-      .distinct().localCheckpoint()
+      .distinct().transform(cps)
 
     var e = edges.select(col(uCol).as("a"), col(vCol).as("b"))
       .filter($"a" =!= $"b")
       .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().transform(cps)
     var eCount = e.count()
 
     var converged = eCount == 0
@@ -135,7 +143,7 @@ object ConnectedComponents {
         .filter($"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v"))
         .union(minsS.select($"u", $"m".as("v")))
-        .distinct().localCheckpoint()
+        .distinct().transform(cps)
       val nextCount = next.count()
       // fixed point: the edge set is unchanged (set equality — counts
       // first, then a one-sided except, sufficient for equal-size sets
@@ -209,7 +217,7 @@ object ConnectedComponents {
     if (!integral) return run(edges, uCol, vCol, maxIter)
     val outType = if (idTypes.contains(LongType)) LongType else IntegerType
     val pinned = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
-      .localCheckpoint()
+      .transform(cps)
     if (pinned.count() > bound) {
       // star contraction, not min-label propagation: the round-9 probe
       // measured star faster at BOTH distributed tiers (4.2 s vs 4.6 s

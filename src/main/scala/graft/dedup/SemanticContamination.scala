@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ann.Ann
 import graft.functions.VectorFunctions
@@ -79,6 +79,37 @@ object SemanticContamination {
       .withColumn("__cos", VectorFunctions.cosine(col("__tv"), col("__ev")))
       .filter(col("__cos") > tau)
       .groupBy(col("__tid").as(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("__cos")).as("max_cos"))
+  }
+
+  /** The contamination rollup served from an ALREADY-VERIFIED pair
+    * graph (a [[graft.operators.PairGraphStore]] edge frame): keep
+    * cross-side edges (exactly one endpoint satisfies `isEval`),
+    * aggregate per train-side id. No signature pass, no verify join —
+    * the whole screen is one filter + one aggregation over an edge
+    * frame that is dup-density-sized, not corpus-sized.
+    *
+    * Row parity with [[lshReport]]: the stored whole-corpus graph's
+    * cross-side restriction has the same candidate set (a cross pair
+    * collides in the self-join iff it collides cross-side — same
+    * hyperplanes, same tables) and the same verify predicate; max over
+    * the stored 4dp-rounded cosine equals the rounded max (round is
+    * monotone). The one divergence window is the oversized-bucket
+    * guard (full-population counts here vs train-side counts there) —
+    * empty at any corpus without degenerate buckets;
+    * SemanticContaminationSpec pins the equality on harness data. */
+  def reportFromPairs(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      cosCol: String,
+      isEval: Column => Column,
+      idAlias: String): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    edges.filter(isEval(a) =!= isEval(b))
+      .select(when(isEval(a), b).otherwise(a).as(idAlias), col(cosCol).as("__cos"))
+      .groupBy(col(idAlias))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("__cos")).as("max_cos"))
   }
 }

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** localCheckpoint + plan-statistics reset. Checkpointing alone
+    * truncates lineage but PRESERVES the origin plan's size estimate;
+    * each peel round's join tree then MULTIPLIES the previous round's
+    * BigInt estimate, and a deep peel chokes the driver on BigInteger
+    * arithmetic during planning (measured: the maintenance spec sat at
+    * 100% driver CPU inside multiplyToomCook3). */
+  private def cps(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.checkpointStatsReset(df)
+
   /** Nodes of the k-core with their in-core degree:
     * `(node, core_degree)`. Empty when the core is empty. */
   def run(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
@@ -31,7 +40,7 @@ object KCore {
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
     var cur = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .transform(cps)
     // one count per round: the previous round's size carries over
     var curCount = cur.count()
     var rounds = 0
@@ -43,7 +52,7 @@ object KCore {
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .transform(cps)
       val after = next.count()
       done = after == curCount
       cur = next
@@ -77,7 +86,7 @@ object KCore {
     while (level <= maxK && !exhausted) {
       val core = run(remaining, "u", "v", level)
         .select(col("node"), lit(level).as("core_number"))
-        .localCheckpoint()
+        .transform(cps)
       if (core.isEmpty) exhausted = true
       else {
         acc = Some(acc.fold(core)(prev =>
@@ -95,5 +104,157 @@ object KCore {
       .getOrElse(spark.emptyDataFrame
         .withColumn("node", lit(0L)).withColumn("core_number", lit(0))
         .limit(0))
+  }
+
+  /** Maintain core numbers under an EDGE-INSERTION batch — the
+    * incremental pattern of Sarıyüce et al. (VLDB 2013, "Streaming
+    * algorithms for k-core decomposition"): instead of re-peeling the
+    * whole graph per refresh, localize the work to the delta's
+    * neighborhood. Insertion facts used:
+    *   - core numbers never DECREASE when edges arrive;
+    *   - inserting one edge changes only nodes whose core number
+    *     equals k = min(core(u), core(v)), and only those reachable
+    *     from that endpoint through nodes of core exactly k (the
+    *     traversal theorem); each such node rises by at most 1.
+    *
+    * Batched formulation, sound by construction and driven to the true
+    * fixpoint by an outer loop:
+    *   1. seeds: per delta edge, the endpoint(s) sitting at the edge's
+    *      min current core (plus every node promoted by the previous
+    *      wave, at its new level);
+    *   2. closure: expand each seed over neighbors with the SAME
+    *      current core — the candidate set, per level;
+    *   3. promotion test: peel the candidates at level k against
+    *      target k+1, counting as support (a) fellow candidates still
+    *      alive and (b) neighbors whose current core is already
+    *      >= k+1 (their cores only rise, so they are provably in the
+    *      new (k+1)-core). Survivors form a witness subgraph of the
+    *      (k+1)-core — promotion is sound;
+    *   4. repeat from 1 until no promotion fires (cascades across
+    *      levels settle; cores only move up, so this terminates).
+    *
+    * Every step is keyed on node id (joins + aggregations over the
+    * delta NEIGHBORHOOD, not the graph), so maintain cost tracks the
+    * delta while from-scratch [[coreNumbers]] tracks the corpus —
+    * the 100 TB refresh shape for a pair-graph store
+    * ([[PairGraphStore]]) that ingests new documents' verified edges.
+    *
+    * `oldCores` must be [[coreNumbers]]' output (capped at `maxK`) on
+    * `oldEdges`; the result equals `coreNumbers(oldEdges ∪ delta)`
+    * at the same cap ([[KCoreSpec]] proves equality on planted and
+    * randomized graphs). */
+  def maintainAfterInsert(
+      oldCores: DataFrame,
+      oldEdges: DataFrame,
+      delta: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxK: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    def canon(df: DataFrame): DataFrame = df
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val dCanon = cps(canon(delta))
+    val allCanon = canon(oldEdges).unionByName(dCanon).distinct()
+    val nbr = allCanon
+      .union(allCanon.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v")
+      .transform(cps)
+    // current estimate: old cores, 0 for nodes the old graph never saw
+    var cores = nbr.select(col("u").as("node")).distinct()
+      .join(oldCores.select(col("node"),
+        col("core_number").cast("int").as("k0")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("k0"), lit(0)).as("k"))
+      .transform(cps)
+    var promotedLast: Option[DataFrame] = None
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      // 1. seeds (node, lvl): delta endpoints at the edge's min
+      // current core, re-derived against the CURRENT estimate each
+      // wave, plus last wave's promotions at their new level
+      val dk = dCanon
+        .join(cores.select(col("node").as("a"), col("k").as("ka")), Seq("a"))
+        .join(cores.select(col("node").as("b"), col("k").as("kb")), Seq("b"))
+        .withColumn("lvl", least(col("ka"), col("kb")))
+      val seedEdges = dk.filter(col("ka") === col("lvl"))
+        .select(col("a").as("node"), col("lvl"))
+        .unionByName(dk.filter(col("kb") === col("lvl"))
+          .select(col("b").as("node"), col("lvl")))
+      val seeds = promotedLast.fold(seedEdges)(seedEdges.unionByName)
+        .filter(col("lvl") < maxK) // a promotion past the cap is out of contract
+        .distinct()
+      // 2. closure over same-core neighbors, all levels at once
+      var cand = cps(seeds)
+      var frontier = cand
+      var fCount = frontier.count()
+      while (fCount > 0) {
+        val nxt = nbr
+          .join(frontier.withColumnRenamed("node", "u"), Seq("u"))
+          .select(col("v").as("node"), col("lvl"))
+          .distinct()
+          .join(cores, Seq("node"))
+          .filter(col("k") === col("lvl"))
+          .select(col("node"), col("lvl"))
+          .join(cand, Seq("node", "lvl"), "left_anti")
+          .transform(cps)
+        cand = cand.unionByName(nxt).transform(cps)
+        frontier = nxt
+        fCount = frontier.count()
+      }
+      // 3. peel candidates at level k against target k+1
+      var alive = cand
+      var aliveCount = alive.count()
+      var peeling = aliveCount > 0
+      while (peeling) {
+        val support = nbr
+          .join(alive.withColumnRenamed("node", "u"), Seq("u"))
+          .join(cores.select(col("node").as("v"), col("k").as("kv")), Seq("v"))
+          .join(alive.select(col("node").as("v"), col("lvl"), lit(1).as("__av")),
+            Seq("v", "lvl"), "left")
+          .filter(col("__av").isNotNull || col("kv") >= col("lvl") + 1)
+          .groupBy(col("u").as("node"), col("lvl"))
+          .agg(count(lit(1)).as("s"))
+        val next = alive
+          .join(support, Seq("node", "lvl"), "left")
+          .filter(coalesce(col("s"), lit(0L)) >= col("lvl") + 1)
+          .select(col("node"), col("lvl"))
+          .transform(cps)
+        val nextCount = next.count()
+        peeling = nextCount != aliveCount && nextCount > 0
+        alive = next
+        aliveCount = nextCount
+      }
+      // 4. promote survivors, re-seed from them. Only GENUINE raises
+      // count as progress: a survivor seeded at lvl = its-core − 1
+      // (the cascade re-seed below) "promotes" to its current core —
+      // a no-op that must not keep the wave loop spinning.
+      val promo = alive
+        .join(cores, Seq("node"))
+        .filter(col("lvl") + 1 > col("k"))
+        .select(col("node"), (col("lvl") + 1).as("nk"))
+        .transform(cps)
+      val promoCount = promo.count()
+      if (promoCount == 0) done = true
+      else {
+        cores = cores.join(promo, Seq("node"), "left")
+          .select(col("node"),
+            greatest(col("k"), coalesce(col("nk"), lit(0))).as("k"))
+          .transform(cps)
+        // re-seed a promoted node at its NEW level (it may cascade
+        // further up) AND its old one: the promotion added support for
+        // same-old-core neighbors, whose closure starts from here
+        promotedLast = Some(
+          promo.select(col("node"), col("nk").as("lvl"))
+            .unionByName(promo.select(col("node"), (col("nk") - 1).as("lvl"))))
+      }
+      rounds += 1
+    }
+    require(done,
+      s"incremental k-core did not settle in $maxRounds waves — raise maxRounds")
+    cores.filter(col("k") >= 1).select(col("node"), col("k").as("core_number"))
   }
 }

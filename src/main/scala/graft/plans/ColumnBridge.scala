@@ -36,6 +36,39 @@ object ColumnBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** `localCheckpoint` that also RESETS plan statistics.
+    *
+    * Spark's localCheckpoint truncates lineage but PRESERVES the
+    * origin plan's estimated `Statistics` on the resulting LogicalRDD
+    * (`originStats`). In a driver-coordinated iterative loop (k-core
+    * peeling, incremental core maintenance, connected components)
+    * each round's frame is a product of JOINS over the previous
+    * round's checkpoints, and with size-only estimation join size =
+    * product of child sizes — so the BigInt `sizeInBytes` roughly
+    * TRIPLES its bit length every round. After a few tens of rounds
+    * the driver spends whole seconds inside
+    * `BigInteger.multiplyToomCook3` just *planning* (measured: the
+    * KCore maintenance spec crawled at 100% driver CPU in BigInteger
+    * math). Dropping `originStats` falls back to
+    * `defaultSizeInBytes`, exactly what a freshly-parallelized RDD
+    * reports — joins against it already sat above every broadcast
+    * threshold, so no join strategy changes; the estimate just stops
+    * compounding. */
+  def checkpointStatsReset(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cp = df.localCheckpoint()
+    val analyzedPlan = analyzed(cp)
+    analyzedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(df.sparkSession, lr.copy(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None))
+      case _ => cp
+    }
+  }
+
   /** Register a SQL function builder on an EXISTING session —
     * `withExtensions` only applies at session creation, and the
     * FunctionRegistry is `private[sql]`. */

@@ -113,6 +113,47 @@ object TextQueries extends QueryDsl {
   private def docStore(c: Ctx): graft.operators.PostingsStore.Handle =
     docStore(c.spark, c.dir)
 
+  /** The persisted SRP-LSH near-dup pair graph of a corpus dir's
+    * embeddings (the verified cosine>0.35 family every graph consumer
+    * shares): built once per dir under java.io.tmpdir (content-keyed
+    * path; write-if-absent behind a crash-safe swap). LPA (q162b,
+    * q169), k-core (q176, q180), semantic dedup (q101b) and
+    * contamination (q183) all serve from this ONE verified edge build
+    * instead of re-signing + re-verifying the corpus per query — the
+    * signature pass is the dominant cost of every LSH-graph metric at
+    * scale. The stored frame is the generator's frame unchanged, so
+    * every consumer's rows are identical to its inline route
+    * (PairGraphStoreSpec pins the equality). */
+  private[queries] def embPairStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.PairGraphStore.Handle = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_emb035_v1_$key"
+    graft.operators.PairGraphStore.ensure(
+      Ann.lshNearDupPairs(graft.Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, nBits = 8, tables = 8,
+        dim = 64, maxBucketSize = 10000),
+      "vec_a", "vec_b", Some("cos"), spark, path)
+  }
+
+  /** Same pattern for the TEXT similarity family: the exact 3-shingle
+    * Jaccard>=0.5 pair graph (q61's oracle-exact frame) persisted once
+    * per dir, serving both PageRank routes (q128/q130). The stored
+    * rows are the oracle-checked q61 rows, so the PageRank oracles
+    * carry over unchanged. */
+  private[queries] def docPairStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.PairGraphStore.Handle = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_doc05_v1_$key"
+    graft.operators.PairGraphStore.ensure(
+      NGramJaccard.pairs(graft.Tables.load(spark, dir, "documents"),
+        "doc_id", "text", shingleN = 3, minJaccard = 0.5),
+      "doc_a", "doc_b", Some("jaccard"), spark, path)
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- deduplication --------------------------------------------------
@@ -1207,9 +1248,10 @@ object TextQueries extends QueryDsl {
         |p3 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
         |       FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node AS doc_id, round(pr, 6) AS pr FROM p3""".stripMargin) { c =>
-      import c.t
-      val pairs = NGramJaccard.pairs(t("documents"), "doc_id", "text",
-          shingleN = 3, minJaccard = 0.5)
+      // served from the persisted pair-graph store: the q61-exact edge
+      // frame is built once per corpus and read back here — same rows
+      // as the inline NGramJaccard build, so the oracle carries over
+      val pairs = docPairStore(c.spark, c.dir).edges
         .select($"doc_a", $"doc_b")
       val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
       graft.operators.PageRank.run(edges, "src", "dst", iterations = 3, damping = 0.85)
@@ -1242,9 +1284,9 @@ object TextQueries extends QueryDsl {
         |p3 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
         |       FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node AS doc_id, round(pr, 6) AS pr FROM p3""".stripMargin) { c =>
-      import c.t
-      val pairs = NGramJaccard.pairs(t("documents"), "doc_id", "text",
-          shingleN = 3, minJaccard = 0.5)
+      // same store serve as q128 — the weighted route reads the stored
+      // rounded jaccard, which is the exact value q61's oracle pinned
+      val pairs = docPairStore(c.spark, c.dir).edges
         .select($"doc_a", $"doc_b", $"jaccard")
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"), $"jaccard".as("w"))
         .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"), $"jaccard".as("w")))
@@ -1528,8 +1570,11 @@ object TextQueries extends QueryDsl {
     q("q101b_semantic_dedup_lsh") { c =>
       import c.t
       val emb = t("embeddings")
-      val pairs = Ann.lshNearDupPairs(emb, "vec_id", "embedding",
-          threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+      // pair graph from the persisted store (one verified SRP edge
+      // build per corpus, shared with q162b/q169/q176) — identical
+      // rows to the inline lshNearDupPairs by the store's fidelity
+      // contract, so the spec/oracle posture is unchanged
+      val pairs = embPairStore(c.spark, c.dir).edges
         .select($"vec_a".as("va"), $"vec_b".as("vb"))
       graft.dedup.SemanticDedup.keepers(emb, "vec_id", pairs, "va", "vb")
     },

@@ -60,6 +60,27 @@ class SemanticContaminationSpec extends SparkSpec {
     assert(recalled >= 180, s"planted-leak recall $recalled/200")
   }
 
+  test("store-served rollup equals lshReport on the harness split") {
+    // the whole-corpus pair graph restricted to cross-side edges must
+    // reproduce the dedicated cross-side screen (same hyperplanes,
+    // same verify predicate; rounded max is max of rounded — monotone)
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val isEval = (id: org.apache.spark.sql.Column) => pmod(id, lit(17)) === 0
+    val pairs = graft.ann.Ann.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+    val fromStoreShape = SemanticContamination.reportFromPairs(
+      pairs, "vec_a", "vec_b", "cos", isEval, "vec_id")
+      .select(col("vec_id"), col("n_eval_hits"), round(col("max_cos"), 4).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = SemanticContamination.lshReport(
+      emb.filter(col("vec_id") % 17 =!= 0), emb.filter(col("vec_id") % 17 === 0),
+      "vec_id", "embedding", tau = 0.35)
+      .select(col("vec_id"), col("n_eval_hits"), round(col("max_cos"), 4).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(fromStoreShape == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("report schema and hit counting: multiple eval hits accumulate") {
     val sp = spark; import sp.implicits._
     val train = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")

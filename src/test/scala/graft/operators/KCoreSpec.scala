@@ -62,4 +62,66 @@ class KCoreSpec extends SparkSpec {
     val messy = fixture.union(fixture.select($"b".as("a"), $"a".as("b")))
     assert(core(messy, 3) == core(fixture.repartition(7), 3))
   }
+
+  // ---- incremental maintenance under edge insertion -------------------
+
+  private def coresOf(edges: org.apache.spark.sql.DataFrame, maxK: Int): Map[Long, Int] =
+    KCore.coreNumbers(edges, "a", "b", maxK).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private def maintained(
+      old: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame, maxK: Int): Map[Long, Int] = {
+    val oc = KCore.coreNumbers(old, "a", "b", maxK)
+    KCore.maintainAfterInsert(oc, old, delta, "a", "b", maxK).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("maintain: closing a tail into a cycle promotes the whole chain") {
+    val sp = spark; import sp.implicits._
+    // K4 with tail 1-5-6; adding (6,2) closes the tail into a cycle:
+    // 5 and 6 rise 1 -> 2, the K4 stays at 3 — a cascade the closure
+    // must follow two hops down the old core-1 chain
+    val delta = Seq((6L, 2L)).toDF("a", "b")
+    val got = maintained(fixture, delta, maxK = 5)
+    assert(got == coresOf(fixture.union(delta), 5), s"maintain: $got")
+    assert(got(5L) == 2 && got(6L) == 2 && got(1L) == 3)
+  }
+
+  test("maintain: new nodes enter from core 0 and can climb levels") {
+    val sp = spark; import sp.implicits._
+    // nodes 7..9 are unseen by the old graph; the delta wires them into
+    // a triangle hanging off the K4 — they must reach core 2 from 0
+    val delta = Seq((7L, 8L), (8L, 9L), (7L, 9L), (7L, 1L)).toDF("a", "b")
+    val got = maintained(fixture, delta, maxK = 5)
+    assert(got == coresOf(fixture.union(delta), 5), s"maintain: $got")
+    assert(got(7L) == 2 && got(8L) == 2 && got(9L) == 2)
+  }
+
+  test("maintain: a no-op delta (already-present edges) changes nothing") {
+    val sp = spark; import sp.implicits._
+    val delta = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    assert(maintained(fixture, delta, maxK = 5) == coresOf(fixture, 5))
+  }
+
+  test("maintain equals from-scratch on randomized graphs and deltas") {
+    val sp = spark; import sp.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val all = (for {
+        i <- 1 to n; j <- (i + 1) to n
+        if rnd.nextDouble() < 0.12
+      } yield (i.toLong, j.toLong)).distinct
+      // random split: ~1/5 of edges arrive as the delta batch
+      val (delta, old) = all.partition(_ => rnd.nextDouble() < 0.2)
+      if (old.nonEmpty && delta.nonEmpty) {
+        val oldDf = old.toDF("a", "b")
+        val deltaDf = delta.toDF("a", "b")
+        val got = maintained(oldDf, deltaDf, maxK = 8)
+        val want = coresOf(oldDf.union(deltaDf), 8)
+        assert(got == want, s"seed=$seed got=$got want=$want")
+      }
+    }
+  }
 }
