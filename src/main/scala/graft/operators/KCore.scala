@@ -142,7 +142,16 @@ object KCore {
     * `oldCores` must be [[coreNumbers]]' output (capped at `maxK`) on
     * `oldEdges`; the result equals `coreNumbers(oldEdges ∪ delta)`
     * at the same cap ([[KCoreSpec]] proves equality on planted and
-    * randomized graphs). */
+    * randomized graphs, on both routes).
+    *
+    * Adaptive, like [[graft.dedup.ConnectedComponents.runAdaptive]]:
+    * below `driverMaxEdges` the whole maintain runs as ONE driver-local
+    * pass (edge-by-edge traversal + bucket peel — the literal Sarıyüce
+    * algorithm, O(affected region) per inserted edge), because a
+    * distributed maintain is a few dozen MICRO-jobs whose scheduling
+    * overhead dwarfs the data; above it the wave-synchronous
+    * distributed formulation runs. The crossover mirrors the CC
+    * measurement (512k edges). */
   def maintainAfterInsert(
       oldCores: DataFrame,
       oldEdges: DataFrame,
@@ -150,7 +159,8 @@ object KCore {
       srcCol: String,
       dstCol: String,
       maxK: Int,
-      maxRounds: Int = 100): DataFrame = {
+      maxRounds: Int = 100,
+      driverMaxEdges: Long = 512L * 1024): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
     def canon(df: DataFrame): DataFrame = df
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
@@ -158,7 +168,10 @@ object KCore {
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
     val dCanon = cps(canon(delta))
-    val allCanon = canon(oldEdges).unionByName(dCanon).distinct()
+    val oldCanon = cps(canon(oldEdges))
+    if (oldCanon.count() + dCanon.count() <= driverMaxEdges)
+      return maintainLocal(oldCores, oldCanon, dCanon, maxK)
+    val allCanon = oldCanon.unionByName(dCanon).distinct()
     val nbr = allCanon
       .union(allCanon.select(col("b").as("a"), col("a").as("b")))
       .toDF("u", "v")
@@ -256,5 +269,77 @@ object KCore {
     require(done,
       s"incremental k-core did not settle in $maxRounds waves — raise maxRounds")
     cores.filter(col("k") >= 1).select(col("node"), col("k").as("core_number"))
+  }
+
+  /** Driver-local maintain — the sequential traversal algorithm
+    * verbatim: per inserted edge, a BFS over nodes at the edge's min
+    * current core (the traversal theorem's candidate set) and a
+    * bucket peel of the candidates against k+1, decrementing support
+    * on removal. Work per edge is proportional to the AFFECTED REGION,
+    * so a small append into a large collected graph costs its
+    * neighborhood, not the graph; cascades across levels are handled
+    * by processing edges sequentially (each insertion sees the cores
+    * the previous one produced). */
+  private def maintainLocal(
+      oldCores: DataFrame,
+      oldCanon: DataFrame,
+      dCanon: DataFrame,
+      maxK: Int): DataFrame = {
+    val spark = oldCores.sparkSession
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val present = mutable.HashSet.empty[(Long, Long)]
+    def addEdge(a: Long, b: Long): Boolean =
+      if (present.add((a, b))) {
+        adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+        true
+      } else false
+    oldCanon.collect().foreach(r => addEdge(r.getLong(0), r.getLong(1)))
+    val core = mutable.HashMap.empty[Long, Int].withDefaultValue(0)
+    oldCores
+      .select(col("node").cast("long").as("n"), col("core_number").cast("int").as("c"))
+      .collect().foreach(r => core(r.getLong(0)) = r.getInt(1))
+    // deterministic insertion order (the final cores are order-
+    // independent — k-core is unique — but determinism keeps any
+    // intermediate-state debugging reproducible)
+    val deltas = dCanon.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    for ((a, b) <- deltas; if addEdge(a, b)) {
+      val k = math.min(core(a), core(b))
+      if (k < maxK) {
+        // candidates: BFS from the min-core endpoint(s) over core == k
+        val cand = mutable.HashSet.empty[Long]
+        val stack = mutable.ArrayDeque.empty[Long]
+        if (core(a) == k) { cand += a; stack += a }
+        if (core(b) == k && cand.add(b)) stack += b
+        while (stack.nonEmpty) {
+          val x = stack.removeLast()
+          adj(x).foreach(y => if (core(y) == k && cand.add(y)) stack += y)
+        }
+        // peel against k+1: support = neighbors provably in the new
+        // (k+1)-core (current core >= k+1) plus alive fellow candidates
+        val support = mutable.HashMap.empty[Long, Int]
+        cand.foreach { x =>
+          support(x) = adj(x).count(y => core(y) >= k + 1 || cand.contains(y))
+        }
+        val alive = mutable.HashSet.empty[Long] ++ cand
+        val dead = mutable.ArrayDeque.empty[Long]
+        cand.foreach(x => if (support(x) < k + 1) dead += x)
+        while (dead.nonEmpty) {
+          val x = dead.removeLast()
+          if (alive.remove(x))
+            adj(x).foreach { y =>
+              if (alive.contains(y)) {
+                support(y) -= 1
+                if (support(y) < k + 1) dead += y
+              }
+            }
+        }
+        alive.foreach(x => core(x) = k + 1)
+      }
+    }
+    import spark.implicits._
+    core.iterator.filter(_._2 >= 1).map { case (n, c) => (n, c) }.toSeq
+      .toDF("node", "core_number")
   }
 }

@@ -128,9 +128,12 @@ object PostingsStore {
       * map-side partial aggregate downstream runs near-serial while
       * the inline route's corpus scan runs cluster-wide. One
       * round-robin shuffle of the (already term-pruned) postings
-      * restores the floor; no-op when the store has enough splits. */
+      * restores the floor; no-op when the store has enough splits.
+      * Gated on corpus size: below [[SpreadMinDocs]] the narrow plan
+      * finishes faster than the shuffle it would insert. */
     private def termsPostingsSpread(terms: Seq[String]): DataFrame =
-      Spread.ensureMinPartitions(termsPostings(terms))
+      if (numDocs >= SpreadMinDocs) Spread.ensureMinPartitions(termsPostings(terms))
+      else termsPostings(terms)
 
     /** Corpus document count (one read of the tiny doclen table),
       * computed at most once per handle — the MaxScore dispatch gate. */
@@ -339,6 +342,11 @@ object PostingsStore {
     * the planning. Measured at the 32× store tier (160k docs: pruned
     * route 1.9× growth vs plain 14.5×); sf0.1's 5k docs sit below. */
   val MaxScoreMinDocs: Long = 32768L
+
+  /** Corpus size below which the bucket-pruned store reads skip the
+    * parallelism-floor repartition — on a small corpus the shuffle
+    * costs more than the serial partial aggregation it prevents. */
+  val SpreadMinDocs: Long = 32768L
 
   /** Tokenize `docs` and publish the store at `path` (crash-safe: the
     * whole store is staged and swapped in; a reader never sees a

@@ -104,6 +104,23 @@ class KCoreSpec extends SparkSpec {
     assert(maintained(fixture, delta, maxK = 5) == coresOf(fixture, 5))
   }
 
+  test("distributed maintain route (forced) equals from-scratch too") {
+    val sp = spark; import sp.implicits._
+    // driverMaxEdges = 0 forces the wave-synchronous distributed
+    // formulation — the 100 TB route the adaptive split hides at
+    // test scale; both planted cascades must match the exact peel
+    for (delta <- Seq(
+        Seq((6L, 2L)),
+        Seq((7L, 8L), (8L, 9L), (7L, 9L), (7L, 1L)))) {
+      val deltaDf = delta.toDF("a", "b")
+      val oc = KCore.coreNumbers(fixture, "a", "b", maxK = 5)
+      val got = KCore.maintainAfterInsert(oc, fixture, deltaDf, "a", "b",
+        maxK = 5, driverMaxEdges = 0).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == coresOf(fixture.union(deltaDf), 5), s"delta=$delta got=$got")
+    }
+  }
+
   test("maintain equals from-scratch on randomized graphs and deltas") {
     val sp = spark; import sp.implicits._
     for (seed <- 1 to 6) {
