@@ -116,6 +116,25 @@ object InvertedIndex {
       .select(col(idCol), col("n_hits"))
   }
 
+  /** [[allTermsImpl]] served from PRE-AGGREGATED `(term, id, __tf)`
+    * rows (one row per term-doc pair, no positions): the distinct-term
+    * count collapses to a plain row count — (term, id) is unique by
+    * construction — and total hits to Σ tf. Identical output to the
+    * occurrence-row form; reads a frame that is term-doc-sized, not
+    * occurrence-sized. */
+  private[operators] def allTermsFromTf(
+      idCol: String,
+      terms: Seq[String],
+      tfRows: DataFrame): DataFrame = {
+    validTerms("allTermsSearch", terms)
+    val lower = terms.map(_.toLowerCase).distinct
+    tfRows
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__tf")).as("n_hits"))
+      .filter(col("n_terms") === lower.length)
+      .select(col(idCol), col("n_hits"))
+  }
+
   /** BM25 (Robertson/Okapi, the Lucene `+1` IDF variant so every
     * score is positive):
     *   score(d, q) = Σ_{t∈q} ln(1 + (N - df + 0.5)/(df + 0.5))
@@ -133,13 +152,21 @@ object InvertedIndex {
       b: Double,
       termsPost: Seq[String] => DataFrame,
       docLen: DataFrame,
-      dfStats: Option[Seq[String] => DataFrame] = None): DataFrame = {
+      dfStats: Option[Seq[String] => DataFrame] = None,
+      tfRows: Option[Seq[String] => DataFrame] = None): DataFrame = {
     validTerms("bm25Search", terms)
     val query = terms.map(_.toLowerCase).distinct
     val corpus = docLen.agg(count(lit(1)).as("__n"),
       avg(col("__dl").cast("double")).as("__avgdl"))
-    val tf = termsPost(query)
-      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    // per-(term, doc) frequencies: pre-aggregated store rows when the
+    // layout carries them (term-doc-sized read, no positions, no
+    // aggregation stage), else one groupBy of the occurrence postings
+    val tf = tfRows match {
+      case Some(provider) => provider(query)
+        .select(col("term"), col(idCol), col("__tf"))
+      case None => termsPost(query)
+        .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    }
     // df: from the store's collection statistics when available (one
     // pruned vocabulary read, no extra aggregation stage), else
     // derived from tf — identical values either way, since stats df

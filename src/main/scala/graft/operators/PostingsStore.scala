@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *     directory prune;
   *   - `doclen/…parquet` — (id, __dl) per-doc token counts, the BM25
   *     side table (tiny relative to postings);
+  *   - `termdocs/term_bucket=<b>/…parquet` — pre-aggregated
+  *     (term, id, __tf) rows, bucketed like the postings: the
+  *     positions-free table conjunction and BM25 serve from
+  *     (term-doc-sized reads; positions only matter to
+  *     phrase/proximity);
   *   - `termstats/term_bucket=<b>/…parquet` — (term, df, cf)
   *     collection statistics, vocabulary-sized, bucketed like the
   *     postings: serve-time df lookups prune the same way, feeding
@@ -61,7 +66,16 @@ object PostingsStore {
   // conjunction and serve-time IDF without re-aggregating postings.
   // v3: termstats carries `max_tf` (largest within-doc term frequency)
   // — the per-term score upper bound MaxScore top-k pruning needs.
-  private val Version = 3
+  // v4: meta carries `numDocs` so the serve-path dispatch gates
+  // (MaxScore crossover, parallelism floor) read a driver-side number
+  // instead of running a count job per query.
+  // v5: adds the `termdocs` side table — pre-aggregated (term, id,
+  // __tf) rows, bucketed like the postings. Conjunction and BM25
+  // never need positions: serving them from termdocs reads a
+  // term-doc-sized frame instead of an occurrence-sized one and skips
+  // the per-(term, doc) aggregation stage entirely; the positional
+  // `postings` table serves only phrase/proximity.
+  private val Version = 5
 
   /** An opened store. `postings`/`docLens` are the raw frames;
     * `termPostings` is the pruned per-term read. */
@@ -69,7 +83,8 @@ object PostingsStore {
       spark: SparkSession,
       path: String,
       idCol: String,
-      nBuckets: Int) {
+      nBuckets: Int,
+      numDocsFromMeta: Option[Long] = None) {
 
     def postings: DataFrame = spark.read.parquet(s"$path/postings")
     def docLens: DataFrame = spark.read.parquet(s"$path/doclen")
@@ -128,16 +143,46 @@ object PostingsStore {
       * map-side partial aggregate downstream runs near-serial while
       * the inline route's corpus scan runs cluster-wide. One
       * round-robin shuffle of the (already term-pruned) postings
-      * restores the floor; no-op when the store has enough splits.
-      * Gated on corpus size: below [[SpreadMinDocs]] the narrow plan
-      * finishes faster than the shuffle it would insert. */
+      * restores the floor; no-op when the store has enough splits —
+      * and with the [[RowGroupBytes]] layout it usually does, so the
+      * shuffle only fires for genuinely tiny reads. Floor = a quarter
+      * of the cluster, not all of it: the partial aggregate saturates
+      * well before full width and the shuffle price scales with the
+      * floor. Gated on corpus size: below [[SpreadMinDocs]] the
+      * narrow plan finishes faster than any shuffle it could buy. */
     private def termsPostingsSpread(terms: Seq[String]): DataFrame =
-      if (numDocs >= SpreadMinDocs) Spread.ensureMinPartitions(termsPostings(terms))
+      if (numDocs >= SpreadMinDocs)
+        Spread.ensureMinPartitions(termsPostings(terms),
+          math.max(8, spark.sparkContext.defaultParallelism / 4))
       else termsPostings(terms)
 
-    /** Corpus document count (one read of the tiny doclen table),
-      * computed at most once per handle — the MaxScore dispatch gate. */
-    @transient lazy val numDocs: Long = docLens.count()
+    /** Pre-aggregated `(term_bucket, term, id, __tf)` rows — the
+      * positions-free side table conjunction/BM25 serve from. */
+    def termDocs: DataFrame = spark.read.parquet(s"$path/termdocs")
+
+    /** tf rows of a term set: same directory prune as
+      * [[termsPostings]], over the term-doc-sized table. */
+    def tfPostings(terms: Seq[String]): DataFrame = {
+      require(terms.nonEmpty, "tfPostings: terms must be non-empty")
+      val bucketPred = terms.map(t => col("term_bucket") === bucketOf(t))
+        .reduce(_ || _)
+      termDocs.filter(bucketPred && col("term").isin(terms: _*))
+    }
+
+    /** [[tfPostings]] under the same parallelism floor / corpus-size
+      * gate as [[termsPostingsSpread]]. */
+    private def tfPostingsSpread(terms: Seq[String]): DataFrame =
+      if (numDocs >= SpreadMinDocs)
+        Spread.ensureMinPartitions(tfPostings(terms),
+          math.max(8, spark.sparkContext.defaultParallelism / 4))
+      else tfPostings(terms)
+
+    /** Corpus document count: from the store meta when the layout
+      * carries it (v4+, no job at all), else one count of the tiny
+      * doclen table, at most once per handle. Drives the serve-path
+      * dispatch gates. */
+    @transient lazy val numDocs: Long =
+      numDocsFromMeta.getOrElse(docLens.count())
 
     // ---- store-backed search (shared impls, pruned providers) -------
 
@@ -172,16 +217,16 @@ object PostingsStore {
         postings.select(col(idCol)).limit(0).withColumn("n_hits", lit(0L))
       } else if (dfMax >= DfSkewRatio * dfMin) {
         val rarest = dfs.minBy(_._2)._1
-        val rareDocs = termPostings(rarest).select(col(idCol)).distinct()
+        val rareDocs = tfPostings(Seq(rarest)).select(col(idCol))
         // df tells us the build side's exact size BEFORE planning:
         // hint broadcast only when it provably fits, else let the
         // semi-join shuffle (AQE may still upgrade it at runtime)
         val build =
           if (dfs(rarest) <= BroadcastDfLimit) broadcast(rareDocs) else rareDocs
-        val pruned = termsPostingsSpread(lower).join(build, Seq(idCol), "left_semi")
-        InvertedIndex.allTermsImpl(idCol, lower, _ => pruned)
+        val pruned = tfPostingsSpread(lower).join(build, Seq(idCol), "left_semi")
+        InvertedIndex.allTermsFromTf(idCol, lower, pruned)
       } else {
-        InvertedIndex.allTermsImpl(idCol, lower, termsPostingsSpread)
+        InvertedIndex.allTermsFromTf(idCol, lower, tfPostingsSpread(lower))
       }
     }
 
@@ -207,7 +252,7 @@ object PostingsStore {
     private def bm25Exhaustive(
         terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame =
       InvertedIndex.bm25Impl(idCol, terms, k, k1, b, termsPostingsSpread, docLens,
-        dfStats = Some(statsPostings))
+        dfStats = Some(statsPostings), tfRows = Some(tfPostingsSpread))
 
     // ---- MaxScore top-k pruning (Turtle & Flood 1995; the batch,
     // two-pass reading of it) --------------------------------------
@@ -221,8 +266,8 @@ object PostingsStore {
         present: Seq[String], cands: DataFrame,
         k: Int, k1: Double, b: Double): DataFrame =
       InvertedIndex.bm25Impl(idCol, present, k, k1, b,
-        ts => termsPostingsSpread(ts).join(cands, Seq(idCol), "left_semi"),
-        docLens, dfStats = Some(statsPostings))
+        termsPostingsSpread, docLens, dfStats = Some(statsPostings),
+        tfRows = Some(ts => tfPostingsSpread(ts).join(cands, Seq(idCol), "left_semi")))
 
     /** MaxScore decomposition of a BM25 top-k query, or None when
       * pruning cannot help (single present term, corpus smaller than
@@ -232,13 +277,20 @@ object PostingsStore {
       * statistics alone (no postings read): BM25's per-term
       * contribution rises in tf and falls in dl, so
       * `ub_t = idf_t · max_tf·(k1+1) / (max_tf + k1·(1−b+b·dl_min/avgdl))`
-      * bounds every doc. θ_lb = the k-th best EXACT score among docs
-      * containing the highest-ub seed term (any k exact scores
-      * lower-bound the true k-th best). The maximal ub-ascending
-      * prefix whose ub-sum stays under θ_lb is non-essential: a doc
-      * containing only those terms scores below k already-seen docs
-      * and can never enter the top-k — its postings are skipped at
-      * candidate-generation time. */
+      * bounds every doc. θ_lb = the k-th best SINGLE-TERM score of the
+      * highest-ub seed term: BM25 contributions are nonnegative, so a
+      * doc's seed-term score lower-bounds its total — k such docs
+      * lower-bound the true k-th best. This is deliberately the CHEAP
+      * threshold (one aggregation over one term's pruned postings,
+      * not a multi-term scoring pass): a weaker θ_lb can prune fewer
+      * terms, but a flat-ub query that cannot prune at all discovers
+      * it near-free instead of paying a full scoring pass before
+      * falling back — the failure mode that made the plain store
+      * route 2× the exhaustive one at the 32× tier. The maximal
+      * ub-ascending prefix whose ub-sum stays under θ_lb is
+      * non-essential: a doc containing only those terms scores below
+      * k already-seen docs and can never enter the top-k — its
+      * postings are skipped at candidate-generation time. */
     def bm25MaxScorePlan(
         terms: Seq[String],
         k: Int = 20,
@@ -261,12 +313,21 @@ object PostingsStore {
         val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
         t -> idf * maxTf * (k1 + 1.0) / (maxTf + kDenom)
       }.toMap
-      // seed = highest-ub term (rarest on ties): its doc list is both
-      // the cheapest source of k strong exact scores and guaranteed
-      // essential
+      // flat upper bounds cannot prune: θ_lb is at least the best
+      // single-term score of the seed, which is bounded below by
+      // ub_max's scale — a term goes non-essential only when its ub
+      // sits well under ub_max. When the widest/narrowest ub ratio is
+      // under [[UbSkewRatio]] no decomposition can win, and knowing
+      // that from the (already collected) stats costs NOTHING — the
+      // flat-query failure mode was paying a scoring job to discover
+      // non-prunability before falling back.
+      if (ubs.values.max < UbSkewRatio * ubs.values.min) return None
+      // seed = highest-ub term (rarest on ties): the cheapest source
+      // of k strong score lower bounds, and guaranteed essential
       val seed = present.minBy(t => (-ubs(t), stat(t)._1, t))
-      val seedDocs = termPostings(seed).select(col(idCol)).distinct()
-      val seedTop = scoreCandidates(present, seedDocs, k, k1, b)
+      val seedTop = InvertedIndex.bm25Impl(idCol, Seq(seed), k, k1, b,
+          termsPostingsSpread, docLens, dfStats = Some(statsPostings),
+          tfRows = Some(tfPostingsSpread))
         .select(col("score")).collect().map(_.getDouble(0))
       if (seedTop.length < k) return None
       // scores leave bm25Impl rounded to 4 dp; back the threshold off
@@ -297,7 +358,7 @@ object PostingsStore {
         b: Double = 0.75): DataFrame =
       bm25MaxScorePlan(terms, k, k1, b) match {
         case Some(plan) =>
-          val cands = termsPostings(plan.essential).select(col(idCol)).distinct()
+          val cands = tfPostings(plan.essential).select(col(idCol)).distinct()
           scoreCandidates(plan.essential ++ plan.nonEssential, cands, k, k1, b)
         case None => bm25Exhaustive(terms, k, k1, b)
       }
@@ -312,14 +373,18 @@ object PostingsStore {
       thetaLb: Double,
       upperBounds: Map[String, Double])
 
-  /** Per-term collection statistics of a postings frame: df (distinct
-    * docs), cf (total occurrences), max_tf (largest within-doc
-    * frequency). One pass: per-(term, doc) tf first, then the
-    * per-term rollup — df = row count, cf = Σ tf, max_tf = max tf. */
-  private def termStatsOf(post: DataFrame, idCol: String): DataFrame =
+  /** Pre-aggregated per-(term, doc) frequencies of a postings frame —
+    * the `termdocs` table's rows: `(term_bucket, term, id, __tf)`. */
+  private def termDocsOf(post: DataFrame, idCol: String): DataFrame =
     post
       .groupBy(col("term_bucket"), col("term"), col(idCol))
       .agg(count(lit(1)).as("__tf"))
+
+  /** Per-term collection statistics FROM the term-doc rows: df = row
+    * count, cf = Σ tf, max_tf = max tf — one vocabulary-sized rollup
+    * of the already-aggregated table, no occurrence rescan. */
+  private def termStatsOf(termDocs: DataFrame): DataFrame =
+    termDocs
       .groupBy(col("term_bucket"), col("term"))
       .agg(count(lit(1)).as("df"), sum(col("__tf")).as("cf"),
         max(col("__tf")).as("max_tf"))
@@ -347,6 +412,22 @@ object PostingsStore {
     * parallelism-floor repartition — on a small corpus the shuffle
     * costs more than the serial partial aggregation it prevents. */
   val SpreadMinDocs: Long = 32768L
+
+  /** MaxScore dispatch gate on the per-term score upper bounds: a
+    * decomposition can only prune when some term's ub sits well under
+    * the seed's (θ_lb scales with ub_max); below this ratio the plan
+    * returns None from the stats alone, before any scoring job. */
+  val UbSkewRatio: Double = 2.0
+
+  /** Parquet row-group size for the postings/termstats writes. Serving
+    * reads are BUCKET-pruned: a term query reads ~one sorted file per
+    * bucket, and Spark can only parallelize a parquet file at
+    * row-group granularity — the default 128 MB row group makes every
+    * modest bucket a single-task read. 8 MB row groups give a pruned
+    * read ~16x the split count at a negligible compression cost,
+    * which is what keeps the serve path wide WITHOUT the repartition
+    * shuffle the parallelism floor would otherwise insert. */
+  val RowGroupBytes: Long = 8L * 1024 * 1024
 
   /** Tokenize `docs` and publish the store at `path` (crash-safe: the
     * whole store is staged and swapped in; a reader never sees a
@@ -386,19 +467,32 @@ object PostingsStore {
         .repartitionByRange(files, col("term_bucket"), col("term"))
         .sortWithinPartitions(col("term"), col(idCol), col("pos"))
         .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", RowGroupBytes)
         .partitionBy("term_bucket").parquet(s"$staging/postings")
     }
     InvertedIndex.docLengths(docs, idCol, textCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
-    // collection statistics: df (docs containing term), cf (total
-    // occurrences), max_tf (largest within-doc frequency — the BM25
-    // upper-bound ingredient), vocabulary-sized, bucketed +
-    // term-sorted like the postings so serve-time stat lookups take
-    // the same pruned path. Computed from the STAGED postings (one
-    // columnar read of term/id), not by re-tokenizing the corpus.
-    val stats = termStatsOf(spark.read.parquet(s"$staging/postings"), idCol)
+    // derived side tables, each computed from the previous STAGED
+    // layer (columnar reads, never a corpus re-tokenize): termdocs =
+    // per-(term, doc) tf from the postings; termstats = per-term
+    // df/cf/max_tf from the termdocs. Both bucketed + term-sorted
+    // like the postings so serve-time lookups take the same pruned
+    // path.
+    val td = termDocsOf(spark.read.parquet(s"$staging/postings"), idCol)
     if (empty) {
       // same zero-row partitionBy hazard as the postings above
+      td.write.mode(SaveMode.Overwrite).parquet(s"$staging/termdocs")
+    } else {
+      td
+        .repartitionByRange(math.max(1, nBuckets / 4),
+          col("term_bucket"), col("term"))
+        .sortWithinPartitions(col("term"), col(idCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", RowGroupBytes)
+        .partitionBy("term_bucket").parquet(s"$staging/termdocs")
+    }
+    val stats = termStatsOf(spark.read.parquet(s"$staging/termdocs"))
+    if (empty) {
       stats.write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
     } else {
       stats
@@ -408,10 +502,13 @@ object PostingsStore {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("term_bucket").parquet(s"$staging/termstats")
     }
-    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets)
+    // corpus doc count into the meta: the doclen table was just
+    // written, so the count is a footer-metadata read of a tiny table
+    val nDocs = spark.read.parquet(s"$staging/doclen").count()
+    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets, nDocs)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, nBuckets)
+    Handle(spark, path, idCol, nBuckets, Some(nDocs))
   }
 
   /** Fold NEW documents into a published store without rebuilding it —
@@ -450,12 +547,24 @@ object PostingsStore {
         .repartitionByRange(nBuckets, col("term_bucket"), col("term"))
         .sortWithinPartitions(col("term"), col(idCol), col("pos"))
         .write.mode(SaveMode.Append)
+        .option("parquet.block.size", RowGroupBytes)
         .partitionBy("term_bucket").parquet(s"$path/postings")
       InvertedIndex.docLengths(delta, idCol, textCol)
         .write.mode(SaveMode.Append).parquet(s"$path/doclen")
+      // termdocs: (term, id) rows are unique ACROSS the append under
+      // the disjoint-ids contract, so the delta's tf rows land as a
+      // plain append — no merge pass
+      val deltaTd = termDocsOf(post, idCol)
+      deltaTd
+        .repartitionByRange(math.max(1, nBuckets / 4),
+          col("term_bucket"), col("term"))
+        .sortWithinPartitions(col("term"), col(idCol))
+        .write.mode(SaveMode.Append)
+        .option("parquet.block.size", RowGroupBytes)
+        .partitionBy("term_bucket").parquet(s"$path/termdocs")
       // merged stats: df/cf additive, max_tf a max — both exact under
       // the disjoint-ids contract
-      val deltaStats = termStatsOf(post, idCol)
+      val deltaStats = termStatsOf(deltaTd)
       val merged = handle.termStats.unionByName(deltaStats)
         .groupBy(col("term_bucket"), col("term"))
         .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
@@ -470,6 +579,14 @@ object PostingsStore {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("term_bucket").parquet(staging.toString)
       SwapDir.swap(fs, staging, new Path(s"$path/termstats"))
+      // doc count is additive under the disjoint-ids contract; keep
+      // the meta's copy current so serve-path gates never run a job.
+      // Same non-empty-text semantics as the doclen table the count
+      // mirrors (one job over the small delta).
+      val nDocs = handle.numDocs +
+        InvertedIndex.docLengths(delta, idCol, textCol).count()
+      writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, nDocs)
+      return Handle(spark, path, idCol, nBuckets, Some(nDocs))
     }
     handle
   }
@@ -495,20 +612,28 @@ object PostingsStore {
       .repartitionByRange(files, col("term_bucket"), col("term"))
       .sortWithinPartitions(col("term"), col(idCol), col("pos"))
       .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", RowGroupBytes)
       .partitionBy("term_bucket").parquet(s"$staging/postings")
     handle.docLens
       .coalesce(math.max(1, files / 8))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
+    handle.termDocs
+      .repartitionByRange(math.max(1, nBuckets / 4),
+        col("term_bucket"), col("term"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", RowGroupBytes)
+      .partitionBy("term_bucket").parquet(s"$staging/termdocs")
     handle.termStats
       .repartitionByRange(math.max(1, nBuckets / 8),
         col("term_bucket"), col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket").parquet(s"$staging/termstats")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets)
+    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets, handle.numDocs)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, nBuckets)
+    Handle(spark, path, idCol, nBuckets, Some(handle.numDocs))
   }
 
   /** Open an existing store (heals an interrupted swap first). */
@@ -519,7 +644,8 @@ object PostingsStore {
     val v = meta.getOrElse("version", "?")
     require(v == Version.toString,
       s"postings store at $path has version $v, expected $Version")
-    Handle(spark, path, meta("idCol"), meta("nBuckets").toInt)
+    Handle(spark, path, meta("idCol"), meta("nBuckets").toInt,
+      meta.get("numDocs").map(_.toLong))
   }
 
   /** True when a complete (published, not staging) store exists. */
@@ -556,13 +682,14 @@ object PostingsStore {
 
   // the meta file is plain `key=value` lines written through the
   // Hadoop FS API (works on any filesystem the store itself lives on)
-  private def writeMeta(
-      spark: SparkSession, file: String, idCol: String, nBuckets: Int): Unit = {
+  private def writeMeta(spark: SparkSession, file: String, idCol: String,
+      nBuckets: Int, numDocs: Long): Unit = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
-      s"version=$Version\nidCol=$idCol\nnBuckets=$nBuckets\n".getBytes("UTF-8"))
+      (s"version=$Version\nidCol=$idCol\nnBuckets=$nBuckets\n" +
+        s"numDocs=$numDocs\n").getBytes("UTF-8"))
     finally out.close()
   }
 

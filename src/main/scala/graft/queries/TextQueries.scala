@@ -710,6 +710,39 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // OPQ (optimized product quantization, Ge et al. 2013): PCA
+    // eigenbasis rotation with variance-balanced eigenvalue
+    // allocation BEFORE the PQ codebooks — the same 8x16 code budget
+    // as q73 spent on decorrelated subspaces. OpqSpec pins the
+    // recall gain over plain PQ on planted low-rank (anisotropic)
+    // embeddings at equal budget. Approximate => rows-only; q181b is
+    // the exhaustive-setting twin under the shared ANN oracle.
+    q("q181_ann_opq") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = graft.ann.Opq.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      graft.ann.Opq.adcTopK(graft.ann.Opq.encode(emb, "embedding", model), queries,
+          "vec_id", "embedding", "qid", "qvec", model, k = 5, shortlist = 100)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // q181's exhaustive twin (the q73b argument, carried through the
+    // rotation): the rotation is orthonormal and the re-rank reads
+    // ORIGINAL vectors, so an unbounded shortlist provably
+    // degenerates to brute force — SQL-expressible, hash-checked.
+    q("q181b_ann_opq_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = graft.ann.Opq.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      graft.ann.Opq.adcTopK(graft.ann.Opq.encode(emb, "embedding", model), queries,
+          "vec_id", "embedding", "qid", "qvec", model, k = 5, shortlist = Int.MaxValue)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     q("q74b_ann_ivfpq_exhaustive", annTop5Oracle) { c =>
       import c.t
       val emb = t("embeddings")
