@@ -83,6 +83,46 @@ object SearchQueries extends QueryDsl {
         k = 60, topN = 10)
     },
 
+    // Rank-biased overlap between the two SERVING rankings — plain
+    // BM25 top-20 vs the RRF-fused hybrid top-10 for the same query
+    // terms: the serving-eval number that says how much the semantic
+    // leg actually re-orders lexical retrieval (q177's truncated
+    // weight-spine formulation, p = 0.9, applied to search rather
+    // than curation scorers). Both legs reuse the EXISTING oracle
+    // texts, so the rankings entering the metric are the
+    // hash-verified q124/q142 rankings themselves.
+    q("q182_rbo_search_rankings", {
+      val bm = TextQueries.bm25Sql(hybridTerms)
+      s"""WITH ra AS (SELECT doc_id, rnk FROM ($bm) a),
+        |rb AS (SELECT doc_id, rnk FROM ($hybridRrfSql) b),
+        |both_ AS (SELECT ra.doc_id, greatest(ra.rnk, rb.rnk) AS m
+        |  FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+        |spine AS (SELECT unnest(range(1, 21)) AS d),
+        |contrib AS (SELECT b.doc_id, sum(pow(0.9, d - 1) / d) AS w
+        |  FROM both_ b JOIN spine s ON s.d >= b.m GROUP BY 1)
+        |SELECT cast((SELECT count(*) FROM both_) AS BIGINT) AS shared_docs,
+        |  round(0.1 * coalesce((SELECT sum(w) FROM contrib), 0.0), 6) AS rbo
+        |""".stripMargin
+    }) { c =>
+      import c.t
+      val bm = graft.operators.InvertedIndex.bm25Search(
+          t("documents"), "doc_id", "text", hybridTerms, k = 20)
+        .select($"doc_id", $"rnk".as("ra"))
+      val fused = RrfFusion.fuse(Seq("bm25" ->
+            bm.select($"doc_id", $"ra".as("rnk")), "cos" -> cosLeg(c)),
+          "doc_id", k = 60, topN = 10)
+        .select($"doc_id", $"rnk".cast("long").as("rb"))
+      val both = bm.join(fused, "doc_id")
+        .select($"doc_id", greatest($"ra", $"rb").as("m"))
+      val spine = c.spark.range(1, 21).select($"id".as("d"))
+      val contrib = both.join(spine, $"d" >= $"m")
+        .groupBy($"doc_id").agg(sum(pow(lit(0.9), $"d" - 1) / $"d").as("w"))
+      both.agg(count(lit(1)).as("shared_docs"))
+        .crossJoin(contrib.agg(sum($"w").as("sw")))
+        .select($"shared_docs",
+          round(lit(0.1) * coalesce($"sw", lit(0.0)), 6).as("rbo"))
+    },
+
     // MMR diversified re-rank of the cosine top-50 for query vec 0:
     // greedy λ·rel − (1−λ)·maxSim selection, driver-side over the
     // bounded candidate page (see MmrRerank scaladoc). The greedy

@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSpec {
     "q71b_ann_lsh_exhaustive", "q72_ann_ivf", "q72b_ann_ivf_exhaustive",
     "q73_ann_pq", "q73b_ann_pq_exhaustive", "q74_ann_ivfpq",
     "q74b_ann_ivfpq_exhaustive", "q71_ann_lsh",
+    // OPQ = the q73 ADC shape after an orthonormal rotation: every
+    // corpus row scores against the broadcast per-query ADC tables
+    "q181_ann_opq", "q181b_ann_opq_exhaustive",
     // exact cosine pair graph as LPA's oracle route (q162b is the
     // LSH-bucketed scale twin)
     "q162_lpa_communities",
@@ -74,7 +77,11 @@ class PlanAuditSpec extends SparkSpec {
     "q161b_vocab_novelty_hll",
     // q177: the top-100 shared-docs frame theta-joined against the
     // 100-row RBO weight spine (d >= m), plus the one-row totals cross
-    "q177_rbo_quality_entropy")
+    "q177_rbo_quality_entropy",
+    // q182: the same RBO weight-spine shape over the two serving
+    // rankings (<= 20-row shared frame x 20-row spine; the hybrid leg
+    // also carries q142's bounded RRF window + one-row totals cross)
+    "q182_rbo_search_rankings")
 
   // BOUNDED CROSS by semantics: every row is deliberately paired with
   // every member of a tiny bounded frame because that IS the
