@@ -302,9 +302,16 @@ object KCore {
       .collect().foreach(r => core(r.getLong(0)) = r.getInt(1))
     // deterministic insertion order (the final cores are order-
     // independent — k-core is unique — but determinism keeps any
-    // intermediate-state debugging reproducible)
+    // intermediate-state debugging reproducible). The traversal runs
+    // for ALREADY-PRESENT delta edges too: with correct cores the
+    // peel promotes nobody (a no-op), and with STALE cores — a
+    // caller that crashed between appending edges and persisting
+    // cores, then replayed the batch — it drives them to the true
+    // fixpoint; this is what makes [[graft.operators.PairGraphStore]]
+    // streaming maintenance replay-idempotent.
     val deltas = dCanon.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    for ((a, b) <- deltas; if addEdge(a, b)) {
+    for ((a, b) <- deltas) {
+      addEdge(a, b)
       val k = math.min(core(a), core(b))
       if (k < maxK) {
         // candidates: BFS from the min-core endpoint(s) over core == k

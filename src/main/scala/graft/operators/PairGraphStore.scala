@@ -61,7 +61,9 @@ object PairGraphStore {
       * (src < dst) and DISJOINT from the stored pair set — the shape
       * [[graft.dedup.LshStore.Handle.nearDupsOfDelta]] produces (at
       * least one endpoint is a new document, so no stored pair can
-      * recur). A re-appended pair would double its edge rows. */
+      * recur). A re-appended pair would double its edge rows; the
+      * replay-safe ingest path is [[appendAndMaintainCores]], which
+      * dedups against the store. */
     def append(delta: DataFrame): Handle = {
       if (!delta.isEmpty) {
         val cols = srcCol +: dstCol +: weightCol.toSeq
@@ -70,6 +72,84 @@ object PairGraphStore {
           .write.mode(SaveMode.Append).parquet(s"$path/edges")
       }
       this
+    }
+
+    // ---- core-numbers side state -----------------------------------
+
+    private def coresDir = s"$path/graphcores"
+
+    /** Core numbers of the stored graph (capped at `maxK`), computed
+      * ONCE and persisted behind the crash-safe swap; later calls
+      * read the parquet. A state written at a different cap is
+      * rebuilt. */
+    def ensureCores(maxK: Int): DataFrame = {
+      val fs = new Path(coresDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SwapDir.heal(fs, new Path(coresDir))
+      val metaP = new Path(s"$coresDir/_graft_cores_meta")
+      val current = fs.exists(metaP) && {
+        val in = fs.open(metaP)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.trim == s"maxK=$maxK"
+      }
+      if (!current)
+        writeCores(
+          KCore.coreNumbers(edges, srcCol, dstCol, maxK), maxK, fs)
+      spark.read.parquet(s"$coresDir/data")
+    }
+
+    private def writeCores(cores: DataFrame, maxK: Int,
+        fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      val staging = coresDir + ".staging"
+      fs.delete(new Path(staging), true)
+      cores.write.mode(SaveMode.Overwrite).parquet(s"$staging/data")
+      val out = fs.create(new Path(s"$staging/_graft_cores_meta"), true)
+      try out.write(s"maxK=$maxK".getBytes("UTF-8")) finally out.close()
+      SwapDir.swap(fs, new Path(staging), new Path(coresDir))
+    }
+
+    /** The streaming-grade ingest step: fold a (possibly replayed)
+      * delta edge batch in AND maintain the persisted core numbers at
+      * delta cost — [[KCore.maintainAfterInsert]] against the stored
+      * state instead of a from-scratch re-peel per refresh.
+      *
+      * Replay idempotence (the foreachBatch contract): the delta is
+      * deduped against the stored edges before appending, and the
+      * maintenance traversal tolerates already-present edges (with
+      * correct cores it promotes nobody; with stale cores — a crash
+      * between the edge append and the cores swap — it drives them
+      * to the true fixpoint). Any prefix of {append, maintain, swap}
+      * may crash and the batch re-run converges to the same state. */
+    def appendAndMaintainCores(delta: DataFrame, maxK: Int): DataFrame = {
+      val old = ensureCores(maxK)
+      val canonDelta = delta
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b")
+      val stored = edges
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b")
+      val fresh = canonDelta.join(stored, Seq("a", "b"), "left_anti")
+      // maintain BEFORE appending: maintainAfterInsert unions old
+      // edges with the delta itself, and runs the traversal for
+      // already-present delta edges too, so both orders converge —
+      // this one keeps the no-crash path reading each frame once
+      val maintained = KCore.maintainAfterInsert(
+        old, stored, canonDelta, "a", "b", maxK)
+        .localCheckpoint()
+      if (!fresh.isEmpty) {
+        val freshNamed = fresh.toDF(srcCol, dstCol)
+        val withW = weightCol.fold(freshNamed)(w =>
+          // weight recovered from the delta rows (anti-join dropped it)
+          freshNamed.join(
+            delta.select(col(srcCol), col(dstCol), col(w)),
+            Seq(srcCol, dstCol), "left"))
+        append(withW)
+      }
+      val fs = new Path(coresDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      writeCores(maintained, maxK, fs)
+      maintained
     }
   }
 

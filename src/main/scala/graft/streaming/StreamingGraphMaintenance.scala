@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.PairGraphStore
+
+/** Streaming maintenance of a persisted similarity graph: verified
+  * near-dup edge batches arrive as files (the shape an upstream
+  * delta-dedup pass — `LshStore.nearDupsOfDelta`, the SRP verify —
+  * emits for newly-ingested documents), and each micro-batch folds
+  * into the [[PairGraphStore]] AND updates its persisted core
+  * numbers at delta cost via `appendAndMaintainCores` — the graph
+  * analytics state stays current WITHOUT ever re-peeling the grown
+  * graph.
+  *
+  * The foreachBatch pattern (the repo's quarantine/postings-ingest
+  * convention): semantics identical to the batch ingest by
+  * construction, and replay-safe — `appendAndMaintainCores` dedups
+  * the delta against the stored edges and its maintenance traversal
+  * tolerates already-present edges, so a batch re-delivered after a
+  * crash anywhere in {append, maintain, cores swap} converges to the
+  * same state (StreamingGraphMaintenanceSpec drives the crash
+  * windows explicitly).
+  */
+object StreamingGraphMaintenance {
+
+  /** One micro-batch step; exposed for direct use and tests. */
+  def process(batch: DataFrame, store: PairGraphStore.Handle, maxK: Int): Unit = {
+    if (!batch.isEmpty) { store.appendAndMaintainCores(batch, maxK); () }
+  }
+
+  /** File-source drive: watch `inDir` for parquet batches of verified
+    * canonical edges (store's srcCol/dstCol/weight columns), maintain
+    * the store per batch. */
+  def stream(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      store: PairGraphStore.Handle,
+      maxK: Int,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        process(batch, store, maxK)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
