@@ -233,6 +233,30 @@ object TextQueries extends QueryDsl {
         .nearDupsOfDelta(delta, "text", minJaccard = 0.8)
     },
 
+    // Vector-side incremental near-dup against the persisted SRP
+    // signature index (q140's embedding analogue): the corpus (3/4 of
+    // vectors) is signed once into an SrpStore; the delta
+    // (vec_id % 4 == 0) is signed fresh and bucket-joined against
+    // stored signatures — corpus vectors are read only
+    // candidate-pruned at verify, never re-signed. Rows-only (SRP
+    // recall below ~0.6 cosine has no SQL twin, the q65/q69b family
+    // argument); SrpStoreSpec pins EXACT equality with the full
+    // self-join build restricted to delta-touching pairs, and the
+    // streaming end-to-end (StreamingSemanticIngest) rides this same
+    // store into the pair-graph maintenance.
+    q("q184_neardup_incremental_vec") { c =>
+      import c.t
+      val embT = t("embeddings")
+      val corpus = embT.filter(pmod($"vec_id", lit(4)) =!= 0)
+      val delta = embT.filter(pmod($"vec_id", lit(4)) === 0)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srpstore_v1_$key"
+      graft.ann.SrpStore.ensure(corpus, "vec_id", "embedding", c.spark, path)
+        .nearDupsOfDelta(delta)
+        .orderBy($"vec_a", $"vec_b")
+    },
+
     // maxBucketSize passed EXPLICITLY: q63 has no DuckDB oracle, so a
     // silent default change altering the drop set (hence recall) would
     // sail through the gate — pin it at the call site instead.
