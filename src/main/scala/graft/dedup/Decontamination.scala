@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
 import graft.operators.BloomPrune
@@ -81,6 +81,34 @@ object Decontamination {
       .prune(trPost, "s", evPost, "s", expectedEvalShingles, fpp)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
     report(tot, hits, idCol, tau)
+  }
+
+  /** Decontamination served from a PERSISTED hashed-shingle frame —
+    * [[LshStore]]'s `shingles` table, one `(__id, __sh)` row per doc
+    * with the doc's distinct chain hashes: both the train and the
+    * eval side read stored 64-bit hashes, so the screen runs with
+    * ZERO corpus tokenization (the exact route's two corpus-wide
+    * shingle explodes were its dominant cost). Chain-hash equality ≡
+    * raw-shingle equality modulo 64-bit collisions
+    * ([[ShingleHashes]]'s injectivity argument), so this is the
+    * rows-only twin of [[overlapReport]]; DecontaminationSpec pins
+    * column-for-column equality on the harness corpus. Same
+    * bloom-pruned semi-join shape: the eval hash set folds into one
+    * broadcast sketch, the training side shuffles (id, hit) pairs. */
+  def overlapReportFromHashes(
+      shingleRows: DataFrame,
+      isEval: Column => Column,
+      idAlias: String,
+      tau: Double,
+      expectedEvalShingles: Long = 1000000L): DataFrame = {
+    val post = shingleRows
+      .select(col("__id").as(idAlias), explode(col("__sh")).as("__h"))
+    val ev = post.filter(isEval(col(idAlias))).select(col("__h")).distinct()
+    val tr = post.filter(!isEval(col(idAlias)))
+    val tot = tr.groupBy(col(idAlias)).agg(count(lit(1)).as("n_shingles"))
+    val hits = BloomPrune.semiJoin(tr, ev, "__h", "__h", expectedEvalShingles)
+      .groupBy(col(idAlias)).agg(count(lit(1)).as("n_hits"))
+    report(tot, hits, idAlias, tau)
   }
 
   private def report(

@@ -1733,6 +1733,25 @@ object TextQueries extends QueryDsl {
         "doc_id", "text", shingleN = 3, tau = 0.5)
     },
 
+    // STORE-SERVED decontamination: both sides read the persisted
+    // hashed-shingle table (a full-corpus LshStore, built once per
+    // dir) — the screen runs with ZERO corpus tokenization, where
+    // q152's dominant cost was two corpus-wide shingle explodes.
+    // Rows-only (64-bit chain-hash equality stands in for raw-shingle
+    // equality); DecontaminationSpec pins column-for-column equality
+    // with the exact q152 route on the harness corpus, and q152
+    // remains the oracle-exact contract.
+    q("q185_decontamination_store") { c =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshstore_full_$key"
+      val store = LshStore.ensure(
+        graft.Tables.load(c.spark, c.dir, "documents"), "doc_id", "text",
+        c.spark, path)
+      graft.dedup.Decontamination.overlapReportFromHashes(
+        store.shingles, id => pmod(id, lit(17)) === 0, "doc_id", tau = 0.5)
+    },
+
     // Snapshot DIFF (release-to-release change audit): statuses of
     // every key across two corpus versions — B is derived from the
     // documents table deterministically (drop doc_id%13==5, append

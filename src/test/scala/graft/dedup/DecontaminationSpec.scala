@@ -57,6 +57,28 @@ class DecontaminationSpec extends SparkSpec {
     assert(inflation.toDouble / tot < 0.05, s"bloom inflation $inflation / $tot")
   }
 
+  test("store-served hashed route equals the exact route column for column") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val (train, eval) = split()
+    val exact = Decontamination.overlapReport(
+      train, eval, "doc_id", "text", shingleN = 3, tau = 0.5)
+    // the persisted hashed-shingle frame the LshStore would serve,
+    // built in-test from the same family kernel
+    import graft.functions.{TextFunctions => TF}
+    val shingleRows = docs.select(col("doc_id").as("__id"),
+      ShingleHashes.of(TF.wsTokens(lower(col("text"))), 3).as("__sh"))
+    val fromStore = Decontamination.overlapReportFromHashes(
+      shingleRows, id => pmod(id, lit(17)) === 0, "doc_id", tau = 0.5)
+    assert(fromStore.exceptAll(exact).isEmpty && exact.exceptAll(fromStore).isEmpty,
+      "hashed-store route must reproduce the exact report on this corpus")
+    // and through a REAL persisted store (build + read back)
+    val dir = java.nio.file.Files.createTempDirectory("deconstore").toString
+    val h = LshStore.build(docs, "doc_id", "text", s"$dir/store")
+    val served = Decontamination.overlapReportFromHashes(
+      h.shingles, id => pmod(id, lit(17)) === 0, "doc_id", tau = 0.5)
+    assert(served.exceptAll(exact).isEmpty && exact.exceptAll(served).isEmpty)
+  }
+
   test("contamination fires on a planted eval quote") {
     val sp = spark; import sp.implicits._
     val (train, eval) = split()
