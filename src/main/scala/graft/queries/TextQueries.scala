@@ -479,11 +479,12 @@ object TextQueries extends QueryDsl {
     // impossible here and the query stays rows-only. Recall is instead
     // asserted on planted duplicates in AnnSpec.
     q("q65_neardup_lsh") { c =>
-      import c.t
-      // maxBucketSize pinned at the call site (rows-only query — a
-      // default drift altering the drop set would pass the gate)
-      Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
-        threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+      // served from the persisted pair-graph store (family params —
+      // incl. maxBucketSize — pinned in embPairStore, shared with
+      // q101b/q162b/q169/q176/q183): identical rows to the inline
+      // route by the store's fidelity contract; q65b stays the INLINE
+      // contract validator of the production build itself
+      embPairStore(c.spark, c.dir).edges
         .orderBy($"vec_a", $"vec_b")
     },
 
@@ -543,9 +544,10 @@ object TextQueries extends QueryDsl {
     // planted-duplicate cluster recovery is asserted in AnnSpec, and
     // the shared edge machinery carries q65b's contract oracle.
     q("q69b_embedding_clusters_lsh") { c =>
-      import c.t
-      val pairs = Ann.lshNearDupPairs(t("embeddings"), "vec_id", "embedding",
-          threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+      // components over the store-served edge frame (one verified SRP
+      // build per corpus, shared family) — q69c stays the inline
+      // contract validator
+      val pairs = embPairStore(c.spark, c.dir).edges
         .select($"vec_a".as("va"), $"vec_b".as("vb"))
       graft.dedup.ConnectedComponents.runAdaptive(pairs, "va", "vb")
         .orderBy($"member")
