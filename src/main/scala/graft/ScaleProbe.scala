@@ -146,7 +146,8 @@ object ScaleProbe {
         "q101b_semantic_dedup_lsh", "q162b_lpa_communities_lsh",
         "q169_lpa_weighted", "q176_kcore_neardup", "q180_kcore_incremental",
         "q128_pagerank_neardup", "q130_pagerank_weighted",
-        "q184_neardup_incremental_vec")
+        "q184_neardup_incremental_vec", "q186_triangles_incremental",
+        "q65_neardup_lsh", "q69b_embedding_clusters_lsh")
       queries.filter(q => q.endsWith("_store") || q.endsWith("_maxscore") ||
           q == "q140_neardup_incremental" || pairGraphServed(q)).foreach { name =>
         try SparkEntry.queries(name)(spark, big).count()

@@ -65,4 +65,61 @@ object Triangles {
           .otherwise(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("deg") * (col("deg") - lit(1L)))).as("lcc"))
   }
+
+  /** Maintain the per-node triangle report under an EDGE-INSERTION
+    * batch — ONE pass, no iteration: every triangle created by the
+    * batch contains at least one inserted edge, so the new triangles
+    * are exactly { sorted(a, b, w) : (a,b) ∈ fresh, w ∈ N'(a) ∩ N'(b) }
+    * deduplicated (a triangle with 2 or 3 fresh edges surfaces once
+    * per fresh edge; the sorted-triple `distinct` collapses it to
+    * one). Degrees are a linear re-aggregation; the per-node triangle
+    * counts are old + increments. The expensive stage of a
+    * from-scratch [[perNode]] — the corpus-wide oriented wedge join —
+    * never runs: the wedge work here fans out from the DELTA edges'
+    * neighborhoods only.
+    *
+    * `oldCounts` must be [[perNode]]'s output on `oldEdges`; the
+    * result equals `perNode(oldEdges ∪ delta)` exactly
+    * (TrianglesSpec, planted + randomized). Replay-tolerant like the
+    * k-core maintenance: already-present delta edges are anti-joined
+    * away, so a redelivered batch is a no-op. */
+  def maintainAfterInsert(
+      oldCounts: DataFrame,
+      oldEdges: DataFrame,
+      delta: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val e0 = canon(oldEdges).localCheckpoint()
+    val fresh = canon(delta).join(e0, Seq("a", "b"), "left_anti").localCheckpoint()
+    val all = e0.unionByName(fresh).localCheckpoint()
+    val sym = all.union(all.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v")
+    // common neighbors of each fresh edge's endpoints in the NEW graph
+    val triples = fresh
+      .join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+      .join(sym.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+      .filter(col("w") =!= col("a") && col("w") =!= col("b"))
+      .select(array_sort(array(col("a"), col("b"), col("w"))).as("t"))
+      .distinct()
+    val inc = triples
+      .select(explode(col("t")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__inc"))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    deg
+      .join(oldCounts.select(col("node"), col("triangles").as("__oldT")),
+        Seq("node"), "left")
+      .join(inc, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        (coalesce(col("__oldT"), lit(0L)) + coalesce(col("__inc"), lit(0L)))
+          .as("triangles"))
+      .withColumn("lcc",
+        when(col("degree") < 2, 0.0)
+          .otherwise(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - lit(1L)))))
+  }
 }

@@ -1041,6 +1041,27 @@ object MlQueries extends QueryDsl {
         edges, "vec_a", "vec_b", "cos",
         id => pmod(id, lit(17)) === 0, "vec_id")
         .select($"vec_id", $"n_eval_hits", round($"max_cos", 4).as("max_cos"))
+    },
+
+    // Incremental triangle/lcc maintenance on the pair-graph store:
+    // q180's split (a deterministic 1/5 of stored edges arrives as
+    // the insertion batch), per-node triangle counts updated in ONE
+    // pass from the delta edges' neighborhoods — every new triangle
+    // contains a fresh edge, sorted-triple dedup counts multi-fresh
+    // triangles once; the corpus-wide oriented wedge join never
+    // re-runs. Rows-only (LSH graph); TrianglesSpec pins maintain ==
+    // from-scratch on planted and randomized graphs, and q174's exact
+    // twin anchors the triangle semantics.
+    q("q186_triangles_incremental") { c =>
+      val edges = TextQueries.embPairStore(c.spark, c.dir).edges
+      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      val oldCounts = graft.operators.Triangles.perNode(base, "vec_a", "vec_b")
+      graft.operators.Triangles.maintainAfterInsert(
+        oldCounts, base, delta, "vec_a", "vec_b")
+        .select($"node".as("vec_id"), $"degree", $"triangles",
+          round($"lcc", 6).as("lcc"))
     }
   )
 }

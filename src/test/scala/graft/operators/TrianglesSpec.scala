@@ -64,6 +64,55 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  private def maintained(
+      old: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame) = {
+    val oc = Triangles.perNode(old, "a", "b")
+    Triangles.maintainAfterInsert(oc, old, delta, "a", "b")
+      .select("node", "degree", "triangles", "lcc")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+  }
+
+  test("maintain: multi-fresh-edge triangles count once; new nodes enter") {
+    val sp = spark; import sp.implicits._
+    // old graph: path 1-2-3; delta closes the triangle AND wires a new
+    // K3 (4,5,6) with 4 attached to 1 — the {4,5,6} triangle has THREE
+    // fresh edges and must count exactly once per node
+    val old = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val delta = Seq((1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val got = maintained(old, delta)
+    assert(got == report(old.union(delta)), s"got=$got")
+    assert(got(4L)._2 == 1 && got(5L)._2 == 1 && got(6L)._2 == 1)
+    assert(got(1L)._2 == 1)
+  }
+
+  test("maintain: replayed (already-present) delta edges are a no-op") {
+    val sp = spark; import sp.implicits._
+    val old = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val delta = Seq((1L, 2L), (3L, 1L)).toDF("a", "b") // present (one reversed)
+    assert(maintained(old, delta) == report(old))
+  }
+
+  test("maintain equals from-scratch on randomized graphs and deltas") {
+    val sp = spark; import sp.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20
+      val allE = (for {
+        i <- 1 to n; j <- (i + 1) to n
+        if rnd.nextDouble() < 0.18
+      } yield (i.toLong, j.toLong)).distinct
+      val (delta, old) = allE.partition(_ => rnd.nextDouble() < 0.25)
+      if (old.nonEmpty && delta.nonEmpty) {
+        val got = maintained(old.toDF("a", "b"), delta.toDF("a", "b"))
+        val want = report(old.toDF("a", "b").union(delta.toDF("a", "b")))
+        assert(got == want, s"seed=$seed")
+      }
+    }
+  }
+
   test("deterministic under repartitioning; empty edges yield empty report") {
     val sp = spark; import sp.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
