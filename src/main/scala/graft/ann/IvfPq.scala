@@ -82,7 +82,7 @@ object IvfPq {
     * its own m x k table over (query - cellCentroid). Probing happens
     * driver-side on the already-collected query set — same arithmetic
     * and tie-break as the plan-side argmin. */
-  private def residualQueryTables(
+  private[ann] def residualQueryTables(
       spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame,
       queryIdCol: String,

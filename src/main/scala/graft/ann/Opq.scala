@@ -71,6 +71,22 @@ object Opq {
   /** Fit: distributed covariance pass → driver eigen → allocation →
     * PQ codebooks trained on the ROTATED sample (same bounded
     * deterministic sample recipe as [[Pq.train]]). */
+  /** The rotation alone (distributed covariance → driver eigen →
+    * eigenvalue allocation): (rotation rows, shifts). Shared with the
+    * [[IvfOpq]] composition, which trains its codebooks through
+    * IVF-PQ instead of the plain PQ below. */
+  private[ann] def fitRotation(
+      corpus: DataFrame, vecCol: String, dim: Int, m: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val pca = graft.ml.Pca.fit(corpus, vecCol, dim, k = dim)
+    val order = eigenvalueAllocation(pca.variances, m)
+    val rotation = order.map(pca.components(_))
+    val shifts = rotation.map(row =>
+      row.zip(pca.mean).map { case (a, b) => a * b }.sum)
+    (rotation, shifts)
+  }
+
   def train(
       corpus: DataFrame,
       idCol: String,
@@ -80,12 +96,7 @@ object Opq {
       k: Int = 16,
       iterations: Int = 3,
       maxSamples: Int = 0): Model = {
-    require(dim % m == 0, s"dim $dim must be divisible by m $m")
-    val pca = graft.ml.Pca.fit(corpus, vecCol, dim, k = dim)
-    val order = eigenvalueAllocation(pca.variances, m)
-    val rotation = order.map(pca.components(_))
-    val shifts = rotation.map(row =>
-      row.zip(pca.mean).map { case (a, b) => a * b }.sum)
+    val (rotation, shifts) = fitRotation(corpus, vecCol, dim, m)
     val cap = if (maxSamples > 0) maxSamples else k * 256
     val sample = KMeans.sampleVectors(corpus, idCol, vecCol, cap)
     val rotated = sample.map(v => rotate(v, rotation, shifts))

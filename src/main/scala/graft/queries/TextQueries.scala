@@ -769,6 +769,40 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // The fully-composed scale index (FAISS OPQ64,IVF16,PQ8 shape):
+    // OPQ rotation, then IVF cells + residual PQ all in rotated space
+    // (L2 geometry exactly preserved by the orthonormal rotation);
+    // re-rank on original vectors. Rows-only; q187b exhaustive twin.
+    q("q187_ann_ivf_opq") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = graft.ann.IvfOpq.train(emb, "vec_id", "embedding",
+        dim = 64, nlist = 16, m = 8, k = 16)
+      graft.ann.IvfOpq.topK(graft.ann.IvfOpq.index(emb, "embedding", model),
+          queries, "vec_id", "embedding", "qid", "qvec", model,
+          k = 5, nprobe = 4, shortlist = 100)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // q187's exhaustive twin: nprobe = nlist + unbounded shortlist
+    // degenerates to brute force THROUGH the rotation (orthonormal,
+    // original-vector re-rank) — the q74b argument composed with
+    // q181b's, SQL-expressible and hash-checked.
+    q("q187b_ann_ivf_opq_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val model = graft.ann.IvfOpq.train(emb, "vec_id", "embedding",
+        dim = 64, nlist = 16, m = 8, k = 16)
+      graft.ann.IvfOpq.topK(graft.ann.IvfOpq.index(emb, "embedding", model),
+          queries, "vec_id", "embedding", "qid", "qvec", model,
+          k = 5, nprobe = 16, shortlist = Int.MaxValue)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     q("q74b_ann_ivfpq_exhaustive", annTop5Oracle) { c =>
       import c.t
       val emb = t("embeddings")
