@@ -36,7 +36,12 @@ import graft.operators.SwapDir
   */
 object SrpStore {
 
-  private val Version = 1
+  // v2: adds the `bucketcounts` side table — per-(table, bucket)
+  // posting counts, merged ADDITIVELY at append — so the oversized-
+  // bucket guard reads a bucket-cardinality-sized table plus a
+  // delta-sized aggregate instead of re-counting the corpus postings
+  // on every delta batch.
+  private val Version = 2
 
   /** SRP family parameters — fixed at build time; a delta must be
     * signed with the SAME family or its buckets never collide with
@@ -60,6 +65,11 @@ object SrpStore {
     def postings: DataFrame = spark.read.parquet(s"$path/postings")
     def vectors: DataFrame = spark.read.parquet(s"$path/vectors")
 
+    /** (tbl, bkt, n) stored posting counts — the guard's input. May
+      * carry several rows per bucket after appends (additive; the
+      * guard sums); compact collapses them. */
+    def bucketCounts: DataFrame = spark.read.parquet(s"$path/bucketcounts")
+
     /** Verified near-dup pairs of an incoming batch against the
       * stored corpus AND within the batch — `(vec_a, vec_b, cos)`,
       * vec_a < vec_b canonical, exact cosine > threshold, cos
@@ -73,9 +83,17 @@ object SrpStore {
       val dPost = postingsOf(delta, idCol, vecCol, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val allPost = postings.unionByName(dPost)
-      val drop = broadcast(graft.dedup.MinHashLSH.oversizedBuckets(
-        allPost.select(col("id").as("__id"), col("tbl"), col("bkt")),
-        Seq("tbl", "bkt"), cfg.maxBucketSize))
+      // union-population guard WITHOUT re-counting corpus postings:
+      // stored per-bucket counts (bucket-cardinality-sized) + the
+      // delta's own counts (delta-sized), summed — identical drop set
+      // to counting the union directly (SrpStoreSpec pins it)
+      val unionCounts = bucketCounts
+        .unionByName(dPost.groupBy(col("tbl"), col("bkt"))
+          .agg(count(lit(1)).as("n")))
+        .groupBy(col("tbl"), col("bkt")).agg(sum(col("n")).as("n"))
+      val drop = broadcast(
+        unionCounts.filter(col("n") > cfg.maxBucketSize)
+          .select(col("tbl"), col("bkt")))
       val a = allPost.join(drop, Seq("tbl", "bkt"), "left_anti").as("a")
       val b = dPost.join(drop, Seq("tbl", "bkt"), "left_anti").as("b")
       val cand = a.join(b,
@@ -112,11 +130,21 @@ object SrpStore {
         .join(vectors.select(col("id").as(idCol)), Seq(idCol), "left_anti")
         .localCheckpoint()
       if (fresh.isEmpty) return this
-      postingsOf(fresh, idCol, vecCol, cfg)
-        .write.mode(SaveMode.Append).parquet(s"$path/postings")
+      val fPost = postingsOf(fresh, idCol, vecCol, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fPost.write.mode(SaveMode.Append).parquet(s"$path/postings")
+      // counts merge additively (the guard sums per bucket); ordered
+      // with the postings write so a crash between them leaves counts
+      // UNDER-stated — the guard then drops strictly fewer buckets
+      // than the true union would, which only ADDS candidate pairs
+      // the exact-cosine verify still filters (never a lost pair)
+      fPost.groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$path/bucketcounts")
       vectorsOf(fresh, idCol, vecCol)
         .sortWithinPartitions(col("id"))
         .write.mode(SaveMode.Append).parquet(s"$path/vectors")
+      fPost.unpersist()
       this
     }
   }
@@ -157,6 +185,10 @@ object SrpStore {
     vectorsOf(corpus, idCol, vecCol)
       .sortWithinPartitions(col("id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+    spark.read.parquet(s"$staging/postings")
+      .groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/bucketcounts")
     writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
@@ -174,6 +206,12 @@ object SrpStore {
     // postings rows (see append); compaction is where they collapse
     handle.postings.distinct().coalesce(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+    // recount from the deduplicated postings: collapses additive rows
+    // AND heals any at-least-once inflation from crash-replayed appends
+    spark.read.parquet(s"$staging/postings")
+      .groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/bucketcounts")
     handle.vectors.repartitionByRange(targetFiles, col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
@@ -216,11 +254,18 @@ object SrpStore {
       path: String,
       cfg: Config = Config()): Handle =
     if (exists(spark, path)) {
-      val h = open(spark, path)
-      require(h.idCol == idCol && h.vecCol == vecCol,
-        s"SRP store at $path holds (${h.idCol}, ${h.vecCol}), " +
-          s"asked for ($idCol, $vecCol)")
-      h
+      val meta = readMeta(spark, s"$path/_graft_meta")
+      if (meta.getOrElse("version", "?") != Version.toString) {
+        // layout changed since this store was published (e.g. v1 had
+        // no bucketcounts): rebuild in place behind the atomic swap
+        build(corpus, idCol, vecCol, path, cfg)
+      } else {
+        val h = open(spark, path)
+        require(h.idCol == idCol && h.vecCol == vecCol,
+          s"SRP store at $path holds (${h.idCol}, ${h.vecCol}), " +
+            s"asked for ($idCol, $vecCol)")
+        h
+      }
     } else build(corpus, idCol, vecCol, path, cfg)
 
   private def writeMeta(spark: SparkSession, file: String,

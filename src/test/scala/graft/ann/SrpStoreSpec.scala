@@ -46,6 +46,69 @@ class SrpStoreSpec extends SparkSpec {
     assert(again.isEmpty)
   }
 
+  test("persisted bucket counts reproduce the union-population guard exactly") {
+    // a coarse family (4 buckets/table) so buckets genuinely overflow
+    // a small cap — the guard must DROP the same buckets it would
+    // have dropped counting the union postings directly
+    val cfg = SrpStore.Config(nBits = 2, tables = 4, dim = 64,
+      seed = 42L, maxBucketSize = 120, threshold = 0.35)
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    val h = SrpStore.build(corpus, "vec_id", "embedding", tmp(), cfg)
+    val got = pairSet(h.nearDupsOfDelta(delta))
+
+    // reference: drop set from a DIRECT count over the union postings
+    def post(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("id"),
+        explode(array((0 until cfg.tables).map(t =>
+          struct(lit(t).as("tbl"),
+            Ann.srpSignature(col("embedding"), cfg.nBits, cfg.dim, cfg.seed + t)
+              .as("bkt"))): _*)).as("tb"))
+        .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+    val cPost = post(corpus)
+    val dPost = post(delta)
+    val union = cPost.unionByName(dPost)
+    val drop = union.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cfg.maxBucketSize)
+      .select(col("tbl"), col("bkt"))
+    assert(drop.count() > 0, "fixture must actually drop buckets")
+    val a = union.join(drop, Seq("tbl", "bkt"), "left_anti").as("a")
+    val b = dPost.join(drop, Seq("tbl", "bkt"), "left_anti").as("b")
+    val cand = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("vec_a"),
+        greatest(col("a.id"), col("b.id")).as("vec_b")).distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val want = pairSet(cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("va")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), Seq("vec_b"))
+      .withColumn("c", graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("c") > cfg.threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos")))
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("appended counts stay additive: a later delta sees the absorbed corpus") {
+    val cfg = SrpStore.Config()
+    val third = emb.filter(col("vec_id") % 3 === 2)
+    val h = SrpStore.build(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", tmp(), cfg)
+    h.append(emb.filter(col("vec_id") % 3 === 1))
+    val got = pairSet(h.nearDupsOfDelta(third))
+    // fresh store over the absorbed corpus must serve identically
+    val fresh = SrpStore.build(emb.filter(col("vec_id") % 3 =!= 2),
+      "vec_id", "embedding", tmp(), cfg)
+    assert(got == pairSet(fresh.nearDupsOfDelta(third)))
+    // compact collapses additive count rows to one per bucket
+    val before = h.bucketCounts.count()
+    SrpStore.compact(h)
+    val after = h.bucketCounts
+    assert(after.count() <= before)
+    assert(after.groupBy(col("tbl"), col("bkt")).count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("open/ensure round trip preserves the family config; compact keeps the pair set") {
     val corpus = emb.filter(col("vec_id") % 4 =!= 0)
     val delta = emb.filter(col("vec_id") % 4 === 0)
