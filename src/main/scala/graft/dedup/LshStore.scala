@@ -38,7 +38,12 @@ import graft.operators.SwapDir
   */
 object LshStore {
 
-  private val Version = 1
+  // v2: adds the `bandcounts` side table — per-(band, bucket) banded
+  // signature counts, merged additively at append — the oversized-
+  // bucket guard reads it plus a delta-sized aggregate instead of
+  // re-banding (a second full pass over) the corpus signatures on
+  // every delta batch.
+  private val Version = 2
 
   /** LSH family parameters — fixed at build time and stored in the
     * meta file; a delta must be signatured with the SAME family or
@@ -61,6 +66,11 @@ object LshStore {
 
     def sigs: DataFrame = spark.read.parquet(s"$path/sigs")
     def shingles: DataFrame = spark.read.parquet(s"$path/shingles")
+
+    /** (band, bucket, n) stored banded-signature counts — the guard's
+      * input; possibly several additive rows per bucket after appends
+      * (the guard sums; compact collapses). */
+    def bandCounts: DataFrame = spark.read.parquet(s"$path/bandcounts")
 
     /** Near-duplicate pairs of an incoming batch against the stored
       * corpus AND within the batch itself — (doc_a, doc_b, jaccard),
@@ -87,8 +97,16 @@ object LshStore {
       val deltaB = MinHashLSH.banded(dSig, cfg.bands, cfg.rowsPerBand)
       val allB = MinHashLSH.banded(sigs, cfg.bands, cfg.rowsPerBand)
         .unionByName(deltaB)
-      val drop = broadcast(MinHashLSH.oversizedBuckets(
-        allB, Seq("band", "bucket"), cfg.maxBucketSize))
+      // union-population guard from the persisted counts + the delta's
+      // own (delta-sized) aggregate — same drop set as re-banding the
+      // corpus, without the second full signature pass
+      val unionCounts = bandCounts
+        .unionByName(deltaB.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n")))
+        .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
+      val drop = broadcast(
+        unionCounts.filter(col("n") > cfg.maxBucketSize)
+          .select(col("band"), col("bucket")))
       val a = allB.join(drop, Seq("band", "bucket"), "left_anti").as("a")
       val b = deltaB.join(drop, Seq("band", "bucket"), "left_anti").as("b")
       val cand = a.join(b,
@@ -108,11 +126,20 @@ object LshStore {
       * a re-appended doc would duplicate its signature rows). */
     def append(delta: DataFrame, textCol: String): Handle = {
       if (delta.isEmpty) return this
-      signaturesOf(delta, idCol, textCol, cfg)
-        .write.mode(SaveMode.Append).parquet(s"$path/sigs")
+      val dSig = signaturesOf(delta, idCol, textCol, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dSig.write.mode(SaveMode.Append).parquet(s"$path/sigs")
+      // counts merge additively; a crash between the two writes leaves
+      // them UNDER-stated, which only widens the candidate set the
+      // exact-Jaccard verify still filters — never a lost pair
+      MinHashLSH.banded(dSig, cfg.bands, cfg.rowsPerBand)
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$path/bandcounts")
       shinglesOf(delta, idCol, textCol, cfg)
         .sortWithinPartitions(col("__id"))
         .write.mode(SaveMode.Append).parquet(s"$path/shingles")
+      dSig.unpersist()
       this
     }
   }
@@ -155,6 +182,11 @@ object LshStore {
     shinglesOf(docs, idCol, textCol, cfg)
       .sortWithinPartitions(col("__id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
+    MinHashLSH.banded(spark.read.parquet(s"$staging/sigs"),
+        cfg.bands, cfg.rowsPerBand)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/bandcounts")
     writeMeta(spark, s"$staging/_graft_meta", idCol, cfg)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
@@ -173,6 +205,11 @@ object LshStore {
 
     handle.sigs.coalesce(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs")
+    MinHashLSH.banded(spark.read.parquet(s"$staging/sigs"),
+        cfg.bands, cfg.rowsPerBand)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/bandcounts")
     handle.shingles.repartitionByRange(targetFiles, col("__id"))
       .sortWithinPartitions(col("__id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")

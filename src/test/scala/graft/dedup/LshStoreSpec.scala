@@ -36,6 +36,33 @@ class LshStoreSpec extends SparkSpec {
       .filter(col("doc_a") % 4 =!= 0 && col("doc_b") % 4 =!= 0).count() === 0)
   }
 
+  test("union-population guard: a bucket pushed over the cap BY the delta drops consistently") {
+    val sp = spark; import sp.implicits._
+    // 8 identical stored docs sit UNDER a cap of 10; 4 more identical
+    // delta docs push every one of their band buckets to 12 — the
+    // persisted-counts guard must count the UNION and drop them (the
+    // contract the v1 re-banding guard satisfied), so no pair of the
+    // degenerate family surfaces; an unrelated small pair still does
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val pairText = "one two three four five six seven eight nine ten"
+    val stored = ((1L to 8L).map(i => (i, dupText)) :+ (100L, pairText))
+      .toDF("doc_id", "text")
+    val delta = ((11L to 14L).map(i => (i, dupText)) :+ (101L, pairText))
+      .toDF("doc_id", "text")
+    val cfg = LshStore.Config(maxBucketSize = 10)
+    val h = LshStore.build(stored, "doc_id", "text", tmp("lshguard"), cfg)
+    val got = h.nearDupsOfDelta(delta, "text", minJaccard = 0.8)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"degenerate-family pairs must be guard-dropped; got $got")
+    // sanity: with a high cap the family's delta-touching pairs surface
+    val h2 = LshStore.build(stored, "doc_id", "text", tmp("lshguard2"),
+      LshStore.Config(maxBucketSize = 1000))
+    val open = h2.nearDupsOfDelta(delta, "text", minJaccard = 0.8).count()
+    assert(open > 1)
+  }
+
   test("append folds a delta in; later deltas dedup against the grown corpus") {
     val path = tmp("lshstore_append")
     val part1 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
