@@ -1043,6 +1043,36 @@ object MlQueries extends QueryDsl {
         .select($"vec_id", $"n_eval_hits", round($"max_cos", 4).as("max_cos"))
     },
 
+    // Events-to-graph composition, closed end to end: user communities
+    // by label propagation over the co-presence graph (q178's edge
+    // derivation — shared 10-minute windows, min 3 — feeding q162's
+    // LPA, both hash-verified pieces). ORACLE-EXACT: the co-presence
+    // CTE is SQL-expressible and the 3 LPA rounds unroll integer-exact
+    // — the whole behavioral-community pipeline replayed by DuckDB.
+    // The operator's maxWindowActors guard has no effect at harness
+    // occupancy (max 42 < 100, the q178-established fact), so the
+    // guard-free SQL matches.
+    q("q188_user_communities",
+      s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+        |  FROM events),
+        |prs AS (SELECT a.user_id AS va, b.user_id AS vb
+        |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
+        |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
+        |${lpaRoundSql(1)},
+        |${lpaRoundSql(2)},
+        |${lpaRoundSql(3)}
+        |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin) { c =>
+      import c.t
+      val pairs = graft.operators.CoPresence.pairs(
+          t("events"), "user_id", "ts",
+          windowSec = 600, minShared = 3, maxWindowActors = 100)
+        .select($"ua", $"ub")
+      graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3)
+        .select($"node".as("user_id"), $"community")
+    },
+
     // Incremental triangle/lcc maintenance on the pair-graph store:
     // q180's split (a deterministic 1/5 of stored edges arrives as
     // the insertion batch), per-node triangle counts updated in ONE
