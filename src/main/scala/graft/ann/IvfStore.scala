@@ -38,16 +38,23 @@ import graft.operators.SwapDir
   */
 object IvfStore {
 
-  private val Version = 1
+  // v2: the vectors table carries residual-PQ `codes` (8 bytes per
+  // row at m=8) and the trained codebooks live beside the centroids —
+  // the ADC serve path reads ONLY (id, codes) from the probed cells
+  // until the exact re-rank fetches true vectors for the shortlist.
+  private val Version = 2
 
   final case class Handle(
       spark: SparkSession,
       path: String,
       idCol: String,
       vecCol: String,
-      model: Ivf.Model) {
+      model: Ivf.Model,
+      pq: Pq.Model) {
 
     def vectors: DataFrame = spark.read.parquet(s"$path/vectors")
+
+    private def ivfPqModel: IvfPq.Model = IvfPq.Model(model, pq, residual = true)
 
     /** The probed-cell pruned read of a query batch: distinct cells
       * over queries × nprobe is at most nlist ids — collected and
@@ -72,22 +79,76 @@ object IvfStore {
       Ivf.topKPrepared(prunedVectors(queries, queryVecCol, nprobe),
         queries, idCol, vecCol, queryIdCol, queryVecCol, model, k, nprobe)
 
-    /** Assign new vectors by the stored model and append them under
-      * their cell directories — no retrain, no corpus rewrite. */
+    /** ADC top-k over the STORED codes: probed cells' (id, cell,
+      * codes) columns only — the vector column never leaves parquet
+      * until the exact re-rank joins true vectors (and their
+      * precomputed norms) for the shortlist rows. Identical
+      * arithmetic to [[IvfPq.topK]] under the same (stored, frozen)
+      * models — IvfStoreSpec asserts row equality — so the
+      * exhaustive setting stays brute-force-exact through the store. */
+    def topKAdc(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        nprobe: Int,
+        shortlist: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val probed = IvfPq.residualQueryTables(
+        spark, queries, queryIdCol, queryVecCol, ivfPqModel, nprobe)
+      val cells = probed.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val codeRows =
+        if (cells.isEmpty) vectors.limit(0)
+        else vectors.filter(col("cell").isin(cells: _*))
+      val scored = codeRows.select(col(idCol), col("cell"), col("codes"))
+        .join(broadcast(probed), Seq("cell"))
+        .withColumn("adc", Pq.adcColumn)
+      val wAdc = Window.partitionBy(col(queryIdCol))
+        .orderBy(col("adc").asc, col(idCol))
+      val short = scored.withColumn("srnk", row_number().over(wAdc))
+        .filter(col("srnk") <= shortlist)
+        .select(col(idCol), col(queryIdCol), col(queryVecCol))
+      // true vectors (and precomputed norms) for the shortlist only
+      val reranked = short
+        .join(vectors.select(col(idCol), col(vecCol), col("__cn")), Seq(idCol))
+        .withColumn("cos", cosineWithNorms(
+          dot(col(vecCol), col(queryVecCol)),
+          col("__cn"), l2Norm(col(queryVecCol))))
+      val w = Window.partitionBy(col(queryIdCol))
+        .orderBy(col("cos").desc, col(idCol))
+      reranked.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+          col("cos"), col("rnk"))
+    }
+
+    /** Assign new vectors by the stored model, encode them with the
+      * stored (frozen) codebooks, and append under their cell
+      * directories — no retrain, no corpus rewrite. */
     def append(delta: DataFrame): Handle = {
       if (delta.isEmpty) return this
-      assigned(delta, idCol, vecCol, model)
+      assigned(delta, idCol, vecCol, model, pq)
         .write.mode(SaveMode.Append)
         .partitionBy("cell").parquet(s"$path/vectors")
       this
     }
   }
 
-  /** (id, vec, __cn, cell) rows of a corpus under a model. */
+  /** (id, vec, __cn, codes, cell) rows of a corpus under the frozen
+    * models — residual-PQ codes via the fused codegen kernel. */
   private def assigned(
-      corpus: DataFrame, idCol: String, vecCol: String, m: Ivf.Model): DataFrame =
-    Ivf.index(corpus, vecCol, m)
-      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__cn"), col("cell"))
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Ivf.Model, pq: Pq.Model): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val celled = Ivf.index(corpus, vecCol, m)
+    val codes = ColumnBridge.column(ResidualPqEncodeCodes(
+      ColumnBridge.expression(col(vecCol)),
+      ColumnBridge.expression(col("cell").cast("int")),
+      m.centroids.map(_._2), pq.codebooks))
+    celled.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__cn"),
+      codes.as("codes"), col("cell"))
+  }
 
   /** Train (deterministic — same corpus, same model), assign, and
     * publish the index at `path` (staged + swapped: readers never see
@@ -98,14 +159,22 @@ object IvfStore {
       vecCol: String,
       path: String,
       nlist: Int,
-      iterations: Int = 2): Handle = {
+      iterations: Int = 2,
+      dim: Int = 64,
+      m: Int = 8,
+      k: Int = 16): Handle = {
     val spark = corpus.sparkSession
-    val model = Ivf.train(corpus, idCol, vecCol, nlist, iterations)
+    // one composed training (same bounded-sample recipe as the
+    // in-memory IVF-PQ, so store and in-memory routes share models)
+    val composed = IvfPq.train(corpus, idCol, vecCol, dim, nlist, m, k,
+      iterations, residual = true)
+    val model = composed.ivf
+    val pqm = composed.pq
     val staging = path + ".staging"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true)
 
-    val rows = assigned(corpus, idCol, vecCol, model)
+    val rows = assigned(corpus, idCol, vecCol, model, pqm)
     if (rows.isEmpty) {
       // zero-row partitionBy writes no partition dirs and the read
       // path would fail schema inference — write flat (cell becomes a
@@ -119,10 +188,12 @@ object IvfStore {
     }
     centroidFrame(spark, model)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    codebookFrame(spark, pqm)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/codebooks")
     writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, model.nlist)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, vecCol, model)
+    Handle(spark, path, idCol, vecCol, model, pqm)
   }
 
   /** Rewrite the cell directories at bounded file counts — small-files
@@ -133,7 +204,7 @@ object IvfStore {
     * [[build]]. A flat-layout (empty-corpus) store has nothing to
     * compact. */
   def compact(handle: Handle, filesPerCellGroup: Int = 64): Handle = {
-    import handle.{idCol, model, path, spark, vecCol}
+    import handle.{idCol, model, path, pq, spark, vecCol}
     if (handle.vectors.isEmpty) return handle
     val staging = path + ".staging"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -145,10 +216,12 @@ object IvfStore {
       .partitionBy("cell").parquet(s"$staging/vectors")
     centroidFrame(spark, model)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    codebookFrame(spark, pq)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/codebooks")
     writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, model.nlist)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, vecCol, model)
+    Handle(spark, path, idCol, vecCol, model, pq)
   }
 
   /** Open an existing index (heals an interrupted swap first). */
@@ -163,7 +236,15 @@ object IvfStore {
       .collect().map { r =>
         r.getInt(0) -> r.getSeq[Double](1).toArray
       }.sortBy(_._1)
-    Handle(spark, path, meta("idCol"), meta("vecCol"), Ivf.Model(centroids))
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val mm = cb.map(_._1).max + 1
+    val kk = cb.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](mm, kk)
+    cb.foreach { case (j, c, vals) => books(j)(c) = vals }
+    val subDim = cb.head._3.length
+    Handle(spark, path, meta("idCol"), meta("vecCol"), Ivf.Model(centroids),
+      Pq.Model(books, mm * subDim))
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -194,6 +275,19 @@ object IvfStore {
         h
       }
     } else build(corpus, idCol, vecCol, path, nlist, iterations)
+
+  /** (j, c, vals) rows of the PQ codebooks — tiny, collected at open. */
+  private def codebookFrame(spark: SparkSession, pqm: Pq.Model): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("j", IntegerType, nullable = false),
+      StructField("c", IntegerType, nullable = false),
+      StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rows = for {
+      j <- pqm.codebooks.indices
+      c <- pqm.codebooks(j).indices
+    } yield Row(j, c, pqm.codebooks(j)(c).toSeq)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   private def centroidFrame(spark: SparkSession, m: Ivf.Model): DataFrame = {
     val schema = StructType(Seq(

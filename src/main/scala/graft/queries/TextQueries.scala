@@ -672,6 +672,41 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // The store's ADC serve path (IvfStore v2): probed cells' (id,
+    // codes) columns only — 8 bytes per candidate row instead of the
+    // 64-float vector, true vectors joined for the shortlist re-rank
+    // only. Rows-only; IvfStoreSpec pins equality with the in-memory
+    // IVF-PQ route under the shared stored models, and q189b is the
+    // exhaustive oracle twin.
+    q("q189_ann_ivfpq_store") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_$key"
+      graft.ann.IvfStore.ensure(emb, "vec_id", "embedding", c.spark, path, nlist = 16)
+        .topKAdc(qs, "qid", "qvec", k = 5, nprobe = 4, shortlist = 100)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // q189's exhaustive twin: every cell probed + unbounded shortlist
+    // degenerates to brute force through the STORED codes — the q74b
+    // argument carried through the persisted layout, hash-checked.
+    q("q189b_ann_ivfpq_store_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_$key"
+      graft.ann.IvfStore.ensure(emb, "vec_id", "embedding", c.spark, path, nlist = 16)
+        .topKAdc(qs, "qid", "qvec", k = 5, nprobe = 16, shortlist = Int.MaxValue)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // IVF-PQ: the composed scale index — cell pruning bounds WHICH
     // rows are touched (nprobe/nlist of the corpus), codes bound WHAT
     // is read per row, ADC bounds the WORK per row; exact re-rank of

@@ -55,6 +55,43 @@ class IvfStoreSpec extends SparkSpec {
       s"probe read ${scan.metrics("numFiles").value} of $all files — no pruning")
   }
 
+  test("ADC serve path equals the in-memory IVF-PQ route; exhaustive equals brute force") {
+    val h = IvfStore.build(emb, "vec_id", "embedding", tmp("ivfadc"), nlist = 16)
+    // the in-memory composed route under the SAME deterministic models
+    val composed = IvfPq.Model(h.model, h.pq, residual = true)
+    val wantPruned = rows(IvfPq.topK(
+      IvfPq.index(emb, "embedding", composed), queries,
+      "vec_id", "embedding", "qid", "qvec", composed,
+      k = 5, nprobe = 4, shortlist = 50))
+    val gotPruned = rows(h.topKAdc(queries, "qid", "qvec",
+      k = 5, nprobe = 4, shortlist = 50))
+    assert(gotPruned == wantPruned, "store ADC must equal the in-memory IVF-PQ route")
+    // exhaustive setting degenerates to brute force THROUGH the store
+    val n = emb.count().toInt
+    val bf = rows(Ann.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "qid", "qvec", 5)
+      .select(col("query_id"), col("neighbor_id")))
+    val full = rows(h.topKAdc(queries, "qid", "qvec",
+      k = 5, nprobe = 16, shortlist = n)
+      .select(col("query_id"), col("neighbor_id")))
+    assert(full == bf)
+  }
+
+  test("appended rows carry frozen-codebook codes: ADC serve equals a from-scratch union") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    val h = IvfStore.build(base, "vec_id", "embedding", tmp("ivfadcapp"), nlist = 16)
+    h.append(delta)
+    // frozen-model reference: same models, union corpus indexed in memory
+    val composed = IvfPq.Model(h.model, h.pq, residual = true)
+    val want = rows(IvfPq.topK(
+      IvfPq.index(emb, "embedding", composed), queries,
+      "vec_id", "embedding", "qid", "qvec", composed,
+      k = 5, nprobe = 4, shortlist = 50))
+    assert(rows(h.topKAdc(queries, "qid", "qvec",
+      k = 5, nprobe = 4, shortlist = 50)) == want)
+  }
+
   test("append assigns by the stored model: equals indexing the union under it") {
     val path = tmp("ivfstore_append")
     val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
