@@ -77,6 +77,25 @@ class IvfStoreSpec extends SparkSpec {
     assert(full == bf)
   }
 
+  test("ADC plan: the candidate scan reads codes, never the vector column") {
+    val h = IvfStore.build(emb, "vec_id", "embedding", tmp("ivfplan"), nlist = 16)
+    val q = h.topKAdc(queries, "qid", "qvec", k = 5, nprobe = 4, shortlist = 50)
+    q.count() // finalize the adaptive plan before reading it
+    val plan = q.queryExecution.executedPlan.toString
+    // two pruned reads of the vectors table: the ADC candidate scan
+    // (codes, NO vector/norm — the 8-bytes-per-row claim, verified on
+    // the plan's ReadSchema) and the shortlist re-rank (vector + norm)
+    assert(plan.matches(
+      "(?s).*ReadSchema: struct<vec_id:bigint,codes:array<int>>.*"),
+      s"ADC scan must read (id, codes) only:\n$plan")
+    assert(plan.matches(
+      "(?s).*ReadSchema: struct<vec_id:bigint,embedding:array<float>,__cn:double>.*"),
+      s"re-rank scan with vector + norm missing:\n$plan")
+    // and the candidate read is CELL-pruned (partition filter on cell)
+    assert(plan.matches("(?s).*PartitionFilters: \\[cell[^\\]]*\\].*"),
+      s"ADC scan is not cell-pruned:\n$plan")
+  }
+
   test("appended rows carry frozen-codebook codes: ADC serve equals a from-scratch union") {
     val base = emb.filter(col("vec_id") % 4 =!= 0)
     val delta = emb.filter(col("vec_id") % 4 === 0)
