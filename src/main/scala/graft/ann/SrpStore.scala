@@ -103,7 +103,7 @@ object SrpStore {
           greatest(col("a.id"), col("b.id")).as("vec_b"))
         .distinct()
       val allVecs = vectors.unionByName(vectorsOf(delta, idCol, vecCol))
-      cand
+      val pairs = cand
         .join(allVecs.select(col("id").as("vec_a"), col("vec").as("__va"),
           col("norm").as("__na")), Seq("vec_a"))
         .join(allVecs.select(col("id").as("vec_b"), col("vec").as("__vb"),
@@ -113,6 +113,14 @@ object SrpStore {
           col("__na"), col("__nb")))
         .filter(col("__cos") > cfg.threshold)
         .select(col("vec_a"), col("vec_b"), round(col("__cos"), 4).as("cos"))
+        // eager checkpoint, then drop the postings cache: a LOOPING
+        // caller (the streaming ingest, one call per micro-batch)
+        // would otherwise accumulate cached delta postings without
+        // bound — the Ann.lshNearDupPairsReleasable lesson, handled
+        // internally here since the result is delta-sized
+        .localCheckpoint()
+      dPost.unpersist()
+      pairs
     }
 
     /** Fold new vectors into the index — the ingest path after

@@ -123,9 +123,12 @@ object PairGraphStore {
       * may crash and the batch re-run converges to the same state. */
     def appendAndMaintainCores(delta: DataFrame, maxK: Int): DataFrame = {
       val old = ensureCores(maxK)
+      // distinct: a duplicated canonical pair in the delta would
+      // otherwise double its edge rows on append
       val canonDelta = delta
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b")
+        .distinct()
       val stored = edges
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b")
