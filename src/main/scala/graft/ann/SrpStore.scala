@@ -41,7 +41,20 @@ object SrpStore {
   // bucket guard reads a bucket-cardinality-sized table plus a
   // delta-sized aggregate instead of re-counting the corpus postings
   // on every delta batch.
-  private val Version = 2
+  // v3: postings laid out sorted by (tbl, bkt) in 8 MB row groups (the
+  // PostingsStore idiom) and the serve path prunes the corpus side
+  // with the DELTA's bucket set ([[graft.operators.KeyPrune]]) before
+  // the candidate join — the last corpus-sized per-delta read is gone:
+  // a batch reads the postings rows of the buckets it touches, not the
+  // corpus's. Appends are additionally replay-idempotent at POSTINGS
+  // granularity (not just vectors), closing the counts-over-statement
+  // crash window.
+  private val Version = 3
+
+  /** Row-group size for the postings layout: small groups mean a
+    * bucket-pruned read skips at fine granularity (same constant as
+    * [[graft.operators.PostingsStore.RowGroupBytes]]). */
+  val RowGroupBytes: Long = 8L * 1024 * 1024
 
   /** SRP family parameters — fixed at build time; a delta must be
     * signed with the SAME family or its buckets never collide with
@@ -82,27 +95,15 @@ object SrpStore {
     def nearDupsOfDelta(delta: DataFrame): DataFrame = {
       val dPost = postingsOf(delta, idCol, vecCol, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val allPost = postings.unionByName(dPost)
-      // union-population guard WITHOUT re-counting corpus postings:
-      // stored per-bucket counts (bucket-cardinality-sized) + the
-      // delta's own counts (delta-sized), summed — identical drop set
-      // to counting the union directly (SrpStoreSpec pins it)
-      val unionCounts = bucketCounts
-        .unionByName(dPost.groupBy(col("tbl"), col("bkt"))
-          .agg(count(lit(1)).as("n")))
-        .groupBy(col("tbl"), col("bkt")).agg(sum(col("n")).as("n"))
-      val drop = broadcast(
-        unionCounts.filter(col("n") > cfg.maxBucketSize)
-          .select(col("tbl"), col("bkt")))
-      val a = allPost.join(drop, Seq("tbl", "bkt"), "left_anti").as("a")
-      val b = dPost.join(drop, Seq("tbl", "bkt"), "left_anti").as("b")
-      val cand = a.join(b,
-          col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-          col("a.id") =!= col("b.id"))
-        .select(least(col("a.id"), col("b.id")).as("vec_a"),
-          greatest(col("a.id"), col("b.id")).as("vec_b"))
-        .distinct()
-      val allVecs = vectors.unionByName(vectorsOf(delta, idCol, vecCol))
+      val cand = candidatePairsOfDelta(dPost)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // verify side read candidate-pruned too: the id-sorted vector
+      // table skips every row group outside the candidate endpoints
+      val vPrune = graft.operators.KeyPrune.plan(
+        cand.select(col("vec_a").as("id"))
+          .unionByName(cand.select(col("vec_b").as("id"))), Seq("id"))
+      val allVecs = vPrune(vectors)
+        .unionByName(vectorsOf(delta, idCol, vecCol))
       val pairs = cand
         .join(allVecs.select(col("id").as("vec_a"), col("vec").as("__va"),
           col("norm").as("__na")), Seq("vec_a"))
@@ -113,47 +114,174 @@ object SrpStore {
           col("__na"), col("__nb")))
         .filter(col("__cos") > cfg.threshold)
         .select(col("vec_a"), col("vec_b"), round(col("__cos"), 4).as("cos"))
-        // eager checkpoint, then drop the postings cache: a LOOPING
-        // caller (the streaming ingest, one call per micro-batch)
-        // would otherwise accumulate cached delta postings without
-        // bound — the Ann.lshNearDupPairsReleasable lesson, handled
-        // internally here since the result is delta-sized
+        // eager checkpoint, then drop the caches: a LOOPING caller
+        // (the streaming ingest, one call per micro-batch) would
+        // otherwise accumulate cached delta postings without bound —
+        // the Ann.lshNearDupPairsReleasable lesson, handled internally
+        // here since the result is delta-sized
         .localCheckpoint()
+      cand.unpersist()
       dPost.unpersist()
       pairs
     }
 
+    /** Delta postings through the store's seeded family — the
+      * [[candidatePairsOfDelta]] input (exposed at package level so
+      * SrpStoreSpec can drive the candidate stage directly and assert
+      * the corpus-side prune on its executed plan). */
+    private[graft] def deltaPostings(delta: DataFrame): DataFrame =
+      postingsOf(delta, idCol, vecCol, cfg)
+
+    /** The guarded candidate bucket join of [[nearDupsOfDelta]],
+      * factored out pre-verify. One delta-bounded job resolves the
+      * delta's bucket set (at most tables·2^nBits tuples — always
+      * literal for the default family) into a prune applied to BOTH
+      * corpus-side reads: only rows in a delta-touched bucket can ever
+      * join, so the corpus read costs what the delta touches, not what
+      * the corpus holds — the (tbl, bkt)-sorted row groups skip
+      * everything else. The union-population guard runs WITHOUT
+      * re-counting corpus postings: stored per-bucket counts (pruned
+      * to delta buckets — others never join) + the delta's own counts,
+      * summed — identical drop set to counting the union directly over
+      * the joinable buckets (SrpStoreSpec pins it). */
+    private[graft] def candidatePairsOfDelta(dPost: DataFrame): DataFrame = {
+      val prune = graft.operators.KeyPrune.plan(dPost, Seq("tbl", "bkt"))
+      val allPost = prune(postings).unionByName(dPost)
+      val unionCounts = prune(bucketCounts)
+        .unionByName(dPost.groupBy(col("tbl"), col("bkt"))
+          .agg(count(lit(1)).as("n")))
+        .groupBy(col("tbl"), col("bkt")).agg(sum(col("n")).as("n"))
+      val drop = broadcast(
+        unionCounts.filter(col("n") > cfg.maxBucketSize)
+          .select(col("tbl"), col("bkt")))
+      val a = allPost.join(drop, Seq("tbl", "bkt"), "left_anti").as("a")
+      val b = dPost.join(drop, Seq("tbl", "bkt"), "left_anti").as("b")
+      a.join(b,
+          col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("vec_a"),
+          greatest(col("a.id"), col("b.id")).as("vec_b"))
+        .distinct()
+    }
+
     /** Fold new vectors into the index — the ingest path after
-      * [[nearDupsOfDelta]]. REPLAY-SAFE, not merely disjoint-contract:
-      * already-stored ids are anti-joined away (a crashed-and-replayed
-      * micro-batch is a no-op), and the two writes are ordered
-      * postings-then-vectors with the dedup keyed on VECTORS — a
-      * crash between them leaves at-least-once postings (harmless:
-      * candidate generation runs through `distinct`, and [[compact]]
-      * collapses the rows) but exactly-once vectors, so the verify
-      * table never double-counts and the replay completes the store
-      * instead of skipping it. */
+      * [[nearDupsOfDelta]]. REPLAY-SAFE at PER-TABLE granularity:
+      * already-stored ids are anti-joined away against VECTORS (the
+      * last write — a fully-landed batch replays as a no-op), and the
+      * postings/bucketcounts pair is additionally guarded against ids
+      * whose postings already landed, so a crash in ANY window —
+      * including after the counts append but before the vectors write
+      * — replays without double-writing postings or counts. Counts can
+      * therefore only ever be UNDER-stated (a crash between the
+      * postings and counts writes skips the counts on replay): the
+      * guard then drops strictly fewer buckets than the true union
+      * would, which only ADDS candidate pairs the exact-cosine verify
+      * still filters — never a lost pair. (v2 keyed the dedup on
+      * vectors alone; a counts-written/vectors-missing crash window
+      * could OVER-state counts on replay and guard-drop buckets the
+      * true population would keep.) */
     def append(delta: DataFrame): Handle = {
       val fresh = delta
         .join(vectors.select(col("id").as(idCol)), Seq(idCol), "left_anti")
         .localCheckpoint()
       if (fresh.isEmpty) return this
-      val fPost = postingsOf(fresh, idCol, vecCol, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      fPost.write.mode(SaveMode.Append).parquet(s"$path/postings")
-      // counts merge additively (the guard sums per bucket); ordered
-      // with the postings write so a crash between them leaves counts
-      // UNDER-stated — the guard then drops strictly fewer buckets
-      // than the true union would, which only ADDS candidate pairs
-      // the exact-cosine verify still filters (never a lost pair)
-      fPost.groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
-        .coalesce(1)
-        .write.mode(SaveMode.Append).parquet(s"$path/bucketcounts")
+      // replay guard for the signature-side writes: a narrow id-column
+      // probe of the postings, restricted to this batch's ids
+      val alreadyPosted = postings
+        .join(broadcast(fresh.select(col(idCol).as("id"))), Seq("id"), "left_semi")
+        .select(col("id").as(idCol)).distinct().localCheckpoint()
+      val toSign = fresh.join(alreadyPosted, Seq(idCol), "left_anti")
+      if (!toSign.isEmpty) {
+        val fPost = postingsOf(toSign, idCol, vecCol, cfg)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fPost
+          .sortWithinPartitions(col("tbl"), col("bkt"))
+          .write.mode(SaveMode.Append)
+          .option("parquet.block.size", RowGroupBytes)
+          .parquet(s"$path/postings")
+        // counts merge additively (the guard sums per bucket); ordered
+        // AFTER the postings write so any crash between them leaves
+        // counts under-stated only (see above)
+        fPost.groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
+          .coalesce(1)
+          .write.mode(SaveMode.Append).parquet(s"$path/bucketcounts")
+        fPost.unpersist()
+      }
       vectorsOf(fresh, idCol, vecCol)
         .sortWithinPartitions(col("id"))
         .write.mode(SaveMode.Append).parquet(s"$path/vectors")
-      fPost.unpersist()
       this
+    }
+
+    /** ANN top-k served FROM the store: sign only the query batch,
+      * probe its buckets (plus every bucket at hamming distance <=
+      * `probeHamming` per table), read corpus postings bucket-pruned,
+      * then exact-cosine re-rank on the candidate-pruned vector rows
+      * — the corpus is never re-signed per query batch (the
+      * [[graft.ann.Ann.lshTopK]] inline route signs it every call).
+      *
+      * Contract: for a store built with `tables = 1` and the same
+      * (nBits, dim, seed), `topK(..., probeHamming = 1)` returns
+      * EXACTLY [[Ann.lshTopK]]'s rows — same candidate set (one table,
+      * own bucket + nBits hamming-1 probes), same cosine, same
+      * (cos desc, id) tie-break (SrpStoreSpec pins the equality). With
+      * `tables > 1` the candidate set is the OR over tables — a
+      * higher-recall family, same output shape.
+      *
+      * Output: (query_id, neighbor_id, cos, rnk), rnk <= k. */
+    def topK(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        probeHamming: Int = 1): DataFrame = {
+      require(probeHamming >= 0 && probeHamming <= 1,
+        s"probeHamming must be 0 or 1, got $probeHamming")
+      // per-table signature computed once per query row, THEN exploded
+      // into probe buckets (sig + single-bit flips)
+      val sigCols = (0 until cfg.tables).map(t =>
+        Ann.srpSignature(col(queryVecCol), cfg.nBits, cfg.dim, cfg.seed + t)
+          .as(s"__sig$t"))
+      val probeStructs = (0 until cfg.tables).flatMap { t =>
+        val s = col(s"__sig$t")
+        struct(lit(t).as("tbl"), s.as("bkt")) +:
+          (if (probeHamming >= 1)
+            (0 until cfg.nBits).map(b =>
+              struct(lit(t).as("tbl"), s.bitwiseXOR(lit(1 << b)).as("bkt")))
+          else Seq.empty)
+      }
+      val probes = queries.select(col(queryIdCol) +: sigCols: _*)
+        .select(col(queryIdCol), explode(array(probeStructs: _*)).as("tb"))
+        .select(col(queryIdCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      // query-batch-bounded key set prunes the postings read; the
+      // bucket join then yields one candidate row per (query, id)
+      val prune = graft.operators.KeyPrune.plan(probes, Seq("tbl", "bkt"))
+      val candIds = prune(postings)
+        .join(probes, Seq("tbl", "bkt"))
+        .select(col(queryIdCol), col("id"))
+        .distinct()
+        // eager + reusable: the id prune below collects from it, then
+        // the re-rank joins it — without this the bucket join runs twice
+        .localCheckpoint()
+      // exact re-rank: the id-sorted vector table read CANDIDATE-pruned
+      // (row-group skip / semi-join on the candidate id set), stored
+      // norms reused
+      val vPrune = graft.operators.KeyPrune.plan(
+        candIds.select(col("id")), Seq("id"))
+      val qn = queries.select(col(queryIdCol), col(queryVecCol),
+        VectorFunctions.l2Norm(col(queryVecCol)).as("__qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col("id"))
+      candIds
+        .join(vPrune(vectors), Seq("id"))
+        .join(broadcast(qn), Seq(queryIdCol))
+        .withColumn("cos", VectorFunctions.cosineWithNorms(
+          VectorFunctions.dot(col("vec"), col(queryVecCol)),
+          col("norm"), col("__qn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col(queryIdCol).as("query_id"), col("id").as("neighbor_id"),
+          col("cos"), col("rnk"))
     }
   }
 
@@ -176,20 +304,32 @@ object SrpStore {
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         VectorFunctions.l2Norm(col(vecCol)).as("norm"))
 
-  /** Sign + persist the corpus at `path` (staged + swapped). */
+  /** Sign + persist the corpus at `path` (staged + swapped).
+    * `numFiles` sets the postings range-partition count — more files
+    * means finer (tbl, bkt) ranges per row group, hence finer
+    * delta-bucket skip granularity (at 100 TB the 8 MB row-group cap
+    * provides the granularity; at test scale raise numFiles). */
   def build(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       path: String,
-      cfg: Config = Config()): Handle = {
+      cfg: Config = Config(),
+      numFiles: Int = 8): Handle = {
     val spark = corpus.sparkSession
     val staging = path + ".staging"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true)
 
+    // (tbl, bkt)-range-partitioned + sorted in 8 MB row groups: the
+    // layout that lets the delta-bucket prune (nearDupsOfDelta, topK)
+    // skip everything outside the touched buckets
     postingsOf(corpus, idCol, vecCol, cfg)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+      .repartitionByRange(numFiles, col("tbl"), col("bkt"))
+      .sortWithinPartitions(col("tbl"), col("bkt"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$staging/postings")
     vectorsOf(corpus, idCol, vecCol)
       .sortWithinPartitions(col("id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
@@ -210,10 +350,15 @@ object SrpStore {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true)
 
-    // distinct: a crash-replayed append can leave at-least-once
-    // postings rows (see append); compaction is where they collapse
-    handle.postings.distinct().coalesce(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+    // distinct defensively (append's per-table replay guard should
+    // already keep postings exactly-once); restores the (tbl, bkt)
+    // sort that interleaved appends erode
+    handle.postings.distinct()
+      .repartitionByRange(targetFiles, col("tbl"), col("bkt"))
+      .sortWithinPartitions(col("tbl"), col("bkt"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$staging/postings")
     // recount from the deduplicated postings: collapses additive rows
     // AND heals any at-least-once inflation from crash-replayed appends
     spark.read.parquet(s"$staging/postings")

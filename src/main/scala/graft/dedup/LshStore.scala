@@ -17,8 +17,11 @@ import graft.operators.SwapDir
   *
   * Layout under `path`:
   *   - `sigs/…parquet` — (doc, sig: array<long>[numHashes]); the
-  *     banded join input. Signature-sized: numHashes longs per doc
-  *     regardless of document length.
+  *     append-time source of truth for banding. Signature-sized:
+  *     numHashes longs per doc regardless of document length.
+  *   - `banded/…parquet` — (doc, band, bucket) banded signatures,
+  *     sorted by (band, bucket) in 8 MB row groups; the candidate-
+  *     generation table, read delta-bucket-pruned at serve time.
   *   - `shingles/…parquet` — (doc, hsh: array<long>) distinct hashed
   *     shingles, the exact-Jaccard verification input; sorted by doc
   *     so candidate-pruned reads skip row groups.
@@ -43,7 +46,21 @@ object LshStore {
   // bucket guard reads it plus a delta-sized aggregate instead of
   // re-banding (a second full pass over) the corpus signatures on
   // every delta batch.
-  private val Version = 2
+  // v3: adds the `banded/` table — (doc, band, bucket) banded
+  // signatures persisted sorted by (band, bucket) in 8 MB row groups —
+  // and the serve path prunes the corpus side with the DELTA's bucket
+  // set ([[graft.operators.KeyPrune]]) before the candidate join: v2
+  // still re-banded the whole corpus signature table per delta call;
+  // v3 reads only the banded rows of delta-touched buckets, and the
+  // exact-Jaccard verify reads only candidate docs' shingle row
+  // groups. Appends become replay-idempotent at per-table granularity
+  // (the SrpStore v3 pattern) instead of a disjointness contract.
+  private val Version = 3
+
+  /** Row-group size for the banded/shingle layout: small groups mean
+    * a pruned read skips at fine granularity (the
+    * [[graft.operators.PostingsStore.RowGroupBytes]] constant). */
+  val RowGroupBytes: Long = 8L * 1024 * 1024
 
   /** LSH family parameters — fixed at build time and stored in the
     * meta file; a delta must be signatured with the SAME family or
@@ -67,6 +84,11 @@ object LshStore {
     def sigs: DataFrame = spark.read.parquet(s"$path/sigs")
     def shingles: DataFrame = spark.read.parquet(s"$path/shingles")
 
+    /** (doc, band, bucket) banded signatures, persisted sorted by
+      * (band, bucket) — the candidate-generation table; a delta-bucket
+      * prune reads only the touched buckets' row groups. */
+    def banded: DataFrame = spark.read.parquet(s"$path/banded")
+
     /** (band, bucket, n) stored banded-signature counts — the guard's
       * input; possibly several additive rows per bucket after appends
       * (the guard sums; compact collapses). */
@@ -89,18 +111,57 @@ object LshStore {
         delta: DataFrame,
         textCol: String,
         minJaccard: Double = 0.8): DataFrame = {
-      val dSig = signaturesOf(delta, idCol, textCol, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dSh = shinglesOf(delta, idCol, textCol, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deltaB = MinHashLSH.banded(
+          signaturesOf(delta, idCol, textCol, cfg), cfg.bands, cfg.rowsPerBand)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = candidatePairsOfDelta(deltaB)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact-Jaccard verify reads the __id-sorted shingle table
+      // candidate-pruned as well — corpus shingle row groups outside
+      // the candidate endpoints are never touched
+      val shPrune = graft.operators.KeyPrune.plan(
+        cand.select(col("doc_a").as("__id"))
+          .unionByName(cand.select(col("doc_b").as("__id"))), Seq("__id"))
+      // eager checkpoint, then drop the caches: a looping caller (one
+      // call per micro-batch) must not accumulate cached delta frames
+      // without bound — the SrpStore.nearDupsOfDelta convention
+      val pairs = MinHashLSH.verifyJaccardHashed(
+          cand, shPrune(shingles).unionByName(dSh), minJaccard)
+        .localCheckpoint()
+      cand.unpersist(); deltaB.unpersist(); dSh.unpersist()
+      pairs
+    }
 
-      val deltaB = MinHashLSH.banded(dSig, cfg.bands, cfg.rowsPerBand)
-      val allB = MinHashLSH.banded(sigs, cfg.bands, cfg.rowsPerBand)
-        .unionByName(deltaB)
-      // union-population guard from the persisted counts + the delta's
-      // own (delta-sized) aggregate — same drop set as re-banding the
-      // corpus, without the second full signature pass
-      val unionCounts = bandCounts
+    /** The delta's banded signatures through the store's seeded family
+      * — the [[candidatePairsOfDelta]] input (exposed at package level
+      * so LshStoreSpec can drive the candidate stage directly and
+      * assert the corpus-side prune on its executed plan). */
+    private[graft] def deltaBanded(delta: DataFrame, textCol: String): DataFrame =
+      MinHashLSH.banded(
+        signaturesOf(delta, idCol, textCol, cfg), cfg.bands, cfg.rowsPerBand)
+
+    /** Delta signatures through the store's family — crash-window
+      * simulation hook for LshStoreSpec. */
+    private[graft] def deltaSignatures(delta: DataFrame, textCol: String): DataFrame =
+      signaturesOf(delta, idCol, textCol, cfg)
+
+    /** The guarded candidate bucket join of [[nearDupsOfDelta]],
+      * factored out pre-verify. One delta-bounded job resolves the
+      * delta's bucket set into a prune applied to both corpus-side
+      * reads: only banded rows in a delta-touched bucket can join, so
+      * the corpus read costs what the delta touches — the
+      * (band, bucket)-sorted row groups skip the rest. (v2 re-banded
+      * the ENTIRE corpus signature table here, a corpus-sized pass per
+      * delta batch.) The union-population guard runs from the
+      * persisted counts (pruned to delta buckets — others never join)
+      * + the delta's own delta-sized aggregate: same drop set as
+      * counting the union directly over the joinable buckets. */
+    private[graft] def candidatePairsOfDelta(deltaB: DataFrame): DataFrame = {
+      val prune = graft.operators.KeyPrune.plan(deltaB, Seq("band", "bucket"))
+      val allB = prune(banded).unionByName(deltaB)
+      val unionCounts = prune(bandCounts)
         .unionByName(deltaB.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("n")))
         .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
@@ -109,7 +170,7 @@ object LshStore {
           .select(col("band"), col("bucket")))
       val a = allB.join(drop, Seq("band", "bucket"), "left_anti").as("a")
       val b = deltaB.join(drop, Seq("band", "bucket"), "left_anti").as("b")
-      val cand = a.join(b,
+      a.join(b,
           col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc") =!= col("b.doc"))
@@ -117,28 +178,61 @@ object LshStore {
           least(col("a.doc"), col("b.doc")).as("doc_a"),
           greatest(col("a.doc"), col("b.doc")).as("doc_b"))
         .distinct()
-      MinHashLSH.verifyJaccardHashed(cand, shingles.unionByName(dSh), minJaccard)
     }
 
     /** Fold new documents into the index — the ingest path after
-      * [[nearDupsOfDelta]] decided what to keep. Contract: `delta`
-      * ids disjoint from the store's (same as PostingsStore.append —
-      * a re-appended doc would duplicate its signature rows). */
+      * [[nearDupsOfDelta]] decided what to keep. REPLAY-SAFE at
+      * per-table granularity (the SrpStore v3 pattern, replacing v2's
+      * disjointness contract): already-stored ids are anti-joined away
+      * against SHINGLES (the last write — a fully-landed batch replays
+      * as a no-op), and the sigs / banded+bandcounts writes are each
+      * guarded by their own already-present probe, so a crash in ANY
+      * window replays to the converged state. Counts can only ever be
+      * UNDER-stated (a crash between the banded and counts writes
+      * skips the counts on replay), which only widens the candidate
+      * set the exact-Jaccard verify still filters — never a lost
+      * pair. */
     def append(delta: DataFrame, textCol: String): Handle = {
-      if (delta.isEmpty) return this
-      val dSig = signaturesOf(delta, idCol, textCol, cfg)
+      val fresh = delta
+        .join(shingles.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      if (fresh.isEmpty) return this
+      val freshIds = fresh.select(col(idCol).as("doc"))
+      // narrow id-column probes of the stored tables, restricted to
+      // this batch's ids — both empty on the no-crash path
+      val alreadySigned = sigs
+        .join(broadcast(freshIds), Seq("doc"), "left_semi")
+        .select(col("doc")).distinct().localCheckpoint()
+      val alreadyBanded = banded
+        .join(broadcast(freshIds), Seq("doc"), "left_semi")
+        .select(col("doc")).distinct().localCheckpoint()
+      val dSig = signaturesOf(fresh, idCol, textCol, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      dSig.write.mode(SaveMode.Append).parquet(s"$path/sigs")
-      // counts merge additively; a crash between the two writes leaves
-      // them UNDER-stated, which only widens the candidate set the
-      // exact-Jaccard verify still filters — never a lost pair
-      MinHashLSH.banded(dSig, cfg.bands, cfg.rowsPerBand)
-        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-        .coalesce(1)
-        .write.mode(SaveMode.Append).parquet(s"$path/bandcounts")
-      shinglesOf(delta, idCol, textCol, cfg)
+      val sigNew = dSig.join(broadcast(alreadySigned), Seq("doc"), "left_anti")
+      if (!sigNew.isEmpty)
+        sigNew.write.mode(SaveMode.Append).parquet(s"$path/sigs")
+      val bandNew = MinHashLSH.banded(
+          dSig.join(broadcast(alreadyBanded), Seq("doc"), "left_anti"),
+          cfg.bands, cfg.rowsPerBand)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (!bandNew.isEmpty) {
+        bandNew
+          .sortWithinPartitions(col("band"), col("bucket"))
+          .write.mode(SaveMode.Append)
+          .option("parquet.block.size", RowGroupBytes)
+          .parquet(s"$path/banded")
+        // counts merge additively, ordered AFTER the banded write so
+        // any crash between them under-states only
+        bandNew.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+          .coalesce(1)
+          .write.mode(SaveMode.Append).parquet(s"$path/bandcounts")
+      }
+      shinglesOf(fresh, idCol, textCol, cfg)
         .sortWithinPartitions(col("__id"))
-        .write.mode(SaveMode.Append).parquet(s"$path/shingles")
+        .write.mode(SaveMode.Append)
+        .option("parquet.block.size", RowGroupBytes)
+        .parquet(s"$path/shingles")
+      bandNew.unpersist()
       dSig.unpersist()
       this
     }
@@ -171,7 +265,8 @@ object LshStore {
       idCol: String,
       textCol: String,
       path: String,
-      cfg: Config = Config()): Handle = {
+      cfg: Config = Config(),
+      numFiles: Int = 8): Handle = {
     val spark = docs.sparkSession
     val staging = path + ".staging"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -180,10 +275,22 @@ object LshStore {
     signaturesOf(docs, idCol, textCol, cfg)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs")
     shinglesOf(docs, idCol, textCol, cfg)
+      .repartitionByRange(8, col("__id"))
       .sortWithinPartitions(col("__id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$staging/shingles")
+    // banded table derived from the STAGED sigs (columnar read, no
+    // re-shingle), (band, bucket)-sorted so delta-bucket prunes skip
+    // row groups; counts derived from the staged banded table
     MinHashLSH.banded(spark.read.parquet(s"$staging/sigs"),
         cfg.bands, cfg.rowsPerBand)
+      .repartitionByRange(numFiles, col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$staging/banded")
+    spark.read.parquet(s"$staging/banded")
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/bandcounts")
@@ -205,14 +312,25 @@ object LshStore {
 
     handle.sigs.coalesce(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs")
+    // banded re-derived from the compacted sigs (heals any
+    // at-least-once banded rows a crashed append left) and re-sorted;
+    // counts recounted from it
     MinHashLSH.banded(spark.read.parquet(s"$staging/sigs"),
         cfg.bands, cfg.rowsPerBand)
+      .repartitionByRange(targetFiles, col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$staging/banded")
+    spark.read.parquet(s"$staging/banded")
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/bandcounts")
     handle.shingles.repartitionByRange(targetFiles, col("__id"))
       .sortWithinPartitions(col("__id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$staging/shingles")
     writeMeta(spark, s"$staging/_graft_meta", idCol, cfg)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))

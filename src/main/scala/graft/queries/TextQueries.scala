@@ -862,6 +862,29 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // q71 served FROM the persisted SRP store: the corpus is signed
+    // once at build time; a query batch signs only ITSELF, probes its
+    // buckets (own + hamming-1, the q71 family), reads corpus postings
+    // delta-bucket-pruned, and exact-reranks on candidate-pruned
+    // vector rows — the inline route re-signs the whole corpus per
+    // call. Same family (nBits=12, tables=1, seed=42) => rows are
+    // IDENTICAL to q71's (SrpStoreSpec pins the equality); rows-only
+    // here with q71b as the family's exhaustive oracle anchor.
+    q("q191_ann_lsh_store") { c =>
+      import c.t
+      val queries = t("embeddings").filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srptopk_$key"
+      val cfg = graft.ann.SrpStore.Config(nBits = 12, tables = 1, dim = 64,
+        seed = 42L)
+      graft.ann.SrpStore.ensure(t("embeddings"), "vec_id", "embedding",
+          c.spark, path, cfg)
+        .topK(queries, "qid", "qvec", k = 5)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // q71's exhaustive-setting twin (the q72b/q73b/q74b argument for
     // the SRP path): at nBits = 1 the bucket space is {0, 1} and the
     // hamming-radius-1 multi-probe explodes each query to BOTH buckets

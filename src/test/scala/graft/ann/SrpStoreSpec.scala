@@ -109,6 +109,100 @@ class SrpStoreSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty)
   }
 
+  private def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      findScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      findScans(q.plan)
+    case other => (other.children ++ other.subqueries).flatMap(findScans)
+  }
+
+  test("v3 serve path: the corpus postings read is delta-bucket-pruned") {
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    // a tiny delta touches few buckets — the strong (literal-predicate)
+    // prune route, the one that row-group-skips at 100 TB
+    val delta = emb.filter(col("vec_id") % 4 === 0).limit(3).localCheckpoint()
+    // 128 files => ~16 bkt ranges per table: row-group-skip granularity
+    // at harness scale (the 8 MB cap provides it at 100 TB)
+    val h = SrpStore.build(corpus, "vec_id", "embedding", tmp(), numFiles = 128)
+    val dPost = h.deltaPostings(delta).localCheckpoint()
+    val cand = h.candidatePairsOfDelta(dPost)
+    cand.count() // finalize the adaptive plan before reading it
+    val scans = findScans(cand.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("id")) // the postings table
+    assert(scans.nonEmpty, "no postings file scan in the candidate plan")
+    scans.foreach { s =>
+      assert(s.toString.matches("(?s).*PushedFilters: \\[[^\\]]*tbl[^\\]]*\\].*"),
+        s"postings scan must push the delta-bucket predicate:\n$s")
+    }
+    val total = h.postings.count()
+    val readRows = scans.map(_.metrics("numOutputRows").value).sum
+    assert(readRows < total,
+      s"pruned postings read returned $readRows of $total corpus rows")
+  }
+
+  test("append replay heals the counts-written/vectors-missing crash window") {
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    val path = tmp()
+    val h = SrpStore.build(corpus, "vec_id", "embedding", path)
+    // simulate a crash AFTER the postings + bucketcounts appends but
+    // BEFORE the vectors write — the exact window where a vectors-keyed
+    // dedup would re-append both and OVER-state the guard counts
+    val fPost = h.deltaPostings(delta)
+    fPost
+      .sortWithinPartitions(col("tbl"), col("bkt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/postings")
+    fPost.groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/bucketcounts")
+    h.append(delta) // the replayed micro-batch
+    assert(h.vectors.count() == emb.count(), "replay must complete the vectors")
+    assert(h.postings.count() == h.postings.distinct().count(),
+      "replay must not double postings rows")
+    // guard counts must equal a cleanly-built union store's — never more
+    val ref = SrpStore.build(emb, "vec_id", "embedding", tmp())
+    val got = h.bucketCounts.groupBy(col("tbl"), col("bkt"))
+      .agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = ref.bucketCounts.groupBy(col("tbl"), col("bkt"))
+      .agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // this window fully landed postings + counts pre-crash, so the
+    // replay must skip both: counts come out EXACTLY clean-build equal
+    // (in particular never over-stated — the v2 bug direction)
+    assert(got == want, s"bucket counts diverge after replay: " +
+      s"over=${got.filter { case (k, n) => n > want.getOrElse(k, 0L) }.take(5)} " +
+      s"under=${want.filter { case (k, n) => n > got.getOrElse(k, 0L) }.take(5)}")
+    // and the healed store serves a later delta exactly like a fresh one
+    val probe = emb.limit(0)
+    assert(pairSet(h.nearDupsOfDelta(probe)) == pairSet(ref.nearDupsOfDelta(probe)))
+  }
+
+  test("topK with tables=1 equals Ann.lshTopK exactly (same family, probes, tie-break)") {
+    val cfg = SrpStore.Config(nBits = 12, tables = 1, dim = 64, seed = 42L)
+    val h = SrpStore.build(emb, "vec_id", "embedding", tmp(), cfg)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = h.topK(queries, "qid", "qvec", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = Ann.lshTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nBits = 12, dim = 64, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.nonEmpty)
+    // multi-table store: candidates are an OR over tables — top-k per
+    // query still exact-ranked, never fewer hits than the 1-table family
+    val h8 = SrpStore.build(emb, "vec_id", "embedding", tmp(),
+      SrpStore.Config(nBits = 12, tables = 4, dim = 64, seed = 42L))
+    val wide = h8.topK(queries, "qid", "qvec", k = 5)
+    assert(wide.count() >= got.size)
+  }
+
   test("open/ensure round trip preserves the family config; compact keeps the pair set") {
     val corpus = emb.filter(col("vec_id") % 4 =!= 0)
     val delta = emb.filter(col("vec_id") % 4 === 0)

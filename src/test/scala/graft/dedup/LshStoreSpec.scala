@@ -97,6 +97,88 @@ class LshStoreSpec extends SparkSpec {
     assert(rows(c.nearDupsOfDelta(delta, "text", 0.8)) === pre)
   }
 
+  private def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      findScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      findScans(q.plan)
+    case other => (other.children ++ other.subqueries).flatMap(findScans)
+  }
+
+  test("v3 serve path: the corpus banded read is delta-bucket-pruned, not a re-band") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .limit(3).localCheckpoint()
+    // 128 files => ~4 bucket ranges per band: row-group-skip
+    // granularity at harness scale (the 8 MB cap provides it at 100 TB)
+    val h = LshStore.build(corpus, "doc_id", "text", tmp("lshplan"),
+      numFiles = 128)
+    val deltaB = h.deltaBanded(delta, "text").localCheckpoint()
+    val cand = h.candidatePairsOfDelta(deltaB)
+    cand.count() // finalize the adaptive plan before reading it
+    val scans = findScans(cand.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("doc")) // the banded table
+    assert(scans.nonEmpty, "no banded file scan in the candidate plan")
+    scans.foreach { s =>
+      // the predicate itself is truncated in the plan string; assert a
+      // non-empty pushed-filter list plus the band equality in the
+      // (also shown) data filters
+      assert(s.toString.matches("(?s).*PushedFilters: \\[[^\\]]+.*") &&
+          s.toString.contains("band"),
+        s"banded scan must push the delta-bucket predicate:\n$s")
+    }
+    val total = h.banded.count()
+    val readRows = scans.map(_.metrics("numOutputRows").value).sum
+    assert(readRows < total,
+      s"pruned banded read returned $readRows of $total corpus rows")
+    // and the corpus SIGNATURE table is never touched at serve time —
+    // v2's per-call re-band is gone
+    assert(!findScans(cand.queryExecution.executedPlan)
+      .exists(_.schema.fieldNames.contains("sig")),
+      "serve path must not re-band the corpus signature table")
+  }
+
+  test("append is replay-safe: redelivery and partial-crash windows converge") {
+    val path = tmp("lshreplay")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val h = LshStore.build(corpus, "doc_id", "text", path)
+    h.append(delta, "text")
+    val counts = (h.sigs.count(), h.banded.count(), h.shingles.count())
+    h.append(delta, "text") // full redelivery: a no-op
+    assert((h.sigs.count(), h.banded.count(), h.shingles.count()) == counts,
+      "replaying a fully-landed batch must change nothing")
+
+    // crash window: sigs + banded + bandcounts landed, shingles did NOT
+    val path2 = tmp("lshcrash")
+    val h2 = LshStore.build(corpus, "doc_id", "text", path2)
+    val dSig = h2.deltaSignatures(delta, "text").localCheckpoint()
+    dSig.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$path2/sigs")
+    val dB = h2.deltaBanded(delta, "text").localCheckpoint()
+    dB.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$path2/banded")
+    dB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$path2/bandcounts")
+    h2.append(delta, "text") // the replayed micro-batch
+    val ref = LshStore.build(docs, "doc_id", "text", tmp("lshref"))
+    assert(h2.shingles.count() == ref.shingles.count(), "replay must complete shingles")
+    assert(h2.sigs.count() == ref.sigs.count(), "replay must not double sigs")
+    assert(h2.banded.count() == ref.banded.count(), "replay must not double banded")
+    val gotCounts = h2.bandCounts.groupBy(col("band"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val wantCounts = ref.bandCounts.groupBy(col("band"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotCounts == wantCounts, "guard counts must heal to clean-build values")
+    // the healed store serves a later delta exactly like a fresh build
+    val none = docs.filter(col("doc_id") < 0)
+    assert(rows(h2.nearDupsOfDelta(none, "text", 0.8)) ===
+      rows(ref.nearDupsOfDelta(none, "text", 0.8)))
+  }
+
   test("open/ensure round trip preserves the LSH family; idCol mismatch fails loud") {
     val path = tmp("lshstore_meta")
     val cfg = LshStore.Config(numHashes = 64, bands = 16, shingleN = 2, seed = 7L)
