@@ -44,6 +44,13 @@ object PairGraphStore {
 
   private val Version = 1
 
+  /** Directory-partition count for node-keyed side states (cores,
+    * community labels): pb = pmod(node, StatePartitions). Small enough
+    * that a full build writes a handful of files per partition, large
+    * enough that a delta-neighborhood maintenance batch usually
+    * rewrites a strict subset. */
+  val StatePartitions = 32
+
   final case class Handle(
       spark: SparkSession,
       path: String,
@@ -57,56 +64,123 @@ object PairGraphStore {
     /** Edge count from the parquet footers — a metadata read. */
     def edgeCount: Long = edges.count()
 
-    /** Fold a delta edge batch in. Contract: delta rows are canonical
-      * (src < dst) and DISJOINT from the stored pair set — the shape
-      * [[graft.dedup.LshStore.Handle.nearDupsOfDelta]] produces (at
-      * least one endpoint is a new document, so no stored pair can
-      * recur). A re-appended pair would double its edge rows; the
-      * replay-safe ingest path is [[appendAndMaintainCores]], which
-      * dedups against the store. */
+    /** Fold a delta edge batch in. Delta rows must be canonical
+      * (src < dst, the shape every generator in this repo produces);
+      * duplicates — within the batch or against the stored pair set —
+      * are DEDUPED here rather than documented away (a re-appended
+      * pair used to silently double its edge rows): within-batch
+      * duplicates collapse to one row (weighted stores keep the max
+      * weight — deterministic), and already-stored pairs are dropped
+      * via a src-pruned probe of the stored edges + a broadcast
+      * anti-join, both delta-sized. Replaying a crashed batch is
+      * therefore a no-op at this layer too, not only through
+      * [[appendAndMaintainCores]]. */
     def append(delta: DataFrame): Handle = {
-      if (!delta.isEmpty) {
-        val cols = srcCol +: dstCol +: weightCol.toSeq
-        delta.select(cols.map(col): _*)
+      if (delta.isEmpty) return this
+      val cols = srcCol +: dstCol +: weightCol.toSeq
+      val sel = delta.select(cols.map(col): _*)
+      val dd = weightCol.fold(sel.distinct())(w =>
+        sel.groupBy(col(srcCol), col(dstCol)).agg(max(col(w)).as(w)))
+        .localCheckpoint()
+      // stored-side probe narrowed by the delta's src values (the
+      // (src, dst)-sorted layout row-group-skips), then shrunk to the
+      // (small) overlap so both joins stay broadcast
+      val already = KeyPrune.restrict(
+          edges.select(col(srcCol), col(dstCol)), dd, Seq(srcCol))
+        .join(broadcast(dd.select(col(srcCol), col(dstCol))),
+          Seq(srcCol, dstCol), "left_semi")
+      val fresh = dd.join(broadcast(already), Seq(srcCol, dstCol), "left_anti")
+      if (!fresh.isEmpty)
+        fresh
           .sortWithinPartitions(col(srcCol), col(dstCol))
           .write.mode(SaveMode.Append).parquet(s"$path/edges")
-      }
       this
+    }
+
+    // ---- partitioned node-state plumbing ---------------------------
+    // Node-keyed side states (core numbers, community labels) are
+    // directory-partitioned by pb = pmod(node, StatePartitions) so a
+    // maintenance batch can overwrite ONLY the partitions holding
+    // changed nodes (dynamic partition overwrite, the IncrementalAgg
+    // idiom) instead of rewriting a node-cardinality-sized table per
+    // micro-batch — at billions of nodes the full rewrite would
+    // dominate every batch.
+
+    private def stateMeta(fs: org.apache.hadoop.fs.FileSystem,
+        metaP: Path): Option[String] =
+      if (!fs.exists(metaP)) None
+      else {
+        val in = fs.open(metaP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+
+    private def withPb(state: DataFrame, nodeCol: String): DataFrame =
+      state.withColumn("pb",
+        pmod(col(nodeCol).cast("long"), lit(StatePartitions.toLong)).cast("int"))
+
+    /** Full state publish: staged + swapped (readers never see a
+      * half-written state), pb-partitioned for later pruned writes. */
+    private def writeStateFull(dir: String, metaName: String,
+        metaBody: String, state: DataFrame, nodeCol: String,
+        fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      val staging = dir + ".staging"
+      fs.delete(new Path(staging), true)
+      withPb(state, nodeCol)
+        .repartition(StatePartitions, col("pb"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("pb").parquet(s"$staging/data")
+      val out = fs.create(new Path(s"$staging/$metaName"), true)
+      try out.write(metaBody.getBytes("UTF-8")) finally out.close()
+      SwapDir.swap(fs, new Path(staging), new Path(dir))
+    }
+
+    /** Overwrite ONLY the state partitions containing `changedNodes`;
+      * untouched partitions' files stay byte-identical (spec'd via
+      * file-identity). The write is not atomic ACROSS partitions — a
+      * crash can leave a mix of old and new partitions, which the
+      * maintenance replay contract absorbs: re-running the batch
+      * reads estimates between the old and new fixpoints and the
+      * traversal drives them to the same converged state (the
+      * stale-cores crash-window argument, see
+      * [[appendAndMaintainCores]]). */
+    private def overwriteChangedState(dir: String, state: DataFrame,
+        nodeCol: String, changedNodes: DataFrame): Unit = {
+      // bounded collect: at most StatePartitions distinct values —
+      // evaluated BEFORE the write touches any file (changedNodes may
+      // lazily read the state being overwritten)
+      val pbs = withPb(changedNodes, nodeCol).select(col("pb")).distinct()
+        .collect().map(_.getInt(0))
+      if (pbs.isEmpty) return
+      withPb(state, nodeCol)
+        .filter(col("pb").isin(pbs.map(Integer.valueOf).toIndexedSeq: _*))
+        .repartition(math.max(1, pbs.length), col("pb"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb").parquet(s"$dir/data")
     }
 
     // ---- core-numbers side state -----------------------------------
 
     private def coresDir = s"$path/graphcores"
 
+    private def coresMetaBody(maxK: Int) =
+      s"maxK=$maxK\nlayout=pb$StatePartitions"
+
     /** Core numbers of the stored graph (capped at `maxK`), computed
       * ONCE and persisted behind the crash-safe swap; later calls
-      * read the parquet. A state written at a different cap is
-      * rebuilt. */
+      * read the parquet. A state written at a different cap (or an
+      * older, unpartitioned layout) is rebuilt. */
     def ensureCores(maxK: Int): DataFrame = {
       val fs = new Path(coresDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       SwapDir.heal(fs, new Path(coresDir))
-      val metaP = new Path(s"$coresDir/_graft_cores_meta")
-      val current = fs.exists(metaP) && {
-        val in = fs.open(metaP)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        text.trim == s"maxK=$maxK"
-      }
+      val current = stateMeta(fs, new Path(s"$coresDir/_graft_cores_meta"))
+        .contains(coresMetaBody(maxK))
       if (!current)
-        writeCores(
-          KCore.coreNumbers(edges, srcCol, dstCol, maxK), maxK, fs)
-      spark.read.parquet(s"$coresDir/data")
-    }
-
-    private def writeCores(cores: DataFrame, maxK: Int,
-        fs: org.apache.hadoop.fs.FileSystem): Unit = {
-      val staging = coresDir + ".staging"
-      fs.delete(new Path(staging), true)
-      cores.write.mode(SaveMode.Overwrite).parquet(s"$staging/data")
-      val out = fs.create(new Path(s"$staging/_graft_cores_meta"), true)
-      try out.write(s"maxK=$maxK".getBytes("UTF-8")) finally out.close()
-      SwapDir.swap(fs, new Path(staging), new Path(coresDir))
+        writeStateFull(coresDir, "_graft_cores_meta", coresMetaBody(maxK),
+          KCore.coreNumbers(edges, srcCol, dstCol, maxK), "node", fs)
+      spark.read.parquet(s"$coresDir/data").drop("pb")
     }
 
     /** The streaming-grade ingest step: fold a (possibly replayed)
@@ -143,15 +217,160 @@ object PairGraphStore {
       if (!fresh.isEmpty) {
         val freshNamed = fresh.toDF(srcCol, dstCol)
         val withW = weightCol.fold(freshNamed)(w =>
-          // weight recovered from the delta rows (anti-join dropped it)
+          // weight recovered from the delta rows (anti-join dropped
+          // it); re-aggregated per pair because a duplicated delta
+          // pair — the exact thing the distinct above collapsed —
+          // would otherwise re-multiply through this join (and two
+          // duplicates with different weights would land twice)
           freshNamed.join(
             delta.select(col(srcCol), col(dstCol), col(w)),
-            Seq(srcCol, dstCol), "left"))
+            Seq(srcCol, dstCol), "left")
+            .groupBy(col(srcCol), col(dstCol)).agg(max(col(w)).as(w)))
         append(withW)
       }
-      val fs = new Path(coresDir)
+      // partition-pruned state write: the maintenance theorem bounds
+      // changed cores to the delta neighborhood — overwrite only the
+      // partitions holding a changed (or new) node; untouched
+      // partitions keep their files
+      val changed = maintained
+        .join(old.select(col("node"), col("core_number").as("__oldk")),
+          Seq("node"), "left")
+        .filter(col("__oldk").isNull || col("__oldk") =!= col("core_number"))
+        .select(col("node"))
+      overwriteChangedState(coresDir, maintained, "node", changed)
+      maintained
+    }
+
+    // ---- community-labels side state -------------------------------
+
+    private def labelsDir = s"$path/graphlabels"
+
+    private def labelsMetaBody(rounds: Int, weighted: Boolean) =
+      s"rounds=$rounds\nweighted=$weighted\nlayout=pb$StatePartitions"
+
+    /** (node, community, comp) of an edge frame: fixed-round LPA
+      * labels plus the connected-component id (min member id — the
+      * [[graft.dedup.ConnectedComponents]] convention) maintenance
+      * uses to scope re-propagation. Both algorithms are
+      * COMPONENT-LOCAL and deterministic: a node's label depends only
+      * on its component's edge set, which is what makes "re-run only
+      * the touched components" exactly equal to a from-scratch run
+      * over the whole graph. */
+    private def labelsOf(e: DataFrame, rounds: Int, weighted: Boolean)
+        : DataFrame = {
+      val w = if (weighted) weightCol else None
+      val labels = LabelPropagation.run(
+        e, srcCol, dstCol, rounds, symmetrize = true, weightCol = w)
+      val comps = graft.dedup.ConnectedComponents
+        .runAdaptive(e, srcCol, dstCol)
+      labels.join(comps.withColumnRenamed("member", "node"), Seq("node"))
+        .select(col("node"), col("community"), col("cluster_root").as("comp"))
+    }
+
+    /** Community labels of the stored graph (`rounds` synchronous LPA
+      * votes; `weighted` votes carry the store's weight column),
+      * computed ONCE and persisted behind the crash-safe swap; later
+      * calls read the parquet. A state written at different
+      * parameters (or an older layout) is rebuilt. */
+    def ensureCommunities(rounds: Int = 3, weighted: Boolean = false)
+        : DataFrame = {
+      require(!weighted || weightCol.nonEmpty,
+        s"store at $path has no weight column for weighted communities")
+      val fs = new Path(labelsDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      writeCores(maintained, maxK, fs)
+      SwapDir.heal(fs, new Path(labelsDir))
+      val current = stateMeta(fs, new Path(s"$labelsDir/_graft_labels_meta"))
+        .contains(labelsMetaBody(rounds, weighted))
+      if (!current)
+        writeStateFull(labelsDir, "_graft_labels_meta",
+          labelsMetaBody(rounds, weighted),
+          labelsOf(edges, rounds, weighted), "node", fs)
+      spark.read.parquet(s"$labelsDir/data").drop("pb")
+    }
+
+    /** Fold a (possibly replayed) delta edge batch in AND maintain the
+      * persisted community labels at DELTA-NEIGHBORHOOD cost: LPA and
+      * component ids are component-local, so only components touched
+      * by a delta edge (transitively — delta edges can chain
+      * components together through new nodes) can change, and
+      * re-propagating exactly those components' subgraph reproduces a
+      * from-scratch [[LabelPropagation.run]] over the whole grown
+      * graph row for row (PairGraphStoreSpec pins the equality on
+      * planted merges and randomized splits). Untouched components'
+      * labels are read back unchanged and their state partitions are
+      * not rewritten.
+      *
+      * Replay idempotence: the delta is deduped against stored edges
+      * before appending; the affected-component computation uses only
+      * (old state, delta) and the re-propagation runs over
+      * stored ∪ fresh edges — so a crash between the label write and
+      * the edge append (either order: labels are maintained and
+      * checkpointed BEFORE the append, written after) replays to the
+      * same converged state. A crash mid partition-overwrite leaves
+      * mixed labels the replay simply recomputes (affected components
+      * are re-derived from the delta, not from the damaged rows —
+      * comp ids of unaffected components are never touched). */
+    def appendAndMaintainCommunities(
+        delta: DataFrame,
+        rounds: Int = 3,
+        weighted: Boolean = false): DataFrame = {
+      val old = ensureCommunities(rounds, weighted)
+      if (delta.isEmpty) return old
+      // canonical delta, long-typed, deduped (weighted stores keep a
+      // deterministic max weight — same policy as append)
+      val wSeq = weightCol.toSeq
+      val dSel = delta.select(
+        (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+          ++ wSeq.map(col)): _*)
+      val dEdges = (if (wSeq.isEmpty) dSel.distinct()
+        else dSel.groupBy(col("a"), col("b")).agg(max(col(wSeq.head)).as(wSeq.head)))
+        .localCheckpoint()
+      // delta edges in COMPONENT-KEY space: an endpoint maps to its
+      // old component id, or to itself when the store has never seen
+      // it (a new node id cannot collide with an old component id —
+      // component ids ARE old node ids)
+      val oldComps = old.select(col("node"), col("comp"))
+      val dk = dEdges
+        .join(oldComps.select(col("node").as("a"), col("comp").as("__ca")),
+          Seq("a"), "left")
+        .join(oldComps.select(col("node").as("b"), col("comp").as("__cb")),
+          Seq("b"), "left")
+        .select(coalesce(col("__ca"), col("a")).as("ka"),
+          coalesce(col("__cb"), col("b")).as("kb"))
+      // every key in this (delta-sized) graph is delta-touched by
+      // construction; runAdaptive picks driver union-find below the
+      // measured crossover, wave-distributed above
+      val keyGroups = graft.dedup.ConnectedComponents
+        .runAdaptive(dk, "ka", "kb")
+      val affectedComps = keyGroups.select(col("member").as("comp")).distinct()
+      val affectedNodes = old
+        .join(affectedComps, Seq("comp"), "left_semi")
+        .select(col("node"))
+        .unionByName(dEdges.select(col("a").as("node")))
+        .unionByName(dEdges.select(col("b").as("node")))
+        .distinct()
+        .localCheckpoint()
+      // the affected subgraph: stored edges with an affected endpoint
+      // (both endpoints of a stored edge share a component, so the
+      // src side decides) plus the fresh delta edges
+      val storedE = edges.select(
+        (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+          ++ wSeq.map(col)): _*)
+      val subStored = storedE
+        .join(affectedNodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      val already = storedE.select(col("a"), col("b"))
+        .join(broadcast(dEdges.select(col("a"), col("b"))), Seq("a", "b"), "left_semi")
+      val freshE = dEdges.join(broadcast(already), Seq("a", "b"), "left_anti")
+        .localCheckpoint()
+      val outCols = srcCol +: dstCol +: wSeq
+      val newLabels = labelsOf(
+        subStored.unionByName(freshE).toDF(outCols: _*), rounds, weighted)
+      val maintained = old.join(affectedNodes, Seq("node"), "left_anti")
+        .unionByName(newLabels)
+        .localCheckpoint()
+      if (!freshE.isEmpty) append(freshE.toDF(outCols: _*))
+      // partition-pruned labels write: only affected nodes' partitions
+      overwriteChangedState(labelsDir, maintained, "node", affectedNodes)
       maintained
     }
   }

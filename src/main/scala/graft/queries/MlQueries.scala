@@ -1092,6 +1092,34 @@ object MlQueries extends QueryDsl {
         oldCounts, base, delta, "vec_a", "vec_b")
         .select($"node".as("vec_id"), $"degree", $"triangles",
           round($"lcc", 6).as("lcc"))
+    },
+
+    // Incremental COMMUNITY maintenance on the pair-graph store —
+    // closing the family: cores (q180) and triangles (q186) maintain
+    // at delta cost, now LPA labels do too. q180's split: 4/5 of the
+    // verified edges are the stored base (labels persisted once,
+    // partition-pruned writes), 1/5 arrives as the insertion batch;
+    // only components TOUCHED by a delta edge re-propagate — LPA is
+    // component-local and deterministic, so the maintained labels
+    // equal a from-scratch run over the grown graph row for row
+    // (PairGraphStoreSpec pins it on planted merges and randomized
+    // splits), i.e. these rows are exactly q162b's. Rows-only (LSH
+    // graph); q162 is the family's oracle-exact anchor.
+    q("q190_lpa_incremental") { c =>
+      val edges = TextQueries.embPairStore(c.spark, c.dir).edges
+      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_lpa_base_v1_$key"
+      // the base store persists its labels once (crash-safe swap);
+      // the QUERY measures the maintain pass — the production shape
+      val h = graft.operators.PairGraphStore.ensure(
+        base, "vec_a", "vec_b", Some("cos"), c.spark, path)
+      h.appendAndMaintainCommunities(delta, rounds = 3)
+        .select($"node".as("vec_id"), $"community")
     }
   )
 }

@@ -81,6 +81,141 @@ class PairGraphStoreSpec extends SparkSpec {
     assert(h.edgeCount == 3)
   }
 
+  private def listStateFiles(h: PairGraphStore.Handle, sub: String)
+      : Map[String, (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"${h.path}/$sub/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s))
+    walk(p).filter(_.getPath.getName.startsWith("part-"))
+      .map(s => s.getPath.toString -> (s.getLen, s.getModificationTime)).toMap
+  }
+
+  private def fromScratchLabels(edges: DataFrame, rounds: Int,
+      w: Option[String]): Map[Long, (Long, Long)] = {
+    val labels = LabelPropagation.run(edges, "vec_a", "vec_b", rounds, weightCol = w)
+    val comps = graft.dedup.ConnectedComponents.runAdaptive(edges, "vec_a", "vec_b")
+    labels.join(comps.withColumnRenamed("member", "node"), Seq("node"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  private def asLabelMap(df: DataFrame): Map[Long, (Long, Long)] =
+    df.select(col("node"), col("community"), col("comp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("append dedups: re-appended and duplicated weighted pairs never double") {
+    val sp = spark; import sp.implicits._
+    val h = PairGraphStore.build(
+      Seq((1L, 2L, 0.9)).toDF("vec_a", "vec_b", "cos"),
+      "vec_a", "vec_b", Some("cos"), tmp())
+    // within-batch duplicate with two different weights: one row, max
+    val dup = Seq((1L, 3L, 0.5), (1L, 3L, 0.7)).toDF("vec_a", "vec_b", "cos")
+    h.append(dup)
+    assert(asSet(h.edges) == Set((1L, 2L, 0.9), (1L, 3L, 0.7)))
+    // re-appending an already-stored pair is a no-op (replayed batch)
+    h.append(dup)
+    assert(h.edgeCount == 2)
+    h.append(Seq((1L, 2L, 0.9)).toDF("vec_a", "vec_b", "cos"))
+    assert(h.edgeCount == 2)
+  }
+
+  test("cores maintenance rewrites only changed partitions; results equal from-scratch") {
+    val sp = spark; import sp.implicits._
+    // two far-apart families: a triangle at {1,2,3} and one at
+    // {40,41,42}; the delta closes a square onto the first only
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (40L, 41L), (41L, 42L), (40L, 42L))
+      .toDF("vec_a", "vec_b")
+    val delta = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("vec_a", "vec_b")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    h.ensureCores(maxK = 3)
+    val before = listStateFiles(h, "graphcores")
+    val maintained = h.appendAndMaintainCores(delta, maxK = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = KCore.coreNumbers(base.unionByName(delta), "vec_a", "vec_b", 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(maintained == want)
+    assert(h.ensureCores(3).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      == want, "persisted state must match the returned frame")
+    val after = listStateFiles(h, "graphcores")
+    // the untouched family's partitions (pb 8, 9, 10 for nodes
+    // 40..42) keep their exact files; the changed family's (pb 1..4)
+    // were rewritten
+    val untouched = before.keys.filter(k =>
+      Seq(8, 9, 10).exists(pb => k.contains(s"pb=$pb/")))
+    assert(untouched.nonEmpty, "fixture must produce untouched partitions")
+    untouched.foreach { k =>
+      assert(after.get(k).contains(before(k)),
+        s"untouched partition file changed: $k")
+    }
+    assert(before.keys.exists(k => k.contains("pb=4/") && !after.contains(k)) ||
+      after.keys.exists(k => k.contains("pb=4/") && !before.contains(k)),
+      "changed partitions must have been rewritten")
+  }
+
+  test("community maintenance equals from-scratch LPA on a planted merge") {
+    val sp = spark; import sp.implicits._
+    // three communities; the delta merges the first two through a NEW
+    // node (50) and leaves the third untouched
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("vec_a", "vec_b")
+    val delta = Seq((3L, 50L), (50L, 10L)).toDF("vec_a", "vec_b")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    h.ensureCommunities(rounds = 3)
+    val before = listStateFiles(h, "graphlabels")
+    val maintained = asLabelMap(h.appendAndMaintainCommunities(delta, rounds = 3))
+    val want = fromScratchLabels(base.unionByName(delta), 3, None)
+    assert(maintained == want,
+      s"diff=${(maintained.toSet -- want.toSet).take(5)} / ${(want.toSet -- maintained.toSet).take(5)}")
+    // persisted state serves the same rows
+    assert(asLabelMap(h.ensureCommunities(rounds = 3)) == want)
+    // the untouched community's partitions (pb 20..22) keep their files
+    val after = listStateFiles(h, "graphlabels")
+    val untouched = before.keys.filter(k =>
+      Seq(20, 21, 22).exists(pb => k.contains(s"pb=$pb/")))
+    assert(untouched.nonEmpty, "fixture must produce untouched partitions")
+    untouched.foreach { k =>
+      assert(after.get(k).contains(before(k)),
+        s"untouched partition file changed: $k")
+    }
+    // replay: the same delta again is a no-op on edges and labels
+    val replayed = asLabelMap(h.appendAndMaintainCommunities(delta, rounds = 3))
+    assert(replayed == want)
+    assert(h.edgeCount == base.count() + delta.count())
+  }
+
+  test("community maintenance equals from-scratch on randomized graph/delta splits") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11L)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(30)
+      // unique by PAIR (not by tuple): a pair recurring with two
+      // weights would make the raw union and the deduped store vote
+      // differently — the store's dedup contract is per-pair
+      val all = (0 until (n * 2)).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b),
+            math.rint(rnd.nextDouble() * 100) / 100 + 0.01)
+        }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val (baseE, deltaE) = all.partition(_ => rnd.nextDouble() < 0.75)
+      if (baseE.nonEmpty && deltaE.nonEmpty) {
+        val base = baseE.toDF("vec_a", "vec_b", "cos")
+        val delta = deltaE.toDF("vec_a", "vec_b", "cos")
+        val h = PairGraphStore.build(base, "vec_a", "vec_b", Some("cos"), tmp())
+        // weighted voting exercised on odd trials
+        val weighted = trial % 2 == 1
+        val got = asLabelMap(
+          h.appendAndMaintainCommunities(delta, rounds = 3, weighted = weighted))
+        val want = fromScratchLabels(base.unionByName(delta), 3,
+          if (weighted) Some("cos") else None)
+        assert(got == want, s"trial $trial (weighted=$weighted): " +
+          s"diff=${(got.toSet -- want.toSet).take(5)} / ${(want.toSet -- got.toSet).take(5)}")
+      }
+    }
+  }
+
   test("unweighted store round-trips without a weight column") {
     val sp = spark; import sp.implicits._
     val path = tmp()
