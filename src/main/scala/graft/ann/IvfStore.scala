@@ -42,7 +42,31 @@ object IvfStore {
   // row at m=8) and the trained codebooks live beside the centroids —
   // the ADC serve path reads ONLY (id, codes) from the probed cells
   // until the exact re-rank fetches true vectors for the shortlist.
-  private val Version = 2
+  // v3: optional persisted OPQ rotation (`rotation/…parquet` — the
+  // eigenvalue-allocation matrix + shifts of [[Opq.fitRotation]]).
+  // When present, cell assignment, residual codebooks, and ADC all
+  // run in ROTATED space under the frozen stored models (the FAISS
+  // `OPQd,IVFn,PQm` composition, [[IvfOpq]]); stored vectors and the
+  // exact re-rank stay in ORIGINAL space, so returned cosines never
+  // see the rotation. q187's in-memory composition retrained per
+  // query; the store freezes the rotation beside the other models.
+  // Meta also records dim/m/k, and build validates the corpus's
+  // actual vector width against `dim` instead of training
+  // wrong-dimension codebooks silently.
+  private val Version = 3
+
+  /** The persisted OPQ model: orthonormal rotation rows (dim × dim,
+    * eigenvalue-allocated) with the mean-shift folded in. */
+  final case class Rotation(
+      rotation: Array[Array[Double]],
+      shifts: Array[Double])
+
+  private def rotCol(vecCol: org.apache.spark.sql.Column, r: Rotation)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MatVecProject(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vecCol),
+        r.rotation, r.shifts))
 
   final case class Handle(
       spark: SparkSession,
@@ -50,7 +74,8 @@ object IvfStore {
       idCol: String,
       vecCol: String,
       model: Ivf.Model,
-      pq: Pq.Model) {
+      pq: Pq.Model,
+      opq: Option[Rotation] = None) {
 
     def vectors: DataFrame = spark.read.parquet(s"$path/vectors")
 
@@ -58,10 +83,16 @@ object IvfStore {
 
     /** The probed-cell pruned read of a query batch: distinct cells
       * over queries × nprobe is at most nlist ids — collected and
-      * folded into a partition filter. */
+      * folded into a partition filter. Probing runs in the space the
+      * cells were assigned in (rotated for an OPQ store). */
     private def prunedVectors(queries: DataFrame, queryVecCol: String,
         nprobe: Int): DataFrame = {
-      val cells = Ivf.probeCells(queries, queryVecCol, model, nprobe)
+      val (probeSrc, probeCol) = opq match {
+        case Some(r) =>
+          (queries.withColumn("__qrot", rotCol(col(queryVecCol), r)), "__qrot")
+        case None => (queries, queryVecCol)
+      }
+      val cells = Ivf.probeCells(probeSrc, probeCol, model, nprobe)
         .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
       if (cells.isEmpty) vectors.limit(0)
       else vectors.filter(col("cell").isin(cells: _*))
@@ -69,15 +100,20 @@ object IvfStore {
 
     /** Top-k by cosine over the store — identical arithmetic to
       * [[Ivf.topK]] on the same model (the spec asserts row
-      * equality); only the corpus read is pruned to probed cells. */
+      * equality); only the corpus read is pruned to probed cells.
+      * OPQ stores serve through [[topKAdc]] (their cells live in
+      * rotated space, which this plain route does not probe). */
     def topK(
         queries: DataFrame,
         queryIdCol: String,
         queryVecCol: String,
         k: Int,
-        nprobe: Int): DataFrame =
+        nprobe: Int): DataFrame = {
+      require(opq.isEmpty,
+        "plain topK serves unrotated stores; OPQ stores serve via topKAdc")
       Ivf.topKPrepared(prunedVectors(queries, queryVecCol, nprobe),
         queries, idCol, vecCol, queryIdCol, queryVecCol, model, k, nprobe)
+    }
 
     /** ADC top-k over the STORED codes: probed cells' (id, cell,
       * codes) columns only — the vector column never leaves parquet
@@ -94,8 +130,20 @@ object IvfStore {
         nprobe: Int,
         shortlist: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val probed = IvfPq.residualQueryTables(
-        spark, queries, queryIdCol, queryVecCol, ivfPqModel, nprobe)
+      // OPQ stores probe and build residual ADC tables from the
+      // ROTATED query (the IvfOpq.topK shape); the original query
+      // vector joins back by id for the exact re-rank
+      val probed = opq match {
+        case Some(r) =>
+          IvfPq.residualQueryTables(spark,
+              queries.withColumn("__qrot", rotCol(col(queryVecCol), r)),
+              queryIdCol, "__qrot", ivfPqModel, nprobe)
+            .drop("__qrot")
+            .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))),
+              Seq(queryIdCol))
+        case None => IvfPq.residualQueryTables(
+          spark, queries, queryIdCol, queryVecCol, ivfPqModel, nprobe)
+      }
       val cells = probed.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val codeRows =
@@ -128,7 +176,7 @@ object IvfStore {
       * directories — no retrain, no corpus rewrite. */
     def append(delta: DataFrame): Handle = {
       if (delta.isEmpty) return this
-      assigned(delta, idCol, vecCol, model, pq)
+      assigned(delta, idCol, vecCol, model, pq, opq)
         .write.mode(SaveMode.Append)
         .partitionBy("cell").parquet(s"$path/vectors")
       this
@@ -136,14 +184,21 @@ object IvfStore {
   }
 
   /** (id, vec, __cn, codes, cell) rows of a corpus under the frozen
-    * models — residual-PQ codes via the fused codegen kernel. */
+    * models — residual-PQ codes via the fused codegen kernel. With a
+    * rotation, assignment and codes run on the rotated column while
+    * the stored vector (and its norm) stay original. */
   private def assigned(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Ivf.Model, pq: Pq.Model): DataFrame = {
+      m: Ivf.Model, pq: Pq.Model, opq: Option[Rotation]): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val celled = Ivf.index(corpus, vecCol, m)
+    val (src, assignCol) = opq match {
+      case Some(r) =>
+        (corpus.withColumn("__rotv", rotCol(col(vecCol), r)), "__rotv")
+      case None => (corpus, vecCol)
+    }
+    val celled = Ivf.index(src, assignCol, m)
     val codes = ColumnBridge.column(ResidualPqEncodeCodes(
-      ColumnBridge.expression(col(vecCol)),
+      ColumnBridge.expression(col(assignCol)),
       ColumnBridge.expression(col("cell").cast("int")),
       m.centroids.map(_._2), pq.codebooks))
     celled.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__cn"),
@@ -162,11 +217,27 @@ object IvfStore {
       iterations: Int = 2,
       dim: Int = 64,
       m: Int = 8,
-      k: Int = 16): Handle = {
+      k: Int = 16,
+      opq: Boolean = false): Handle = {
     val spark = corpus.sparkSession
+    // fail at the entry point, not inside the encode kernel: the
+    // corpus's actual vector width must match the configured dim
+    corpus.select(size(col(vecCol)).as("__d")).head(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"corpus vectors at $path have dim ${r.getInt(0)}, configured dim=$dim")
+    }
     // one composed training (same bounded-sample recipe as the
-    // in-memory IVF-PQ, so store and in-memory routes share models)
-    val composed = IvfPq.train(corpus, idCol, vecCol, dim, nlist, m, k,
+    // in-memory IVF-PQ, so store and in-memory routes share models);
+    // with OPQ the rotation is fitted first and ALL models train in
+    // rotated space (the IvfOpq.train composition)
+    val rot: Option[Rotation] =
+      if (opq) Some((Rotation.apply _).tupled(
+        Opq.fitRotation(corpus, vecCol, dim, m)))
+      else None
+    val trainSrc = rot.fold(corpus)(r =>
+      corpus.withColumn("__rotv", rotCol(col(vecCol), r)))
+    val trainCol = if (rot.isDefined) "__rotv" else vecCol
+    val composed = IvfPq.train(trainSrc, idCol, trainCol, dim, nlist, m, k,
       iterations, residual = true)
     val model = composed.ivf
     val pqm = composed.pq
@@ -174,7 +245,7 @@ object IvfStore {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true)
 
-    val rows = assigned(corpus, idCol, vecCol, model, pqm)
+    val rows = assigned(corpus, idCol, vecCol, model, pqm, rot)
     if (rows.isEmpty) {
       // zero-row partitionBy writes no partition dirs and the read
       // path would fail schema inference — write flat (cell becomes a
@@ -190,10 +261,13 @@ object IvfStore {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
     codebookFrame(spark, pqm)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/codebooks")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, model.nlist)
+    rot.foreach(r => rotationFrame(spark, r)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/rotation"))
+    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, model.nlist,
+      dim, m, k, rot.isDefined)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, vecCol, model, pqm)
+    Handle(spark, path, idCol, vecCol, model, pqm, rot)
   }
 
   /** Rewrite the cell directories at bounded file counts — small-files
@@ -218,10 +292,14 @@ object IvfStore {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
     codebookFrame(spark, pq)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/codebooks")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, model.nlist)
+    handle.opq.foreach(r => rotationFrame(spark, r)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/rotation"))
+    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, model.nlist,
+      pq.dim, pq.codebooks.length, pq.codebooks.head.length,
+      handle.opq.isDefined)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, vecCol, model, pq)
+    Handle(spark, path, idCol, vecCol, model, pq, handle.opq)
   }
 
   /** Open an existing index (heals an interrupted swap first). */
@@ -243,8 +321,15 @@ object IvfStore {
     val books = Array.ofDim[Array[Double]](mm, kk)
     cb.foreach { case (j, c, vals) => books(j)(c) = vals }
     val subDim = cb.head._3.length
+    val rot =
+      if (meta.get("opq").contains("true")) {
+        val rows = spark.read.parquet(s"$path/rotation")
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+          .sortBy(_._1)
+        Some(Rotation(rows.map(_._2), rows.map(_._3)))
+      } else None
     Handle(spark, path, meta("idCol"), meta("vecCol"), Ivf.Model(centroids),
-      Pq.Model(books, mm * subDim))
+      Pq.Model(books, mm * subDim), rot)
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -262,11 +347,24 @@ object IvfStore {
       spark: SparkSession,
       path: String,
       nlist: Int,
-      iterations: Int = 2): Handle =
+      iterations: Int = 2,
+      dim: Int = 64,
+      m: Int = 8,
+      k: Int = 16,
+      opq: Boolean = false): Handle =
     if (exists(spark, path)) {
       val meta = readMeta(spark, s"$path/_graft_meta")
-      if (meta.getOrElse("version", "?") != Version.toString)
-        build(corpus, idCol, vecCol, path, nlist, iterations)
+      val stale = meta.getOrElse("version", "?") != Version.toString ||
+        // a store trained under different model parameters (or
+        // with/without the rotation) serves a different index — rebuild
+        // rather than silently serving the wrong family
+        meta.get("opq") != Some(opq.toString) ||
+        meta.get("dim") != Some(dim.toString) ||
+        meta.get("m") != Some(m.toString) ||
+        meta.get("k") != Some(k.toString) ||
+        meta.get("nlist") != Some(nlist.toString)
+      if (stale)
+        build(corpus, idCol, vecCol, path, nlist, iterations, dim, m, k, opq)
       else {
         val h = open(spark, path)
         require(h.idCol == idCol && h.vecCol == vecCol,
@@ -274,7 +372,7 @@ object IvfStore {
             s"asked for ($idCol, $vecCol)")
         h
       }
-    } else build(corpus, idCol, vecCol, path, nlist, iterations)
+    } else build(corpus, idCol, vecCol, path, nlist, iterations, dim, m, k, opq)
 
   /** (j, c, vals) rows of the PQ codebooks — tiny, collected at open. */
   private def codebookFrame(spark: SparkSession, pqm: Pq.Model): DataFrame = {
@@ -299,15 +397,29 @@ object IvfStore {
       schema)
   }
 
+  /** (j, row, shift) rows of the OPQ rotation — tiny, collected at
+    * open (dim rows of dim doubles). */
+  private def rotationFrame(spark: SparkSession, r: Rotation): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("j", IntegerType, nullable = false),
+      StructField("row", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("shift", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        r.rotation.indices.map(j => Row(j, r.rotation(j).toSeq, r.shifts(j))): _*),
+      schema)
+  }
+
   private def writeMeta(
       spark: SparkSession, file: String,
-      idCol: String, vecCol: String, nlist: Int): Unit = {
+      idCol: String, vecCol: String, nlist: Int,
+      dim: Int, m: Int, k: Int, opq: Boolean): Unit = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
-      s"version=$Version\nidCol=$idCol\nvecCol=$vecCol\nnlist=$nlist\n"
-        .getBytes("UTF-8"))
+      (s"version=$Version\nidCol=$idCol\nvecCol=$vecCol\nnlist=$nlist\n" +
+        s"dim=$dim\nm=$m\nk=$k\nopq=$opq\n").getBytes("UTF-8"))
     finally out.close()
   }
 

@@ -707,6 +707,49 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // The fully-composed PERSISTED index — OPQ rotation + IVF cells +
+    // residual-PQ codes, all frozen on disk (FAISS `OPQd,IVFn,PQm` as
+    // a store): q187's in-memory composition refits the rotation and
+    // retrains per query; here build fits/trains ONCE and the serve
+    // path rotates only the query batch, probes rotated-space cells
+    // (partition prune), ADC-scans stored codes, and exact-reranks on
+    // ORIGINAL vectors. Rows-only; IvfStoreSpec pins row equality with
+    // the in-memory IVF-OPQ under the shared stored models, and q192b
+    // is the exhaustive oracle twin.
+    q("q192_ann_ivf_opq_store") { c =>
+      import c.t
+      val emb = t("embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfopqstore_$key"
+      graft.ann.IvfStore.ensure(emb, "vec_id", "embedding", c.spark, path,
+          nlist = 16, opq = true)
+        .topKAdc(qs, "qid", "qvec", k = 5, nprobe = 4, shortlist = 100)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // q192's exhaustive twin: every cell probed + unbounded shortlist
+    // degenerates to brute force through the stored ROTATED codes —
+    // the rotation is orthonormal so ADC ordering mistakes cost
+    // nothing when the shortlist is everything, and the re-rank reads
+    // original vectors (the q181b/q189b argument composed),
+    // hash-checked against the shared brute-force oracle.
+    q("q192b_ann_ivf_opq_store_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfopqstore_$key"
+      graft.ann.IvfStore.ensure(emb, "vec_id", "embedding", c.spark, path,
+          nlist = 16, opq = true)
+        .topKAdc(qs, "qid", "qvec", k = 5, nprobe = 16, shortlist = Int.MaxValue)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // IVF-PQ: the composed scale index — cell pruning bounds WHICH
     // rows are touched (nprobe/nlist of the corpus), codes bound WHAT
     // is read per row, ADC bounds the WORK per row; exact re-rank of

@@ -144,6 +144,66 @@ class IvfStoreSpec extends SparkSpec {
     assert(rows(c.topK(queries, "qid", "qvec", k = 5, nprobe = 3)) === pre)
   }
 
+  test("OPQ store: ADC serve equals the in-memory IVF-OPQ composition under shared stored models") {
+    val h = IvfStore.build(emb, "vec_id", "embedding", tmp("ivfopq"),
+      nlist = 16, opq = true)
+    assert(h.opq.nonEmpty, "OPQ build must persist a rotation")
+    // in-memory composition assembled FROM the store's frozen models —
+    // rows must match exactly (same cells, same codes, same re-rank)
+    val mem = IvfOpq.Model(h.opq.get.rotation, h.opq.get.shifts,
+      IvfPq.Model(h.model, h.pq, residual = true))
+    val want = rows(IvfOpq.topK(IvfOpq.index(emb, "embedding", mem), queries,
+      "vec_id", "embedding", "qid", "qvec", mem,
+      k = 5, nprobe = 4, shortlist = 50))
+    assert(rows(h.topKAdc(queries, "qid", "qvec",
+      k = 5, nprobe = 4, shortlist = 50)) == want)
+    assert(want.nonEmpty)
+  }
+
+  test("OPQ store: open restores the rotation; frozen-rotation append equals union under stored models") {
+    val path = tmp("ivfopq_app")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    val built = IvfStore.build(base, "vec_id", "embedding", path,
+      nlist = 16, opq = true)
+    val h = IvfStore.open(spark, path)
+    assert(h.opq.nonEmpty)
+    assert(h.opq.get.rotation.map(_.toSeq).toSeq ==
+      built.opq.get.rotation.map(_.toSeq).toSeq)
+    assert(h.opq.get.shifts.toSeq == built.opq.get.shifts.toSeq)
+    h.append(delta)
+    // appended rows were rotated/assigned/encoded by the FROZEN stored
+    // rotation + models: serving equals the in-memory composition over
+    // the union corpus under those same models
+    val mem = IvfOpq.Model(h.opq.get.rotation, h.opq.get.shifts,
+      IvfPq.Model(h.model, h.pq, residual = true))
+    val want = rows(IvfOpq.topK(IvfOpq.index(emb, "embedding", mem), queries,
+      "vec_id", "embedding", "qid", "qvec", mem,
+      k = 5, nprobe = 4, shortlist = 50))
+    assert(rows(h.topKAdc(queries, "qid", "qvec",
+      k = 5, nprobe = 4, shortlist = 50)) == want)
+    // exhaustive setting through the rotated store stays brute-force
+    // exact (the q74b/q181b argument carried through the persisted
+    // rotation): equals plain brute force on raw vectors
+    val brute = rows(Ann.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5))
+    assert(rows(h.topKAdc(queries, "qid", "qvec",
+      k = 5, nprobe = 16, shortlist = Int.MaxValue)) == brute)
+    // plain topK refuses an OPQ store instead of probing wrong cells
+    val e = intercept[IllegalArgumentException] {
+      h.topK(queries, "qid", "qvec", k = 5, nprobe = 4)
+    }
+    assert(e.getMessage.contains("topKAdc"))
+  }
+
+  test("build fails loud on a dim mismatch instead of training wrong-width codebooks") {
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.build(emb, "vec_id", "embedding", tmp("ivfdim"),
+        nlist = 8, dim = 32)
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("open/ensure round trip restores the model; mismatched columns fail loud") {
     val path = tmp("ivfstore_meta")
     val built = IvfStore.build(emb, "vec_id", "embedding", path, nlist = 8)
