@@ -234,4 +234,63 @@ object Pca {
       mat, keep.map { case (_, j) => sh(j) }, keep.map { case (v, _) => 1.0 / v })
     emb.withColumn("maha", org.apache.spark.sql.graft.ColumnBridge.column(kernel))
   }
+
+  /** Gauss-Jordan inverse with partial pivoting — deliberately a
+    * DIFFERENT factorization from [[eigSym]], so the q167b contract's
+    * two Mahalanobis formulations share no linear algebra beyond the
+    * covariance ingredients themselves. */
+  private[graft] def invertSymmetric(a0: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var c = 0
+    while (c < d) {
+      var p = c
+      var r = c + 1
+      while (r < d) { if (math.abs(a(r)(c)) > math.abs(a(p)(c))) p = r; r += 1 }
+      require(math.abs(a(p)(c)) > 1e-300, s"singular matrix at column $c")
+      if (p != c) { val t = a(p); a(p) = a(c); a(c) = t
+        val ti = inv(p); inv(p) = inv(c); inv(c) = ti }
+      val piv = a(c)(c)
+      var j = 0
+      while (j < d) { a(c)(j) /= piv; inv(c)(j) /= piv; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != c) {
+          val f = a(r)(c)
+          if (f != 0.0) {
+            var jj = 0
+            while (jj < d) {
+              a(r)(jj) -= f * a(c)(jj); inv(r)(jj) -= f * inv(c)(jj); jj += 1
+            }
+          }
+        }
+        r += 1
+      }
+      c += 1
+    }
+    inv
+  }
+
+  /** maha² via the solve-free quadratic form (x−μ)ᵀ A (x−μ) with a
+    * LITERAL matrix A (typically [[invertSymmetric]] of the
+    * covariance) — the contract twin of [[mahalanobis]], which goes
+    * through the eigendecomposition instead. Two fused codegen
+    * kernels: y = A(x−μ) (MatVecProject with A·μ folded into the
+    * shifts), then y·x − y·μ. Adds column `maha2`. */
+  def mahalanobisByMatrix(
+      emb: DataFrame, vecCol: String,
+      mean: Array[Double], a: Array[Array[Double]]): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val aShift = a.map(row => row.zip(mean).map { case (x, y) => x * y }.sum)
+    val y = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MatVecProject(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+        a, aShift))
+    val muLit = array(mean.toIndexedSeq.map(lit(_)): _*)
+    emb.withColumn("__y", y)
+      .withColumn("maha2",
+        VF.dot(col("__y"), col(vecCol)) - VF.dot(col("__y"), muLit))
+      .drop("__y")
+  }
 }

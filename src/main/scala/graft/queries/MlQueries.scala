@@ -500,6 +500,62 @@ object MlQueries extends QueryDsl {
             .orderBy($"maha".desc, $"vec_id".asc)).cast("long"))
     },
 
+    // q167's CONTRACT oracle (q63b/q86 mold) — the eigen route's only
+    // anchor used to be spec text; this pins it to the DuckDB oracle.
+    // Rows: q163's oracle-EXACT covariance CTE hash-checks every Σ
+    // ingredient the distance model is built from. Contract columns,
+    // computed for real on the Spark side, expected TRUE everywhere:
+    // `inv_ok` — an INDEPENDENT Gauss-Jordan inverse of Σ (no shared
+    // linear algebra with the eigendecomposition) satisfies
+    // max|Σ·Σ⁻¹ − I| < 1e-6; `dist_ok` — the eigen-route kernel
+    // (MahalanobisDistSq, what q167 ranks by) and the solve-free
+    // quadratic form (x−μ)ᵀΣ⁻¹(x−μ) agree to 1e-4 RELATIVE on EVERY
+    // corpus row (one aggregation job over both codegen kernels; the
+    // bound absorbs the float32 cancellation noise both routes carry
+    // differently — measured ~1e-5 on this corpus — while a genuinely
+    // broken ingredient lands orders of magnitude above it, PcaSpec
+    // pins the detection margin). A broken covariance pass,
+    // eigensolver, variance floor, or either kernel turns a column
+    // false and the hash mismatches.
+    q("q167b_mahalanobis_contract",
+      """WITH pos AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS d FROM embeddings),
+        |p AS (SELECT a.d - 1 AS i, b.d - 1 AS j, avg(a.v * b.v) AS exy
+        |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
+        |  GROUP BY 1, 2),
+        |m AS (SELECT d - 1 AS i, avg(v) AS mu FROM pos GROUP BY 1)
+        |SELECT cast(p.i AS INT) AS i, cast(p.j AS INT) AS j,
+        |  round(p.exy - ma.mu * mb.mu, 6) + 0.0 AS cov,
+        |  true AS inv_ok, true AS dist_ok
+        |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val st = Pca.fitStats(emb, "embedding", dim = 64)
+      val cov = st.covMatrix
+      val inv = Pca.invertSymmetric(cov)
+      val d = cov.length
+      // driver check: the independent inverse really inverts Σ
+      var prodErr = 0.0
+      for (i <- 0 until d; j <- 0 until d) {
+        var s = 0.0
+        var t0 = 0
+        while (t0 < d) { s += cov(i)(t0) * inv(t0)(j); t0 += 1 }
+        prodErr = math.max(prodErr, math.abs(s - (if (i == j) 1.0 else 0.0)))
+      }
+      val invOk = prodErr < 1e-6
+      // distributed check: both distance formulations agree per row
+      val model = Pca.fit(emb, "embedding", dim = 64, k = 64)
+      val maxDiff = Pca.mahalanobis(emb, "embedding", model)
+        .join(Pca.mahalanobisByMatrix(emb, "embedding", st.mean, inv)
+          .select($"vec_id", $"maha2"), Seq("vec_id"))
+        .agg(max(abs($"maha" - $"maha2") / greatest(lit(1.0), $"maha")).as("d"))
+        .head.getDouble(0)
+      val distOk = maxDiff < 1e-4
+      Pca.covarianceDf(emb, "embedding", dim = 64)
+        .select($"i", $"j", (round($"cov", 6) + lit(0.0)).as("cov"),
+          lit(invOk).as("inv_ok"), lit(distOk).as("dist_ok"))
+    },
+
     // Cross-corpus SEMANTIC decontamination: train vectors near any
     // eval vector in embedding space — catches paraphrased benchmark
     // leakage the n-gram screen (q152) cannot. Exact all-pairs is the

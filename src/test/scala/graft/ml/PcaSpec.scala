@@ -140,4 +140,46 @@ class PcaSpec extends SparkSpec {
     val diag = cdf.filter(col("i") === col("j")).select("cov").collect().map(_.getDouble(0))
     assert(diag.length == 64 && diag.forall(_ > 0))
   }
+
+  test("q167b contract: eigen-route and inverse-route Mahalanobis agree per row on the real corpus") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val st = Pca.fitStats(emb, "embedding", 64)
+    val cov = st.covMatrix
+    val inv = Pca.invertSymmetric(cov)
+    // the Gauss-Jordan inverse really inverts Σ
+    val d = cov.length
+    var prodErr = 0.0
+    for (i <- 0 until d; j <- 0 until d) {
+      var s = 0.0
+      var t = 0
+      while (t < d) { s += cov(i)(t) * inv(t)(j); t += 1 }
+      prodErr = math.max(prodErr, math.abs(s - (if (i == j) 1.0 else 0.0)))
+    }
+    assert(prodErr < 1e-8, s"|cov*inv - I| = $prodErr")
+    // per-row agreement of the two formulations (no shared linear
+    // algebra: Jacobi eigendecomposition vs Gauss-Jordan inverse)
+    val model = Pca.fit(emb, "embedding", 64, 64)
+    val diffs = Pca.mahalanobis(emb, "embedding", model)
+      .join(Pca.mahalanobisByMatrix(emb, "embedding", st.mean, inv)
+        .select(col("vec_id"), col("maha2")), Seq("vec_id"))
+      .select(abs(col("maha") - col("maha2")).as("d"), col("maha"))
+      .collect()
+    assert(diffs.nonEmpty)
+    // the q167b bound (1e-4 relative) with margin: the real corpus
+    // sits around 1e-5 — float32 cancellation noise, not algebra
+    diffs.foreach { r =>
+      assert(r.getDouble(0) < 1e-4 * math.max(1.0, r.getDouble(1)),
+        s"formulations diverge: diff=${r.getDouble(0)} at maha=${r.getDouble(1)}")
+    }
+    // sensitivity: a perturbed inverse must NOT pass the q167b bound
+    // (the contract actually detects a broken ingredient)
+    val broken = inv.map(_.clone())
+    broken(0)(0) *= 1.1
+    val worst = Pca.mahalanobis(emb, "embedding", model)
+      .join(Pca.mahalanobisByMatrix(emb, "embedding", st.mean, broken)
+        .select(col("vec_id"), col("maha2")), Seq("vec_id"))
+      .agg(max(abs(col("maha") - col("maha2")) / greatest(lit(1.0), col("maha"))))
+      .head.getDouble(0)
+    assert(worst > 1e-4, s"perturbed inverse went undetected (worst rel diff $worst)")
+  }
 }
