@@ -515,20 +515,22 @@ object PostingsStore {
     * the refresh path of a serving index (a rebuild re-tokenizes the
     * whole corpus; an append tokenizes only the delta).
     *
-    * Contract: `delta` ids must be DISJOINT from the store's (the same
-    * contract the postings themselves need — a re-appended doc would
-    * duplicate its postings rows; upsert = caller deletes+rebuilds or
-    * keys a new store). Under it the statistics merge is exact:
-    * df/cf are additive across disjoint doc sets, so the new stats
-    * are old + delta aggregated — a vocabulary-sized job, no postings
-    * rescan.
-    *
-    * Crash safety: postings/doclen go through Spark's job-commit
-    * protocol (append is visible only on job success); termstats then
-    * rebuilds via the same staged SwapDir publish the store itself
-    * uses — a crash between the two leaves stats one delta behind,
-    * which the caller repairs by re-running append with an empty
-    * delta... or simply re-invoking; searches never see a torn dir. */
+    * Contract: `delta` ids must be DISJOINT from the store's pre-batch
+    * state (a re-appended doc would duplicate its postings rows;
+    * upsert = caller deletes+rebuilds or keys a new store) — but the
+    * SAME batch may be REPLAYED after a crash in any window and the
+    * append converges (the foreachBatch at-least-once contract, same
+    * posture as SrpStore/LshStore v3): each data table is guarded by
+    * its own already-present probe (a narrow id-column scan restricted
+    * to the batch's ids), the stats merge runs exactly once per batch
+    * via a marker file that rides INSIDE the swapped termstats dir
+    * (atomic with the merge it records; prior batches' markers are
+    * carried forward, and compact() — a rebuild barrier — clears
+    * them), and the meta doc count re-derives from the landed doclen
+    * table instead of accumulating. Without the guards, a crash after
+    * the postings append but before the termdocs append left
+    * BM25/conjunction (served from termdocs) permanently diverged from
+    * phrase/proximity (served from postings). */
   def append(
       delta: DataFrame,
       textCol: String,
@@ -542,34 +544,50 @@ object PostingsStore {
     val post = InvertedIndex.postings(delta, idCol, textCol)
       .withColumn("term_bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
-    if (!post.isEmpty) {
-      post
+    if (post.isEmpty) return handle
+    val deltaIds = delta.select(col(idCol)).distinct().localCheckpoint()
+    // order-independent batch identity for the stats marker
+    val batchId = java.lang.Long.toHexString(
+      deltaIds.agg(expr(s"bit_xor(xxhash64($idCol))")).head.getLong(0))
+    def alreadyIn(tbl: DataFrame): DataFrame = tbl.select(col(idCol))
+      .join(broadcast(deltaIds), Seq(idCol), "left_semi")
+      .distinct().localCheckpoint()
+    val toPost = post.join(broadcast(alreadyIn(handle.postings)),
+      Seq(idCol), "left_anti")
+    if (!toPost.isEmpty)
+      toPost
         .repartitionByRange(nBuckets, col("term_bucket"), col("term"))
         .sortWithinPartitions(col("term"), col(idCol), col("pos"))
         .write.mode(SaveMode.Append)
         .option("parquet.block.size", RowGroupBytes)
         .partitionBy("term_bucket").parquet(s"$path/postings")
-      InvertedIndex.docLengths(delta, idCol, textCol)
-        .write.mode(SaveMode.Append).parquet(s"$path/doclen")
-      // termdocs: (term, id) rows are unique ACROSS the append under
-      // the disjoint-ids contract, so the delta's tf rows land as a
-      // plain append — no merge pass
-      val deltaTd = termDocsOf(post, idCol)
-      deltaTd
+    // termdocs: (term, id) rows are unique ACROSS the append under
+    // the disjoint-ids contract, so the batch's tf rows land as a
+    // plain (guarded) append — no merge pass. deltaTd is computed
+    // from the FULL batch so the stats merge below sees the same
+    // document set on every replay.
+    val deltaTd = termDocsOf(post, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toTd = deltaTd.join(broadcast(alreadyIn(handle.termDocs)),
+      Seq(idCol), "left_anti")
+    if (!toTd.isEmpty)
+      toTd
         .repartitionByRange(math.max(1, nBuckets / 4),
           col("term_bucket"), col("term"))
         .sortWithinPartitions(col("term"), col(idCol))
         .write.mode(SaveMode.Append)
         .option("parquet.block.size", RowGroupBytes)
         .partitionBy("term_bucket").parquet(s"$path/termdocs")
-      // merged stats: df/cf additive, max_tf a max — both exact under
-      // the disjoint-ids contract
+    // merged stats: df/cf additive, max_tf a max — exact under the
+    // disjoint-ids contract, applied EXACTLY once per batch (marker)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerName = s"_applied_$batchId"
+    if (!fs.exists(new Path(s"$path/termstats/$markerName"))) {
       val deltaStats = termStatsOf(deltaTd)
       val merged = handle.termStats.unionByName(deltaStats)
         .groupBy(col("term_bucket"), col("term"))
         .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
           max(col("max_tf")).as("max_tf"))
-      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staging = new Path(s"$path/.termstats.staging")
       if (fs.exists(staging)) fs.delete(staging, true)
       merged
@@ -578,17 +596,26 @@ object PostingsStore {
         .sortWithinPartitions(col("term"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("term_bucket").parquet(staging.toString)
+      // carry prior batches' markers + this batch's into the staged
+      // dir: the swap publishes stats and their applied-markers as one
+      // atomic unit (underscore files are invisible to parquet reads)
+      val priors = fs.globStatus(new Path(s"$path/termstats/_applied_*"))
+      (Option(priors).toSeq.flatten.map(_.getPath.getName) :+ markerName)
+        .distinct.foreach { n => fs.create(new Path(staging, n), true).close() }
       SwapDir.swap(fs, staging, new Path(s"$path/termstats"))
-      // doc count is additive under the disjoint-ids contract; keep
-      // the meta's copy current so serve-path gates never run a job.
-      // Same non-empty-text semantics as the doclen table the count
-      // mirrors (one job over the small delta).
-      val nDocs = handle.numDocs +
-        InvertedIndex.docLengths(delta, idCol, textCol).count()
-      writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, nDocs)
-      return Handle(spark, path, idCol, nBuckets, Some(nDocs))
     }
-    handle
+    val dl = InvertedIndex.docLengths(delta, idCol, textCol)
+    val toDl = dl.join(broadcast(alreadyIn(handle.docLens)),
+      Seq(idCol), "left_anti")
+    if (!toDl.isEmpty)
+      toDl.write.mode(SaveMode.Append).parquet(s"$path/doclen")
+    deltaTd.unpersist()
+    // meta doc count RE-DERIVED from the landed doclen table (a
+    // footer-metadata count of a tiny table) — idempotent under
+    // replay, unlike an accumulating handle.numDocs + delta
+    val nDocs = spark.read.parquet(s"$path/doclen").count()
+    writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, nDocs)
+    Handle(spark, path, idCol, nBuckets, Some(nDocs))
   }
 
   /** Rewrite the store's data dirs at target file counts — the

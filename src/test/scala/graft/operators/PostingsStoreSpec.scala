@@ -262,6 +262,53 @@ class PostingsStoreSpec extends SparkSpec {
         tmp("poststore_inc_ref"), nBuckets = 8).phraseSearch(Seq("table", "hash"))))
   }
 
+  test("append replay converges: full redelivery and the postings-landed crash window") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+
+    // full redelivery of an absorbed batch is a no-op on every table
+    val h = PostingsStore.build(half1, "doc_id", "text",
+      tmp("poststore_replay"), nBuckets = 8)
+    val h2 = PostingsStore.append(half2, "text", h)
+    val counts = (h2.postings.count(), h2.termDocs.count(),
+      h2.docLens.count(), h2.numDocs)
+    val statsBefore = rows(h2.termStats.select("term", "df", "cf", "max_tf"))
+    val h3 = PostingsStore.append(half2, "text", h2)
+    assert((h3.postings.count(), h3.termDocs.count(),
+      h3.docLens.count(), h3.numDocs) == counts,
+      "replaying a fully-landed batch must change nothing")
+    assert(rows(h3.termStats.select("term", "df", "cf", "max_tf")) == statsBefore,
+      "replay must not re-merge statistics")
+
+    // crash window: the batch's POSTINGS landed but termdocs, stats,
+    // doclen, and meta did not — the exact window that used to leave
+    // BM25/conjunction (termdocs) permanently diverged from
+    // phrase/proximity (postings)
+    val path2 = tmp("poststore_crash")
+    val hc = PostingsStore.build(half1, "doc_id", "text", path2, nBuckets = 8)
+    InvertedIndex.postings(half2, "doc_id", "text")
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(8L)).cast("int"))
+      .repartitionByRange(8, col("term_bucket"), col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("term_bucket").parquet(s"$path2/postings")
+    val healed = PostingsStore.append(half2, "text", hc) // the replay
+    val full = PostingsStore.build(docs, "doc_id", "text",
+      tmp("poststore_crashref"), nBuckets = 8)
+    assert(healed.postings.count() == full.postings.count(),
+      "replay must not double the landed postings")
+    assert(healed.numDocs == full.numDocs)
+    assert(rows(healed.termStats.select("term", "df", "cf", "max_tf")) ===
+      rows(full.termStats.select("term", "df", "cf", "max_tf")))
+    assert(rows(healed.bm25Search(Seq("vector", "stream", "window"), k = 20)) ===
+      rows(full.bm25Search(Seq("vector", "stream", "window"), k = 20)))
+    assert(rows(healed.phraseSearch(Seq("table", "hash"))) ===
+      rows(full.phraseSearch(Seq("table", "hash"))))
+  }
+
   test("compact shrinks an appended store's file count; every search unchanged") {
     val path = tmp("poststore_compact")
     val parts = (0 until 4).map(i => docs.filter(col("doc_id") % 4 === i))
