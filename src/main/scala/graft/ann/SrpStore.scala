@@ -98,10 +98,13 @@ object SrpStore {
       val cand = candidatePairsOfDelta(dPost)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // verify side read candidate-pruned too: the id-sorted vector
-      // table skips every row group outside the candidate endpoints
+      // table skips every row group outside the candidate endpoints.
+      // Literal-or-nothing: the verify join already restricts rows, so
+      // only a storage-level skip (small candidate set) can pay.
       val vPrune = graft.operators.KeyPrune.plan(
         cand.select(col("vec_a").as("id"))
-          .unionByName(cand.select(col("vec_b").as("id"))), Seq("id"))
+          .unionByName(cand.select(col("vec_b").as("id"))), Seq("id"),
+        semiJoinFallback = false)
       val allVecs = vPrune(vectors)
         .unionByName(vectorsOf(delta, idCol, vecCol))
       val pairs = cand
@@ -145,7 +148,13 @@ object SrpStore {
       * summed — identical drop set to counting the union directly over
       * the joinable buckets (SrpStoreSpec pins it). */
     private[graft] def candidatePairsOfDelta(dPost: DataFrame): DataFrame = {
-      val prune = graft.operators.KeyPrune.plan(dPost, Seq("tbl", "bkt"))
+      // coverage gate: the bucket space is tables·2^nBits by
+      // construction — a bulk delta touching more than half of it
+      // makes the prune pure overhead (the candidate equi-join
+      // restricts to the same rows), so it degrades to identity
+      val space = cfg.tables.toLong * (1L << cfg.nBits)
+      val prune = graft.operators.KeyPrune.plan(dPost, Seq("tbl", "bkt"),
+        noPruneAbove = () => space / 2)
       val allPost = prune(postings).unionByName(dPost)
       val unionCounts = prune(bucketCounts)
         .unionByName(dPost.groupBy(col("tbl"), col("bkt"))
@@ -255,7 +264,8 @@ object SrpStore {
         .select(col(queryIdCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       // query-batch-bounded key set prunes the postings read; the
       // bucket join then yields one candidate row per (query, id)
-      val prune = graft.operators.KeyPrune.plan(probes, Seq("tbl", "bkt"))
+      val prune = graft.operators.KeyPrune.plan(probes, Seq("tbl", "bkt"),
+        noPruneAbove = () => cfg.tables.toLong * (1L << cfg.nBits) / 2)
       val candIds = prune(postings)
         .join(probes, Seq("tbl", "bkt"))
         .select(col(queryIdCol), col("id"))
@@ -267,7 +277,7 @@ object SrpStore {
       // (row-group skip / semi-join on the candidate id set), stored
       // norms reused
       val vPrune = graft.operators.KeyPrune.plan(
-        candIds.select(col("id")), Seq("id"))
+        candIds.select(col("id")), Seq("id"), semiJoinFallback = false)
       val qn = queries.select(col(queryIdCol), col(queryVecCol),
         VectorFunctions.l2Norm(col(queryVecCol)).as("__qn"))
       val w = org.apache.spark.sql.expressions.Window

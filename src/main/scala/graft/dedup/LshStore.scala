@@ -121,9 +121,12 @@ object LshStore {
       // exact-Jaccard verify reads the __id-sorted shingle table
       // candidate-pruned as well — corpus shingle row groups outside
       // the candidate endpoints are never touched
+      // Literal-or-nothing: the verify join already restricts rows, so
+      // only a storage-level skip (small candidate set) can pay.
       val shPrune = graft.operators.KeyPrune.plan(
         cand.select(col("doc_a").as("__id"))
-          .unionByName(cand.select(col("doc_b").as("__id"))), Seq("__id"))
+          .unionByName(cand.select(col("doc_b").as("__id"))), Seq("__id"),
+        semiJoinFallback = false)
       // eager checkpoint, then drop the caches: a looping caller (one
       // call per micro-batch) must not accumulate cached delta frames
       // without bound — the SrpStore.nearDupsOfDelta convention
@@ -159,7 +162,15 @@ object LshStore {
       * + the delta's own delta-sized aggregate: same drop set as
       * counting the union directly over the joinable buckets. */
     private[graft] def candidatePairsOfDelta(deltaB: DataFrame): DataFrame = {
-      val prune = graft.operators.KeyPrune.plan(deltaB, Seq("band", "bucket"))
+      // coverage gate: when the delta's bucket set approaches the
+      // STORED bucket cardinality (a bulk delta), pruning the corpus
+      // side is pure overhead — the candidate equi-join restricts to
+      // the same rows. The stored cardinality only costs a job when
+      // the delta exceeds the literal cap (lazy bound).
+      val prune = graft.operators.KeyPrune.plan(deltaB, Seq("band", "bucket"),
+        noPruneAbove = () => math.max(
+          graft.operators.KeyPrune.MaxLiteralKeys.toLong + 1,
+          bandCounts.count() / 2))
       val allB = prune(banded).unionByName(deltaB)
       val unionCounts = prune(bandCounts)
         .unionByName(deltaB.groupBy(col("band"), col("bucket"))

@@ -49,6 +49,14 @@ object KeyPrune {
     def isLiteral: Boolean = true
   }
 
+  /** Coverage gate fired: the key set spans (most of) the keyed space,
+    * so a prune can only add work — downstream equi-joins already
+    * restrict to the key set row for row. */
+  private case object NoPrune extends KeyPlan {
+    def apply(corpus: DataFrame): DataFrame = corpus
+    def isLiteral: Boolean = false
+  }
+
   private final case class LiteralKeys(pred: Column) extends KeyPlan {
     def apply(corpus: DataFrame): DataFrame = corpus.filter(pred)
     def isLiteral: Boolean = true
@@ -62,33 +70,57 @@ object KeyPrune {
   }
 
   /** Resolve the distinct `keyCols` tuples of `keys` into a reusable
-    * prune. One job (limit `maxLiteral + 1`) decides the route; empty
-    * key set => prune-to-empty without ever scanning a corpus.
-    * Supports 1- and 2-column keys (all current stores). */
+    * prune. One job (limit `maxLiteral + 1`) usually decides the
+    * route; empty key set => prune-to-empty without ever scanning a
+    * corpus. Supports 1- and 2-column keys (all current stores).
+    *
+    * `noPruneAbove` is the COVERAGE gate: above that many distinct
+    * keys the plan degrades to identity — a key set spanning most of
+    * the space (a bulk delta touching every bucket) makes any prune
+    * pure overhead, since the candidate equi-join restricts to the
+    * same rows anyway. Evaluated lazily: callers whose bound needs a
+    * job (e.g. the stored bucket-cardinality count) only pay it when
+    * the key set actually exceeds the literal cap.
+    *
+    * `semiJoinFallback = false` restricts to literal-or-nothing: right
+    * for verify-side reads where the downstream join already prunes
+    * logically and only a STORAGE-level (row-group) skip can pay. */
   def plan(
       keys: DataFrame,
       keyCols: Seq[String],
-      maxLiteral: Int = MaxLiteralKeys): KeyPlan = {
+      maxLiteral: Int = MaxLiteralKeys,
+      noPruneAbove: () => Long = () => Long.MaxValue,
+      semiJoinFallback: Boolean = true): KeyPlan = {
     require(keyCols.nonEmpty && keyCols.size <= 2,
       s"KeyPrune supports 1 or 2 key columns, got $keyCols")
     val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
     val sample = distinctKeys.limit(maxLiteral + 1).collect()
     if (sample.isEmpty) EmptyKeys
     else if (sample.length <= maxLiteral) {
-      val pred = keyCols match {
-        case Seq(c1) =>
-          col(c1).isin(sample.map(_.get(0)).toIndexedSeq: _*)
-        case Seq(c1, c2) =>
-          // grouped by the leading key: OR of (k1 === v && k2 IN (...))
-          // — equality on the sort-leading column plus an IN on the
-          // second matches the stores' (k1, k2)-sorted row groups
-          sample.groupBy(_.get(0)).map { case (v1, rows) =>
-            col(c1) === lit(v1) &&
-              col(c2).isin(rows.map(_.get(1)).distinct.toIndexedSeq: _*)
-          }.reduce(_ || _)
+      if (sample.length > noPruneAbove()) NoPrune
+      else {
+        val pred = keyCols match {
+          case Seq(c1) =>
+            col(c1).isin(sample.map(_.get(0)).toIndexedSeq: _*)
+          case Seq(c1, c2) =>
+            // grouped by the leading key: OR of (k1 === v && k2 IN (…))
+            // — equality on the sort-leading column plus an IN on the
+            // second matches the stores' (k1, k2)-sorted row groups
+            sample.groupBy(_.get(0)).map { case (v1, rows) =>
+              col(c1) === lit(v1) &&
+                col(c2).isin(rows.map(_.get(1)).distinct.toIndexedSeq: _*)
+            }.reduce(_ || _)
+        }
+        LiteralKeys(pred)
       }
-      LiteralKeys(pred)
-    } else SemiJoinKeys(distinctKeys, keyCols)
+    } else if (!semiJoinFallback) NoPrune
+    else {
+      val bound = noPruneAbove()
+      // the sample alone already exceeds a bound at or under the cap
+      if (bound <= maxLiteral) NoPrune
+      else if (distinctKeys.count() > bound) NoPrune
+      else SemiJoinKeys(distinctKeys, keyCols)
+    }
   }
 
   /** One-shot convenience: [[plan]] + apply. */
