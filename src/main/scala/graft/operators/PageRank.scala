@@ -85,4 +85,93 @@ object PageRank {
     }
     pr
   }
+
+  /** N-FREE PageRank iterates — the representation that makes the
+    * computation incrementally maintainable (see
+    * `PairGraphStore.appendAndMaintainRanks`):
+    *
+    *   g_0(v)   = 1
+    *   g_t(v)   = (1-d) + d * Σ_{(u,v) ∈ E} g_{t-1}(u) · w(u,v) / deg(u)
+    *
+    * so that pr_t(v) = g_t(v) / N. Because [[run]]'s recurrence is
+    * homogeneous of degree 1 in the uniform init 1/N and the constant
+    * (1-d)/N, dividing by N commutes with every round — and g itself
+    * never mentions N. That is the load-bearing property at ingest
+    * time: appending NEW NODES changes N (which under [[run]] perturbs
+    * every node's rank through the init and the teleport constant) but
+    * leaves every stored g value of an edge-unaffected node EXACTLY
+    * valid — the serve layer re-divides by the grown N and only the
+    * delta's T-hop out-neighborhood needs recomputing.
+    *
+    * Returns (node, gs: array<double>) where gs(t-1) = g_t — ALL
+    * iterates persist, because maintenance round t needs the
+    * patch-boundary's g_{t-1}, not just the final value.
+    *
+    * Determinism: per-node in-sums fold contributions in SORTED src
+    * order (collect_list → array_sort → left fold) instead of a
+    * partition-order `sum`, and the weighted out-degree folds the same
+    * way — so two runs, or a patch recompute against a from-scratch
+    * run, produce BIT-IDENTICAL doubles (float addition is not
+    * associative; a plain sum's partition order is not reproducible).
+    * The per-node contribution array is bounded by the max in-degree —
+    * fine for similarity graphs whose degree the LSH bucket guards cap;
+    * a web-scale power-law graph would swap the fold for a fixed-arity
+    * deterministic tree sum at the cost of one more shuffle. */
+  def gIterates(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val wExpr = weightCol
+      .map(c => when(col(c).isNull || col(c).cast("double") <= 0.0,
+          raise_error(concat(lit(s"PageRank: non-positive weight in '$c': "),
+            coalesce(col(c).cast("string"), lit("null")))))
+        .otherwise(col(c).cast("double")))
+      .getOrElse(lit(1.0))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), wExpr.as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val deg = degrees(e, weightCol.isDefined)
+    var state = nodes.withColumn("gs", array().cast("array<double>"))
+    for (t <- 1 to iterations) {
+      val gPrev = state.select(col("node").as("src"),
+        (if (t == 1) lit(1.0) else element_at(col("gs"), t - 1)).as("__g"))
+      state = state
+        .join(inFold(e, deg, gPrev), Seq("node"), "left")
+        .withColumn("gs", concat(col("gs"),
+          array(lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))))
+        .drop("__in")
+    }
+    state
+  }
+
+  /** Out-degree (or weighted out-mass) per src, order-canonical for
+    * the weighted case: the fold over (dst, w) pairs sorted by dst is
+    * the same double no matter how edges partition. */
+  private[operators] def degrees(e: DataFrame, weighted: Boolean): DataFrame =
+    if (!weighted) e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    else e.groupBy(col("src"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("dst").as("d"), col("w").as("x")))),
+        lit(0.0), (acc, p) => acc + p.getField("x")).as("deg"))
+
+  /** Σ_{(u,v) ∈ E} g(u)·w/deg(u) per dst, folded in sorted (src,
+    * contribution) order — deterministic across plans and runs. */
+  private[operators] def inFold(e: DataFrame, deg: DataFrame,
+      gPrev: DataFrame): DataFrame =
+    e.join(gPrev, Seq("src"))
+      .join(deg, Seq("src"))
+      .select(col("dst").as("node"),
+        struct(col("src").as("s"),
+          (col("__g") * col("w") / col("deg")).as("c")).as("__p"))
+      .groupBy(col("node"))
+      .agg(aggregate(array_sort(collect_list(col("__p"))),
+        lit(0.0), (acc, p) => acc + p.getField("c")).as("__in"))
 }

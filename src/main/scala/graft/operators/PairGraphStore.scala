@@ -51,6 +51,12 @@ object PairGraphStore {
     * rewrites a strict subset. */
   val StatePartitions = 32
 
+  /** localCheckpoint with origin statistics dropped — iterative
+    * maintenance loops must not compound LogicalRDD sizeInBytes
+    * (the BigInteger planning blowup, see ColumnBridge). */
+  private def cps(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.checkpointStatsReset(df)
+
   final case class Handle(
       spark: SparkSession,
       path: String,
@@ -371,6 +377,190 @@ object PairGraphStore {
       if (!freshE.isEmpty) append(freshE.toDF(outCols: _*))
       // partition-pruned labels write: only affected nodes' partitions
       overwriteChangedState(labelsDir, maintained, "node", affectedNodes)
+      maintained
+    }
+
+    // ---- pagerank side state ---------------------------------------
+
+    private def ranksDir = s"$path/graphranks"
+
+    private def ranksMetaBody(iterations: Int, damping: Double,
+        weighted: Boolean) =
+      s"iterations=$iterations\ndamping=$damping\nweighted=$weighted\n" +
+        s"layout=pb$StatePartitions"
+
+    /** Both directions of the stored canonical pairs in long space —
+      * the directed frame [[PageRank]] expects for an undirected
+      * graph. */
+    private def symmetrized(e: DataFrame): DataFrame = {
+      val wSeq = weightCol.toSeq
+      val base = e.select(
+        (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+          ++ wSeq.map(col)): _*)
+      base.select((Seq(col("a").as("src"), col("b").as("dst"))
+          ++ wSeq.map(col)): _*)
+        .unionByName(base.select((Seq(col("b").as("src"), col("a").as("dst"))
+          ++ wSeq.map(col)): _*))
+    }
+
+    private def ranksOf(e: DataFrame, iterations: Int, damping: Double,
+        weighted: Boolean): DataFrame =
+      PageRank.gIterates(symmetrized(e), "src", "dst", iterations, damping,
+        if (weighted) weightCol else None)
+
+    /** The stored graph's N-FREE PageRank iterates (node, gs) — see
+      * [[PageRank.gIterates]]: pr_t(v) = gs(t-1)(v) / N — computed
+      * ONCE and persisted behind the crash-safe swap; later calls
+      * read the parquet. A state written at different parameters (or
+      * an older layout) is rebuilt.
+      *
+      * Why iterates and not ranks: g never mentions the node count,
+      * so appended NEW NODES — which perturb every pr value through
+      * the 1/N init and teleport constant — leave every stored g of
+      * an edge-unaffected node exactly valid. The serve layer
+      * ([[pageRanks]]) divides by the CURRENT N; maintenance
+      * ([[appendAndMaintainRanks]]) recomputes only the delta's
+      * iterations-hop neighborhood. */
+    def ensureRanks(iterations: Int = 3, damping: Double = 0.85,
+        weighted: Boolean = false): DataFrame = {
+      require(!weighted || weightCol.nonEmpty,
+        s"store at $path has no weight column for weighted ranks")
+      val fs = new Path(ranksDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SwapDir.heal(fs, new Path(ranksDir))
+      val current = stateMeta(fs, new Path(s"$ranksDir/_graft_ranks_meta"))
+        .contains(ranksMetaBody(iterations, damping, weighted))
+      if (!current)
+        writeStateFull(ranksDir, "_graft_ranks_meta",
+          ranksMetaBody(iterations, damping, weighted),
+          ranksOf(edges, iterations, damping, weighted), "node", fs)
+      spark.read.parquet(s"$ranksDir/data").drop("pb")
+    }
+
+    /** (node, pr) of the stored graph served from the persisted
+      * iterates: pr = g_T / N with N read from the state's own row
+      * count (every node holds a row). Agreement with the inline
+      * [[PageRank.run]] route is pinned by PairGraphStoreSpec at
+      * 1e-12 relative (the two associate the 1/N division
+      * differently; the values are the same reals). */
+    def pageRanks(iterations: Int = 3, damping: Double = 0.85,
+        weighted: Boolean = false): DataFrame = {
+      val st = ensureRanks(iterations, damping, weighted).localCheckpoint()
+      val n = st.count()
+      st.select(col("node"),
+        (element_at(col("gs"), iterations) / n.toDouble).as("pr"))
+    }
+
+    /** Fold a (possibly replayed) delta edge batch in AND maintain
+      * the persisted PageRank iterates at DELTA-NEIGHBORHOOD cost.
+      *
+      * The maintenance theorem: out-degrees change exactly at delta
+      * endpoints D, and g_t(v) depends on (g_{t-1}, deg) of v's
+      * in-neighbors — so with A_0 = D and A_t = A_{t-1} ∪ N(A_{t-1})
+      * (neighborhood in the GROWN graph), every node outside A_T
+      * keeps its stored iterates bit-for-bit, new nodes included
+      * (g_0 = 1 regardless of N — the N-free representation is what
+      * makes node arrivals local). The patch A_T recomputes its
+      * iterates round by round, reading boundary g values from the
+      * stored state and boundary degrees from the stored edges; the
+      * deterministic sorted folds ([[PageRank.gIterates]]) make the
+      * patched values BIT-IDENTICAL to a from-scratch run over the
+      * grown graph — PairGraphStoreSpec asserts exact double equality
+      * on planted and randomized splits.
+      *
+      * Cost shape: T delta-neighborhood joins (frontier expansion) +
+      * T patch-sized contribution folds; the corpus-sized state is
+      * read lazily and only changed nodes' pb-partitions are
+      * rewritten. Replay-idempotent: the delta dedups against stored
+      * edges, the affected set derives from (delta, old state) only,
+      * and a replayed batch recomputes the same patch to the same
+      * values. */
+    def appendAndMaintainRanks(
+        delta: DataFrame,
+        iterations: Int = 3,
+        damping: Double = 0.85,
+        weighted: Boolean = false): DataFrame = {
+      val old = ensureRanks(iterations, damping, weighted)
+      if (delta.isEmpty) return old
+      val wSeq = (if (weighted) weightCol else None).toSeq
+      val wAll = weightCol.toSeq
+      // canonical delta, long-typed, deduped (weighted stores keep a
+      // deterministic max weight — same policy as append)
+      val dSel = delta.select(
+        (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+          ++ wAll.map(col)): _*)
+      val dEdges = (if (wAll.isEmpty) dSel.distinct()
+        else dSel.groupBy(col("a"), col("b")).agg(max(col(wAll.head)).as(wAll.head)))
+        .localCheckpoint()
+      // fresh = not yet stored (replay dedup); the grown edge set the
+      // maintained state must reflect is stored ∪ fresh — a replayed
+      // batch (fresh empty) still recomputes the patch, which heals a
+      // crash window where edges landed but the ranks write did not
+      val storedC = edges.select(
+        (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+          ++ wAll.map(col)): _*)
+      val already = storedC.select(col("a"), col("b"))
+        .join(broadcast(dEdges.select(col("a"), col("b"))), Seq("a", "b"), "left_semi")
+      val freshE = dEdges.join(broadcast(already), Seq("a", "b"), "left_anti")
+        .localCheckpoint()
+      val grown = storedC.unionByName(freshE)
+      val grownSym = {
+        val pick = Seq(col("a"), col("b")) ++ wSeq.map(col)
+        val base = grown.select(pick: _*)
+        base.select((Seq(col("a").as("src"), col("b").as("dst"))
+            ++ wSeq.map(col)): _*)
+          .unionByName(base.select((Seq(col("b").as("src"), col("a").as("dst"))
+            ++ wSeq.map(col)): _*))
+      }.localCheckpoint()
+      // affected set: T frontier expansions from the delta endpoints
+      var affected = dEdges.select(col("a").as("node"))
+        .unionByName(dEdges.select(col("b").as("node")))
+        .distinct().localCheckpoint()
+      for (_ <- 1 to iterations) {
+        affected = cps(affected
+          .unionByName(grownSym
+            .join(affected.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .select(col("dst").as("node")))
+          .distinct())
+      }
+      // the patch's in-edges, their sources' degrees, and the
+      // boundary's stored iterates
+      val hoodE = grownSym
+        .join(affected.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val inSrc = hoodE.select(col("src").as("node")).distinct()
+      val degP = PageRank.degrees(
+        grownSym.join(inSrc.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .select(col("src"), col("dst"),
+            (if (wSeq.isEmpty) lit(1.0) else col(wSeq.head).cast("double")).as("w")),
+        weighted).localCheckpoint()
+      // boundary nodes are never new (new nodes are delta endpoints
+      // ⊆ affected), so their stored gs rows always exist
+      val boundary = old
+        .join(inSrc, Seq("node"), "left_semi")
+        .join(affected, Seq("node"), "left_anti")
+        .localCheckpoint()
+      val hoodW = hoodE.select(col("src"), col("dst"),
+        (if (wSeq.isEmpty) lit(1.0) else col(wSeq.head).cast("double")).as("w"))
+      var patch = affected.withColumn("gs", array().cast("array<double>"))
+      for (t <- 1 to iterations) {
+        val gPrev = patch.select(col("node").as("src"),
+            (if (t == 1) lit(1.0) else element_at(col("gs"), t - 1)).as("__g"))
+          .unionByName(boundary.select(col("node").as("src"),
+            (if (t == 1) lit(1.0) else element_at(col("gs"), t - 1)).as("__g")))
+        patch = patch
+          .join(PageRank.inFold(hoodW, degP, gPrev), Seq("node"), "left")
+          .withColumn("gs", concat(col("gs"),
+            array(lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))))
+          .drop("__in")
+      }
+      patch = cps(patch)
+      val maintained = old.join(affected, Seq("node"), "left_anti")
+        .unionByName(patch)
+        .localCheckpoint()
+      if (!freshE.isEmpty) append(freshE.toDF((srcCol +: dstCol +: wAll): _*))
+      // partition-pruned write: only the patch's partitions
+      overwriteChangedState(ranksDir, maintained, "node", affected)
       maintained
     }
   }

@@ -1489,6 +1489,84 @@ object TextQueries extends QueryDsl {
         .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
     },
 
+    // Store-SERVED PageRank with an in-plan contract (the q167b mold):
+    // rows are exactly q128's oracle-exact ranks from the inline run
+    // route; `serve_ok` verifies the persisted N-free iterate state
+    // (PairGraphStore.ensureRanks — pr = g_T/N, the incrementally
+    // maintainable representation) agrees with that route within
+    // 1e-12 relative on every node. The two associate the 1/N
+    // division differently, so bit-equality is not expected — the
+    // bound is ~1e3 ulps of margin over the measured reassociation
+    // noise while catching any real divergence (wrong round count,
+    // wrong damping, stale state).
+    q("q193b_pagerank_store_contract",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |      UNION ALL SELECT doc_b, doc_a FROM prs),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |p0 AS (SELECT node, (1.0)::DOUBLE / n AS pr FROM nd CROSS JOIN nn),
+        |c1 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p0 JOIN e ON p0.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p1 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p1 JOIN e ON p1.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p2 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p2 JOIN e ON p2.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p3 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node AS doc_id, round(pr, 6) AS pr, true AS serve_ok
+        |FROM p3""".stripMargin) { c =>
+      val h = docPairStore(c.spark, c.dir)
+      val pairs = h.edges.select($"doc_a", $"doc_b")
+      val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
+      val inline = graft.operators.PageRank
+        .run(edges, "src", "dst", iterations = 3, damping = 0.85)
+        .localCheckpoint()
+      // bounded driver scalar (q167b's contract idiom): the serve
+      // route reads the PERSISTED iterates — built once, maintained
+      // incrementally — and must track the inline route everywhere
+      val maxDiff = h.pageRanks(iterations = 3, damping = 0.85)
+        .withColumnRenamed("pr", "pr_store")
+        .join(inline, Seq("node"))
+        .agg(max(abs($"pr_store" - $"pr") / greatest(lit(1.0), abs($"pr"))).as("d"))
+        .head.getDouble(0)
+      inline.select($"node".as("doc_id"), round($"pr", 6).as("pr"),
+        lit(maxDiff < 1e-12).as("serve_ok"))
+    },
+
+    // Incremental PageRank maintenance on the pair-graph store —
+    // completing the maintained-state family: cores (q180), triangles
+    // (q186), communities (q190), now centrality. q180's split: 4/5
+    // of the verified edges are the stored base (N-free iterates
+    // persisted once), 1/5 arrives as the insertion batch; only the
+    // delta's 3-hop neighborhood recomputes — the N-free
+    // representation makes new-node arrivals local (under raw pr the
+    // 1/N teleport shift touches EVERY node), and untouched nodes'
+    // iterates stay bit-identical with their state partitions
+    // unwritten. Rows-only (LSH graph); q128/q193b anchor the
+    // PageRank semantics oracle-exactly, PairGraphStoreSpec pins
+    // maintain == from-scratch bit-for-bit.
+    q("q193_pagerank_incremental") { c =>
+      val edges = embPairStore(c.spark, c.dir).edges
+      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_pr_base_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        base, "vec_a", "vec_b", Some("cos"), c.spark, path)
+      h.appendAndMaintainRanks(delta, iterations = 3, damping = 0.85)
+      h.pageRanks(iterations = 3, damping = 0.85)
+        .select($"node".as("vec_id"), round($"pr", 6).as("pr"))
+    },
+
     // Robust per-group outlier detection (median/MAD — the curation
     // "length anomaly" gate): two tiny per-language aggregates
     // broadcast back onto the corpus, docs deviating more than 2 MADs

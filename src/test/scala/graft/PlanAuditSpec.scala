@@ -52,6 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     "q146_decayed_user_value", "q147_quality_audit",
     "q125_skew_report",
     "q128_pagerank_neardup", "q130_pagerank_weighted",
+    // q193b: PageRank.run's one-row node-count frame (q128's idiom)
+    // on the contract's inline leg; the store serve leg divides by a
+    // driver scalar and stays cross-free (as does q193)
+    "q193b_pagerank_store_contract",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
     "q86_cms_heavy_hitters", "q89_tfidf_topk",
     // q164: the one-row regression-moment frame crossJoined with the

@@ -62,4 +62,58 @@ class PageRankSpec extends SparkSpec {
     intercept[IllegalArgumentException](PageRank.run(chain, "src", "dst", iterations = 0))
     intercept[IllegalArgumentException](PageRank.run(chain, "src", "dst", damping = 1.0))
   }
+
+  test("gIterates: g_t/N agrees with run's pr_t; every iterate present") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7L)
+    val n = 30
+    val und = (0 until 60).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          math.rint(rnd.nextDouble() * 100) / 100 + 0.01)
+      }.filter(e => e._1 != e._2).distinct
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3))).toDF("src", "dst", "w")
+    for (weighted <- Seq(false, true)) {
+      val w = if (weighted) Some("w") else None
+      val gs = PageRank.gIterates(edges, "src", "dst", iterations = 3, weightCol = w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val nn = gs.size.toDouble
+      assert(gs.values.forall(_.length == 3), "one g per round")
+      for (t <- 1 to 3) {
+        val pr = PageRank.run(edges, "src", "dst", iterations = t, weightCol = w)
+          .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+        pr.foreach { case (k, v) =>
+          assert(math.abs(gs(k)(t - 1) / nn - v) <= 1e-12 * math.max(1.0, math.abs(v)),
+            s"weighted=$weighted t=$t node=$k: g/N=${gs(k)(t - 1) / nn} pr=$v")
+        }
+      }
+      // the N-free recurrence never mentions N: adding an ISOLATED
+      // extra edge component far away leaves existing g values
+      // BIT-identical (under run, every pr would shift through 1/N)
+      val edges2 = edges.unionByName(Seq((900L, 901L, 1.0), (901L, 900L, 1.0))
+        .toDF("src", "dst", "w"))
+      val gs2 = PageRank.gIterates(edges2, "src", "dst", iterations = 3, weightCol = w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      gs.foreach { case (k, v) => assert(gs2(k) == v,
+        s"weighted=$weighted node $k: disjoint growth must not move g") }
+    }
+  }
+
+  test("gIterates: deterministic across runs and partitionings (sorted folds)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(13L)
+    val n = 40
+    val und = (0 until 120).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          math.rint(rnd.nextDouble() * 100) / 100 + 0.01)
+      }.filter(e => e._1 != e._2).distinct
+    val all = und ++ und.map(e => (e._2, e._1, e._3))
+    val a = PageRank.gIterates(all.toDF("src", "dst", "w").repartition(1),
+        "src", "dst", 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = PageRank.gIterates(
+        scala.util.Random.shuffle(all).toDF("src", "dst", "w").repartition(17),
+        "src", "dst", 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "g iterates must be bit-identical across partitionings")
+  }
 }

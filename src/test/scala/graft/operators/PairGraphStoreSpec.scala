@@ -216,6 +216,90 @@ class PairGraphStoreSpec extends SparkSpec {
     }
   }
 
+  private def asGsMap(df: DataFrame): Map[Long, Seq[Double]] =
+    df.select(col("node"), col("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+  private def fromScratchGs(edges: DataFrame, w: Option[String])
+      : Map[Long, Seq[Double]] = {
+    val sym = edges.select((Seq(col("vec_a").as("src"), col("vec_b").as("dst"))
+        ++ w.map(col)): _*)
+      .unionByName(edges.select((Seq(col("vec_b").as("src"), col("vec_a").as("dst"))
+        ++ w.map(col)): _*))
+    asGsMap(PageRank.gIterates(sym, "src", "dst", 3, weightCol = w))
+  }
+
+  test("rank maintenance equals from-scratch g-iterates bit-for-bit on a planted patch") {
+    val sp = spark; import sp.implicits._
+    // two far-apart families; the delta attaches a NEW node to the
+    // first only — under pr the 1/N shift would touch everybody, but
+    // the N-free iterates of the untouched family must not move
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (40L, 41L), (41L, 42L), (40L, 42L))
+      .toDF("vec_a", "vec_b")
+    val delta = Seq((3L, 50L)).toDF("vec_a", "vec_b")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    val oldGs = asGsMap(h.ensureRanks())
+    val before = listStateFiles(h, "graphranks")
+    val maintained = asGsMap(h.appendAndMaintainRanks(delta))
+    val want = fromScratchGs(base.unionByName(delta), None)
+    assert(maintained == want,
+      s"diff=${maintained.toSet.diff(want.toSet).take(3)} / ${want.toSet.diff(maintained.toSet).take(3)}")
+    // the untouched family's iterates did not move AT ALL
+    Seq(40L, 41L, 42L).foreach(k => assert(maintained(k) == oldGs(k)))
+    // persisted state serves the same rows; untouched partitions keep files
+    assert(asGsMap(h.ensureRanks()) == want)
+    val after = listStateFiles(h, "graphranks")
+    val untouched = before.keys.filter(k =>
+      Seq(8, 9, 10).exists(pb => k.contains(s"pb=$pb/")))
+    assert(untouched.nonEmpty, "fixture must produce untouched partitions")
+    untouched.foreach { k =>
+      assert(after.get(k).contains(before(k)),
+        s"untouched partition file changed: $k")
+    }
+    // serve layer: pr sums to ~1 over the grown graph and agrees with
+    // the inline run route at 1e-12 relative
+    val pr = h.pageRanks().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    val sym = base.unionByName(delta)
+    val inline = PageRank.run(
+        sym.select($"vec_a".as("src"), $"vec_b".as("dst"))
+          .unionByName(sym.select($"vec_b".as("src"), $"vec_a".as("dst"))),
+        "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    inline.foreach { case (k, v) =>
+      assert(math.abs(pr(k) - v) <= 1e-12 * math.max(1.0, math.abs(v))) }
+    // replay: the same delta again is a no-op on edges and values
+    val replayed = asGsMap(h.appendAndMaintainRanks(delta))
+    assert(replayed == want)
+    assert(h.edgeCount == base.count() + delta.count())
+  }
+
+  test("rank maintenance equals from-scratch on randomized graph/delta splits") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17L)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(30)
+      val all = (0 until (n * 2)).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b),
+            math.rint(rnd.nextDouble() * 100) / 100 + 0.01)
+        }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val (baseE, deltaE) = all.partition(_ => rnd.nextDouble() < 0.75)
+      if (baseE.nonEmpty && deltaE.nonEmpty) {
+        val base = baseE.toDF("vec_a", "vec_b", "cos")
+        val delta = deltaE.toDF("vec_a", "vec_b", "cos")
+        val h = PairGraphStore.build(base, "vec_a", "vec_b", Some("cos"), tmp())
+        val weighted = trial % 2 == 1
+        val got = asGsMap(h.appendAndMaintainRanks(delta, weighted = weighted))
+        val want = fromScratchGs(base.unionByName(delta),
+          if (weighted) Some("cos") else None)
+        assert(got == want, s"trial $trial (weighted=$weighted): " +
+          s"diff=${got.toSet.diff(want.toSet).take(3)} / ${want.toSet.diff(got.toSet).take(3)}")
+      }
+    }
+  }
+
   test("unweighted store round-trips without a weight column") {
     val sp = spark; import sp.implicits._
     val path = tmp()
