@@ -1539,6 +1539,37 @@ object TextQueries extends QueryDsl {
         lit(maxDiff < 1e-12).as("serve_ok"))
     },
 
+    // Multi-source BFS hop distance over the near-dup graph — the
+    // "blast radius" primitive: given a seed set (flagged docs, a
+    // trusted core, a contaminated cluster), how many hops is every
+    // other document from the nearest seed. Served from the
+    // pair-graph store; ORACLE-EXACT — distances are integers and
+    // DuckDB's recursive CTE with UNION-dedup replays the frontier
+    // expansion exactly (each (node, dist) row appears once; min over
+    // dist is the hop distance). Nodes beyond maxHops=4 are absent on
+    // both sides by the same convention.
+    q("q194_bfs_reachability",
+      s"""WITH RECURSIVE ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |      UNION ALL SELECT doc_b, doc_a FROM prs),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |seeds AS (SELECT node FROM nd WHERE node % 10 = 0),
+        |bfs(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON bfs.node = e.src
+        |  WHERE bfs.dist < 4)
+        |SELECT node AS doc_id, cast(min(dist) AS INT) AS dist
+        |FROM bfs GROUP BY 1""".stripMargin) { c =>
+      val pairs = docPairStore(c.spark, c.dir).edges
+        .select($"doc_a", $"doc_b")
+      val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
+      val seeds = edges.select($"src".as("node")).distinct()
+        .filter(pmod($"node", lit(10)) === 0)
+      graft.operators.BfsDistances.fromSeeds(edges, "src", "dst", seeds, maxHops = 4)
+        .select($"node".as("doc_id"), $"dist")
+    },
+
     // Incremental PageRank maintenance on the pair-graph store —
     // completing the maintained-state family: cores (q180), triangles
     // (q186), communities (q190), now centrality. q180's split: 4/5

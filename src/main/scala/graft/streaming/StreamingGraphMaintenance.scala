@@ -29,6 +29,29 @@ object StreamingGraphMaintenance {
     if (!batch.isEmpty) { store.appendAndMaintainCores(batch, maxK); () }
   }
 
+  /** FULL-state micro-batch step: fold the delta once and maintain
+    * EVERY persisted node state — core numbers, community labels, and
+    * the PageRank iterates — at delta cost. The composition is safe
+    * BECAUSE each maintainer is replay-idempotent: the first call
+    * appends the batch's fresh edges, and each later maintainer finds
+    * them already stored (its own replay path) yet still drives its
+    * state to the grown graph's fixpoint. A crash between maintainers
+    * leaves some states ahead of others; the re-delivered batch
+    * re-runs all three and each converges — the same argument each
+    * state's own crash-window spec pins individually. */
+  def processAll(
+      batch: DataFrame,
+      store: PairGraphStore.Handle,
+      maxK: Int,
+      rounds: Int = 3,
+      iterations: Int = 3): Unit = {
+    if (batch.isEmpty) return
+    store.appendAndMaintainCores(batch, maxK)
+    store.appendAndMaintainCommunities(batch, rounds)
+    store.appendAndMaintainRanks(batch, iterations)
+    ()
+  }
+
   /** File-source drive: watch `inDir` for parquet batches of verified
     * canonical edges (store's srcCol/dstCol/weight columns), maintain
     * the store per batch. */
@@ -43,6 +66,26 @@ object StreamingGraphMaintenance {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         process(batch, store, maxK)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** File-source drive of [[processAll]] — the one-stream shape that
+    * keeps cohesion, communities, and centrality current together. */
+  def streamAll(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      store: PairGraphStore.Handle,
+      maxK: Int,
+      rounds: Int,
+      iterations: Int,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processAll(batch, store, maxK, rounds, iterations)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -109,4 +109,56 @@ class StreamingGraphMaintenanceSpec extends SparkSpec {
     assert(got((3L, 4L)) == 0.6)
     assert(got.size == 4)
   }
+
+  private def allStates(h: PairGraphStore.Handle, maxK: Int)
+      : (Map[Long, Int], Map[Long, Long], Map[Long, Seq[Double]]) = (
+    storedCores(h, maxK),
+    h.ensureCommunities(rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+    h.ensureRanks(iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap)
+
+  private def fromScratchStates(edges: DataFrame, maxK: Int)
+      : (Map[Long, Int], Map[Long, Long], Map[Long, Seq[Double]]) = {
+    val sp = spark
+    val dir = tmp()
+    val h = PairGraphStore.build(edges, "a", "b", None, s"$dir/store")
+    allStates(h, maxK)
+  }
+
+  test("processAll maintains cores, communities and ranks together; crash between maintainers heals") {
+    val dir = tmp()
+    val h = PairGraphStore.build(seed, "a", "b", None, s"$dir/store")
+    // states ensured once up front (the production shape)
+    allStates(h, 5)
+    StreamingGraphMaintenance.processAll(batch1, h, maxK = 5)
+    assert(allStates(h, 5) == fromScratchStates(seed.union(batch1), 5), "after b1")
+    // crash window: batch2's cores land (edges appended) but the
+    // communities/ranks maintainers never ran — re-delivering the
+    // batch through processAll drives ALL states to the fixpoint
+    h.appendAndMaintainCores(batch2, maxK = 5)
+    StreamingGraphMaintenance.processAll(batch2, h, maxK = 5)
+    val want = fromScratchStates(seed.union(batch1).union(batch2), 5)
+    assert(allStates(h, 5) == want, "after crash + replay")
+    // full re-delivery is a no-op
+    StreamingGraphMaintenance.processAll(batch2, h, maxK = 5)
+    assert(allStates(h, 5) == want)
+    assert(h.edgeCount == 9)
+  }
+
+  test("streamAll file drive equals direct processAll calls") {
+    val sp = spark; import sp.implicits._
+    val dir = tmp()
+    val h = PairGraphStore.build(seed, "a", "b", None, s"$dir/store")
+    allStates(h, 5)
+    val inDir = s"$dir/in"
+    batch1.write.parquet(s"$inDir/b1")
+    batch2.write.parquet(s"$inDir/b2")
+    val schema = batch1.schema
+    val q = StreamingGraphMaintenance.streamAll(
+      spark, s"$inDir/*", schema, h, maxK = 5, rounds = 3, iterations = 3,
+      checkpointDir = s"$dir/ckpt")
+    q.awaitTermination()
+    assert(allStates(h, 5) == fromScratchStates(seed.union(batch1).union(batch2), 5))
+  }
 }
