@@ -152,6 +152,70 @@ object PageRank {
     state
   }
 
+  /** PERSONALIZED PageRank — random walk with restart to a SEED set
+    * (trust propagation from a curated core, related-document
+    * expansion from a query set, influence from flagged users):
+    *
+    *   p_0(v)   = [v ∈ S] / |S|
+    *   p_t+1(v) = (1-d)·[v ∈ S]/|S| + d · Σ_{(u,v) ∈ E} p_t(u)·w(u,v)/deg(u)
+    *
+    * — [[run]] with the uniform teleport replaced by the seed
+    * indicator. Same fixed-unroll dataflow (one rank-vector join + one
+    * groupBy per round, `iterations` a compile-time unroll), same
+    * positive-weight contract; nodes never reached from a seed hold
+    * rank 0 rows (mass leaks only through directed dangling nodes, as
+    * in [[run]]). Seeds not present in the edge set still teleport to
+    * themselves — they hold (1-d)/|S| from round 1 on. */
+  def personalized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val wExpr = weightCol
+      .map(c => when(col(c).isNull || col(c).cast("double") <= 0.0,
+          raise_error(concat(lit(s"PageRank: non-positive weight in '$c': "),
+            coalesce(col(c).cast("string"), lit("null")))))
+        .otherwise(col(c).cast("double")))
+      .getOrElse(lit(1.0))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), wExpr.as("w"))
+      .localCheckpoint()
+    val s = seeds.select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(s.select(col("node"))).distinct()
+      .localCheckpoint()
+    val deg = degrees(e, weightCol.isDefined)
+    val nSeeds = broadcast(s.agg(count(lit(1)).as("__s")))
+    // teleport vector: [v ∈ S]/|S| — reused as init and per-round base
+    val tele = nodes.crossJoin(nSeeds)
+      .join(s.withColumn("__isSeed", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("__isSeed"), lit(0)).cast("double") /
+          col("__s").cast("double")).as("__t"))
+      .localCheckpoint()
+    var pr = tele.select(col("node"), col("__t").as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = pr.join(e, pr("node") === e("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("pr") * col("w") / col("deg").cast("double")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      pr = tele
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("__t") +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+
   /** Out-degree (or weighted out-mass) per src, order-canonical for
     * the weighted case: the fold over (dst, w) pairs sorted by dst is
     * the same double no matter how edges partition. */

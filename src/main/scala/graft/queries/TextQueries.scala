@@ -1539,6 +1539,49 @@ object TextQueries extends QueryDsl {
         lit(maxDiff < 1e-12).as("serve_ok"))
     },
 
+    // PERSONALIZED PageRank from a seed set — trust/relevance
+    // propagation: teleport mass restarts at the seeds (q194's seed
+    // convention) instead of uniformly, so rank measures proximity to
+    // the seed core through the similarity graph. Same fixed 3-round
+    // unroll as q128, ORACLE-EXACT — the teleport vector is a CASE
+    // indicator over |S| and every round's association matches the
+    // operator's.
+    q("q195_ppr_seeded",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |      UNION ALL SELECT doc_b, doc_a FROM prs),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |sd AS (SELECT node FROM nd WHERE node % 10 = 0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |ns AS (SELECT count(*) AS s FROM sd),
+        |tele AS (SELECT nd.node,
+        |    (CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |      / ns.s::DOUBLE AS t
+        |  FROM nd CROSS JOIN ns LEFT JOIN sd ON sd.node = nd.node),
+        |p0 AS (SELECT node, t AS pr FROM tele),
+        |c1 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p0 JOIN e ON p0.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p1 AS (SELECT tele.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) * t + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM tele LEFT JOIN c1 ON c1.node = tele.node),
+        |c2 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p1 JOIN e ON p1.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p2 AS (SELECT tele.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) * t + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM tele LEFT JOIN c2 ON c2.node = tele.node),
+        |c3 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p2 JOIN e ON p2.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p3 AS (SELECT tele.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) * t + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM tele LEFT JOIN c3 ON c3.node = tele.node)
+        |SELECT node AS doc_id, round(pr, 6) AS pr FROM p3""".stripMargin) { c =>
+      val pairs = docPairStore(c.spark, c.dir).edges
+        .select($"doc_a", $"doc_b")
+      val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
+      val seeds = edges.select($"src".as("node")).distinct()
+        .filter(pmod($"node", lit(10)) === 0)
+      graft.operators.PageRank
+        .personalized(edges, "src", "dst", seeds, iterations = 3, damping = 0.85)
+        .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
+    },
+
     // Multi-source BFS hop distance over the near-dup graph — the
     // "blast radius" primitive: given a seed set (flagged docs, a
     // trusted core, a contaminated cluster), how many hops is every

@@ -54,8 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     "q128_pagerank_neardup", "q130_pagerank_weighted",
     // q193b: PageRank.run's one-row node-count frame (q128's idiom)
     // on the contract's inline leg; the store serve leg divides by a
-    // driver scalar and stays cross-free (as does q193)
-    "q193b_pagerank_store_contract",
+    // driver scalar and stays cross-free (as does q193). q195: the
+    // one-row seed-count frame crossJoined into the teleport vector.
+    "q193b_pagerank_store_contract", "q195_ppr_seeded",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
     "q86_cms_heavy_hitters", "q89_tfidf_topk",
     // q164: the one-row regression-moment frame crossJoined with the

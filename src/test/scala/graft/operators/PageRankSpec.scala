@@ -98,6 +98,66 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("personalized: seed locality, all-seeds degeneration, off-graph seed, reference equality") {
+    val sp = spark; import sp.implicits._
+    // path 1-2-3-4-5 seeded at 1: the seed dominates and the far end
+    // trails the near end (finite unrolls carry a parity wave down
+    // the path, so strict per-hop monotonicity only holds at the
+    // fixpoint — assert the endpoints, not the middle)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val ppr = PageRank.personalized(edges, "src", "dst", Seq(1L).toDF("node"),
+        iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    assert(ppr(1L) == ppr.values.max, s"seed must dominate: $ppr")
+    assert(ppr(5L) < ppr(2L) && ppr(4L) < ppr(2L),
+      s"far end must trail the seed's neighborhood: $ppr")
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9, "undirected input conserves mass")
+
+    // seeding EVERY node degenerates to uniform PageRank (1e-12: the
+    // two routes associate (1-d)/N vs (1-d)*(1/N) differently)
+    val nodes = edges.select($"src".as("node")).distinct()
+    val uni = PageRank.personalized(edges, "src", "dst", nodes, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    val run = PageRank.run(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    run.foreach { case (k, v) => assert(math.abs(uni(k) - v) < 1e-12) }
+
+    // a seed absent from the edge set still teleports to itself
+    val off = PageRank.personalized(edges, "src", "dst",
+        Seq(1L, 99L).toDF("node"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+    assert(off(99L) > 0.0 && off.contains(1L))
+
+    // randomized graphs vs a driver-side reference recurrence
+    val rnd = new scala.util.Random(23L)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val und = (0 until n * 2).map { _ =>
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+        }.filter(e => e._1 != e._2).distinct
+      val all = und ++ und.map(_.swap)
+      val seeds = (0 until 1 + rnd.nextInt(3)).map(_ => rnd.nextInt(n).toLong).distinct
+      val got = PageRank.personalized(all.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("node"), iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+      // reference: dense driver recurrence
+      val vs = (all.flatMap(e => Seq(e._1, e._2)) ++ seeds).distinct
+      val deg = all.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+      val t = vs.map(v => v -> (if (seeds.contains(v)) 1.0 / seeds.size else 0.0)).toMap
+      var p = t
+      for (_ <- 1 to 3) {
+        val in = all.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map(e => p(e._1) / deg(e._1)).sum
+        }
+        p = vs.map(v => v -> ((1.0 - 0.85) * t(v) + 0.85 * in.getOrElse(v, 0.0))).toMap
+      }
+      p.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+          s"trial $trial node $k: got ${got(k)} want $v") }
+    }
+  }
+
   test("gIterates: deterministic across runs and partitionings (sorted folds)") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(13L)
