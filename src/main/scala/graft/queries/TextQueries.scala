@@ -1582,6 +1582,44 @@ object TextQueries extends QueryDsl {
         .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
     },
 
+    // Bounded-hop WEIGHTED proximity to the seed core — q194's
+    // min-plus twin: edge cost is the DISSIMILARITY (1 − jaccard), so
+    // dist reads "how much accumulated content drift separates this
+    // document from the nearest seed within 4 hops". ORACLE-EXACT:
+    // min is order-independent, path costs accumulate in the same
+    // association in both engines, and the 4 relaxation rounds unroll
+    // as min-merge CTEs (full relaxation — the operator's frontier
+    // cut is proved equal by MinPlusDistancesSpec's reference).
+    q("q196_weighted_proximity",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst, (1.0)::DOUBLE - jaccard AS w FROM prs
+        |      UNION ALL SELECT doc_b, doc_a, (1.0)::DOUBLE - jaccard FROM prs),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |d0 AS (SELECT node, (0.0)::DOUBLE AS d FROM nd WHERE node % 10 = 0),
+        |r1 AS (SELECT e.dst AS node, min(d0.d + e.w) AS d
+        |       FROM d0 JOIN e ON d0.node = e.src GROUP BY 1),
+        |d1 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d0 UNION ALL SELECT * FROM r1) u GROUP BY 1),
+        |r2 AS (SELECT e.dst AS node, min(d1.d + e.w) AS d
+        |       FROM d1 JOIN e ON d1.node = e.src GROUP BY 1),
+        |d2 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d1 UNION ALL SELECT * FROM r2) u GROUP BY 1),
+        |r3 AS (SELECT e.dst AS node, min(d2.d + e.w) AS d
+        |       FROM d2 JOIN e ON d2.node = e.src GROUP BY 1),
+        |d3 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d2 UNION ALL SELECT * FROM r3) u GROUP BY 1),
+        |r4 AS (SELECT e.dst AS node, min(d3.d + e.w) AS d
+        |       FROM d3 JOIN e ON d3.node = e.src GROUP BY 1),
+        |d4 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d3 UNION ALL SELECT * FROM r4) u GROUP BY 1)
+        |SELECT node AS doc_id, round(d, 6) AS dist FROM d4""".stripMargin) { c =>
+      val pairs = docPairStore(c.spark, c.dir).edges
+        .select($"doc_a", $"doc_b", (lit(1.0) - $"jaccard").as("w"))
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"), $"w")
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"), $"w"))
+      val seeds = edges.select($"src".as("node")).distinct()
+        .filter(pmod($"node", lit(10)) === 0)
+      graft.operators.MinPlusDistances
+        .fromSeeds(edges, "src", "dst", "w", seeds, maxHops = 4)
+        .select($"node".as("doc_id"), round($"d", 6).as("dist"))
+    },
+
     // Multi-source BFS hop distance over the near-dup graph — the
     // "blast radius" primitive: given a seed set (flagged docs, a
     // trusted core, a contaminated cluster), how many hops is every
