@@ -1176,6 +1176,46 @@ object MlQueries extends QueryDsl {
         base, "vec_a", "vec_b", Some("cos"), c.spark, path)
       h.appendAndMaintainCommunities(delta, rounds = 3)
         .select($"node".as("vec_id"), $"community")
+    },
+
+    // Isotonic (PAV) calibration of a length-based quality score
+    // against English-ness — the curation-gate calibrator. ORACLE-
+    // EXACT including the calibrated values: the Spark side runs the
+    // driver PAV merge over 20 integer (n, pos) bins, the oracle
+    // replays the MINIMAX characterization cal(i) = max_{j<=i}
+    // min_{k>=i} pooledAvg(j..k) with integer prefix sums — equal
+    // fits as reals, and equal as doubles because each candidate is
+    // one Long/Long division (correctly-rounded division is monotone,
+    // so max/min commute with rounding). IsotonicSpec pins PAV ==
+    // minimax on randomized bins.
+    q("q197_isotonic_calibration",
+      """WITH b AS (SELECT
+        |    cast(least(floor(least(length(text) / 600.0, 1.0) * 20), 19) AS INT) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |s AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+        |      FROM b GROUP BY 1),
+        |o AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS r FROM s),
+        |p AS (SELECT r, bin, n, pos,
+        |    sum(n) OVER (ORDER BY r) AS cn, sum(pos) OVER (ORDER BY r) AS cp FROM o),
+        |pairs AS (SELECT i.r AS ri, j.r AS rj,
+        |    (k.cp - coalesce(jm.cp, 0))::DOUBLE
+        |      / (k.cn - coalesce(jm.cn, 0))::DOUBLE AS a
+        |  FROM p i JOIN p j ON j.r <= i.r JOIN p k ON k.r >= i.r
+        |  LEFT JOIN p jm ON jm.r = j.r - 1),
+        |mm AS (SELECT ri, rj, min(a) AS mina FROM pairs GROUP BY 1, 2),
+        |calx AS (SELECT ri AS r, max(mina) AS cal FROM mm GROUP BY 1)
+        |SELECT o.bin, o.n, o.pos,
+        |  round(o.pos::DOUBLE / o.n::DOUBLE, 6) AS rate,
+        |  round(calx.cal, 6) AS cal
+        |FROM o JOIN calx ON calx.r = o.r""".stripMargin) { c =>
+      import c.t
+      val scored = t("documents").select(
+        least(length($"text") / lit(600.0), lit(1.0)).as("score"),
+        ($"lang" === "en").as("label"))
+      graft.ml.Isotonic.calibrateBins(scored, "score", "label", nBins = 20)
+        .select($"bin", $"n", $"pos",
+          round($"rate", 6).as("rate"), round($"cal", 6).as("cal"))
     }
   )
 }

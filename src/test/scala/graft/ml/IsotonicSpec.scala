@@ -1,0 +1,69 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IsotonicSpec extends SparkSpec {
+
+  /** Minimax characterization computed independently of the PAV merge:
+    * cal(i) = max_{j<=i} min_{k>=i} pooled-average(j..k) — the formula
+    * q197's SQL oracle replays. */
+  private def minimax(n: Array[Long], pos: Array[Long]): Array[Double] = {
+    val m = n.length
+    Array.tabulate(m) { i =>
+      (0 to i).map { j =>
+        (i until m).map { k =>
+          (j to k).map(pos(_)).sum.toDouble / (j to k).map(n(_)).sum.toDouble
+        }.min
+      }.max
+    }
+  }
+
+  test("pav: planted shapes — monotone input unchanged, violators pool, global collapse") {
+    // already monotone: identity
+    assert(Isotonic.pav(Array(10L, 10L, 10L), Array(1L, 5L, 9L)).toSeq ==
+      Seq(0.1, 0.5, 0.9))
+    // single violating pair pools to its weighted mean
+    assert(Isotonic.pav(Array(10L, 30L), Array(8L, 12L)).toSeq ==
+      Seq(0.5, 0.5))
+    // strictly decreasing input collapses to the global mean
+    val all = Isotonic.pav(Array(10L, 10L, 10L), Array(9L, 5L, 1L)).toSeq
+    assert(all == Seq(0.5, 0.5, 0.5))
+    // pooling cascades left: 0.9, 0.1, 0.2 -> one block of mean 0.4
+    assert(Isotonic.pav(Array(10L, 10L, 10L), Array(9L, 1L, 2L)).toSeq ==
+      Seq(0.4, 0.4, 0.4))
+  }
+
+  test("pav equals the minimax characterization bit-for-bit on randomized bins") {
+    val rnd = new scala.util.Random(31L)
+    for (trial <- 1 to 20) {
+      val m = 1 + rnd.nextInt(12)
+      val n = Array.fill(m)(1L + rnd.nextInt(50))
+      val pos = n.map(ni => rnd.nextInt(ni.toInt + 1).toLong)
+      val got = Isotonic.pav(n, pos)
+      val want = minimax(n, pos)
+      assert(got.toSeq == want.toSeq, s"trial $trial n=${n.toSeq} pos=${pos.toSeq}")
+      // monotone and mean-preserving
+      assert(got.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      val fitMass = got.zip(n).map { case (c, w) => c * w }.sum
+      assert(math.abs(fitMass - pos.sum.toDouble) < 1e-6 * math.max(1.0, pos.sum.toDouble))
+    }
+  }
+
+  test("calibrateBins: binning clamps the 1.0 edge; stats are exact; cal monotone") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0.02, false), (0.07, false), (0.12, true), (0.17, false),
+      (0.55, true), (0.58, false), (0.95, true), (1.0, true))
+      .toDF("score", "label")
+    val out = Isotonic.calibrateBins(df, "score", "label", nBins = 20)
+      .orderBy($"bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // score 1.0 lands in bin 19, not 20
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3, 11, 19))
+    assert(out.map(_._2).sum == 8L)
+    val cal = out.map(_._4)
+    assert(cal.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"cal must be monotone: ${cal.toSeq}")
+  }
+}
