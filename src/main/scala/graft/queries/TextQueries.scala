@@ -1539,6 +1539,22 @@ object TextQueries extends QueryDsl {
         lit(maxDiff < 1e-12).as("serve_ok"))
     },
 
+    // k-truss of the vector near-dup graph — the edge-cohesion cut:
+    // an edge survives the 3-truss only with a mutual witness inside
+    // the surviving subgraph, so spurious LSH bridges between
+    // clusters fall where k-core (degree-only) keeps them (the
+    // harness graph's clusters are witness-sparse — its 4-truss is
+    // empty, the spec's K4 fixture covers the deeper cut). Rows-only
+    // (iterative peel, no SQL twin — q176/q180's adjudication);
+    // TrussSpec pins both routes against an independent
+    // simultaneous-sweep reference, and q174's oracle-exact twin
+    // anchors the triangle semantics underneath.
+    q("q198_ktruss_neardup") { c =>
+      val edges = embPairStore(c.spark, c.dir).edges
+      graft.operators.Truss.kTruss(edges, "vec_a", "vec_b", k = 3)
+        .select($"a".as("vec_a"), $"b".as("vec_b"))
+    },
+
     // PERSONALIZED PageRank from a seed set — trust/relevance
     // propagation: teleport mass restarts at the seeds (q194's seed
     // convention) instead of uniformly, so rank measures proximity to

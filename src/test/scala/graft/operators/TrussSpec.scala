@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrussSpec extends SparkSpec {
+
+  private def truss(edges: Seq[(Long, Long)], k: Int,
+      driverMax: Long = 512L * 1024): Set[(Long, Long)] = {
+    val sp = spark; import sp.implicits._
+    Truss.kTruss(edges.toDF("u", "v"), "u", "v", k, driverMaxEdges = driverMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** Independent reference: SIMULTANEOUS removal sweeps from scratch —
+    * recompute every edge's support over the surviving set, drop all
+    * below k−2 at once, repeat to fixpoint (no worklist, no adjacency
+    * mutation — a different formulation than either production route;
+    * the fixpoint is the same maximal truss because removal order
+    * never matters). */
+  private def reference(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var alive = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct.toSet
+    var stable = false
+    while (!stable) {
+      val adj = alive.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .map { case (n, es) => n -> es.map(_._2).toSet }
+      val keep = alive.filter { case (a, b) =>
+        (adj(a) & adj(b)).size >= k - 2
+      }
+      stable = keep == alive
+      alive = keep
+    }
+    alive
+  }
+
+  test("planted shapes: K4 survives 4-truss, bridges fall, removal cascades") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // K4 IS a 4-truss; a pendant bridge and a triangle hanging off it fall
+    val hang = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    assert(truss(k4 ++ hang, 4) == k4.toSet)
+    // at k=3 the hanging triangle survives, the pendant-free graph keeps all
+    assert(truss(k4 ++ hang, 3) == (k4 ++ hang).toSet)
+    // cascade: two triangles sharing an edge are each support-1; at
+    // k=4 removing any edge cascades the whole diamond away
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(truss(diamond, 4) == Set.empty)
+    // k=2 is the deduplicated self-loop-free graph itself
+    assert(truss(Seq((1L, 2L), (2L, 1L), (3L, 3L), (1L, 2L)), 2) == Set((1L, 2L)))
+  }
+
+  test("randomized graphs match the simultaneous-sweep reference; distributed route equal") {
+    val rnd = new scala.util.Random(37L)
+    for (trial <- 1 to 4) {
+      val n = 15 + rnd.nextInt(15)
+      val edges = (0 until n * 3).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b))
+        }.filter(e => e._1 != e._2).distinct
+      val k = 3 + rnd.nextInt(3)
+      val want = reference(edges, k)
+      assert(truss(edges, k) == want, s"trial $trial k=$k (driver route)")
+      // force the distributed fixpoint
+      assert(truss(edges, k, driverMax = 0L) == want,
+        s"trial $trial k=$k (distributed route)")
+    }
+  }
+}
