@@ -563,6 +563,147 @@ object PairGraphStore {
       overwriteChangedState(ranksDir, maintained, "node", affected)
       maintained
     }
+
+    // ---- seed-distance side state ----------------------------------
+
+    private def distsDir(tag: String) = s"$path/graphdists_$tag"
+
+    private def distsMetaBody(maxHops: Int, costMode: String) =
+      s"maxHops=$maxHops\ncost=$costMode\nlayout=pb$StatePartitions"
+
+    /** Edge cost under `costMode`: `unit` (hop counting — the BFS
+      * twin), `weight` (the stored weight IS a cost), `oneMinusWeight`
+      * (similarity weight in [0,1] → dissimilarity cost). */
+    private def costExpr(costMode: String): org.apache.spark.sql.Column = {
+      def w = col(weightCol.getOrElse(throw new IllegalArgumentException(
+        s"store at $path has no weight column for costMode=$costMode")))
+        .cast("double")
+      costMode match {
+        case "unit" => lit(1.0)
+        case "weight" => w
+        case "oneMinusWeight" => lit(1.0) - w
+        case other => throw new IllegalArgumentException(
+          s"unknown costMode: $other")
+      }
+    }
+
+    /** Both directions of an (a, b[, weight]) canonical frame as
+      * (src, dst, w) with w = the mode's edge cost. */
+    private def symCost(canon: DataFrame, costMode: String): DataFrame = {
+      val c = costExpr(costMode)
+      canon.select(col("a").as("src"), col("b").as("dst"), c.as("w"))
+        .unionByName(canon.select(col("b").as("src"), col("a").as("dst"), c.as("w")))
+    }
+
+    private def canonAll(df: DataFrame): DataFrame = df.select(
+      (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        ++ weightCol.toSeq.map(col)): _*)
+
+    /** Hop-indexed seed distances of the stored graph —
+      * [[MinPlusDistances.iterates]] (node, ds) persisted behind the
+      * crash-safe swap. `tag` names the seed set (the caller's
+      * contract: one tag ⇔ one seed frame — the meta cannot
+      * fingerprint a DataFrame); states at a different maxHops /
+      * costMode / layout rebuild. */
+    def ensureDistances(tag: String, seeds: DataFrame, maxHops: Int = 4,
+        costMode: String = "unit"): DataFrame = {
+      require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a path-safe slug: $tag")
+      val dir = distsDir(tag)
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SwapDir.heal(fs, new Path(dir))
+      val current = stateMeta(fs, new Path(s"$dir/_graft_dists_meta"))
+        .contains(distsMetaBody(maxHops, costMode))
+      if (!current)
+        writeStateFull(dir, "_graft_dists_meta",
+          distsMetaBody(maxHops, costMode),
+          MinPlusDistances.iterates(symCost(canonAll(edges), costMode),
+            "src", "dst", "w", seeds, maxHops), "node", fs)
+      spark.read.parquet(s"$dir/data").drop("pb")
+    }
+
+    /** Fold a (possibly replayed) delta edge batch in AND maintain the
+      * persisted hop-indexed distances at IMPROVEMENT-FRONTIER cost.
+      *
+      * Edge insertions only ever LOWER a hop-bounded distance, so the
+      * maintained values are min(stored, improvements), and every
+      * improving ≤t-hop path decomposes as either (prefix already
+      * improved at t−1) + any grown edge — covered by relaxing the
+      * improvement frontier — or (prefix entirely pre-delta, cost =
+      * stored d_{t−1}) + a FRESH edge — covered by relaxing the stored
+      * hop-(t−1) values across the fresh edges only. Each round's work
+      * is improvement-frontier-sized (plus one fresh-edge-sized read
+      * of stored rows); the min-plus arithmetic is deterministic, so
+      * maintained values are BIT-identical to a from-scratch
+      * [[MinPlusDistances.iterates]] over the grown graph
+      * (PairGraphStoreSpec). Replay-idempotent: a re-delivered batch
+      * finds nothing to improve (stored already ≤ every candidate) and
+      * rewrites no partitions. */
+    def appendAndMaintainDistances(delta: DataFrame, tag: String,
+        seeds: DataFrame, maxHops: Int = 4,
+        costMode: String = "unit"): DataFrame = {
+      val old = ensureDistances(tag, seeds, maxHops, costMode)
+      if (delta.isEmpty) return old
+      val wAll = weightCol.toSeq
+      val dSel = canonAll(delta)
+      val dEdges = (if (wAll.isEmpty) dSel.distinct()
+        else dSel.groupBy(col("a"), col("b")).agg(max(col(wAll.head)).as(wAll.head)))
+        .localCheckpoint()
+      val storedC = canonAll(edges)
+      val already = storedC.select(col("a"), col("b"))
+        .join(broadcast(dEdges.select(col("a"), col("b"))), Seq("a", "b"), "left_semi")
+      val freshE = dEdges.join(broadcast(already), Seq("a", "b"), "left_anti")
+        .localCheckpoint()
+      val grownSym = symCost(storedC.unionByName(freshE), costMode).localCheckpoint()
+      val freshSym = symCost(freshE, costMode).localCheckpoint()
+      val seedD = seeds.select(seeds.columns.head).toDF("node")
+        .select(col("node").cast("long").as("node")).distinct()
+        .withColumn("__v", lit(0.0)).localCheckpoint()
+      val oldCk = old.localCheckpoint()
+      // per-hop improvement frontiers (hop 0 has none: seeds are fixed)
+      var imp = seedD.limit(0)
+      val impByHop = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (t <- 1 to maxHops) {
+        // stored hop-(t−1) values: seeds at 0 for t = 1
+        val prevStored = if (t == 1) seedD
+          else oldCk.select(col("node"),
+              element_at(col("ds"), t - 1).as("__v"))
+            .filter(col("__v") < lit(Double.PositiveInfinity))
+        val candA = grownSym
+          .join(imp.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("__v") + col("w")).as("__v"))
+        val candB = freshSym
+          .join(prevStored.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("__v") + col("w")).as("__v"))
+        // an improvement at t−1 is also a ≤t-hop path — carry it
+        val cand = candA.unionByName(candB).unionByName(imp)
+          .groupBy(col("node")).agg(min(col("__v")).as("__v"))
+        val baseline = oldCk.select(col("node"),
+          element_at(col("ds"), t).as("__old"))
+        imp = cps(cand.join(baseline, Seq("node"), "left")
+          .filter(col("__old").isNull || col("__v") < col("__old"))
+          .select(col("node"), col("__v")))
+        impByHop += imp
+      }
+      val changed = cps(impByHop.map(_.select(col("node")))
+        .reduce(_ unionByName _).distinct())
+      // rebuild full ds arrays for changed nodes: min(stored, imp_t)
+      var rows = changed
+      for (t <- 1 to maxHops)
+        rows = rows.join(impByHop(t - 1).toDF("node", s"__i$t"), Seq("node"), "left")
+      val patched = rows.join(oldCk, Seq("node"), "left")
+        .select(col("node"),
+          array((1 to maxHops).map(t =>
+            least(
+              coalesce(element_at(col("ds"), t), lit(Double.PositiveInfinity)),
+              coalesce(col(s"__i$t"), lit(Double.PositiveInfinity)))): _*).as("ds"))
+      val maintained = oldCk.join(changed, Seq("node"), "left_anti")
+        .unionByName(patched)
+        .localCheckpoint()
+      if (!freshE.isEmpty) append(freshE.toDF((srcCol +: dstCol +: wAll): _*))
+      overwriteChangedState(distsDir(tag), maintained, "node", changed)
+      maintained
+    }
   }
 
   /** Persist a verified edge frame at `path` (staged + swapped: a

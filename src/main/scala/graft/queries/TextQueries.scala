@@ -1695,6 +1695,36 @@ object TextQueries extends QueryDsl {
         .select($"node".as("vec_id"), round($"pr", 6).as("pr"))
     },
 
+    // Incremental seed-distance maintenance — the third maintained
+    // state pattern: edge insertions only ever LOWER a hop-bounded
+    // distance, so maintenance is improvement-frontier relaxation
+    // seeded at the fresh edges (stored hop-(t−1) values relax across
+    // fresh edges; the improvement frontier relaxes across all), and
+    // maintained values are bit-identical to from-scratch iterates
+    // (PairGraphStoreSpec). q180's split; dissimilarity cost 1 − cos;
+    // dist = cheapest ≤4-hop path from the seed core. Rows-only (LSH
+    // graph); q196 is the min-plus family's oracle-exact anchor.
+    q("q199_distance_incremental") { c =>
+      val edges = embPairStore(c.spark, c.dir).edges
+      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      val seeds = edges.select($"vec_a".as("node"))
+        .unionByName(edges.select($"vec_b".as("node")))
+        .distinct().filter(pmod($"node", lit(10)) === 0)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_dist_base_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        base, "vec_a", "vec_b", Some("cos"), c.spark, path)
+      h.appendAndMaintainDistances(delta, "seedmod10", seeds,
+          maxHops = 4, costMode = "oneMinusWeight")
+        .filter(element_at($"ds", 4) < lit(Double.PositiveInfinity))
+        .select($"node".as("vec_id"),
+          round(element_at($"ds", 4), 6).as("dist"))
+    },
+
     // Robust per-group outlier detection (median/MAD — the curation
     // "length anomaly" gate): two tiny per-language aggregates
     // broadcast back onto the corpus, docs deviating more than 2 MADs

@@ -54,6 +54,35 @@ class MinPlusDistancesSpec extends SparkSpec {
     }
   }
 
+  test("iterates: hop t equals fromSeeds at maxHops=t; unreached hops are +Inf") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(41L)
+    val n = 25
+    val edges = (0 until n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b), math.rint(rnd.nextDouble() * 100) / 100)
+      }.filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+    val sym = (edges ++ edges.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+    val seeds = Seq(0L, 7L).toDF("node")
+    val its = MinPlusDistances.iterates(sym, "src", "dst", "w", seeds, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(its.values.forall(_.length == 4))
+    for (t <- 1 to 4) {
+      val want = MinPlusDistances.fromSeeds(sym, "src", "dst", "w", seeds, t)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // reached nodes agree exactly; nodes absent from fromSeeds at
+      // this horizon are +Inf in the iterate array
+      its.foreach { case (k, ds) =>
+        assert(ds(t - 1) == want.getOrElse(k, Double.PositiveInfinity),
+          s"hop $t node $k") }
+      want.keys.foreach(k => assert(its.contains(k)))
+    }
+    // non-increasing in t
+    its.values.foreach(ds =>
+      assert(ds.sliding(2).forall(p => p.length < 2 || p(0) >= p(1))))
+  }
+
   test("randomized graphs match the full-relaxation reference bit-for-bit") {
     val rnd = new scala.util.Random(29L)
     for (trial <- 1 to 4) {

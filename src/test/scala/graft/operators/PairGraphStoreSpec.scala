@@ -300,6 +300,88 @@ class PairGraphStoreSpec extends SparkSpec {
     }
   }
 
+  private def asDsMap(df: DataFrame): Map[Long, Seq[Double]] =
+    df.select(col("node"), col("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+  private def fromScratchDs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      cost: DataFrame => DataFrame): Map[Long, Seq[Double]] =
+    asDsMap(MinPlusDistances.iterates(cost(edges), "src", "dst", "w",
+      seeds, maxHops))
+
+  test("distance maintenance equals from-scratch iterates; improvements only; replay no-op") {
+    val sp = spark; import sp.implicits._
+    // two families; seeds in the first; the delta opens a shortcut
+    // into the second THROUGH a new node
+    def sym(e: DataFrame): DataFrame =
+      e.select($"vec_a".as("src"), $"vec_b".as("dst"), (lit(1.0) - $"cos").as("w"))
+        .unionByName(
+          e.select($"vec_b".as("src"), $"vec_a".as("dst"), (lit(1.0) - $"cos").as("w")))
+    val base = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (40L, 41L, 0.9), (41L, 42L, 0.7))
+      .toDF("vec_a", "vec_b", "cos")
+    val delta = Seq((3L, 50L, 0.95), (40L, 50L, 0.9)).toDF("vec_a", "vec_b", "cos")
+    val seeds = Seq(1L).toDF("node")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", Some("cos"), tmp())
+    val oldDs = asDsMap(h.ensureDistances("s1", seeds, maxHops = 4,
+      costMode = "oneMinusWeight"))
+    // the far family is unreached before the delta
+    assert(!oldDs.contains(40L))
+    val before = listStateFiles(h, "graphdists_s1")
+    val maintained = asDsMap(h.appendAndMaintainDistances(delta, "s1", seeds,
+      maxHops = 4, costMode = "oneMinusWeight"))
+    val want = fromScratchDs(base.unionByName(delta), seeds, 4, sym)
+    assert(maintained == want,
+      s"diff=${maintained.toSet.diff(want.toSet).take(3)} / ${want.toSet.diff(maintained.toSet).take(3)}")
+    // monotone contract: no maintained value exceeds the stored one
+    oldDs.foreach { case (k, ds) =>
+      ds.zip(maintained(k)).foreach { case (o, m) => assert(m <= o) } }
+    // seed row untouched — its partition keeps its file
+    val after = listStateFiles(h, "graphdists_s1")
+    val untouched = before.keys.filter(_.contains("pb=1/"))
+    assert(untouched.nonEmpty)
+    untouched.foreach(k => assert(after.get(k).contains(before(k)),
+      s"untouched partition file changed: $k"))
+    // persisted state serves the same rows; replay improves nothing
+    assert(asDsMap(h.ensureDistances("s1", seeds, 4, "oneMinusWeight")) == want)
+    val afterReplay = listStateFiles(h, "graphdists_s1")
+    assert(asDsMap(h.appendAndMaintainDistances(delta, "s1", seeds, 4,
+      "oneMinusWeight")) == want)
+    assert(listStateFiles(h, "graphdists_s1") == afterReplay,
+      "replay must rewrite no state partitions")
+  }
+
+  test("distance maintenance equals from-scratch on randomized splits and cost modes") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(43L)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val all = (0 until (n * 2)).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b),
+            math.rint(rnd.nextDouble() * 80) / 100 + 0.1)
+        }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val (baseE, deltaE) = all.partition(_ => rnd.nextDouble() < 0.7)
+      if (baseE.nonEmpty && deltaE.nonEmpty) {
+        val base = baseE.toDF("vec_a", "vec_b", "cos")
+        val delta = deltaE.toDF("vec_a", "vec_b", "cos")
+        val seeds = (0 until 2).map(_ => rnd.nextInt(n).toLong).distinct.toDF("node")
+        val mode = if (trial % 2 == 1) "oneMinusWeight" else "unit"
+        def symM(e: DataFrame): DataFrame = {
+          val c = if (mode == "unit") lit(1.0) else lit(1.0) - $"cos"
+          e.select($"vec_a".as("src"), $"vec_b".as("dst"), c.as("w"))
+            .unionByName(e.select($"vec_b".as("src"), $"vec_a".as("dst"), c.as("w")))
+        }
+        val h = PairGraphStore.build(base, "vec_a", "vec_b", Some("cos"), tmp())
+        val got = asDsMap(h.appendAndMaintainDistances(delta, "r", seeds,
+          maxHops = 3, costMode = mode))
+        val want = fromScratchDs(base.unionByName(delta), seeds, 3, symM)
+        assert(got == want, s"trial $trial mode=$mode: " +
+          s"diff=${got.toSet.diff(want.toSet).take(3)} / ${want.toSet.diff(got.toSet).take(3)}")
+      }
+    }
+  }
+
   test("unweighted store round-trips without a weight column") {
     val sp = spark; import sp.implicits._
     val path = tmp()
