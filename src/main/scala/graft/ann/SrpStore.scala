@@ -155,7 +155,11 @@ object SrpStore {
       val space = cfg.tables.toLong * (1L << cfg.nBits)
       val prune = graft.operators.KeyPrune.plan(dPost, Seq("tbl", "bkt"),
         noPruneAbove = () => space / 2)
-      val allPost = prune(postings).unionByName(dPost)
+      // bulk path (no literal prune): spread the row-group-granular
+      // postings read back to full width (the LshStore bulk-path note)
+      val corpusP = graft.operators.Partitioning
+        .spreadIfLarge(prune(postings), literal = prune.isLiteral)
+      val allPost = corpusP.unionByName(dPost)
       val unionCounts = prune(bucketCounts)
         .unionByName(dPost.groupBy(col("tbl"), col("bkt"))
           .agg(count(lit(1)).as("n")))

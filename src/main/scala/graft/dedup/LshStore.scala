@@ -171,7 +171,13 @@ object LshStore {
         noPruneAbove = () => math.max(
           graft.operators.KeyPrune.MaxLiteralKeys.toLong + 1,
           bandCounts.count() / 2))
-      val allB = prune(banded).unionByName(deltaB)
+      // bulk path (no literal prune): the banded read is a handful of
+      // 8 MB row groups — a 4-split scan probing the broadcast delta
+      // starves local[32]; spread it back to full width. The literal
+      // path stays as-is (a pruned read is small by construction).
+      val corpusB = graft.operators.Partitioning
+        .spreadIfLarge(prune(banded), literal = prune.isLiteral)
+      val allB = corpusB.unionByName(deltaB)
       val unionCounts = prune(bandCounts)
         .unionByName(deltaB.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("n")))

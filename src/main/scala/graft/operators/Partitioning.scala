@@ -20,4 +20,19 @@ object Partitioning {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** [[spread]] gated on the optimizer's SIZE estimate — the
+    * store-serving bulk-path variant: a row-group-granular store read
+    * that is NOT literal-pruned scans in a handful of splits, which
+    * starves a wide host when the table is big — but when the table
+    * (or a literal-pruned read of it) is small, the repartition
+    * exchange costs more than the narrow scan it widens. `sizeInBytes`
+    * is a driver-side metadata estimate (no job). */
+  def spreadIfLarge(df: DataFrame, literal: Boolean,
+      minBytes: Long = 16L * 1024 * 1024): DataFrame =
+    if (literal) df
+    else {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est > BigInt(minBytes)) spread(df) else df
+    }
 }
