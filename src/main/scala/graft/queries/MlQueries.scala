@@ -1129,6 +1129,56 @@ object MlQueries extends QueryDsl {
         .select($"node".as("user_id"), $"community")
     },
 
+    // q188's communities PROFILED — the report a curation pass acts
+    // on: per behavioral community, member count, internal edge count,
+    // and density 2E/(n(n−1)). Same oracle-exact pipeline (co-presence
+    // CTE + integer-exact LPA unroll) extended by two aggregates; the
+    // density division is one double-by-integer-product op with
+    // identical association in both engines, singleton communities
+    // pinned to 0.0 by the same CASE.
+    q("q200_community_profile",
+      s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+        |  FROM events),
+        |prs AS (SELECT a.user_id AS va, b.user_id AS vb
+        |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
+        |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
+        |${lpaRoundSql(1)},
+        |${lpaRoundSql(2)},
+        |${lpaRoundSql(3)},
+        |sz AS (SELECT lbl AS community, count(*)::BIGINT AS n_users FROM l3 GROUP BY 1),
+        |internal AS (SELECT ca.lbl AS community, count(*)::BIGINT AS n_internal
+        |  FROM prs JOIN l3 ca ON prs.va = ca.node JOIN l3 cb ON prs.vb = cb.node
+        |  WHERE ca.lbl = cb.lbl GROUP BY 1)
+        |SELECT sz.community, sz.n_users,
+        |  coalesce(internal.n_internal, 0)::BIGINT AS n_internal,
+        |  round(CASE WHEN sz.n_users < 2 THEN (0.0)::DOUBLE
+        |    ELSE (2.0)::DOUBLE * coalesce(internal.n_internal, 0)
+        |      / (sz.n_users * (sz.n_users - 1)) END, 6) AS density
+        |FROM sz LEFT JOIN internal ON internal.community = sz.community""".stripMargin) { c =>
+      import c.t
+      val pairs = graft.operators.CoPresence.pairs(
+          t("events"), "user_id", "ts",
+          windowSec = 600, minShared = 3, maxWindowActors = 100)
+        .select($"ua", $"ub")
+        .localCheckpoint()
+      val labels = graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3)
+        .localCheckpoint()
+      val sz = labels.groupBy($"community").agg(count(lit(1)).as("n_users"))
+      val internal = pairs
+        .join(labels.select($"node".as("ua"), $"community".as("__ca")), Seq("ua"))
+        .join(labels.select($"node".as("ub"), $"community".as("__cb")), Seq("ub"))
+        .filter($"__ca" === $"__cb")
+        .groupBy($"__ca".as("community")).agg(count(lit(1)).as("n_internal"))
+      sz.join(internal, Seq("community"), "left")
+        .select($"community", $"n_users",
+          coalesce($"n_internal", lit(0L)).as("n_internal"),
+          round(when($"n_users" < 2, lit(0.0))
+            .otherwise(lit(2.0) * coalesce($"n_internal", lit(0L)) /
+              ($"n_users" * ($"n_users" - lit(1L)))), 6).as("density"))
+    },
+
     // Incremental triangle/lcc maintenance on the pair-graph store:
     // q180's split (a deterministic 1/5 of stored edges arrives as
     // the insertion batch), per-node triangle counts updated in ONE
