@@ -1179,6 +1179,65 @@ object MlQueries extends QueryDsl {
               ($"n_users" * ($"n_users" - lit(1L)))), 6).as("density"))
     },
 
+    // Newman modularity of the q188 partition, reported PER COMMUNITY:
+    // contribution_c = e_c/m − (d_c/2m)² (internal edges, total member
+    // degree, graph edge count — all integers). Emitting the
+    // per-community terms instead of their sum keeps the query
+    // oracle-exact with no float-summation order in play: each term is
+    // a pure function of three integer aggregates, associated
+    // identically in both engines (the squared factor is the SAME
+    // division written twice, not a pow call).
+    q("q201_community_modularity",
+      s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+        |  FROM events),
+        |prs AS (SELECT a.user_id AS va, b.user_id AS vb
+        |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
+        |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
+        |${lpaRoundSql(1)},
+        |${lpaRoundSql(2)},
+        |${lpaRoundSql(3)},
+        |m AS (SELECT count(*)::BIGINT AS m FROM prs),
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+        |dsum AS (SELECT l3.lbl AS community, sum(deg.d)::BIGINT AS d_tot
+        |  FROM l3 JOIN deg ON deg.node = l3.node GROUP BY 1),
+        |internal AS (SELECT ca.lbl AS community, count(*)::BIGINT AS e_in
+        |  FROM prs JOIN l3 ca ON prs.va = ca.node JOIN l3 cb ON prs.vb = cb.node
+        |  WHERE ca.lbl = cb.lbl GROUP BY 1)
+        |SELECT ds.community, coalesce(internal.e_in, 0)::BIGINT AS e_in,
+        |  ds.d_tot,
+        |  round(coalesce(internal.e_in, 0)::DOUBLE / m.m
+        |    - (ds.d_tot::DOUBLE / (2 * m.m)) * (ds.d_tot::DOUBLE / (2 * m.m)),
+        |    6) + (0.0)::DOUBLE AS contribution
+        |FROM dsum ds CROSS JOIN m
+        |LEFT JOIN internal ON internal.community = ds.community""".stripMargin) { c =>
+      import c.t
+      val pairs = graft.operators.CoPresence.pairs(
+          t("events"), "user_id", "ts",
+          windowSec = 600, minShared = 3, maxWindowActors = 100)
+        .select($"ua", $"ub")
+        .localCheckpoint()
+      val labels = graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3)
+        .localCheckpoint()
+      val m = pairs.count()
+      val deg = pairs.select($"ua".as("node")).unionByName(pairs.select($"ub".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("d"))
+      val dsum = labels.join(deg, Seq("node"))
+        .groupBy($"community").agg(sum($"d").as("d_tot"))
+      val internal = pairs
+        .join(labels.select($"node".as("ua"), $"community".as("__ca")), Seq("ua"))
+        .join(labels.select($"node".as("ub"), $"community".as("__cb")), Seq("ub"))
+        .filter($"__ca" === $"__cb")
+        .groupBy($"__ca".as("community")).agg(count(lit(1)).as("e_in"))
+      val half = $"d_tot".cast("double") / lit(2L * m)
+      dsum.join(internal, Seq("community"), "left")
+        .select($"community",
+          coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot",
+          (round(coalesce($"e_in", lit(0L)).cast("double") / lit(m)
+            - half * half, 6) + lit(0.0)).as("contribution"))
+    },
+
     // Incremental triangle/lcc maintenance on the pair-graph store:
     // q180's split (a deterministic 1/5 of stored edges arrives as
     // the insertion batch), per-node triangle counts updated in ONE
