@@ -34,16 +34,31 @@ object Isotonic {
       df: DataFrame,
       scoreCol: String,
       labelCol: String,
-      nBins: Int = 20): DataFrame = {
+      nBins: Int = 20): DataFrame =
+    calibrationOf(df.sparkSession, binStats(df, scoreCol, labelCol, nBins))
+
+  /** The (bin, n, pos) integer sufficient statistics — one narrow
+    * corpus aggregation; the additive state [[IsotonicStore]]
+    * persists. */
+  def binStats(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
-    val spark = df.sparkSession
-    val binned = df.select(
+    df.select(
         least(floor(col(scoreCol).cast("double") * nBins), lit(nBins - 1))
           .cast("int").as("bin"),
         col(labelCol).cast("boolean").cast("int").as("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-    // bounded collect: at most nBins rows of integer stats
+  }
+
+  /** PAV over a (bin, n, pos) statistics frame — bounded collect of at
+    * most nBins integer rows, the driver merge, and the calibration
+    * table back out. */
+  def calibrationOf(spark: org.apache.spark.sql.SparkSession,
+      binned: DataFrame): DataFrame = {
     val stats = binned.orderBy(col("bin")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val cal = pav(stats.map(_._2), stats.map(_._3))

@@ -1179,6 +1179,58 @@ object MlQueries extends QueryDsl {
               ($"n_users" * ($"n_users" - lit(1L)))), 6).as("density"))
     },
 
+    // q197's calibration served INCREMENTALLY: the (n, pos) bin
+    // statistics are integer monoids, so the store absorbs the corpus
+    // in batches (3/4 create + 1/4 append here) and the served
+    // calibration is BIT-identical to the from-scratch fit over
+    // everything absorbed — same oracle as q197, zero tolerance. The
+    // delta-cost shape: one delta-sized aggregation + an O(nBins)
+    // merge + a tiny swap; serving reads ≤ nBins rows, never the
+    // corpus.
+    q("q202_isotonic_incremental",
+      """WITH b AS (SELECT
+        |    cast(least(floor(least(length(text) / 600.0, 1.0) * 20), 19) AS INT) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |s AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+        |      FROM b GROUP BY 1),
+        |o AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS r FROM s),
+        |p AS (SELECT r, bin, n, pos,
+        |    sum(n) OVER (ORDER BY r) AS cn, sum(pos) OVER (ORDER BY r) AS cp FROM o),
+        |pairs AS (SELECT i.r AS ri, j.r AS rj,
+        |    (k.cp - coalesce(jm.cp, 0))::DOUBLE
+        |      / (k.cn - coalesce(jm.cn, 0))::DOUBLE AS a
+        |  FROM p i JOIN p j ON j.r <= i.r JOIN p k ON k.r >= i.r
+        |  LEFT JOIN p jm ON jm.r = j.r - 1),
+        |mm AS (SELECT ri, rj, min(a) AS mina FROM pairs GROUP BY 1, 2),
+        |calx AS (SELECT ri AS r, max(mina) AS cal FROM mm GROUP BY 1)
+        |SELECT o.bin, o.n, o.pos,
+        |  round(o.pos::DOUBLE / o.n::DOUBLE, 6) AS rate,
+        |  round(calx.cal, 6) AS cal
+        |FROM o JOIN calx ON calx.r = o.r""".stripMargin) { c =>
+      import c.t
+      def scored(df: org.apache.spark.sql.DataFrame) = df.select(
+        least(length($"text") / lit(600.0), lit(1.0)).as("score"),
+        ($"lang" === "en").as("label"))
+      val docs = t("documents")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_isostore_v1_$key"
+      // fresh create each run (additive appends assume exactly-once;
+      // re-creating keeps the harness replay-deterministic), then the
+      // delta folds in at delta cost — the production micro-batch shape
+      graft.ml.IsotonicStore.create(c.spark,
+        scored(docs.filter(pmod($"doc_id", lit(4)) =!= 0)),
+        "score", "label", nBins = 20, path = path)
+      graft.ml.IsotonicStore.append(c.spark,
+        scored(docs.filter(pmod($"doc_id", lit(4)) === 0)),
+        "score", "label", path)
+      graft.ml.IsotonicStore.calibration(c.spark, path)
+        .select($"bin", $"n", $"pos",
+          round($"rate", 6).as("rate"), round($"cal", 6).as("cal"))
+    },
+
     // Newman modularity of the q188 partition, reported PER COMMUNITY:
     // contribution_c = e_c/m − (d_c/2m)² (internal edges, total member
     // degree, graph edge count — all integers). Emitting the

@@ -50,6 +50,32 @@ class IsotonicSpec extends SparkSpec {
     }
   }
 
+  test("store: create+append equals from-scratch over the union EXACTLY; serve reads no corpus") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(47L)
+    val all = (0 until 400).map(_ =>
+      (rnd.nextDouble(), rnd.nextBoolean()))
+    val (baseR, deltaR) = all.splitAt(300)
+    val path = java.nio.file.Files.createTempDirectory("isostore").toString + "/st"
+    IsotonicStore.create(spark, baseR.toDF("score", "label"), "score", "label",
+      nBins = 20, path = path)
+    IsotonicStore.append(spark, deltaR.toDF("score", "label"), "score", "label", path)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // integer monoid: NO tolerance — bit-for-bit equal to from-scratch
+    val served = asMap(IsotonicStore.calibration(spark, path))
+    val scratch = asMap(Isotonic.calibrateBins(all.toDF("score", "label"),
+      "score", "label", nBins = 20))
+    assert(served == scratch)
+    // a second append keeps folding exactly
+    IsotonicStore.append(spark, deltaR.toDF("score", "label"), "score", "label", path)
+    val doubled = asMap(IsotonicStore.calibration(spark, path))
+    val scratch2 = asMap(Isotonic.calibrateBins((all ++ deltaR).toDF("score", "label"),
+      "score", "label", nBins = 20))
+    assert(doubled == scratch2)
+  }
+
   test("calibrateBins: binning clamps the 1.0 edge; stats are exact; cal monotone") {
     val sp = spark; import sp.implicits._
     val df = Seq(
