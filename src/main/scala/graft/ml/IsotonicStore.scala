@@ -15,41 +15,61 @@ import org.apache.spark.sql.functions._
   *
   * Layout: a ≤ nBins-row parquet (bin, n, pos) behind the atomic-swap
   * convention + a meta file pinning nBins (a store must be probed with
-  * the binning it was built with). Additive appends assume the
-  * exactly-once delivery the rest of the model-store family assumes —
-  * a replayed batch double-counts; callers with at-least-once sources
-  * dedup upstream (the foreachBatch anti-join idiom).
+  * the binning it was built with). Plain [[append]] assumes
+  * exactly-once delivery like the rest of the model-store family;
+  * [[appendBatch]] upgrades that to exactly-once UNDER at-least-once
+  * redelivery by recording the batch id atomically with the swapped
+  * statistics — the streaming-ingest entry point
+  * ([[graft.streaming.StreamingCalibration]]).
   */
 object IsotonicStore {
 
   private def dir(path: String) = s"$path/bins"
-  private def metaFile(path: String) = s"$path/_graft_iso_meta"
+
+  /** The meta rides INSIDE the swapped bins directory (underscore
+    * files are invisible to the parquet reader — the PostingsStore
+    * marker idiom), so `lastBatch` is atomic with the statistics it
+    * describes: there is no crash window in which the data advanced
+    * but the marker did not, which is what makes [[appendBatch]]
+    * EXACTLY-once under at-least-once redelivery. */
+  private def metaFile(path: String) = s"${dir(path)}/_graft_iso_meta"
 
   private def writeBins(spark: SparkSession, bins: DataFrame, path: String,
-      nBins: Int): Unit = {
+      nBins: Int, lastBatch: Long): Unit = {
     import graft.operators.SwapDir
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir(path) + ".staging"
     fs.delete(new Path(staging), true)
     bins.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+    val out = fs.create(new Path(s"$staging/_graft_iso_meta"), true)
+    try out.write(s"nBins=$nBins\nlastBatch=$lastBatch".getBytes("UTF-8"))
+    finally out.close()
     SwapDir.swap(fs, new Path(staging), new Path(dir(path)))
-    val out = fs.create(new Path(metaFile(path)), true)
-    try out.write(s"nBins=$nBins".getBytes("UTF-8")) finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, path: String): Int = {
+  private def readMeta(spark: SparkSession, path: String): (Int, Long) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(metaFile(path)))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    body.stripPrefix("nBins=").toInt
+    val kv = body.split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (kv("nBins").toInt, kv.getOrElse("lastBatch", "-1").toLong)
   }
 
   /** Initialize (overwrite) from a first batch. */
   def create(spark: SparkSession, batch: DataFrame, scoreCol: String,
       labelCol: String, nBins: Int, path: String): Unit =
     writeBins(spark, Isotonic.binStats(batch, scoreCol, labelCol, nBins),
-      path, nBins)
+      path, nBins, lastBatch = -1L)
+
+  /** True when a store exists at `path` (healed if a crash left a
+    * staged swap). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    import graft.operators.SwapDir
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapDir.heal(fs, new Path(dir(path)))
+    fs.exists(new Path(metaFile(path)))
+  }
 
   /** The stored (bin, n, pos) statistics. */
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -60,15 +80,35 @@ object IsotonicStore {
   }
 
   /** Fold a delta batch in: one delta-sized aggregation + an O(nBins)
-    * integer merge + one tiny atomic write. */
+    * integer merge + one tiny atomic write. Assumes exactly-once
+    * delivery — use [[appendBatch]] from at-least-once sources. */
   def append(spark: SparkSession, batch: DataFrame, scoreCol: String,
       labelCol: String, path: String): Unit = {
-    val nBins = readMeta(spark, path)
+    val (nBins, lastBatch) = readMeta(spark, path)
     val merged = read(spark, path)
       .unionByName(Isotonic.binStats(batch, scoreCol, labelCol, nBins))
       .groupBy(col("bin"))
       .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
-    writeBins(spark, merged, path, nBins)
+    writeBins(spark, merged, path, nBins, lastBatch)
+  }
+
+  /** [[append]] made EXACTLY-once for foreachBatch's at-least-once
+    * contract: monotone `batchId`s are recorded atomically WITH the
+    * merged statistics (the meta rides inside the swapped directory),
+    * so a redelivered batch — including one whose previous attempt
+    * crashed anywhere around the swap — is either fully absorbed
+    * already (id ≤ stored lastBatch ⇒ no-op) or not absorbed at all
+    * (the swap never published ⇒ re-merge). Integer statistics can
+    * therefore never double-count. */
+  def appendBatch(spark: SparkSession, batch: DataFrame, scoreCol: String,
+      labelCol: String, path: String, batchId: Long): Unit = {
+    val (nBins, lastBatch) = readMeta(spark, path)
+    if (batchId <= lastBatch) return
+    val merged = read(spark, path)
+      .unionByName(Isotonic.binStats(batch, scoreCol, labelCol, nBins))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+    writeBins(spark, merged, path, nBins, batchId)
   }
 
   /** The calibration table (bin, n, pos, rate, cal) served from the

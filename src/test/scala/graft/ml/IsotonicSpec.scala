@@ -76,6 +76,49 @@ class IsotonicSpec extends SparkSpec {
     assert(doubled == scratch2)
   }
 
+  test("appendBatch: redelivered and crash-replayed batches never double-count; stream drive == batch build") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(53L)
+    def mk(n: Int) = (0 until n).map(_ => (rnd.nextDouble(), rnd.nextBoolean()))
+    val seed = mk(200); val b1 = mk(80); val b2 = mk(60)
+    val root = java.nio.file.Files.createTempDirectory("isostream").toString
+    val path = s"$root/st"
+    IsotonicStore.create(spark, seed.toDF("score", "label"), "score", "label", 20, path)
+    def binsMap() = IsotonicStore.read(spark, path).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // absorb batch 0; redeliver it (the at-least-once contract): no-op
+    IsotonicStore.appendBatch(spark, b1.toDF("score", "label"), "score", "label", path, 0L)
+    val once = binsMap()
+    IsotonicStore.appendBatch(spark, b1.toDF("score", "label"), "score", "label", path, 0L)
+    assert(binsMap() == once, "redelivered batch must not double-count")
+    // crash window: the swap PUBLISHED but the driver died before the
+    // checkpoint advanced — the replayed id is ≤ lastBatch, no-op;
+    // a genuinely new id still folds
+    IsotonicStore.appendBatch(spark, b2.toDF("score", "label"), "score", "label", path, 1L)
+    IsotonicStore.appendBatch(spark, b2.toDF("score", "label"), "score", "label", path, 1L)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(asMap(IsotonicStore.calibration(spark, path)) ==
+      asMap(Isotonic.calibrateBins((seed ++ b1 ++ b2).toDF("score", "label"),
+        "score", "label", 20)))
+
+    // file-stream drive over a fresh store: drained batches == one
+    // batch build over everything delivered
+    val path2 = s"$root/st2"
+    IsotonicStore.create(spark, seed.toDF("score", "label"), "score", "label", 20, path2)
+    val inDir = s"$root/in"
+    b1.toDF("score", "label").write.parquet(s"$inDir/b1")
+    b2.toDF("score", "label").write.parquet(s"$inDir/b2")
+    val q = graft.streaming.StreamingCalibration.stream(
+      spark, s"$inDir/*", b1.toDF("score", "label").schema,
+      "score", "label", path2, s"$root/ckpt")
+    q.awaitTermination()
+    assert(asMap(IsotonicStore.calibration(spark, path2)) ==
+      asMap(Isotonic.calibrateBins((seed ++ b1 ++ b2).toDF("score", "label"),
+        "score", "label", 20)))
+  }
+
   test("calibrateBins: binning clamps the 1.0 edge; stats are exact; cal monotone") {
     val sp = spark; import sp.implicits._
     val df = Seq(
