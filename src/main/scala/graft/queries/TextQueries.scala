@@ -1755,6 +1755,57 @@ object TextQueries extends QueryDsl {
         .select($"doc_id", $"lang", $"n_chars", $"med", $"mad")
     },
 
+    // Split-conformal quality gate: the acceptance threshold is the
+    // 0.2-quantile of the CALIBRATION split's scores (doc_id % 5 = 0 —
+    // disjoint from what it gates), rounded to 4 BEFORE the compare
+    // (q122's cross-engine idiom), then applied to the serving split —
+    // the distribution-free "keep the top ~80%" cut a curation
+    // pipeline re-derives per refresh. ORACLE-EXACT: exact
+    // interpolated percentile parity (q09/q122) + integer counts.
+    q("q203_conformal_gate",
+      """WITH s AS (SELECT doc_id, lang,
+        |    least(length(text) / 600.0, 1.0) AS score FROM documents),
+        |tau AS (SELECT round(quantile_cont(score, 0.2), 4) AS tau
+        |        FROM s WHERE doc_id % 5 = 0)
+        |SELECT lang, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN score >= tau THEN 1 ELSE 0 END)::BIGINT AS n_pass
+        |FROM s CROSS JOIN tau WHERE doc_id % 5 <> 0
+        |GROUP BY lang""".stripMargin) { c =>
+      import c.t
+      val s = t("documents").select($"doc_id", $"lang",
+        least(length($"text") / lit(600.0), lit(1.0)).as("score"))
+      val tau = broadcast(s.filter(pmod($"doc_id", lit(5)) === 0)
+        .agg(round(percentile($"score", lit(0.2)), 4).as("tau")))
+      s.filter(pmod($"doc_id", lit(5)) =!= 0).crossJoin(tau)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"score" >= $"tau", 1L).otherwise(0L)).as("n_pass"))
+    },
+
+    // Stratified deterministic subsample: per language, keep the first
+    // ceil(10%) of documents under a salted-md5 total order (q133's
+    // hash-order idiom — reproducible across layouts and engines, no
+    // RNG state, stable per stratum). The curation shape for "carve a
+    // fixed-fraction eval slice per language". ORACLE-EXACT: md5 hex
+    // strings order identically in both engines and doc_id breaks
+    // collision ties.
+    q("q204_stratified_subsample",
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5(doc_id::varchar || ':sub') AS hk FROM documents),
+        |r AS (SELECT doc_id, lang, hk,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.1 * n)""".stripMargin) { c =>
+      import c.t
+      val h = t("documents").select($"doc_id", $"lang",
+        md5(concat($"doc_id".cast("string"), lit(":sub"))).as("hk"))
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      val r = h
+        .withColumn("rn", row_number().over(byLang.orderBy($"hk", $"doc_id")))
+        .withColumn("n", count(lit(1)).over(byLang))
+      r.filter($"rn" <= ceil(lit(0.1) * $"n")).select($"doc_id", $"lang")
+    },
+
     // Edit-distance near-dup pairs: length-band bucket EQUI-join
     // prunes the quadratic space (|len diff| lower-bounds levenshtein,
     // so band width maxDist+1 forces candidates into adjacent
