@@ -704,6 +704,74 @@ object PairGraphStore {
       overwriteChangedState(distsDir(tag), maintained, "node", changed)
       maintained
     }
+
+    // ---- k-truss side state ----------------------------------------
+    // Edge-keyed (the other states are node-keyed): a truss membership
+    // is a property of the EDGE. Partitioned by the canonical lower
+    // endpoint — pb = pmod(a, StatePartitions) — so a maintenance
+    // batch overwrites only the partitions holding NEW truss edges
+    // (insertions never evict an edge from the truss).
+
+    private def trussDir = s"$path/graphtruss"
+
+    private def trussMetaBody(k: Int) =
+      s"k=$k\nlayout=pb$StatePartitions"
+
+    /** Canonical k-truss edge set (a, b) of the stored graph, computed
+      * once and persisted behind the crash-safe swap; later calls read
+      * the parquet. A state written at a different k (or layout)
+      * rebuilds. */
+    def ensureTruss(k: Int): DataFrame = {
+      val fs = new Path(trussDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SwapDir.heal(fs, new Path(trussDir))
+      val current = stateMeta(fs, new Path(s"$trussDir/_graft_truss_meta"))
+        .contains(trussMetaBody(k))
+      if (!current)
+        writeStateFull(trussDir, "_graft_truss_meta", trussMetaBody(k),
+          Truss.kTruss(edges, srcCol, dstCol, k), "a", fs)
+      // explicit schema: a sparse graph's truss can be EMPTY, and an
+      // all-empty partitioned dir (_SUCCESS only) cannot infer one
+      spark.read.schema("a LONG, b LONG, pb INT")
+        .parquet(s"$trussDir/data").drop("pb")
+    }
+
+    /** Fold a (possibly replayed) delta edge batch in AND maintain the
+      * persisted k-truss at delta-neighborhood cost
+      * ([[Truss.maintainAfterInsert]]). Replay-idempotent the same way
+      * as cores: the delta dedups against stored edges before
+      * appending, and a replayed batch's maintenance finds the stored
+      * truss already at the fixpoint — zero changed edges, zero
+      * partitions rewritten. The partition-pruned write relies on
+      * insertion monotonicity: changed rows = maintained \ old, all
+      * NEW truss edges. */
+    def appendAndMaintainTruss(delta: DataFrame, k: Int): DataFrame = {
+      val old = ensureTruss(k)
+      val canonDelta = delta
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b")
+        .distinct()
+      val stored = edges
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b")
+      val fresh = canonDelta.join(stored, Seq("a", "b"), "left_anti")
+      val maintained = Truss.maintainAfterInsert(
+        old, stored, canonDelta, "a", "b", k)
+        .localCheckpoint()
+      if (!fresh.isEmpty) {
+        val freshNamed = fresh.toDF(srcCol, dstCol)
+        val withW = weightCol.fold(freshNamed)(w =>
+          freshNamed.join(
+            delta.select(col(srcCol), col(dstCol), col(w)),
+            Seq(srcCol, dstCol), "left")
+            .groupBy(col(srcCol), col(dstCol)).agg(max(col(w)).as(w)))
+        append(withW)
+      }
+      val changed = maintained.join(old, Seq("a", "b"), "left_anti")
+        .select(col("a"))
+      overwriteChangedState(trussDir, maintained, "a", changed)
+      maintained
+    }
   }
 
   /** Persist a verified edge frame at `path` (staged + swapped: a

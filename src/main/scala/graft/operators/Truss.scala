@@ -114,6 +114,194 @@ object Truss {
     e
   }
 
+  /** Maintain the maximal k-truss edge set under an EDGE-INSERTION
+    * batch — the edge-cohesion analogue of
+    * [[KCore.maintainAfterInsert]], localizing work to the delta's
+    * triangle neighborhood instead of re-peeling the graph (the
+    * dynamic-graph direction of Huang et al., SIGMOD 2014, "Querying
+    * k-truss community in large and dynamic graphs"). Insertion facts
+    * used:
+    *   - the k-truss only GROWS when edges arrive (a subgraph in which
+    *     every edge has ≥ k−2 in-subgraph triangles stays valid under
+    *     any superset), so `oldTruss` edges never leave;
+    *   - every edge of T_new \ T_old is TRIANGLE-CONNECTED to a delta
+    *     edge through new-truss triangles. Proof: let S be the
+    *     new-truss edges NOT triangle-reachable from the delta. Each
+    *     S edge's ≥ k−2 supporting triangles avoid delta edges and
+    *     reachable edges (either would make it reachable), so they lie
+    *     entirely within T_old ∪ S — an all-supported subgraph of the
+    *     OLD graph, forcing S ⊆ T_old by T_old's maximality, i.e.
+    *     S = ∅.
+    *
+    * So: (1) close the candidate set from the delta edges over
+    * triangle adjacency across NON-truss edges (triangles tested in
+    * the full grown graph — a superset of what is needed, sound);
+    * (2) peel candidates against support counted within
+    * T_old ∪ alive-candidates (old-truss edges are frozen support —
+    * they cannot leave); survivors are exactly T_new \ T_old: the peel
+    * fixpoint is the maximal all-supported candidate subset, and both
+    * inclusions follow from the truss's maximality. Result:
+    * `kTruss(oldEdges ∪ delta, k)`, which [[TrussSpec]] pins on
+    * planted and randomized graphs over both routes.
+    *
+    * Adaptive like [[kTruss]]: below `driverMaxEdges` one driver-local
+    * pass (closure BFS + worklist peel with support decrements);
+    * above it, join-cascade rounds whose frames are candidate-sized,
+    * not graph-sized. Replay-tolerant: an already-present delta edge
+    * seeds a closure whose peel promotes nothing new (the stored
+    * truss is already the fixpoint), so re-running a crashed batch
+    * converges — what [[PairGraphStore.Handle.appendAndMaintainTruss]]
+    * relies on. */
+  def maintainAfterInsert(
+      oldTruss: DataFrame,
+      oldEdges: DataFrame,
+      delta: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      driverMaxEdges: Long = 512L * 1024): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def canon(df: DataFrame): DataFrame = df
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val dC = cps(canon(delta))
+    val oldC = cps(canon(oldEdges))
+    if (k == 2) return oldC.unionByName(dC).distinct()
+    val tOld = cps(oldTruss
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    if (oldC.count() + dC.count() <= driverMaxEdges)
+      maintainLocal(tOld, oldC, dC, k)
+    else maintainDistributed(tOld, oldC, dC, k)
+  }
+
+  /** Driver-local maintain: adjacency over the grown graph, candidate
+    * closure as a BFS over triangle adjacency seeded at the delta,
+    * then the textbook worklist peel restricted to candidates with
+    * old-truss edges as frozen support. Work tracks the delta's
+    * triangle neighborhood, not the graph. */
+  private def maintainLocal(
+      tOld: DataFrame, oldC: DataFrame, dC: DataFrame, k: Int): DataFrame = {
+    val spark = tOld.sparkSession
+    import spark.implicits._
+    import scala.collection.mutable
+    def pair(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val oldPairs = oldC.collect().map(pair)
+    val dPairs = dC.collect().map(pair)
+    val adj = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    val all = mutable.HashSet.empty[(Long, Long)]
+    def addEdge(a: Long, b: Long): Unit = if (all.add((a, b))) {
+      adj.getOrElseUpdate(a, mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, mutable.HashSet.empty) += a
+    }
+    oldPairs.foreach { case (a, b) => addEdge(a, b) }
+    dPairs.foreach { case (a, b) => addEdge(a, b) }
+    val inTruss = mutable.HashSet.empty[(Long, Long)]
+    tOld.collect().foreach(r => inTruss += pair(r))
+    def cn(x: Long, y: Long): (Long, Long) = (math.min(x, y), math.max(x, y))
+    // common neighbors of an edge's endpoints (triangles in the grown graph)
+    def wits(a: Long, b: Long): Iterator[Long] = {
+      val (s, l) = if (adj(a).size <= adj(b).size) (adj(a), adj(b)) else (adj(b), adj(a))
+      s.iterator.filter(w => w != a && w != b && l.contains(w))
+    }
+    // 1. candidate closure from the delta over triangle adjacency
+    val cand = mutable.HashSet.empty[(Long, Long)]
+    val queue = mutable.ArrayDeque.empty[(Long, Long)]
+    dPairs.foreach { e => if (!inTruss.contains(e) && cand.add(e)) queue += e }
+    while (queue.nonEmpty) {
+      val (a, b) = queue.removeHead()
+      wits(a, b).foreach { w =>
+        Seq(cn(a, w), cn(b, w)).foreach { e =>
+          if (!inTruss.contains(e) && cand.add(e)) queue += e
+        }
+      }
+    }
+    // 2. peel candidates; support = triangles whose other two edges are
+    // in (old truss ∪ alive candidates)
+    val alive = mutable.HashSet.empty[(Long, Long)] ++ cand
+    def present(e: (Long, Long)): Boolean = inTruss.contains(e) || alive.contains(e)
+    val support = mutable.HashMap.empty[(Long, Long), Int]
+    cand.foreach { case e @ (a, b) =>
+      support(e) = wits(a, b).count(w => present(cn(a, w)) && present(cn(b, w)))
+    }
+    val dead = mutable.ArrayDeque.empty[(Long, Long)]
+    cand.foreach(e => if (support(e) < k - 2) dead += e)
+    while (dead.nonEmpty) {
+      val e @ (a, b) = dead.removeHead()
+      if (alive.remove(e))
+        wits(a, b).foreach { w =>
+          val e1 = cn(a, w); val e2 = cn(b, w)
+          if (present(e1) && present(e2))
+            Seq(e1, e2).foreach { f =>
+              if (alive.contains(f)) {
+                support(f) -= 1
+                if (support(f) == k - 3) dead += f
+              }
+            }
+        }
+    }
+    (inTruss.iterator ++ alive.iterator).toSeq.sorted.toDF("a", "b")
+  }
+
+  /** Distributed maintain: the same closure + restricted peel as
+    * join cascades. Every frame is candidate-neighborhood-sized; the
+    * grown graph appears only as the join's probe side. */
+  private def maintainDistributed(
+      tOld: DataFrame, oldC: DataFrame, dC: DataFrame, k: Int): DataFrame = {
+    val all = cps(oldC.unionByName(dC).distinct())
+    val allSym = cps(all.select(col("a").as("u"), col("b").as("w"))
+      .union(all.select(col("b").as("u"), col("a").as("w"))))
+    // 1. candidate closure rounds
+    var cand = cps(dC.join(tOld, Seq("a", "b"), "left_anti"))
+    var frontier = cand
+    var fCount = frontier.count()
+    while (fCount > 0) {
+      val fSym = frontier.select(col("a").as("u"), col("b").as("v"))
+        .union(frontier.select(col("b").as("u"), col("a").as("v")))
+      // triangles (u, v, w) through a frontier edge: w adjacent to u,
+      // closing edge (v, w) present in the grown graph
+      val tri = fSym.join(allSym, Seq("u"))
+        .filter(col("w") =!= col("v"))
+        .join(all.select(col("a").as("__ca"), col("b").as("__cb")),
+          least(col("v"), col("w")) === col("__ca") &&
+            greatest(col("v"), col("w")) === col("__cb"), "left_semi")
+      val nxt = tri.select(
+          least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
+        .distinct()
+        .join(tOld, Seq("a", "b"), "left_anti")
+        .join(cand, Seq("a", "b"), "left_anti")
+        .transform(cps)
+      cand = cand.unionByName(nxt).transform(cps)
+      frontier = nxt
+      fCount = frontier.count()
+    }
+    // 2. peel candidates against support within tOld ∪ alive
+    var alive = cand
+    var aliveCount = alive.count()
+    var peeling = aliveCount > 0
+    while (peeling) {
+      val present = cps(tOld.unionByName(alive))
+      val presentSym = present.select(col("a").as("u"), col("b").as("w"))
+        .union(present.select(col("b").as("u"), col("a").as("w")))
+      val sup = alive.join(presentSym.withColumnRenamed("u", "a"), Seq("a"))
+        .filter(col("w") =!= col("b"))
+        .join(present.select(col("a").as("__pa"), col("b").as("__pb")),
+          least(col("b"), col("w")) === col("__pa") &&
+            greatest(col("b"), col("w")) === col("__pb"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      val next = alive.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("n"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .transform(cps)
+      val nextCount = next.count()
+      peeling = nextCount != aliveCount && nextCount > 0
+      alive = next
+      aliveCount = nextCount
+    }
+    tOld.unionByName(alive)
+  }
+
   /** (sa, sb, n): triangle count per canonical edge in the current
     * subgraph — every triangle (x < y < z by the degree order)
     * credits its three edges. */

@@ -1725,6 +1725,31 @@ object TextQueries extends QueryDsl {
           round(element_at($"ds", 4), 6).as("dist"))
     },
 
+    // Incremental k-truss maintenance — the fifth maintained state
+    // (cores q180, triangles q186, labels q190, ranks q193, distances
+    // q199, now edge cohesion): insertions only ever GROW the truss,
+    // so maintenance is a candidate closure over the delta's triangle
+    // neighborhood peeled against the stored truss as frozen support
+    // — from-scratch truss equality proved by TrussSpec on planted
+    // and randomized splits, replay rewrites NO state partitions.
+    // q180's split; k=3 (the harness LSH graph's 4-truss is empty —
+    // q198's adjudication). Rows-only (iterative peel, no SQL twin);
+    // q198/q174 anchor the truss/triangle semantics.
+    q("q205_ktruss_incremental") { c =>
+      val edges = embPairStore(c.spark, c.dir).edges
+      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_truss_base_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        base, "vec_a", "vec_b", Some("cos"), c.spark, path)
+      h.appendAndMaintainTruss(delta, k = 3)
+        .select($"a".as("vec_a"), $"b".as("vec_b"))
+    },
+
     // Robust per-group outlier detection (median/MAD — the curation
     // "length anomaly" gate): two tiny per-language aggregates
     // broadcast back onto the corpus, docs deviating more than 2 MADs

@@ -382,6 +382,45 @@ class PairGraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("truss maintenance equals from-scratch; pruned partitions; replay no-op") {
+    val sp = spark; import sp.implicits._
+    // K4 at {1..4} missing edge (1,2); a complete K4 at {40..43};
+    // the delta completes the near family's K4 only
+    val base = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (40L, 41L), (40L, 42L), (40L, 43L), (41L, 42L), (41L, 43L), (42L, 43L))
+      .toDF("vec_a", "vec_b")
+    val delta = Seq((1L, 2L)).toDF("vec_a", "vec_b")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    def asEdgeSet(df: DataFrame) =
+      df.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldT = asEdgeSet(h.ensureTruss(k = 4))
+    // only the complete far K4 is in the base 4-truss
+    assert(oldT == Set((40L, 41L), (40L, 42L), (40L, 43L),
+      (41L, 42L), (41L, 43L), (42L, 43L)))
+    val before = listStateFiles(h, "graphtruss")
+    val maintained = asEdgeSet(h.appendAndMaintainTruss(delta, k = 4))
+    val want = asEdgeSet(Truss.kTruss(base.unionByName(delta), "vec_a", "vec_b", 4))
+    assert(maintained == want)
+    assert(asEdgeSet(h.ensureTruss(4)) == want,
+      "persisted state must match the returned frame")
+    val after = listStateFiles(h, "graphtruss")
+    // the far K4's rows (a in 40..42 → pb 8..10) keep their files;
+    // the promoted near K4 writes pb 1..3
+    val untouched = before.keys.filter(k =>
+      Seq(8, 9, 10).exists(pb => k.contains(s"pb=$pb/")))
+    assert(untouched.nonEmpty, "fixture must produce untouched partitions")
+    untouched.foreach(k => assert(after.get(k).contains(before(k)),
+      s"untouched partition file changed: $k"))
+    assert(after.keys.exists(k => k.contains("pb=1/") && !before.contains(k)),
+      "promoted edges' partitions must have been written")
+    // replay: the re-delivered batch appends nothing and rewrites nothing
+    assert(asEdgeSet(h.appendAndMaintainTruss(delta, k = 4)) == want)
+    assert(listStateFiles(h, "graphtruss") == after,
+      "replayed batch must rewrite no state partitions")
+    assert(h.edgeCount == 12)
+  }
+
   test("unweighted store round-trips without a weight column") {
     val sp = spark; import sp.implicits._
     val path = tmp()

@@ -65,4 +65,48 @@ class TrussSpec extends SparkSpec {
         s"trial $trial k=$k (distributed route)")
     }
   }
+
+  private def maintain(oldEdges: Seq[(Long, Long)], delta: Seq[(Long, Long)],
+      k: Int, driverMax: Long = 512L * 1024): Set[(Long, Long)] = {
+    val sp = spark; import sp.implicits._
+    val oldT = Truss.kTruss(oldEdges.toDF("u", "v"), "u", "v", k)
+    Truss.maintainAfterInsert(oldT, oldEdges.toDF("u", "v"),
+        delta.toDF("u", "v"), "u", "v", k, driverMaxEdges = driverMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("maintainAfterInsert: planted activation, cascade, no-op bridge, replay") {
+    // K4 with one edge missing has an empty 4-truss; inserting the
+    // missing edge promotes ALL SIX edges (the delta's triangle
+    // closure must pull in the five old edges)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(maintain(k4.tail, Seq(k4.head), 4) == k4.toSet)
+    // an inserted edge closing NO triangle changes nothing at k=3
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(maintain(tri, Seq((3L, 9L)), 3) == tri.toSet)
+    // replay: a delta already present in the old graph is a no-op
+    assert(maintain(k4, Seq(k4.head), 4) == k4.toSet)
+    // cascade across the closure: two K4s sharing vertex 4, each
+    // missing an edge — one delta edge completes only ITS K4
+    val k4b = Seq((4L, 5L), (4L, 6L), (4L, 7L), (5L, 6L), (5L, 7L), (6L, 7L))
+    assert(maintain(k4.tail ++ k4b.tail, Seq(k4.head), 4) == k4.toSet)
+  }
+
+  test("maintainAfterInsert equals from-scratch on randomized splits, both routes") {
+    val rnd = new scala.util.Random(91L)
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(12)
+      val edges = (0 until n * 3).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b))
+        }.filter(e => e._1 != e._2).distinct
+      val (delta, base) = edges.partition(_ => rnd.nextInt(5) == 0)
+      val k = 3 + rnd.nextInt(2)
+      val want = reference(edges, k)
+      assert(maintain(base, delta, k) == want,
+        s"trial $trial k=$k (driver route)")
+      assert(maintain(base, delta, k, driverMax = 0L) == want,
+        s"trial $trial k=$k (distributed route)")
+    }
+  }
 }
