@@ -1807,6 +1807,49 @@ object TextQueries extends QueryDsl {
           sum(when($"score" >= $"tau", 1L).otherwise(0L)).as("n_pass"))
     },
 
+    // Incremental split-conformal gate — q203 served from the
+    // ConformalStore: the calibration split's score HISTOGRAM is an
+    // integer monoid (the corpus score takes ≤ 601 distinct values),
+    // so the calibration split arrives as two micro-batches and the
+    // served threshold — percentile over the stored (score, n) rows
+    // via the frequency argument — is BIT-identical to the one-shot
+    // quantile over every absorbed row (Spark's percentile reduces
+    // raw rows into exactly this value→count map internally).
+    // ORACLE-EXACT: q203's SQL unchanged, zero tolerance.
+    q("q206_conformal_incremental",
+      """WITH s AS (SELECT doc_id, lang,
+        |    least(length(text) / 600.0, 1.0) AS score FROM documents),
+        |tau AS (SELECT round(quantile_cont(score, 0.2), 4) AS tau
+        |        FROM s WHERE doc_id % 5 = 0)
+        |SELECT lang, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN score >= tau THEN 1 ELSE 0 END)::BIGINT AS n_pass
+        |FROM s CROSS JOIN tau WHERE doc_id % 5 <> 0
+        |GROUP BY lang""".stripMargin) { c =>
+      import c.t
+      val s = t("documents").select($"doc_id", $"lang",
+        least(length($"text") / lit(600.0), lit(1.0)).as("score"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_confstore_v1_$key"
+      // fresh create each run (q202's replay-deterministic harness
+      // shape); the calibration split arrives as two micro-batches
+      val calib = s.filter(pmod($"doc_id", lit(5)) === 0)
+      graft.ml.ConformalStore.create(c.spark,
+        calib.filter(pmod($"doc_id", lit(10)) === 0), "score", path)
+      graft.ml.ConformalStore.append(c.spark,
+        calib.filter(pmod($"doc_id", lit(10)) =!= 0), "score", path)
+      // threshold rounded IN-PLAN before the compare (q203's idiom),
+      // computed from the histogram — the corpus is read once, for
+      // the serving split
+      val tau = broadcast(graft.ml.ConformalStore.read(c.spark, path)
+        .agg(round(percentile($"score", lit(0.2), $"n"), 4).as("tau")))
+      s.filter(pmod($"doc_id", lit(5)) =!= 0).crossJoin(tau)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"score" >= $"tau", 1L).otherwise(0L)).as("n_pass"))
+    },
+
     // Stratified deterministic subsample: per language, keep the first
     // ceil(10%) of documents under a salted-md5 total order (q133's
     // hash-order idiom — reproducible across layouts and engines, no

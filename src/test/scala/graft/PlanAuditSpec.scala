@@ -57,9 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     // driver scalar and stays cross-free (as does q193). q195: the
     // one-row seed-count frame crossJoined into the teleport vector.
     "q193b_pagerank_store_contract", "q195_ppr_seeded",
-    // q203: the one-row conformal threshold crossJoined onto the
+    // q203/q206: the one-row conformal threshold (inline / served
+    // from the ConformalStore histogram) crossJoined onto the
     // serving split
-    "q203_conformal_gate",
+    "q203_conformal_gate", "q206_conformal_incremental",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
     "q86_cms_heavy_hitters", "q89_tfidf_topk",
     // q164: the one-row regression-moment frame crossJoined with the
