@@ -1874,6 +1874,39 @@ object TextQueries extends QueryDsl {
       r.filter($"rn" <= ceil(lit(0.1) * $"n")).select($"doc_id", $"lang")
     },
 
+    // Maintained stratified eval slice — q204's streaming sibling: a
+    // fixed-size (not fixed-fraction — growth can promote rows a
+    // bounded state discarded) bottom-64 per language under the
+    // salted-md5 order, served from the SampleStore after the corpus
+    // arrives as create + one delta batch. Bottom-k under a total
+    // order is an idempotent mergeable monoid, so the maintained
+    // slice EQUALS the from-scratch carve. ORACLE-EXACT: md5 hex
+    // strings order identically in both engines, doc_id breaks ties.
+    q("q207_sample_incremental",
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5(doc_id::varchar || ':eval') AS hk FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= 64""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents").select($"doc_id", $"lang")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_samplestore_v1_$key"
+      // fresh create each run (q202's replay-deterministic harness
+      // shape); a quarter of the corpus arrives as the delta batch
+      graft.operators.SampleStore.create(c.spark,
+        docs.filter(pmod($"doc_id", lit(4)) =!= 0),
+        "lang", "doc_id", ":eval", k = 64, path = path)
+      graft.operators.SampleStore.append(c.spark,
+        docs.filter(pmod($"doc_id", lit(4)) === 0),
+        "lang", "doc_id", path)
+      graft.operators.SampleStore.read(c.spark, path)
+        .select($"key".as("doc_id"), $"stratum".as("lang"))
+    },
+
     // Edit-distance near-dup pairs: length-band bucket EQUI-join
     // prunes the quadratic space (|len diff| lower-bounds levenshtein,
     // so band width maxDist+1 forces candidates into adjacent
