@@ -30,25 +30,28 @@ object StreamingGraphMaintenance {
   }
 
   /** FULL-state micro-batch step: fold the delta once and maintain
-    * EVERY persisted node state — core numbers, community labels, and
-    * the PageRank iterates — at delta cost. The composition is safe
-    * BECAUSE each maintainer is replay-idempotent: the first call
-    * appends the batch's fresh edges, and each later maintainer finds
-    * them already stored (its own replay path) yet still drives its
-    * state to the grown graph's fixpoint. A crash between maintainers
+    * EVERY persisted state — core numbers, community labels, the
+    * PageRank iterates, and (when `trussK` is set) the k-truss edge
+    * set — at delta cost. The composition is safe BECAUSE each
+    * maintainer is replay-idempotent: the first call appends the
+    * batch's fresh edges, and each later maintainer finds them
+    * already stored (its own replay path) yet still drives its state
+    * to the grown graph's fixpoint. A crash between maintainers
     * leaves some states ahead of others; the re-delivered batch
-    * re-runs all three and each converges — the same argument each
+    * re-runs all of them and each converges — the same argument each
     * state's own crash-window spec pins individually. */
   def processAll(
       batch: DataFrame,
       store: PairGraphStore.Handle,
       maxK: Int,
       rounds: Int = 3,
-      iterations: Int = 3): Unit = {
+      iterations: Int = 3,
+      trussK: Option[Int] = None): Unit = {
     if (batch.isEmpty) return
     store.appendAndMaintainCores(batch, maxK)
     store.appendAndMaintainCommunities(batch, rounds)
     store.appendAndMaintainRanks(batch, iterations)
+    trussK.foreach(k => store.appendAndMaintainTruss(batch, k))
     ()
   }
 
@@ -81,11 +84,12 @@ object StreamingGraphMaintenance {
       maxK: Int,
       rounds: Int,
       iterations: Int,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      trussK: Option[Int] = None): StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processAll(batch, store, maxK, rounds, iterations)
+        processAll(batch, store, maxK, rounds, iterations, trussK)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -111,37 +111,41 @@ class StreamingGraphMaintenanceSpec extends SparkSpec {
   }
 
   private def allStates(h: PairGraphStore.Handle, maxK: Int)
-      : (Map[Long, Int], Map[Long, Long], Map[Long, Seq[Double]]) = (
+      : (Map[Long, Int], Map[Long, Long], Map[Long, Seq[Double]],
+         Set[(Long, Long)]) = (
     storedCores(h, maxK),
     h.ensureCommunities(rounds = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap,
     h.ensureRanks(iterations = 3).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap)
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap,
+    h.ensureTruss(k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
 
   private def fromScratchStates(edges: DataFrame, maxK: Int)
-      : (Map[Long, Int], Map[Long, Long], Map[Long, Seq[Double]]) = {
+      : (Map[Long, Int], Map[Long, Long], Map[Long, Seq[Double]],
+         Set[(Long, Long)]) = {
     val sp = spark
     val dir = tmp()
     val h = PairGraphStore.build(edges, "a", "b", None, s"$dir/store")
     allStates(h, maxK)
   }
 
-  test("processAll maintains cores, communities and ranks together; crash between maintainers heals") {
+  test("processAll maintains cores, communities, ranks and truss together; crash between maintainers heals") {
     val dir = tmp()
     val h = PairGraphStore.build(seed, "a", "b", None, s"$dir/store")
     // states ensured once up front (the production shape)
     allStates(h, 5)
-    StreamingGraphMaintenance.processAll(batch1, h, maxK = 5)
+    StreamingGraphMaintenance.processAll(batch1, h, maxK = 5, trussK = Some(3))
     assert(allStates(h, 5) == fromScratchStates(seed.union(batch1), 5), "after b1")
     // crash window: batch2's cores land (edges appended) but the
     // communities/ranks maintainers never ran — re-delivering the
     // batch through processAll drives ALL states to the fixpoint
     h.appendAndMaintainCores(batch2, maxK = 5)
-    StreamingGraphMaintenance.processAll(batch2, h, maxK = 5)
+    StreamingGraphMaintenance.processAll(batch2, h, maxK = 5, trussK = Some(3))
     val want = fromScratchStates(seed.union(batch1).union(batch2), 5)
     assert(allStates(h, 5) == want, "after crash + replay")
     // full re-delivery is a no-op
-    StreamingGraphMaintenance.processAll(batch2, h, maxK = 5)
+    StreamingGraphMaintenance.processAll(batch2, h, maxK = 5, trussK = Some(3))
     assert(allStates(h, 5) == want)
     assert(h.edgeCount == 9)
   }
@@ -157,7 +161,7 @@ class StreamingGraphMaintenanceSpec extends SparkSpec {
     val schema = batch1.schema
     val q = StreamingGraphMaintenance.streamAll(
       spark, s"$inDir/*", schema, h, maxK = 5, rounds = 3, iterations = 3,
-      checkpointDir = s"$dir/ckpt")
+      checkpointDir = s"$dir/ckpt", trussK = Some(3))
     q.awaitTermination()
     assert(allStates(h, 5) == fromScratchStates(seed.union(batch1).union(batch2), 5))
   }
