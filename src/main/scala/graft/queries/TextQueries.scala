@@ -1180,6 +1180,40 @@ object TextQueries extends QueryDsl {
         .orderBy($"n".desc, $"w").limit(20)
     },
 
+    // Incremental vocabulary maintenance — q88 served from the
+    // VocabStore: per-term occurrence and document-frequency counts
+    // are integer monoids over doc-disjoint batches, so the corpus
+    // arrives as create + one delta batch and the served heavy-hitter
+    // table EQUALS the one-shot wordcount (the tokenizer-refresh /
+    // OOV-monitor shape — vocab stays current without re-tokenizing
+    // absorbed documents). ORACLE-EXACT: q88's SQL unchanged.
+    q("q208_vocab_incremental",
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |      FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin) { c =>
+      import c.t
+      def postings(df: org.apache.spark.sql.DataFrame) =
+        df.filter(length(trim($"text")) > 0)
+          .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("w"))
+      val docs = t("documents")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_vocabstore_v1_$key"
+      // fresh create each run (q202's replay-deterministic harness
+      // shape); a quarter of the corpus arrives as the delta batch
+      graft.operators.VocabStore.create(c.spark,
+        postings(docs.filter(pmod($"doc_id", lit(4)) =!= 0)),
+        "doc_id", "w", path)
+      graft.operators.VocabStore.append(c.spark,
+        postings(docs.filter(pmod($"doc_id", lit(4)) === 0)),
+        "doc_id", "w", path)
+      graft.operators.VocabStore.read(c.spark, path)
+        .select($"w", $"n")
+        .orderBy($"n".desc, $"w").limit(20)
+    },
+
     // TF-IDF term ranking: tf = total occurrences, df = documents
     // containing the term, score = tf * ln(N/df). Two aggregations
     // over the exploded postings (one distinct for df), both
