@@ -35,25 +35,28 @@ object IsotonicStore {
   private def metaFile(path: String) = s"${dir(path)}/_graft_iso_meta"
 
   private def writeBins(spark: SparkSession, bins: DataFrame, path: String,
-      nBins: Int, lastBatch: Long): Unit = {
+      nBins: Int, lastBatch: Long, lastRemove: Long = -1L): Unit = {
     import graft.operators.SwapDir
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir(path) + ".staging"
     fs.delete(new Path(staging), true)
     bins.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
     val out = fs.create(new Path(s"$staging/_graft_iso_meta"), true)
-    try out.write(s"nBins=$nBins\nlastBatch=$lastBatch".getBytes("UTF-8"))
+    try out.write(
+      s"nBins=$nBins\nlastBatch=$lastBatch\nlastRemove=$lastRemove"
+        .getBytes("UTF-8"))
     finally out.close()
     SwapDir.swap(fs, new Path(staging), new Path(dir(path)))
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Long) = {
+  private def readMeta(spark: SparkSession, path: String): (Int, Long, Long) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(metaFile(path)))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     val kv = body.split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-    (kv("nBins").toInt, kv.getOrElse("lastBatch", "-1").toLong)
+    (kv("nBins").toInt, kv.getOrElse("lastBatch", "-1").toLong,
+      kv.getOrElse("lastRemove", "-1").toLong)
   }
 
   /** Initialize (overwrite) from a first batch. */
@@ -84,12 +87,12 @@ object IsotonicStore {
     * delivery — use [[appendBatch]] from at-least-once sources. */
   def append(spark: SparkSession, batch: DataFrame, scoreCol: String,
       labelCol: String, path: String): Unit = {
-    val (nBins, lastBatch) = readMeta(spark, path)
+    val (nBins, lastBatch, lastRemove) = readMeta(spark, path)
     val merged = read(spark, path)
       .unionByName(Isotonic.binStats(batch, scoreCol, labelCol, nBins))
       .groupBy(col("bin"))
       .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
-    writeBins(spark, merged, path, nBins, lastBatch)
+    writeBins(spark, merged, path, nBins, lastBatch, lastRemove)
   }
 
   /** [[append]] made EXACTLY-once for foreachBatch's at-least-once
@@ -102,13 +105,57 @@ object IsotonicStore {
     * therefore never double-count. */
   def appendBatch(spark: SparkSession, batch: DataFrame, scoreCol: String,
       labelCol: String, path: String, batchId: Long): Unit = {
-    val (nBins, lastBatch) = readMeta(spark, path)
+    val (nBins, lastBatch, lastRemove) = readMeta(spark, path)
     if (batchId <= lastBatch) return
     val merged = read(spark, path)
       .unionByName(Isotonic.binStats(batch, scoreCol, labelCol, nBins))
       .groupBy(col("bin"))
       .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
-    writeBins(spark, merged, path, nBins, batchId)
+    writeBins(spark, merged, path, nBins, batchId, lastRemove)
+  }
+
+  /** Subtract a batch OUT of the store — the takedown/right-to-forget
+    * shape: integer statistics make removal as exact as absorption, so
+    * the post-removal calibration is BIT-identical to a from-scratch
+    * fit over the kept corpus. The batch must re-derive rows the store
+    * absorbed (same score/label derivation over the dropped documents);
+    * removing rows never absorbed drives a count negative and FAILS
+    * LOUD rather than serving a silently-wrong model. Bins emptied by
+    * the removal drop from the store (binStats never emits n=0 rows, so
+    * the representations stay identical). Assumes exactly-once — use
+    * [[removeBatch]] from at-least-once sources. */
+  def remove(spark: SparkSession, batch: DataFrame, scoreCol: String,
+      labelCol: String, path: String): Unit = {
+    val (nBins, lastBatch, lastRemove) = readMeta(spark, path)
+    writeBins(spark, removed(spark, batch, scoreCol, labelCol, path, nBins),
+      path, nBins, lastBatch, lastRemove)
+  }
+
+  /** [[remove]] made EXACTLY-once under at-least-once redelivery via
+    * its own monotone id ledger (removals and appends are independent
+    * streams; each guards its own ids). */
+  def removeBatch(spark: SparkSession, batch: DataFrame, scoreCol: String,
+      labelCol: String, path: String, removeId: Long): Unit = {
+    val (nBins, lastBatch, lastRemove) = readMeta(spark, path)
+    if (removeId <= lastRemove) return
+    writeBins(spark, removed(spark, batch, scoreCol, labelCol, path, nBins),
+      path, nBins, lastBatch, removeId)
+  }
+
+  private def removed(spark: SparkSession, batch: DataFrame, scoreCol: String,
+      labelCol: String, path: String, nBins: Int): DataFrame = {
+    val merged = read(spark, path)
+      .unionByName(Isotonic.binStats(batch, scoreCol, labelCol, nBins)
+        .select(col("bin"), (-col("n")).as("n"), (-col("pos")).as("pos")))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+      .localCheckpoint()
+    val bad = merged.filter(col("n") < 0 || col("pos") < 0 ||
+      col("pos") > col("n")).count()
+    require(bad == 0,
+      s"remove: $bad bins would go negative/inconsistent - the batch " +
+        "contains rows this store never absorbed")
+    merged.filter(col("n") > 0)
   }
 
   /** The calibration table (bin, n, pos, rate, cal) served from the

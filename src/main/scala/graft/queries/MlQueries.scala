@@ -1377,6 +1377,56 @@ object MlQueries extends QueryDsl {
       graft.ml.Isotonic.calibrateBins(scored, "score", "label", nBins = 20)
         .select($"bin", $"n", $"pos",
           round($"rate", 6).as("rate"), round($"cal", 6).as("cal"))
+    },
+
+    // Source takedown with exact recalibration — the right-to-forget
+    // shape: the store absorbs the WHOLE corpus, two sources are then
+    // subtracted back out (IsotonicStore.remove — integer statistics
+    // make removal as exact as absorption), and the served calibration
+    // is BIT-identical to a from-scratch fit over the kept documents.
+    // ORACLE-EXACT: q197's minimax SQL over the kept corpus, zero
+    // tolerance.
+    q("q209_isotonic_takedown",
+      """WITH b AS (SELECT
+        |    cast(least(floor(least(length(text) / 600.0, 1.0) * 20), 19) AS INT) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE source NOT IN ('src3', 'src7')),
+        |s AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+        |      FROM b GROUP BY 1),
+        |o AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS r FROM s),
+        |p AS (SELECT r, bin, n, pos,
+        |    sum(n) OVER (ORDER BY r) AS cn, sum(pos) OVER (ORDER BY r) AS cp FROM o),
+        |pairs AS (SELECT i.r AS ri, j.r AS rj,
+        |    (k.cp - coalesce(jm.cp, 0))::DOUBLE
+        |      / (k.cn - coalesce(jm.cn, 0))::DOUBLE AS a
+        |  FROM p i JOIN p j ON j.r <= i.r JOIN p k ON k.r >= i.r
+        |  LEFT JOIN p jm ON jm.r = j.r - 1),
+        |mm AS (SELECT ri, rj, min(a) AS mina FROM pairs GROUP BY 1, 2),
+        |calx AS (SELECT ri AS r, max(mina) AS cal FROM mm GROUP BY 1)
+        |SELECT o.bin, o.n, o.pos,
+        |  round(o.pos::DOUBLE / o.n::DOUBLE, 6) AS rate,
+        |  round(calx.cal, 6) AS cal
+        |FROM o JOIN calx ON calx.r = o.r""".stripMargin) { c =>
+      import c.t
+      def scored(df: org.apache.spark.sql.DataFrame) = df.select(
+        least(length($"text") / lit(600.0), lit(1.0)).as("score"),
+        ($"lang" === "en").as("label"))
+      val docs = t("documents")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_isodrop_v1_$key"
+      val dropped = $"source".isin("src3", "src7")
+      // fresh create over EVERYTHING (the replay-deterministic
+      // harness shape), then the takedown subtracts the dropped
+      // sources' rows back out
+      graft.ml.IsotonicStore.create(c.spark, scored(docs),
+        "score", "label", nBins = 20, path = path)
+      graft.ml.IsotonicStore.remove(c.spark, scored(docs.filter(dropped)),
+        "score", "label", path)
+      graft.ml.IsotonicStore.calibration(c.spark, path)
+        .select($"bin", $"n", $"pos",
+          round($"rate", 6).as("rate"), round($"cal", 6).as("cal"))
     }
   )
 }

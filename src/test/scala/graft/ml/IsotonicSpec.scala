@@ -119,6 +119,49 @@ class IsotonicSpec extends SparkSpec {
         "score", "label", 20)))
   }
 
+  test("remove subtracts exactly; replayed removeBatch is a no-op; foreign rows fail loud") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(59L)
+    val keep = (0 until 300).map(_ => (rnd.nextDouble(), rnd.nextBoolean()))
+    val drop = (0 until 120).map(_ => (rnd.nextDouble(), rnd.nextBoolean()))
+    val path = java.nio.file.Files.createTempDirectory("isodrop").toString + "/st"
+    IsotonicStore.create(spark, (keep ++ drop).toDF("score", "label"),
+      "score", "label", nBins = 20, path = path)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    IsotonicStore.removeBatch(spark, drop.toDF("score", "label"),
+      "score", "label", path, removeId = 0L)
+    val want = asMap(Isotonic.calibrateBins(keep.toDF("score", "label"),
+      "score", "label", nBins = 20))
+    assert(asMap(IsotonicStore.calibration(spark, path)) == want,
+      "post-removal calibration must equal a from-scratch fit on the kept rows")
+    // replayed removal id: no-op (would otherwise double-subtract)
+    IsotonicStore.removeBatch(spark, drop.toDF("score", "label"),
+      "score", "label", path, removeId = 0L)
+    assert(asMap(IsotonicStore.calibration(spark, path)) == want)
+    // appends still fold after a removal, against the reduced state
+    val more = (0 until 50).map(_ => (rnd.nextDouble(), rnd.nextBoolean()))
+    IsotonicStore.append(spark, more.toDF("score", "label"),
+      "score", "label", path)
+    assert(asMap(IsotonicStore.calibration(spark, path)) ==
+      asMap(Isotonic.calibrateBins((keep ++ more).toDF("score", "label"),
+        "score", "label", nBins = 20)))
+    // removing rows the store never absorbed fails loud: subtracting
+    // the whole absorbed corpus PLUS `more` again is guaranteed to
+    // drive more's bins negative
+    val ex = intercept[IllegalArgumentException] {
+      IsotonicStore.remove(spark,
+        (keep ++ more ++ more).toDF("score", "label"),
+        "score", "label", path)
+    }
+    assert(ex.getMessage.contains("never absorbed"))
+    // the failed removal must not have published a partial state
+    assert(asMap(IsotonicStore.calibration(spark, path)) ==
+      asMap(Isotonic.calibrateBins((keep ++ more).toDF("score", "label"),
+        "score", "label", nBins = 20)))
+  }
+
   test("calibrateBins: binning clamps the 1.0 edge; stats are exact; cal monotone") {
     val sp = spark; import sp.implicits._
     val df = Seq(
