@@ -43,25 +43,27 @@ object VocabStore {
       .agg(count(lit(1)).as("n"), countDistinct(col("__id")).as("df"))
 
   private def writeStats(spark: SparkSession, rows: DataFrame, path: String,
-      lastBatch: Long): Unit = {
+      lastBatch: Long, lastRemove: Long = -1L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir(path) + ".staging"
     fs.delete(new Path(staging), true)
     rows.sort(col("w")).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(staging)
     val out = fs.create(new Path(s"$staging/_graft_vocab_meta"), true)
-    try out.write(s"lastBatch=$lastBatch".getBytes("UTF-8"))
+    try out.write(s"lastBatch=$lastBatch\nlastRemove=$lastRemove"
+      .getBytes("UTF-8"))
     finally out.close()
     SwapDir.swap(fs, new Path(staging), new Path(dir(path)))
   }
 
-  private def readMeta(spark: SparkSession, path: String): Long = {
+  private def readMeta(spark: SparkSession, path: String): (Long, Long) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(metaFile(path)))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    body.split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-      .getOrElse("lastBatch", "-1").toLong
+    val kv = body.split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (kv.getOrElse("lastBatch", "-1").toLong,
+      kv.getOrElse("lastRemove", "-1").toLong)
   }
 
   /** Initialize (overwrite) from a first postings batch. */
@@ -90,12 +92,12 @@ object VocabStore {
     * at-least-once sources (this monoid is NOT idempotent). */
   def append(spark: SparkSession, postings: DataFrame, idCol: String,
       termCol: String, path: String): Unit = {
-    val lastBatch = readMeta(spark, path)
+    val (lastBatch, lastRemove) = readMeta(spark, path)
     val merged = read(spark, path)
       .unionByName(stats(postings, idCol, termCol))
       .groupBy(col("w"))
       .agg(sum(col("n")).as("n"), sum(col("df")).as("df"))
-    writeStats(spark, merged, path, lastBatch)
+    writeStats(spark, merged, path, lastBatch, lastRemove)
   }
 
   /** [[append]] made EXACTLY-once for foreachBatch's at-least-once
@@ -105,13 +107,55 @@ object VocabStore {
     * absorbed at all (re-merge). */
   def appendBatch(spark: SparkSession, postings: DataFrame, idCol: String,
       termCol: String, path: String, batchId: Long): Unit = {
-    val lastBatch = readMeta(spark, path)
+    val (lastBatch, lastRemove) = readMeta(spark, path)
     if (batchId <= lastBatch) return
     val merged = read(spark, path)
       .unionByName(stats(postings, idCol, termCol))
       .groupBy(col("w"))
       .agg(sum(col("n")).as("n"), sum(col("df")).as("df"))
-    writeStats(spark, merged, path, batchId)
+    writeStats(spark, merged, path, batchId, lastRemove)
+  }
+
+  /** Subtract a source's postings OUT of the store — the takedown
+    * direction ([[graft.ml.IsotonicStore.remove]]'s contract): the
+    * batch must re-derive postings of WHOLE absorbed documents (doc
+    * frequency subtracts per distinct id, so removing half a
+    * document's terms would corrupt df silently — removing documents
+    * the store never absorbed instead drives a count negative and
+    * FAILS LOUD, pre-publish). Terms emptied by the removal drop from
+    * the vocabulary. Assumes exactly-once — use [[removeBatch]] from
+    * at-least-once sources. */
+  def remove(spark: SparkSession, postings: DataFrame, idCol: String,
+      termCol: String, path: String): Unit = {
+    val (lastBatch, lastRemove) = readMeta(spark, path)
+    writeStats(spark, removedStats(spark, postings, idCol, termCol, path),
+      path, lastBatch, lastRemove)
+  }
+
+  /** [[remove]] made EXACTLY-once under at-least-once redelivery via
+    * the removal stream's own monotone id ledger. */
+  def removeBatch(spark: SparkSession, postings: DataFrame, idCol: String,
+      termCol: String, path: String, removeId: Long): Unit = {
+    val (lastBatch, lastRemove) = readMeta(spark, path)
+    if (removeId <= lastRemove) return
+    writeStats(spark, removedStats(spark, postings, idCol, termCol, path),
+      path, lastBatch, removeId)
+  }
+
+  private def removedStats(spark: SparkSession, postings: DataFrame,
+      idCol: String, termCol: String, path: String): DataFrame = {
+    val merged = read(spark, path)
+      .unionByName(stats(postings, idCol, termCol)
+        .select(col("w"), (-col("n")).as("n"), (-col("df")).as("df")))
+      .groupBy(col("w"))
+      .agg(sum(col("n")).as("n"), sum(col("df")).as("df"))
+      .localCheckpoint()
+    val bad = merged.filter(col("n") < 0 || col("df") < 0 ||
+      (col("n") === 0 && col("df") > 0) || col("df") > col("n")).count()
+    require(bad == 0,
+      s"remove: $bad terms would go negative/inconsistent - the batch " +
+        "contains postings this store never absorbed")
+    merged.filter(col("n") > 0)
   }
 
   /** From-scratch reference over a full postings frame — what the

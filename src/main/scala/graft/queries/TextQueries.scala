@@ -1214,6 +1214,37 @@ object TextQueries extends QueryDsl {
         .orderBy($"n".desc, $"w").limit(20)
     },
 
+    // Vocabulary after a source takedown — q209's contract on the
+    // term store: absorb every document's postings, subtract two
+    // sources' postings back out (whole documents — df subtracts per
+    // distinct id), and the served wordcount EQUALS a from-scratch
+    // build over the kept corpus. ORACLE-EXACT: q88's SQL over the
+    // kept documents.
+    q("q210_vocab_takedown",
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |      FROM documents
+        |      WHERE length(trim(text)) > 0 AND source NOT IN ('src3', 'src7'))
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin) { c =>
+      import c.t
+      def postings(df: org.apache.spark.sql.DataFrame) =
+        df.filter(length(trim($"text")) > 0)
+          .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("w"))
+      val docs = t("documents")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_vocabdrop_v1_$key"
+      graft.operators.VocabStore.create(c.spark, postings(docs),
+        "doc_id", "w", path)
+      graft.operators.VocabStore.remove(c.spark,
+        postings(docs.filter($"source".isin("src3", "src7"))),
+        "doc_id", "w", path)
+      graft.operators.VocabStore.read(c.spark, path)
+        .select($"w", $"n")
+        .orderBy($"n".desc, $"w").limit(20)
+    },
+
     // TF-IDF term ranking: tf = total occurrences, df = documents
     // containing the term, score = tf * ln(N/df). Two aggregations
     // over the exploded postings (one distinct for df), both

@@ -38,6 +38,30 @@ class VocabStoreSpec extends SparkSpec {
     assert(served.exists { case (_, (n, df)) => n > df })
   }
 
+  test("remove subtracts whole documents exactly; replay no-op; foreign postings fail loud") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(89L)
+    val keep = mkPostings(rnd, 0 until 40)
+    val drop = mkPostings(rnd, 40 until 55)
+    val path = java.nio.file.Files.createTempDirectory("vocabdrop").toString + "/st"
+    VocabStore.create(spark, (keep ++ drop).toDF("doc_id", "w"), "doc_id", "w", path)
+    VocabStore.removeBatch(spark, drop.toDF("doc_id", "w"), "doc_id", "w",
+      path, removeId = 0L)
+    assert(asMap(VocabStore.read(spark, path)) == scratch(keep),
+      "post-removal stats must equal a from-scratch build on the kept docs")
+    // replayed removal id: no-op (would otherwise double-subtract)
+    VocabStore.removeBatch(spark, drop.toDF("doc_id", "w"), "doc_id", "w",
+      path, removeId = 0L)
+    assert(asMap(VocabStore.read(spark, path)) == scratch(keep))
+    // removing never-absorbed postings fails loud without publishing
+    val ex = intercept[IllegalArgumentException] {
+      VocabStore.remove(spark, (keep ++ keep).toDF("doc_id", "w"),
+        "doc_id", "w", path)
+    }
+    assert(ex.getMessage.contains("never absorbed"))
+    assert(asMap(VocabStore.read(spark, path)) == scratch(keep))
+  }
+
   test("appendBatch guards redelivery (this monoid is NOT idempotent); stream drive == from-scratch") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(83L)
