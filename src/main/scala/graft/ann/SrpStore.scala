@@ -78,6 +78,21 @@ object SrpStore {
     def postings: DataFrame = spark.read.parquet(s"$path/postings")
     def vectors: DataFrame = spark.read.parquet(s"$path/vectors")
 
+    /** Tombstoned vector ids ([[remove]]'s merge-on-read ledger) —
+      * empty when no takedown has run. */
+    def removedIds: DataFrame = {
+      val p = new Path(s"$path/removed")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.schema("id LONG").parquet(s"$path/removed")
+      else spark.range(0).select(col("id"))
+    }
+
+    /** Exclude tombstoned rows from a frame carrying `c` as the vector
+      * id — the merge-on-read filter every serve path applies. The
+      * ledger is takedown-sized, so the anti-join broadcasts. */
+    private def live(df: DataFrame, c: String): DataFrame =
+      df.join(broadcast(removedIds.withColumnRenamed("id", c)), Seq(c), "left_anti")
+
     /** (tbl, bkt, n) stored posting counts — the guard's input. May
       * carry several rows per bucket after appends (additive; the
       * guard sums); compact collapses them. */
@@ -105,7 +120,7 @@ object SrpStore {
         cand.select(col("vec_a").as("id"))
           .unionByName(cand.select(col("vec_b").as("id"))), Seq("id"),
         semiJoinFallback = false)
-      val allVecs = vPrune(vectors)
+      val allVecs = live(vPrune(vectors), "id")
         .unionByName(vectorsOf(delta, idCol, vecCol))
       val pairs = cand
         .join(allVecs.select(col("id").as("vec_a"), col("vec").as("__va"),
@@ -157,8 +172,8 @@ object SrpStore {
         noPruneAbove = () => space / 2)
       // bulk path (no literal prune): spread the row-group-granular
       // postings read back to full width (the LshStore bulk-path note)
-      val corpusP = graft.operators.Partitioning
-        .spreadIfLarge(prune(postings), literal = prune.isLiteral)
+      val corpusP = live(graft.operators.Partitioning
+        .spreadIfLarge(prune(postings), literal = prune.isLiteral), "id")
       val allPost = corpusP.unionByName(dPost)
       val unionCounts = prune(bucketCounts)
         .unionByName(dPost.groupBy(col("tbl"), col("bkt"))
@@ -194,6 +209,15 @@ object SrpStore {
       * could OVER-state counts on replay and guard-drop buckets the
       * true population would keep.) */
     def append(delta: DataFrame): Handle = {
+      // a tombstoned id still has physical rows, so re-appending it
+      // would be skipped by the dedup below while every read excludes
+      // it - silently absent. Fail loud instead; compact clears the
+      // ledger and makes the id appendable again.
+      val clash = delta.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(removedIds), Seq("id"), "left_semi")
+      require(clash.isEmpty,
+        "append: batch contains tombstoned ids - re-adding a removed " +
+          "vector is out of contract until compact purges the ledger")
       val fresh = delta
         .join(vectors.select(col("id").as(idCol)), Seq(idCol), "left_anti")
         .localCheckpoint()
@@ -223,6 +247,48 @@ object SrpStore {
       vectorsOf(fresh, idCol, vecCol)
         .sortWithinPartitions(col("id"))
         .write.mode(SaveMode.Append).parquet(s"$path/vectors")
+      this
+    }
+
+    /** Take vectors DOWN — the index right-to-forget: a merge-on-read
+      * tombstone ledger (`removed/`) that every serve path anti-joins
+      * (takedown-sized, broadcast), plus an ADDITIVE bucket-count
+      * decrement so the oversized-bucket guard keeps judging the KEPT
+      * population (counts rows already merge by summation; the
+      * removed ids' buckets re-derive from their STORED vectors —
+      * an id-pruned, takedown-sized read — never by re-signing the
+      * corpus). Serve results equal a store built from the kept
+      * corpus (SrpStoreSpec); [[compact]] physically drops tombstoned
+      * rows and clears the ledger.
+      *
+      * Crash/replay: already-tombstoned ids are excluded up front, so
+      * a replayed takedown is a no-op; the count decrement lands
+      * BEFORE the tombstones, so the one crash window (counts
+      * decremented, tombstones unwritten, replay decrements again)
+      * leaves counts UNDER-stated only — the guard then drops fewer
+      * buckets than the kept population would, which only widens
+      * candidates the exact-cosine verify filters (the append
+      * contract's direction). Ids never stored tombstone harmlessly
+      * (no rows to exclude, no counts to decrement). */
+    def remove(ids: DataFrame): Handle = {
+      val rid = ids.select(col(ids.columns.head).cast("long").as("id"))
+        .distinct()
+        .join(broadcast(removedIds), Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (rid.isEmpty) return this
+      // the ids' postings re-derive from their stored vectors
+      val vPrune = graft.operators.KeyPrune.plan(rid, Seq("id"),
+        semiJoinFallback = false)
+      val gone = vPrune(vectors)
+        .join(broadcast(rid), Seq("id"), "left_semi")
+        .localCheckpoint()
+      if (!gone.isEmpty)
+        postingsOf(gone, "id", "vec", cfg)
+          .groupBy(col("tbl"), col("bkt"))
+          .agg((-count(lit(1))).as("n"))
+          .coalesce(1)
+          .write.mode(SaveMode.Append).parquet(s"$path/bucketcounts")
+      rid.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/removed")
       this
     }
 
@@ -270,7 +336,7 @@ object SrpStore {
       // bucket join then yields one candidate row per (query, id)
       val prune = graft.operators.KeyPrune.plan(probes, Seq("tbl", "bkt"),
         noPruneAbove = () => cfg.tables.toLong * (1L << cfg.nBits) / 2)
-      val candIds = prune(postings)
+      val candIds = live(prune(postings), "id")
         .join(probes, Seq("tbl", "bkt"))
         .select(col(queryIdCol), col("id"))
         .distinct()
@@ -366,8 +432,13 @@ object SrpStore {
 
     // distinct defensively (append's per-table replay guard should
     // already keep postings exactly-once); restores the (tbl, bkt)
-    // sort that interleaved appends erode
-    handle.postings.distinct()
+    // sort that interleaved appends erode. Tombstoned rows drop HERE:
+    // the staging dir carries no removed/ ledger, so the swap both
+    // purges the rows and clears the ledger atomically
+    val removed = handle.removedIds
+    handle.postings
+      .join(broadcast(removed), Seq("id"), "left_anti")
+      .distinct()
       .repartitionByRange(targetFiles, col("tbl"), col("bkt"))
       .sortWithinPartitions(col("tbl"), col("bkt"))
       .write.mode(SaveMode.Overwrite)
@@ -379,7 +450,9 @@ object SrpStore {
       .groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/bucketcounts")
-    handle.vectors.repartitionByRange(targetFiles, col("id"))
+    handle.vectors
+      .join(broadcast(removed), Seq("id"), "left_anti")
+      .repartitionByRange(targetFiles, col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
     writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg)

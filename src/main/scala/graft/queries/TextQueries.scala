@@ -928,6 +928,45 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // Vector-index takedown, exhaustively verifiable: the store is
+    // built at the DEGENERATE family (nBits=1, tables=1 — the q71b
+    // argument: hamming-1 multi-probe over a 2-bucket space meets
+    // every pair, so topK provably equals brute force), a seventh of
+    // the corpus is tombstoned (SrpStore.remove — merge-on-read
+    // ledger + additive count decrement; compact purges), and the
+    // served top-5 is ORACLE-EXACT brute force over the KEPT vectors.
+    // SrpStoreSpec pins the pruned-family takedown equal to a
+    // kept-corpus build; this query pins the takedown arithmetic
+    // cross-engine.
+    q("q211_ann_takedown",
+      """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    cast(list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS double) AS c
+        |  FROM queries, embeddings e WHERE e.vec_id % 7 <> 0
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srpdrop_v1_$key"
+      val cfg = graft.ann.SrpStore.Config(nBits = 1, tables = 1, dim = 64,
+        seed = 42L)
+      // fresh build each run (the replay-deterministic harness shape),
+      // then the takedown tombstones every seventh vector
+      val h = graft.ann.SrpStore.build(emb, "vec_id", "embedding", path, cfg)
+      h.remove(emb.filter(pmod($"vec_id", lit(7)) === 0).select($"vec_id"))
+      h.topK(queries, "qid", "qvec", k = 5)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // q71's exhaustive-setting twin (the q72b/q73b/q74b argument for
     // the SRP path): at nBits = 1 the bucket space is {0, 1} and the
     // hamming-radius-1 multi-probe explodes each query to BOTH buckets

@@ -203,6 +203,43 @@ class SrpStoreSpec extends SparkSpec {
     assert(wide.count() >= got.size)
   }
 
+  test("remove: serve paths equal a kept-corpus store; replay no-op; compact purges") {
+    val sp = spark; import sp.implicits._
+    val keep = emb.filter(col("vec_id") % 7 =!= 0)
+    val gone = emb.filter(col("vec_id") % 7 === 0)
+    val h = SrpStore.build(emb, "vec_id", "embedding", tmp())
+    val kept = SrpStore.build(keep, "vec_id", "embedding", tmp())
+    h.remove(gone.select(col("vec_id")))
+    // near-dup serve over a fresh delta equals the kept-corpus store's
+    val delta = emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 7 =!= 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    assert(pairSet(h.nearDupsOfDelta(delta)) ==
+      pairSet(kept.nearDupsOfDelta(delta)))
+    // topK never returns a tombstoned neighbor and equals kept-build
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rows(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = rows(h.topK(queries, "qid", "qvec", k = 5))
+    assert(got == rows(kept.topK(queries, "qid", "qvec", k = 5)))
+    assert(!got.exists(_._2 % 7 == 0))
+    // replayed takedown changes nothing (ledger already carries the ids)
+    val ledger = h.removedIds.count()
+    h.remove(gone.select(col("vec_id")))
+    assert(h.removedIds.count() == ledger)
+    // re-appending a tombstoned id fails loud pre-write
+    val ex = intercept[IllegalArgumentException] { h.append(gone.limit(1)) }
+    assert(ex.getMessage.contains("tombstoned"))
+    // compact physically drops rows, clears the ledger, keeps results
+    val c = SrpStore.compact(h, targetFiles = 2)
+    assert(c.removedIds.isEmpty)
+    assert(c.vectors.count() == keep.count())
+    assert(rows(c.topK(queries, "qid", "qvec", k = 5)) == got)
+    // the purged id is appendable again
+    c.append(gone.limit(1))
+    assert(c.vectors.count() == keep.count() + 1)
+  }
+
   test("open/ensure round trip preserves the family config; compact keeps the pair set") {
     val corpus = emb.filter(col("vec_id") % 4 =!= 0)
     val delta = emb.filter(col("vec_id") % 4 === 0)
