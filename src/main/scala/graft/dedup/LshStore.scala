@@ -84,6 +84,22 @@ object LshStore {
     def sigs: DataFrame = spark.read.parquet(s"$path/sigs")
     def shingles: DataFrame = spark.read.parquet(s"$path/shingles")
 
+    /** Tombstoned doc ids ([[remove]]'s merge-on-read ledger) — empty
+      * when no takedown has run. The raw table accessors above expose
+      * PHYSICAL rows (tombstoned included, until [[LshStore.compact]]
+      * purges); the serve paths filter. */
+    def removedIds: DataFrame = {
+      val p = new Path(s"$path/removed")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.schema("doc LONG").parquet(s"$path/removed")
+      else spark.range(0).select(col("id").as("doc"))
+    }
+
+    /** Exclude tombstoned rows from a frame carrying `c` as the doc id
+      * (ledger is takedown-sized — the anti-join broadcasts). */
+    private def live(df: DataFrame, c: String): DataFrame =
+      df.join(broadcast(removedIds.withColumnRenamed("doc", c)), Seq(c), "left_anti")
+
     /** (doc, band, bucket) banded signatures, persisted sorted by
       * (band, bucket) — the candidate-generation table; a delta-bucket
       * prune reads only the touched buckets' row groups. */
@@ -131,7 +147,7 @@ object LshStore {
       // call per micro-batch) must not accumulate cached delta frames
       // without bound — the SrpStore.nearDupsOfDelta convention
       val pairs = MinHashLSH.verifyJaccardHashed(
-          cand, shPrune(shingles).unionByName(dSh), minJaccard)
+          cand, live(shPrune(shingles), "__id").unionByName(dSh), minJaccard)
         .localCheckpoint()
       cand.unpersist(); deltaB.unpersist(); dSh.unpersist()
       pairs
@@ -175,8 +191,8 @@ object LshStore {
       // 8 MB row groups — a 4-split scan probing the broadcast delta
       // starves local[32]; spread it back to full width. The literal
       // path stays as-is (a pruned read is small by construction).
-      val corpusB = graft.operators.Partitioning
-        .spreadIfLarge(prune(banded), literal = prune.isLiteral)
+      val corpusB = live(graft.operators.Partitioning
+        .spreadIfLarge(prune(banded), literal = prune.isLiteral), "doc")
       val allB = corpusB.unionByName(deltaB)
       val unionCounts = prune(bandCounts)
         .unionByName(deltaB.groupBy(col("band"), col("bucket"))
@@ -197,6 +213,42 @@ object LshStore {
         .distinct()
     }
 
+    /** Take documents DOWN — the text-index right-to-forget
+      * ([[graft.ann.SrpStore.remove]]'s design verbatim): a
+      * merge-on-read tombstone ledger every serve path anti-joins,
+      * plus an ADDITIVE band-count decrement so the oversized-bucket
+      * guard keeps judging the KEPT population — the removed ids'
+      * banded rows re-derive from their STORED signatures (an
+      * id-bounded columnar read; the corpus is never re-shingled).
+      * Serve results equal a store built from the kept corpus
+      * (LshStoreSpec); [[LshStore.compact]] physically purges rows
+      * and clears the ledger in one atomic swap.
+      *
+      * Crash/replay: already-tombstoned ids are excluded up front
+      * (replayed takedown = no-op); the count decrement lands BEFORE
+      * the tombstones, so the one crash window leaves counts
+      * UNDER-stated only — wider candidates, exact-Jaccard verify
+      * (the append contract's direction). Ids never stored tombstone
+      * harmlessly. */
+    def remove(ids: DataFrame): Handle = {
+      val rid = ids.select(col(ids.columns.head).cast("long").as("doc"))
+        .distinct()
+        .join(broadcast(removedIds), Seq("doc"), "left_anti")
+        .localCheckpoint()
+      if (rid.isEmpty) return this
+      val goneSigs = sigs
+        .join(broadcast(rid), Seq("doc"), "left_semi")
+        .localCheckpoint()
+      if (!goneSigs.isEmpty)
+        MinHashLSH.banded(goneSigs, cfg.bands, cfg.rowsPerBand)
+          .groupBy(col("band"), col("bucket"))
+          .agg((-count(lit(1))).as("n"))
+          .coalesce(1)
+          .write.mode(SaveMode.Append).parquet(s"$path/bandcounts")
+      rid.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/removed")
+      this
+    }
+
     /** Fold new documents into the index — the ingest path after
       * [[nearDupsOfDelta]] decided what to keep. REPLAY-SAFE at
       * per-table granularity (the SrpStore v3 pattern, replacing v2's
@@ -210,6 +262,14 @@ object LshStore {
       * set the exact-Jaccard verify still filters — never a lost
       * pair. */
     def append(delta: DataFrame, textCol: String): Handle = {
+      // a tombstoned id still has physical rows: the dedup below would
+      // skip it while every read excludes it - silently absent. Fail
+      // loud; compact clears the ledger and makes it appendable again.
+      val clash = delta.select(col(idCol).cast("long").as("doc"))
+        .join(broadcast(removedIds), Seq("doc"), "left_semi")
+      require(clash.isEmpty,
+        "append: batch contains tombstoned ids - re-adding a removed " +
+          "document is out of contract until compact purges the ledger")
       val fresh = delta
         .join(shingles.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
         .localCheckpoint()
@@ -327,7 +387,13 @@ object LshStore {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true)
 
-    handle.sigs.coalesce(targetFiles)
+    // tombstoned rows drop HERE: the staging dir carries no removed/
+    // ledger, so the swap purges rows and clears the ledger atomically
+    // (banded + counts re-derive from the already-filtered sigs)
+    val removed = handle.removedIds
+    handle.sigs
+      .join(broadcast(removed), Seq("doc"), "left_anti")
+      .coalesce(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/sigs")
     // banded re-derived from the compacted sigs (heals any
     // at-least-once banded rows a crashed append left) and re-sorted;
@@ -343,7 +409,9 @@ object LshStore {
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/bandcounts")
-    handle.shingles.repartitionByRange(targetFiles, col("__id"))
+    handle.shingles
+      .join(broadcast(removed.withColumnRenamed("doc", "__id")), Seq("__id"), "left_anti")
+      .repartitionByRange(targetFiles, col("__id"))
       .sortWithinPartitions(col("__id"))
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", RowGroupBytes)

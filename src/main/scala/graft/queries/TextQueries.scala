@@ -213,6 +213,32 @@ object TextQueries extends QueryDsl {
         shingleN = 3, minJaccard = 0.8)
     },
 
+    // Text-index takedown — q211's right-to-forget on the MinHash
+    // store: the corpus (3/4 of docs) is signatured into an LshStore,
+    // every 7th stored document is tombstoned (LshStore.remove —
+    // merge-on-read ledger + additive band-count decrement; compact
+    // purges), and a fresh delta dedups against the KEPT corpus only.
+    // ORACLE-EXACT via q62's miss-probability contract: the exact
+    // >= 0.8 Jaccard pair set over all documents, minus pairs touching
+    // a removed id, restricted to delta-touching pairs.
+    q("q212_neardup_takedown",
+      s"WITH ${jaccardPairsCte(0.8)} SELECT doc_a, doc_b, jaccard FROM prs " +
+        "WHERE (doc_a % 4 = 0 OR doc_b % 4 = 0) " +
+        "AND NOT (doc_a % 4 <> 0 AND doc_a % 7 = 0) " +
+        "AND NOT (doc_b % 4 <> 0 AND doc_b % 7 = 0)") { c =>
+      import c.t
+      val docs = t("documents")
+      val corpus = docs.filter(pmod($"doc_id", lit(4)) =!= 0)
+      val delta = docs.filter(pmod($"doc_id", lit(4)) === 0)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshdrop_v1_$key"
+      // fresh build each run (the replay-deterministic harness shape)
+      val h = graft.dedup.LshStore.build(corpus, "doc_id", "text", path)
+      h.remove(corpus.filter(pmod($"doc_id", lit(7)) === 0).select($"doc_id"))
+      h.nearDupsOfDelta(delta, "text", minJaccard = 0.8)
+    },
+
     // Incremental dedup against a PERSISTED index: the corpus (3/4 of
     // docs) is signatured once into an LshStore; the delta (doc_id %
     // 4 == 0) is signatured fresh and bucket-joined against stored

@@ -179,6 +179,39 @@ class LshStoreSpec extends SparkSpec {
       rows(ref.nearDupsOfDelta(none, "text", 0.8)))
   }
 
+  test("remove: serve equals a kept-corpus store; replay no-op; compact purges") {
+    val keep = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val gone = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val h = LshStore.build(docs, "doc_id", "text", tmp("lshdrop"))
+    val kept = LshStore.build(keep, "doc_id", "text", tmp("lshkept"))
+    h.remove(gone.select(col("doc_id")))
+    // near-dup serve over a fresh delta equals the kept-corpus store's
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0 &&
+        pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val got = rows(h.nearDupsOfDelta(delta, "text", minJaccard = 0.8))
+    assert(got == rows(kept.nearDupsOfDelta(delta, "text", minJaccard = 0.8)))
+    assert(got.nonEmpty, "planted near-dups must survive the takedown fixture")
+    assert(!got.exists(r => r.head.asInstanceOf[Long] % 7 == 0 &&
+      r.head.asInstanceOf[Long] < 100000))
+    // replayed takedown changes nothing
+    val ledger = h.removedIds.count()
+    h.remove(gone.select(col("doc_id")))
+    assert(h.removedIds.count() == ledger)
+    // re-appending a tombstoned id fails loud
+    val ex = intercept[IllegalArgumentException] { h.append(gone.limit(1), "text") }
+    assert(ex.getMessage.contains("tombstoned"))
+    // compact physically purges rows, clears the ledger, keeps results
+    val c = LshStore.compact(h, targetFiles = 2)
+    assert(c.removedIds.isEmpty)
+    assert(c.sigs.count() == keep.count())
+    assert(c.shingles.count() == keep.count())
+    assert(rows(c.nearDupsOfDelta(delta, "text", minJaccard = 0.8)) == got)
+    // the purged id is appendable again
+    c.append(gone.limit(1), "text")
+    assert(c.sigs.count() == keep.count() + 1)
+  }
+
   test("open/ensure round trip preserves the LSH family; idCol mismatch fails loud") {
     val path = tmp("lshstore_meta")
     val cfg = LshStore.Config(numHashes = 64, bands = 16, shingleN = 2, seed = 7L)
