@@ -271,6 +271,173 @@ object KCore {
     cores.filter(col("k") >= 1).select(col("node"), col("k").as("core_number"))
   }
 
+  /** Maintain core numbers under an EDGE-DELETION batch — the
+    * decremental direction, via the frontier H-INDEX iteration (the
+    * operator of Lü et al. 2016, "The H-index of a network node and
+    * its relation to degree and coreness"): deletions only ever LOWER
+    * core numbers, so the old cores are a pointwise UPPER BOUND on
+    * the new ones, and iterating
+    *
+    *   c(v) ← min(c(v), H({c(u) : u ∈ N_kept(v)}))
+    *
+    * (H = the largest h with ≥ h neighbors valued ≥ h) from
+    * init = min(old core, kept degree) converges EXACTLY to the kept
+    * graph's core numbers:
+    *   - invariant c ≥ core_new: v keeps ≥ core(v) same-core
+    *     neighbors, whose values stay ≥ their cores inductively;
+    *   - the limit is a fixpoint, so every S_k = {v : c(v) ≥ k} has
+    *     min in-S_k degree ≥ k — a k-core witness, forcing c ≤ core;
+    *   - monotone + integer + bounded below ⇒ termination.
+    * Each round recomputes ONLY nodes with a changed neighbor (the
+    * deleted edges' endpoints seed the frontier), so maintain cost
+    * tracks the affected region — the insertion theorem's locality,
+    * decremental side. (The same iteration cannot maintain
+    * INSERTIONS: old cores are no upper bound there —
+    * [[maintainAfterInsert]] keeps the traversal formulation.)
+    *
+    * `oldCores` must be [[coreNumbers]]' output (capped at `maxK`) on
+    * `oldEdges`; the result equals `coreNumbers(oldEdges ∖ deleted)`
+    * at the same cap (KCoreSpec: planted and randomized splits, both
+    * routes). Deleting edges never present is a no-op for them —
+    * replays converge. Adaptive at the usual 512k crossover. */
+  def maintainAfterDelete(
+      oldCores: DataFrame,
+      oldEdges: DataFrame,
+      deleted: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxK: Int,
+      maxRounds: Int = 200,
+      driverMaxEdges: Long = 512L * 1024): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    def canon(df: DataFrame): DataFrame = df
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val oldCanon = cps(canon(oldEdges))
+    val delCanon = cps(canon(deleted))
+    val kept = cps(oldCanon.join(delCanon, Seq("a", "b"), "left_anti"))
+    if (oldCanon.count() <= driverMaxEdges)
+      return maintainDeleteLocal(oldCores, kept, delCanon, maxK)
+    val nbr = kept.union(kept.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v").transform(cps)
+    val deg = nbr.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    // init: min(old core, kept degree); isolated nodes drop out with
+    // the deg inner join (their new core is 0 = absent, the
+    // coreNumbers convention)
+    var cores = deg
+      .join(oldCores.select(col("node"),
+        col("core_number").cast("int").as("k0")), Seq("node"), "left")
+      .select(col("node"),
+        least(coalesce(col("k0"), lit(maxK)), col("d").cast("int")).as("k"))
+      .transform(cps)
+    // frontier: nodes that lost an edge AND their neighbors — the
+    // init step already lowered endpoint values through the degree
+    // cap, and that drop must alert the neighborhood like any other
+    val endpoints = delCanon.select(col("a").as("node"))
+      .unionByName(delCanon.select(col("b").as("node")))
+      .distinct()
+    var frontier = endpoints
+      .unionByName(nbr
+        .join(endpoints.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node")))
+      .distinct().transform(cps)
+    var rounds = 0
+    var fCount = frontier.count()
+    while (fCount > 0 && rounds < maxRounds) {
+      // H-index over neighbor values, recomputed for frontier nodes:
+      // sort a node's neighbor values descending; H = max i with
+      // v_i >= i (positional comparison over the sorted list)
+      val hvals = nbr
+        .join(frontier.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(cores.select(col("node").as("v"), col("k").as("kv")), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(collect_list(col("kv")).as("ks"))
+        .select(col("node"), aggregate(
+          zip_with(
+            sort_array(col("ks"), asc = false),
+            sequence(lit(1), size(col("ks"))),
+            (kv, i) => when(kv >= i, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, x) => acc + x).as("h"))
+      val next = cores
+        .join(hvals, Seq("node"), "left")
+        .select(col("node"),
+          least(col("k"), coalesce(col("h"), col("k"))).as("k"))
+        .transform(cps)
+      val changed = next.join(cores.withColumnRenamed("k", "__old"), Seq("node"))
+        .filter(col("k") < col("__old"))
+        .select(col("node"))
+        .transform(cps)
+      // next frontier: neighbors of changed nodes (their H may drop)
+      frontier = nbr
+        .join(changed.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .transform(cps)
+      cores = next
+      fCount = frontier.count()
+      rounds += 1
+    }
+    require(fCount == 0,
+      s"decremental k-core did not settle in $maxRounds rounds — raise maxRounds")
+    cores.filter(col("k") >= 1).select(col("node"), col("k").as("core_number"))
+  }
+
+  /** Driver-local decremental maintain: the same frontier h-index
+    * iteration over in-memory adjacency (worklist of nodes whose
+    * neighborhood changed). */
+  private def maintainDeleteLocal(
+      oldCores: DataFrame,
+      kept: DataFrame,
+      delCanon: DataFrame,
+      maxK: Int): DataFrame = {
+    val spark = oldCores.sparkSession
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    kept.collect().foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+    }
+    val core = mutable.HashMap.empty[Long, Int]
+    oldCores
+      .select(col("node").cast("long").as("n"), col("core_number").cast("int").as("c"))
+      .collect().foreach(r => core(r.getLong(0)) = r.getInt(1))
+    val c = mutable.HashMap.empty[Long, Int]
+    adj.keysIterator.foreach { v =>
+      c(v) = math.min(core.getOrElse(v, maxK), adj(v).size)
+    }
+    def h(v: Long): Int = {
+      val vals = adj(v).iterator.map(u => c(u)).toArray.sortInPlace()(Ordering[Int].reverse)
+      var i = 0
+      while (i < vals.length && vals(i) >= i + 1) i += 1
+      i
+    }
+    val queue = mutable.ArrayDeque.empty[Long]
+    val queued = mutable.HashSet.empty[Long]
+    // endpoints AND their neighbors: the init's degree cap already
+    // lowered endpoint values, which must alert the neighborhood
+    delCanon.collect().foreach { r =>
+      Seq(r.getLong(0), r.getLong(1)).foreach { v =>
+        if (adj.contains(v)) {
+          if (queued.add(v)) queue += v
+          adj(v).foreach(u => if (queued.add(u)) queue += u)
+        }
+      }
+    }
+    while (queue.nonEmpty) {
+      val v = queue.removeHead(); queued -= v
+      val nv = math.min(c(v), h(v))
+      if (nv < c(v)) {
+        c(v) = nv
+        adj(v).foreach(u => if (queued.add(u)) queue += u)
+      }
+    }
+    import spark.implicits._
+    c.iterator.filter(_._2 >= 1).map { case (n, k) => (n, k) }.toSeq
+      .toDF("node", "core_number")
+  }
+
   /** Driver-local maintain — the sequential traversal algorithm
     * verbatim: per inserted edge, a BFS over nodes at the edge's min
     * current core (the traversal theorem's candidate set) and a

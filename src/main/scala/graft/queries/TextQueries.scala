@@ -1855,6 +1855,26 @@ object TextQueries extends QueryDsl {
           round(element_at($"ds", 4), 6).as("dist"))
     },
 
+    // DECREMENTAL k-core maintenance — the deletion direction of the
+    // maintained-state family (insertions: q180): a fifth of the
+    // verified edges is revoked (a takedown cascading into the graph
+    // layer), and the frontier h-index iteration demotes only the
+    // affected region — deletions never raise a core, so the stored
+    // cores upper-bound the new ones and iterating
+    // c <- min(c, H(neighbor c)) from them converges EXACTLY to the
+    // kept graph's cores (proof in KCore.maintainAfterDelete's doc;
+    // KCoreSpec pins both routes against from-scratch). Rows-only
+    // (iterative peel); q176/q180 anchor the family.
+    q("q213_kcore_decremental") { c =>
+      val edges = embPairStore(c.spark, c.dir).edges
+      val isDeleted = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+      val deleted = edges.filter(isDeleted)
+      val old = graft.operators.KCore.coreNumbers(edges, "vec_a", "vec_b", maxK = 8)
+      graft.operators.KCore
+        .maintainAfterDelete(old, edges, deleted, "vec_a", "vec_b", maxK = 8)
+        .select($"node".as("vec_id"), $"core_number")
+    },
+
     // Incremental k-truss maintenance — the fifth maintained state
     // (cores q180, triangles q186, labels q190, ranks q193, distances
     // q199, now edge cohesion): insertions only ever GROW the truss,

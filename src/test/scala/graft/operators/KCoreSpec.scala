@@ -121,6 +121,53 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  private def maintainedDel(
+      old: org.apache.spark.sql.DataFrame,
+      deleted: org.apache.spark.sql.DataFrame, maxK: Int,
+      driverMax: Long = 512L * 1024): Map[Long, Int] = {
+    val oc = KCore.coreNumbers(old, "a", "b", maxK)
+    KCore.maintainAfterDelete(oc, old, deleted, "a", "b", maxK,
+      driverMaxEdges = driverMax).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("decremental maintain: planted demotion cascade, isolation, no-op replay") {
+    val sp = spark; import sp.implicits._
+    // deleting a K4 edge demotes the whole clique 3 -> 2 (they still
+    // form a 4-cycle); the tail stays at 1
+    val got = maintainedDel(fixture, Seq((1L, 2L)).toDF("a", "b"), maxK = 5)
+    val want = coresOf(fixture.join(Seq((1L, 2L)).toDF("a", "b"),
+      Seq("a", "b"), "left_anti"), 5)
+    assert(got == want, s"got=$got want=$want")
+    assert(got(3L) == 2 && got(4L) == 2)
+    // deleting the tail's edges isolates node 6: it drops out entirely
+    val got2 = maintainedDel(fixture, Seq((5L, 6L)).toDF("a", "b"), maxK = 5)
+    assert(!got2.contains(6L) && got2(5L) == 1)
+    // deleting an edge that was never present changes nothing
+    assert(maintainedDel(fixture, Seq((1L, 9L)).toDF("a", "b"), maxK = 5) ==
+      coresOf(fixture, 5))
+  }
+
+  test("decremental maintain equals from-scratch on randomized splits, both routes") {
+    val sp = spark; import sp.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 13)
+      val n = 20
+      val all = (for {
+        i <- 1 to n; j <- (i + 1) to n
+        if rnd.nextDouble() < 0.18
+      } yield (i.toLong, j.toLong)).toSeq
+      val (deleted, kept) = all.partition(_ => rnd.nextInt(5) == 0)
+      if (deleted.nonEmpty && kept.nonEmpty) {
+        val allDf = all.toDF("a", "b"); val delDf = deleted.toDF("a", "b")
+        val want = coresOf(kept.toDF("a", "b"), 6)
+        assert(maintainedDel(allDf, delDf, maxK = 6) == want, s"seed=$seed driver")
+        assert(maintainedDel(allDf, delDf, maxK = 6, driverMax = 0L) == want,
+          s"seed=$seed distributed")
+      }
+    }
+  }
+
   test("maintain equals from-scratch on randomized graphs and deltas") {
     val sp = spark; import sp.implicits._
     for (seed <- 1 to 6) {
