@@ -64,8 +64,34 @@ object PairGraphStore {
       dstCol: String,
       weightCol: Option[String]) {
 
-    /** The stored edge frame, original column names. */
-    def edges: DataFrame = spark.read.parquet(s"$path/edges")
+    /** The stored edge frame, original column names — the SERVE view:
+      * physical rows minus the revocation ledger ([[removeEdges…]]),
+      * so every consumer (ensure*, maintainers, inline analytics)
+      * sees revoked edges as gone. [[PairGraphStore.compact]] purges
+      * the physical rows and the ledger together. */
+    def edges: DataFrame = {
+      // existence probe only (metadata, no job): stores that never saw
+      // a revocation serve the raw parquet plan unchanged
+      val p = new Path(s"$path/removededges")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) physicalEdges
+      else physicalEdges.join(broadcast(removedEdges
+          .withColumnRenamed("a", srcCol).withColumnRenamed("b", dstCol)),
+        Seq(srcCol, dstCol), "left_anti")
+    }
+
+    private[graft] def physicalEdges: DataFrame =
+      spark.read.parquet(s"$path/edges")
+
+    /** Revoked canonical pairs (a, b) — empty when no revocation has
+      * run. */
+    def removedEdges: DataFrame = {
+      val p = new Path(s"$path/removededges")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.schema("a LONG, b LONG").parquet(s"$path/removededges")
+      else spark.range(0).select(col("id").as("a"), col("id").as("b"))
+    }
 
     /** Edge count from the parquet footers — a metadata read. */
     def edgeCount: Long = edges.count()
@@ -83,6 +109,16 @@ object PairGraphStore {
       * [[appendAndMaintainCores]]. */
     def append(delta: DataFrame): Handle = {
       if (delta.isEmpty) return this
+      // a revoked pair still has a physical row: the dedup below would
+      // treat a re-append as fresh and double the row while the ledger
+      // keeps hiding it. Fail loud; compact purges the ledger and
+      // makes the pair appendable again.
+      val clash = delta
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .join(broadcast(removedEdges), Seq("a", "b"), "left_semi")
+      require(clash.isEmpty,
+        "append: batch contains revoked pairs - re-adding a removed " +
+          "edge is out of contract until compact purges the ledger")
       val cols = srcCol +: dstCol +: weightCol.toSeq
       val sel = delta.select(cols.map(col): _*)
       val dd = weightCol.fold(sel.distinct())(w =>
@@ -768,6 +804,99 @@ object PairGraphStore {
         append(withW)
       }
       val changed = maintained.join(old, Seq("a", "b"), "left_anti")
+        .select(col("a"))
+      overwriteChangedState(trussDir, maintained, "a", changed)
+      maintained
+    }
+
+    // ---- edge revocation (the deletion direction) --------------------
+
+    /** Tombstone `deleted` pairs (revocation-ledger write; only pairs
+      * actually present land in the ledger — replays tombstone
+      * nothing) and INVALIDATE the side states the decremental
+      * maintainers below do not cover: labels, ranks and distances
+      * re-derive from the kept view on their next ensure (honest
+      * rebuild — their decremental theory is future work), while
+      * cores and truss are maintained at affected-region cost by
+      * [[removeEdgesAndMaintainCores]] / [[removeEdgesAndMaintainTruss]].
+      * Returns the canonical revoked-now frame (present pairs). */
+    private def revoke(deleted: DataFrame): DataFrame = {
+      val delCanon = deleted
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b").distinct()
+      val stored = edges
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b")
+      val present = KeyPrune.restrict(stored, delCanon, Seq("a"))
+        .join(broadcast(delCanon), Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      if (!present.isEmpty) {
+        present.coalesce(1)
+          .write.mode(SaveMode.Append).parquet(s"$path/removededges")
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(labelsDir, ranksDir).foreach(d => fs.delete(new Path(d), true))
+        // tag-named distance states: drop every graphdists_* dir
+        if (fs.exists(new Path(path)))
+          fs.listStatus(new Path(path)).foreach { st =>
+            if (st.isDirectory && st.getPath.getName.startsWith("graphdists_"))
+              fs.delete(st.getPath, true)
+          }
+      }
+      present
+    }
+
+    /** Revoke an edge batch AND maintain the persisted core numbers at
+      * affected-region cost ([[KCore.maintainAfterDelete]] — the
+      * frontier h-index iteration). Maintenance is computed against
+      * the PRE-revocation view and materialized before the ledger
+      * write; crash windows replay: tombstones-landed/state-stale
+      * re-runs the iteration from the stored cores (still an upper
+      * bound) to the same fixpoint, and a fully-replayed batch finds
+      * the stored cores already at the fixpoint and rewrites NO
+      * partitions. Demoted AND disappeared (isolated) nodes' pb
+      * partitions rewrite; untouched partitions keep their files. */
+    def removeEdgesAndMaintainCores(deleted: DataFrame, maxK: Int): DataFrame = {
+      val old = ensureCores(maxK)
+      val delCanon = deleted
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b").distinct()
+      val stored = edges
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b")
+      val maintained = KCore.maintainAfterDelete(
+        old, stored, delCanon, "a", "b", maxK)
+        .localCheckpoint()
+      revoke(delCanon.toDF(srcCol, dstCol))
+      val changed = maintained
+        .join(old.select(col("node"), col("core_number").as("__oldk")),
+          Seq("node"), "full_outer")
+        .filter(col("__oldk").isNull || col("core_number").isNull ||
+          col("__oldk") =!= col("core_number"))
+        .select(col("node"))
+      overwriteChangedState(coresDir, maintained, "node", changed)
+      maintained
+    }
+
+    /** Revoke an edge batch AND maintain the persisted k-truss
+      * ([[Truss.maintainAfterDelete]] — closure from the deleted
+      * edges within the old truss, peel against frozen survivors).
+      * Same replay posture as cores; evicted edges' pb partitions
+      * rewrite, untouched partitions keep their files. */
+    def removeEdgesAndMaintainTruss(deleted: DataFrame, k: Int): DataFrame = {
+      val old = ensureTruss(k)
+      val delCanon = deleted
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b").distinct()
+      val stored = edges
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b")
+      val maintained = Truss.maintainAfterDelete(
+        old, stored, delCanon, "a", "b", k)
+        .localCheckpoint()
+      revoke(delCanon.toDF(srcCol, dstCol))
+      // deletions only shrink the truss: changed = evicted edges
+      val changed = old.join(maintained, Seq("a", "b"), "left_anti")
         .select(col("a"))
       overwriteChangedState(trussDir, maintained, "a", changed)
       maintained

@@ -244,6 +244,182 @@ object Truss {
     (inTruss.iterator ++ alive.iterator).toSeq.sorted.toDF("a", "b")
   }
 
+  /** Maintain the maximal k-truss under an EDGE-DELETION batch — the
+    * decremental direction: deletions only ever SHRINK the truss
+    * (T_new ⊆ T_old ∖ D), and every edge that LEAVES is
+    * triangle-connected to a deleted edge within the old truss.
+    * Proof: let S = (T_old ∖ D) ∖ T_new be the evicted survivors not
+    * triangle-reachable from D inside T_old. Un-evicted edges
+    * (T_new) plus unreachable-evicted edges (S) support each other:
+    * an S edge had ≥ k−2 triangles in T_old; a triangle lost only if
+    * it used a D edge (making the S edge reachable — contradiction)
+    * or an evicted reachable edge (same, transitively). So T_new ∪ S
+    * is all-supported in the kept graph, forcing S ⊆ T_new by
+    * maximality — S = ∅.
+    *
+    * So: close candidates from the deleted edges over triangle
+    * adjacency within T_old (kept side), peel candidates against
+    * support counted within (non-candidate kept truss edges frozen ∪
+    * alive candidates); survivors stay, the rest leave. Result equals
+    * `kTruss(oldEdges ∖ deleted, k)` (TrussSpec, both routes).
+    * Replay-tolerant: re-deleting absent edges seeds an empty closure.
+    * Driver-local below `driverMaxEdges`, join cascades above. */
+  def maintainAfterDelete(
+      oldTruss: DataFrame,
+      oldEdges: DataFrame,
+      deleted: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      driverMaxEdges: Long = 512L * 1024): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def canon(df: DataFrame): DataFrame = df
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val oldC = cps(canon(oldEdges))
+    val delC = cps(canon(deleted))
+    val tOld = cps(oldTruss
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    val tKept = cps(tOld.join(delC, Seq("a", "b"), "left_anti"))
+    if (k == 2) return tKept
+    if (oldC.count() <= driverMaxEdges)
+      return maintainDeleteLocal(tOld, tKept, delC, k)
+    // candidates: kept-truss edges triangle-connected to a deleted
+    // edge WITHIN the old truss (closure over old-truss triangles)
+    val tOldSym = cps(tOld.select(col("a").as("u"), col("b").as("w"))
+      .union(tOld.select(col("b").as("u"), col("a").as("w"))))
+    var cand = cps(tKept.limit(0))
+    var frontier = cps(delC.join(tOld, Seq("a", "b"), "left_semi"))
+    var fCount = frontier.count()
+    while (fCount > 0) {
+      val fSym = frontier.select(col("a").as("u"), col("b").as("v"))
+        .union(frontier.select(col("b").as("u"), col("a").as("v")))
+      val tri = fSym.join(tOldSym, Seq("u"))
+        .filter(col("w") =!= col("v"))
+        .join(tOld.select(col("a").as("__ca"), col("b").as("__cb")),
+          least(col("v"), col("w")) === col("__ca") &&
+            greatest(col("v"), col("w")) === col("__cb"), "left_semi")
+      val nxt = tri.select(
+          least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
+        .distinct()
+        .join(tKept, Seq("a", "b"), "left_semi")
+        .join(cand, Seq("a", "b"), "left_anti")
+        .join(frontier, Seq("a", "b"), "left_anti")
+        .transform(cps)
+      cand = cand.unionByName(nxt).transform(cps)
+      frontier = nxt
+      fCount = frontier.count()
+    }
+    // peel candidates against support within (frozen kept-truss ∪
+    // alive candidates) — the frozen side are kept-truss edges NOT in
+    // the candidate set (they provably stay; their support never
+    // involved a deleted or reachable edge)
+    val frozen = cps(tKept.join(cand, Seq("a", "b"), "left_anti"))
+    var alive = cand
+    var aliveCount = alive.count()
+    var peeling = aliveCount > 0
+    while (peeling) {
+      val present = cps(frozen.unionByName(alive))
+      val presentSym = present.select(col("a").as("u"), col("b").as("w"))
+        .union(present.select(col("b").as("u"), col("a").as("w")))
+      val sup = alive.join(presentSym.withColumnRenamed("u", "a"), Seq("a"))
+        .filter(col("w") =!= col("b"))
+        .join(present.select(col("a").as("__pa"), col("b").as("__pb")),
+          least(col("b"), col("w")) === col("__pa") &&
+            greatest(col("b"), col("w")) === col("__pb"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      val next = alive.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("n"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .transform(cps)
+      val nextCount = next.count()
+      peeling = nextCount != aliveCount && nextCount > 0
+      alive = next
+      aliveCount = nextCount
+    }
+    frozen.unionByName(alive)
+  }
+
+  /** Driver-local decremental maintain: closure BFS over old-truss
+    * triangle adjacency from the deleted edges, then the worklist
+    * peel restricted to candidates with frozen kept-truss support. */
+  private def maintainDeleteLocal(
+      tOld: DataFrame, tKept: DataFrame, delC: DataFrame, k: Int): DataFrame = {
+    val spark = tOld.sparkSession
+    import spark.implicits._
+    import scala.collection.mutable
+    def pair(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val oldT = tOld.collect().map(pair).toSet
+    val keptT = mutable.HashSet.empty[(Long, Long)] ++ tKept.collect().map(pair)
+    val delP = delC.collect().map(pair).filter(oldT.contains)
+    // adjacency of the OLD truss (closure runs inside it)
+    val adj = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    oldT.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, mutable.HashSet.empty) += a
+    }
+    def cn(x: Long, y: Long) = (math.min(x, y), math.max(x, y))
+    def wits(a: Long, b: Long): Iterator[Long] = {
+      val (s, l) = if (adj(a).size <= adj(b).size) (adj(a), adj(b)) else (adj(b), adj(a))
+      s.iterator.filter(w => w != a && w != b && l.contains(w))
+    }
+    val cand = mutable.HashSet.empty[(Long, Long)]
+    val queue = mutable.ArrayDeque.empty[(Long, Long)]
+    delP.foreach { e => queue += e }
+    val seen = mutable.HashSet.empty[(Long, Long)] ++ delP
+    while (queue.nonEmpty) {
+      val (a, b) = queue.removeHead()
+      wits(a, b).foreach { w =>
+        Seq(cn(a, w), cn(b, w)).foreach { e =>
+          if (oldT.contains(e) && seen.add(e)) {
+            if (keptT.contains(e)) cand += e
+            queue += e
+          }
+        }
+      }
+    }
+    // peel candidates; kept-truss non-candidates are frozen support.
+    // Adjacency now over KEPT truss edges only
+    val kAdj = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    keptT.foreach { case (a, b) =>
+      kAdj.getOrElseUpdate(a, mutable.HashSet.empty) += b
+      kAdj.getOrElseUpdate(b, mutable.HashSet.empty) += a
+    }
+    val alive = mutable.HashSet.empty[(Long, Long)] ++ cand
+    def present(e: (Long, Long)): Boolean =
+      (keptT.contains(e) && !cand.contains(e)) || alive.contains(e)
+    def kwits(a: Long, b: Long): Iterator[Long] = {
+      val sa = kAdj.getOrElse(a, mutable.HashSet.empty)
+      val sb = kAdj.getOrElse(b, mutable.HashSet.empty)
+      val (s, l) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+      s.iterator.filter(w => w != a && w != b && l.contains(w))
+    }
+    val support = mutable.HashMap.empty[(Long, Long), Int]
+    cand.foreach { case e @ (a, b) =>
+      support(e) = kwits(a, b).count(w => present(cn(a, w)) && present(cn(b, w)))
+    }
+    val dead = mutable.ArrayDeque.empty[(Long, Long)]
+    cand.foreach(e => if (support(e) < k - 2) dead += e)
+    while (dead.nonEmpty) {
+      val e @ (a, b) = dead.removeHead()
+      if (alive.remove(e))
+        kwits(a, b).foreach { w =>
+          val e1 = cn(a, w); val e2 = cn(b, w)
+          if (present(e1) && present(e2))
+            Seq(e1, e2).foreach { f =>
+              if (alive.contains(f)) {
+                support(f) -= 1
+                if (support(f) == k - 3) dead += f
+              }
+            }
+        }
+    }
+    (keptT.iterator.filter(e => !cand.contains(e)) ++ alive.iterator)
+      .toSeq.sorted.toDF("a", "b")
+  }
+
   /** Distributed maintain: the same closure + restricted peel as
     * join cascades. Every frame is candidate-neighborhood-sized; the
     * grown graph appears only as the join's probe side. */

@@ -1881,6 +1881,30 @@ object TextQueries extends QueryDsl {
         .select($"node".as("vec_id"), $"core_number")
     },
 
+    // Store-level edge revocation — q213 SERVED from the pair-graph
+    // store: the same 1/5 split is revoked through
+    // removeEdgesAndMaintainCores (revocation ledger filters every
+    // consumer's edge view; cores maintain at affected-region cost
+    // with partition-pruned state writes; labels/ranks/distances
+    // invalidate and re-derive from the kept view on next ensure).
+    // Replays find the ledger already carrying the batch and the
+    // cores at the fixpoint — zero partitions rewritten. Rows equal
+    // q213's (PairGraphStoreSpec pins the full contract). Rows-only;
+    // q176/q180 anchor the family.
+    q("q214_kcore_revocation") { c =>
+      val edges = embPairStore(c.spark, c.dir).edges
+      val isDeleted = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+      val deleted = edges.filter(isDeleted)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_revoke_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        edges, "vec_a", "vec_b", Some("cos"), c.spark, path)
+      h.removeEdgesAndMaintainCores(deleted, maxK = 8)
+        .select($"node".as("vec_id"), $"core_number")
+    },
+
     // Incremental k-truss maintenance — the fifth maintained state
     // (cores q180, triangles q186, labels q190, ranks q193, distances
     // q199, now edge cohesion): insertions only ever GROW the truss,

@@ -421,6 +421,68 @@ class PairGraphStoreSpec extends SparkSpec {
     assert(h.edgeCount == 12)
   }
 
+  test("edge revocation maintains cores+truss; pruned partitions; replay; compact purges") {
+    val sp = spark; import sp.implicits._
+    // two complete K4s; revoking one near-K4 edge demotes that clique
+    // (cores 3 -> 2, truss eviction) and must not touch the far one
+    val base = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (40L, 41L), (40L, 42L), (40L, 43L), (41L, 42L), (41L, 43L), (42L, 43L))
+      .toDF("vec_a", "vec_b")
+    val gone = Seq((1L, 2L)).toDF("vec_a", "vec_b")
+    val kept = base.join(gone, base("vec_a") === gone("vec_a") &&
+        base("vec_b") === gone("vec_b"), "left_anti")
+      .select(base("vec_a"), base("vec_b"))
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    h.ensureCores(maxK = 3)
+    h.ensureTruss(k = 4)
+    h.ensureCommunities(rounds = 3)
+    val coresBefore = listStateFiles(h, "graphcores")
+    def coresMap(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = coresMap(h.removeEdgesAndMaintainCores(gone, maxK = 3))
+    assert(got == coresMap(KCore.coreNumbers(kept, "vec_a", "vec_b", 3)))
+    assert(got(40L) == 3 && got(1L) == 2)
+    // far K4's partitions keep their files
+    val coresAfter = listStateFiles(h, "graphcores")
+    val untouched = coresBefore.keys.filter(kk =>
+      Seq(8, 9, 10, 11).exists(pb => kk.contains(s"pb=$pb/")))
+    assert(untouched.nonEmpty)
+    untouched.foreach(kk => assert(coresAfter.get(kk).contains(coresBefore(kk))))
+    // the serve view excludes the revoked pair everywhere
+    assert(h.edgeCount == 11)
+    // truss maintains against the already-tombstoned batch (the
+    // composed-maintainer shape): near K4 evicted, far K4 stays
+    def edgeSet(df: DataFrame) =
+      df.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotT = edgeSet(h.removeEdgesAndMaintainTruss(gone, k = 4))
+    assert(gotT == edgeSet(Truss.kTruss(kept, "vec_a", "vec_b", 4)))
+    assert(gotT == Set((40L, 41L), (40L, 42L), (40L, 43L),
+      (41L, 42L), (41L, 43L), (42L, 43L)))
+    // labels were invalidated and re-derive from the KEPT view
+    val lpaServed = h.ensureCommunities(rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpaKept = LabelPropagation.run(kept, "vec_a", "vec_b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpaServed == lpaKept)
+    // replay: both maintainers find the fixpoint, no partitions rewrite
+    val coresSteady = listStateFiles(h, "graphcores")
+    val trussSteady = listStateFiles(h, "graphtruss")
+    assert(coresMap(h.removeEdgesAndMaintainCores(gone, maxK = 3)) == got)
+    assert(edgeSet(h.removeEdgesAndMaintainTruss(gone, k = 4)) == gotT)
+    assert(listStateFiles(h, "graphcores") == coresSteady)
+    assert(listStateFiles(h, "graphtruss") == trussSteady)
+    // re-appending a revoked pair fails loud
+    val ex = intercept[IllegalArgumentException] { h.append(gone) }
+    assert(ex.getMessage.contains("revoked"))
+    // compact purges the physical rows and the ledger
+    val c = PairGraphStore.compact(h, targetFiles = 2)
+    assert(c.removedEdges.isEmpty)
+    assert(c.physicalEdges.count() == 11)
+    c.append(gone)
+    assert(c.edgeCount == 12)
+  }
+
   test("unweighted store round-trips without a weight column") {
     val sp = spark; import sp.implicits._
     val path = tmp()

@@ -92,6 +92,51 @@ class TrussSpec extends SparkSpec {
     assert(maintain(k4.tail ++ k4b.tail, Seq(k4.head), 4) == k4.toSet)
   }
 
+  private def maintainDel(oldEdges: Seq[(Long, Long)], deleted: Seq[(Long, Long)],
+      k: Int, driverMax: Long = 512L * 1024): Set[(Long, Long)] = {
+    val sp = spark; import sp.implicits._
+    val oldT = Truss.kTruss(oldEdges.toDF("u", "v"), "u", "v", k)
+    Truss.maintainAfterDelete(oldT, oldEdges.toDF("u", "v"),
+        deleted.toDF("u", "v"), "u", "v", k, driverMaxEdges = driverMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("maintainAfterDelete: planted eviction cascade, frozen far family, absent-edge no-op") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    // deleting one K4 edge at k=4 cascades its whole clique out; the
+    // far K4 is frozen (unreachable) and survives untouched
+    assert(maintainDel(k4 ++ k4b, Seq(k4.head), 4) == k4b.toSet)
+    // at k=3 the remaining 5 edges lose only the deleted one? no — the
+    // 4-cycle left after deleting (1,2) has NO triangles with (3,4)
+    // spokes... verify against reference instead of hand-reasoning
+    assert(maintainDel(k4 ++ k4b, Seq(k4.head), 3) ==
+      reference(k4.tail ++ k4b, 3))
+    // deleting an edge that was never present changes nothing
+    assert(maintainDel(k4, Seq((1L, 9L)), 4) == k4.toSet)
+    // deleting a NON-truss edge changes nothing at k=4
+    val hang = Seq((4L, 9L))
+    assert(maintainDel(k4 ++ hang, hang, 4) == reference(k4, 4))
+  }
+
+  test("maintainAfterDelete equals from-scratch on randomized splits, both routes") {
+    val rnd = new scala.util.Random(113L)
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(12)
+      val edges = (0 until n * 3).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b))
+        }.filter(e => e._1 != e._2).distinct
+      val (deleted, kept) = edges.partition(_ => rnd.nextInt(5) == 0)
+      val k = 3 + rnd.nextInt(2)
+      val want = reference(kept, k)
+      assert(maintainDel(edges, deleted, k) == want,
+        s"trial $trial k=$k (driver route)")
+      assert(maintainDel(edges, deleted, k, driverMax = 0L) == want,
+        s"trial $trial k=$k (distributed route)")
+    }
+  }
+
   test("maintainAfterInsert equals from-scratch on randomized splits, both routes") {
     val rnd = new scala.util.Random(91L)
     for (trial <- 1 to 4) {
