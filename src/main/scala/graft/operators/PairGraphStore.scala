@@ -194,12 +194,26 @@ object PairGraphStore {
       val pbs = withPb(changedNodes, nodeCol).select(col("pb")).distinct()
         .collect().map(_.getInt(0))
       if (pbs.isEmpty) return
-      withPb(state, nodeCol)
+      // materialized before any file is touched (the frame may lazily
+      // read the state being overwritten), and because the EMPTIED
+      // partitions must be known: dynamic overwrite only replaces
+      // partitions it writes rows for, so a partition whose rows all
+      // disappeared (e.g. a node isolated by a revocation) would keep
+      // its stale file — those are deleted explicitly below
+      val st = withPb(state, nodeCol)
         .filter(col("pb").isin(pbs.map(Integer.valueOf).toIndexedSeq: _*))
-        .repartition(math.max(1, pbs.length), col("pb"))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("pb").parquet(s"$dir/data")
+        .localCheckpoint()
+      val nonEmpty = st.select(col("pb")).distinct().collect()
+        .map(_.getInt(0)).toSet
+      if (nonEmpty.nonEmpty)
+        st.repartition(math.max(1, nonEmpty.size), col("pb"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pb").parquet(s"$dir/data")
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      pbs.filterNot(nonEmpty).foreach(pb =>
+        fs.delete(new Path(s"$dir/data/pb=$pb"), true))
     }
 
     // ---- core-numbers side state -----------------------------------
@@ -813,13 +827,16 @@ object PairGraphStore {
 
     /** Tombstone `deleted` pairs (revocation-ledger write; only pairs
       * actually present land in the ledger — replays tombstone
-      * nothing) and INVALIDATE the side states the decremental
-      * maintainers below do not cover: labels, ranks and distances
-      * re-derive from the kept view on their next ensure (honest
-      * rebuild — their decremental theory is future work), while
-      * cores and truss are maintained at affected-region cost by
-      * [[removeEdgesAndMaintainCores]] / [[removeEdgesAndMaintainTruss]].
-      * Returns the canonical revoked-now frame (present pairs). */
+      * nothing) and INVALIDATE the side states that have NO
+      * decremental maintainer — labels and distances re-derive from
+      * the kept view on their next ensure (honest rebuild; their
+      * decremental theory is future work). Cores, truss and ranks are
+      * maintained at affected-region cost by their own
+      * `removeEdgesAndMaintain*`; cross-state staleness is the
+      * caller's composition concern, exactly as on the insertion side
+      * (use the streaming processAll shape to keep every state
+      * current together). Returns the canonical revoked-now frame
+      * (present pairs). */
     private def revoke(deleted: DataFrame): DataFrame = {
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
@@ -835,7 +852,7 @@ object PairGraphStore {
           .write.mode(SaveMode.Append).parquet(s"$path/removededges")
         val fs = new Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Seq(labelsDir, ranksDir).foreach(d => fs.delete(new Path(d), true))
+        fs.delete(new Path(labelsDir), true)
         // tag-named distance states: drop every graphdists_* dir
         if (fs.exists(new Path(path)))
           fs.listStatus(new Path(path)).foreach { st =>
@@ -875,6 +892,98 @@ object PairGraphStore {
           col("__oldk") =!= col("core_number"))
         .select(col("node"))
       overwriteChangedState(coresDir, maintained, "node", changed)
+      maintained
+    }
+
+    /** Revoke an edge batch AND maintain the persisted N-free
+      * PageRank iterates — the deletion twin of
+      * [[appendAndMaintainRanks]], reusing its patch argument: g_t(v)
+      * depends only on v's ≤ t-hop in-neighborhood, and every
+      * PRE-deletion path from a changed edge to a node decomposes
+      * into kept segments joined at deleted-edge ENDPOINTS (old edges
+      * = kept ∪ this batch), so expanding T frontiers from ALL
+      * deleted endpoints over the KEPT graph covers every node whose
+      * stored iterates can differ — and the same expansion replays
+      * identically after the ledger landed (the kept view and the
+      * seeds are unchanged), which heals the tombstones-landed/
+      * ranks-stale crash window. Nodes isolated by the deletion drop
+      * from the state (they leave the graph, matching from-scratch);
+      * the patch recomputes against the kept graph with boundary g
+      * values from the stored state, bit-identical to from-scratch by
+      * the sorted-fold determinism. Only affected pb-partitions
+      * rewrite. */
+    def removeEdgesAndMaintainRanks(
+        deleted: DataFrame,
+        iterations: Int = 3,
+        damping: Double = 0.85,
+        weighted: Boolean = false): DataFrame = {
+      val old = ensureRanks(iterations, damping, weighted)
+      val wSeq = (if (weighted) weightCol else None).toSeq
+      val wAll = weightCol.toSeq
+      val delCanon = deleted
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b").distinct().localCheckpoint()
+      if (delCanon.isEmpty) return old
+      val storedC = edges.select(
+        (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+          ++ wAll.map(col)): _*)
+      val keptC = storedC
+        .join(broadcast(delCanon), Seq("a", "b"), "left_anti")
+        .localCheckpoint()
+      val keptSym = {
+        val pick = Seq(col("a"), col("b")) ++ wSeq.map(col)
+        val base = keptC.select(pick: _*)
+        base.select((Seq(col("a").as("src"), col("b").as("dst"))
+            ++ wSeq.map(col)): _*)
+          .unionByName(base.select((Seq(col("b").as("src"), col("a").as("dst"))
+            ++ wSeq.map(col)): _*))
+      }.localCheckpoint()
+      var affected = delCanon.select(col("a").as("node"))
+        .unionByName(delCanon.select(col("b").as("node")))
+        .distinct().localCheckpoint()
+      for (_ <- 1 to iterations) {
+        affected = cps(affected
+          .unionByName(keptSym
+            .join(affected.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .select(col("dst").as("node")))
+          .distinct())
+      }
+      val hoodE = keptSym
+        .join(affected.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val inSrc = hoodE.select(col("src").as("node")).distinct()
+      val degP = PageRank.degrees(
+        keptSym.join(inSrc.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .select(col("src"), col("dst"),
+            (if (wSeq.isEmpty) lit(1.0) else col(wSeq.head).cast("double")).as("w")),
+        weighted).localCheckpoint()
+      val boundary = old
+        .join(inSrc, Seq("node"), "left_semi")
+        .join(affected, Seq("node"), "left_anti")
+        .localCheckpoint()
+      val hoodW = hoodE.select(col("src"), col("dst"),
+        (if (wSeq.isEmpty) lit(1.0) else col(wSeq.head).cast("double")).as("w"))
+      var patch = affected.withColumn("gs", array().cast("array<double>"))
+      for (t <- 1 to iterations) {
+        val gPrev = patch.select(col("node").as("src"),
+            (if (t == 1) lit(1.0) else element_at(col("gs"), t - 1)).as("__g"))
+          .unionByName(boundary.select(col("node").as("src"),
+            (if (t == 1) lit(1.0) else element_at(col("gs"), t - 1)).as("__g")))
+        patch = patch
+          .join(PageRank.inFold(hoodW, degP, gPrev), Seq("node"), "left")
+          .withColumn("gs", concat(col("gs"),
+            array(lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))))
+          .drop("__in")
+      }
+      patch = cps(patch)
+      // nodes isolated by the deletion leave the graph — and the state
+      val keptNodes = keptSym.select(col("src").as("node")).distinct()
+      val patchLive = patch.join(keptNodes, Seq("node"), "left_semi")
+      val maintained = old.join(affected, Seq("node"), "left_anti")
+        .unionByName(patchLive)
+        .localCheckpoint()
+      revoke(delCanon.toDF(srcCol, dstCol))
+      overwriteChangedState(ranksDir, maintained, "node", affected)
       maintained
     }
 

@@ -1588,6 +1588,51 @@ object TextQueries extends QueryDsl {
         .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
     },
 
+    // PageRank after an edge revocation — the deletion twin of q193,
+    // ORACLE-EXACT on the doc pair graph (the SQL-expressible edge
+    // frame q128 already hash-agrees on): a dedicated store copy
+    // absorbs the q61-exact pairs, every (doc_a+doc_b) % 5 == 0 pair
+    // is revoked through removeEdgesAndMaintainRanks (patch recompute
+    // over the KEPT graph, T-hop affected region, isolated nodes
+    // leave the state), and the served ranks replay q128's unrolled
+    // 3-round SQL over the kept edges. PairGraphStoreSpec pins
+    // maintain == from-scratch bit-for-bit.
+    q("q215_pagerank_revocation",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs WHERE (doc_a + doc_b) % 5 <> 0
+        |      UNION ALL SELECT doc_b, doc_a FROM prs WHERE (doc_a + doc_b) % 5 <> 0),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |p0 AS (SELECT node, (1.0)::DOUBLE / n AS pr FROM nd CROSS JOIN nn),
+        |c1 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p0 JOIN e ON p0.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p1 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p1 JOIN e ON p1.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p2 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p2 JOIN e ON p2.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p3 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node AS doc_id, round(pr, 6) AS pr FROM p3""".stripMargin) { c =>
+      val pairs = docPairStore(c.spark, c.dir).edges
+        .select($"doc_a", $"doc_b", $"jaccard")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_rrevoke_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        pairs, "doc_a", "doc_b", Some("jaccard"), c.spark, path)
+      h.removeEdgesAndMaintainRanks(
+        pairs.filter(pmod($"doc_a" + $"doc_b", lit(5)) === 0),
+        iterations = 3, damping = 0.85)
+      h.pageRanks(iterations = 3, damping = 0.85)
+        .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
+    },
+
     // Weighted twin of q128: rank splits across out-edges in
     // proportion to the pair's Jaccard similarity (pr·w/Σw_out) —
     // similarity-weighted centrality. Same 3-round unroll; the weight

@@ -300,6 +300,62 @@ class PairGraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("rank revocation equals from-scratch bit-for-bit; isolated nodes drop; replay stable") {
+    val sp = spark; import sp.implicits._
+    // two families joined by a bridge, plus a pendant; revoking the
+    // bridge + the pendant's only edge must (a) keep far-family
+    // iterates that are > T hops from any deleted endpoint unmoved,
+    // (b) drop the isolated pendant from the state entirely
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 40L),
+        (40L, 41L), (41L, 42L), (40L, 42L), (42L, 43L), (43L, 44L),
+        (44L, 45L), (45L, 46L), (1L, 60L))
+      .toDF("vec_a", "vec_b")
+    val gone = Seq((3L, 40L), (1L, 60L)).toDF("vec_a", "vec_b")
+    val kept = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (40L, 41L), (41L, 42L), (40L, 42L), (42L, 43L), (43L, 44L),
+        (44L, 45L), (45L, 46L))
+      .toDF("vec_a", "vec_b")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    h.ensureRanks()
+    val maintained = asGsMap(h.removeEdgesAndMaintainRanks(gone))
+    val want = fromScratchGs(kept, None)
+    assert(maintained == want,
+      s"diff=${maintained.toSet.diff(want.toSet).take(3)} / ${want.toSet.diff(maintained.toSet).take(3)}")
+    assert(!maintained.contains(60L), "isolated node must leave the state")
+    // persisted state serves the same rows; edge view excludes the batch
+    assert(asGsMap(h.ensureRanks()) == want)
+    assert(h.edgeCount == 10)
+    // replay recomputes the same patch to the same values
+    assert(asGsMap(h.removeEdgesAndMaintainRanks(gone)) == want)
+  }
+
+  test("rank revocation equals from-scratch on randomized splits") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(19L)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(30)
+      val all = (0 until (n * 2)).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b),
+            math.rint(rnd.nextDouble() * 100) / 100 + 0.01)
+        }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val (deletedE, keptE) = all.partition(_ => rnd.nextInt(5) == 0)
+      if (deletedE.nonEmpty && keptE.nonEmpty) {
+        val h = PairGraphStore.build(all.toDF("vec_a", "vec_b", "cos"),
+          "vec_a", "vec_b", Some("cos"), tmp())
+        val weighted = trial % 2 == 1
+        h.ensureRanks(weighted = weighted)
+        val got = asGsMap(h.removeEdgesAndMaintainRanks(
+          deletedE.toDF("vec_a", "vec_b", "cos"), weighted = weighted))
+        val want = fromScratchGs(keptE.toDF("vec_a", "vec_b", "cos"),
+          if (weighted) Some("cos") else None)
+        assert(got == want, s"trial $trial (weighted=$weighted): " +
+          s"diff=${got.toSet.diff(want.toSet).take(3)} / ${want.toSet.diff(got.toSet).take(3)}")
+      }
+    }
+  }
+
   private def asDsMap(df: DataFrame): Map[Long, Seq[Double]] =
     df.select(col("node"), col("ds"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
