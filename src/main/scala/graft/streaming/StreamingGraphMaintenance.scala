@@ -55,6 +55,52 @@ object StreamingGraphMaintenance {
     ()
   }
 
+  /** FULL-state REVOCATION step — the deletion twin of [[processAll]]:
+    * one micro-batch of revoked pairs tombstones the edge view once
+    * and maintains cores (frontier h-index demotion), the PageRank
+    * iterates (kept-graph patch recompute), and optionally the
+    * k-truss (closure-peel eviction) together; community labels and
+    * distance states invalidate inside the first revoke and re-derive
+    * from the kept view on their next ensure. Composition is safe by
+    * the same replay argument as insertions: the first maintainer
+    * writes the ledger, later ones see the batch already tombstoned
+    * (their own replay path) and still drive their states to the kept
+    * graph's fixpoint; a crash between maintainers re-runs all of
+    * them and each converges. */
+  def processAllRemove(
+      batch: DataFrame,
+      store: PairGraphStore.Handle,
+      maxK: Int,
+      iterations: Int = 3,
+      trussK: Option[Int] = None): Unit = {
+    if (batch.isEmpty) return
+    store.removeEdgesAndMaintainCores(batch, maxK)
+    store.removeEdgesAndMaintainRanks(batch, iterations)
+    trussK.foreach(k => store.removeEdgesAndMaintainTruss(batch, k))
+    ()
+  }
+
+  /** File-source drive of [[processAllRemove]] — revocation batches
+    * (store srcCol/dstCol columns) keep cohesion and centrality
+    * current as edges are taken down. */
+  def streamAllRemove(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      store: PairGraphStore.Handle,
+      maxK: Int,
+      iterations: Int,
+      checkpointDir: String,
+      trussK: Option[Int] = None): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processAllRemove(batch, store, maxK, iterations, trussK)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** File-source drive: watch `inDir` for parquet batches of verified
     * canonical edges (store's srcCol/dstCol/weight columns), maintain
     * the store per batch. */

@@ -150,6 +150,47 @@ class StreamingGraphMaintenanceSpec extends SparkSpec {
     assert(h.edgeCount == 9)
   }
 
+  test("processAllRemove maintains cores, ranks and truss under revocation; crash heals") {
+    val sp = spark; import sp.implicits._
+    val dir = tmp()
+    val h = PairGraphStore.build(seed.union(batch1).union(batch2),
+      "a", "b", None, s"$dir/store")
+    allStates(h, 5)
+    def keptStates(edges: DataFrame) = fromScratchStates(edges, 5)
+    // revoke batch2: every state equals from-scratch over the kept view
+    StreamingGraphMaintenance.processAllRemove(batch2, h, maxK = 5,
+      trussK = Some(3))
+    assert(allStates(h, 5) == keptStates(seed.union(batch1)), "after revoke b2")
+    // crash window: batch1's cores demoted but ranks/truss never ran —
+    // re-delivering through processAllRemove drives ALL states there
+    h.removeEdgesAndMaintainCores(batch1, maxK = 5)
+    StreamingGraphMaintenance.processAllRemove(batch1, h, maxK = 5,
+      trussK = Some(3))
+    val want = keptStates(seed)
+    assert(allStates(h, 5) == want, "after crash + replay")
+    // full re-delivery is a no-op
+    StreamingGraphMaintenance.processAllRemove(batch1, h, maxK = 5,
+      trussK = Some(3))
+    assert(allStates(h, 5) == want)
+    assert(h.edgeCount == seed.count())
+  }
+
+  test("streamAllRemove file drive equals direct processAllRemove calls") {
+    val sp = spark; import sp.implicits._
+    val dir = tmp()
+    val h = PairGraphStore.build(seed.union(batch1).union(batch2),
+      "a", "b", None, s"$dir/store")
+    allStates(h, 5)
+    val inDir = s"$dir/in"
+    batch1.write.parquet(s"$inDir/b1")
+    batch2.write.parquet(s"$inDir/b2")
+    val q = StreamingGraphMaintenance.streamAllRemove(
+      spark, s"$inDir/*", batch1.schema, h, maxK = 5, iterations = 3,
+      checkpointDir = s"$dir/ckpt", trussK = Some(3))
+    q.awaitTermination()
+    assert(allStates(h, 5) == fromScratchStates(seed, 5))
+  }
+
   test("streamAll file drive equals direct processAll calls") {
     val sp = spark; import sp.implicits._
     val dir = tmp()
