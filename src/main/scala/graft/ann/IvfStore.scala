@@ -181,6 +181,46 @@ object IvfStore {
         .partitionBy("cell").parquet(s"$path/vectors")
       this
     }
+
+    /** Take vectors DOWN — a PHYSICAL cell-pruned delete (no
+      * tombstones: the index is already `partitionBy(cell)`, so only
+      * the directories holding a removed id rewrite; every other
+      * cell's files are untouched). A narrow (id, cell) columnar scan
+      * finds the affected cells; cells emptied entirely delete
+      * explicitly (dynamic partition overwrite cannot drop a
+      * partition it writes no rows for). Every serve stage is a
+      * deterministic function of the present rows under the FROZEN
+      * models, so post-removal results equal an index that never
+      * absorbed those ids. Replay-idempotent (absent ids hit no
+      * cells); a crash mid-rewrite leaves some cells cleaned —
+      * re-running cleans the rest. A removed id may be re-appended
+      * freely (it is physically gone). */
+    def remove(ids: DataFrame): Handle = {
+      val rid = ids.select(col(ids.columns.head).cast("long").as(idCol))
+        .distinct()
+      val hit = vectors.select(col(idCol), col("cell"))
+        .join(broadcast(rid), Seq(idCol), "left_semi")
+        .localCheckpoint()
+      if (hit.isEmpty) return this
+      val cells = hit.select(col("cell")).distinct().collect().map(_.getInt(0))
+      // materialized BEFORE the overwrite touches the files it reads
+      val kept = vectors
+        .filter(col("cell").isin(cells.map(Integer.valueOf).toIndexedSeq: _*))
+        .join(broadcast(rid), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      val nonEmpty = kept.select(col("cell")).distinct().collect()
+        .map(_.getInt(0)).toSet
+      if (nonEmpty.nonEmpty)
+        kept.repartition(math.max(1, nonEmpty.size), col("cell"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(s"$path/vectors")
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      cells.filterNot(nonEmpty).foreach(c =>
+        fs.delete(new Path(s"$path/vectors/cell=$c"), true))
+      this
+    }
   }
 
   /** (id, vec, __cn, codes, cell) rows of a corpus under the frozen

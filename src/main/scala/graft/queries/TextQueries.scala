@@ -721,6 +721,42 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // IVF-index takedown — the q211 contract on the cell-partitioned
+    // store, with a PHYSICAL delete instead of tombstones: the index
+    // is already partitionBy(cell), so only directories holding a
+    // removed id rewrite (a narrow (id, cell) scan finds them; cells
+    // emptied entirely are deleted explicitly — dynamic overwrite
+    // cannot drop a partition it writes no rows for). ORACLE-EXACT at
+    // the exhaustive setting: nprobe = nlist makes the exact-cosine
+    // re-rank brute force over the KEPT vectors, independent of the
+    // trained models. Dedicated store path (the shared q189 store is
+    // never mutated); the takedown replays as a no-op.
+    q("q216_ann_ivf_takedown",
+      """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    cast(list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS double) AS c
+        |  FROM queries, embeddings e WHERE e.vec_id % 7 <> 0
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfdrop_v1_$key"
+      val h = graft.ann.IvfStore.ensure(emb, "vec_id", "embedding",
+        c.spark, path, nlist = 16)
+      h.remove(emb.filter(pmod($"vec_id", lit(7)) === 0).select($"vec_id"))
+      h.topK(qs, "qid", "qvec", k = 5, nprobe = 16)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // q189's exhaustive twin: every cell probed + unbounded shortlist
     // degenerates to brute force through the STORED codes — the q74b
     // argument carried through the persisted layout, hash-checked.

@@ -144,6 +144,46 @@ class IvfStoreSpec extends SparkSpec {
     assert(rows(c.topK(queries, "qid", "qvec", k = 5, nprobe = 3)) === pre)
   }
 
+  test("remove: physical cell-pruned delete; exhaustive serve equals brute force over kept") {
+    val sp = spark; import sp.implicits._
+    val path = tmp("ivfdrop")
+    val h = IvfStore.build(emb, "vec_id", "embedding", path, nlist = 16)
+    def cellFiles() = {
+      val fs = new java.io.File(s"$path/vectors")
+      fs.listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    }
+    // single-id takedown first: exactly one cell rewrites, the rest
+    // keep their files byte-identical
+    val before1 = cellFiles()
+    h.remove(emb.filter(col("vec_id") === 0).select(col("vec_id")))
+    val after1 = cellFiles()
+    val untouched1 = before1.keys.filter(d => after1.get(d).contains(before1(d)))
+    assert(untouched1.size >= before1.size - 1,
+      s"single-id takedown rewrote ${before1.size - untouched1.size} cells")
+    assert(h.vectors.filter(col("vec_id") === 0).isEmpty)
+    // bulk takedown: serve contract over the kept corpus
+    val gone = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    h.remove(gone)
+    // removed ids are physically gone
+    assert(h.vectors.join(gone, Seq("vec_id"), "left_semi").isEmpty)
+    // exhaustive setting (nprobe = nlist): exact-cosine top-k over the
+    // KEPT vectors — brute force, independent of the trained models
+    val got = rows(h.topK(queries, "qid", "qvec", k = 5, nprobe = 16))
+    val kept = emb.filter(col("vec_id") % 7 =!= 0)
+    val want = rows(Ann.bruteForceTopK(kept, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5))
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // replay is a no-op (ids already absent)
+    h.remove(gone)
+    assert(rows(h.topK(queries, "qid", "qvec", k = 5, nprobe = 16)) == want)
+    // a removed id can be re-appended and then serves again
+    val one = emb.filter(col("vec_id") === 7)
+    h.append(one)
+    assert(!h.vectors.filter(col("vec_id") === 7).isEmpty)
+  }
+
   test("OPQ store: ADC serve equals the in-memory IVF-OPQ composition under shared stored models") {
     val h = IvfStore.build(emb, "vec_id", "embedding", tmp("ivfopq"),
       nlist = 16, opq = true)
