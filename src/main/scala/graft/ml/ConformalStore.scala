@@ -41,25 +41,27 @@ object ConformalStore {
       .agg(count(lit(1)).as("n"))
 
   private def writeHist(spark: SparkSession, h: DataFrame, path: String,
-      lastBatch: Long): Unit = {
+      lastBatch: Long, lastRemove: Long = -1L): Unit = {
     import graft.operators.SwapDir
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir(path) + ".staging"
     fs.delete(new Path(staging), true)
     h.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
     val out = fs.create(new Path(s"$staging/_graft_conf_meta"), true)
-    try out.write(s"lastBatch=$lastBatch".getBytes("UTF-8"))
+    try out.write(s"lastBatch=$lastBatch\nlastRemove=$lastRemove"
+      .getBytes("UTF-8"))
     finally out.close()
     SwapDir.swap(fs, new Path(staging), new Path(dir(path)))
   }
 
-  private def readMeta(spark: SparkSession, path: String): Long = {
+  private def readMeta(spark: SparkSession, path: String): (Long, Long) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(metaFile(path)))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    body.split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-      .getOrElse("lastBatch", "-1").toLong
+    val kv = body.split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (kv.getOrElse("lastBatch", "-1").toLong,
+      kv.getOrElse("lastRemove", "-1").toLong)
   }
 
   /** Initialize (overwrite) from a first calibration batch. */
@@ -90,11 +92,11 @@ object ConformalStore {
     * sources. */
   def append(spark: SparkSession, batch: DataFrame, scoreCol: String,
       path: String): Unit = {
-    val lastBatch = readMeta(spark, path)
+    val (lastBatch, lastRemove) = readMeta(spark, path)
     val merged = read(spark, path)
       .unionByName(hist(batch, scoreCol))
       .groupBy(col("score")).agg(sum(col("n")).as("n"))
-    writeHist(spark, merged, path, lastBatch)
+    writeHist(spark, merged, path, lastBatch, lastRemove)
   }
 
   /** [[append]] made EXACTLY-once for foreachBatch's at-least-once
@@ -105,12 +107,50 @@ object ConformalStore {
     * never double. */
   def appendBatch(spark: SparkSession, batch: DataFrame, scoreCol: String,
       path: String, batchId: Long): Unit = {
-    val lastBatch = readMeta(spark, path)
+    val (lastBatch, lastRemove) = readMeta(spark, path)
     if (batchId <= lastBatch) return
     val merged = read(spark, path)
       .unionByName(hist(batch, scoreCol))
       .groupBy(col("score")).agg(sum(col("n")).as("n"))
-    writeHist(spark, merged, path, batchId)
+    writeHist(spark, merged, path, batchId, lastRemove)
+  }
+
+  /** Subtract a calibration batch OUT of the histogram — the takedown
+    * shape ([[IsotonicStore.remove]]'s contract): integer counts make
+    * removal as exact as absorption, so the post-removal threshold is
+    * BIT-identical to the one-shot quantile over the kept rows. Rows
+    * the store never absorbed drive a count negative and FAIL LOUD
+    * pre-publish; emptied score rows drop. Assumes exactly-once — use
+    * [[removeBatch]] from at-least-once sources. */
+  def remove(spark: SparkSession, batch: DataFrame, scoreCol: String,
+      path: String): Unit = {
+    val (lastBatch, lastRemove) = readMeta(spark, path)
+    writeHist(spark, removed(spark, batch, scoreCol, path), path,
+      lastBatch, lastRemove)
+  }
+
+  /** [[remove]] made EXACTLY-once under at-least-once redelivery via
+    * the removal stream's own monotone id ledger. */
+  def removeBatch(spark: SparkSession, batch: DataFrame, scoreCol: String,
+      path: String, removeId: Long): Unit = {
+    val (lastBatch, lastRemove) = readMeta(spark, path)
+    if (removeId <= lastRemove) return
+    writeHist(spark, removed(spark, batch, scoreCol, path), path,
+      lastBatch, removeId)
+  }
+
+  private def removed(spark: SparkSession, batch: DataFrame,
+      scoreCol: String, path: String): DataFrame = {
+    val merged = read(spark, path)
+      .unionByName(hist(batch, scoreCol)
+        .select(col("score"), (-col("n")).as("n")))
+      .groupBy(col("score")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    val bad = merged.filter(col("n") < 0).count()
+    require(bad == 0,
+      s"remove: $bad score rows would go negative - the batch contains " +
+        "rows this store never absorbed")
+    merged.filter(col("n") > 0)
   }
 
   /** The exact interpolated `q`-quantile of every score the store has

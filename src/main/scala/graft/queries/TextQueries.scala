@@ -2111,6 +2111,43 @@ object TextQueries extends QueryDsl {
           sum(when($"score" >= $"tau", 1L).otherwise(0L)).as("n_pass"))
     },
 
+    // Conformal gate after a source takedown — q209's contract on the
+    // score histogram: the calibration split absorbs EVERY source,
+    // two sources are subtracted back out (ConformalStore.remove —
+    // integer counts make removal as exact as absorption), and the
+    // re-derived threshold gates the kept serving split. ORACLE-EXACT:
+    // q203's gate over the kept documents, zero tolerance.
+    q("q217_conformal_takedown",
+      """WITH s AS (SELECT doc_id, lang,
+        |    least(length(text) / 600.0, 1.0) AS score FROM documents
+        |  WHERE source NOT IN ('src3', 'src7')),
+        |tau AS (SELECT round(quantile_cont(score, 0.2), 4) AS tau
+        |        FROM s WHERE doc_id % 5 = 0)
+        |SELECT lang, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN score >= tau THEN 1 ELSE 0 END)::BIGINT AS n_pass
+        |FROM s CROSS JOIN tau WHERE doc_id % 5 <> 0
+        |GROUP BY lang""".stripMargin) { c =>
+      import c.t
+      val s = t("documents").select($"doc_id", $"lang", $"source",
+        least(length($"text") / lit(600.0), lit(1.0)).as("score"))
+      val dropped = $"source".isin("src3", "src7")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_confdrop_v1_$key"
+      val calib = s.filter(pmod($"doc_id", lit(5)) === 0)
+      // absorb everything, then subtract the dropped sources back out
+      graft.ml.ConformalStore.create(c.spark, calib, "score", path)
+      graft.ml.ConformalStore.remove(c.spark, calib.filter(dropped),
+        "score", path)
+      val tau = broadcast(graft.ml.ConformalStore.read(c.spark, path)
+        .agg(round(percentile($"score", lit(0.2), $"n"), 4).as("tau")))
+      s.filter(pmod($"doc_id", lit(5)) =!= 0 && !dropped).crossJoin(tau)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"score" >= $"tau", 1L).otherwise(0L)).as("n_pass"))
+    },
+
     // Stratified deterministic subsample: per language, keep the first
     // ceil(10%) of documents under a salted-md5 total order (q133's
     // hash-order idiom — reproducible across layouts and engines, no

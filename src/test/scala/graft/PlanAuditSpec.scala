@@ -61,6 +61,7 @@ class PlanAuditSpec extends SparkSpec {
     // from the ConformalStore histogram) crossJoined onto the
     // serving split
     "q203_conformal_gate", "q206_conformal_incremental",
+    "q217_conformal_takedown",
     "q19_hll_mergeable", "q35_gapfill_hourly", "q132_linear_interpolate",
     "q86_cms_heavy_hitters", "q89_tfidf_topk",
     // q164: the one-row regression-moment frame crossJoined with the

@@ -32,6 +32,34 @@ class ConformalStoreSpec extends SparkSpec {
       oneShot(all ++ delta, 0.2))
   }
 
+  test("remove subtracts exactly; replayed removeBatch no-op; foreign rows fail loud") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(97L)
+    val keep = (0 until 300).map(_ => rnd.nextInt(300) / 100.0)
+    val drop = (0 until 120).map(_ => rnd.nextInt(300) / 100.0)
+    val path = java.nio.file.Files.createTempDirectory("confdrop").toString + "/st"
+    ConformalStore.create(spark, (keep ++ drop).toDF("score"), "score", path)
+    ConformalStore.removeBatch(spark, drop.toDF("score"), "score", path, 0L)
+    for (q <- Seq(0.2, 0.5, 0.9))
+      assert(ConformalStore.threshold(spark, path, q) == oneShot(keep, q), s"q=$q")
+    // replayed removal id: no-op (would otherwise double-subtract)
+    ConformalStore.removeBatch(spark, drop.toDF("score"), "score", path, 0L)
+    assert(ConformalStore.threshold(spark, path, 0.2) == oneShot(keep, 0.2))
+    // appends still fold after a removal; the batch guard survives it
+    val more = (0 until 50).map(_ => rnd.nextInt(300) / 100.0)
+    ConformalStore.appendBatch(spark, more.toDF("score"), "score", path, 0L)
+    assert(ConformalStore.threshold(spark, path, 0.2) ==
+      oneShot(keep ++ more, 0.2))
+    // removing rows never absorbed fails loud without publishing
+    val ex = intercept[IllegalArgumentException] {
+      ConformalStore.remove(spark,
+        (keep ++ more ++ more).toDF("score"), "score", path)
+    }
+    assert(ex.getMessage.contains("never absorbed"))
+    assert(ConformalStore.threshold(spark, path, 0.2) ==
+      oneShot(keep ++ more, 0.2))
+  }
+
   test("appendBatch redelivery never double-counts; stream drive == one-shot") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(67L)
