@@ -112,6 +112,33 @@ object MlQueries extends QueryDsl {
       |${lpaRoundSql(3)}
       |SELECT node AS vec_id, lbl AS community FROM l3""".stripMargin
 
+  /** The behavioral (events co-presence) graph persisted ONCE per dir
+    * — the [[TextQueries.embPairStore]] treatment for the events
+    * family: q188/q200/q201 each re-derived the windowed co-presence
+    * self-join + 3 LPA rounds inline (~3x the same subgraph work per
+    * report pass); the store runs the generator once, persists the
+    * verified (ua, ub, shared) edges sorted by (ua, ub), and
+    * [[graft.operators.PairGraphStore.Handle.ensureCommunities]]
+    * persists the labels — so every report query reads two parquet
+    * tables. The stored frame is the generator's frame unchanged and
+    * LPA parameters are identical, so the inline queries' DuckDB
+    * oracles carry over to the store twins row for row. At 100x event
+    * volume the quadratic windowed self-join runs once per ingest,
+    * not once per report query. */
+  private[queries] def eventsPairStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.PairGraphStore.Handle = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_events600_v1_$key"
+    graft.operators.PairGraphStore.ensure(
+      graft.operators.CoPresence.pairs(
+        graft.Tables.load(spark, dir, "events"), "user_id", "ts",
+        windowSec = 600, minShared = 3, maxWindowActors = 100),
+      "ua", "ub", Some("shared"), spark, path)
+  }
+
   def all: Seq[Q] = Seq(
 
     // Multinomial NB language classifier, trained distributed on the

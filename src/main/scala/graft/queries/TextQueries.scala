@@ -287,6 +287,53 @@ object TextQueries extends QueryDsl {
         .orderBy($"vec_a", $"vec_b")
     },
 
+    // q140's SMALL-DELTA twin — the micro-batch shape the store exists
+    // for: ~1-2% of the corpus arrives (doc_id % 100 == 8, a subset of
+    // the never-stored %4==0 complement, so the delta is disjoint from
+    // the stored corpus by construction), and the serve takes KeyPrune's
+    // LITERAL route — the delta's bucket set (<= 32 bands x |delta| <<
+    // 4096) folds into a static pushdown predicate, so the corpus-side
+    // banded read skips every untouched 8 MB row group. q140's bulk
+    // 1/4-corpus delta correctly degrades to the coverage-gate full
+    // read; THIS entry is the one that measures the incremental claim
+    // (LshStoreSpec pins the literal route on the executed plan). Same
+    // store path as q140: alphabetical bench order builds it there, so
+    // this row times the pure delta-cost serve.
+    q("q140b_neardup_small_delta",
+      s"WITH ${jaccardPairsCte(0.8)} SELECT doc_a, doc_b, jaccard FROM prs " +
+        "WHERE (doc_a % 100 = 8 OR doc_b % 100 = 8) " +
+        "AND (doc_a % 4 <> 0 OR doc_a % 100 = 8) " +
+        "AND (doc_b % 4 <> 0 OR doc_b % 100 = 8)") { c =>
+      import c.t
+      val docs = t("documents")
+      val corpus = docs.filter(pmod($"doc_id", lit(4)) =!= 0)
+      val delta = docs.filter(pmod($"doc_id", lit(100)) === 8)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshstore_$key"
+      LshStore.ensure(corpus, "doc_id", "text", c.spark, path)
+        .nearDupsOfDelta(delta, "text", minJaccard = 0.8)
+    },
+
+    // q184's SMALL-DELTA twin (vector side): ~1% of the vectors arrive
+    // (vec_id % 100 == 8 — disjoint from the stored %4!=0 corpus), and
+    // the postings read takes the literal bucket-prune route. Rows-only
+    // for the same reason as q184 (SRP recall has no SQL twin);
+    // SrpStoreSpec pins exact equality with the full-build restriction
+    // AND the literal route on this delta shape. Shares q184's store.
+    q("q184b_neardup_small_delta_vec") { c =>
+      import c.t
+      val embT = t("embeddings")
+      val corpus = embT.filter(pmod($"vec_id", lit(4)) =!= 0)
+      val delta = embT.filter(pmod($"vec_id", lit(100)) === 8)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srpstore_v1_$key"
+      graft.ann.SrpStore.ensure(corpus, "vec_id", "embedding", c.spark, path)
+        .nearDupsOfDelta(delta)
+        .orderBy($"vec_a", $"vec_b")
+    },
+
     // maxBucketSize passed EXPLICITLY: q63 has no DuckDB oracle, so a
     // silent default change altering the drop set (hence recall) would
     // sail through the gate — pin it at the call site instead.

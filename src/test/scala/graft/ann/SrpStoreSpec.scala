@@ -143,6 +143,36 @@ class SrpStoreSpec extends SparkSpec {
       s"pruned postings read returned $readRows of $total corpus rows")
   }
 
+  test("q184b shape: the %100==8 micro-delta takes the LITERAL prune route, equal to full") {
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 100 === 8).localCheckpoint()
+    val h = SrpStore.build(corpus, "vec_id", "embedding", tmp(), numFiles = 128)
+    val dPost = h.deltaPostings(delta).localCheckpoint()
+    // the twin's bucket set (<= 8 tables x |delta|) sits far under the
+    // literal cap AND under the coverage gate (space/2 = 1024)
+    assert(graft.operators.KeyPrune.plan(dPost, Seq("tbl", "bkt")).isLiteral,
+      "the q184b delta's bucket set must resolve to the literal route")
+    val cand = h.candidatePairsOfDelta(dPost)
+    cand.count()
+    val scans = findScans(cand.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("id"))
+    assert(scans.nonEmpty, "no postings file scan in the candidate plan")
+    scans.foreach { s =>
+      assert(s.toString.matches("(?s).*PushedFilters: \\[[^\\]]*tbl[^\\]]*\\].*"),
+        s"q184b-shape scan must push the literal bucket predicate:\n$s")
+    }
+    val readRows = scans.map(_.metrics("numOutputRows").value).sum
+    assert(readRows < h.postings.count(),
+      s"literal-pruned postings read returned $readRows rows - no skip happened")
+    // end-to-end pair set equals the full build over corpus+delta
+    // restricted to delta-touching pairs (the q184b entry's contract)
+    val union = corpus.unionByName(delta)
+    val full = pairSet(Ann.lshNearDupPairs(union, "vec_id", "embedding",
+      threshold = 0.35, nBits = 8, tables = 8, dim = 64, maxBucketSize = 10000)
+      .filter(col("vec_a") % 100 === 8 || col("vec_b") % 100 === 8))
+    assert(pairSet(h.nearDupsOfDelta(delta)) == full)
+  }
+
   test("append replay heals the counts-written/vectors-missing crash window") {
     val corpus = emb.filter(col("vec_id") % 4 =!= 0)
     val delta = emb.filter(col("vec_id") % 4 === 0)

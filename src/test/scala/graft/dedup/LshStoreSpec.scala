@@ -140,6 +140,44 @@ class LshStoreSpec extends SparkSpec {
       "serve path must not re-band the corpus signature table")
   }
 
+  test("q140b shape: the %100==8 micro-delta takes the LITERAL prune route, equal to full") {
+    // the bench twin's exact delta predicate: ~1-2% of the corpus,
+    // disjoint from the stored side (8 = 0 mod 4) — small enough that
+    // its bucket set folds into a static pushdown predicate
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(100)) === 8)
+      .localCheckpoint()
+    val h = LshStore.build(corpus, "doc_id", "text", tmp("lshq140b"),
+      numFiles = 128)
+    val deltaB = h.deltaBanded(delta, "text").localCheckpoint()
+    // the twin's bucket set sits under the literal cap by construction
+    // (32 bands x |delta| << 4096): KeyPrune itself must say literal
+    assert(graft.operators.KeyPrune.plan(deltaB, Seq("band", "bucket")).isLiteral,
+      "the q140b delta's bucket set must resolve to the literal route")
+    val cand = h.candidatePairsOfDelta(deltaB)
+    cand.count()
+    val scans = findScans(cand.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("doc"))
+    assert(scans.nonEmpty, "no banded file scan in the candidate plan")
+    scans.foreach { s =>
+      assert(s.toString.matches("(?s).*PushedFilters: \\[[^\\]]+.*") &&
+          s.toString.contains("band"),
+        s"q140b-shape scan must push the literal bucket predicate:\n$s")
+    }
+    val readRows = scans.map(_.metrics("numOutputRows").value).sum
+    assert(readRows < h.banded.count(),
+      s"literal-pruned banded read returned $readRows rows - no skip happened")
+    // end-to-end rows equal the one-shot pipeline over corpus+delta
+    // restricted to delta-touching pairs (the q140b oracle's shape)
+    val union = corpus.unionByName(delta)
+    val full = MinHashLSH.verifyJaccard(
+      MinHashLSH.candidatePairs(union, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3),
+      union, "doc_id", "text", shingleN = 3, minJaccard = 0.8)
+      .filter(col("doc_a") % 100 === 8 || col("doc_b") % 100 === 8)
+    assert(rows(h.nearDupsOfDelta(delta, "text", minJaccard = 0.8)) === rows(full))
+  }
+
   test("append is replay-safe: redelivery and partial-crash windows converge") {
     val path = tmp("lshreplay")
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
