@@ -49,7 +49,16 @@ object SrpStore {
   // corpus's. Appends are additionally replay-idempotent at POSTINGS
   // granularity (not just vectors), closing the counts-over-statement
   // crash window.
-  private val Version = 3
+  // v4: meta carries `maxBucketN`, an UPPER BOUND on any stored
+  // bucket's posting count (exact at build/compact, raised additively
+  // at append) — when bound + the delta's own max cannot exceed
+  // maxBucketSize, the micro-serve skips the guard read outright:
+  // provably no bucket can drop. A crash between the counts append
+  // and the meta rewrite leaves the bound stale-LOW, which can only
+  // SKIP a drop — wider candidates the exact-cosine verify still
+  // filters: the same direction as the counts-under-statement append
+  // contract.
+  private val Version = 4
 
   /** Row-group size for the postings layout: small groups mean a
     * bucket-pruned read skips at fine granularity (same constant as
@@ -73,18 +82,54 @@ object SrpStore {
       path: String,
       idCol: String,
       vecCol: String,
-      cfg: Config) {
+      cfg: Config,
+      initialBucketBound: Long = Long.MaxValue) {
 
-    def postings: DataFrame = spark.read.parquet(s"$path/postings")
-    def vectors: DataFrame = spark.read.parquet(s"$path/vectors")
+    /** Upper bound on any stored bucket's posting count (meta
+      * `maxBucketN`) — exact after build/compact, raised additively by
+      * [[append]]; lets the micro-serve skip the guard read when no
+      * bucket can possibly exceed `maxBucketSize`. `Long.MaxValue` =
+      * unknown (always read). */
+    @transient private var bucketBound: Long = initialBucketBound
+
+    // Per-handle cached table frames (the LshStore.Handle convention):
+    // each spark.read.parquet re-lists the directory and re-reads a
+    // footer at plan time — measurable per-serve-call driver overhead
+    // on a micro delta. Mutating operations invalidate.
+    @transient private var postingsDf: DataFrame = _
+    @transient private var vectorsDf: DataFrame = _
+    @transient private var bucketCountsDf: DataFrame = _
+    @transient private var removedDf: DataFrame = _
+    private def invalidateReads(): Unit = {
+      postingsDf = null; vectorsDf = null
+      bucketCountsDf = null; removedDf = null
+    }
+
+    /** Invalidate the cached reads — called by the mutating paths AND
+      * by [[SrpStore.compact]], whose atomic swap replaces the files a
+      * pre-compact handle's caches still list. */
+    private[SrpStore] def invalidate(): Unit = invalidateReads()
+
+    def postings: DataFrame = {
+      if (postingsDf == null) postingsDf = spark.read.parquet(s"$path/postings")
+      postingsDf
+    }
+    def vectors: DataFrame = {
+      if (vectorsDf == null) vectorsDf = spark.read.parquet(s"$path/vectors")
+      vectorsDf
+    }
 
     /** Tombstoned vector ids ([[remove]]'s merge-on-read ledger) —
       * empty when no takedown has run. */
     def removedIds: DataFrame = {
-      val p = new Path(s"$path/removed")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.schema("id LONG").parquet(s"$path/removed")
-      else spark.range(0).select(col("id"))
+      if (removedDf == null) {
+        val p = new Path(s"$path/removed")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        removedDf =
+          if (fs.exists(p)) spark.read.schema("id LONG").parquet(s"$path/removed")
+          else spark.range(0).select(col("id"))
+      }
+      removedDf
     }
 
     /** Exclude tombstoned rows from a frame carrying `c` as the vector
@@ -96,7 +141,11 @@ object SrpStore {
     /** (tbl, bkt, n) stored posting counts — the guard's input. May
       * carry several rows per bucket after appends (additive; the
       * guard sums); compact collapses them. */
-    def bucketCounts: DataFrame = spark.read.parquet(s"$path/bucketcounts")
+    def bucketCounts: DataFrame = {
+      if (bucketCountsDf == null)
+        bucketCountsDf = spark.read.parquet(s"$path/bucketcounts")
+      bucketCountsDf
+    }
 
     /** Verified near-dup pairs of an incoming batch against the
       * stored corpus AND within the batch — `(vec_a, vec_b, cos)`,
@@ -108,7 +157,47 @@ object SrpStore {
       * over the UNION population and applied to both sides, matching
       * the full-build semantics. */
     def nearDupsOfDelta(delta: DataFrame): DataFrame = {
-      val dPost = postingsOf(delta, idCol, vecCol, cfg)
+      // micro-vs-bulk probe: one NARROW (id-only) job. A micro delta's
+      // bucket set sits under both the literal cap and the coverage
+      // gate by construction, so every downstream frame is delta-sized
+      // — keep the kernel pass on the scan's natural partitioning (at
+      // ~20 rows the 32-way spread exchange costs more than the SRP
+      // kernels it parallelizes — the r12 micro-serve floor). Bulk
+      // deltas keep the spread for kernel width.
+      val space = cfg.tables.toLong * (1L << cfg.nBits)
+      val micro =
+        delta.select(col(idCol)).count() * cfg.tables <= math.min(
+          graft.operators.KeyPrune.MaxLiteralKeys.toLong, space / 2)
+      // DRIVER-RESOLVED micro-serve (the LshStore.microNearDups design
+      // — see its call site for the full argument): candidates + exact
+      // cosine resolved on the driver in two delta-bounded jobs + one
+      // pruned corpus read, bit-identical output (same bucket
+      // expressions collected, [[graft.functions.ExactMath]] for the
+      // dot/round arithmetic), hard caps falling back to the
+      // distributed route, skipped when a tombstone ledger exists.
+      if (micro &&
+          delta.schema(idCol).dataType ==
+            org.apache.spark.sql.types.LongType && !removedLedgerPresent)
+        microNearDups(delta) match {
+          case Some(res) => return res
+          case None => () // a cap tripped — serve distributed
+        }
+      val src =
+        if (micro) delta else graft.operators.Partitioning.spread(delta)
+      // ONE delta scan feeds both sides: (id, vec, norm) persists once,
+      // postings derive from the cached vectors (v3 ran postingsOf and
+      // vectorsOf as two separate scans + kernel passes over the delta)
+      val base = src
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          VectorFunctions.l2Norm(col(vecCol)).as("norm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dPost = base
+        .select(col("id"),
+          explode(array((0 until cfg.tables).map(t =>
+            struct(lit(t).as("tbl"),
+              Ann.srpSignature(col("vec"), cfg.nBits, cfg.dim, cfg.seed + t)
+                .as("bkt"))): _*)).as("tb"))
+        .select(col("id"), col("tb.tbl"), col("tb.bkt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = candidatePairsOfDelta(dPost)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -120,8 +209,7 @@ object SrpStore {
         cand.select(col("vec_a").as("id"))
           .unionByName(cand.select(col("vec_b").as("id"))), Seq("id"),
         semiJoinFallback = false)
-      val allVecs = live(vPrune(vectors), "id")
-        .unionByName(vectorsOf(delta, idCol, vecCol))
+      val allVecs = live(vPrune(vectors), "id").unionByName(base)
       val pairs = cand
         .join(allVecs.select(col("id").as("vec_a"), col("vec").as("__va"),
           col("norm").as("__na")), Seq("vec_a"))
@@ -140,7 +228,139 @@ object SrpStore {
         .localCheckpoint()
       cand.unpersist()
       dPost.unpersist()
+      base.unpersist()
       pairs
+    }
+
+    private def removedLedgerPresent: Boolean = {
+      val p = new Path(s"$path/removed")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    /** [[nearDupsOfDelta]] resolved on the driver; None when a cap
+      * trips (the caller then serves distributed). */
+    private def microNearDups(delta: DataFrame): Option[DataFrame] = {
+      import scala.collection.mutable
+      import org.apache.spark.sql.types._
+      // only the two element types the codegen kernels accept — and
+      // the stored table must agree with the delta (same family)
+      val deltaElem = delta.schema(vecCol).dataType match {
+        case ArrayType(t @ (FloatType | DoubleType), _) => t
+        case _ => return None
+      }
+      val storedElem = vectors.schema("vec").dataType match {
+        case ArrayType(t @ (FloatType | DoubleType), _) => t
+        case _ => return None
+      }
+      val outSchema = StructType(Seq(
+        StructField("vec_a", LongType), StructField("vec_b", LongType),
+        StructField("cos", DoubleType)))
+      def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          outSchema)
+      // (double)-normalized copy: the kernels cast each float element
+      // to double before multiplying, so pre-widening is bit-identical
+      def widen(r: org.apache.spark.sql.Row, i: Int, t: DataType): Array[Double] =
+        t match {
+          case FloatType => r.getSeq[Float](i).iterator.map(_.toDouble).toArray
+          case _ => r.getSeq[Double](i).toArray
+        }
+      // job 1: one fused pass — vector, norm, and the per-table
+      // (tbl, bkt) array in the same projection postingsOf explodes
+      val prep = delta
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          VectorFunctions.l2Norm(col(vecCol)).as("norm"),
+          array((0 until cfg.tables).map(t =>
+            struct(lit(t).as("tbl"),
+              Ann.srpSignature(col(vecCol), cfg.nBits, cfg.dim, cfg.seed + t)
+                .as("bkt"))): _*).as("tb"))
+        .collect()
+      if (prep.isEmpty) return Some(local(Nil))
+      val vecs = mutable.HashMap.empty[Long, (Array[Double], Double)]
+      val deltaBuckets =
+        mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
+      prep.foreach { r =>
+        val id = r.getLong(0)
+        vecs(id) = (widen(r, 1, deltaElem), r.getDouble(2))
+        r.getSeq[org.apache.spark.sql.Row](3).foreach { tb =>
+          deltaBuckets.getOrElseUpdate((tb.getInt(0), tb.getInt(1)),
+            mutable.ArrayBuffer.empty[Long]) += id
+        }
+      }
+      val deltaMax = deltaBuckets.valuesIterator.map(_.size).max.toLong
+      val keepKeys: Set[(Int, Int)] =
+        if (bucketBound != Long.MaxValue &&
+            bucketBound <= cfg.maxBucketSize - deltaMax)
+          deltaBuckets.keySet.toSet
+        else {
+          val pred = graft.operators.KeyPrune.literalPredicate(
+            Seq("tbl", "bkt"),
+            deltaBuckets.keys.toSeq.map(k => Seq(k._1, k._2)))
+          val storedN = bucketCounts.filter(pred).collect()
+            .groupBy(r => (r.getInt(0), r.getInt(1)))
+            .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
+          deltaBuckets.keysIterator.filter(k =>
+            storedN.getOrElse(k, 0L) + deltaBuckets(k).size
+              <= cfg.maxBucketSize).toSet
+        }
+      if (keepKeys.isEmpty) return Some(local(Nil))
+      // job 2: literal-pruned corpus postings, collected in one
+      // parallel pass (guard-bounded; the cap is a backstop)
+      val keepPred = graft.operators.KeyPrune.literalPredicate(
+        Seq("tbl", "bkt"), keepKeys.toSeq.map(k => Seq(k._1, k._2)))
+      val corpusRows = postings.filter(keepPred).collect()
+      if (corpusRows.length > graft.dedup.LshStore.MaxDriverCorpusRows)
+        return None
+      val corpusBuckets =
+        mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
+      corpusRows.foreach { r =>
+        corpusBuckets.getOrElseUpdate((r.getInt(1), r.getInt(2)),
+          mutable.ArrayBuffer.empty[Long]) += r.getLong(0)
+      }
+      val pairs = mutable.HashSet.empty[(Long, Long)]
+      keepKeys.foreach { k =>
+        val d = deltaBuckets(k)
+        val c = corpusBuckets.getOrElse(k, mutable.ArrayBuffer.empty[Long])
+        d.foreach { y =>
+          def add(x: Long): Unit =
+            if (x != y) pairs += ((math.min(x, y), math.max(x, y)))
+          c.foreach(add)
+          d.foreach(add)
+        }
+      }
+      if (pairs.size > graft.dedup.LshStore.MaxDriverPairs) return None
+      if (pairs.isEmpty) return Some(local(Nil))
+      // job 3 (only when corpus vectors are endpoints): candidate-id
+      // pruned vector read
+      val corpusOnly = pairs.iterator
+        .flatMap(p => Iterator(p._1, p._2))
+        .filterNot(vecs.contains).toSet
+      if (corpusOnly.size > graft.operators.KeyPrune.MaxLiteralKeys)
+        return None
+      if (corpusOnly.nonEmpty)
+        vectors.filter(col("id").isin(corpusOnly.toSeq: _*)).collect()
+          .foreach(r =>
+            vecs(r.getLong(0)) = (widen(r, 1, storedElem), r.getDouble(2)))
+      // exact cosine: the codegen dot's left-to-right accumulation,
+      // null-on-zero-norm (excluded by the strict threshold filter),
+      // Spark Round — verifying exactly what the distributed route does
+      val out = pairs.toSeq.flatMap { case (a, b) =>
+        (vecs.get(a), vecs.get(b)) match {
+          case (Some((va, na)), Some((vb, nb))) if na != 0.0 && nb != 0.0 =>
+            val cos = graft.functions.ExactMath.dotDouble(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(va),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(vb)) /
+              (na * nb)
+            if (cos > cfg.threshold)
+              Some(org.apache.spark.sql.Row(a, b,
+                graft.functions.ExactMath.round(cos, 4)))
+            else None
+          case _ => None
+        }
+      }
+      Some(local(out))
     }
 
     /** Delta postings through the store's seeded family — the
@@ -168,8 +388,60 @@ object SrpStore {
       // makes the prune pure overhead (the candidate equi-join
       // restricts to the same rows), so it degrades to identity
       val space = cfg.tables.toLong * (1L << cfg.nBits)
+      val cap = math.min(
+        graft.operators.KeyPrune.MaxLiteralKeys.toLong, space / 2).toInt
+      // ONE delta-bounded job: distinct buckets WITH per-bucket counts,
+      // capped at the route cap + 1 — under it the route is literal and
+      // the union-population guard resolves DRIVER-side (the LshStore
+      // micro-route shape: v3 ran a union-counts shuffle + a broadcast
+      // exchange per serve call for a drop set bounded by the delta's
+      // bucket count anyway)
+      val sample = dPost
+        .groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
+        .limit(cap + 1).collect()
+      if (sample.isEmpty)
+        return dPost.limit(0)
+          .select(col("id").as("vec_a"), col("id").as("vec_b"))
+      if (sample.length <= cap) {
+        // union-population guard on the driver; skipped outright when
+        // the store-wide bound proves no bucket can exceed the cap
+        // (the LshStore micro-route shape)
+        val deltaMax = sample.iterator.map(_.getLong(2)).max
+        val keep: IndexedSeq[org.apache.spark.sql.Row] =
+          if (bucketBound != Long.MaxValue &&
+              bucketBound <= cfg.maxBucketSize - deltaMax)
+            sample.toIndexedSeq
+          else {
+            val pred = graft.operators.KeyPrune.literalPredicate(
+              Seq("tbl", "bkt"),
+              sample.toIndexedSeq.map(r => Seq(r.get(0), r.get(1))))
+            // raw additive rows summed driver-side — no shuffle stage
+            val storedN = bucketCounts.filter(pred).collect()
+              .groupBy(r => (r.get(0), r.get(1)))
+              .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
+            sample.toIndexedSeq.filter(r =>
+              storedN.getOrElse((r.get(0), r.get(1)), 0L) + r.getLong(2)
+                <= cfg.maxBucketSize)
+          }
+        if (keep.isEmpty)
+          return dPost.limit(0)
+            .select(col("id").as("vec_a"), col("id").as("vec_b"))
+        val keepPred = graft.operators.KeyPrune.literalPredicate(
+          Seq("tbl", "bkt"), keep.map(r => Seq(r.get(0), r.get(1))))
+        val dP =
+          if (keep.length == sample.length) dPost else dPost.filter(keepPred)
+        val a = live(postings.filter(keepPred), "id").unionByName(dP).as("a")
+        val b = dP.as("b")
+        return a.join(b,
+            col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+            col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("vec_a"),
+            greatest(col("a.id"), col("b.id")).as("vec_b"))
+          .distinct()
+      }
+      // BULK route — the v3 distributed shape
       val prune = graft.operators.KeyPrune.plan(dPost, Seq("tbl", "bkt"),
-        noPruneAbove = () => space / 2)
+        noPruneAbove = _ => space / 2)
       // bulk path (no literal prune): spread the row-group-granular
       // postings read back to full width (the LshStore bulk-path note)
       val corpusP = live(graft.operators.Partitioning
@@ -239,14 +511,26 @@ object SrpStore {
         // counts merge additively (the guard sums per bucket); ordered
         // AFTER the postings write so any crash between them leaves
         // counts under-stated only (see above)
-        fPost.groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
-          .coalesce(1)
+        val counts = fPost
+          .groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        counts.coalesce(1)
           .write.mode(SaveMode.Append).parquet(s"$path/bucketcounts")
+        // raise the store-wide bucket bound additively and persist it
+        // — ordered AFTER the counts write, so a crash between them
+        // leaves the bound stale-LOW (skipped drop, wider candidates:
+        // the contract's direction)
+        val dMax = counts.agg(max(col("n"))).collect()(0).getLong(0)
+        if (bucketBound != Long.MaxValue) {
+          bucketBound = bucketBound + dMax
+          writeMeta(spark, s"$path/_graft_meta", idCol, vecCol, cfg, bucketBound)
+        }
         fPost.unpersist()
       }
       vectorsOf(fresh, idCol, vecCol)
         .sortWithinPartitions(col("id"))
         .write.mode(SaveMode.Append).parquet(s"$path/vectors")
+      invalidateReads()
       this
     }
 
@@ -289,6 +573,9 @@ object SrpStore {
           .coalesce(1)
           .write.mode(SaveMode.Append).parquet(s"$path/bucketcounts")
       rid.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/removed")
+      // decrements only lower true counts: the stored bound stays a
+      // valid upper bound
+      invalidateReads()
       this
     }
 
@@ -335,7 +622,7 @@ object SrpStore {
       // query-batch-bounded key set prunes the postings read; the
       // bucket join then yields one candidate row per (query, id)
       val prune = graft.operators.KeyPrune.plan(probes, Seq("tbl", "bkt"),
-        noPruneAbove = () => cfg.tables.toLong * (1L << cfg.nBits) / 2)
+        noPruneAbove = _ => cfg.tables.toLong * (1L << cfg.nBits) / 2)
       val candIds = live(prune(postings), "id")
         .join(probes, Seq("tbl", "bkt"))
         .select(col(queryIdCol), col("id"))
@@ -417,10 +704,19 @@ object SrpStore {
       .groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/bucketcounts")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg)
+    val bound = maxBucketN(spark, s"$staging/bucketcounts")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg, bound)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, vecCol, cfg)
+    Handle(spark, path, idCol, vecCol, cfg, bound)
+  }
+
+  /** Exact max per-bucket count of a freshly written counts table —
+    * the meta `maxBucketN` seed (one tiny single-file job at
+    * build/compact time). */
+  private def maxBucketN(spark: SparkSession, countsPath: String): Long = {
+    val r = spark.read.parquet(countsPath).agg(max(col("n"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Small-files hygiene after many appends; no re-sign. */
@@ -455,10 +751,13 @@ object SrpStore {
       .repartitionByRange(targetFiles, col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg)
+    val bound = maxBucketN(spark, s"$staging/bucketcounts")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg, bound)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, vecCol, cfg)
+    // the swap replaced every file the input handle's caches list
+    handle.invalidate()
+    Handle(spark, path, idCol, vecCol, cfg, bound)
   }
 
   def open(spark: SparkSession, path: String): Handle = {
@@ -475,7 +774,8 @@ object SrpStore {
         dim = meta("dim").toInt,
         seed = meta("seed").toLong,
         maxBucketSize = meta("maxBucketSize").toInt,
-        threshold = meta("threshold").toDouble))
+        threshold = meta("threshold").toDouble),
+      meta.get("maxBucketN").map(_.toLong).getOrElse(Long.MaxValue))
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -509,7 +809,7 @@ object SrpStore {
     } else build(corpus, idCol, vecCol, path, cfg)
 
   private def writeMeta(spark: SparkSession, file: String,
-      idCol: String, vecCol: String, cfg: Config): Unit = {
+      idCol: String, vecCol: String, cfg: Config, maxBucketN: Long): Unit = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -517,7 +817,8 @@ object SrpStore {
       (s"version=$Version\nidCol=$idCol\nvecCol=$vecCol\n" +
         s"nBits=${cfg.nBits}\ntables=${cfg.tables}\ndim=${cfg.dim}\n" +
         s"seed=${cfg.seed}\nmaxBucketSize=${cfg.maxBucketSize}\n" +
-        s"threshold=${cfg.threshold}\n").getBytes("UTF-8"))
+        s"threshold=${cfg.threshold}\nmaxBucketN=$maxBucketN\n")
+        .getBytes("UTF-8"))
     finally out.close()
   }
 

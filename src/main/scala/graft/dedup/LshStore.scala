@@ -55,12 +55,28 @@ object LshStore {
   // exact-Jaccard verify reads only candidate docs' shingle row
   // groups. Appends become replay-idempotent at per-table granularity
   // (the SrpStore v3 pattern) instead of a disjointness contract.
-  private val Version = 3
+  // v4: meta carries `maxBucketN`, an UPPER BOUND on any stored
+  // bucket's banded-row count (exact at build/compact, raised
+  // additively at append) — when bound + the delta's own max cannot
+  // exceed maxBucketSize, the micro-serve skips the guard read
+  // outright: provably no bucket can drop. A crash between the counts
+  // append and the meta rewrite leaves the bound stale-LOW, which can
+  // only SKIP a drop — wider candidates the exact-Jaccard verify
+  // still filters: the same direction as the counts-under-statement
+  // append contract.
+  private val Version = 4
 
   /** Row-group size for the banded/shingle layout: small groups mean
     * a pruned read skips at fine granularity (the
     * [[graft.operators.PostingsStore.RowGroupBytes]] constant). */
   val RowGroupBytes: Long = 8L * 1024 * 1024
+
+  /** Driver-resolution backstops for the micro-serve path: a collect
+    * that could exceed these falls back to the distributed route
+    * (guard-bounded in practice — a kept bucket holds at most
+    * maxBucketSize rows). */
+  val MaxDriverCorpusRows: Int = 1 << 16
+  val MaxDriverPairs: Int = 1 << 14
 
   /** LSH family parameters — fixed at build time and stored in the
     * meta file; a delta must be signatured with the SAME family or
@@ -79,20 +95,57 @@ object LshStore {
       spark: SparkSession,
       path: String,
       idCol: String,
-      cfg: Config) {
+      cfg: Config,
+      initialBucketBound: Long = Long.MaxValue) {
 
-    def sigs: DataFrame = spark.read.parquet(s"$path/sigs")
-    def shingles: DataFrame = spark.read.parquet(s"$path/shingles")
+    /** Upper bound on any stored bucket's banded-row count (meta
+      * `maxBucketN`) — exact after build/compact, raised additively by
+      * [[append]]; lets the micro-serve skip the guard read when no
+      * bucket can possibly exceed `maxBucketSize`. `Long.MaxValue` =
+      * unknown (always read). */
+    @transient private var bucketBound: Long = initialBucketBound
+
+    // Per-handle cached table frames: each spark.read.parquet call
+    // re-lists the directory and re-reads a footer at plan time —
+    // measurable per-serve-call driver overhead on a micro delta.
+    // Mutating operations (append/remove) invalidate.
+    @transient private var sigsDf: DataFrame = _
+    @transient private var shinglesDf: DataFrame = _
+    @transient private var bandedDf: DataFrame = _
+    @transient private var bandCountsDf: DataFrame = _
+    @transient private var removedDf: DataFrame = _
+    private def invalidateReads(): Unit = {
+      sigsDf = null; shinglesDf = null; bandedDf = null
+      bandCountsDf = null; removedDf = null
+    }
+
+    /** Invalidate the cached reads — called by the mutating paths AND
+      * by [[LshStore.compact]], whose atomic swap replaces the files a
+      * pre-compact handle's caches still list. */
+    private[LshStore] def invalidate(): Unit = invalidateReads()
+
+    def sigs: DataFrame = {
+      if (sigsDf == null) sigsDf = spark.read.parquet(s"$path/sigs")
+      sigsDf
+    }
+    def shingles: DataFrame = {
+      if (shinglesDf == null) shinglesDf = spark.read.parquet(s"$path/shingles")
+      shinglesDf
+    }
 
     /** Tombstoned doc ids ([[remove]]'s merge-on-read ledger) — empty
       * when no takedown has run. The raw table accessors above expose
       * PHYSICAL rows (tombstoned included, until [[LshStore.compact]]
       * purges); the serve paths filter. */
     def removedIds: DataFrame = {
-      val p = new Path(s"$path/removed")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.schema("doc LONG").parquet(s"$path/removed")
-      else spark.range(0).select(col("id").as("doc"))
+      if (removedDf == null) {
+        val p = new Path(s"$path/removed")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        removedDf =
+          if (fs.exists(p)) spark.read.schema("doc LONG").parquet(s"$path/removed")
+          else spark.range(0).select(col("id").as("doc"))
+      }
+      removedDf
     }
 
     /** Exclude tombstoned rows from a frame carrying `c` as the doc id
@@ -103,12 +156,19 @@ object LshStore {
     /** (doc, band, bucket) banded signatures, persisted sorted by
       * (band, bucket) — the candidate-generation table; a delta-bucket
       * prune reads only the touched buckets' row groups. */
-    def banded: DataFrame = spark.read.parquet(s"$path/banded")
+    def banded: DataFrame = {
+      if (bandedDf == null) bandedDf = spark.read.parquet(s"$path/banded")
+      bandedDf
+    }
 
     /** (band, bucket, n) stored banded-signature counts — the guard's
       * input; possibly several additive rows per bucket after appends
       * (the guard sums; compact collapses). */
-    def bandCounts: DataFrame = spark.read.parquet(s"$path/bandcounts")
+    def bandCounts: DataFrame = {
+      if (bandCountsDf == null)
+        bandCountsDf = spark.read.parquet(s"$path/bandcounts")
+      bandCountsDf
+    }
 
     /** Near-duplicate pairs of an incoming batch against the stored
       * corpus AND within the batch itself — (doc_a, doc_b, jaccard),
@@ -127,10 +187,54 @@ object LshStore {
         delta: DataFrame,
         textCol: String,
         minJaccard: Double = 0.8): DataFrame = {
-      val dSh = shinglesOf(delta, idCol, textCol, cfg)
+      // micro-vs-bulk probe: one NARROW (id-column-only) job. A micro
+      // delta's bucket set is literal by construction (|delta|·bands
+      // under the cap) and every downstream frame is delta-sized, so
+      // the kernel pass stays on the scan's natural partitioning — at
+      // ~50 rows the 32-way spread exchange plus 32-task shuffle
+      // stages cost more than the kernels they parallelize (the r12
+      // 2.4–3.4 s micro-serve floor). Bulk deltas keep the spread:
+      // there the shingle kernel over a single-row-group scan is the
+      // bottleneck, not stage count.
+      val micro =
+        delta.select(col(idCol)).count() * cfg.bands <=
+          graft.operators.KeyPrune.MaxLiteralKeys
+      // DRIVER-RESOLVED micro-serve: every frame the distributed route
+      // would shuffle is provably bounded (delta rows by the micro
+      // gate, corpus rows by the guard, pairs/ids by explicit caps
+      // with a distributed fallback), so resolve candidates + exact
+      // Jaccard on the driver in TWO delta-bounded jobs + one pruned
+      // corpus read — the distributed route's ~6 micro-jobs of fixed
+      // stage overhead (2.4-3.4 s at sf0.1 in r12) collapse to the
+      // reads themselves. Output is bit-identical: same bucket
+      // derivation (collected from the same expressions), same
+      // left-to-right arithmetic, Spark's own Round evaluated
+      // driver-side ([[graft.functions.ExactMath]]). Skipped when a
+      // tombstone ledger exists (the distributed route carries the
+      // merge-on-read anti-joins).
+      if (micro &&
+          delta.schema(idCol).dataType ==
+            org.apache.spark.sql.types.LongType && !removedLedgerPresent)
+        microNearDups(delta, textCol, minJaccard) match {
+          case Some(res) => return res
+          case None => () // a cap tripped — serve distributed
+        }
+      val src =
+        if (micro) delta else graft.operators.Partitioning.spread(delta)
+      // ONE fused kernel pass: shingle hashes and the signature in the
+      // same projection (v3 ran shinglesOf and signaturesOf as two
+      // separate shingle passes over the delta text)
+      val base = src
+        .select(
+          col(idCol).as("doc"),
+          ShingleHashes.of(
+            TextFunctions.wsTokens(lower(col(textCol))), cfg.shingleN).as("hsh"))
+        .select(col("doc"), col("hsh"),
+          MinHashLSH.signatureOfHashes(col("hsh"), cfg.numHashes, cfg.seed).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dSh = base.select(col("doc").as("__id"), col("hsh").as("__sh"))
       val deltaB = MinHashLSH.banded(
-          signaturesOf(delta, idCol, textCol, cfg), cfg.bands, cfg.rowsPerBand)
+          base.select(col("doc"), col("sig")), cfg.bands, cfg.rowsPerBand)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = candidatePairsOfDelta(deltaB)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -149,8 +253,145 @@ object LshStore {
       val pairs = MinHashLSH.verifyJaccardHashed(
           cand, live(shPrune(shingles), "__id").unionByName(dSh), minJaccard)
         .localCheckpoint()
-      cand.unpersist(); deltaB.unpersist(); dSh.unpersist()
+      cand.unpersist(); deltaB.unpersist(); base.unpersist()
       pairs
+    }
+
+    private def removedLedgerPresent: Boolean = {
+      val p = new Path(s"$path/removed")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    /** [[nearDupsOfDelta]] resolved on the driver — see the call site
+      * for the contract. Returns None when a bound cap trips (the
+      * caller then serves the same delta distributed). */
+    private def microNearDups(
+        delta: DataFrame,
+        textCol: String,
+        minJaccard: Double): Option[DataFrame] = {
+      import scala.collection.mutable
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType)))
+      def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          outSchema)
+      // job 1: ONE fused pass over the delta — shingle hashes,
+      // signature, and the banded (band, bucket) array in the same
+      // projection the distributed route would explode
+      val prep = delta
+        .select(
+          col(idCol).as("doc"),
+          ShingleHashes.of(
+            TextFunctions.wsTokens(lower(col(textCol))), cfg.shingleN).as("hsh"))
+        .select(col("doc"), col("hsh"),
+          MinHashLSH.signatureOfHashes(col("hsh"), cfg.numHashes, cfg.seed)
+            .as("sig"))
+        .select(col("doc"), col("hsh"),
+          MinHashLSH.bandedArray(col("sig"), cfg.bands, cfg.rowsPerBand)
+            .as("bb"))
+        .collect()
+      if (prep.isEmpty) return Some(local(Nil))
+      val docShingles = mutable.HashMap.empty[Long, Array[Long]]
+      val deltaBuckets =
+        mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
+      prep.foreach { r =>
+        val doc = r.getLong(0)
+        docShingles(doc) = r.getSeq[Long](1).toArray
+        r.getSeq[org.apache.spark.sql.Row](2).foreach { bb =>
+          deltaBuckets.getOrElseUpdate((bb.getInt(0), bb.getInt(1)),
+            mutable.ArrayBuffer.empty[Long]) += doc
+        }
+      }
+      // union-population guard, driver-side (bound skip / pruned read
+      // — the candidatePairsOfDelta micro-route semantics verbatim)
+      val deltaMax = deltaBuckets.valuesIterator.map(_.size).max.toLong
+      val keepKeys: Set[(Int, Int)] =
+        if (bucketBound != Long.MaxValue &&
+            bucketBound <= cfg.maxBucketSize - deltaMax)
+          deltaBuckets.keySet.toSet
+        else {
+          val pred = graft.operators.KeyPrune.literalPredicate(
+            Seq("band", "bucket"),
+            deltaBuckets.keys.toSeq.map(k => Seq(k._1, k._2)))
+          val storedN = bandCounts.filter(pred).collect()
+            .groupBy(r => (r.getInt(0), r.getInt(1)))
+            .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
+          deltaBuckets.keysIterator.filter(k =>
+            storedN.getOrElse(k, 0L) + deltaBuckets(k).size
+              <= cfg.maxBucketSize).toSet
+        }
+      if (keepKeys.isEmpty) return Some(local(Nil))
+      // job 2: the literal-pruned corpus banded read, collected (its
+      // row count is guard-bounded — kept buckets hold at most
+      // maxBucketSize rows each; the cap is a defensive backstop.
+      // Plain collect, NOT limit().collect(): CollectLimit executes
+      // incrementally over partition ranges — several jobs where one
+      // parallel pass suffices)
+      val keepPred = graft.operators.KeyPrune.literalPredicate(
+        Seq("band", "bucket"), keepKeys.toSeq.map(k => Seq(k._1, k._2)))
+      val corpusRows = banded.filter(keepPred).collect()
+      if (corpusRows.length > MaxDriverCorpusRows) return None
+      val corpusBuckets =
+        mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
+      corpusRows.foreach { r =>
+        corpusBuckets.getOrElseUpdate((r.getInt(1), r.getInt(2)),
+          mutable.ArrayBuffer.empty[Long]) += r.getLong(0)
+      }
+      // candidate pairs: delta × (corpus ∪ delta) within each kept
+      // bucket, canonical doc_a < doc_b (the bucket-join shape)
+      val pairs = mutable.HashSet.empty[(Long, Long)]
+      keepKeys.foreach { k =>
+        val d = deltaBuckets(k)
+        val c = corpusBuckets.getOrElse(k, mutable.ArrayBuffer.empty[Long])
+        d.foreach { y =>
+          def add(x: Long): Unit =
+            if (x != y) pairs += ((math.min(x, y), math.max(x, y)))
+          c.foreach(add)
+          d.foreach(add)
+        }
+      }
+      if (pairs.size > MaxDriverPairs) return None
+      if (pairs.isEmpty) return Some(local(Nil))
+      // job 3 (only when corpus docs are endpoints): the candidate-id
+      // pruned shingle read, collected
+      val corpusOnly = pairs.iterator
+        .flatMap(p => Iterator(p._1, p._2))
+        .filterNot(docShingles.contains).toSet
+      if (corpusOnly.size > graft.operators.KeyPrune.MaxLiteralKeys)
+        return None
+      if (corpusOnly.nonEmpty)
+        shingles
+          .filter(col("__id").isin(corpusOnly.toSeq: _*))
+          .collect()
+          .foreach(r => docShingles(r.getLong(0)) = r.getSeq[Long](1).toArray)
+      // exact Jaccard over hashed shingles — same arithmetic order as
+      // verifyJaccardHashed (intersect count, then one double division,
+      // raw-ratio threshold, Spark Round)
+      val out = pairs.toSeq.flatMap { case (a, b) =>
+        (docShingles.get(a), docShingles.get(b)) match {
+          case (Some(sa), Some(sb)) =>
+            val sbSet = sb.toSet
+            var inter = 0
+            sa.foreach(h => if (sbSet.contains(h)) inter += 1)
+            val interD = inter.toDouble
+            val jac = interD / (sa.length + sb.length - interD)
+            if (jac >= minJaccard)
+              Some(org.apache.spark.sql.Row(a, b,
+                graft.functions.ExactMath.round(jac, 6)))
+            else None
+          // an endpoint without a stored shingle row drops, matching
+          // the distributed inner verify join
+          case _ => None
+        }
+      }
+      Some(local(out))
     }
 
     /** The delta's banded signatures through the store's seeded family
@@ -178,19 +419,78 @@ object LshStore {
       * + the delta's own delta-sized aggregate: same drop set as
       * counting the union directly over the joinable buckets. */
     private[graft] def candidatePairsOfDelta(deltaB: DataFrame): DataFrame = {
-      // coverage gate: when the delta's bucket set approaches the
-      // STORED bucket cardinality (a bulk delta), pruning the corpus
+      val cap = graft.operators.KeyPrune.MaxLiteralKeys
+      // ONE delta-bounded job resolves the delta's distinct bucket set
+      // WITH per-bucket counts, capped at the literal cap + 1: under
+      // the cap it decides the literal route AND feeds the oversized-
+      // bucket guard DRIVER-side — the v3 path ran the union-counts
+      // shuffle + a broadcast-exchange build per serve call to decide
+      // a drop set that is bounded by the delta's bucket count anyway.
+      val sample = deltaB
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+        .limit(cap + 1).collect()
+      if (sample.isEmpty)
+        return deltaB.limit(0)
+          .select(col("doc").as("doc_a"), col("doc").as("doc_b"))
+      if (sample.length <= cap) {
+        // LITERAL micro-route. Union-population guard on the driver:
+        // stored counts restricted to delta buckets (a literal-pruned
+        // read of the bucket-cardinality-sized side table — other
+        // buckets never join) + the delta's own counts, summed; a
+        // bucket whose union count exceeds the cap is excluded from
+        // the PREDICATE itself, so the guarded read never even scans
+        // its row groups — same drop set as v3's distributed anti-join.
+        // When the store-wide bound proves NO bucket can exceed the
+        // cap (bound + delta max <= cap), the read is skipped outright.
+        val deltaMax = sample.iterator.map(_.getLong(2)).max
+        val keep: IndexedSeq[org.apache.spark.sql.Row] =
+          if (bucketBound != Long.MaxValue &&
+              bucketBound <= cfg.maxBucketSize - deltaMax)
+            sample.toIndexedSeq
+          else {
+            val pred = graft.operators.KeyPrune.literalPredicate(
+              Seq("band", "bucket"),
+              sample.toIndexedSeq.map(r => Seq(r.get(0), r.get(1))))
+            // raw additive rows summed driver-side (<= |delta buckets|
+            // × appends rows) — no shuffle stage for the guard
+            val storedN = bandCounts.filter(pred).collect()
+              .groupBy(r => (r.get(0), r.get(1)))
+              .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
+            sample.toIndexedSeq.filter(r =>
+              storedN.getOrElse((r.get(0), r.get(1)), 0L) + r.getLong(2)
+                <= cfg.maxBucketSize)
+          }
+        if (keep.isEmpty)
+          return deltaB.limit(0)
+            .select(col("doc").as("doc_a"), col("doc").as("doc_b"))
+        val keepPred = graft.operators.KeyPrune.literalPredicate(
+          Seq("band", "bucket"), keep.map(r => Seq(r.get(0), r.get(1))))
+        val dB =
+          if (keep.length == sample.length) deltaB else deltaB.filter(keepPred)
+        val a = live(banded.filter(keepPred), "doc").unionByName(dB).as("a")
+        val b = dB.as("b")
+        return a.join(b,
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc") =!= col("b.doc"))
+          .select(
+            least(col("a.doc"), col("b.doc")).as("doc_a"),
+            greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+          .distinct()
+      }
+      // BULK route (delta bucket set above the literal cap): the v3
+      // distributed shape. Coverage gate: when the delta's bucket set
+      // approaches the STORED bucket cardinality, pruning the corpus
       // side is pure overhead — the candidate equi-join restricts to
-      // the same rows. The stored cardinality only costs a job when
-      // the delta exceeds the literal cap (lazy bound).
+      // the same rows (the stored-cardinality job only runs here,
+      // never on the micro route).
       val prune = graft.operators.KeyPrune.plan(deltaB, Seq("band", "bucket"),
-        noPruneAbove = () => math.max(
+        noPruneAbove = _ => math.max(
           graft.operators.KeyPrune.MaxLiteralKeys.toLong + 1,
           bandCounts.count() / 2))
-      // bulk path (no literal prune): the banded read is a handful of
-      // 8 MB row groups — a 4-split scan probing the broadcast delta
-      // starves local[32]; spread it back to full width. The literal
-      // path stays as-is (a pruned read is small by construction).
+      // no literal prune here: the banded read is a handful of 8 MB
+      // row groups — a 4-split scan probing the broadcast delta
+      // starves local[32]; spread it back to full width
       val corpusB = live(graft.operators.Partitioning
         .spreadIfLarge(prune(banded), literal = prune.isLiteral), "doc")
       val allB = corpusB.unionByName(deltaB)
@@ -246,6 +546,9 @@ object LshStore {
           .coalesce(1)
           .write.mode(SaveMode.Append).parquet(s"$path/bandcounts")
       rid.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/removed")
+      // decrements only lower true counts: the stored bound stays a
+      // valid upper bound
+      invalidateReads()
       this
     }
 
@@ -300,9 +603,21 @@ object LshStore {
           .parquet(s"$path/banded")
         // counts merge additively, ordered AFTER the banded write so
         // any crash between them under-states only
-        bandNew.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-          .coalesce(1)
+        val counts = bandNew
+          .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        counts.coalesce(1)
           .write.mode(SaveMode.Append).parquet(s"$path/bandcounts")
+        // raise the store-wide bucket bound additively (old bound +
+        // this batch's max is an upper bound on any merged bucket) and
+        // persist it — ordered AFTER the counts write, so a crash
+        // between them leaves the bound stale-LOW: a skipped drop,
+        // wider candidates, the contract's direction
+        val dMax = counts.agg(max(col("n"))).collect()(0).getLong(0)
+        if (bucketBound != Long.MaxValue) {
+          bucketBound = bucketBound + dMax
+          writeMeta(spark, s"$path/_graft_meta", idCol, cfg, bucketBound)
+        }
       }
       shinglesOf(fresh, idCol, textCol, cfg)
         .sortWithinPartitions(col("__id"))
@@ -311,6 +626,7 @@ object LshStore {
         .parquet(s"$path/shingles")
       bandNew.unpersist()
       dSig.unpersist()
+      invalidateReads()
       this
     }
   }
@@ -371,10 +687,19 @@ object LshStore {
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/bandcounts")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, cfg)
+    val bound = maxBucketN(spark, s"$staging/bandcounts")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, cfg, bound)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, cfg)
+    Handle(spark, path, idCol, cfg, bound)
+  }
+
+  /** Exact max per-bucket count of a freshly written counts table —
+    * the meta `maxBucketN` seed (one tiny single-file job at
+    * build/compact time). */
+  private def maxBucketN(spark: SparkSession, countsPath: String): Long = {
+    val r = spark.read.parquet(countsPath).agg(max(col("n"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Rewrite the index at a target file count — small-files hygiene
@@ -416,10 +741,13 @@ object LshStore {
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", RowGroupBytes)
       .parquet(s"$staging/shingles")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, cfg)
+    val bound = maxBucketN(spark, s"$staging/bandcounts")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, cfg, bound)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, cfg)
+    // the swap replaced every file the input handle's caches list
+    handle.invalidate()
+    Handle(spark, path, idCol, cfg, bound)
   }
 
   /** Open an existing index (heals an interrupted swap first). */
@@ -436,7 +764,8 @@ object LshStore {
         bands = meta("bands").toInt,
         shingleN = meta("shingleN").toInt,
         seed = meta("seed").toLong,
-        maxBucketSize = meta("maxBucketSize").toInt))
+        maxBucketSize = meta("maxBucketSize").toInt),
+      meta.get("maxBucketN").map(_.toLong).getOrElse(Long.MaxValue))
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -467,14 +796,16 @@ object LshStore {
     } else build(docs, idCol, textCol, path, cfg)
 
   private def writeMeta(
-      spark: SparkSession, file: String, idCol: String, cfg: Config): Unit = {
+      spark: SparkSession, file: String, idCol: String, cfg: Config,
+      maxBucketN: Long): Unit = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
       (s"version=$Version\nidCol=$idCol\nnumHashes=${cfg.numHashes}\n" +
         s"bands=${cfg.bands}\nshingleN=${cfg.shingleN}\nseed=${cfg.seed}\n" +
-        s"maxBucketSize=${cfg.maxBucketSize}\n").getBytes("UTF-8"))
+        s"maxBucketSize=${cfg.maxBucketSize}\nmaxBucketN=$maxBucketN\n")
+        .getBytes("UTF-8"))
     finally out.close()
   }
 

@@ -85,16 +85,22 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** The per-document array of (band, bucket) structs — [[banded]]
+    * before the explode; exposed so the stores' driver-resolved
+    * micro-serve collects bands in the SAME projection as shingles and
+    * signature (bucket derivation stays bit-identical to the exploded
+    * form by construction). */
+  def bandedArray(sig: Column, bands: Int, r: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      bnd => struct(
+        bnd.as("band"),
+        hash(bnd, slice(sig, bnd * r + 1, lit(r))).as("bucket")))
+
   /** Band a (doc, sig) frame to (doc, band, bucket) — `r` signature
     * lanes hashed per band. */
   def banded(sigs: DataFrame, bands: Int, r: Int): DataFrame =
-    sigs.select(
-      col("doc"),
-      explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bnd => struct(
-          bnd.as("band"),
-          hash(bnd, slice(col("sig"), bnd * r + 1, lit(r))).as("bucket")))).as("bb"))
+    sigs.select(col("doc"), explode(bandedArray(col("sig"), bands, r)).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bucket"))
 
   /** Skew guard: drop degenerate buckets before a bucket join. A

@@ -62,6 +62,39 @@ object KeyPrune {
     def isLiteral: Boolean = true
   }
 
+  /** The grouped literal predicate over an EXPLICIT key-tuple set —
+    * [[plan]]'s literal route shape, exposed for callers that already
+    * hold the distinct keys driver-side (the stores' micro-serve paths
+    * fold their oversized-bucket guard verdict into the key set and
+    * build the pruned-read predicate from what survives, instead of
+    * paying a second collect). 2-column keys group by the leading key:
+    * equality on the sort-leading column plus an IN on the second
+    * matches the stores' (k1, k2)-sorted row groups. */
+  def literalPredicate(keyCols: Seq[String], keys: Seq[Seq[Any]]): Column = {
+    require(keys.nonEmpty, "literalPredicate needs at least one key tuple")
+    require(keyCols.nonEmpty && keyCols.size <= 2,
+      s"KeyPrune supports 1 or 2 key columns, got $keyCols")
+    keyCols match {
+      case Seq(c1) =>
+        col(c1).isin(keys.map(_.head).distinct.toIndexedSeq: _*)
+      case Seq(c1, c2) =>
+        // exact grouped form — also what parquet row-group pruning
+        // consumes on a (k1, k2)-sorted layout
+        val grouped = keys.groupBy(_.head).map { case (v1, rows) =>
+          col(c1) === lit(v1) &&
+            col(c2).isin(rows.map(_(1)).distinct.toIndexedSeq: _*)
+        }.reduce(_ || _)
+        // …short-circuited by ONE hash-set IN on the selective second
+        // column: per-row evaluation of the grouped form is an O(|k1|)
+        // branch walk, which at ~32 bands × a million-row corpus scan
+        // dominated the micro-serve path — the IN-set probe rejects
+        // non-matching rows in O(1) and the exact conjunct then only
+        // runs on the survivors. The conjunction stays EXACT (the
+        // right side alone already is).
+        col(c2).isin(keys.map(_(1)).distinct.toIndexedSeq: _*) && grouped
+    }
+  }
+
   private final case class SemiJoinKeys(keys: DataFrame, keyCols: Seq[String])
       extends KeyPlan {
     def apply(corpus: DataFrame): DataFrame =
@@ -78,9 +111,12 @@ object KeyPrune {
     * keys the plan degrades to identity — a key set spanning most of
     * the space (a bulk delta touching every bucket) makes any prune
     * pure overhead, since the candidate equi-join restricts to the
-    * same rows anyway. Evaluated lazily: callers whose bound needs a
-    * job (e.g. the stored bucket-cardinality count) only pay it when
-    * the key set actually exceeds the literal cap.
+    * same rows anyway. It receives the OBSERVED distinct-key count
+    * (exact when at most `maxLiteral`, else the lower bound
+    * `maxLiteral + 1`) so callers whose bound needs a job (the stored
+    * bucket-cardinality count) can short-circuit to `Long.MaxValue`
+    * when the observed count already sits under any value their bound
+    * could take — the literal micro-route then never pays the job.
     *
     * `semiJoinFallback = false` restricts to literal-or-nothing: right
     * for verify-side reads where the downstream join already prunes
@@ -89,7 +125,7 @@ object KeyPrune {
       keys: DataFrame,
       keyCols: Seq[String],
       maxLiteral: Int = MaxLiteralKeys,
-      noPruneAbove: () => Long = () => Long.MaxValue,
+      noPruneAbove: Long => Long = _ => Long.MaxValue,
       semiJoinFallback: Boolean = true): KeyPlan = {
     require(keyCols.nonEmpty && keyCols.size <= 2,
       s"KeyPrune supports 1 or 2 key columns, got $keyCols")
@@ -97,25 +133,12 @@ object KeyPrune {
     val sample = distinctKeys.limit(maxLiteral + 1).collect()
     if (sample.isEmpty) EmptyKeys
     else if (sample.length <= maxLiteral) {
-      if (sample.length > noPruneAbove()) NoPrune
-      else {
-        val pred = keyCols match {
-          case Seq(c1) =>
-            col(c1).isin(sample.map(_.get(0)).toIndexedSeq: _*)
-          case Seq(c1, c2) =>
-            // grouped by the leading key: OR of (k1 === v && k2 IN (…))
-            // — equality on the sort-leading column plus an IN on the
-            // second matches the stores' (k1, k2)-sorted row groups
-            sample.groupBy(_.get(0)).map { case (v1, rows) =>
-              col(c1) === lit(v1) &&
-                col(c2).isin(rows.map(_.get(1)).distinct.toIndexedSeq: _*)
-            }.reduce(_ || _)
-        }
-        LiteralKeys(pred)
-      }
+      if (sample.length > noPruneAbove(sample.length.toLong)) NoPrune
+      else LiteralKeys(literalPredicate(
+        keyCols, sample.toIndexedSeq.map(r => keyCols.indices.map(r.get))))
     } else if (!semiJoinFallback) NoPrune
     else {
-      val bound = noPruneAbove()
+      val bound = noPruneAbove(maxLiteral.toLong + 1)
       // the sample alone already exceeds a bound at or under the cap
       if (bound <= maxLiteral) NoPrune
       else if (distinctKeys.count() > bound) NoPrune

@@ -134,7 +134,8 @@ class SrpStoreSpec extends SparkSpec {
       .filter(_.schema.fieldNames.contains("id")) // the postings table
     assert(scans.nonEmpty, "no postings file scan in the candidate plan")
     scans.foreach { s =>
-      assert(s.toString.matches("(?s).*PushedFilters: \\[[^\\]]*tbl[^\\]]*\\].*"),
+      assert(s.toString.matches("(?s).*PushedFilters: \\[In\\(bkt.*") &&
+          s.dataFilters.exists(_.references.exists(_.name == "tbl")),
         s"postings scan must push the delta-bucket predicate:\n$s")
     }
     val total = h.postings.count()
@@ -158,7 +159,8 @@ class SrpStoreSpec extends SparkSpec {
       .filter(_.schema.fieldNames.contains("id"))
     assert(scans.nonEmpty, "no postings file scan in the candidate plan")
     scans.foreach { s =>
-      assert(s.toString.matches("(?s).*PushedFilters: \\[[^\\]]*tbl[^\\]]*\\].*"),
+      assert(s.toString.matches("(?s).*PushedFilters: \\[In\\(bkt.*") &&
+          s.dataFilters.exists(_.references.exists(_.name == "tbl")),
         s"q184b-shape scan must push the literal bucket predicate:\n$s")
     }
     val readRows = scans.map(_.metrics("numOutputRows").value).sum

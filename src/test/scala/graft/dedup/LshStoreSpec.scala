@@ -122,12 +122,14 @@ class LshStoreSpec extends SparkSpec {
       .filter(_.schema.fieldNames.contains("doc")) // the banded table
     assert(scans.nonEmpty, "no banded file scan in the candidate plan")
     scans.foreach { s =>
-      // the predicate itself is truncated in the plan string; assert a
-      // non-empty pushed-filter list plus the band equality in the
-      // (also shown) data filters
-      assert(s.toString.matches("(?s).*PushedFilters: \\[[^\\]]+.*") &&
-          s.toString.contains("band"),
-        s"banded scan must push the delta-bucket predicate:\n$s")
+      // the bucket predicate must land FIRST in the pushed-filter list
+      // (IsNotNull alone does not satisfy this) — the list string is
+      // truncated for large key sets, so pin the leading In(bucket and
+      // check the band conjunct on the structured dataFilters
+      assert(s.toString.matches("(?s).*PushedFilters: \\[In\\(bucket.*"),
+        s"banded scan must push the literal bucket predicate first:\n$s")
+      assert(s.dataFilters.exists(_.references.exists(_.name == "band")),
+        s"banded scan's data filters must constrain band:\n$s")
     }
     val total = h.banded.count()
     val readRows = scans.map(_.metrics("numOutputRows").value).sum
@@ -160,9 +162,10 @@ class LshStoreSpec extends SparkSpec {
       .filter(_.schema.fieldNames.contains("doc"))
     assert(scans.nonEmpty, "no banded file scan in the candidate plan")
     scans.foreach { s =>
-      assert(s.toString.matches("(?s).*PushedFilters: \\[[^\\]]+.*") &&
-          s.toString.contains("band"),
-        s"q140b-shape scan must push the literal bucket predicate:\n$s")
+      assert(s.toString.matches("(?s).*PushedFilters: \\[In\\(bucket.*"),
+        s"q140b-shape scan must push the literal bucket predicate first:\n$s")
+      assert(s.dataFilters.exists(_.references.exists(_.name == "band")),
+        s"q140b-shape scan's data filters must constrain band:\n$s")
     }
     val readRows = scans.map(_.metrics("numOutputRows").value).sum
     assert(readRows < h.banded.count(),
