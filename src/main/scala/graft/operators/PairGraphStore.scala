@@ -1029,9 +1029,13 @@ object PairGraphStore {
     fs.delete(new Path(staging), true)
 
     val cols = srcCol +: dstCol +: weightCol.toSeq
-    edges.select(cols.map(col): _*)
-      .repartitionByRange(numFiles, col(srcCol), col(dstCol))
-      .sortWithinPartitions(col(srcCol), col(dstCol))
+    val canon = edges.select(cols.map(col): _*)
+    // empty bootstrap (a store the stream grows from zero): an empty
+    // write plan can emit ZERO part files, leaving a schema-less dir
+    // the read-back cannot infer — force one schema-bearing file
+    (if (canon.isEmpty) Partitioning.emptyOnePartition(spark, canon.schema)
+     else canon.repartitionByRange(numFiles, col(srcCol), col(dstCol))
+       .sortWithinPartitions(col(srcCol), col(dstCol)))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/edges")
     writeMeta(spark, s"$staging/_graft_meta", srcCol, dstCol, weightCol)
 

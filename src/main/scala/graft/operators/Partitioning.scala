@@ -1,9 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Partition-layout helpers. */
 object Partitioning {
+
+  /** A ONE-partition empty frame with `schema`: writing an empty
+    * query plan can emit ZERO part files (leaving a dir schema
+    * inference cannot read back), but a 1-slice empty RDD scan has no
+    * exchange to collapse and always writes one schema-bearing file —
+    * the empty-bootstrap shape for persisted stores. */
+  def emptyOnePartition(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+      schema)
 
   /** Ensure at least `defaultParallelism` partitions before a
     * compute-heavy stage (hash kernels, signature generation).

@@ -114,17 +114,18 @@ object MlQueries extends QueryDsl {
 
   /** The behavioral (events co-presence) graph persisted ONCE per dir
     * — the [[TextQueries.embPairStore]] treatment for the events
-    * family: q188/q200/q201 each re-derived the windowed co-presence
+    * family: q188/q200/q201 each re-derive the windowed co-presence
     * self-join + 3 LPA rounds inline (~3x the same subgraph work per
     * report pass); the store runs the generator once, persists the
     * verified (ua, ub, shared) edges sorted by (ua, ub), and
     * [[graft.operators.PairGraphStore.Handle.ensureCommunities]]
-    * persists the labels — so every report query reads two parquet
-    * tables. The stored frame is the generator's frame unchanged and
-    * LPA parameters are identical, so the inline queries' DuckDB
-    * oracles carry over to the store twins row for row. At 100x event
-    * volume the quadratic windowed self-join runs once per ingest,
-    * not once per report query. */
+    * persists the labels — so the q188b/q200b/q201b report twins read
+    * two parquet tables. The stored frame is the generator's frame
+    * unchanged and LPA parameters are identical, so the inline
+    * queries' DuckDB oracles carry over to the store twins row for
+    * row (hash-exact, same SQL). At 100x event volume the quadratic
+    * windowed self-join runs once per ingest, not once per report
+    * query. */
   private[queries] def eventsPairStore(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): graft.operators.PairGraphStore.Handle = {
@@ -137,6 +138,101 @@ object MlQueries extends QueryDsl {
         graft.Tables.load(spark, dir, "events"), "user_id", "ts",
         windowSec = 600, minShared = 3, maxWindowActors = 100),
       "ua", "ub", Some("shared"), spark, path)
+  }
+
+  // The events-community family's shared CTE prefix (co-presence pairs
+  // + 3 integer-exact LPA rounds) — one SQL text serving the inline
+  // queries AND their store twins, which are equal row for row by the
+  // store's fidelity contract.
+  private def eventsLpaPrefixSql =
+    s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+      |  FROM events),
+      |prs AS (SELECT a.user_id AS va, b.user_id AS vb
+      |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
+      |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
+      |${lpaRoundSql(1)},
+      |${lpaRoundSql(2)},
+      |${lpaRoundSql(3)}""".stripMargin
+
+  private def userCommunitiesSql =
+    s"""$eventsLpaPrefixSql
+      |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
+
+  private def communityProfileSql =
+    s"""$eventsLpaPrefixSql,
+      |sz AS (SELECT lbl AS community, count(*)::BIGINT AS n_users FROM l3 GROUP BY 1),
+      |internal AS (SELECT ca.lbl AS community, count(*)::BIGINT AS n_internal
+      |  FROM prs JOIN l3 ca ON prs.va = ca.node JOIN l3 cb ON prs.vb = cb.node
+      |  WHERE ca.lbl = cb.lbl GROUP BY 1)
+      |SELECT sz.community, sz.n_users,
+      |  coalesce(internal.n_internal, 0)::BIGINT AS n_internal,
+      |  round(CASE WHEN sz.n_users < 2 THEN (0.0)::DOUBLE
+      |    ELSE (2.0)::DOUBLE * coalesce(internal.n_internal, 0)
+      |      / (sz.n_users * (sz.n_users - 1)) END, 6) AS density
+      |FROM sz LEFT JOIN internal ON internal.community = sz.community""".stripMargin
+
+  private def communityModularitySql =
+    s"""$eventsLpaPrefixSql,
+      |m AS (SELECT count(*)::BIGINT AS m FROM prs),
+      |deg AS (SELECT u AS node, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+      |dsum AS (SELECT l3.lbl AS community, sum(deg.d)::BIGINT AS d_tot
+      |  FROM l3 JOIN deg ON deg.node = l3.node GROUP BY 1),
+      |internal AS (SELECT ca.lbl AS community, count(*)::BIGINT AS e_in
+      |  FROM prs JOIN l3 ca ON prs.va = ca.node JOIN l3 cb ON prs.vb = cb.node
+      |  WHERE ca.lbl = cb.lbl GROUP BY 1)
+      |SELECT ds.community, coalesce(internal.e_in, 0)::BIGINT AS e_in,
+      |  ds.d_tot,
+      |  round(coalesce(internal.e_in, 0)::DOUBLE / m.m
+      |    - (ds.d_tot::DOUBLE / (2 * m.m)) * (ds.d_tot::DOUBLE / (2 * m.m)),
+      |    6) + (0.0)::DOUBLE AS contribution
+      |FROM dsum ds CROSS JOIN m
+      |LEFT JOIN internal ON internal.community = ds.community""".stripMargin
+
+  /** q200's aggregate stage over an already-derived (pairs, labels)
+    * couple — shared by the inline query and the store twin so the
+    * arithmetic (and hence the oracle hash) cannot drift between
+    * routes. `pairs` must be the canonical ua<ub frame; `labels`
+    * (node, community). */
+  private def communityProfileOf(
+      pairs: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sz = labels.groupBy($"community").agg(count(lit(1)).as("n_users"))
+    val internal = pairs
+      .join(labels.select($"node".as("ua"), $"community".as("__ca")), Seq("ua"))
+      .join(labels.select($"node".as("ub"), $"community".as("__cb")), Seq("ub"))
+      .filter($"__ca" === $"__cb")
+      .groupBy($"__ca".as("community")).agg(count(lit(1)).as("n_internal"))
+    sz.join(internal, Seq("community"), "left")
+      .select($"community", $"n_users",
+        coalesce($"n_internal", lit(0L)).as("n_internal"),
+        round(when($"n_users" < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce($"n_internal", lit(0L)) /
+            ($"n_users" * ($"n_users" - lit(1L)))), 6).as("density"))
+  }
+
+  /** q201's aggregate stage over (pairs, labels) — see
+    * [[communityProfileOf]]. */
+  private def communityModularityOf(
+      pairs: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = pairs.count()
+    val deg = pairs.select($"ua".as("node")).unionByName(pairs.select($"ub".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val dsum = labels.join(deg, Seq("node"))
+      .groupBy($"community").agg(sum($"d").as("d_tot"))
+    val internal = pairs
+      .join(labels.select($"node".as("ua"), $"community".as("__ca")), Seq("ua"))
+      .join(labels.select($"node".as("ub"), $"community".as("__cb")), Seq("ub"))
+      .filter($"__ca" === $"__cb")
+      .groupBy($"__ca".as("community")).agg(count(lit(1)).as("e_in"))
+    val half = $"d_tot".cast("double") / lit(2L * m)
+    dsum.join(internal, Seq("community"), "left")
+      .select($"community",
+        coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot",
+        (round(coalesce($"e_in", lit(0L)).cast("double") / lit(m)
+          - half * half, 6) + lit(0.0)).as("contribution"))
   }
 
   def all: Seq[Q] = Seq(
@@ -1135,24 +1231,24 @@ object MlQueries extends QueryDsl {
     // The operator's maxWindowActors guard has no effect at harness
     // occupancy (max 42 < 100, the q178-established fact), so the
     // guard-free SQL matches.
-    q("q188_user_communities",
-      s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
-        |  FROM events),
-        |prs AS (SELECT a.user_id AS va, b.user_id AS vb
-        |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
-        |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
-        |${lpaRoundSql(1)},
-        |${lpaRoundSql(2)},
-        |${lpaRoundSql(3)}
-        |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin) { c =>
+    q("q188_user_communities", userCommunitiesSql) { c =>
       import c.t
       val pairs = graft.operators.CoPresence.pairs(
           t("events"), "user_id", "ts",
           windowSec = 600, minShared = 3, maxWindowActors = 100)
         .select($"ua", $"ub")
       graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3)
+        .select($"node".as("user_id"), $"community")
+    },
+
+    // q188 SERVED from the persisted behavioral graph: the co-presence
+    // self-join ran once at [[eventsPairStore]] build time and the LPA
+    // labels persist behind ensureCommunities' crash-safe swap — the
+    // report reads one parquet table. SAME oracle as q188 (hash-exact
+    // twin): the stored edge frame is the generator's frame unchanged
+    // and the LPA parameters are identical.
+    q("q188b_user_communities_store", userCommunitiesSql) { c =>
+      eventsPairStore(c.spark, c.dir).ensureCommunities(rounds = 3)
         .select($"node".as("user_id"), $"community")
     },
 
@@ -1163,27 +1259,7 @@ object MlQueries extends QueryDsl {
     // density division is one double-by-integer-product op with
     // identical association in both engines, singleton communities
     // pinned to 0.0 by the same CASE.
-    q("q200_community_profile",
-      s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
-        |  FROM events),
-        |prs AS (SELECT a.user_id AS va, b.user_id AS vb
-        |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
-        |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
-        |${lpaRoundSql(1)},
-        |${lpaRoundSql(2)},
-        |${lpaRoundSql(3)},
-        |sz AS (SELECT lbl AS community, count(*)::BIGINT AS n_users FROM l3 GROUP BY 1),
-        |internal AS (SELECT ca.lbl AS community, count(*)::BIGINT AS n_internal
-        |  FROM prs JOIN l3 ca ON prs.va = ca.node JOIN l3 cb ON prs.vb = cb.node
-        |  WHERE ca.lbl = cb.lbl GROUP BY 1)
-        |SELECT sz.community, sz.n_users,
-        |  coalesce(internal.n_internal, 0)::BIGINT AS n_internal,
-        |  round(CASE WHEN sz.n_users < 2 THEN (0.0)::DOUBLE
-        |    ELSE (2.0)::DOUBLE * coalesce(internal.n_internal, 0)
-        |      / (sz.n_users * (sz.n_users - 1)) END, 6) AS density
-        |FROM sz LEFT JOIN internal ON internal.community = sz.community""".stripMargin) { c =>
+    q("q200_community_profile", communityProfileSql) { c =>
       import c.t
       val pairs = graft.operators.CoPresence.pairs(
           t("events"), "user_id", "ts",
@@ -1192,18 +1268,17 @@ object MlQueries extends QueryDsl {
         .localCheckpoint()
       val labels = graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3)
         .localCheckpoint()
-      val sz = labels.groupBy($"community").agg(count(lit(1)).as("n_users"))
-      val internal = pairs
-        .join(labels.select($"node".as("ua"), $"community".as("__ca")), Seq("ua"))
-        .join(labels.select($"node".as("ub"), $"community".as("__cb")), Seq("ub"))
-        .filter($"__ca" === $"__cb")
-        .groupBy($"__ca".as("community")).agg(count(lit(1)).as("n_internal"))
-      sz.join(internal, Seq("community"), "left")
-        .select($"community", $"n_users",
-          coalesce($"n_internal", lit(0L)).as("n_internal"),
-          round(when($"n_users" < 2, lit(0.0))
-            .otherwise(lit(2.0) * coalesce($"n_internal", lit(0L)) /
-              ($"n_users" * ($"n_users" - lit(1L)))), 6).as("density"))
+      communityProfileOf(pairs, labels)
+    },
+
+    // q200 SERVED from the persisted behavioral graph (the q188b
+    // argument): stored edges + persisted labels in, the same shared
+    // aggregate stage out — hash-exact against q200's oracle.
+    q("q200b_community_profile_store", communityProfileSql) { c =>
+      val h = eventsPairStore(c.spark, c.dir)
+      communityProfileOf(
+        h.edges.select($"ua", $"ub"),
+        h.ensureCommunities(rounds = 3).select($"node", $"community"))
     },
 
     // q197's calibration served INCREMENTALLY: the (n, pos) bin
@@ -1266,31 +1341,7 @@ object MlQueries extends QueryDsl {
     // a pure function of three integer aggregates, associated
     // identically in both engines (the squared factor is the SAME
     // division written twice, not a pow call).
-    q("q201_community_modularity",
-      s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
-        |  FROM events),
-        |prs AS (SELECT a.user_id AS va, b.user_id AS vb
-        |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
-        |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
-        |${lpaRoundSql(1)},
-        |${lpaRoundSql(2)},
-        |${lpaRoundSql(3)},
-        |m AS (SELECT count(*)::BIGINT AS m FROM prs),
-        |deg AS (SELECT u AS node, count(*)::BIGINT AS d FROM edges GROUP BY 1),
-        |dsum AS (SELECT l3.lbl AS community, sum(deg.d)::BIGINT AS d_tot
-        |  FROM l3 JOIN deg ON deg.node = l3.node GROUP BY 1),
-        |internal AS (SELECT ca.lbl AS community, count(*)::BIGINT AS e_in
-        |  FROM prs JOIN l3 ca ON prs.va = ca.node JOIN l3 cb ON prs.vb = cb.node
-        |  WHERE ca.lbl = cb.lbl GROUP BY 1)
-        |SELECT ds.community, coalesce(internal.e_in, 0)::BIGINT AS e_in,
-        |  ds.d_tot,
-        |  round(coalesce(internal.e_in, 0)::DOUBLE / m.m
-        |    - (ds.d_tot::DOUBLE / (2 * m.m)) * (ds.d_tot::DOUBLE / (2 * m.m)),
-        |    6) + (0.0)::DOUBLE AS contribution
-        |FROM dsum ds CROSS JOIN m
-        |LEFT JOIN internal ON internal.community = ds.community""".stripMargin) { c =>
+    q("q201_community_modularity", communityModularitySql) { c =>
       import c.t
       val pairs = graft.operators.CoPresence.pairs(
           t("events"), "user_id", "ts",
@@ -1299,22 +1350,16 @@ object MlQueries extends QueryDsl {
         .localCheckpoint()
       val labels = graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3)
         .localCheckpoint()
-      val m = pairs.count()
-      val deg = pairs.select($"ua".as("node")).unionByName(pairs.select($"ub".as("node")))
-        .groupBy($"node").agg(count(lit(1)).as("d"))
-      val dsum = labels.join(deg, Seq("node"))
-        .groupBy($"community").agg(sum($"d").as("d_tot"))
-      val internal = pairs
-        .join(labels.select($"node".as("ua"), $"community".as("__ca")), Seq("ua"))
-        .join(labels.select($"node".as("ub"), $"community".as("__cb")), Seq("ub"))
-        .filter($"__ca" === $"__cb")
-        .groupBy($"__ca".as("community")).agg(count(lit(1)).as("e_in"))
-      val half = $"d_tot".cast("double") / lit(2L * m)
-      dsum.join(internal, Seq("community"), "left")
-        .select($"community",
-          coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot",
-          (round(coalesce($"e_in", lit(0L)).cast("double") / lit(m)
-            - half * half, 6) + lit(0.0)).as("contribution"))
+      communityModularityOf(pairs, labels)
+    },
+
+    // q201 SERVED from the persisted behavioral graph (the q188b
+    // argument) — hash-exact against q201's oracle.
+    q("q201b_community_modularity_store", communityModularitySql) { c =>
+      val h = eventsPairStore(c.spark, c.dir)
+      communityModularityOf(
+        h.edges.select($"ua", $"ub").localCheckpoint(),
+        h.ensureCommunities(rounds = 3).select($"node", $"community"))
     },
 
     // Incremental triangle/lcc maintenance on the pair-graph store:

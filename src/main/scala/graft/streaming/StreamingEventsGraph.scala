@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{CoPresenceStore, PairGraphStore}
+
+/** Events stream → behavioral community graph, end to end: each
+  * micro-batch of raw events folds into the [[CoPresenceStore]] pair
+  * counts, and the pairs that CROSS the edge threshold with that batch
+  * drive [[PairGraphStore.Handle.appendAndMaintainCommunities]] — the
+  * persisted LPA labels stay current with the event stream at
+  * delta-neighborhood cost, and the quadratic windowed self-join only
+  * ever runs over one batch's windows. This is the streaming form of
+  * the q188/q188b pipeline (same generator, same LPA) under the
+  * window-alignment contract documented on [[CoPresenceStore]].
+  *
+  * Exactly-once composition: the counts store's batch ledger commits
+  * AFTER the community maintenance inside [[CoPresenceStore.absorbBatch]]
+  * (maintenance is replay-tolerant, the ledger is not — see the
+  * ordering argument there), so any crash/replay window converges to
+  * the state of a single batch pass
+  * (StreamingEventsGraphSpec drives the windows explicitly).
+  */
+object StreamingEventsGraph {
+
+  /** One micro-batch step; exposed for direct use and tests. The
+    * graph store materializes WITH the first crossing batch (lazy
+    * bootstrap — `ensure` builds from it, later batches open) so no
+    * empty-graph state ever persists; on the build path the following
+    * maintain dedups the batch to a no-op and persists the labels,
+    * which is also exactly the replay path after a build-then-crash
+    * window. */
+  def process(
+      events: DataFrame,
+      batchId: Long,
+      countsPath: String,
+      graphPath: String,
+      actorCol: String = "user_id",
+      tsCol: String = "ts",
+      rounds: Int = 3): Unit = {
+    val spark = events.sparkSession
+    CoPresenceStore.absorbBatch(
+      spark, events, actorCol, tsCol, countsPath, batchId) { crossed =>
+      if (!crossed.isEmpty) {
+        val g = PairGraphStore.ensure(
+          crossed.select(col("ua"), col("ub")),
+          "ua", "ub", None, spark, graphPath)
+        g.appendAndMaintainCommunities(
+          crossed.select(col("ua"), col("ub")), rounds)
+        ()
+      }
+    }
+  }
+
+  /** File-source drive: watch `inDir` for parquet batches of raw
+    * events (window-aligned by the ingest layout), keep counts and
+    * community labels current per batch. */
+  def stream(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      countsPath: String,
+      graphPath: String,
+      checkpointDir: String,
+      actorCol: String = "user_id",
+      tsCol: String = "ts",
+      rounds: Int = 3): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        process(batch, batchId, countsPath, graphPath, actorCol, tsCol, rounds)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
