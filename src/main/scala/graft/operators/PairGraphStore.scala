@@ -828,16 +828,21 @@ object PairGraphStore {
     /** Tombstone `deleted` pairs (revocation-ledger write; only pairs
       * actually present land in the ledger — replays tombstone
       * nothing) and INVALIDATE the side states that have NO
-      * decremental maintainer — labels and distances re-derive from
-      * the kept view on their next ensure (honest rebuild; their
-      * decremental theory is future work). Cores, truss and ranks are
+      * decremental maintainer — by default labels and distances
+      * re-derive from the kept view on their next ensure (honest
+      * rebuild). Labels DO have a decremental maintainer
+      * ([[removeEdgesAndMaintainCommunities]]), which passes
+      * `invalidateLabels = false` because it overwrites exactly the
+      * affected partitions itself. Cores, truss and ranks are
       * maintained at affected-region cost by their own
       * `removeEdgesAndMaintain*`; cross-state staleness is the
       * caller's composition concern, exactly as on the insertion side
       * (use the streaming processAll shape to keep every state
       * current together). Returns the canonical revoked-now frame
       * (present pairs). */
-    private def revoke(deleted: DataFrame): DataFrame = {
+    private def revoke(
+        deleted: DataFrame,
+        invalidateLabels: Boolean = true): DataFrame = {
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b").distinct()
@@ -852,7 +857,7 @@ object PairGraphStore {
           .write.mode(SaveMode.Append).parquet(s"$path/removededges")
         val fs = new Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new Path(labelsDir), true)
+        if (invalidateLabels) fs.delete(new Path(labelsDir), true)
         // tag-named distance states: drop every graphdists_* dir
         if (fs.exists(new Path(path)))
           fs.listStatus(new Path(path)).foreach { st =>
@@ -861,6 +866,79 @@ object PairGraphStore {
           }
       }
       present
+    }
+
+    /** Revoke an edge batch AND maintain the persisted community
+      * labels at affected-COMPONENT cost — the deletion twin of
+      * [[appendAndMaintainCommunities]]. LPA labels and component ids
+      * are component-local and deterministic, and a deletion can only
+      * change labels INSIDE the deleted edges' old components: the
+      * kept graph's components partition each old component (every
+      * proper split piece contains a deleted-edge endpoint — a piece
+      * with no endpoint would still have all its incident edges kept
+      * and so not be a proper piece), so re-running CC + LPA over
+      * exactly the touched old components' KEPT subgraph reproduces a
+      * from-scratch run over the whole kept graph row for row
+      * (PairGraphStoreSpec pins it on planted splits and randomized
+      * splits). Untouched components' labels are read back unchanged
+      * and their state partitions keep their files; nodes the
+      * deletion isolates drop from the state (they leave the graph,
+      * matching from-scratch).
+      *
+      * Crash windows (the cores/ranks deletion argument): maintenance
+      * is computed against the kept view (stored minus the batch) and
+      * materialized BEFORE the ledger write, so tombstones-landed/
+      * labels-stale replays recompute the same affected region — the
+      * kept view and the endpoints' stored components are unchanged —
+      * and drive the state to the same fixpoint; a fully-replayed
+      * batch recomputes the (already converged) region and rewrites
+      * no partitions. The mid-partition-write mix is absorbed by the
+      * [[overwriteChangedState]] contract. */
+    def removeEdgesAndMaintainCommunities(
+        deleted: DataFrame,
+        rounds: Int = 3,
+        weighted: Boolean = false): DataFrame = {
+      val old = ensureCommunities(rounds, weighted)
+      val delCanon = deleted
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b").distinct().localCheckpoint()
+      val wSeq = weightCol.toSeq
+      val outCols = srcCol +: dstCol +: wSeq
+      val storedE = edges.select(
+        (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+          ++ wSeq.map(col)): _*)
+      val keptE = storedE
+        .join(broadcast(delCanon.select(col("a"), col("b"))),
+          Seq("a", "b"), "left_anti")
+      // old components of the deleted endpoints — endpoints never
+      // stored (bogus revocations) have no component and touch nothing
+      val oldComps = old.select(col("node"), col("comp"))
+      val affectedComps = delCanon.select(col("a").as("node"))
+        .unionByName(delCanon.select(col("b").as("node")))
+        .distinct()
+        .join(oldComps, Seq("node"))
+        .select(col("comp")).distinct()
+      val affectedNodes = old.join(affectedComps, Seq("comp"), "left_semi")
+        .select(col("node"))
+        .localCheckpoint()
+      // both endpoints of a kept edge share an old component, so the
+      // src side decides membership in the affected subgraph
+      val subKept = keptE
+        .join(affectedNodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      val newLabels = labelsOf(subKept.toDF(outCols: _*), rounds, weighted)
+      val maintained = old.join(affectedNodes, Seq("node"), "left_anti")
+        .unionByName(newLabels)
+        .localCheckpoint()
+      revoke(delCanon.toDF(srcCol, dstCol), invalidateLabels = false)
+      val changed = maintained
+        .select(col("node"), col("community").as("__nc"), col("comp").as("__np"))
+        .join(old.select(col("node"), col("community").as("__oc"),
+          col("comp").as("__op")), Seq("node"), "full_outer")
+        .filter(col("__oc").isNull || col("__nc").isNull ||
+          col("__oc") =!= col("__nc") || col("__op") =!= col("__np"))
+        .select(col("node"))
+      overwriteChangedState(labelsDir, maintained, "node", changed)
+      maintained
     }
 
     /** Revoke an edge batch AND maintain the persisted core numbers at

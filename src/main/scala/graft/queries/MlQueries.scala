@@ -143,18 +143,27 @@ object MlQueries extends QueryDsl {
   // The events-community family's shared CTE prefix (co-presence pairs
   // + 3 integer-exact LPA rounds) — one SQL text serving the inline
   // queries AND their store twins, which are equal row for row by the
-  // store's fidelity contract.
-  private def eventsLpaPrefixSql =
+  // store's fidelity contract. `kept` (optional) filters the pair set
+  // — the revocation twin's kept-edge view.
+  private def eventsLpaPrefixSql: String = eventsLpaPrefix()
+  private def eventsLpaPrefix(kept: String = ""): String = {
+    val keptClause = if (kept.isEmpty) "" else s" WHERE $kept"
     s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
       |  FROM events),
-      |prs AS (SELECT a.user_id AS va, b.user_id AS vb
+      |prs_all AS (SELECT a.user_id AS va, b.user_id AS vb
       |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |prs AS (SELECT va, vb FROM prs_all$keptClause),
       |edges AS (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
       |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT u AS node FROM edges)),
       |${lpaRoundSql(1)},
       |${lpaRoundSql(2)},
       |${lpaRoundSql(3)}""".stripMargin
+  }
+
+  private def lpaRevocationSql =
+    s"""${eventsLpaPrefix("(va * 31 + vb) % 5 <> 0")}
+      |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
 
   private def userCommunitiesSql =
     s"""$eventsLpaPrefixSql
@@ -1360,6 +1369,34 @@ object MlQueries extends QueryDsl {
       communityModularityOf(
         h.edges.select($"ua", $"ub").localCheckpoint(),
         h.ensureCommunities(rounds = 3).select($"node", $"community"))
+    },
+
+    // Community labels after an edge REVOCATION — the deletion twin of
+    // q190, ORACLE-EXACT on the events co-presence graph (q188's
+    // SQL-expressible edge frame): a dedicated store copy absorbs the
+    // pairs, every (ua*31+ub) % 5 == 0 pair is revoked through
+    // removeEdgesAndMaintainCommunities (affected-component
+    // re-propagation over the KEPT graph — splits re-labeled, isolated
+    // nodes leave the state, untouched components' partitions keep
+    // their files), and the served labels replay q188's integer-exact
+    // LPA unroll over the kept edges. PairGraphStoreSpec pins
+    // maintain == from-scratch on planted and randomized splits.
+    q("q218_lpa_revocation", lpaRevocationSql) { c =>
+      import c.t
+      val pairs = graft.operators.CoPresence.pairs(
+          t("events"), "user_id", "ts",
+          windowSec = 600, minShared = 3, maxWindowActors = 100)
+        .localCheckpoint()
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_lrevoke_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        pairs, "ua", "ub", Some("shared"), c.spark, path)
+      h.removeEdgesAndMaintainCommunities(
+        pairs.filter(pmod($"ua" * 31 + $"ub", lit(5)) === 0), rounds = 3)
+      h.ensureCommunities(rounds = 3)
+        .select($"node".as("user_id"), $"community")
     },
 
     // Incremental triangle/lcc maintenance on the pair-graph store:

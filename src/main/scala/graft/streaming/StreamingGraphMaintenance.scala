@@ -57,13 +57,17 @@ object StreamingGraphMaintenance {
 
   /** FULL-state REVOCATION step — the deletion twin of [[processAll]]:
     * one micro-batch of revoked pairs tombstones the edge view once
-    * and maintains cores (frontier h-index demotion), the PageRank
+    * and maintains the community labels (affected-component
+    * re-propagation), cores (frontier h-index demotion), the PageRank
     * iterates (kept-graph patch recompute), and optionally the
-    * k-truss (closure-peel eviction) together; community labels and
-    * distance states invalidate inside the first revoke and re-derive
-    * from the kept view on their next ensure. Composition is safe by
-    * the same replay argument as insertions: the first maintainer
-    * writes the ledger, later ones see the batch already tombstoned
+    * k-truss (closure-peel eviction) together; distance states
+    * invalidate inside the first revoke and re-derive from the kept
+    * view on their next ensure. Communities run FIRST: their
+    * maintainer revokes WITHOUT invalidating the labels state it just
+    * patched, and the later maintainers' revokes find the batch
+    * already tombstoned (present set empty) so they touch no state
+    * dirs. Composition is safe by the same replay argument as
+    * insertions: later maintainers see the batch already tombstoned
     * (their own replay path) and still drive their states to the kept
     * graph's fixpoint; a crash between maintainers re-runs all of
     * them and each converges. */
@@ -72,8 +76,10 @@ object StreamingGraphMaintenance {
       store: PairGraphStore.Handle,
       maxK: Int,
       iterations: Int = 3,
+      rounds: Int = 3,
       trussK: Option[Int] = None): Unit = {
     if (batch.isEmpty) return
+    store.removeEdgesAndMaintainCommunities(batch, rounds)
     store.removeEdgesAndMaintainCores(batch, maxK)
     store.removeEdgesAndMaintainRanks(batch, iterations)
     trussK.foreach(k => store.removeEdgesAndMaintainTruss(batch, k))
@@ -91,11 +97,12 @@ object StreamingGraphMaintenance {
       maxK: Int,
       iterations: Int,
       checkpointDir: String,
+      rounds: Int = 3,
       trussK: Option[Int] = None): StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processAllRemove(batch, store, maxK, iterations, trussK)
+        processAllRemove(batch, store, maxK, iterations, rounds, trussK)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

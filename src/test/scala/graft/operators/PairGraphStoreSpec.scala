@@ -216,6 +216,90 @@ class PairGraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("community revocation equals from-scratch on a planted split; files; replay") {
+    val sp = spark; import sp.implicits._
+    // one 6-cycle (splits into two paths when two opposite edges go)
+    // and an untouched triangle
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 6L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("vec_a", "vec_b")
+    val gone = Seq((2L, 3L), (5L, 6L)).toDF("vec_a", "vec_b")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    h.ensureCommunities(rounds = 3)
+    val before = listStateFiles(h, "graphlabels")
+    val maintained = asLabelMap(
+      h.removeEdgesAndMaintainCommunities(gone, rounds = 3))
+    val kept = base.join(gone, Seq("vec_a", "vec_b"), "left_anti")
+    val want = fromScratchLabels(kept, 3, None)
+    assert(maintained == want,
+      s"diff=${(maintained.toSet -- want.toSet).take(5)} / ${(want.toSet -- maintained.toSet).take(5)}")
+    // the cycle genuinely split: two component ids where there was one
+    assert(maintained.filter(_._1 <= 6L).values.map(_._2).toSet.size == 2)
+    // persisted state serves the same rows; the edge view is the kept set
+    assert(asLabelMap(h.ensureCommunities(rounds = 3)) == want)
+    assert(h.edges.count() == kept.count())
+    // the untouched triangle's partitions keep their files
+    val after = listStateFiles(h, "graphlabels")
+    val untouched = before.keys.filter(k =>
+      Seq(20, 21, 22).exists(pb => k.contains(s"pb=$pb/")))
+    assert(untouched.nonEmpty, "fixture must produce untouched partitions")
+    untouched.foreach { k =>
+      assert(after.get(k).contains(before(k)),
+        s"untouched partition file changed: $k")
+    }
+    // replay: the same revocation again is a no-op on edges and labels
+    val replayFiles = listStateFiles(h, "graphlabels")
+    assert(asLabelMap(h.removeEdgesAndMaintainCommunities(gone, rounds = 3))
+      == want)
+    assert(listStateFiles(h, "graphlabels") == replayFiles,
+      "a fully-replayed revocation must rewrite no label partitions")
+    // crash window: tombstones landed, labels stale — simulate the
+    // ledger write revoke() performs (labels untouched), then replay
+    val h2 = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    h2.ensureCommunities(rounds = 3)
+    gone.select(col("vec_a").cast("long").as("a"),
+        col("vec_b").cast("long").as("b"))
+      .coalesce(1).write.mode("append").parquet(s"${h2.path}/removededges")
+    assert(asLabelMap(h2.removeEdgesAndMaintainCommunities(gone, rounds = 3))
+      == want, "replay over a tombstones-landed/labels-stale window")
+  }
+
+  test("community revocation: isolated nodes drop; randomized splits equal from-scratch") {
+    val sp = spark; import sp.implicits._
+    // node 9 loses its only edge: it must leave the labels state
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 9L)).toDF("vec_a", "vec_b")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", None, tmp())
+    h.ensureCommunities(rounds = 3)
+    val got = asLabelMap(h.removeEdgesAndMaintainCommunities(
+      Seq((3L, 9L)).toDF("vec_a", "vec_b"), rounds = 3))
+    assert(!got.contains(9L), "isolated node must drop from the state")
+    assert(got == fromScratchLabels(Seq((1L, 2L), (2L, 3L)).toDF("vec_a", "vec_b"), 3, None))
+
+    val rnd = new scala.util.Random(23L)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(30)
+      val all = (0 until (n * 2)).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b),
+            math.rint(rnd.nextDouble() * 100) / 100 + 0.01)
+        }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val (goneE, keptE) = all.partition(_ => rnd.nextDouble() < 0.25)
+      if (goneE.nonEmpty && keptE.nonEmpty) {
+        val full = all.toDF("vec_a", "vec_b", "cos")
+        val gone = goneE.toDF("vec_a", "vec_b", "cos")
+        val h2 = PairGraphStore.build(full, "vec_a", "vec_b", Some("cos"), tmp())
+        val weighted = trial % 2 == 1
+        h2.ensureCommunities(rounds = 3, weighted = weighted)
+        val got2 = asLabelMap(h2.removeEdgesAndMaintainCommunities(
+          gone, rounds = 3, weighted = weighted))
+        val want2 = fromScratchLabels(keptE.toDF("vec_a", "vec_b", "cos"), 3,
+          if (weighted) Some("cos") else None)
+        assert(got2 == want2, s"trial $trial (weighted=$weighted): " +
+          s"diff=${(got2.toSet -- want2.toSet).take(5)} / ${(want2.toSet -- got2.toSet).take(5)}")
+      }
+    }
+  }
+
   private def asGsMap(df: DataFrame): Map[Long, Seq[Double]] =
     df.select(col("node"), col("gs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
