@@ -842,7 +842,8 @@ object PairGraphStore {
       * (present pairs). */
     private def revoke(
         deleted: DataFrame,
-        invalidateLabels: Boolean = true): DataFrame = {
+        invalidateLabels: Boolean = true,
+        keepDistTag: Option[String] = None): DataFrame = {
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b").distinct()
@@ -858,14 +859,124 @@ object PairGraphStore {
         val fs = new Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (invalidateLabels) fs.delete(new Path(labelsDir), true)
-        // tag-named distance states: drop every graphdists_* dir
+        // tag-named distance states: drop every graphdists_* dir —
+        // except the one a distance maintainer is itself patching
+        // (other tags still invalidate: one maintain call fixes one
+        // seed set's state, the rest re-derive on their next ensure)
         if (fs.exists(new Path(path)))
           fs.listStatus(new Path(path)).foreach { st =>
-            if (st.isDirectory && st.getPath.getName.startsWith("graphdists_"))
+            if (st.isDirectory && st.getPath.getName.startsWith("graphdists_")
+                && !keepDistTag.map(t => s"graphdists_$t")
+                  .contains(st.getPath.getName))
               fs.delete(st.getPath, true)
           }
       }
       present
+    }
+
+    /** Revoke an edge batch AND maintain the persisted hop-indexed
+      * seed distances for `tag` at AFFECTED-REGION cost — the deletion
+      * twin of [[appendAndMaintainDistances]]. Deletions only remove
+      * paths, so stored iterates become LOWER bounds; the region whose
+      * values can rise is bounded by kept-hop radius: any old ≤t-hop
+      * seed path through a deleted edge, decomposed at its LAST
+      * deleted edge, ends in a kept-only suffix of ≤ t−1 hops from a
+      * deleted endpoint — so only nodes within maxHops−1 KEPT hops of
+      * a deleted endpoint can change. Those nodes' iterates are
+      * re-relaxed over the kept graph with the recurrence's inputs
+      * split at the region boundary: values INSIDE the region come
+      * from the recomputation, values OUTSIDE from the stored state —
+      * exact there, because an outside node admits no ≤maxHops path
+      * through a deleted edge at all (path costs are edge sums, so
+      * exactness does not depend on inside nodes' values). Min-plus
+      * arithmetic is order-independent, so the maintained iterates are
+      * BIT-identical to a from-scratch [[MinPlusDistances.iterates]]
+      * over the kept graph (PairGraphStoreSpec pins planted
+      * detour-removals and randomized splits). Nodes the deletion
+      * unreaches drop from the state; only changed nodes' partitions
+      * rewrite.
+      *
+      * Crash windows: the cores/ranks/labels deletion argument —
+      * maintenance computes against the kept view and materializes
+      * before the ledger write; replays recompute the same region to
+      * the same fixpoint and rewrite no partitions. Other distance
+      * tags' states invalidate inside [[revoke]] (this maintainer
+      * patches only its own tag). */
+    def removeEdgesAndMaintainDistances(
+        deleted: DataFrame,
+        tag: String,
+        seeds: DataFrame,
+        maxHops: Int = 4,
+        costMode: String = "unit"): DataFrame = {
+      val old = ensureDistances(tag, seeds, maxHops, costMode)
+      val delCanon = deleted
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b").distinct().localCheckpoint()
+      val storedC = canonAll(edges)
+      val keptC = storedC
+        .join(broadcast(delCanon.select(col("a"), col("b"))),
+          Seq("a", "b"), "left_anti")
+        .localCheckpoint()
+      val keptSym = symCost(keptC, costMode).localCheckpoint()
+      // affected region: <= maxHops-1 kept hops around deleted endpoints
+      var aff = cps(delCanon.select(col("a").as("node"))
+        .unionByName(delCanon.select(col("b").as("node"))).distinct())
+      var frontier = aff
+      for (_ <- 1 until maxHops) {
+        frontier = cps(keptSym
+          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(aff, Seq("node"), "left_anti"))
+        aff = cps(aff.unionByName(frontier))
+      }
+      val oldCk = old.localCheckpoint()
+      val outside = oldCk.join(aff, Seq("node"), "left_anti").localCheckpoint()
+      val seedD = seeds.select(seeds.columns.head).toDF("node")
+        .select(col("node").cast("long").as("node")).distinct()
+        .withColumn("__v", lit(0.0)).localCheckpoint()
+      val intoA = keptSym
+        .join(aff.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      // hop-indexed re-relaxation of the region: d'_t(v in A) =
+      // min(d'_{t-1}(v), min over kept (u,v) of prev(u) + w) with
+      // prev(u) = recomputed inside A, stored outside
+      var insidePrev = seedD.join(aff, Seq("node"), "left_semi")
+      val hopVals = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (t <- 1 to maxHops) {
+        val outsidePrev =
+          if (t == 1) seedD.join(aff, Seq("node"), "left_anti")
+          else outside.select(col("node"),
+              element_at(col("ds"), t - 1).as("__v"))
+            .filter(col("__v") < lit(Double.PositiveInfinity))
+        val cand = intoA
+          .join(insidePrev.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("__v") + col("w")).as("__v"))
+          .unionByName(intoA
+            .join(outsidePrev.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), (col("__v") + col("w")).as("__v")))
+          .unionByName(insidePrev)
+          .groupBy(col("node")).agg(min(col("__v")).as("__v"))
+        insidePrev = cps(cand)
+        hopVals += insidePrev.toDF("node", s"__v$t")
+      }
+      // assemble region rows; a node absent at every hop was never
+      // reached over the kept graph and drops (matching from-scratch)
+      var rows = hopVals.head
+      for (t <- 2 to maxHops)
+        rows = rows.join(hopVals(t - 1), Seq("node"), "full_outer")
+      val patched = rows.select(col("node"),
+        array((1 to maxHops).map(t =>
+          coalesce(col(s"__v$t"), lit(Double.PositiveInfinity))): _*).as("ds"))
+      val maintained = outside.unionByName(patched).localCheckpoint()
+      revoke(delCanon.toDF(srcCol, dstCol), keepDistTag = Some(tag))
+      val changed = maintained.select(col("node"), col("ds").as("__nd"))
+        .join(oldCk.select(col("node"), col("ds").as("__od")),
+          Seq("node"), "full_outer")
+        .filter(col("__nd").isNull || col("__od").isNull ||
+          col("__nd") =!= col("__od"))
+        .select(col("node"))
+      overwriteChangedState(distsDir(tag), maintained, "node", changed)
+      maintained
     }
 
     /** Revoke an edge batch AND maintain the persisted community

@@ -1716,6 +1716,57 @@ object TextQueries extends QueryDsl {
         .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
     },
 
+    // Seed distances after an edge REVOCATION — the deletion twin of
+    // q199, ORACLE-EXACT on the doc pair graph (q196's SQL-expressible
+    // min-plus unroll over the kept edges): a dedicated store copy
+    // absorbs the q61-exact pairs, every (doc_a+doc_b) % 5 == 0 pair
+    // is revoked through removeEdgesAndMaintainDistances — stored
+    // iterates are lower bounds after a deletion, so the kept-hop
+    // region around the deleted endpoints re-relaxes with stored
+    // values as exact boundary inputs; unreached nodes leave the
+    // state. Seeds are the KEPT graph's %10 nodes (matching the SQL's
+    // node universe). PairGraphStoreSpec pins maintain == from-scratch
+    // on planted detour-removals and randomized splits.
+    q("q219_distance_revocation",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst, (1.0)::DOUBLE - jaccard AS w FROM prs WHERE (doc_a + doc_b) % 5 <> 0
+        |      UNION ALL SELECT doc_b, doc_a, (1.0)::DOUBLE - jaccard FROM prs WHERE (doc_a + doc_b) % 5 <> 0),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |d0 AS (SELECT node, (0.0)::DOUBLE AS d FROM nd WHERE node % 10 = 0),
+        |r1 AS (SELECT e.dst AS node, min(d0.d + e.w) AS d
+        |       FROM d0 JOIN e ON d0.node = e.src GROUP BY 1),
+        |d1 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d0 UNION ALL SELECT * FROM r1) u GROUP BY 1),
+        |r2 AS (SELECT e.dst AS node, min(d1.d + e.w) AS d
+        |       FROM d1 JOIN e ON d1.node = e.src GROUP BY 1),
+        |d2 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d1 UNION ALL SELECT * FROM r2) u GROUP BY 1),
+        |r3 AS (SELECT e.dst AS node, min(d2.d + e.w) AS d
+        |       FROM d2 JOIN e ON d2.node = e.src GROUP BY 1),
+        |d3 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d2 UNION ALL SELECT * FROM r3) u GROUP BY 1),
+        |r4 AS (SELECT e.dst AS node, min(d3.d + e.w) AS d
+        |       FROM d3 JOIN e ON d3.node = e.src GROUP BY 1),
+        |d4 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d3 UNION ALL SELECT * FROM r4) u GROUP BY 1)
+        |SELECT node AS doc_id, round(d, 6) AS dist FROM d4""".stripMargin) { c =>
+      val pairs = docPairStore(c.spark, c.dir).edges
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .localCheckpoint()
+      val deleted = pairs.filter(pmod($"doc_a" + $"doc_b", lit(5)) === 0)
+      val kept = pairs.filter(pmod($"doc_a" + $"doc_b", lit(5)) =!= 0)
+      val seeds = kept.select($"doc_a".as("node"))
+        .unionByName(kept.select($"doc_b".as("node")))
+        .distinct().filter(pmod($"node", lit(10)) === 0)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_drevoke_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        pairs, "doc_a", "doc_b", Some("jaccard"), c.spark, path)
+      h.removeEdgesAndMaintainDistances(deleted, "seedmod10kept", seeds,
+          maxHops = 4, costMode = "oneMinusWeight")
+        .filter(element_at($"ds", 4) < lit(Double.PositiveInfinity))
+        .select($"node".as("doc_id"),
+          round(element_at($"ds", 4), 6).as("dist"))
+    },
+
     // Weighted twin of q128: rank splits across out-edges in
     // proportion to the pair's Jaccard similarity (pr·w/Σw_out) —
     // similarity-weighted centrality. Same 3-round unroll; the weight

@@ -522,6 +522,87 @@ class PairGraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("distance revocation equals from-scratch; unreached drop; files; replay") {
+    val sp = spark; import sp.implicits._
+    def sym(e: DataFrame): DataFrame =
+      e.select($"vec_a".as("src"), $"vec_b".as("dst"), (lit(1.0) - $"cos").as("w"))
+        .unionByName(
+          e.select($"vec_b".as("src"), $"vec_a".as("dst"), (lit(1.0) - $"cos").as("w")))
+    // near family: seed 1, detour 1-2-3 (cost .3) under a shortcut 1-3
+    // (cost .05), node 7 hanging off 3; far family seeded at 40,
+    // DISCONNECTED — outside any kept-hop radius of the deletion
+    val base = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (1L, 3L, 0.95), (3L, 7L, 0.9),
+      (40L, 41L, 0.9), (41L, 42L, 0.7)).toDF("vec_a", "vec_b", "cos")
+    val gone = Seq((1L, 3L, 0.95), (3L, 7L, 0.9)).toDF("vec_a", "vec_b", "cos")
+    val seeds = Seq(1L, 40L).toDF("node")
+    val h = PairGraphStore.build(base, "vec_a", "vec_b", Some("cos"), tmp())
+    val oldDs = asDsMap(h.ensureDistances("s1", seeds, maxHops = 4,
+      costMode = "oneMinusWeight"))
+    assert(oldDs.contains(7L), "fixture: 7 reached before the deletion")
+    val before = listStateFiles(h, "graphdists_s1")
+    val maintained = asDsMap(h.removeEdgesAndMaintainDistances(gone, "s1",
+      seeds, maxHops = 4, costMode = "oneMinusWeight"))
+    val kept = base.join(gone.select($"vec_a", $"vec_b"),
+      Seq("vec_a", "vec_b"), "left_anti")
+    val want = fromScratchDs(kept, seeds, 4, sym)
+    assert(maintained == want,
+      s"diff=${maintained.toSet.diff(want.toSet).take(3)} / ${want.toSet.diff(maintained.toSet).take(3)}")
+    // the shortcut's removal genuinely raised 3's distance to the detour
+    assert(maintained(3L).last > oldDs(3L).last)
+    // monotone contract: deletions never lower a value
+    maintained.foreach { case (k, ds) =>
+      oldDs.get(k).foreach(_.zip(ds).foreach { case (o, m) => assert(m >= o) }) }
+    // 7 lost its only link: dropped from the state (from-scratch shape)
+    assert(!maintained.contains(7L))
+    // the far family is outside the affected radius: files untouched
+    val after = listStateFiles(h, "graphdists_s1")
+    val untouched = before.keys.filter(k =>
+      Seq(8, 10).exists(pb => k.contains(s"pb=$pb/")))
+    assert(untouched.nonEmpty, "fixture must produce untouched partitions")
+    untouched.foreach(k => assert(after.get(k).contains(before(k)),
+      s"untouched partition file changed: $k"))
+    // persisted state serves the same rows; replay rewrites nothing
+    assert(asDsMap(h.ensureDistances("s1", seeds, 4, "oneMinusWeight")) == want)
+    val afterReplay = listStateFiles(h, "graphdists_s1")
+    assert(asDsMap(h.removeEdgesAndMaintainDistances(gone, "s1", seeds, 4,
+      "oneMinusWeight")) == want)
+    assert(listStateFiles(h, "graphdists_s1") == afterReplay,
+      "replay must rewrite no state partitions")
+  }
+
+  test("distance revocation equals from-scratch on randomized splits and cost modes") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(61L)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val all = (0 until (n * 2)).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b),
+            math.rint(rnd.nextDouble() * 80) / 100 + 0.1)
+        }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val (goneE, keptE) = all.partition(_ => rnd.nextDouble() < 0.3)
+      if (goneE.nonEmpty && keptE.nonEmpty) {
+        val full = all.toDF("vec_a", "vec_b", "cos")
+        val gone = goneE.toDF("vec_a", "vec_b", "cos")
+        val seeds = (0 until 2).map(_ => rnd.nextInt(n).toLong).distinct.toDF("node")
+        val mode = if (trial % 2 == 1) "oneMinusWeight" else "unit"
+        def symM(e: DataFrame): DataFrame = {
+          val c = if (mode == "unit") lit(1.0) else lit(1.0) - $"cos"
+          e.select($"vec_a".as("src"), $"vec_b".as("dst"), c.as("w"))
+            .unionByName(e.select($"vec_b".as("src"), $"vec_a".as("dst"), c.as("w")))
+        }
+        val h = PairGraphStore.build(full, "vec_a", "vec_b", Some("cos"), tmp())
+        h.ensureDistances("r", seeds, maxHops = 3, costMode = mode)
+        val got = asDsMap(h.removeEdgesAndMaintainDistances(gone, "r", seeds,
+          maxHops = 3, costMode = mode))
+        val want = fromScratchDs(keptE.toDF("vec_a", "vec_b", "cos"), seeds, 3, symM)
+        assert(got == want, s"trial $trial mode=$mode: " +
+          s"diff=${got.toSet.diff(want.toSet).take(3)} / ${want.toSet.diff(got.toSet).take(3)}")
+      }
+    }
+  }
+
   test("truss maintenance equals from-scratch; pruned partitions; replay no-op") {
     val sp = spark; import sp.implicits._
     // K4 at {1..4} missing edge (1,2); a complete K4 at {40..43};
