@@ -153,11 +153,21 @@ object InvertedIndex {
       termsPost: Seq[String] => DataFrame,
       docLen: DataFrame,
       dfStats: Option[Seq[String] => DataFrame] = None,
-      tfRows: Option[Seq[String] => DataFrame] = None): DataFrame = {
+      tfRows: Option[Seq[String] => DataFrame] = None,
+      corpusStats: Option[(Long, Double)] = None): DataFrame = {
     validTerms("bm25Search", terms)
     val query = terms.map(_.toLowerCase).distinct
-    val corpus = docLen.agg(count(lit(1)).as("__n"),
-      avg(col("__dl").cast("double")).as("__avgdl"))
+    // (N, avgdl): a driver-side literal pair when the caller carries
+    // the corpus statistics (the PostingsStore v6 meta — no doclen
+    // aggregate per query), else one aggregate of the doclen frame.
+    // Identical values either way: dl is integer-valued, so the
+    // double average equals sumDl/n bit for bit.
+    val corpus = corpusStats match {
+      case Some((n, avgdl)) => docLen.sparkSession.range(1)
+        .select(lit(n).as("__n"), lit(avgdl).as("__avgdl"))
+      case None => docLen.agg(count(lit(1)).as("__n"),
+        avg(col("__dl").cast("double")).as("__avgdl"))
+    }
     // per-(term, doc) frequencies: pre-aggregated store rows when the
     // layout carries them (term-doc-sized read, no positions, no
     // aggregation stage), else one groupBy of the occurrence postings

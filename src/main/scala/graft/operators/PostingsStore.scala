@@ -75,7 +75,14 @@ object PostingsStore {
   // term-doc-sized frame instead of an occurrence-sized one and skips
   // the per-(term, doc) aggregation stage entirely; the positional
   // `postings` table serves only phrase/proximity.
-  private val Version = 5
+  // v6: meta carries the full corpus length statistics (numDocs,
+  // sumDl, minDl) — BM25's N/avgdl and MaxScore's dl_min previously
+  // re-aggregated the corpus-sized doclen table on EVERY query; now
+  // both derive from three driver-side integers, re-derived from the
+  // landed doclen table at append/compact (idempotent under replay;
+  // exact: dl values are integers, so the double average equals
+  // sumDl/n bit for bit).
+  private val Version = 6
 
   /** An opened store. `postings`/`docLens` are the raw frames;
     * `termPostings` is the pruned per-term read. */
@@ -84,7 +91,7 @@ object PostingsStore {
       path: String,
       idCol: String,
       nBuckets: Int,
-      numDocsFromMeta: Option[Long] = None) {
+      corpusMeta: Option[(Long, Long, Long)] = None) {
 
     def postings: DataFrame = spark.read.parquet(s"$path/postings")
     def docLens: DataFrame = spark.read.parquet(s"$path/doclen")
@@ -181,8 +188,36 @@ object PostingsStore {
       * carries it (v4+, no job at all), else one count of the tiny
       * doclen table, at most once per handle. Drives the serve-path
       * dispatch gates. */
-    @transient lazy val numDocs: Long =
-      numDocsFromMeta.getOrElse(docLens.count())
+    def numDocs: Long = corpusLenStats._1
+
+    // mutable so [[PostingsStore.append]] can refresh the stats on
+    // the handle it was CALLED with — a pre-append handle serving
+    // pre-append N against post-append postings would drive BM25's
+    // IDF negative (df > N)
+    @transient private var corpusMetaVar: Option[(Long, Long, Long)] = corpusMeta
+    private[PostingsStore] def updateCorpusMeta(m: (Long, Long, Long)): Unit =
+      corpusMetaVar = Some(m)
+
+    /** (numDocs, sumDl, minDl) — the corpus length statistics, from
+      * the v6 meta (no job) or one doclen aggregate, cached until an
+      * append refreshes it. */
+    def corpusLenStats: (Long, Long, Long) = corpusMetaVar.getOrElse {
+      val r = docLens.agg(count(lit(1)),
+        sum(col("__dl").cast("long")), min(col("__dl").cast("long"))).first()
+      val derived = (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+      corpusMetaVar = Some(derived)
+      derived
+    }
+
+    /** (n, avgdl) as BM25 consumes them — avgdl exact (integer dl
+      * values sum exactly in double, so sumDl/n equals the doclen
+      * table's double average bit for bit). */
+    private def bm25Corpus: (Long, Double) = {
+      val (n, sumDl, _) = corpusLenStats
+      (n, if (n == 0L) 0.0 else sumDl.toDouble / n)
+    }
 
     // ---- store-backed search (shared impls, pruned providers) -------
 
@@ -252,7 +287,8 @@ object PostingsStore {
     private def bm25Exhaustive(
         terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame =
       InvertedIndex.bm25Impl(idCol, terms, k, k1, b, termsPostingsSpread, docLens,
-        dfStats = Some(statsPostings), tfRows = Some(tfPostingsSpread))
+        dfStats = Some(statsPostings), tfRows = Some(tfPostingsSpread),
+        corpusStats = Some(bm25Corpus))
 
     // ---- MaxScore top-k pruning (Turtle & Flood 1995; the batch,
     // two-pass reading of it) --------------------------------------
@@ -267,7 +303,8 @@ object PostingsStore {
         k: Int, k1: Double, b: Double): DataFrame =
       InvertedIndex.bm25Impl(idCol, present, k, k1, b,
         termsPostingsSpread, docLens, dfStats = Some(statsPostings),
-        tfRows = Some(ts => tfPostingsSpread(ts).join(cands, Seq(idCol), "left_semi")))
+        tfRows = Some(ts => tfPostingsSpread(ts).join(cands, Seq(idCol), "left_semi")),
+        corpusStats = Some(bm25Corpus))
 
     /** MaxScore decomposition of a BM25 top-k query, or None when
       * pruning cannot help (single present term, corpus smaller than
@@ -302,11 +339,9 @@ object PostingsStore {
         .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val present = query.filter(t => stat.get(t).exists(_._1 > 0L))
       if (present.size < 2) return None
-      val corpus = docLens.agg(count(lit(1)).as("n"),
-        avg(col("__dl").cast("double")).as("avgdl"),
-        min(col("__dl").cast("double")).as("dlmin")).first()
+      val (nL, sumDl, minDl) = corpusLenStats
       val (n, avgdl, dlMin) =
-        (corpus.getLong(0).toDouble, corpus.getDouble(1), corpus.getDouble(2))
+        (nL.toDouble, if (nL == 0L) 0.0 else sumDl.toDouble / nL, minDl.toDouble)
       val kDenom = k1 * (1.0 - b + b * dlMin / avgdl)
       val ubs = present.map { t =>
         val (df, maxTf) = stat(t)
@@ -327,7 +362,7 @@ object PostingsStore {
       val seed = present.minBy(t => (-ubs(t), stat(t)._1, t))
       val seedTop = InvertedIndex.bm25Impl(idCol, Seq(seed), k, k1, b,
           termsPostingsSpread, docLens, dfStats = Some(statsPostings),
-          tfRows = Some(tfPostingsSpread))
+          tfRows = Some(tfPostingsSpread), corpusStats = Some(bm25Corpus))
         .select(col("score")).collect().map(_.getDouble(0))
       if (seedTop.length < k) return None
       // scores leave bm25Impl rounded to 4 dp; back the threshold off
@@ -502,13 +537,23 @@ object PostingsStore {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("term_bucket").parquet(s"$staging/termstats")
     }
-    // corpus doc count into the meta: the doclen table was just
-    // written, so the count is a footer-metadata read of a tiny table
-    val nDocs = spark.read.parquet(s"$staging/doclen").count()
-    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets, nDocs)
+    // corpus length statistics into the meta: one aggregate of the
+    // just-written doclen table serves every future BM25/MaxScore call
+    val cls = docLenStats(spark, s"$staging/doclen")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets, cls)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, nBuckets, Some(nDocs))
+    Handle(spark, path, idCol, nBuckets, Some(cls))
+  }
+
+  /** (numDocs, sumDl, minDl) of a doclen table — the meta seed. */
+  private def docLenStats(spark: SparkSession, doclenPath: String)
+      : (Long, Long, Long) = {
+    val r = spark.read.parquet(doclenPath).agg(count(lit(1)),
+      sum(col("__dl").cast("long")), min(col("__dl").cast("long"))).first()
+    (r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
   }
 
   /** Fold NEW documents into a published store without rebuilding it —
@@ -610,12 +655,14 @@ object PostingsStore {
     if (!toDl.isEmpty)
       toDl.write.mode(SaveMode.Append).parquet(s"$path/doclen")
     deltaTd.unpersist()
-    // meta doc count RE-DERIVED from the landed doclen table (a
-    // footer-metadata count of a tiny table) — idempotent under
-    // replay, unlike an accumulating handle.numDocs + delta
-    val nDocs = spark.read.parquet(s"$path/doclen").count()
-    writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, nDocs)
-    Handle(spark, path, idCol, nBuckets, Some(nDocs))
+    // meta corpus statistics RE-DERIVED from the landed doclen table
+    // (one aggregate of a tiny table) — idempotent under replay,
+    // unlike an accumulating handle state + delta
+    val cls = docLenStats(spark, s"$path/doclen")
+    writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, cls)
+    // the CALLER's handle must not keep serving pre-append statistics
+    handle.updateCorpusMeta(cls)
+    Handle(spark, path, idCol, nBuckets, Some(cls))
   }
 
   /** Rewrite the store's data dirs at target file counts — the
@@ -657,10 +704,11 @@ object PostingsStore {
       .sortWithinPartitions(col("term"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket").parquet(s"$staging/termstats")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets, handle.numDocs)
+    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets,
+      handle.corpusLenStats)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, nBuckets, Some(handle.numDocs))
+    Handle(spark, path, idCol, nBuckets, Some(handle.corpusLenStats))
   }
 
   /** Open an existing store (heals an interrupted swap first). */
@@ -672,7 +720,11 @@ object PostingsStore {
     require(v == Version.toString,
       s"postings store at $path has version $v, expected $Version")
     Handle(spark, path, meta("idCol"), meta("nBuckets").toInt,
-      meta.get("numDocs").map(_.toLong))
+      for {
+        n <- meta.get("numDocs").map(_.toLong)
+        sd <- meta.get("sumDl").map(_.toLong)
+        md <- meta.get("minDl").map(_.toLong)
+      } yield (n, sd, md))
   }
 
   /** True when a complete (published, not staging) store exists. */
@@ -710,13 +762,14 @@ object PostingsStore {
   // the meta file is plain `key=value` lines written through the
   // Hadoop FS API (works on any filesystem the store itself lives on)
   private def writeMeta(spark: SparkSession, file: String, idCol: String,
-      nBuckets: Int, numDocs: Long): Unit = {
+      nBuckets: Int, corpus: (Long, Long, Long)): Unit = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
       (s"version=$Version\nidCol=$idCol\nnBuckets=$nBuckets\n" +
-        s"numDocs=$numDocs\n").getBytes("UTF-8"))
+        s"numDocs=${corpus._1}\nsumDl=${corpus._2}\nminDl=${corpus._3}\n")
+        .getBytes("UTF-8"))
     finally out.close()
   }
 

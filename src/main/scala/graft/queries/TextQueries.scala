@@ -1008,13 +1008,25 @@ object TextQueries extends QueryDsl {
     },
 
     // LSH-bucketed ANN: approximate by construction — rows-only;
-    // recall vs brute force asserted in AnnSpec
+    // recall vs brute force asserted in AnnSpec. SERVED from the
+    // persisted SRP store (q191's path — built once per dir): rows
+    // are IDENTICAL to the inline Ann.lshTopK route by SrpStoreSpec's
+    // pinned tables=1 equality (same family, probes, tie-break), and
+    // the corpus is never re-signed per call — q71b keeps the
+    // family's exhaustive oracle anchor ON the inline route, so the
+    // kernel path stays hash-verified while the default serves cheap.
     q("q71_ann_lsh") { c =>
       import c.t
       val queries = t("embeddings").filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-      Ann.lshTopK(t("embeddings"), queries, "vec_id", "embedding", "qid", "qvec",
-        k = 5, nBits = 12, dim = 64)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srptopk_$key"
+      val cfg = graft.ann.SrpStore.Config(nBits = 12, tables = 1, dim = 64,
+        seed = 42L)
+      graft.ann.SrpStore.ensure(t("embeddings"), "vec_id", "embedding",
+          c.spark, path, cfg)
+        .topK(queries, "qid", "qvec", k = 5)
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
