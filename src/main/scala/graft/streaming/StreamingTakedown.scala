@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.LshStore
+import graft.operators.PairGraphStore
+
+/** End-to-end streaming RIGHT-TO-FORGET: a file-stream of takedown
+  * document ids drives, per micro-batch, (1) the text index's
+  * merge-on-read tombstones ([[LshStore.Handle.remove]]) and (2) the
+  * similarity graph's edge revocation with every persisted state
+  * maintained at affected-region cost
+  * ([[StreamingGraphMaintenance.processAllRemove]]: communities,
+  * cores, ranks, optional truss) — the deletion twin of the ingest
+  * composition (`StreamingNearDupDedup` → `processAll`).
+  *
+  * Replay safety (foreachBatch is at-least-once): LshStore.remove
+  * excludes already-tombstoned ids up front, and the graph batch is
+  * the removed ids' INCIDENT edges taken from the PHYSICAL edge rows
+  * — not the merge-on-read view — so a replay after a crash anywhere
+  * (tombstones landed / some graph states maintained / none) re-derives
+  * the SAME edge batch and every maintainer converges (a batch whose
+  * ledger already landed finds its present-set empty and its state
+  * recomputation a no-op). Deriving from the serve view instead would
+  * hand a replay an EMPTY batch and leave half-maintained states
+  * stale forever — the composition-level crash-window gotcha
+  * (StreamingTakedownSpec drives the windows explicitly).
+  */
+object StreamingTakedown {
+
+  /** The removed ids' incident edges, from the store's PHYSICAL rows
+    * (replay-stable — see the object doc). */
+  private[streaming] def incidentEdges(
+      graph: PairGraphStore.Handle, ids: DataFrame): DataFrame = {
+    val rid = ids.select(col(ids.columns.head).cast("long").as("__rid"))
+      .distinct()
+    val e = graph.physicalEdges
+      .select(col(graph.srcCol), col(graph.dstCol))
+    e.join(broadcast(rid.withColumnRenamed("__rid", graph.srcCol)),
+        Seq(graph.srcCol), "left_semi")
+      .unionByName(
+        e.join(broadcast(rid.withColumnRenamed("__rid", graph.dstCol)),
+          Seq(graph.dstCol), "left_semi")
+          .select(col(graph.srcCol), col(graph.dstCol)))
+      .distinct()
+  }
+
+  /** One takedown micro-batch; exposed for direct use and tests. */
+  def process(
+      ids: DataFrame,
+      lsh: LshStore.Handle,
+      graph: PairGraphStore.Handle,
+      maxK: Int,
+      iterations: Int = 3,
+      rounds: Int = 3,
+      trussK: Option[Int] = None): Unit = {
+    if (ids.isEmpty) return
+    lsh.remove(ids)
+    StreamingGraphMaintenance.processAllRemove(
+      incidentEdges(graph, ids), graph, maxK, iterations, rounds, trussK)
+  }
+
+  /** File-source drive: watch `inDir` for parquet batches of takedown
+    * ids (single column castable to long). */
+  def stream(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      lsh: LshStore.Handle,
+      graph: PairGraphStore.Handle,
+      maxK: Int,
+      checkpointDir: String,
+      iterations: Int = 3,
+      rounds: Int = 3,
+      trussK: Option[Int] = None): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        process(batch, lsh, graph, maxK, iterations, rounds, trussK)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
