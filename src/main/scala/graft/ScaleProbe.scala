@@ -149,7 +149,9 @@ object ScaleProbe {
         "q184_neardup_incremental_vec", "q186_triangles_incremental",
         "q65_neardup_lsh", "q69b_embedding_clusters_lsh")
       queries.filter(q => q.endsWith("_store") || q.endsWith("_maxscore") ||
-          q == "q140_neardup_incremental" || pairGraphServed(q)).foreach { name =>
+          q.endsWith("_incremental") || q.endsWith("_revocation") ||
+          q.endsWith("_takedown") || q.contains("_small_delta") ||
+          pairGraphServed(q)).foreach { name =>
         try SparkEntry.queries(name)(spark, big).count()
         catch { case e: Throwable => println(s"SCALE $name prebuild FAILED: ${e.getMessage}") }
       }
