@@ -50,4 +50,25 @@ object CoPresence {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** The windows [[pairs]] GUARD-DROPS for this event set — (w) rows
+    * with more than `maxWindowActors` distinct actors. Exposed so a
+    * persisted counts state ([[CoPresenceStore]]) can RECORD which
+    * windows carried no pairwise signal: an actor takedown cannot
+    * un-suppress such a window from bounded state (the suppressed
+    * pairs were never counted), so the store fails loud instead of
+    * serving silently-incomplete counts. */
+  def hotWindows(
+      events: DataFrame,
+      actorCol: String,
+      tsCol: String,
+      windowSec: Int,
+      maxWindowActors: Int): DataFrame =
+    events
+      .select(floor(unix_timestamp(col(tsCol)) / windowSec).as("w"),
+        col(actorCol).as("actor"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxWindowActors)
+      .select(col("w"))
 }

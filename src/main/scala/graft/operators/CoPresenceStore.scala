@@ -140,9 +140,71 @@ object CoPresenceStore {
       .select(col("ua"), col("ub"))
       .localCheckpoint()
     maintain(crossed)
+    // guard ledger: windows the batch's pairing DROPPED carry no
+    // counted signal — record them (append; duplicates harmless) so
+    // [[removeActors]] can refuse when a takedown might un-suppress
+    // one. Ordered before the commit: a crash leaves the ledger
+    // OVER-stated only (spurious rows re-append on replay), which can
+    // only make removeActors more conservative.
+    val hot = CoPresence.hotWindows(events, actorCol, tsCol,
+      cfg.windowSec, cfg.maxWindowActors).localCheckpoint()
+    if (!hot.isEmpty)
+      hot.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/hotwindows")
     // the commit point: counts + ledger swap atomically AFTER the
     // maintenance action completed
     writeState(spark, merged, path, cfg, batchId)
+  }
+
+  /** True when any absorbed batch guard-dropped a window. */
+  def hotWindowsSeen(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(s"$path/hotwindows")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Take ACTORS down — the behavioral-graph right-to-forget: an
+    * actor's co-presence history involves exactly the count rows
+    * INCIDENT to them (another pair's shared-window count never
+    * mentions the removed actor), so the takedown is a physical
+    * delete of incident rows, with the incident AT-THRESHOLD pairs —
+    * the edges that must leave the graph — handed to `maintain`
+    * BEFORE the counts swap commits (the [[absorbBatch]] ordering
+    * argument: maintenance is replay-tolerant, and a replayed
+    * takedown finds no incident rows and no-ops). Later absorbs may
+    * legitimately re-introduce the actor: counts restart from zero,
+    * matching a from-scratch pass over (events minus the actor's
+    * pre-takedown history).
+    *
+    * FAILS LOUD when any absorbed batch guard-dropped a hot window:
+    * removing an actor can push such a window back UNDER the cap, and
+    * the pairs it suppressed were never counted — bounded state
+    * cannot recover them (the raw events can: rebuild). Exact
+    * otherwise (StreamingEventsGraphSpec pins equality with a
+    * from-scratch pass over the kept events). */
+  def removeActors(
+      spark: SparkSession,
+      actors: DataFrame,
+      path: String)(maintain: DataFrame => Unit): Unit = {
+    require(!hotWindowsSeen(spark, path),
+      "removeActors: an absorbed batch guard-dropped a hot window - " +
+        "a takedown could un-suppress it and the suppressed pairs were " +
+        "never counted; rebuild the store from the kept events instead")
+    val (lastBatch, cfg) = readMeta(spark, path)
+    val rid = actors.select(col(actors.columns.head).cast("long").as("__a"))
+      .distinct().localCheckpoint()
+    val old = read(spark, path).localCheckpoint()
+    val incident = old
+      .join(broadcast(rid.withColumnRenamed("__a", "ua")), Seq("ua"), "left_semi")
+      .unionByName(old
+        .join(broadcast(rid.withColumnRenamed("__a", "ub")), Seq("ub"), "left_semi")
+        .select(col("ua"), col("ub"), col("n")))
+      .distinct()
+      .localCheckpoint()
+    val gone = incident.filter(col("n") >= cfg.minShared)
+      .select(col("ua"), col("ub"))
+    maintain(gone)
+    val kept = old.join(broadcast(incident.select(col("ua"), col("ub"))),
+      Seq("ua", "ub"), "left_anti")
+    writeState(spark, kept, path, cfg, lastBatch)
   }
 
   /** From-scratch reference over a full events frame (specs/oracles). */

@@ -909,6 +909,7 @@ object PairGraphStore {
         maxHops: Int = 4,
         costMode: String = "unit"): DataFrame = {
       val old = ensureDistances(tag, seeds, maxHops, costMode)
+      if (deleted.isEmpty) return old
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b").distinct().localCheckpoint()
@@ -1010,6 +1011,7 @@ object PairGraphStore {
         rounds: Int = 3,
         weighted: Boolean = false): DataFrame = {
       val old = ensureCommunities(rounds, weighted)
+      if (deleted.isEmpty) return old
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b").distinct().localCheckpoint()

@@ -146,10 +146,11 @@ object MlQueries extends QueryDsl {
   // store's fidelity contract. `kept` (optional) filters the pair set
   // — the revocation twin's kept-edge view.
   private def eventsLpaPrefixSql: String = eventsLpaPrefix()
-  private def eventsLpaPrefix(kept: String = ""): String = {
+  private def eventsLpaPrefix(kept: String = "", actorKept: String = ""): String = {
     val keptClause = if (kept.isEmpty) "" else s" WHERE $kept"
+    val actorClause = if (actorKept.isEmpty) "" else s" WHERE $actorKept"
     s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
-      |  FROM events),
+      |  FROM events$actorClause),
       |prs_all AS (SELECT a.user_id AS va, b.user_id AS vb
       |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
       |  GROUP BY 1, 2 HAVING count(*) >= 3),
@@ -163,6 +164,10 @@ object MlQueries extends QueryDsl {
 
   private def lpaRevocationSql =
     s"""${eventsLpaPrefix("(va * 31 + vb) % 5 <> 0")}
+      |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
+
+  private def userTakedownSql =
+    s"""${eventsLpaPrefix(actorKept = "user_id % 9 <> 0")}
       |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
 
   private def userCommunitiesSql =
@@ -1381,6 +1386,42 @@ object MlQueries extends QueryDsl {
     // their files), and the served labels replay q188's integer-exact
     // LPA unroll over the kept edges. PairGraphStoreSpec pins
     // maintain == from-scratch on planted and randomized splits.
+    // USER takedown through the behavioral pipeline — the actor-level
+    // right-to-forget, end to end: the co-presence COUNTS store drops
+    // the removed users' incident rows (another pair's shared-window
+    // count never mentions them — physical delete, no tombstones;
+    // fails loud if any absorbed batch guard-dropped a hot window,
+    // since bounded state cannot un-suppress it) and their
+    // at-threshold edges leave the community graph at
+    // affected-component cost. ORACLE-EXACT: the kept-events LPA
+    // unroll (q188's CTE with the users excluded from presence) —
+    // exact because non-incident pair counts are invariant under the
+    // removal. Replay-stable: a second run finds no incident rows and
+    // both layers no-op.
+    q("q220_user_takedown", userTakedownSql) { c =>
+      import c.t
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val countsPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_coprestore_utd_v1_$key"
+      val graphPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_utd_v1_$key"
+      if (!graft.operators.CoPresenceStore.exists(c.spark, countsPath)) {
+        graft.operators.CoPresenceStore.create(c.spark, countsPath,
+          graft.operators.CoPresenceStore.Config(
+            windowSec = 600, minShared = 3, maxWindowActors = 100))
+        graft.streaming.StreamingEventsGraph.process(
+          t("events").select($"user_id", $"ts"), 0L, countsPath, graphPath)
+      }
+      graft.streaming.StreamingEventsGraph.processTakedown(
+        t("events").select($"user_id").distinct()
+          .filter(pmod($"user_id", lit(9)) === 0),
+        countsPath, graphPath)
+      graft.operators.PairGraphStore.open(c.spark, graphPath)
+        .ensureCommunities(rounds = 3)
+        .select($"node".as("user_id"), $"community")
+    },
+
     q("q218_lpa_revocation", lpaRevocationSql) { c =>
       import c.t
       val pairs = graft.operators.CoPresence.pairs(

@@ -53,6 +53,53 @@ object StreamingEventsGraph {
     }
   }
 
+  /** One ACTOR-takedown micro-batch — the deletion direction: drop
+    * the removed users' co-presence history from the counts store
+    * ([[CoPresenceStore.removeActors]] — fails loud if any absorbed
+    * batch guard-dropped a hot window) and revoke their at-threshold
+    * edges from the community graph at affected-component cost.
+    * Idempotent without a ledger: a replayed takedown finds no
+    * incident count rows and both layers no-op; a crash between the
+    * graph maintenance and the counts swap replays to the same state
+    * (the absorbBatch ordering argument). A graph store that never
+    * materialized (no batch ever crossed the threshold) has nothing
+    * to maintain. */
+  def processTakedown(
+      actors: DataFrame,
+      countsPath: String,
+      graphPath: String,
+      rounds: Int = 3): Unit = {
+    val spark = actors.sparkSession
+    if (actors.isEmpty) return
+    CoPresenceStore.removeActors(spark, actors, countsPath) { gone =>
+      if (PairGraphStore.exists(spark, graphPath)) {
+        PairGraphStore.open(spark, graphPath)
+          .removeEdgesAndMaintainCommunities(
+            gone.select(col("ua"), col("ub")), rounds)
+        ()
+      }
+    }
+  }
+
+  /** File-source drive of [[processTakedown]]: watch `inDir` for
+    * parquet batches of takedown actor ids. */
+  def streamTakedown(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      countsPath: String,
+      graphPath: String,
+      checkpointDir: String,
+      rounds: Int = 3): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processTakedown(batch, countsPath, graphPath, rounds)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** File-source drive: watch `inDir` for parquet batches of raw
     * events (window-aligned by the ingest layout), keep counts and
     * community labels current per batch. */

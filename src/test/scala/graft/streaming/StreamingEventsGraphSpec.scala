@@ -102,6 +102,56 @@ class StreamingEventsGraphSpec extends SparkSpec {
     assert(gotLabels(s"$dir/graph") == wantLabels)
   }
 
+  test("actor takedown equals from-scratch over kept events; replay no-ops; hot windows fail loud") {
+    val dir = tmp()
+    CoPresenceStore.create(spark, s"$dir/counts", cfg)
+    (0 until 3).foreach { i =>
+      StreamingEventsGraph.process(batchOf(i), i, s"$dir/counts", s"$dir/graph")
+    }
+    val removed = events.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(9)) === 0)
+    StreamingEventsGraph.processTakedown(removed, s"$dir/counts", s"$dir/graph")
+    val kept = events.filter(pmod(col("user_id"), lit(9)) =!= 0)
+    // counts equal a from-scratch pass over the kept events
+    val wantCounts = CoPresence.pairs(kept, "user_id", "ts",
+        cfg.windowSec, 1, cfg.maxWindowActors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotCounts = CoPresenceStore.read(spark, s"$dir/counts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCounts == wantCounts)
+    // graph edge view and labels equal the kept-events from-scratch run
+    val keptPairs = CoPresence.pairs(kept, "user_id", "ts",
+      cfg.windowSec, cfg.minShared, cfg.maxWindowActors)
+    assert(pairSet(PairGraphStore.open(spark, s"$dir/graph").edges)
+      == pairSet(keptPairs))
+    val want = LabelPropagation.run(keptPairs.select(col("ua"), col("ub")),
+        "ua", "ub", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLabels(s"$dir/graph") == want)
+    assert(want.nonEmpty && want.size < wantLabels.size,
+      "fixture must actually remove community members")
+    // replayed takedown: no incident rows, nothing moves
+    StreamingEventsGraph.processTakedown(removed, s"$dir/counts", s"$dir/graph")
+    assert(CoPresenceStore.read(spark, s"$dir/counts")
+      .collect().map(_.toSeq).toSet
+      == gotCounts.map { case ((a, b), n) => Seq[Any](a, b, n) }.toSet)
+    assert(gotLabels(s"$dir/graph") == want)
+
+    // a store that ever guard-dropped a hot window refuses takedowns
+    val dir2 = tmp()
+    val tiny = CoPresenceStore.Config(windowSec = 600, minShared = 3,
+      maxWindowActors = 2)
+    CoPresenceStore.create(spark, s"$dir2/counts", tiny)
+    StreamingEventsGraph.process(events, 0, s"$dir2/counts", s"$dir2/graph")
+    assert(CoPresenceStore.hotWindowsSeen(spark, s"$dir2/counts"),
+      "fixture must trip the hot-window guard")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingEventsGraph.processTakedown(removed, s"$dir2/counts",
+        s"$dir2/graph")
+    }
+    assert(ex.getMessage.contains("hot window"))
+  }
+
   test("file-stream drive: AvailableNow passes resume batch ids from the checkpoint") {
     val dir = tmp()
     CoPresenceStore.create(spark, s"$dir/counts", cfg)
