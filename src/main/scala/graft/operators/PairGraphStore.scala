@@ -163,6 +163,61 @@ object PairGraphStore {
 
     /** Full state publish: staged + swapped (readers never see a
       * half-written state), pb-partitioned for later pruned writes. */
+    // ---- applied-batch markers (the PostingsStore stats idiom) ------
+    // A maintainer's replay previously RECOMPUTED its whole affected
+    // region just to prove the no-op — correct, but a re-delivered
+    // batch at the corpus-wide demonstrator shapes costs seconds. A
+    // marker named by the batch's order-independent identity, written
+    // LAST (after the ledger/append and the state write), records
+    // "this exact batch is fully committed into this state": a replay
+    // that finds it can serve the stored state outright — the state
+    // has been kept current by every later maintain, and re-applying
+    // an already-committed batch is a semantic no-op. Any FULL state
+    // rebuild (writeStateFull / compact) swaps the state dir and the
+    // markers with it, so a stale marker cannot outlive its state.
+    // Append-direction skips are additionally gated on "no revocation
+    // ledger": re-adding revoked pairs is out of contract and must
+    // keep failing loud in the append path, not silently skip.
+
+    /** Order-independent batch identity: bit-xor of xxhash64 over the
+      * canonical rows' `cols`. None for an empty batch (no marker —
+      * the bodies handle empties). */
+    private def batchSig(canon: DataFrame, cols: Seq[String]): Option[String] = {
+      val r = canon.agg(expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))")).head()
+      if (r.isNullAt(0)) None
+      else Some(java.lang.Long.toHexString(r.getLong(0)))
+    }
+
+    /** [[batchSig]] over the store-canonical append delta — weight
+      * INCLUDED when the store carries one (same pairs at different
+      * weights are different batches; skipping the second would strand
+      * the max-weight merge). */
+    private def appendBatchSig(delta: DataFrame): Option[String] = {
+      val cols = Seq(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b")) ++
+        weightCol.map(w => col(w).cast("double").as("w"))
+      batchSig(delta.select(cols: _*).distinct(),
+        Seq("a", "b") ++ weightCol.map(_ => "w"))
+    }
+
+    private def appliedMarker(stateDir: String, kind: String,
+        sig: Option[String]): Option[Path] =
+      sig.map(s => new Path(s"$stateDir/_applied_${kind}_$s"))
+
+    private def markerPresent(p: Option[Path]): Boolean = p.exists(m =>
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m))
+
+    private def writeMarker(p: Option[Path]): Unit = p.foreach { m =>
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(m, true).close()
+    }
+
+    /** Append-direction skip gate: no revocation ledger (see above). */
+    private def noRevocationLedger: Boolean = {
+      val p = new Path(s"$path/removededges")
+      !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
     private def writeStateFull(dir: String, metaName: String,
         metaBody: String, state: DataFrame, nodeCol: String,
         fs: org.apache.hadoop.fs.FileSystem): Unit = {
@@ -253,6 +308,8 @@ object PairGraphStore {
       * may crash and the batch re-run converges to the same state. */
     def appendAndMaintainCores(delta: DataFrame, maxK: Int): DataFrame = {
       val old = ensureCores(maxK)
+      val marker = appliedMarker(coresDir, "add", appendBatchSig(delta))
+      if (noRevocationLedger && markerPresent(marker)) return old
       // distinct: a duplicated canonical pair in the delta would
       // otherwise double its edge rows on append
       val canonDelta = delta
@@ -294,6 +351,7 @@ object PairGraphStore {
         .filter(col("__oldk").isNull || col("__oldk") =!= col("core_number"))
         .select(col("node"))
       overwriteChangedState(coresDir, maintained, "node", changed)
+      writeMarker(marker)
       maintained
     }
 
@@ -372,6 +430,8 @@ object PairGraphStore {
         weighted: Boolean = false): DataFrame = {
       val old = ensureCommunities(rounds, weighted)
       if (delta.isEmpty) return old
+      val marker = appliedMarker(labelsDir, "add", appendBatchSig(delta))
+      if (noRevocationLedger && markerPresent(marker)) return old
       // canonical delta, long-typed, deduped (weighted stores keep a
       // deterministic max weight — same policy as append)
       val wSeq = weightCol.toSeq
@@ -427,6 +487,7 @@ object PairGraphStore {
       if (!freshE.isEmpty) append(freshE.toDF(outCols: _*))
       // partition-pruned labels write: only affected nodes' partitions
       overwriteChangedState(labelsDir, maintained, "node", affectedNodes)
+      writeMarker(marker)
       maintained
     }
 
@@ -532,6 +593,8 @@ object PairGraphStore {
         weighted: Boolean = false): DataFrame = {
       val old = ensureRanks(iterations, damping, weighted)
       if (delta.isEmpty) return old
+      val marker = appliedMarker(ranksDir, "add", appendBatchSig(delta))
+      if (noRevocationLedger && markerPresent(marker)) return old
       val wSeq = (if (weighted) weightCol else None).toSeq
       val wAll = weightCol.toSeq
       // canonical delta, long-typed, deduped (weighted stores keep a
@@ -611,6 +674,7 @@ object PairGraphStore {
       if (!freshE.isEmpty) append(freshE.toDF((srcCol +: dstCol +: wAll): _*))
       // partition-pruned write: only the patch's partitions
       overwriteChangedState(ranksDir, maintained, "node", affected)
+      writeMarker(marker)
       maintained
     }
 
@@ -694,6 +758,8 @@ object PairGraphStore {
         costMode: String = "unit"): DataFrame = {
       val old = ensureDistances(tag, seeds, maxHops, costMode)
       if (delta.isEmpty) return old
+      val marker = appliedMarker(distsDir(tag), "add", appendBatchSig(delta))
+      if (noRevocationLedger && markerPresent(marker)) return old
       val wAll = weightCol.toSeq
       val dSel = canonAll(delta)
       val dEdges = (if (wAll.isEmpty) dSel.distinct()
@@ -752,6 +818,7 @@ object PairGraphStore {
         .localCheckpoint()
       if (!freshE.isEmpty) append(freshE.toDF((srcCol +: dstCol +: wAll): _*))
       overwriteChangedState(distsDir(tag), maintained, "node", changed)
+      writeMarker(marker)
       maintained
     }
 
@@ -797,6 +864,8 @@ object PairGraphStore {
       * NEW truss edges. */
     def appendAndMaintainTruss(delta: DataFrame, k: Int): DataFrame = {
       val old = ensureTruss(k)
+      val marker = appliedMarker(trussDir, "add", appendBatchSig(delta))
+      if (noRevocationLedger && markerPresent(marker)) return old
       val canonDelta = delta
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b")
@@ -820,6 +889,7 @@ object PairGraphStore {
       val changed = maintained.join(old, Seq("a", "b"), "left_anti")
         .select(col("a"))
       overwriteChangedState(trussDir, maintained, "a", changed)
+      writeMarker(marker)
       maintained
     }
 
@@ -913,6 +983,9 @@ object PairGraphStore {
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b").distinct().localCheckpoint()
+      val marker = appliedMarker(distsDir(tag), "rm",
+        batchSig(delCanon, Seq("a", "b")))
+      if (markerPresent(marker)) return old
       val storedC = canonAll(edges)
       val keptC = storedC
         .join(broadcast(delCanon.select(col("a"), col("b"))),
@@ -977,6 +1050,7 @@ object PairGraphStore {
           col("__nd") =!= col("__od"))
         .select(col("node"))
       overwriteChangedState(distsDir(tag), maintained, "node", changed)
+      writeMarker(marker)
       maintained
     }
 
@@ -1015,6 +1089,9 @@ object PairGraphStore {
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b").distinct().localCheckpoint()
+      val marker = appliedMarker(labelsDir, "rm",
+        batchSig(delCanon, Seq("a", "b")))
+      if (markerPresent(marker)) return old
       val wSeq = weightCol.toSeq
       val outCols = srcCol +: dstCol +: wSeq
       val storedE = edges.select(
@@ -1051,6 +1128,7 @@ object PairGraphStore {
           col("__oc") =!= col("__nc") || col("__op") =!= col("__np"))
         .select(col("node"))
       overwriteChangedState(labelsDir, maintained, "node", changed)
+      writeMarker(marker)
       maintained
     }
 
@@ -1068,7 +1146,10 @@ object PairGraphStore {
       val old = ensureCores(maxK)
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-        .toDF("a", "b").distinct()
+        .toDF("a", "b").distinct().localCheckpoint()
+      val marker = appliedMarker(coresDir, "rm",
+        batchSig(delCanon, Seq("a", "b")))
+      if (markerPresent(marker)) return old
       val stored = edges
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b")
@@ -1083,6 +1164,7 @@ object PairGraphStore {
           col("__oldk") =!= col("core_number"))
         .select(col("node"))
       overwriteChangedState(coresDir, maintained, "node", changed)
+      writeMarker(marker)
       maintained
     }
 
@@ -1115,6 +1197,9 @@ object PairGraphStore {
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b").distinct().localCheckpoint()
       if (delCanon.isEmpty) return old
+      val marker = appliedMarker(ranksDir, "rm",
+        batchSig(delCanon, Seq("a", "b")))
+      if (markerPresent(marker)) return old
       val storedC = edges.select(
         (Seq(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
           ++ wAll.map(col)): _*)
@@ -1175,6 +1260,7 @@ object PairGraphStore {
         .localCheckpoint()
       revoke(delCanon.toDF(srcCol, dstCol))
       overwriteChangedState(ranksDir, maintained, "node", affected)
+      writeMarker(marker)
       maintained
     }
 
@@ -1187,7 +1273,10 @@ object PairGraphStore {
       val old = ensureTruss(k)
       val delCanon = deleted
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-        .toDF("a", "b").distinct()
+        .toDF("a", "b").distinct().localCheckpoint()
+      val marker = appliedMarker(trussDir, "rm",
+        batchSig(delCanon, Seq("a", "b")))
+      if (markerPresent(marker)) return old
       val stored = edges
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
         .toDF("a", "b")
@@ -1199,6 +1288,7 @@ object PairGraphStore {
       val changed = old.join(maintained, Seq("a", "b"), "left_anti")
         .select(col("a"))
       overwriteChangedState(trussDir, maintained, "a", changed)
+      writeMarker(marker)
       maintained
     }
   }

@@ -1424,18 +1424,23 @@ object MlQueries extends QueryDsl {
 
     q("q218_lpa_revocation", lpaRevocationSql) { c =>
       import c.t
-      val pairs = graft.operators.CoPresence.pairs(
-          t("events"), "user_id", "ts",
-          windowSec = 600, minShared = 3, maxWindowActors = 100)
-        .localCheckpoint()
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path =
         s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_lrevoke_v1_$key"
+      // generator by-name: an existing store never re-runs the
+      // windowed self-join; the revoked subset derives from the
+      // store's PHYSICAL rows (tombstoned included), so a replayed
+      // run reads parquet, finds the applied marker, and serves
       val h = graft.operators.PairGraphStore.ensure(
-        pairs, "ua", "ub", Some("shared"), c.spark, path)
+        graft.operators.CoPresence.pairs(
+          t("events"), "user_id", "ts",
+          windowSec = 600, minShared = 3, maxWindowActors = 100),
+        "ua", "ub", Some("shared"), c.spark, path)
       h.removeEdgesAndMaintainCommunities(
-        pairs.filter(pmod($"ua" * 31 + $"ub", lit(5)) === 0), rounds = 3)
+        h.physicalEdges.filter(pmod($"ua" * 31 + $"ub", lit(5)) === 0)
+          .select($"ua", $"ub"),
+        rounds = 3)
       h.ensureCommunities(rounds = 3)
         .select($"node".as("user_id"), $"community")
     },
