@@ -82,7 +82,19 @@ object PostingsStore {
   // landed doclen table at append/compact (idempotent under replay;
   // exact: dl values are integers, so the double average equals
   // sumDl/n bit for bit).
-  private val Version = 6
+  // v7: document takedown ([[Handle.remove]]) — the search index's
+  // right-to-forget, completing the store takedown matrix: a
+  // merge-on-read doc-id ledger every serve read anti-joins, EXACT
+  // df/cf decrements derived from the removed ids' stored termdocs
+  // rows (swapped atomically with their applied-markers — df feeds
+  // IDF, so the decrement must be exactly-once, not merely
+  // direction-safe), and corpus length statistics re-derived over the
+  // KEPT doclen rows (idempotent; minDl re-tightens exactly). max_tf
+  // keeps its stored value — a valid UPPER bound after removals, so
+  // MaxScore stays sound (compact recomputes it exactly). Post-remove
+  // BM25/conjunction/phrase results are bit-identical to a
+  // kept-corpus rebuild.
+  private val Version = 7
 
   /** An opened store. `postings`/`docLens` are the raw frames;
     * `termPostings` is the pruned per-term read. */
@@ -96,18 +108,68 @@ object PostingsStore {
     def postings: DataFrame = spark.read.parquet(s"$path/postings")
     def docLens: DataFrame = spark.read.parquet(s"$path/doclen")
 
+    /** Tombstoned doc ids ([[remove]]'s merge-on-read ledger) — empty
+      * when no takedown has run. The raw table accessors expose
+      * PHYSICAL rows (tombstoned included, until [[PostingsStore.compact]]
+      * purges); the pruned serve reads filter. */
+    def removedDocs: DataFrame = {
+      val p = new Path(s"$path/removed")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.schema(s"`$idCol` LONG").parquet(s"$path/removed")
+      else spark.range(0).select(col("id").as(idCol))
+    }
+
+    private def ledgerPresent: Boolean = {
+      val p = new Path(s"$path/removed")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    /** Exclude tombstoned docs (ledger is takedown-sized — the
+      * anti-join broadcasts; stores that never removed pay only a
+      * driver existence probe). */
+    private def live(df: DataFrame): DataFrame =
+      if (!ledgerPresent) df
+      else df.join(broadcast(removedDocs), Seq(idCol), "left_anti")
+
+    /** (term_bucket, term, df, cf) decrement rows [[remove]] appends —
+      * merged additively into [[statsPostings]]; absent until a
+      * takedown runs. */
+    private def statsDeltas: Option[DataFrame] = {
+      val p = new Path(s"$path/statsdeltas")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(s"$path/statsdeltas"))
+      else None
+    }
+
     /** (term_bucket, term, df, cf) — document and collection
       * frequency per term, vocabulary-sized (tiny next to postings),
       * bucketed like the postings so per-term stat lookups prune. */
     def termStats: DataFrame = spark.read.parquet(s"$path/termstats")
 
     /** Stats rows of a term set — same directory prune as
-      * [[termsPostings]], over the vocabulary-sized table. */
+      * [[termsPostings]], over the vocabulary-sized table; takedown
+      * decrements merge in additively (df/cf exact for the KEPT
+      * corpus; max_tf keeps the stored upper bound — sound for
+      * MaxScore, recomputed exactly by compact). A term whose docs
+      * were all removed drops (df = 0 ⇔ never seen). */
     def statsPostings(terms: Seq[String]): DataFrame = {
       require(terms.nonEmpty, "statsPostings: terms must be non-empty")
       val bucketPred = terms.map(t => col("term_bucket") === bucketOf(t))
         .reduce(_ || _)
-      termStats.filter(bucketPred && col("term").isin(terms: _*))
+      val base = termStats.filter(bucketPred && col("term").isin(terms: _*))
+      statsDeltas match {
+        case None => base
+        case Some(d) =>
+          base.unionByName(
+            d.filter(bucketPred && col("term").isin(terms: _*))
+              .select(col("term_bucket"), col("term"), col("df"), col("cf"),
+                lit(null).cast("long").as("max_tf")))
+            .groupBy(col("term_bucket"), col("term"))
+            .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+              max(col("max_tf")).as("max_tf"))
+            .filter(col("df") > 0)
+      }
     }
 
     /** df per query term via a pruned stats lookup — terms absent
@@ -131,8 +193,8 @@ object PostingsStore {
     /** Postings rows of one (lowercase) term: directory prune on the
       * bucket, row-group skip + row filter on the term. */
     def termPostings(term: String): DataFrame =
-      postings.filter(col("term_bucket") === bucketOf(term) &&
-        col("term") === term)
+      live(postings.filter(col("term_bucket") === bucketOf(term) &&
+        col("term") === term))
 
     /** Postings rows of a term set: OR of bucket equalities (still a
       * partition filter) + an IN on the term. */
@@ -140,7 +202,7 @@ object PostingsStore {
       require(terms.nonEmpty, "termsPostings: terms must be non-empty")
       val bucketPred = terms.map(t => col("term_bucket") === bucketOf(t))
         .reduce(_ || _)
-      postings.filter(bucketPred && col("term").isin(terms: _*))
+      live(postings.filter(bucketPred && col("term").isin(terms: _*)))
     }
 
     /** [[termsPostings]] widened to the session's parallelism floor.
@@ -173,7 +235,7 @@ object PostingsStore {
       require(terms.nonEmpty, "tfPostings: terms must be non-empty")
       val bucketPred = terms.map(t => col("term_bucket") === bucketOf(t))
         .reduce(_ || _)
-      termDocs.filter(bucketPred && col("term").isin(terms: _*))
+      live(termDocs.filter(bucketPred && col("term").isin(terms: _*)))
     }
 
     /** [[tfPostings]] under the same parallelism floor / corpus-size
@@ -183,6 +245,67 @@ object PostingsStore {
         Spread.ensureMinPartitions(tfPostings(terms),
           math.max(8, spark.sparkContext.defaultParallelism / 4))
       else tfPostings(terms)
+
+    /** Take documents DOWN — the search index's right-to-forget: a
+      * merge-on-read doc-id ledger every pruned serve read anti-joins,
+      * plus EXACT df/cf decrements derived from the removed ids'
+      * stored termdocs rows (the corpus is never re-tokenized) and
+      * corpus length statistics re-derived over the KEPT doclen rows.
+      * Post-remove BM25/conjunction/phrase/proximity results are
+      * bit-identical to a store built from the kept corpus — df feeds
+      * IDF, so unlike the LSH guard counts the decrement must be
+      * exactly-once, not merely direction-safe: the merged deltas swap
+      * atomically WITH their applied-batch marker (the append-stats
+      * idiom), the corpus stats recompute idempotently from state,
+      * and the ledger lands LAST, so a crash in any window replays to
+      * the converged state (serves inside a half-replayed window read
+      * a mixed corpus, the documented at-least-once posture). max_tf
+      * keeps its stored value — still a valid upper bound, so MaxScore
+      * prunes soundly (a little loosely) until [[PostingsStore.compact]]
+      * recomputes it from the kept rows and purges ledger + deltas. */
+    def remove(ids: DataFrame): Handle = {
+      val rid = ids.select(col(ids.columns.head).cast("long").as(idCol))
+        .distinct()
+        .join(broadcast(removedDocs), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      if (rid.isEmpty) return this
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // order-independent batch identity (the append-stats idiom)
+      val sig = java.lang.Long.toHexString(
+        rid.agg(expr(s"bit_xor(xxhash64(`$idCol`))")).head.getLong(0))
+      val markerName = s"_applied_rm_$sig"
+      if (!fs.exists(new Path(s"$path/statsdeltas/$markerName"))) {
+        val gone = termDocs
+          .join(broadcast(rid), Seq(idCol), "left_semi")
+          .groupBy(col("term_bucket"), col("term"))
+          .agg((-count(lit(1))).as("df"), (-sum(col("__tf"))).as("cf"))
+        val merged = statsDeltas.fold(gone)(d => d.unionByName(gone))
+        val staging = new Path(s"$path/.statsdeltas.staging")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        merged.coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        val priors = fs.globStatus(new Path(s"$path/statsdeltas/_applied_*"))
+        (Option(priors).toSeq.flatten.map(_.getPath.getName) :+ markerName)
+          .distinct.foreach { n => fs.create(new Path(staging, n), true).close() }
+        SwapDir.swap(fs, staging, new Path(s"$path/statsdeltas"))
+      }
+      // corpus stats from first principles over the kept rows
+      // (idempotent — a replayed window cannot double-subtract)
+      val keptLedger = removedDocs.unionByName(rid.toDF(idCol))
+      val r = docLens.join(broadcast(keptLedger), Seq(idCol), "left_anti")
+        .agg(count(lit(1)), sum(col("__dl").cast("long")),
+          min(col("__dl").cast("long"))).first()
+      val cls = (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+      writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, cls)
+      updateCorpusMeta(cls)
+      // the ledger lands LAST: once a batch is excluded up front, all
+      // its effects are committed
+      rid.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/removed")
+      this
+    }
 
     /** Corpus document count: from the store meta when the layout
       * carries it (v4+, no job at all), else one count of the tiny
@@ -202,7 +325,7 @@ object PostingsStore {
       * the v6 meta (no job) or one doclen aggregate, cached until an
       * append refreshes it. */
     def corpusLenStats: (Long, Long, Long) = corpusMetaVar.getOrElse {
-      val r = docLens.agg(count(lit(1)),
+      val r = live(docLens).agg(count(lit(1)),
         sum(col("__dl").cast("long")), min(col("__dl").cast("long"))).first()
       val derived = (r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1),
@@ -286,7 +409,8 @@ object PostingsStore {
     /** The plain single-pass store route (always exact, no pruning). */
     private def bm25Exhaustive(
         terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame =
-      InvertedIndex.bm25Impl(idCol, terms, k, k1, b, termsPostingsSpread, docLens,
+      InvertedIndex.bm25Impl(idCol, terms, k, k1, b, termsPostingsSpread,
+        live(docLens),
         dfStats = Some(statsPostings), tfRows = Some(tfPostingsSpread),
         corpusStats = Some(bm25Corpus))
 
@@ -302,7 +426,7 @@ object PostingsStore {
         present: Seq[String], cands: DataFrame,
         k: Int, k1: Double, b: Double): DataFrame =
       InvertedIndex.bm25Impl(idCol, present, k, k1, b,
-        termsPostingsSpread, docLens, dfStats = Some(statsPostings),
+        termsPostingsSpread, live(docLens), dfStats = Some(statsPostings),
         tfRows = Some(ts => tfPostingsSpread(ts).join(cands, Seq(idCol), "left_semi")),
         corpusStats = Some(bm25Corpus))
 
@@ -361,7 +485,7 @@ object PostingsStore {
       // of k strong score lower bounds, and guaranteed essential
       val seed = present.minBy(t => (-ubs(t), stat(t)._1, t))
       val seedTop = InvertedIndex.bm25Impl(idCol, Seq(seed), k, k1, b,
-          termsPostingsSpread, docLens, dfStats = Some(statsPostings),
+          termsPostingsSpread, live(docLens), dfStats = Some(statsPostings),
           tfRows = Some(tfPostingsSpread), corpusStats = Some(bm25Corpus))
         .select(col("score")).collect().map(_.getDouble(0))
       if (seedTop.length < k) return None
@@ -586,6 +710,14 @@ object PostingsStore {
     // would mix layouts, so the first real delta just builds
     if (handle.postings.isEmpty)
       return build(delta, idCol, textCol, path, nBuckets)
+    // a tombstoned id still has physical rows: the dedup below would
+    // skip it while every serve read excludes it — silently absent.
+    // Fail loud; compact clears the ledger and makes it appendable.
+    val clash = delta.select(col(idCol).cast("long").as(idCol))
+      .join(broadcast(handle.removedDocs), Seq(idCol), "left_semi")
+    require(clash.isEmpty,
+      "append: batch contains tombstoned ids - re-adding a removed " +
+        "document is out of contract until compact purges the ledger")
     val post = InvertedIndex.postings(delta, idCol, textCol)
       .withColumn("term_bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
@@ -656,9 +788,15 @@ object PostingsStore {
       toDl.write.mode(SaveMode.Append).parquet(s"$path/doclen")
     deltaTd.unpersist()
     // meta corpus statistics RE-DERIVED from the landed doclen table
-    // (one aggregate of a tiny table) — idempotent under replay,
-    // unlike an accumulating handle state + delta
-    val cls = docLenStats(spark, s"$path/doclen")
+    // minus the takedown ledger (one aggregate of a tiny table) —
+    // idempotent under replay, unlike an accumulating handle + delta
+    val keptDl = spark.read.parquet(s"$path/doclen")
+      .join(broadcast(handle.removedDocs), Seq(idCol), "left_anti")
+    val cr = keptDl.agg(count(lit(1)), sum(col("__dl").cast("long")),
+      min(col("__dl").cast("long"))).first()
+    val cls = (cr.getLong(0),
+      if (cr.isNullAt(1)) 0L else cr.getLong(1),
+      if (cr.isNullAt(2)) 0L else cr.getLong(2))
     writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, cls)
     // the CALLER's handle must not keep serving pre-append statistics
     handle.updateCorpusMeta(cls)
@@ -682,33 +820,44 @@ object PostingsStore {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true)
 
-    handle.postings
+    // tombstoned docs drop HERE: the staging dir carries no removed/
+    // ledger or statsdeltas/, so the whole-store swap purges rows,
+    // clears both, and re-tightens max_tf in one atomic unit
+    val removed = handle.removedDocs
+    val tookDown = !handle.removedDocs.isEmpty
+    def keep(df: DataFrame): DataFrame =
+      df.join(broadcast(removed), Seq(idCol), "left_anti")
+    keep(handle.postings)
       .repartitionByRange(files, col("term_bucket"), col("term"))
       .sortWithinPartitions(col("term"), col(idCol), col("pos"))
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", RowGroupBytes)
       .partitionBy("term_bucket").parquet(s"$staging/postings")
-    handle.docLens
+    keep(handle.docLens)
       .coalesce(math.max(1, files / 8))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
-    handle.termDocs
+    keep(handle.termDocs)
       .repartitionByRange(math.max(1, nBuckets / 4),
         col("term_bucket"), col("term"))
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", RowGroupBytes)
       .partitionBy("term_bucket").parquet(s"$staging/termdocs")
-    handle.termStats
+    // stats RECOUNTED from the compacted termdocs after a takedown
+    // (exact df/cf AND max_tf over the kept corpus); the no-takedown
+    // path keeps the cheap coalesce (stats unchanged by compaction)
+    (if (tookDown) termStatsOf(spark.read.parquet(s"$staging/termdocs"))
+     else handle.termStats)
       .repartitionByRange(math.max(1, nBuckets / 8),
         col("term_bucket"), col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket").parquet(s"$staging/termstats")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets,
-      handle.corpusLenStats)
+    val cls = docLenStats(spark, s"$staging/doclen")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, nBuckets, cls)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, nBuckets, Some(handle.corpusLenStats))
+    Handle(spark, path, idCol, nBuckets, Some(cls))
   }
 
   /** Open an existing store (heals an interrupted swap first). */

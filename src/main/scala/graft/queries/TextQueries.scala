@@ -61,10 +61,11 @@ object TextQueries extends QueryDsl {
       |WHERE pa <> pb AND abs(pa - pb) <= 5
       |GROUP BY a.doc_id""".stripMargin
 
-  private[queries] def bm25Sql(terms: Seq[String]): String = {
+  private[queries] def bm25Sql(terms: Seq[String], docFilter: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
+    val extra = if (docFilter.isEmpty) "" else s"$docFilter AND "
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-      |  FROM documents WHERE length(trim(text)) > 0),
+      |  FROM documents WHERE ${extra}length(trim(text)) > 0),
       |post AS (SELECT doc_id, unnest(t) AS term FROM toks),
       |dl AS (SELECT doc_id, count(*) AS dlen FROM post GROUP BY 1),
       |corpus AS (SELECT count(*) AS n, avg(cast(dlen AS double)) AS avgdl FROM dl),
@@ -2413,6 +2414,31 @@ object TextQueries extends QueryDsl {
 
     q("q120b_terms_search_store", allTermsSearchSql) { c =>
       docStore(c).allTermsSearch(Seq("vector", "stream", "window"))
+    },
+
+    // SEARCH-INDEX takedown — the store takedown matrix's last leg:
+    // every 7th document is removed through PostingsStore.remove
+    // (merge-on-read doc ledger + EXACT df/cf decrements re-derived
+    // from the removed ids' stored termdocs rows + kept-corpus meta
+    // statistics), and the served BM25 top-20 is ORACLE-EXACT against
+    // the kept-corpus SQL — df feeds IDF, so the takedown arithmetic
+    // is score-visible, unlike the LSH guard counts. A DEDICATED
+    // store copy (the shared docStore stays immutable for the other
+    // search twins); replay-stable: a second run finds the ids
+    // tombstoned and serves.
+    q("q221_search_takedown",
+      bm25Sql(Seq("vector", "stream", "window"), docFilter = "doc_id % 7 <> 0")) { c =>
+      import c.t
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_postings_srm_v1_$key"
+      val h = graft.operators.PostingsStore.ensure(
+        graft.Tables.load(c.spark, c.dir, "documents"), "doc_id", "text",
+        c.spark, path)
+      h.remove(t("documents").filter(pmod($"doc_id", lit(7)) === 0)
+        .select($"doc_id"))
+      h.bm25Search(Seq("vector", "stream", "window"), k = 20)
     },
 
     // Seeded deterministic corpus shuffle + shard assignment (the

@@ -338,4 +338,55 @@ class PostingsStoreSpec extends SparkSpec {
     assert(h.termPostings("anything").count() === 0)
     assert(h.docLens.count() === 0)
   }
+
+  test("remove: every search equals a kept-corpus build; replay; fail-loud; compact") {
+    val sp = spark
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val keep = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val gone = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val h = PostingsStore.build(docs, "doc_id", "text", tmp("psrm"), nBuckets = 16)
+    val ref = PostingsStore.build(keep, "doc_id", "text", tmp("psrmref"), nBuckets = 16)
+    h.remove(gone.select(col("doc_id")))
+    // every serve path equals the kept-corpus build — incl. BM25,
+    // whose IDF reads the DECREMENTED df, and the kept corpus stats
+    assert(h.corpusLenStats == ref.corpusLenStats,
+      s"${h.corpusLenStats} vs ${ref.corpusLenStats}")
+    val terms = Seq("vector", "stream", "window")
+    assert(rows(h.bm25Search(terms, k = 20)) == rows(ref.bm25Search(terms, k = 20)))
+    assert(rows(h.allTermsSearch(terms)) == rows(ref.allTermsSearch(terms)))
+    assert(rows(h.phraseSearch(Seq("table", "hash")))
+      == rows(ref.phraseSearch(Seq("table", "hash"))))
+    assert(rows(h.proximitySearch("vector", "table", slop = 5))
+      == rows(ref.proximitySearch("vector", "table", slop = 5)))
+    // MaxScore stays SOUND on the stale (upper-bound) max_tf: the
+    // pruned route still returns the exact kept-corpus top-k
+    val rare = Seq("dup", "stream", "window")
+    assert(rows(h.bm25SearchPruned(rare, k = 20))
+      == rows(ref.bm25Search(rare, k = 20)))
+    assert(h.bm25Search(terms, k = 20).count() > 0)
+    // replayed takedown: ledger and stats unchanged
+    val ledger = h.removedDocs.count()
+    val stats = rows(h.statsPostings(terms))
+    h.remove(gone.select(col("doc_id")))
+    assert(h.removedDocs.count() == ledger)
+    assert(rows(h.statsPostings(terms)) == stats)
+    // re-appending a tombstoned id fails loud
+    val ex = intercept[IllegalArgumentException] {
+      PostingsStore.append(gone.limit(1), "text", h)
+    }
+    assert(ex.getMessage.contains("tombstoned"))
+    // compact physically purges rows, clears ledger + deltas,
+    // re-tightens max_tf to the kept corpus exactly
+    val c = PostingsStore.compact(h)
+    assert(c.removedDocs.isEmpty)
+    assert(rows(c.termStats.select(col("term"), col("df"), col("cf"), col("max_tf")))
+      == rows(ref.termStats.select(col("term"), col("df"), col("cf"), col("max_tf"))))
+    assert(rows(c.bm25Search(terms, k = 20)) == rows(ref.bm25Search(terms, k = 20)))
+    // the purged ids are appendable again: the union serves like a
+    // from-scratch build of everything
+    val c2 = PostingsStore.append(gone, "text", c)
+    val full = PostingsStore.build(docs, "doc_id", "text", tmp("psrmfull"), nBuckets = 16)
+    assert(rows(c2.bm25Search(terms, k = 20)) == rows(full.bm25Search(terms, k = 20)))
+  }
 }
