@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.dedup.LshStore
-import graft.operators.PairGraphStore
+import graft.operators.{PairGraphStore, PostingsStore}
 
 /** End-to-end streaming RIGHT-TO-FORGET: a file-stream of takedown
   * document ids drives, per micro-batch, (1) the text index's
@@ -46,7 +46,10 @@ object StreamingTakedown {
       .distinct()
   }
 
-  /** One takedown micro-batch; exposed for direct use and tests. */
+  /** One takedown micro-batch; exposed for direct use and tests.
+    * `postings` (optional) extends the composition to the SEARCH
+    * index — the same ids leave BM25/conjunction/phrase results
+    * ([[PostingsStore.Handle.remove]], itself replay-idempotent). */
   def process(
       ids: DataFrame,
       lsh: LshStore.Handle,
@@ -54,9 +57,11 @@ object StreamingTakedown {
       maxK: Int,
       iterations: Int = 3,
       rounds: Int = 3,
-      trussK: Option[Int] = None): Unit = {
+      trussK: Option[Int] = None,
+      postings: Option[PostingsStore.Handle] = None): Unit = {
     if (ids.isEmpty) return
     lsh.remove(ids)
+    postings.foreach(_.remove(ids))
     StreamingGraphMaintenance.processAllRemove(
       incidentEdges(graph, ids), graph, maxK, iterations, rounds, trussK)
   }
@@ -73,11 +78,12 @@ object StreamingTakedown {
       checkpointDir: String,
       iterations: Int = 3,
       rounds: Int = 3,
-      trussK: Option[Int] = None): StreamingQuery =
+      trussK: Option[Int] = None,
+      postings: Option[PostingsStore.Handle] = None): StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        process(batch, lsh, graph, maxK, iterations, rounds, trussK)
+        process(batch, lsh, graph, maxK, iterations, rounds, trussK, postings)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -58,24 +58,37 @@ class StreamingTakedownSpec extends SparkSpec {
   private def keptAfter(ms: Int*) =
     docs.filter(!pmod(col("doc_id"), lit(10)).isin(ms.map(Int.box): _*))
 
-  test("takedown batches drive text index and graph states to the kept-corpus fixpoint") {
+  test("takedown batches drive text index, search index and graph states to the kept-corpus fixpoint") {
     val dir = tmp()
     val lsh = LshStore.build(docs, "doc_id", "text", s"$dir/lsh")
+    val ps = graft.operators.PostingsStore.build(
+      docs, "doc_id", "text", s"$dir/postings", nBuckets = 16)
     val g = PairGraphStore.build(pairsOf(docs), "doc_a", "doc_b", None,
       s"$dir/graph")
     allStates(g) // states ensured up front (the production shape)
-    StreamingTakedown.process(gone(1), lsh, g, maxK = 4, trussK = Some(3))
-    StreamingTakedown.process(gone(2), lsh, g, maxK = 4, trussK = Some(3))
+    StreamingTakedown.process(gone(1), lsh, g, maxK = 4, trussK = Some(3),
+      postings = Some(ps))
+    StreamingTakedown.process(gone(2), lsh, g, maxK = 4, trussK = Some(3),
+      postings = Some(ps))
     val kept = keptAfter(1, 2)
     assert(allStates(g) == keptStates(kept), "graph states after two batches")
     val keptLsh = LshStore.build(kept, "doc_id", "text", s"$dir/lshref")
     val got = rows(lsh.nearDupsOfDelta(probe, "text", minJaccard = 0.8))
     assert(got == rows(keptLsh.nearDupsOfDelta(probe, "text", minJaccard = 0.8)))
     assert(got.nonEmpty, "planted near-dups must survive the fixture")
-    // replayed batch: ledger, states and serves all unchanged
+    // the SEARCH leg serves the kept corpus too (score-visible IDF)
+    val keptPs = graft.operators.PostingsStore.build(
+      kept, "doc_id", "text", s"$dir/postingsref", nBuckets = 16)
+    val terms = Seq("vector", "stream", "window")
+    assert(rows(ps.bm25Search(terms, k = 20))
+      == rows(keptPs.bm25Search(terms, k = 20)))
+    // replayed batch: ledgers, states and serves all unchanged
     val ledger = lsh.removedIds.count()
-    StreamingTakedown.process(gone(2), lsh, g, maxK = 4, trussK = Some(3))
+    val psLedger = ps.removedDocs.count()
+    StreamingTakedown.process(gone(2), lsh, g, maxK = 4, trussK = Some(3),
+      postings = Some(ps))
     assert(lsh.removedIds.count() == ledger)
+    assert(ps.removedDocs.count() == psLedger)
     assert(allStates(g) == keptStates(kept))
   }
 
