@@ -46,7 +46,11 @@ class PlanAuditSpec extends SparkSpec {
     // stats are the same idiom. q142/q142b: the single query VECTOR
     // (vec_id = 0) broadcast against the corpus for the cosine leg,
     // plus the lexical leg's one-row corpus stats.
-    "q124c_bm25_maxscore", "q142_hybrid_rrf", "q142b_hybrid_rrf_store",
+    "q124c_bm25_maxscore",
+    // q221: the same BM25 (N, avgdl) scalar broadcast as q124b, over
+    // the post-takedown store
+    "q221_search_takedown",
+    "q142_hybrid_rrf", "q142b_hybrid_rrf_store",
     // q146: the max-ts anchor; q147: the audit's two one-row count
     // frames (hits × total) joined into the RI ratio row
     "q146_decayed_user_value", "q147_quality_audit",
