@@ -33,9 +33,27 @@ import org.apache.spark.sql.functions._
   * against unchanged counts, recomputes the SAME crossing set, and
   * re-drives the (replay-tolerant) maintenance; a ledger-committed
   * batch implies its maintenance completed. Edges never un-cross
-  * (counts only grow), so the edge set after N batches equals
-  * [[CoPresence.pairs]] over the union (StreamingEventsGraphSpec pins
-  * it, crash windows included).
+  * under absorbs (counts only grow), so the edge set after N batches
+  * equals [[CoPresence.pairs]] over the union
+  * (StreamingEventsGraphSpec pins it, crash windows included).
+  *
+  * LEDGERS (v2): the meta file carries two driver-side id ledgers,
+  * swapped ATOMICALLY with the counts —
+  *   - `hotWindows`: windows some absorbed batch GUARD-DROPPED (their
+  *     pairs were never counted). Bounded by time-range/windowSec
+  *     (a year of 10-minute windows is ~52k longs), never by data
+  *     volume — at a scale where that outgrows a meta line the set
+  *     moves to a `_hotwin` parquet sibling inside the same swap.
+  *   - `removedActors`: every actor a takedown ever removed. Bounded
+  *     by takedown volume. Load-bearing for hot-window RECOVERY: a
+  *     recovered window must exclude ALL removed actors' events, not
+  *     only the current batch's ("takedown = ban" — see
+  *     [[removeActors]]).
+  * Both live inside the swapped state dir, so a crash anywhere before
+  * the swap leaves counts AND ledgers unchanged together (the v1
+  * external append log could over-state across the crash window; the
+  * atomic form is also what makes recovery replay-safe — a replayed
+  * takedown sees the already-reduced hot set and recounts nothing).
   */
 object CoPresenceStore {
 
@@ -45,8 +63,13 @@ object CoPresenceStore {
   final case class Config(
       windowSec: Int, minShared: Int, maxWindowActors: Int)
 
+  private final case class State(
+      lastBatch: Long, cfg: Config,
+      hotWindows: Seq[Long], removedActors: Seq[Long])
+
   private def writeState(spark: SparkSession, rows: DataFrame, path: String,
-      cfg: Config, lastBatch: Long): Unit = {
+      cfg: Config, lastBatch: Long,
+      hotWindows: Seq[Long], removedActors: Seq[Long]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir(path) + ".staging"
     fs.delete(new Path(staging), true)
@@ -59,20 +82,28 @@ object CoPresenceStore {
     try out.write(
       (s"lastBatch=$lastBatch\nwindowSec=${cfg.windowSec}\n" +
         s"minShared=${cfg.minShared}\n" +
-        s"maxWindowActors=${cfg.maxWindowActors}").getBytes("UTF-8"))
+        s"maxWindowActors=${cfg.maxWindowActors}\n" +
+        s"hotWindows=${hotWindows.sorted.mkString(",")}\n" +
+        s"removedActors=${removedActors.sorted.mkString(",")}").getBytes("UTF-8"))
     finally out.close()
     SwapDir.swap(fs, new Path(staging), new Path(dir(path)))
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Long, Config) = {
+  private def readState(spark: SparkSession, path: String): State = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(metaFile(path)))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    val kv = body.split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-    (kv("lastBatch").toLong,
+    val kv = body.split("\n").map(_.split("=", 2))
+      .map(a => a(0) -> (if (a.length > 1) a(1) else "")).toMap
+    def ids(key: String): Seq[Long] = kv.getOrElse(key, "") match {
+      case "" => Seq.empty
+      case s => s.split(",").toSeq.map(_.toLong)
+    }
+    State(kv("lastBatch").toLong,
       Config(kv("windowSec").toInt, kv("minShared").toInt,
-        kv("maxWindowActors").toInt))
+        kv("maxWindowActors").toInt),
+      ids("hotWindows"), ids("removedActors"))
   }
 
   /** Initialize an EMPTY count state (the stream absorbs from zero). */
@@ -81,7 +112,7 @@ object CoPresenceStore {
     writeState(spark,
       spark.range(0).select(col("id").as("ua"), col("id").as("ub"),
         col("id").as("n")),
-      path, cfg, lastBatch = -1L)
+      path, cfg, lastBatch = -1L, Seq.empty, Seq.empty)
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -101,8 +132,8 @@ object CoPresenceStore {
   /** The CURRENT edge view: pairs at or above the stored threshold —
     * equal to [[CoPresence.pairs]] over every absorbed event. */
   def edges(spark: SparkSession, path: String): DataFrame = {
-    val (_, cfg) = readMeta(spark, path)
-    read(spark, path).filter(col("n") >= cfg.minShared)
+    val st = readState(spark, path)
+    read(spark, path).filter(col("n") >= st.cfg.minShared)
       .select(col("ua"), col("ub"), col("n").as("shared"))
   }
 
@@ -111,7 +142,8 @@ object CoPresenceStore {
     * frame possible). See the object doc for the ordering argument;
     * `maintain` MUST be replay-tolerant (every [[PairGraphStore]]
     * maintainer is). A batch id at or below the ledger is a completed
-    * redelivery: nothing runs. */
+    * redelivery: nothing runs. Windows the batch's pairing guard-
+    * dropped join the meta `hotWindows` ledger in the SAME swap. */
   def absorbBatch(
       spark: SparkSession,
       events: DataFrame,
@@ -119,8 +151,9 @@ object CoPresenceStore {
       tsCol: String,
       path: String,
       batchId: Long)(maintain: DataFrame => Unit): Unit = {
-    val (lastBatch, cfg) = readMeta(spark, path)
-    if (batchId <= lastBatch) return
+    val st = readState(spark, path)
+    if (batchId <= st.lastBatch) return
+    val cfg = st.cfg
     // per-batch counts through the SAME generator (minShared=1 keeps
     // sub-threshold counts; the hot-window guard sees each complete
     // window's population by the alignment contract)
@@ -140,57 +173,80 @@ object CoPresenceStore {
       .select(col("ua"), col("ub"))
       .localCheckpoint()
     maintain(crossed)
-    // guard ledger: windows the batch's pairing DROPPED carry no
-    // counted signal — record them (append; duplicates harmless) so
-    // [[removeActors]] can refuse when a takedown might un-suppress
-    // one. Ordered before the commit: a crash leaves the ledger
-    // OVER-stated only (spurious rows re-append on replay), which can
-    // only make removeActors more conservative.
-    val hot = CoPresence.hotWindows(events, actorCol, tsCol,
-      cfg.windowSec, cfg.maxWindowActors).localCheckpoint()
-    if (!hot.isEmpty)
-      hot.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/hotwindows")
-    // the commit point: counts + ledger swap atomically AFTER the
+    // windows this batch's pairing GUARD-DROPPED carry no counted
+    // signal — fold them into the meta ledger so [[removeActors]] can
+    // recover (recount) or refuse them later
+    val batchHot = CoPresence.hotWindows(events, actorCol, tsCol,
+        cfg.windowSec, cfg.maxWindowActors)
+      .collect().map(_.getLong(0))
+    val hotNow = (st.hotWindows ++ batchHot).distinct
+    // the commit point: counts + ledgers swap atomically AFTER the
     // maintenance action completed
-    writeState(spark, merged, path, cfg, batchId)
+    writeState(spark, merged, path, cfg, batchId, hotNow, st.removedActors)
   }
 
-  /** True when any absorbed batch guard-dropped a window. */
-  def hotWindowsSeen(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(s"$path/hotwindows")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  /** True when some absorbed batch guard-dropped a window that has not
+    * been recovered since. */
+  def hotWindowsSeen(spark: SparkSession, path: String): Boolean =
+    readState(spark, path).hotWindows.nonEmpty
 
   /** Take ACTORS down — the behavioral-graph right-to-forget: an
     * actor's co-presence history involves exactly the count rows
     * INCIDENT to them (another pair's shared-window count never
     * mentions the removed actor), so the takedown is a physical
-    * delete of incident rows, with the incident AT-THRESHOLD pairs —
-    * the edges that must leave the graph — handed to `maintain`
-    * BEFORE the counts swap commits (the [[absorbBatch]] ordering
-    * argument: maintenance is replay-tolerant, and a replayed
-    * takedown finds no incident rows and no-ops). Later absorbs may
-    * legitimately re-introduce the actor: counts restart from zero,
-    * matching a from-scratch pass over (events minus the actor's
-    * pre-takedown history).
+    * delete of incident rows, with the graph delta handed to
+    * `maintain(gone, crossed)` BEFORE the counts swap commits (the
+    * [[absorbBatch]] ordering argument: maintenance is replay-
+    * tolerant, and a replayed takedown finds no incident rows and no
+    * still-recoverable hot windows, so both frames come back empty).
     *
-    * FAILS LOUD when any absorbed batch guard-dropped a hot window:
-    * removing an actor can push such a window back UNDER the cap, and
-    * the pairs it suppressed were never counted — bounded state
-    * cannot recover them (the raw events can: rebuild). Exact
-    * otherwise (StreamingEventsGraphSpec pins equality with a
-    * from-scratch pass over the kept events). */
+    * HOT-WINDOW RECOVERY: a window some absorb guard-dropped was
+    * never counted, and removing actors can push its population back
+    * UNDER the cap — from-scratch over the kept events would then
+    * count it, so bounded state alone cannot serve the takedown.
+    * When the caller supplies the `events` source (the full absorbed
+    * event history — the store trusts it, matching the absorb
+    * contract), the ledgered hot windows are RECOUNTED from it:
+    * events are restricted to those windows (cost bounded by ledger
+    * size, not corpus), every ever-removed actor is excluded
+    * ("takedown = ban": a later re-admission of a removed actor is
+    * out of recovery contract — rebuild instead), and the per-window
+    * guard re-applies — windows still over the cap with the kept
+    * population stay on the ledger, windows now under it contribute
+    * their kept pairs. Recovered additions can push pairs ACROSS
+    * `minShared`: those arrive as `crossed` (append direction), while
+    * the incident at-threshold pairs arrive as `gone` (revocation) —
+    * disjoint sets, since recovered pairs mention kept actors only.
+    * The final counts equal a from-scratch [[CoPresence.pairs]] pass
+    * over (events minus all removed actors' rows), guard included
+    * (StreamingEventsGraphSpec pins it, crash windows included).
+    *
+    * FAILS LOUD only when hot windows exist and no `events` source is
+    * supplied — the one case bounded state genuinely cannot serve. */
   def removeActors(
       spark: SparkSession,
       actors: DataFrame,
-      path: String)(maintain: DataFrame => Unit): Unit = {
-    require(!hotWindowsSeen(spark, path),
+      path: String,
+      events: Option[DataFrame] = None,
+      actorCol: String = "user_id",
+      tsCol: String = "ts")(maintain: (DataFrame, DataFrame) => Unit): Unit = {
+    val st = readState(spark, path)
+    val cfg = st.cfg
+    require(st.hotWindows.isEmpty || events.nonEmpty,
       "removeActors: an absorbed batch guard-dropped a hot window - " +
         "a takedown could un-suppress it and the suppressed pairs were " +
-        "never counted; rebuild the store from the kept events instead")
-    val (lastBatch, cfg) = readMeta(spark, path)
-    val rid = actors.select(col(actors.columns.head).cast("long").as("__a"))
-      .distinct().localCheckpoint()
+        "never counted; pass the absorbed events source so the ledgered " +
+        "windows can be recounted, or rebuild from the kept events")
+    // takedown batches are actor-id-sized (human/process-scale, not
+    // corpus-scale) — collected once for the ban ledger
+    val ridIds = actors.select(col(actors.columns.head).cast("long").as("__a"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val rid = spark.createDataFrame(
+      spark.sparkContext.parallelize(ridIds.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__a",
+          org.apache.spark.sql.types.LongType))))
+    val removedAll = (st.removedActors ++ ridIds).distinct
     val old = read(spark, path).localCheckpoint()
     val incident = old
       .join(broadcast(rid.withColumnRenamed("__a", "ua")), Seq("ua"), "left_semi")
@@ -201,11 +257,45 @@ object CoPresenceStore {
       .localCheckpoint()
     val gone = incident.filter(col("n") >= cfg.minShared)
       .select(col("ua"), col("ub"))
-    maintain(gone)
-    val kept = old.join(broadcast(incident.select(col("ua"), col("ub"))),
+      .localCheckpoint()
+    val keptCounts = old.join(broadcast(incident.select(col("ua"), col("ub"))),
       Seq("ua", "ub"), "left_anti")
-    writeState(spark, kept, path, cfg, lastBatch)
+    // ---- ledgered hot-window recount (empty ledger: zero extra jobs)
+    val (merged, crossed, stillHot) =
+      if (st.hotWindows.isEmpty) (keptCounts, emptyPairs(spark), st.hotWindows)
+      else {
+        val hotEv = events.get
+          .filter(floor(unix_timestamp(col(tsCol)) / cfg.windowSec)
+            .isInCollection(st.hotWindows) &&
+            !col(actorCol).cast("long").isInCollection(removedAll))
+          .select(col(actorCol), col(tsCol))
+          .localCheckpoint()
+        val recount = CoPresence.pairs(hotEv, actorCol, tsCol,
+            cfg.windowSec, minShared = 1, cfg.maxWindowActors)
+          .select(col("ua").cast("long").as("ua"),
+            col("ub").cast("long").as("ub"), col("shared").as("n"))
+        val m = keptCounts.unionByName(recount)
+          .groupBy(col("ua"), col("ub")).agg(sum(col("n")).as("n"))
+          .localCheckpoint()
+        // recovered additions that cross the edge threshold (recount
+        // pairs mention kept actors only, so disjoint from `gone`)
+        val c = m.join(old.select(col("ua"), col("ub"), col("n").as("__oldn")),
+            Seq("ua", "ub"), "left")
+          .filter(col("n") >= cfg.minShared &&
+            coalesce(col("__oldn"), lit(0L)) < cfg.minShared)
+          .select(col("ua"), col("ub"))
+          .localCheckpoint()
+        val still = CoPresence.hotWindows(hotEv, actorCol, tsCol,
+            cfg.windowSec, cfg.maxWindowActors)
+          .collect().map(_.getLong(0)).toSeq
+        (m, c, still)
+      }
+    maintain(gone, crossed)
+    writeState(spark, merged, path, cfg, st.lastBatch, stillHot, removedAll)
   }
+
+  private def emptyPairs(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("ua"), col("id").as("ub"))
 
   /** From-scratch reference over a full events frame (specs/oracles). */
   def fromScratch(events: DataFrame, actorCol: String, tsCol: String,

@@ -93,6 +93,42 @@ object PairGraphStore {
       else spark.range(0).select(col("id").as("a"), col("id").as("b"))
     }
 
+    /** Purge `pairs` from the revocation ledger so their PHYSICAL
+      * rows serve again — the legitimate re-add path for a COUNTED
+      * re-cross (a revoked co-presence pair whose shared-window count
+      * re-grew past the edge threshold after a takedown), unlike a
+      * raw [[append]] of a revoked pair, which stays out of contract
+      * and fails loud. The stored physical row resurfaces AS-IS:
+      * weighted stores keep the pre-revocation weight (append never
+      * updates weights either — compact+append to change one).
+      * Side-state staleness is the caller's composition concern,
+      * exactly as for append ([[appendAndMaintainCommunities]] calls
+      * this itself for its delta's revoked pairs, then re-propagates
+      * the affected components over the restored serve view).
+      * Crash-safe: the ledger rewrite goes through [[SwapDir.swap]];
+      * a replay finds the pairs already un-revoked and no-ops. */
+    def readmit(pairs: DataFrame): Handle = {
+      val p = new Path(s"$path/removededges")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return this
+      val pc = pairs
+        .select(col(pairs.columns(0)).cast("long").as("a"),
+          col(pairs.columns(1)).cast("long").as("b"))
+        .distinct()
+      val remaining = removedEdges
+        .join(broadcast(pc), Seq("a", "b"), "left_anti")
+        .localCheckpoint() // materialize BEFORE touching the files it reads
+      if (remaining.isEmpty) fs.delete(p, true)
+      else {
+        val staging = new Path(s"$path/removededges.staging")
+        fs.delete(staging, true)
+        remaining.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(staging.toString)
+        SwapDir.swap(fs, staging, p)
+      }
+      this
+    }
+
     /** Edge count from the parquet footers — a metadata read. */
     def edgeCount: Long = edges.count()
 
@@ -181,7 +217,13 @@ object PairGraphStore {
 
     /** Order-independent batch identity: bit-xor of xxhash64 over the
       * canonical rows' `cols`. None for an empty batch (no marker —
-      * the bodies handle empties). */
+      * the bodies handle empties). ASSUMPTION (documented, accepted):
+      * xor-of-hashes is weaker than a content hash — two different
+      * batches whose row-hash multisets xor to the same value alias
+      * and the second would skip its maintenance. Probability ~2^-64
+      * per batch pair with no adversarial inputs here; an
+      * order-independent polynomial hash would harden it at the same
+      * cost if that ever changes. */
     private def batchSig(canon: DataFrame, cols: Seq[String]): Option[String] = {
       val r = canon.agg(expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))")).head()
       if (r.isNullAt(0)) None
@@ -441,6 +483,18 @@ object PairGraphStore {
       val dEdges = (if (wSeq.isEmpty) dSel.distinct()
         else dSel.groupBy(col("a"), col("b")).agg(max(col(wSeq.head)).as(wSeq.head)))
         .localCheckpoint()
+      // delta pairs sitting on the revocation ledger are COUNTED
+      // re-crossings (the co-presence composition: a takedown revoked
+      // the pair, later absorbs re-grew its count past the threshold)
+      // — a legitimate re-add, so un-revoke them here instead of
+      // letting append() fail loud and wedge the stream on replay;
+      // the re-propagation below then sees the restored edges
+      if (!noRevocationLedger) {
+        val rc = dEdges.select(col("a"), col("b"))
+          .join(broadcast(removedEdges), Seq("a", "b"), "left_semi")
+          .localCheckpoint()
+        if (!rc.isEmpty) readmit(rc)
+      }
       // delta edges in COMPONENT-KEY space: an endpoint maps to its
       // old component id, or to itself when the store has never seen
       // it (a new node id cannot collide with an old component id —

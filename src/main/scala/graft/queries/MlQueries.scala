@@ -1403,9 +1403,9 @@ object MlQueries extends QueryDsl {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val countsPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_coprestore_utd_v1_$key"
+        s"${System.getProperty("java.io.tmpdir")}/graft_coprestore_utd_v2_$key"
       val graphPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_utd_v1_$key"
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_utd_v2_$key"
       if (!graft.operators.CoPresenceStore.exists(c.spark, countsPath)) {
         graft.operators.CoPresenceStore.create(c.spark, countsPath,
           graft.operators.CoPresenceStore.Config(
@@ -1413,10 +1413,15 @@ object MlQueries extends QueryDsl {
         graft.streaming.StreamingEventsGraph.process(
           t("events").select($"user_id", $"ts"), 0L, countsPath, graphPath)
       }
+      // the events source enables hot-window RECOVERY: at high event
+      // density (the 8x replica) every window trips the guard and the
+      // ledgered windows are recounted from the kept events instead of
+      // refusing the takedown
       graft.streaming.StreamingEventsGraph.processTakedown(
         t("events").select($"user_id").distinct()
           .filter(pmod($"user_id", lit(9)) === 0),
-        countsPath, graphPath)
+        countsPath, graphPath,
+        events = Some(t("events").select($"user_id", $"ts")))
       graft.operators.PairGraphStore.open(c.spark, graphPath)
         .ensureCommunities(rounds = 3)
         .select($"node".as("user_id"), $"community")

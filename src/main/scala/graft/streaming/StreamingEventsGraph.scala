@@ -55,34 +55,53 @@ object StreamingEventsGraph {
 
   /** One ACTOR-takedown micro-batch — the deletion direction: drop
     * the removed users' co-presence history from the counts store
-    * ([[CoPresenceStore.removeActors]] — fails loud if any absorbed
-    * batch guard-dropped a hot window) and revoke their at-threshold
-    * edges from the community graph at affected-component cost.
-    * Idempotent without a ledger: a replayed takedown finds no
-    * incident count rows and both layers no-op; a crash between the
-    * graph maintenance and the counts swap replays to the same state
-    * (the absorbBatch ordering argument). A graph store that never
-    * materialized (no batch ever crossed the threshold) has nothing
-    * to maintain. */
+    * ([[CoPresenceStore.removeActors]]) and revoke their at-threshold
+    * edges from the community graph at affected-component cost. When
+    * the store carries guard-dropped hot windows, pass the absorbed
+    * `events` source: the ledgered windows are RECOUNTED from it
+    * (ledger-bounded cost), and pairs the recovery pushes ACROSS the
+    * edge threshold are appended to the graph — removal first, then
+    * the append, both replay-tolerant. Idempotent without a ledger: a
+    * replayed takedown finds no incident count rows and an already-
+    * reduced hot set, so both maintenance frames come back empty; a
+    * crash between the graph maintenance and the counts swap replays
+    * to the same state (the absorbBatch ordering argument). A graph
+    * store that never materialized bootstraps lazily from the first
+    * recovered crossing set (the [[process]] shape) — at high event
+    * density every window can be hot until a takedown thins them, so
+    * the FIRST graph edges can legitimately arrive through recovery. */
   def processTakedown(
       actors: DataFrame,
       countsPath: String,
       graphPath: String,
-      rounds: Int = 3): Unit = {
+      rounds: Int = 3,
+      events: Option[DataFrame] = None,
+      actorCol: String = "user_id",
+      tsCol: String = "ts"): Unit = {
     val spark = actors.sparkSession
     if (actors.isEmpty) return
-    CoPresenceStore.removeActors(spark, actors, countsPath) { gone =>
-      if (PairGraphStore.exists(spark, graphPath)) {
+    CoPresenceStore.removeActors(spark, actors, countsPath, events,
+      actorCol, tsCol) { (gone, crossed) =>
+      if (PairGraphStore.exists(spark, graphPath) && !gone.isEmpty) {
         PairGraphStore.open(spark, graphPath)
           .removeEdgesAndMaintainCommunities(
             gone.select(col("ua"), col("ub")), rounds)
+        ()
+      }
+      if (!crossed.isEmpty) {
+        val g = PairGraphStore.ensure(
+          crossed.select(col("ua"), col("ub")),
+          "ua", "ub", None, spark, graphPath)
+        g.appendAndMaintainCommunities(
+          crossed.select(col("ua"), col("ub")), rounds)
         ()
       }
     }
   }
 
   /** File-source drive of [[processTakedown]]: watch `inDir` for
-    * parquet batches of takedown actor ids. */
+    * parquet batches of takedown actor ids. `events` (the absorbed
+    * event history, a batch frame) enables hot-window recovery. */
   def streamTakedown(
       spark: SparkSession,
       inDir: String,
@@ -90,11 +109,12 @@ object StreamingEventsGraph {
       countsPath: String,
       graphPath: String,
       checkpointDir: String,
-      rounds: Int = 3): StreamingQuery =
+      rounds: Int = 3,
+      events: Option[DataFrame] = None): StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processTakedown(batch, countsPath, graphPath, rounds)
+        processTakedown(batch, countsPath, graphPath, rounds, events)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

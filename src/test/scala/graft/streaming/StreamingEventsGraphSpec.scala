@@ -137,7 +137,8 @@ class StreamingEventsGraphSpec extends SparkSpec {
       == gotCounts.map { case ((a, b), n) => Seq[Any](a, b, n) }.toSet)
     assert(gotLabels(s"$dir/graph") == want)
 
-    // a store that ever guard-dropped a hot window refuses takedowns
+    // a store that guard-dropped a hot window refuses takedowns ONLY
+    // when no events source is supplied for the recount
     val dir2 = tmp()
     val tiny = CoPresenceStore.Config(windowSec = 600, minShared = 3,
       maxWindowActors = 2)
@@ -150,6 +151,185 @@ class StreamingEventsGraphSpec extends SparkSpec {
         s"$dir2/graph")
     }
     assert(ex.getMessage.contains("hot window"))
+    // with the events source the same takedown completes: ledgered
+    // windows recount from the kept events, still-over-cap windows
+    // stay dropped — counts equal from-scratch over kept, guard
+    // included
+    StreamingEventsGraph.processTakedown(removed, s"$dir2/counts",
+      s"$dir2/graph", events = Some(events))
+    val wantTiny = CoPresence.pairs(kept, "user_id", "ts",
+        tiny.windowSec, 1, tiny.maxWindowActors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotTiny = CoPresenceStore.read(spark, s"$dir2/counts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotTiny == wantTiny)
+  }
+
+  // planted fixture: (user, window) presence with controlled window
+  // populations; ts = epoch seconds cast to timestamp
+  private def planted(rows: (Long, Long)*): DataFrame =
+    spark.createDataFrame(rows.toSeq).toDF("user_id", "w")
+      .select(col("user_id"), (col("w") * 600 + 5).cast("timestamp").as("ts"))
+
+  private def countsMap(path: String): Map[(Long, Long), Long] =
+    CoPresenceStore.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("hot-window recovery: takedown recounts ledgered windows, revokes AND appends") {
+    val dir = tmp()
+    val cfg5 = CoPresenceStore.Config(windowSec = 600, minShared = 2,
+      maxWindowActors = 5)
+    CoPresenceStore.create(spark, s"$dir/counts", cfg5)
+    // windows 0-2: actors 1..6 (pop 6 > 5 -> HOT, never counted);
+    // windows 10-12: actors 1..4 (pop 4 <= 5 -> counted, all pairs n=3)
+    val all = (for (w <- 0L to 2L; u <- 1L to 6L) yield (u, w)) ++
+      (for (w <- 10L to 12L; u <- 1L to 4L) yield (u, w))
+    val evs = planted(all: _*)
+    StreamingEventsGraph.process(evs, 0, s"$dir/counts", s"$dir/graph")
+    assert(CoPresenceStore.hotWindowsSeen(spark, s"$dir/counts"))
+    assert(countsMap(s"$dir/counts").keySet
+      == (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSet)
+    // take down actor 4 with the events source: windows 0-2 drop to
+    // pop 5 <= 5 and RECOVER; incident pairs (1,4)(2,4)(3,4) leave the
+    // graph; recovered pairs with 5/6 cross the threshold and join it
+    val removed = planted((4L, 0L)).select(col("user_id")).distinct()
+    StreamingEventsGraph.processTakedown(removed, s"$dir/counts",
+      s"$dir/graph", events = Some(evs))
+    val keptEv = evs.filter(col("user_id") =!= 4L)
+    val wantCounts = CoPresence.pairs(keptEv, "user_id", "ts",
+        cfg5.windowSec, 1, cfg5.maxWindowActors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(countsMap(s"$dir/counts") == wantCounts)
+    // recovered: (1,2)(1,3)(2,3) at 3+3=6, the seven pairs with 5/6 at 3
+    assert(wantCounts((1L, 2L)) == 6L && wantCounts((1L, 5L)) == 3L &&
+      wantCounts((5L, 6L)) == 3L)
+    val keptPairs = CoPresence.pairs(keptEv, "user_id", "ts",
+      cfg5.windowSec, cfg5.minShared, cfg5.maxWindowActors)
+    assert(pairSet(PairGraphStore.open(spark, s"$dir/graph").edges)
+      == pairSet(keptPairs))
+    val want = LabelPropagation.run(keptPairs.select(col("ua"), col("ub")),
+        "ua", "ub", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLabels(s"$dir/graph") == want)
+    // the ledger is consumed: recovered windows leave it
+    assert(!CoPresenceStore.hotWindowsSeen(spark, s"$dir/counts"))
+    // replayed takedown: no incident rows, empty ledger -> no-op
+    StreamingEventsGraph.processTakedown(removed, s"$dir/counts",
+      s"$dir/graph", events = Some(evs))
+    assert(countsMap(s"$dir/counts") == wantCounts)
+    assert(gotLabels(s"$dir/graph") == want)
+  }
+
+  test("recovery ban semantics: still-hot windows exclude EVERY removed actor") {
+    val dir = tmp()
+    val cfg4 = CoPresenceStore.Config(windowSec = 600, minShared = 2,
+      maxWindowActors = 4)
+    CoPresenceStore.create(spark, s"$dir/counts", cfg4)
+    val all = (for (w <- 0L to 2L; u <- 1L to 6L) yield (u, w)) ++
+      (for (w <- 10L to 12L; u <- 1L to 4L) yield (u, w))
+    val evs = planted(all: _*)
+    StreamingEventsGraph.process(evs, 0, s"$dir/counts", s"$dir/graph")
+    // takedown of 4: windows 0-2 drop to pop 5 > 4 -> STILL hot (stay
+    // ledgered); only the incident rows leave
+    StreamingEventsGraph.processTakedown(planted((4L, 0L)).select(col("user_id")),
+      s"$dir/counts", s"$dir/graph", events = Some(evs))
+    assert(CoPresenceStore.hotWindowsSeen(spark, s"$dir/counts"))
+    assert(countsMap(s"$dir/counts").keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // takedown of 5: recovery must exclude BOTH 4 (the ban ledger) and
+    // 5 -> pop 4 <= 4, windows recover with pairs among {1,2,3,6} only.
+    // A recovery that excluded only the current batch would see pop 5
+    // and recover nothing.
+    StreamingEventsGraph.processTakedown(planted((5L, 0L)).select(col("user_id")),
+      s"$dir/counts", s"$dir/graph", events = Some(evs))
+    val keptEv = evs.filter(col("user_id") =!= 4L && col("user_id") =!= 5L)
+    val wantCounts = CoPresence.pairs(keptEv, "user_id", "ts",
+        cfg4.windowSec, 1, cfg4.maxWindowActors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(countsMap(s"$dir/counts") == wantCounts)
+    assert(wantCounts((1L, 6L)) == 3L, "windows must actually recover")
+    assert(!CoPresenceStore.hotWindowsSeen(spark, s"$dir/counts"))
+    val keptPairs = CoPresence.pairs(keptEv, "user_id", "ts",
+      cfg4.windowSec, cfg4.minShared, cfg4.maxWindowActors)
+    assert(pairSet(PairGraphStore.open(spark, s"$dir/graph").edges)
+      == pairSet(keptPairs))
+  }
+
+  test("recovery crash window: maintenance ran, counts swap did not - replay converges") {
+    val dir = tmp()
+    val cfg5 = CoPresenceStore.Config(windowSec = 600, minShared = 2,
+      maxWindowActors = 5)
+    CoPresenceStore.create(spark, s"$dir/counts", cfg5)
+    val all = (for (w <- 0L to 2L; u <- 1L to 6L) yield (u, w)) ++
+      (for (w <- 10L to 12L; u <- 1L to 4L) yield (u, w))
+    val evs = planted(all: _*)
+    StreamingEventsGraph.process(evs, 0, s"$dir/counts", s"$dir/graph")
+    val removed = planted((4L, 0L)).select(col("user_id")).distinct()
+    // simulate: removeActors ran its maintain (graph revoke + append)
+    // and died BEFORE the counts swap — drive the real maintain, then
+    // abort the store write by throwing after it
+    val boom = intercept[RuntimeException] {
+      CoPresenceStore.removeActors(spark, removed, s"$dir/counts",
+        Some(evs), "user_id", "ts") { (gone, crossed) =>
+        val g = PairGraphStore.open(spark, s"$dir/graph")
+        g.removeEdgesAndMaintainCommunities(gone, rounds = 3)
+        g.appendAndMaintainCommunities(crossed, rounds = 3)
+        throw new RuntimeException("crash before swap")
+      }
+    }
+    assert(boom.getMessage == "crash before swap")
+    // counts unchanged (still pre-takedown), graph already maintained;
+    // the replayed takedown recomputes the SAME gone/crossed sets and
+    // the replay-tolerant maintainers no-op into the committed state
+    assert(CoPresenceStore.hotWindowsSeen(spark, s"$dir/counts"))
+    StreamingEventsGraph.processTakedown(removed, s"$dir/counts",
+      s"$dir/graph", events = Some(evs))
+    val keptEv = evs.filter(col("user_id") =!= 4L)
+    val wantCounts = CoPresence.pairs(keptEv, "user_id", "ts",
+        cfg5.windowSec, 1, cfg5.maxWindowActors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(countsMap(s"$dir/counts") == wantCounts)
+    val keptPairs = CoPresence.pairs(keptEv, "user_id", "ts",
+      cfg5.windowSec, cfg5.minShared, cfg5.maxWindowActors)
+    assert(pairSet(PairGraphStore.open(spark, s"$dir/graph").edges)
+      == pairSet(keptPairs))
+    val want = LabelPropagation.run(keptPairs.select(col("ua"), col("ub")),
+        "ua", "ub", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLabels(s"$dir/graph") == want)
+  }
+
+  test("re-crossing a revoked pair readmits it instead of wedging the stream") {
+    val dir = tmp()
+    val cfg = CoPresenceStore.Config(windowSec = 600, minShared = 2,
+      maxWindowActors = 100)
+    CoPresenceStore.create(spark, s"$dir/counts", cfg)
+    // batch 0: actors 1,2,3 share windows 0,1 -> all three pairs cross
+    StreamingEventsGraph.process(
+      planted((for (w <- 0L to 1L; u <- 1L to 3L) yield (u, w)): _*),
+      0, s"$dir/counts", s"$dir/graph")
+    assert(pairSet(PairGraphStore.open(spark, s"$dir/graph").edges)
+      == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // takedown of 3 revokes (1,3) and (2,3)
+    StreamingEventsGraph.processTakedown(
+      planted((3L, 0L)).select(col("user_id")), s"$dir/counts", s"$dir/graph")
+    assert(pairSet(PairGraphStore.open(spark, s"$dir/graph").edges)
+      == Set((1L, 2L)))
+    // batch 1 re-introduces actor 3 with actor 1 over fresh windows:
+    // (1,3)'s count restarts and re-crosses — previously this wedged
+    // the stream on append's revoked-pair clash; now the counted
+    // re-cross READMITS the pair and maintenance proceeds
+    StreamingEventsGraph.process(
+      planted((1L, 10L), (3L, 10L), (1L, 11L), (3L, 11L)),
+      1, s"$dir/counts", s"$dir/graph")
+    assert(pairSet(PairGraphStore.open(spark, s"$dir/graph").edges)
+      == Set((1L, 2L), (1L, 3L)))
+    val labels = gotLabels(s"$dir/graph")
+    val wantL = LabelPropagation.run(
+        planted((1L, 0L)).sparkSession.createDataFrame(
+          Seq((1L, 2L), (1L, 3L))).toDF("ua", "ub"),
+        "ua", "ub", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == wantL)
   }
 
   test("file-stream drive: AvailableNow passes resume batch ids from the checkpoint") {
