@@ -77,7 +77,20 @@ object IvfStore {
       pq: Pq.Model,
       opq: Option[Rotation] = None) {
 
-    def vectors: DataFrame = spark.read.parquet(s"$path/vectors")
+    // Cached vectors frame (the SrpStore.Handle convention): topKAdc
+    // alone plans over `vectors` three times per serve call, and each
+    // uncached spark.read re-lists the cell directories AND runs a
+    // parquet schema-inference job. Mutating operations invalidate.
+    // Contract (shared with SrpStore/LshStore): one live handle
+    // mutates a store at a time — a DIFFERENT pre-mutation handle's
+    // cache can list swapped-away files until its next invalidate.
+    @transient private var vectorsDf: DataFrame = _
+    private def invalidateReads(): Unit = { vectorsDf = null }
+
+    def vectors: DataFrame = {
+      if (vectorsDf == null) vectorsDf = spark.read.parquet(s"$path/vectors")
+      vectorsDf
+    }
 
     private def ivfPqModel: IvfPq.Model = IvfPq.Model(model, pq, residual = true)
 
@@ -179,6 +192,7 @@ object IvfStore {
       assigned(delta, idCol, vecCol, model, pq, opq)
         .write.mode(SaveMode.Append)
         .partitionBy("cell").parquet(s"$path/vectors")
+      invalidateReads()
       this
     }
 
@@ -219,6 +233,7 @@ object IvfStore {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       cells.filterNot(nonEmpty).foreach(c =>
         fs.delete(new Path(s"$path/vectors/cell=$c"), true))
+      invalidateReads()
       this
     }
   }
@@ -342,10 +357,28 @@ object IvfStore {
     Handle(spark, path, idCol, vecCol, model, pq, handle.opq)
   }
 
-  /** Open an existing index (heals an interrupted swap first). */
+  // Opened-handle registry keyed by (path, meta modification time):
+  // the stored models (centroids/codebooks/rotation) are IMMUTABLE for
+  // a store generation — append/remove never retrain, and build/compact
+  // publish a new generation through the staged swap, which recreates
+  // the meta file and moves its mtime. Re-opening a generation
+  // therefore serves the cached handle and skips the 2-3 model-collect
+  // jobs every serve call used to pay (q141/q189/q192 open the store
+  // once per query invocation).
+  @transient private val opened =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Handle]
+
+  /** Open an existing index (heals an interrupted swap first); cached
+    * per store generation. */
   def open(spark: SparkSession, path: String): Handle = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SwapDir.heal(fs, new Path(path))
+    val mtime = fs.getFileStatus(new Path(s"$path/_graft_meta"))
+      .getModificationTime
+    opened.getOrElseUpdate((path, mtime), openUncached(spark, path))
+  }
+
+  private def openUncached(spark: SparkSession, path: String): Handle = {
     val meta = readMeta(spark, s"$path/_graft_meta")
     val v = meta.getOrElse("version", "?")
     require(v == Version.toString,

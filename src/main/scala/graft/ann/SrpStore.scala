@@ -58,7 +58,11 @@ object SrpStore {
   // SKIP a drop — wider candidates the exact-cosine verify still
   // filters: the same direction as the counts-under-statement append
   // contract.
-  private val Version = 4
+  // v5: meta carries `vecElem` (float|double) so every accessor reads
+  // with an EXPLICIT schema — a fresh handle's first postings/vectors
+  // access used to run a parquet schema-inference job each (2 of the
+  // 5 serve-path jobs on a per-call handle, measured).
+  private val Version = 5
 
   /** Row-group size for the postings layout: small groups mean a
     * bucket-pruned read skips at fine granularity (same constant as
@@ -83,7 +87,8 @@ object SrpStore {
       idCol: String,
       vecCol: String,
       cfg: Config,
-      initialBucketBound: Long = Long.MaxValue) {
+      initialBucketBound: Long = Long.MaxValue,
+      vecElem: String = "") {
 
     /** Upper bound on any stored bucket's posting count (meta
       * `maxBucketN`) — exact after build/compact, raised additively by
@@ -111,11 +116,18 @@ object SrpStore {
     private[SrpStore] def invalidate(): Unit = invalidateReads()
 
     def postings: DataFrame = {
-      if (postingsDf == null) postingsDf = spark.read.parquet(s"$path/postings")
+      if (postingsDf == null)
+        postingsDf = spark.read.schema("id LONG, tbl INT, bkt INT")
+          .parquet(s"$path/postings")
       postingsDf
     }
     def vectors: DataFrame = {
-      if (vectorsDf == null) vectorsDf = spark.read.parquet(s"$path/vectors")
+      if (vectorsDf == null)
+        vectorsDf =
+          if (vecElem == "float" || vecElem == "double")
+            spark.read.schema(s"id LONG, vec ARRAY<$vecElem>, norm DOUBLE")
+              .parquet(s"$path/vectors")
+          else spark.read.parquet(s"$path/vectors") // pre-v5 meta: infer
       vectorsDf
     }
 
@@ -143,7 +155,8 @@ object SrpStore {
       * guard sums); compact collapses them. */
     def bucketCounts: DataFrame = {
       if (bucketCountsDf == null)
-        bucketCountsDf = spark.read.parquet(s"$path/bucketcounts")
+        bucketCountsDf = spark.read.schema("tbl INT, bkt INT, n LONG")
+          .parquet(s"$path/bucketcounts")
       bucketCountsDf
     }
 
@@ -523,7 +536,8 @@ object SrpStore {
         val dMax = counts.agg(max(col("n"))).collect()(0).getLong(0)
         if (bucketBound != Long.MaxValue) {
           bucketBound = bucketBound + dMax
-          writeMeta(spark, s"$path/_graft_meta", idCol, vecCol, cfg, bucketBound)
+          writeMeta(spark, s"$path/_graft_meta", idCol, vecCol, cfg, bucketBound,
+            vecElem)
         }
         fPost.unpersist()
       }
@@ -603,6 +617,21 @@ object SrpStore {
         probeHamming: Int = 1): DataFrame = {
       require(probeHamming >= 0 && probeHamming <= 1,
         s"probeHamming must be 0 or 1, got $probeHamming")
+      // DRIVER-RESOLVED micro-serve (the microNearDups design): a
+      // query batch whose probe-bucket set fits the literal cap
+      // resolves candidates + exact cosine on the driver in three
+      // pruned jobs (fused query prep, literal-pruned postings,
+      // candidate-pruned vectors) instead of ~6 micro-jobs of fixed
+      // local floor — bit-identical rows (signatures and norms come
+      // from the SAME Spark expressions, dot/rank arithmetic via
+      // [[graft.functions.ExactMath]]), hard caps falling back to the
+      // distributed route, skipped when a tombstone ledger exists.
+      if (queries.schema(queryIdCol).dataType ==
+          org.apache.spark.sql.types.LongType && !removedLedgerPresent)
+        microTopK(queries, queryIdCol, queryVecCol, k, probeHamming) match {
+          case Some(res) => return res
+          case None => () // a cap tripped — serve distributed
+        }
       // per-table signature computed once per query row, THEN exploded
       // into probe buckets (sig + single-bit flips)
       val sigCols = (0 until cfg.tables).map(t =>
@@ -650,6 +679,132 @@ object SrpStore {
         .select(col(queryIdCol).as("query_id"), col("id").as("neighbor_id"),
           col("cos"), col("rnk"))
     }
+
+    /** [[topK]] resolved on the driver; None when a cap trips (the
+      * caller then serves distributed). */
+    private def microTopK(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        probeHamming: Int): Option[DataFrame] = {
+      import scala.collection.mutable
+      import org.apache.spark.sql.types._
+      val qElem = queries.schema(queryVecCol).dataType match {
+        case ArrayType(t @ (FloatType | DoubleType), _) => t
+        case _ => return None
+      }
+      val storedElem = vectors.schema("vec").dataType match {
+        case ArrayType(t @ (FloatType | DoubleType), _) => t
+        case _ => return None
+      }
+      val perQuery =
+        cfg.tables * (1 + (if (probeHamming >= 1) cfg.nBits else 0))
+      val space = cfg.tables.toLong * (1L << cfg.nBits)
+      val cap = math.min(
+        graft.operators.KeyPrune.MaxLiteralKeys.toLong, space / 2)
+      def widen(r: org.apache.spark.sql.Row, i: Int, t: DataType): Array[Double] =
+        t match {
+          case FloatType => r.getSeq[Float](i).iterator.map(_.toDouble).toArray
+          case _ => r.getSeq[Double](i).toArray
+        }
+      // job 1: one fused pass — query vector, norm, and the per-table
+      // signature through the SAME Spark expressions the distributed
+      // route evaluates (bit-identical buckets and norms). Collected
+      // WITHOUT a count pre-gate: topK batches are request-sized by
+      // the serving contract (unlike ingest deltas, which nearDups
+      // count-gates), so the cap check runs post-collect — one job
+      // saved on every serve call.
+      val prep = queries
+        .select(col(queryIdCol).as("id"), col(queryVecCol).as("vec"),
+          VectorFunctions.l2Norm(col(queryVecCol)).as("norm"),
+          array((0 until cfg.tables).map(t =>
+            struct(lit(t).as("tbl"),
+              Ann.srpSignature(col(queryVecCol), cfg.nBits, cfg.dim,
+                cfg.seed + t).as("bkt"))): _*).as("tb"))
+        .collect()
+      if (prep.length.toLong * perQuery > cap) return None
+      val outSchema = StructType(Seq(
+        StructField("query_id", LongType), StructField("neighbor_id", LongType),
+        StructField("cos", DoubleType), StructField("rnk", IntegerType)))
+      def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          outSchema)
+      if (prep.isEmpty) return Some(local(Nil))
+      // driver probe expansion: own bucket + single-bit flips — the
+      // same integer arithmetic as the distributed probeStructs
+      val qVecs = mutable.HashMap.empty[Long, (Array[Double], Double)]
+      val qProbes = mutable.HashMap.empty[Long, Array[(Int, Int)]]
+      prep.foreach { r =>
+        val id = r.getLong(0)
+        qVecs(id) = (widen(r, 1, qElem), r.getDouble(2))
+        qProbes(id) = r.getSeq[org.apache.spark.sql.Row](3).iterator.flatMap {
+          tb =>
+            val (t, s) = (tb.getInt(0), tb.getInt(1))
+            Iterator((t, s)) ++ (if (probeHamming >= 1)
+              (0 until cfg.nBits).iterator.map(b => (t, s ^ (1 << b)))
+            else Iterator.empty)
+        }.toArray
+      }
+      val probeKeys = qProbes.valuesIterator.flatten.toSet
+      // job 2: literal-pruned corpus postings in one parallel pass
+      val keepPred = graft.operators.KeyPrune.literalPredicate(
+        Seq("tbl", "bkt"), probeKeys.toSeq.map(k0 => Seq(k0._1, k0._2)))
+      val postRows = postings.filter(keepPred).collect()
+      if (postRows.length > graft.dedup.LshStore.MaxDriverCorpusRows)
+        return None
+      val byBucket = mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
+      postRows.foreach { r =>
+        val key = (r.getInt(1), r.getInt(2))
+        if (probeKeys.contains(key))
+          byBucket.getOrElseUpdate(key, mutable.ArrayBuffer.empty[Long]) +=
+            r.getLong(0)
+      }
+      // candidate (query, id) set — the distributed route's distinct
+      val cands = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+      qProbes.foreach { case (q, keys) =>
+        val s = cands.getOrElseUpdate(q, mutable.HashSet.empty[Long])
+        keys.foreach(k0 => byBucket.get(k0).foreach(ids => s ++= ids))
+      }
+      val candIds = cands.valuesIterator.flatten.toSet
+      if (candIds.isEmpty) return Some(local(Nil))
+      if (candIds.size > graft.operators.KeyPrune.MaxLiteralKeys) return None
+      // job 3: candidate-pruned vector rows (id-sorted table row-group
+      // skips outside the candidate set)
+      val vecRows = mutable.HashMap.empty[Long, (Array[Double], Double)]
+      vectors.filter(col("id").isin(candIds.toSeq: _*)).collect()
+        .foreach(r =>
+          vecRows(r.getLong(0)) = (widen(r, 1, storedElem), r.getDouble(2)))
+      // exact re-rank: the codegen dot's accumulation via ExactMath,
+      // cosineWithNorms' null-on-zero-norm, (cos desc NULLS LAST, id)
+      // — exactly the distributed window's ordering
+      val out = cands.toSeq.flatMap { case (q, ids) =>
+        val (qv, qn) = qVecs(q)
+        val scored = ids.toSeq.map { id =>
+          val (cv, cn) = vecRows(id)
+          val cos: java.lang.Double =
+            if (cn == 0.0 || qn == 0.0) null
+            else java.lang.Double.valueOf(graft.functions.ExactMath.dotDouble(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(cv),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(qv)) /
+              (cn * qn))
+          (id, cos)
+        }
+        scored.sortWith { case ((ia, ca), (ib, cb)) =>
+          if (ca == null && cb == null) ia < ib
+          else if (ca == null) false // nulls last under desc
+          else if (cb == null) true
+          else if (ca.doubleValue != cb.doubleValue)
+            ca.doubleValue > cb.doubleValue
+          else ia < ib
+        }.take(k).zipWithIndex.map { case ((id, cos), i) =>
+          org.apache.spark.sql.Row(q, id, cos, i + 1)
+        }
+      }
+      Some(local(out))
+    }
   }
 
   /** (id, tbl, bkt) SRP bucket postings — spread so a single-split
@@ -670,6 +825,17 @@ object SrpStore {
     graft.operators.Partitioning.spread(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         VectorFunctions.l2Norm(col(vecCol)).as("norm"))
+
+  /** The meta `vecElem` tag of a corpus frame ("" = unsupported
+    * element type: accessors fall back to schema inference). */
+  private def elemName(df: DataFrame, vecCol: String): String =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => "float"
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => "double"
+      case _ => ""
+    }
 
   /** Sign + persist the corpus at `path` (staged + swapped).
     * `numFiles` sets the postings range-partition count — more files
@@ -705,10 +871,11 @@ object SrpStore {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/bucketcounts")
     val bound = maxBucketN(spark, s"$staging/bucketcounts")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg, bound)
+    val elem = elemName(corpus, vecCol)
+    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg, bound, elem)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
-    Handle(spark, path, idCol, vecCol, cfg, bound)
+    Handle(spark, path, idCol, vecCol, cfg, bound, elem)
   }
 
   /** Exact max per-bucket count of a freshly written counts table —
@@ -752,12 +919,15 @@ object SrpStore {
       .sortWithinPartitions(col("id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
     val bound = maxBucketN(spark, s"$staging/bucketcounts")
-    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg, bound)
+    val elem =
+      if (handle.vecElem.nonEmpty) handle.vecElem
+      else elemName(handle.vectors, "vec")
+    writeMeta(spark, s"$staging/_graft_meta", idCol, vecCol, cfg, bound, elem)
 
     SwapDir.swap(fs, new Path(staging), new Path(path))
     // the swap replaced every file the input handle's caches list
     handle.invalidate()
-    Handle(spark, path, idCol, vecCol, cfg, bound)
+    Handle(spark, path, idCol, vecCol, cfg, bound, elem)
   }
 
   def open(spark: SparkSession, path: String): Handle = {
@@ -775,7 +945,8 @@ object SrpStore {
         seed = meta("seed").toLong,
         maxBucketSize = meta("maxBucketSize").toInt,
         threshold = meta("threshold").toDouble),
-      meta.get("maxBucketN").map(_.toLong).getOrElse(Long.MaxValue))
+      meta.get("maxBucketN").map(_.toLong).getOrElse(Long.MaxValue),
+      meta.getOrElse("vecElem", ""))
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -809,7 +980,8 @@ object SrpStore {
     } else build(corpus, idCol, vecCol, path, cfg)
 
   private def writeMeta(spark: SparkSession, file: String,
-      idCol: String, vecCol: String, cfg: Config, maxBucketN: Long): Unit = {
+      idCol: String, vecCol: String, cfg: Config, maxBucketN: Long,
+      vecElem: String): Unit = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -817,7 +989,8 @@ object SrpStore {
       (s"version=$Version\nidCol=$idCol\nvecCol=$vecCol\n" +
         s"nBits=${cfg.nBits}\ntables=${cfg.tables}\ndim=${cfg.dim}\n" +
         s"seed=${cfg.seed}\nmaxBucketSize=${cfg.maxBucketSize}\n" +
-        s"threshold=${cfg.threshold}\nmaxBucketN=$maxBucketN\n")
+        s"threshold=${cfg.threshold}\nmaxBucketN=$maxBucketN\n" +
+        s"vecElem=$vecElem\n")
         .getBytes("UTF-8"))
     finally out.close()
   }

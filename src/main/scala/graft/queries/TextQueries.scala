@@ -720,14 +720,22 @@ object TextQueries extends QueryDsl {
     // nprobe nearest cells. The PRUNED setting is approximate => rows-
     // only; the same machinery at nprobe=nlist is oracle-backed as
     // q72b below (and exhaustive==bruteforce is asserted in IvfSpec).
+    // SERVED from the persisted IVF store (q141's path, the q71->q191
+    // rewire move): training is deterministic, so the stored model IS
+    // the in-memory route's model and rows are IDENTICAL
+    // (IvfStoreSpec pins store topK == Ivf.topK under an independent
+    // Ivf.train) — the per-call corpus retrain/re-assign is gone;
+    // q72b keeps the family's exhaustive oracle anchor inline.
     q("q72_ann_ivf") { c =>
       import c.t
       val emb = t("embeddings")
       val queries = emb.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
-      val model = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iterations = 2)
-      Ivf.topK(Ivf.index(emb, "embedding", model), queries,
-          "vec_id", "embedding", "qid", "qvec", model, k = 5, nprobe = 4)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_$key"
+      graft.ann.IvfStore.ensure(emb, "vec_id", "embedding", c.spark, path, nlist = 16)
+        .topK(queries, "qid", "qvec", k = 5, nprobe = 4)
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 

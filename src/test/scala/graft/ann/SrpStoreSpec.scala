@@ -233,6 +233,18 @@ class SrpStoreSpec extends SparkSpec {
       SrpStore.Config(nBits = 12, tables = 4, dim = 64, seed = 42L))
     val wide = h8.topK(queries, "qid", "qvec", k = 5)
     assert(wide.count() >= got.size)
+    // a query batch past the literal cap (200 x 13 probe buckets >
+    // 2048) falls back to the DISTRIBUTED route — same rows as the
+    // inline family, so micro and distributed agree query for query
+    val big = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gotBig = h.topK(big, "qid", "qvec", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val wantBig = Ann.lshTopK(emb, big, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nBits = 12, dim = 64, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(gotBig == wantBig)
+    assert(gotBig.size > got.size)
   }
 
   test("remove: serve paths equal a kept-corpus store; replay no-op; compact purges") {
