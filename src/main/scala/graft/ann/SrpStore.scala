@@ -177,10 +177,9 @@ object SrpStore {
       // ~20 rows the 32-way spread exchange costs more than the SRP
       // kernels it parallelizes — the r12 micro-serve floor). Bulk
       // deltas keep the spread for kernel width.
-      val space = cfg.tables.toLong * (1L << cfg.nBits)
       val micro =
-        delta.select(col(idCol)).count() * cfg.tables <= math.min(
-          graft.operators.KeyPrune.MaxLiteralKeys.toLong, space / 2)
+        delta.select(col(idCol)).count() * cfg.tables <=
+          graft.operators.KeyPrune.MaxChunkedKeys.toLong
       // DRIVER-RESOLVED micro-serve (the LshStore.microNearDups design
       // — see its call site for the full argument): candidates + exact
       // cosine resolved on the driver in two delta-bounded jobs + one
@@ -308,10 +307,9 @@ object SrpStore {
             bucketBound <= cfg.maxBucketSize - deltaMax)
           deltaBuckets.keySet.toSet
         else {
-          val pred = graft.operators.KeyPrune.literalPredicate(
-            Seq("tbl", "bkt"),
-            deltaBuckets.keys.toSeq.map(k => Seq(k._1, k._2)))
-          val storedN = bucketCounts.filter(pred).collect()
+          val storedN = graft.operators.KeyPrune.collectChunked(
+              bucketCounts, Seq("tbl", "bkt"),
+              deltaBuckets.keys.toSeq.map(k => Seq(k._1, k._2)))
             .groupBy(r => (r.getInt(0), r.getInt(1)))
             .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
           deltaBuckets.keysIterator.filter(k =>
@@ -319,11 +317,11 @@ object SrpStore {
               <= cfg.maxBucketSize).toSet
         }
       if (keepKeys.isEmpty) return Some(local(Nil))
-      // job 2: literal-pruned corpus postings, collected in one
-      // parallel pass (guard-bounded; the cap is a backstop)
-      val keepPred = graft.operators.KeyPrune.literalPredicate(
-        Seq("tbl", "bkt"), keepKeys.toSeq.map(k => Seq(k._1, k._2)))
-      val corpusRows = postings.filter(keepPred).collect()
+      // job 2: literal-pruned corpus postings (chunked past the
+      // single-predicate cap; guard-bounded, the cap is a backstop)
+      val corpusRows = graft.operators.KeyPrune.collectChunked(
+        postings, Seq("tbl", "bkt"),
+        keepKeys.toSeq.map(k => Seq(k._1, k._2)))
       if (corpusRows.length > graft.dedup.LshStore.MaxDriverCorpusRows)
         return None
       val corpusBuckets =
@@ -350,10 +348,11 @@ object SrpStore {
       val corpusOnly = pairs.iterator
         .flatMap(p => Iterator(p._1, p._2))
         .filterNot(vecs.contains).toSet
-      if (corpusOnly.size > graft.operators.KeyPrune.MaxLiteralKeys)
+      if (corpusOnly.size > graft.operators.KeyPrune.MaxChunkedKeys)
         return None
       if (corpusOnly.nonEmpty)
-        vectors.filter(col("id").isin(corpusOnly.toSeq: _*)).collect()
+        graft.operators.KeyPrune.collectChunked(
+            vectors, Seq("id"), corpusOnly.toSeq.map(Seq(_)))
           .foreach(r =>
             vecs(r.getLong(0)) = (widen(r, 1, storedElem), r.getDouble(2)))
       // exact cosine: the codegen dot's left-to-right accumulation,
@@ -700,9 +699,7 @@ object SrpStore {
       }
       val perQuery =
         cfg.tables * (1 + (if (probeHamming >= 1) cfg.nBits else 0))
-      val space = cfg.tables.toLong * (1L << cfg.nBits)
-      val cap = math.min(
-        graft.operators.KeyPrune.MaxLiteralKeys.toLong, space / 2)
+      val cap = graft.operators.KeyPrune.MaxChunkedKeys.toLong
       def widen(r: org.apache.spark.sql.Row, i: Int, t: DataType): Array[Double] =
         t match {
           case FloatType => r.getSeq[Float](i).iterator.map(_.toDouble).toArray
@@ -749,10 +746,11 @@ object SrpStore {
         }.toArray
       }
       val probeKeys = qProbes.valuesIterator.flatten.toSet
-      // job 2: literal-pruned corpus postings in one parallel pass
-      val keepPred = graft.operators.KeyPrune.literalPredicate(
-        Seq("tbl", "bkt"), probeKeys.toSeq.map(k0 => Seq(k0._1, k0._2)))
-      val postRows = postings.filter(keepPred).collect()
+      // job 2: literal-pruned corpus postings (chunked past the
+      // single-predicate cap)
+      val postRows = graft.operators.KeyPrune.collectChunked(
+        postings, Seq("tbl", "bkt"),
+        probeKeys.toSeq.map(k0 => Seq(k0._1, k0._2)))
       if (postRows.length > graft.dedup.LshStore.MaxDriverCorpusRows)
         return None
       val byBucket = mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
@@ -770,11 +768,12 @@ object SrpStore {
       }
       val candIds = cands.valuesIterator.flatten.toSet
       if (candIds.isEmpty) return Some(local(Nil))
-      if (candIds.size > graft.operators.KeyPrune.MaxLiteralKeys) return None
+      if (candIds.size > graft.operators.KeyPrune.MaxChunkedKeys) return None
       // job 3: candidate-pruned vector rows (id-sorted table row-group
-      // skips outside the candidate set)
+      // skips outside the candidate set; chunked past the cap)
       val vecRows = mutable.HashMap.empty[Long, (Array[Double], Double)]
-      vectors.filter(col("id").isin(candIds.toSeq: _*)).collect()
+      graft.operators.KeyPrune.collectChunked(
+          vectors, Seq("id"), candIds.toSeq.map(Seq(_)))
         .foreach(r =>
           vecRows(r.getLong(0)) = (widen(r, 1, storedElem), r.getDouble(2)))
       // exact re-rank: the codegen dot's accumulation via ExactMath,

@@ -74,9 +74,13 @@ object LshStore {
   /** Driver-resolution backstops for the micro-serve path: a collect
     * that could exceed these falls back to the distributed route
     * (guard-bounded in practice — a kept bucket holds at most
-    * maxBucketSize rows). */
-  val MaxDriverCorpusRows: Int = 1 << 16
-  val MaxDriverPairs: Int = 1 << 14
+    * maxBucketSize rows). 2^17 rows is ~2 MB of (id, band, bucket)
+    * postings / ~15 MB of pair tuples — driver-trivial; the caps
+    * bound pathological bucket skew, not normal large micro-batches
+    * (which the chunked literal route now serves — see
+    * [[graft.operators.KeyPrune.MaxChunkedKeys]]). */
+  val MaxDriverCorpusRows: Int = 1 << 17
+  val MaxDriverPairs: Int = 1 << 17
 
   /** LSH family parameters — fixed at build time and stored in the
     * meta file; a delta must be signatured with the SAME family or
@@ -198,7 +202,7 @@ object LshStore {
       // bottleneck, not stage count.
       val micro =
         delta.select(col(idCol)).count() * cfg.bands <=
-          graft.operators.KeyPrune.MaxLiteralKeys
+          graft.operators.KeyPrune.MaxChunkedKeys
       // DRIVER-RESOLVED micro-serve: every frame the distributed route
       // would shuffle is provably bounded (delta rows by the micro
       // gate, corpus rows by the guard, pairs/ids by explicit caps
@@ -317,10 +321,9 @@ object LshStore {
             bucketBound <= cfg.maxBucketSize - deltaMax)
           deltaBuckets.keySet.toSet
         else {
-          val pred = graft.operators.KeyPrune.literalPredicate(
-            Seq("band", "bucket"),
-            deltaBuckets.keys.toSeq.map(k => Seq(k._1, k._2)))
-          val storedN = bandCounts.filter(pred).collect()
+          val storedN = graft.operators.KeyPrune.collectChunked(
+              bandCounts, Seq("band", "bucket"),
+              deltaBuckets.keys.toSeq.map(k => Seq(k._1, k._2)))
             .groupBy(r => (r.getInt(0), r.getInt(1)))
             .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
           deltaBuckets.keysIterator.filter(k =>
@@ -334,9 +337,9 @@ object LshStore {
       // Plain collect, NOT limit().collect(): CollectLimit executes
       // incrementally over partition ranges — several jobs where one
       // parallel pass suffices)
-      val keepPred = graft.operators.KeyPrune.literalPredicate(
-        Seq("band", "bucket"), keepKeys.toSeq.map(k => Seq(k._1, k._2)))
-      val corpusRows = banded.filter(keepPred).collect()
+      val corpusRows = graft.operators.KeyPrune.collectChunked(
+        banded, Seq("band", "bucket"),
+        keepKeys.toSeq.map(k => Seq(k._1, k._2)))
       if (corpusRows.length > MaxDriverCorpusRows) return None
       val corpusBuckets =
         mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
@@ -364,12 +367,11 @@ object LshStore {
       val corpusOnly = pairs.iterator
         .flatMap(p => Iterator(p._1, p._2))
         .filterNot(docShingles.contains).toSet
-      if (corpusOnly.size > graft.operators.KeyPrune.MaxLiteralKeys)
+      if (corpusOnly.size > graft.operators.KeyPrune.MaxChunkedKeys)
         return None
       if (corpusOnly.nonEmpty)
-        shingles
-          .filter(col("__id").isin(corpusOnly.toSeq: _*))
-          .collect()
+        graft.operators.KeyPrune.collectChunked(
+            shingles, Seq("__id"), corpusOnly.toSeq.map(Seq(_)))
           .foreach(r => docShingles(r.getLong(0)) = r.getSeq[Long](1).toArray)
       // exact Jaccard over hashed shingles — same arithmetic order as
       // verifyJaccardHashed (intersect count, then one double division,

@@ -36,6 +36,30 @@ object KeyPrune {
     * (e.g. 8 tables × 2^8 SRP buckets = 2048) outright. */
   val MaxLiteralKeys: Int = 4096
 
+  /** Ceiling for CHUNKED literal key sets (the stores' micro-serve
+    * routes): a key set up to this size reads as up to 4 sequential
+    * ≤[[MaxLiteralKeys]] literal predicates via [[collectChunked]] —
+    * each chunk one driver-bounded, pushdown-eligible job. Past it
+    * the distributed route's stage parallelism wins over the
+    * accumulating per-job floor (a 32x-scale delta is a bulk batch,
+    * not a large micro-batch). */
+  val MaxChunkedKeys: Int = MaxLiteralKeys * 4
+
+  /** Collect `df` restricted to `keys`: one literal-pruned job when
+    * the distinct set fits [[MaxLiteralKeys]], else sequential ≤cap
+    * chunks. Chunks partition the DISTINCT key tuples and a row
+    * matches exactly one tuple, so the concatenation equals the
+    * single-predicate read row for row. */
+  def collectChunked(df: DataFrame, keyCols: Seq[String],
+      keys: Seq[Seq[Any]]): Array[org.apache.spark.sql.Row] = {
+    val distinct = keys.distinct
+    if (distinct.isEmpty) Array.empty
+    else if (distinct.size <= MaxLiteralKeys)
+      df.filter(literalPredicate(keyCols, distinct)).collect()
+    else distinct.grouped(MaxLiteralKeys).toSeq.flatMap(chunk =>
+      df.filter(literalPredicate(keyCols, chunk)).collect()).toArray
+  }
+
   /** A resolved prune: apply to any frame carrying the key columns. */
   sealed trait KeyPlan {
     def apply(corpus: DataFrame): DataFrame

@@ -271,4 +271,60 @@ class LshStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("idCol"))
   }
+
+  test("collectChunked past the single-predicate cap equals the unchunked read") {
+    import graft.operators.KeyPrune
+    val df = spark.range(20000)
+      .select(col("id"), (col("id") % 7).as("v"))
+      .localCheckpoint()
+    // 6000 distinct single-col keys: above MaxLiteralKeys (4096),
+    // under MaxChunkedKeys (16384) -> two sequential literal chunks
+    val keys = (0L until 20000L by 3L).map(Seq[Any](_))
+    assert(keys.size > KeyPrune.MaxLiteralKeys &&
+      keys.size <= KeyPrune.MaxChunkedKeys)
+    val got = KeyPrune.collectChunked(df, Seq("id"), keys)
+      .map(_.toSeq).toSet
+    val want = df.filter(col("id") % 3 === 0).collect().map(_.toSeq).toSet
+    assert(got == want && got.size == keys.size)
+    // two-col keys chunk the same way (the (band, bucket) shape)
+    val df2 = spark.range(20000)
+      .select((col("id") % 40).cast("int").as("band"),
+        (col("id") % 500).cast("int").as("bucket"), col("id"))
+      .localCheckpoint()
+    val keys2 = (for (b <- 0 until 40; k <- 0 until 125)
+      yield Seq[Any](b, k)).toSeq // 5000 tuples > cap
+    assert(keys2.size > KeyPrune.MaxLiteralKeys)
+    val got2 = KeyPrune.collectChunked(df2, Seq("band", "bucket"), keys2)
+      .map(_.toSeq).toSet
+    val want2 = df2.filter(col("bucket") < 125).collect().map(_.toSeq).toSet
+    assert(got2 == want2 && got2.nonEmpty)
+  }
+
+  test("chunk-range delta (past the literal cap) stays on the driver micro-serve, equal to full") {
+    import graft.operators.KeyPrune
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .localCheckpoint()
+    // the fixture must land BETWEEN the caps: one literal predicate
+    // cannot hold the bucket set, the chunked route can
+    val nKeys = delta.count() * 32
+    assert(nKeys > KeyPrune.MaxLiteralKeys && nKeys <= KeyPrune.MaxChunkedKeys,
+      s"fixture must exercise the chunk range, got $nKeys keys")
+    val h = LshStore.build(corpus, "doc_id", "text", tmp("lshchunk"),
+      numFiles = 128)
+    val got = h.nearDupsOfDelta(delta, "text", minJaccard = 0.8)
+    // the driver micro-route returns a LOCAL relation; the distributed
+    // fallback returns a checkpointed RDD plan — assert the route
+    assert(got.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "chunk-range delta must resolve on the driver, not fall back")
+    val union = corpus.unionByName(delta)
+    val full = MinHashLSH.verifyJaccard(
+      MinHashLSH.candidatePairs(union, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3),
+      union, "doc_id", "text", shingleN = 3, minJaccard = 0.8)
+      .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
+    assert(rows(got) === rows(full))
+    assert(got.count() > 0, "planted near-dups must cross the split")
+  }
 }
