@@ -886,6 +886,29 @@ object SrpStore {
   }
 
   /** Small-files hygiene after many appends; no re-sign. */
+  /** Merge-on-read pressure: tombstoned ids over PHYSICAL vector
+    * rows — None when no ledger exists (existence probe only). */
+  def tombstoneRatio(handle: Handle): Option[Double] = {
+    val p = new Path(s"${handle.path}/removed")
+    val fs = p.getFileSystem(
+      handle.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(handle.removedIds.count().toDouble /
+      math.max(1L, handle.vectors.count()).toDouble)
+  }
+
+  /** Size-ratio compaction trigger (the LshStore.autoCompact policy):
+    * tombstones cost every serve an anti-join AND keep the guard
+    * counts merely additive — past `maxRatio` the store compacts;
+    * serve results identical before/after (SrpStoreSpec's compact
+    * equality). */
+  def autoCompact(handle: Handle, maxRatio: Double = 0.25,
+      targetFiles: Int = 8): Handle =
+    tombstoneRatio(handle) match {
+      case Some(r) if r > maxRatio => compact(handle, targetFiles)
+      case _ => handle
+    }
+
   def compact(handle: Handle, targetFiles: Int = 8): Handle = {
     import handle.{cfg, idCol, path, spark, vecCol}
     val staging = path + ".staging"

@@ -708,6 +708,32 @@ object LshStore {
     * after many [[Handle.append]]s. Signatures and shingles coalesce
     * from their own rows (no re-signaturing); crash-safe via the same
     * staged whole-store swap as [[build]]. */
+  /** Merge-on-read pressure: tombstoned ids over PHYSICAL doc rows —
+    * None when no ledger exists (a driver existence probe, no jobs);
+    * two footer-metadata count jobs otherwise. */
+  def tombstoneRatio(handle: Handle): Option[Double] = {
+    val p = new Path(s"${handle.path}/removed")
+    val fs = p.getFileSystem(
+      handle.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(handle.removedIds.count().toDouble /
+      math.max(1L, handle.sigs.count()).toDouble)
+  }
+
+  /** Size-ratio compaction trigger — the maintenance-window policy
+    * under a sustained takedown stream: every serve pays the
+    * tombstone anti-join until compact purges, so once the ledger
+    * outgrows `maxRatio` of the physical rows the store compacts
+    * (serve results identical before/after — compact is the specced
+    * purge; [[tombstoneRatio]] costs nothing when no ledger exists).
+    * Returns the (possibly new-generation) handle. */
+  def autoCompact(handle: Handle, maxRatio: Double = 0.25,
+      targetFiles: Int = 8): Handle =
+    tombstoneRatio(handle) match {
+      case Some(r) if r > maxRatio => compact(handle, targetFiles)
+      case _ => handle
+    }
+
   def compact(handle: Handle, targetFiles: Int = 8): Handle = {
     import handle.{cfg, idCol, path, spark}
     val staging = path + ".staging"

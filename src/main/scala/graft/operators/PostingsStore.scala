@@ -812,6 +812,30 @@ object PostingsStore {
     * interleave), doclen and termstats coalesce as-is. Crash-safe via
     * the same staged whole-store swap as [[build]]; a flat-layout
     * (empty-corpus) store has nothing to compact. */
+  /** Merge-on-read pressure: tombstoned docs over the KEPT corpus
+    * (meta `numDocs` — no job for the denominator; one footer count
+    * for the ledger). None when no ledger exists. */
+  def tombstoneRatio(handle: Handle): Option[Double] = {
+    val p = new Path(s"${handle.path}/removed")
+    val fs = p.getFileSystem(
+      handle.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(handle.removedDocs.count().toDouble /
+      math.max(1L, handle.numDocs).toDouble)
+  }
+
+  /** Size-ratio compaction trigger: the doc-ledger anti-join rides
+    * every serve and max_tf stays a stale UPPER bound (loose MaxScore)
+    * until compact recounts — past `maxRatio` the store compacts;
+    * results identical before/after (PostingsStoreSpec's kept-corpus
+    * equality). */
+  def autoCompact(handle: Handle, maxRatio: Double = 0.25,
+      numFiles: Int = 0): Handle =
+    tombstoneRatio(handle) match {
+      case Some(r) if r > maxRatio => compact(handle, numFiles)
+      case _ => handle
+    }
+
   def compact(handle: Handle, numFiles: Int = 0): Handle = {
     import handle.{idCol, nBuckets, path, spark}
     if (handle.postings.isEmpty) return handle

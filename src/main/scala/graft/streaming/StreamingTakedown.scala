@@ -49,7 +49,19 @@ object StreamingTakedown {
   /** One takedown micro-batch; exposed for direct use and tests.
     * `postings` (optional) extends the composition to the SEARCH
     * index — the same ids leave BM25/conjunction/phrase results
-    * ([[PostingsStore.Handle.remove]], itself replay-idempotent). */
+    * ([[PostingsStore.Handle.remove]], itself replay-idempotent).
+    *
+    * AUTO-COMPACT: under a sustained takedown stream, merge-on-read
+    * ledgers grow without bound — every serve pays the anti-join, and
+    * the search index's max_tf stays a loose upper bound. After the
+    * batch commits, both stores compact when their tombstone ratio
+    * exceeds `compactRatio` ([[LshStore.autoCompact]] /
+    * [[PostingsStore.autoCompact]] — free probes when no ledger
+    * exists; serve results identical before/after by the stores'
+    * compact contracts). Ordered LAST: compaction is hygiene, never a
+    * correctness dependency, and a crash mid-compact heals at the
+    * next open (SwapDir) while the replay re-runs the idempotent
+    * removes. Pass `Double.MaxValue` to disable. */
   def process(
       ids: DataFrame,
       lsh: LshStore.Handle,
@@ -58,12 +70,16 @@ object StreamingTakedown {
       iterations: Int = 3,
       rounds: Int = 3,
       trussK: Option[Int] = None,
-      postings: Option[PostingsStore.Handle] = None): Unit = {
+      postings: Option[PostingsStore.Handle] = None,
+      compactRatio: Double = 0.25): Unit = {
     if (ids.isEmpty) return
     lsh.remove(ids)
     postings.foreach(_.remove(ids))
     StreamingGraphMaintenance.processAllRemove(
       incidentEdges(graph, ids), graph, maxK, iterations, rounds, trussK)
+    LshStore.autoCompact(lsh, compactRatio)
+    postings.foreach(PostingsStore.autoCompact(_, compactRatio))
+    ()
   }
 
   /** File-source drive: watch `inDir` for parquet batches of takedown
@@ -79,11 +95,13 @@ object StreamingTakedown {
       iterations: Int = 3,
       rounds: Int = 3,
       trussK: Option[Int] = None,
-      postings: Option[PostingsStore.Handle] = None): StreamingQuery =
+      postings: Option[PostingsStore.Handle] = None,
+      compactRatio: Double = 0.25): StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        process(batch, lsh, graph, maxK, iterations, rounds, trussK, postings)
+        process(batch, lsh, graph, maxK, iterations, rounds, trussK, postings,
+          compactRatio)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -284,6 +284,25 @@ class SrpStoreSpec extends SparkSpec {
     assert(c.vectors.count() == keep.count() + 1)
   }
 
+  test("autoCompact: trigger fires at the tombstone ratio, serve identical before/after") {
+    val h = SrpStore.build(emb, "vec_id", "embedding", tmp())
+    val probe = emb.filter(col("vec_id") % 5 === 1)
+      .withColumn("vec_id", col("vec_id") + 100000).localCheckpoint()
+    assert(SrpStore.tombstoneRatio(h).isEmpty)
+    assert(SrpStore.autoCompact(h) eq h)
+    h.remove(emb.filter(pmod(col("vec_id"), lit(20)) === 0).select(col("vec_id")))
+    val r1 = SrpStore.tombstoneRatio(h)
+    assert(r1.exists(r => r > 0 && r <= 0.25), s"ratio $r1")
+    assert(SrpStore.autoCompact(h) eq h)
+    h.remove(emb.filter(pmod(col("vec_id"), lit(3)) === 0).select(col("vec_id")))
+    val before = pairSet(h.nearDupsOfDelta(probe))
+    assert(SrpStore.tombstoneRatio(h).exists(_ > 0.25))
+    val c = SrpStore.autoCompact(h)
+    assert(SrpStore.tombstoneRatio(c).isEmpty, "compaction must clear the ledger")
+    assert(pairSet(c.nearDupsOfDelta(probe)) == before)
+    assert(before.nonEmpty, "the probe must find planted near-dups")
+  }
+
   test("open/ensure round trip preserves the family config; compact keeps the pair set") {
     val corpus = emb.filter(col("vec_id") % 4 =!= 0)
     val delta = emb.filter(col("vec_id") % 4 === 0)

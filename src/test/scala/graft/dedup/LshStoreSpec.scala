@@ -272,6 +272,28 @@ class LshStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("idCol"))
   }
 
+  test("autoCompact: trigger fires at the tombstone ratio, serve identical before/after") {
+    val h = LshStore.build(docs, "doc_id", "text", tmp("lshauto"))
+    // a fresh-id delta probe (the SrpStore remove-test shape): serves
+    // must agree across the compaction boundary
+    val probe = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+      .withColumn("doc_id", col("doc_id") + 100000).localCheckpoint()
+    assert(LshStore.tombstoneRatio(h).isEmpty)
+    assert(LshStore.autoCompact(h) eq h)
+    h.remove(docs.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("doc_id")))
+    val r1 = LshStore.tombstoneRatio(h)
+    assert(r1.exists(r => r > 0 && r <= 0.25), s"ratio $r1")
+    assert(LshStore.autoCompact(h) eq h)
+    assert(LshStore.tombstoneRatio(h).nonEmpty, "ledger must survive a no-op")
+    h.remove(docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id")))
+    val before = rows(h.nearDupsOfDelta(probe, "text", minJaccard = 0.8))
+    assert(LshStore.tombstoneRatio(h).exists(_ > 0.25))
+    val c = LshStore.autoCompact(h)
+    assert(LshStore.tombstoneRatio(c).isEmpty, "compaction must clear the ledger")
+    assert(rows(c.nearDupsOfDelta(probe, "text", minJaccard = 0.8)) == before)
+    assert(before.nonEmpty, "the probe must find planted near-dups")
+  }
+
   test("collectChunked past the single-predicate cap equals the unchunked read") {
     import graft.operators.KeyPrune
     val df = spark.range(20000)

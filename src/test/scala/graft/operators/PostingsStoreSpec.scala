@@ -389,4 +389,33 @@ class PostingsStoreSpec extends SparkSpec {
     val full = PostingsStore.build(docs, "doc_id", "text", tmp("psrmfull"), nBuckets = 16)
     assert(rows(c2.bm25Search(terms, k = 20)) == rows(full.bm25Search(terms, k = 20)))
   }
+
+  test("autoCompact: trigger fires at the tombstone ratio, serve identical before/after") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val h = PostingsStore.build(docs, "doc_id", "text", tmp("psauto"),
+      nBuckets = 16)
+    val terms = Seq("vector", "stream", "window")
+    // no ledger: the probe costs nothing and never compacts
+    assert(PostingsStore.tombstoneRatio(h).isEmpty)
+    assert(PostingsStore.autoCompact(h) eq h)
+    // ~5% removed: under the default 25% ratio — no compaction, the
+    // ledger stays (merge-on-read continues to serve)
+    h.remove(docs.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("doc_id")))
+    val served = rows(h.bm25Search(terms, k = 20))
+    val r1 = PostingsStore.tombstoneRatio(h)
+    assert(r1.exists(r => r > 0 && r <= 0.25), s"ratio $r1")
+    val same = PostingsStore.autoCompact(h)
+    assert(same eq h)
+    assert(PostingsStore.tombstoneRatio(h).nonEmpty, "ledger must survive a no-op")
+    // past the ratio: compaction fires, the ledger clears, and the
+    // serve is identical before/after (the compact contract)
+    h.remove(docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id")))
+    val before = rows(h.bm25Search(terms, k = 20))
+    assert(PostingsStore.tombstoneRatio(h).exists(_ > 0.25))
+    val c = PostingsStore.autoCompact(h)
+    assert(PostingsStore.tombstoneRatio(c).isEmpty, "compaction must clear the ledger")
+    assert(rows(c.bm25Search(terms, k = 20)) == before)
+    assert(before != served, "the second takedown must change results")
+  }
 }
