@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.dedup.{LshStore, MinHashLSH}
+import graft.functions.TextFunctions
+import graft.operators.{CoPresence, CoPresenceStore, LabelPropagation, PairGraphStore, PostingsStore, VocabStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class StreamingForgetSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("forget").toString
+
+  private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+  private def events = graft.Tables.load(spark, sf001, "events")
+    .select(col("user_id"), col("ts"))
+
+  private val copCfg =
+    CoPresenceStore.Config(windowSec = 600, minShared = 3, maxWindowActors = 100)
+
+  private def pairsOf(corpus: DataFrame): DataFrame =
+    MinHashLSH.verifyJaccard(
+      MinHashLSH.candidatePairs(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3),
+      corpus, "doc_id", "text", shingleN = 3, minJaccard = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+
+  private def postingsOf(df: DataFrame): DataFrame =
+    df.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(TextFunctions.wsTokens(lower(col("text")))).as("w"))
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def vocabMap(path: String): Map[String, (Long, Long)] =
+    VocabStore.read(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def labelsOf(graphPath: String): Map[Long, Long] =
+    PairGraphStore.open(spark, graphPath).ensureCommunities(rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // doc probe disjoint from every removed id (the takedown-spec shape)
+  private def probe = docs
+    .filter(pmod(col("doc_id"), lit(4)) === 0 &&
+      pmod(col("doc_id"), lit(10)) > 2)
+    .withColumn("doc_id", col("doc_id") + 100000)
+
+  private def feed(docMod: Int, actorMod: Int): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) === docMod)
+      .select(lit("doc").as("kind"), col("doc_id").cast("long").as("id"))
+      .unionByName(events.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(actorMod)) === 0)
+        .select(lit("actor").as("kind"), col("user_id").cast("long").as("id")))
+
+  /** Build every store of the composition under `dir`; returns the
+    * (doc, actor) targets. */
+  private def buildAll(dir: String): (StreamingForget.DocTargets,
+      StreamingForget.ActorTargets) = {
+    val lsh = LshStore.build(docs, "doc_id", "text", s"$dir/lsh")
+    val ps = PostingsStore.build(docs, "doc_id", "text", s"$dir/postings",
+      nBuckets = 16)
+    val g = PairGraphStore.build(pairsOf(docs), "doc_a", "doc_b", None,
+      s"$dir/graph")
+    g.ensureCommunities(rounds = 3)
+    VocabStore.create(spark, postingsOf(docs), "doc_id", "w", s"$dir/vocab")
+    CoPresenceStore.create(spark, s"$dir/counts", copCfg)
+    StreamingEventsGraph.process(events, 0L, s"$dir/counts", s"$dir/egraph")
+    val vocabForget = (ids: DataFrame, bid: Long) =>
+      VocabStore.removeBatch(spark,
+        postingsOf(docs.join(ids.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left_semi")),
+        "doc_id", "w", s"$dir/vocab", bid)
+    (StreamingForget.DocTargets(lsh, g, maxK = 4,
+        postings = Some(ps), extra = Seq(vocabForget)),
+      StreamingForget.ActorTargets(s"$dir/counts", s"$dir/egraph",
+        events = Some(events)))
+  }
+
+  /** Assert every store serves the kept corpus + kept events. */
+  private def assertKept(dir: String, doc: StreamingForget.DocTargets,
+      docMods: Seq[Int], actorMod: Int): Unit = {
+    val kept = docs.filter(!pmod(col("doc_id"), lit(10))
+      .isin(docMods.map(Int.box): _*))
+    val keptEv = events.filter(pmod(col("user_id"), lit(actorMod)) =!= 0)
+    // text dedup index
+    val keptLsh = LshStore.build(kept, "doc_id", "text", s"${tmp()}/lshref")
+    val got = rows(doc.lsh.nearDupsOfDelta(probe, "text", minJaccard = 0.8))
+    assert(got == rows(keptLsh.nearDupsOfDelta(probe, "text", minJaccard = 0.8)))
+    assert(got.nonEmpty, "planted near-dups must survive the fixture")
+    // search index (score-visible IDF)
+    val keptPs = PostingsStore.build(kept, "doc_id", "text",
+      s"${tmp()}/psref", nBuckets = 16)
+    val terms = Seq("vector", "stream", "window")
+    assert(rows(doc.postings.get.bm25Search(terms, k = 20))
+      == rows(keptPs.bm25Search(terms, k = 20)))
+    // similarity graph labels
+    val keptG = PairGraphStore.build(pairsOf(kept), "doc_a", "doc_b", None,
+      s"${tmp()}/gref")
+    assert(doc.graph.ensureCommunities(rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == keptG.ensureCommunities(rounds = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // vocabulary monoid store
+    val vref = s"${tmp()}/vocabref"
+    VocabStore.create(spark, postingsOf(kept), "doc_id", "w", vref)
+    assert(vocabMap(s"$dir/vocab") == vocabMap(vref))
+    // behavioral layer: counts + community labels over kept events
+    val wantCounts = CoPresence.pairs(keptEv, "user_id", "ts",
+        copCfg.windowSec, 1, copCfg.maxWindowActors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(CoPresenceStore.read(spark, s"$dir/counts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      == wantCounts)
+    val keptPairs = CoPresence.pairs(keptEv, "user_id", "ts",
+      copCfg.windowSec, copCfg.minShared, copCfg.maxWindowActors)
+    val wantL = LabelPropagation.run(
+        keptPairs.select(col("ua"), col("ub")), "ua", "ub", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(s"$dir/egraph") == wantL)
+    assert(wantL.nonEmpty, "the behavioral fixture must keep a graph")
+  }
+
+  test("one (kind, id) feed forgets docs AND actors across every store; replay no-ops") {
+    val dir = tmp()
+    val (doc, actor) = buildAll(dir)
+    StreamingForget.process(feed(1, 9), 1L, doc, actor)
+    assertKept(dir, doc, Seq(1), 9)
+    // full redelivery of the committed batch: every leg no-ops
+    StreamingForget.process(feed(1, 9), 1L, doc, actor)
+    assertKept(dir, doc, Seq(1), 9)
+  }
+
+  test("crash between the doc leg and the rest heals on replay") {
+    val dir = tmp()
+    val (doc, actor) = buildAll(dir)
+    // simulate: the doc-side composition fully ran, then the process
+    // died BEFORE the vocab forgetter and the actor leg
+    val ids = feed(2, 9)
+    StreamingTakedown.process(
+      ids.filter(col("kind") === "doc").select(col("id")),
+      doc.lsh, doc.graph, maxK = 4, postings = doc.postings)
+    // the foreachBatch replay re-runs the WHOLE batch: idempotent doc
+    // legs + the not-yet-run vocab/actor legs
+    StreamingForget.process(ids, 1L, doc, actor)
+    assertKept(dir, doc, Seq(2), 9)
+  }
+
+  test("file-stream drive forgets both kinds end to end; unknown kinds fail loud") {
+    val dir = tmp()
+    val (doc, actor) = buildAll(dir)
+    val inDir = s"$dir/in"
+    feed(3, 9).write.parquet(s"$inDir/b0")
+    StreamingForget.stream(spark, s"$inDir/*", s"$dir/ckpt", doc, actor)
+      .awaitTermination()
+    assertKept(dir, doc, Seq(3), 9)
+    val bad = spark.createDataFrame(Seq(("tenant", 5L))).toDF("kind", "id")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingForget.process(bad, 9L, doc, actor)
+    }
+    assert(ex.getMessage.contains("unknown kind"))
+  }
+}
