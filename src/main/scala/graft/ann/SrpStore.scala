@@ -97,6 +97,15 @@ object SrpStore {
       * unknown (always read). */
     @transient private var bucketBound: Long = initialBucketBound
 
+    // SINGLE-LIVE-HANDLE MUTATION CONTRACT: cached frames are
+    // invalidated on the handle that mutates and the handle compact
+    // was passed — a DIFFERENT live handle on the same path keeps
+    // plans over swapped-away files after another handle's
+    // compact/append (FileNotFoundException or stale rows) and keeps
+    // a stale maxBucketN bound (stale-LOW only widens candidates the
+    // exact verify filters; stale after a crash window behaves the
+    // same). Open one mutating handle per store path at a time, or
+    // re-open after another handle's mutation.
     // Per-handle cached table frames (the LshStore.Handle convention):
     // each spark.read.parquet re-lists the directory and re-reads a
     // footer at plan time — measurable per-serve-call driver overhead

@@ -94,7 +94,19 @@ object PostingsStore {
   // MaxScore stays sound (compact recomputes it exactly). Post-remove
   // BM25/conjunction/phrase results are bit-identical to a
   // kept-corpus rebuild.
-  private val Version = 7
+  // v8: the removed-id ledger lives INSIDE the swapped statsdeltas
+  // dir (`statsdeltas/_removedids/`), committing atomically with the
+  // decrements and their applied-markers. v7 appended the ledger
+  // LAST: a crash after the swap but before the append let a later
+  // OVERLAPPING (non-identical) batch recompute its id set without
+  // the ledger, get a different sig, and decrement the overlap's
+  // terms a SECOND time — df/cf permanently overstated-downward
+  // (df feeds IDF) until compact. Now marker ⟺ ledgered, in one
+  // rename. Meta stats are written BEFORE the swap: the one crash
+  // window leaves kept-corpus N beside a serve view that still shows
+  // the docs — a bounded, replay-healed drift, versus v7's permanent
+  // double-decrement.
+  private val Version = 8
 
   /** An opened store. `postings`/`docLens` are the raw frames;
     * `termPostings` is the pruned per-term read. */
@@ -113,15 +125,16 @@ object PostingsStore {
       * PHYSICAL rows (tombstoned included, until [[PostingsStore.compact]]
       * purges); the pruned serve reads filter. */
     def removedDocs: DataFrame = {
-      val p = new Path(s"$path/removed")
+      val p = new Path(s"$path/statsdeltas/_removedids")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p))
-        spark.read.schema(s"`$idCol` LONG").parquet(s"$path/removed")
+        spark.read.schema(s"`$idCol` LONG")
+          .parquet(s"$path/statsdeltas/_removedids")
       else spark.range(0).select(col("id").as(idCol))
     }
 
     private def ledgerPresent: Boolean = {
-      val p = new Path(s"$path/removed")
+      val p = new Path(s"$path/statsdeltas/_removedids")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
 
@@ -275,35 +288,44 @@ object PostingsStore {
       val sig = java.lang.Long.toHexString(
         rid.agg(expr(s"bit_xor(xxhash64(`$idCol`))")).head.getLong(0))
       val markerName = s"_applied_rm_$sig"
+      // a PRESENT marker with a non-empty rid can only be the
+      // documented xor-collision of two different batches (~2^-64, the
+      // PairGraphStore.batchSig assumption) — treated as committed
       if (!fs.exists(new Path(s"$path/statsdeltas/$markerName"))) {
         val gone = termDocs
           .join(broadcast(rid), Seq(idCol), "left_semi")
           .groupBy(col("term_bucket"), col("term"))
           .agg((-count(lit(1))).as("df"), (-sum(col("__tf"))).as("cf"))
         val merged = statsDeltas.fold(gone)(d => d.unionByName(gone))
+        // corpus stats from first principles over the kept rows,
+        // written BEFORE the commit swap: a crash between them leaves
+        // kept-corpus N beside a pre-takedown serve view — bounded
+        // drift the replay heals (the replay's rid is identical since
+        // the ledger only lands with the swap). v7 wrote the ledger
+        // AFTER the swap, which let an overlapping later batch
+        // double-decrement — see the v8 note.
+        val keptLedger = removedDocs.unionByName(rid.toDF(idCol))
+        val r = docLens.join(broadcast(keptLedger), Seq(idCol), "left_anti")
+          .agg(count(lit(1)), sum(col("__dl").cast("long")),
+            min(col("__dl").cast("long"))).first()
+        val cls = (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
         val staging = new Path(s"$path/.statsdeltas.staging")
         if (fs.exists(staging)) fs.delete(staging, true)
         merged.coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        // the ledger rides the SAME swap: marker ⟺ ledgered
+        keptLedger.distinct().coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$staging/_removedids")
         val priors = fs.globStatus(new Path(s"$path/statsdeltas/_applied_*"))
         (Option(priors).toSeq.flatten.map(_.getPath.getName) :+ markerName)
           .distinct.foreach { n => fs.create(new Path(staging, n), true).close() }
+        writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, cls)
+        updateCorpusMeta(cls)
         SwapDir.swap(fs, staging, new Path(s"$path/statsdeltas"))
       }
-      // corpus stats from first principles over the kept rows
-      // (idempotent — a replayed window cannot double-subtract)
-      val keptLedger = removedDocs.unionByName(rid.toDF(idCol))
-      val r = docLens.join(broadcast(keptLedger), Seq(idCol), "left_anti")
-        .agg(count(lit(1)), sum(col("__dl").cast("long")),
-          min(col("__dl").cast("long"))).first()
-      val cls = (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
-      writeMeta(spark, s"$path/_graft_meta", idCol, nBuckets, cls)
-      updateCorpusMeta(cls)
-      // the ledger lands LAST: once a batch is excluded up front, all
-      // its effects are committed
-      rid.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/removed")
       this
     }
 
@@ -816,7 +838,7 @@ object PostingsStore {
     * (meta `numDocs` — no job for the denominator; one footer count
     * for the ledger). None when no ledger exists. */
   def tombstoneRatio(handle: Handle): Option[Double] = {
-    val p = new Path(s"${handle.path}/removed")
+    val p = new Path(s"${handle.path}/statsdeltas/_removedids")
     val fs = p.getFileSystem(
       handle.spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None

@@ -390,6 +390,38 @@ class PostingsStoreSpec extends SparkSpec {
     assert(rows(c2.bm25Search(terms, k = 20)) == rows(full.bm25Search(terms, k = 20)))
   }
 
+  test("remove v8: ledger commits atomically with the decrements; overlapping batches stay exact") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val h = PostingsStore.build(docs, "doc_id", "text", tmp("psatomic"),
+      nBuckets = 16)
+    val a = docs.filter(pmod(col("doc_id"), lit(10)) === 1).select(col("doc_id"))
+    val aUnionB = docs.filter(pmod(col("doc_id"), lit(10)).isin(1, 2))
+      .select(col("doc_id"))
+    h.remove(a)
+    // marker ⟺ ledgered: both live in the same swapped dir
+    val fs = new org.apache.hadoop.fs.Path(h.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"${h.path}/statsdeltas"))
+      .map(_.getPath.getName)
+    assert(deltas.exists(_.startsWith("_applied_rm_")), deltas.mkString(","))
+    assert(deltas.contains("_removedids"), deltas.mkString(","))
+    // an OVERLAPPING (non-identical) second batch decrements only the
+    // fresh ids — the v7 crash window's double-decrement shape, now
+    // impossible by construction: df/cf equal a kept-corpus build
+    h.remove(aUnionB)
+    val kept = docs.filter(!pmod(col("doc_id"), lit(10)).isin(1, 2))
+    val ref = PostingsStore.build(kept, "doc_id", "text", tmp("psatomicref"),
+      nBuckets = 16)
+    val terms = Seq("vector", "stream", "window")
+    assert(rows(h.bm25Search(terms, k = 20)) == rows(ref.bm25Search(terms, k = 20)))
+    assert(h.numDocs == ref.numDocs)
+    // replaying the overlap batch changes nothing
+    h.remove(aUnionB)
+    assert(rows(h.bm25Search(terms, k = 20)) == rows(ref.bm25Search(terms, k = 20)))
+  }
+
   test("autoCompact: trigger fires at the tombstone ratio, serve identical before/after") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
       df.collect().map(_.toSeq).toSet
