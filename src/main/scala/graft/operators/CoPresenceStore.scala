@@ -241,6 +241,14 @@ object CoPresenceStore {
     // corpus-scale) — collected once for the ban ledger
     val ridIds = actors.select(col(actors.columns.head).cast("long").as("__a"))
       .distinct().collect().map(_.getLong(0)).toSeq
+    // fully-ledgered redelivery: every id rides the ban ledger, which
+    // commits ATOMICALLY with the counts swap — so the batch's
+    // incident delete and recovery already landed, a recount of the
+    // still-hot windows under the identical exclusion set would fold
+    // in nothing, and maintain would get two empty frames. Serve the
+    // stored state outright (the applied-batch-marker idiom): a
+    // replayed takedown is a meta read + one id collect.
+    if (ridIds.nonEmpty && ridIds.forall(st.removedActors.toSet)) return
     val rid = spark.createDataFrame(
       spark.sparkContext.parallelize(ridIds.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(

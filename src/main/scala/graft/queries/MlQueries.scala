@@ -146,11 +146,26 @@ object MlQueries extends QueryDsl {
   // store's fidelity contract. `kept` (optional) filters the pair set
   // — the revocation twin's kept-edge view.
   private def eventsLpaPrefixSql: String = eventsLpaPrefix()
-  private def eventsLpaPrefix(kept: String = "", actorKept: String = ""): String = {
+  private def eventsLpaPrefix(kept: String = "", actorKept: String = "",
+      hotCap: Option[Int] = None): String = {
     val keptClause = if (kept.isEmpty) "" else s" WHERE $kept"
     val actorClause = if (actorKept.isEmpty) "" else s" WHERE $actorKept"
-    s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
-      |  FROM events$actorClause),
+    // hotCap: the co-presence hot-window guard IN SQL — windows whose
+    // (kept) population exceeds the cap carry no pairwise signal and
+    // are dropped from pairing, exactly CoPresence.pairs' semantics
+    // (q220's cap of 100 never trips at oracle scale, so the base
+    // queries omit it; q223 pins the guard + recovery arithmetic)
+    val pCte = hotCap match {
+      case Some(cap) =>
+        s"""p0 AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+          |  FROM events$actorClause),
+          |hotw AS (SELECT w FROM p0 GROUP BY w HAVING count(*) > $cap),
+          |p AS (SELECT * FROM p0 WHERE w NOT IN (SELECT w FROM hotw))""".stripMargin
+      case None =>
+        s"""p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+          |  FROM events$actorClause)""".stripMargin
+    }
+    s"""WITH $pCte,
       |prs_all AS (SELECT a.user_id AS va, b.user_id AS vb
       |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
       |  GROUP BY 1, 2 HAVING count(*) >= 3),
@@ -168,6 +183,10 @@ object MlQueries extends QueryDsl {
 
   private def userTakedownSql =
     s"""${eventsLpaPrefix(actorKept = "user_id % 9 <> 0")}
+      |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
+
+  private def takedownRecoverySql =
+    s"""${eventsLpaPrefix(actorKept = "user_id % 9 <> 0", hotCap = Some(6))}
       |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
 
   private def userCommunitiesSql =
@@ -1425,6 +1444,51 @@ object MlQueries extends QueryDsl {
       graft.operators.PairGraphStore.open(c.spark, graphPath)
         .ensureCommunities(rounds = 3)
         .select($"node".as("user_id"), $"community")
+    },
+
+    // HOT-WINDOW RECOVERY, oracle-pinned end to end: the store runs at
+    // a cap the fixture actually TRIPS (6 — 35 windows guard-dropped
+    // at absorb on the oracle corpus), then the takedown of every 9th
+    // user RECOUNTS the ledgered windows from the kept events — 14 of
+    // them drop back under the cap and their pairs join the counts /
+    // cross into the graph (the round-14 recovery path; pre-recovery
+    // this configuration refused outright). ORACLE-EXACT: the guard is
+    // SQL-expressible (windows whose kept population exceeds the cap
+    // leave pairing), so the oracle is q220's kept-events LPA unroll
+    // WITH the guard CTE — pinning absorb-time guarding, ledger
+    // recounting, ban-ledger exclusion, and the crossed/gone graph
+    // maintenance in one hash. Replay-stable: a second run finds no
+    // incident rows and recounts only still-hot windows (all still
+    // hot) to an empty delta.
+    q("q223_takedown_recovery", takedownRecoverySql) { c =>
+      import c.t
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val countsPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_coprestore_rec_v1_$key"
+      val graphPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_rec_v1_$key"
+      if (!graft.operators.CoPresenceStore.exists(c.spark, countsPath)) {
+        graft.operators.CoPresenceStore.create(c.spark, countsPath,
+          graft.operators.CoPresenceStore.Config(
+            windowSec = 600, minShared = 3, maxWindowActors = 6))
+        graft.streaming.StreamingEventsGraph.process(
+          t("events").select($"user_id", $"ts"), 0L, countsPath, graphPath)
+      }
+      graft.streaming.StreamingEventsGraph.processTakedown(
+        t("events").select($"user_id").distinct()
+          .filter(pmod($"user_id", lit(9)) === 0),
+        countsPath, graphPath,
+        events = Some(t("events").select($"user_id", $"ts")))
+      // at high event density every window can stay hot after the
+      // takedown (the 8x replica): no pair ever crosses and the graph
+      // never materializes — the empty frame IS the from-scratch answer
+      if (graft.operators.PairGraphStore.exists(c.spark, graphPath))
+        graft.operators.PairGraphStore.open(c.spark, graphPath)
+          .ensureCommunities(rounds = 3)
+          .select($"node".as("user_id"), $"community")
+      else
+        c.spark.range(0).select($"id".as("user_id"), $"id".as("community"))
     },
 
     q("q218_lpa_revocation", lpaRevocationSql) { c =>

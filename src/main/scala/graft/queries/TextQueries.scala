@@ -2449,6 +2449,56 @@ object TextQueries extends QueryDsl {
       h.bm25Search(Seq("vector", "stream", "window"), k = 20)
     },
 
+    // UNIFIED right-to-forget (StreamingForget): ONE (kind, id) feed
+    // — every 10th document AND every 9th user — fans out per batch to
+    // the text dedup index (LSH tombstones), the search index (df/cf
+    // decrements), the doc similarity graph (revocation + maintained
+    // states), the co-presence counts, and the behavioral community
+    // graph; auto-compact hygiene rides the same batch. ORACLE-EXACT
+    // on the search leg (BM25 over the kept corpus, score-visible IDF
+    // — the q221 contract through the composed stream); the actor leg
+    // is oracle-pinned by q220/q223 and StreamingForgetSpec pins all
+    // six stores == from-scratch kept builds across crash windows.
+    // Replay-stable: every leg excludes already-forgotten ids.
+    q("q222_unified_forget",
+      bm25Sql(Seq("vector", "stream", "window"),
+        docFilter = "doc_id % 10 <> 1")) { c =>
+      import c.t
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = System.getProperty("java.io.tmpdir")
+      val docs = t("documents")
+      val lsh = graft.dedup.LshStore.ensure(docs, "doc_id", "text",
+        c.spark, s"$base/graft_lsh_uf_v1_$key")
+      val ps = graft.operators.PostingsStore.ensure(docs, "doc_id", "text",
+        c.spark, s"$base/graft_postings_uf_v1_$key")
+      val g = graft.operators.PairGraphStore.ensure(
+        NGramJaccard.pairs(docs, "doc_id", "text", shingleN = 3,
+          minJaccard = 0.5),
+        "doc_a", "doc_b", Some("jaccard"), c.spark,
+        s"$base/graft_pairgraph_uf_v1_$key")
+      val countsPath = s"$base/graft_coprestore_uf_v1_$key"
+      val egPath = s"$base/graft_pairgraph_ufe_v1_$key"
+      if (!graft.operators.CoPresenceStore.exists(c.spark, countsPath)) {
+        graft.operators.CoPresenceStore.create(c.spark, countsPath,
+          graft.operators.CoPresenceStore.Config(
+            windowSec = 600, minShared = 3, maxWindowActors = 100))
+        graft.streaming.StreamingEventsGraph.process(
+          t("events").select($"user_id", $"ts"), 0L, countsPath, egPath)
+      }
+      val feed = docs.filter(pmod($"doc_id", lit(10)) === 1)
+          .select(lit("doc").as("kind"), $"doc_id".cast("long").as("id"))
+        .unionByName(t("events").select($"user_id").distinct()
+          .filter(pmod($"user_id", lit(9)) === 0)
+          .select(lit("actor").as("kind"), $"user_id".cast("long").as("id")))
+      graft.streaming.StreamingForget.process(feed, 1L,
+        graft.streaming.StreamingForget.DocTargets(lsh, g, maxK = 4,
+          postings = Some(ps)),
+        graft.streaming.StreamingForget.ActorTargets(countsPath, egPath,
+          events = Some(t("events").select($"user_id", $"ts"))))
+      ps.bm25Search(Seq("vector", "stream", "window"), k = 20)
+    },
+
     // Seeded deterministic corpus shuffle + shard assignment (the
     // training-export step): shard membership and within-shard order
     // are pure functions of (doc_id, seed) — no rand(), so task

@@ -50,6 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     // q221: the same BM25 (N, avgdl) scalar broadcast as q124b, over
     // the post-takedown store
     "q221_search_takedown",
+    // q222: q221's BM25 scalar broadcast through the unified forget
+    // stream (the serve leg is the same bm25Search plan)
+    "q222_unified_forget",
     "q142_hybrid_rrf", "q142b_hybrid_rrf_store",
     // q146: the max-ts anchor; q147: the audit's two one-row count
     // frames (hits × total) joined into the RI ratio row
