@@ -189,6 +189,42 @@ object MlQueries extends QueryDsl {
     s"""${eventsLpaPrefix(actorKept = "user_id % 9 <> 0", hotCap = Some(6))}
       |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
 
+  /** Capped core numbers of the (kept) events co-presence graph as an
+    * UNROLLED h-index iteration — min(core, maxK) is the fixpoint of
+    * c <- min(c, H(neighbor c)) from c0 = min(degree, maxK) (Lü et
+    * al. 2016; capping commutes because the iteration is monotone
+    * non-increasing and bounded by degree), and the per-node H is
+    * max(min(rank, value)) over the neighbor values sorted descending
+    * — a window + aggregate per round. `rounds` must reach the
+    * fixpoint at ORACLE scale (sf0.01 kept graph converges in 9;
+    * 16 leaves margin — extra rounds are no-ops at the fixpoint).
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and 16
+    * self-referencing rounds would otherwise expand exponentially. */
+  private def hIndexCoresSql(kept: String, maxK: Int, rounds: Int): String = {
+    val prefix =
+      s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+        |  FROM events),
+        |prs_all AS (SELECT a.user_id AS va, b.user_id AS vb
+        |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |prs AS (SELECT va, vb FROM prs_all WHERE $kept),
+        |edges AS MATERIALIZED (SELECT va AS u, vb AS v FROM prs UNION ALL SELECT vb, va FROM prs),
+        |c0 AS MATERIALIZED (SELECT u AS node, least(count(*), $maxK) AS val FROM edges GROUP BY u)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""h$i AS (SELECT node, max(least(rn, nv)) AS h FROM (
+        |  SELECT e.u AS node, c.val AS nv,
+        |    row_number() OVER (PARTITION BY e.u ORDER BY c.val DESC) AS rn
+        |  FROM edges e JOIN c${i - 1} c ON c.node = e.v) GROUP BY node),
+        |c$i AS MATERIALIZED (SELECT c.node, least(c.val, h$i.h) AS val
+        |  FROM c${i - 1} c JOIN h$i USING (node))""".stripMargin
+    }
+    (prefix +: steps).mkString(",\n") +
+      s"\nSELECT node AS user_id, val AS core_number FROM c$rounds"
+  }
+
+  private def kcoreRevocationEventsSql =
+    hIndexCoresSql(kept = "(va * 31 + vb) % 5 <> 0", maxK = 8, rounds = 16)
+
   private def userCommunitiesSql =
     s"""$eventsLpaPrefixSql
       |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
@@ -1489,6 +1525,35 @@ object MlQueries extends QueryDsl {
           .select($"node".as("user_id"), $"community")
       else
         c.spark.range(0).select($"id".as("user_id"), $"id".as("community"))
+    },
+
+    // DECREMENTAL CORES, oracle-pinned (q218's move for the core
+    // family): the events co-presence graph is SQL-expressible, so
+    // revoking 1/5 of its edges through removeEdgesAndMaintainCores
+    // (frontier h-index demotion over the affected region only) gets a
+    // cross-engine hash — the oracle runs an UNROLLED capped h-index
+    // iteration to the fixpoint over the kept edges. This anchors
+    // q213/q214 (same maintainer on the LSH graph, rows-only there
+    // because the edge frame isn't SQL-expressible): the maintenance
+    // arithmetic itself is now oracle-exact. Replay-stable (applied
+    // marker serves the stored state).
+    q("q224_kcore_revocation_events", kcoreRevocationEventsSql) { c =>
+      import c.t
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_krevoke_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        graft.operators.CoPresence.pairs(
+          t("events"), "user_id", "ts",
+          windowSec = 600, minShared = 3, maxWindowActors = 100),
+        "ua", "ub", Some("shared"), c.spark, path)
+      h.removeEdgesAndMaintainCores(
+        h.physicalEdges.filter(pmod($"ua" * 31 + $"ub", lit(5)) === 0)
+          .select($"ua", $"ub"),
+        maxK = 8)
+      h.ensureCores(maxK = 8)
+        .select($"node".as("user_id"), $"core_number".cast("long").as("core_number"))
     },
 
     q("q218_lpa_revocation", lpaRevocationSql) { c =>
