@@ -150,7 +150,9 @@ object ScaleProbe {
         "q65_neardup_lsh", "q69b_embedding_clusters_lsh")
       queries.filter(q => q.endsWith("_store") || q.endsWith("_maxscore") ||
           q.endsWith("_incremental") || q.endsWith("_revocation") ||
-          q.endsWith("_takedown") || q.contains("_small_delta") ||
+          q.endsWith("_revocation_events") || q.endsWith("_recovery") ||
+          q.endsWith("_takedown") || q.endsWith("_forget") ||
+          q.contains("_small_delta") ||
           pairGraphServed(q)).foreach { name =>
         try SparkEntry.queries(name)(spark, big).count()
         catch { case e: Throwable => println(s"SCALE $name prebuild FAILED: ${e.getMessage}") }
