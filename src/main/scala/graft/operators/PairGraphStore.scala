@@ -1393,10 +1393,48 @@ object PairGraphStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/edges")
     writeMeta(spark, s"$staging/_graft_meta",
       handle.srcCol, handle.dstCol, handle.weightCol)
-
+    // maintained side states (labels/cores/ranks/truss/distances) stay
+    // VALID across compaction — the serve view is unchanged, only the
+    // revoked physical rows and the ledger leave — so they ride the
+    // swap instead of being dropped for a full re-derive on next
+    // ensure. Markers ride too: a replayed removal batch whose rows
+    // were purged finds its present-set empty and no-ops; a replayed
+    // insert batch of later-revoked-then-compacted pairs must keep
+    // skipping (re-adding them would resurrect the takedown). A crash
+    // between these moves and the swap strands states in staging: the
+    // next ensure rebuilds them from the kept view (same values, full
+    // cost) — never stale data.
+    fs.listStatus(new Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n != "edges" && n != "removededges" &&
+          !n.startsWith("."))
+        fs.rename(st.getPath, new Path(staging, n))
+    }
     SwapDir.swap(fs, new Path(staging), new Path(path))
     handle
   }
+
+  /** Merge-on-read pressure: revoked pairs over PHYSICAL edge rows —
+    * None when no ledger exists (existence probe only). */
+  def revokedRatio(handle: Handle): Option[Double] = {
+    val p = new Path(s"${handle.path}/removededges")
+    val fs = p.getFileSystem(
+      handle.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(handle.removedEdges.count().toDouble /
+      math.max(1L, handle.physicalEdges.count()).toDouble)
+  }
+
+  /** Size-ratio compaction trigger (the LshStore.autoCompact policy):
+    * every consumer's edge view pays the revocation anti-join until
+    * compact purges — past `maxRatio` the store compacts, side states
+    * riding the swap unchanged. */
+  def autoCompact(handle: Handle, maxRatio: Double = 0.25,
+      targetFiles: Int = 8): Handle =
+    revokedRatio(handle) match {
+      case Some(r) if r > maxRatio => compact(handle, targetFiles)
+      case _ => handle
+    }
 
   /** Open an existing store (heals an interrupted swap first). */
   def open(spark: SparkSession, path: String): Handle = {

@@ -51,6 +51,13 @@ object StreamingEventsGraph {
         ()
       }
     }
+    // revocation-ledger hygiene on the INGEST path too: a mixed
+    // workload interleaves absorbs between takedowns, and the ledger
+    // a takedown left behind should not have to wait for the next
+    // takedown batch to compact away (free existence probe otherwise)
+    if (PairGraphStore.exists(spark, graphPath))
+      PairGraphStore.autoCompact(PairGraphStore.open(spark, graphPath))
+    ()
   }
 
   /** One ACTOR-takedown micro-batch — the deletion direction: drop
@@ -97,6 +104,13 @@ object StreamingEventsGraph {
         ()
       }
     }
+    // revocation-ledger hygiene (the StreamingTakedown policy): under
+    // a sustained actor-takedown stream the graph's merge-on-read
+    // ledger grows without bound; past the ratio the store compacts
+    // with its maintained states riding the swap
+    if (PairGraphStore.exists(spark, graphPath))
+      PairGraphStore.autoCompact(PairGraphStore.open(spark, graphPath))
+    ()
   }
 
   /** File-source drive of [[processTakedown]]: watch `inDir` for

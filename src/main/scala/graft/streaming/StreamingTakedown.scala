@@ -79,6 +79,7 @@ object StreamingTakedown {
       incidentEdges(graph, ids), graph, maxK, iterations, rounds, trussK)
     LshStore.autoCompact(lsh, compactRatio)
     postings.foreach(PostingsStore.autoCompact(_, compactRatio))
+    PairGraphStore.autoCompact(graph, compactRatio)
     ()
   }
 

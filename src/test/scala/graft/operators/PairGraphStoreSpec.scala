@@ -714,4 +714,45 @@ class PairGraphStoreSpec extends SparkSpec {
     assert(h.edges.columns.toSeq == Seq("a", "b"))
     assert(h.edges.count() == 2)
   }
+
+  test("autoCompact fires at the revoked ratio; maintained states ride the swap") {
+    val sp = spark; import sp.implicits._
+    val path = tmp()
+    // a 5-clique chain: 20 edges, labels persisted up front
+    val edges = (for (g <- 0L until 2L; a <- 0L until 5L; b <- (a + 1) until 5L)
+      yield (g * 5 + a, g * 5 + b)).toDF("a", "b")
+    val h = PairGraphStore.build(edges, "a", "b", None, path)
+    val labels0 = h.ensureCommunities(rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(PairGraphStore.revokedRatio(h).isEmpty)
+    assert(PairGraphStore.autoCompact(h) eq h)
+    // revoke 4 of 20 edges (20% <= 25%): ledger stays, no compaction
+    h.removeEdgesAndMaintainCommunities(
+      Seq((0L, 1L), (0L, 2L), (5L, 6L), (5L, 7L)).toDF("a", "b"), rounds = 3)
+    val r1 = PairGraphStore.revokedRatio(h)
+    assert(r1.exists(r => r > 0 && r <= 0.25), s"ratio $r1")
+    PairGraphStore.autoCompact(h)
+    assert(PairGraphStore.revokedRatio(h).nonEmpty, "ledger must survive a no-op")
+    // revoke 2 more (6/20 = 30% > 25%): compaction fires
+    h.removeEdgesAndMaintainCommunities(
+      Seq((0L, 3L), (5L, 8L)).toDF("a", "b"), rounds = 3)
+    val servedBefore = h.edges.collect().map(_.toSeq).toSet
+    val labelsBefore = h.ensureCommunities(rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(PairGraphStore.revokedRatio(h).exists(_ > 0.25))
+    PairGraphStore.autoCompact(h)
+    assert(PairGraphStore.revokedRatio(h).isEmpty, "compaction must clear the ledger")
+    assert(h.physicalEdges.count() == 14)
+    assert(h.edges.collect().map(_.toSeq).toSet == servedBefore)
+    // the maintained labels state rode the swap: its meta survives and
+    // the serve is identical WITHOUT a rebuild
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/graphlabels/_graft_labels_meta")),
+      "labels state must ride the compaction swap")
+    assert(h.ensureCommunities(rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == labelsBefore)
+    assert(labelsBefore != labels0, "the revocations must have moved labels")
+  }
 }
