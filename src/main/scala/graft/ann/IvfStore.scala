@@ -369,13 +369,23 @@ object IvfStore {
     scala.collection.concurrent.TrieMap.empty[(String, Long), Handle]
 
   /** Open an existing index (heals an interrupted swap first); cached
-    * per store generation. */
+    * per store generation. A cached handle whose SparkSession has been
+    * STOPPED since (test suites stop/recreate sessions in one JVM) is
+    * evicted and re-opened — its cached frames and model arrays are
+    * bound to dead executors. */
   def open(spark: SparkSession, path: String): Handle = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SwapDir.heal(fs, new Path(path))
     val mtime = fs.getFileStatus(new Path(s"$path/_graft_meta"))
       .getModificationTime
-    opened.getOrElseUpdate((path, mtime), openUncached(spark, path))
+    val key = (path, mtime)
+    opened.get(key) match {
+      case Some(h) if !h.spark.sparkContext.isStopped => h
+      case _ =>
+        val h = openUncached(spark, path)
+        opened.put(key, h)
+        h
+    }
   }
 
   private def openUncached(spark: SparkSession, path: String): Handle = {

@@ -225,6 +225,67 @@ object MlQueries extends QueryDsl {
   private def kcoreRevocationEventsSql =
     hIndexCoresSql(kept = "(va * 31 + vb) % 5 <> 0", maxK = 8, rounds = 16)
 
+  /** The events co-presence pair CTE shared by the triangle/truss
+    * oracle pins (the [[eventsLpaPrefix]] derivation without the LPA
+    * rounds; the 100-actor hot-window guard never trips at oracle
+    * scale — q220's adjudication — so the SQL omits it). */
+  private val eventsPairsCte =
+    """p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+      |  FROM events),
+      |prs AS (SELECT a.user_id AS va, b.user_id AS vb
+      |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+
+  /** Per-node triangle report over the events co-presence graph —
+    * each triangle a < b < c appears exactly once as the edge triple
+    * (a,b), (b,c), (a,c) of the canonical va < vb pair set, so the
+    * three-way self-join counts it once; lcc arithmetic mirrors
+    * [[graft.operators.Triangles.perNode]] term for term
+    * ((2.0 · T) / (d · (d−1)), both engines' left-associative
+    * double-over-long division). */
+  private def trianglesEventsSql =
+    s"""WITH $eventsPairsCte,
+      |deg AS (SELECT node, count(*)::BIGINT AS degree FROM
+      |  (SELECT va AS node FROM prs UNION ALL SELECT vb FROM prs) GROUP BY 1),
+      |tri AS (SELECT e1.va AS a, e1.vb AS b, e2.vb AS c
+      |  FROM prs e1 JOIN prs e2 ON e2.va = e1.vb
+      |  JOIN prs e3 ON e3.va = e1.va AND e3.vb = e2.vb),
+      |tn AS (SELECT node, count(*)::BIGINT AS triangles FROM
+      |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |   UNION ALL SELECT c FROM tri) GROUP BY 1)
+      |SELECT deg.node AS user_id, deg.degree,
+      |  coalesce(tn.triangles, 0)::BIGINT AS triangles,
+      |  round(CASE WHEN deg.degree < 2 THEN (0.0)::DOUBLE
+      |    ELSE (2.0)::DOUBLE * coalesce(tn.triangles, 0)
+      |      / (deg.degree * (deg.degree - 1)) END, 6) AS lcc
+      |FROM deg LEFT JOIN tn ON tn.node = deg.node""".stripMargin
+
+  /** Maximal k-truss of the events co-presence graph as an UNROLLED
+    * peel: each round recomputes per-edge support (common neighbors
+    * within the surviving set, via the symmetrized adjacency) and
+    * keeps edges with support ≥ k−2 — the removal-order-free fixpoint
+    * characterization [[graft.operators.Truss.kTruss]] implements.
+    * `rounds` must reach the fixpoint at ORACLE scale (the sf0.01
+    * kept graph converges in 2 — one removal round plus the no-change
+    * confirmation; 6 leaves margin, extra rounds are no-ops at the
+    * fixpoint). MATERIALIZED for the same reason as
+    * [[hIndexCoresSql]]: DuckDB inlines plain CTEs and the
+    * self-referencing rounds would otherwise expand exponentially. */
+  private def ktrussEventsSql(k: Int, rounds: Int): String = {
+    val prefix =
+      s"""WITH $eventsPairsCte,
+        |r0 AS MATERIALIZED (SELECT va AS a, vb AS b FROM prs)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""u$i AS (SELECT a AS u, b AS v FROM r${i - 1}
+        |  UNION ALL SELECT b, a FROM r${i - 1}),
+        |r$i AS MATERIALIZED (SELECT e.a, e.b FROM r${i - 1} e
+        |  JOIN u$i x ON x.u = e.a JOIN u$i y ON y.u = e.b AND y.v = x.v
+        |  GROUP BY e.a, e.b HAVING count(*) >= ${k - 2})""".stripMargin
+    }
+    (prefix +: steps).mkString(",\n") +
+      s"\nSELECT a AS ua, b AS ub FROM r$rounds"
+  }
+
   private def userCommunitiesSql =
     s"""$eventsLpaPrefixSql
       |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
@@ -1554,6 +1615,47 @@ object MlQueries extends QueryDsl {
         maxK = 8)
       h.ensureCores(maxK = 8)
         .select($"node".as("user_id"), $"core_number".cast("long").as("core_number"))
+    },
+
+    // INCREMENTAL TRIANGLES, oracle-pinned (q224's move for the
+    // triangle family): per-node triangle counts maintained under
+    // q180's 1/5 insertion split on the events co-presence graph —
+    // the one-pass delta-neighborhood update, never the corpus-wide
+    // wedge join — equal a from-scratch pass, and the from-scratch
+    // report IS SQL-expressible here, so the maintenance arithmetic
+    // gets a cross-engine hash. Anchors q186 (same maintainer on the
+    // LSH graph, rows-only there because the edge frame isn't
+    // SQL-expressible). Reads the SHARED events pair store (one
+    // signature pass per corpus; read-only — no state mutation).
+    q("q225_triangles_events", trianglesEventsSql) { c =>
+      val edges = eventsPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"ua" * 31 + $"ub", lit(5)) === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      val oldCounts = graft.operators.Triangles.perNode(base, "ua", "ub")
+      graft.operators.Triangles.maintainAfterInsert(
+        oldCounts, base, delta, "ua", "ub")
+        .select($"node".as("user_id"), $"degree", $"triangles",
+          round($"lcc", 6).as("lcc"))
+    },
+
+    // INCREMENTAL k-TRUSS, oracle-pinned — the sixth maintained state
+    // joins the cross-engine family (cores q224, labels q218,
+    // distances q219, triangles q225): the delta's triangle-
+    // neighborhood closure peeled against the stored truss as frozen
+    // support equals the from-scratch maximal 3-truss of the grown
+    // graph, and the oracle derives that truss as an unrolled
+    // support-peel over the SQL-expressible events pairs. Anchors
+    // q198/q205 (the LSH-graph truss queries, rows-only there).
+    q("q226_ktruss_events", ktrussEventsSql(k = 3, rounds = 6)) { c =>
+      val edges = eventsPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"ua" * 31 + $"ub", lit(5)) === 0
+      val base = edges.filter(!isDelta).select($"ua", $"ub")
+      val delta = edges.filter(isDelta).select($"ua", $"ub")
+      val oldTruss = graft.operators.Truss.kTruss(base, "ua", "ub", k = 3)
+      graft.operators.Truss.maintainAfterInsert(
+        oldTruss, base, delta, "ua", "ub", k = 3)
+        .select($"a".as("ua"), $"b".as("ub"))
     },
 
     q("q218_lpa_revocation", lpaRevocationSql) { c =>
