@@ -1658,6 +1658,48 @@ object MlQueries extends QueryDsl {
         .select($"a".as("ua"), $"b".as("ub"))
     },
 
+    // Incremental LPA, ORACLE-PINNED — the insert direction of q218
+    // (with q227/q228/q230 this closes the maintained-state matrix:
+    // every maintainer has both directions cross-engine-hashed):
+    // a dedicated base store holds the 4/5 events edges, the 1/5
+    // batch arrives through appendAndMaintainCommunities (component-
+    // local re-propagation), and the served labels replay the
+    // full-graph 3-round LPA SQL. Anchors q190's insert direction.
+    q("q229_lpa_insert_events", userCommunitiesSql) { c =>
+      val edges = eventsPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"ua" * 31 + $"ub", lit(5)) === 0
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_lins_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        edges.filter(!isDelta), "ua", "ub", Some("shared"), c.spark, path)
+      h.appendAndMaintainCommunities(edges.filter(isDelta), rounds = 3)
+      h.ensureCommunities(rounds = 3)
+        .select($"node".as("user_id"), $"community")
+    },
+
+    // Incremental k-core, ORACLE-PINNED — the insert direction of
+    // q224 (see q229): the 1/5 batch arrives through
+    // appendAndMaintainCores (insertions only RAISE cores, frontier
+    // h-index promotion over the affected region), and the served
+    // cores replay the full-graph unrolled h-index iteration.
+    // Anchors q180's insert direction.
+    q("q230_kcore_insert_events",
+      hIndexCoresSql(kept = "TRUE", maxK = 8, rounds = 16)) { c =>
+      val edges = eventsPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"ua" * 31 + $"ub", lit(5)) === 0
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_kins_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        edges.filter(!isDelta), "ua", "ub", Some("shared"), c.spark, path)
+      h.appendAndMaintainCores(edges.filter(isDelta), maxK = 8)
+      h.ensureCores(maxK = 8)
+        .select($"node".as("user_id"), $"core_number".cast("long").as("core_number"))
+    },
+
     q("q218_lpa_revocation", lpaRevocationSql) { c =>
       import c.t
       val key = java.security.MessageDigest.getInstance("MD5")

@@ -1737,6 +1737,52 @@ object TextQueries extends QueryDsl {
         .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
     },
 
+    // Incremental PageRank, ORACLE-PINNED — the insert direction of
+    // q215 (q227/q228 close the maintained-state matrix: every
+    // maintainer now has BOTH directions cross-engine-hashed on a
+    // SQL-expressible graph, anchoring the LSH-graph twins q193/q199):
+    // a dedicated store copy holds the 4/5 base, the 1/5 batch
+    // arrives through appendAndMaintainRanks (N-free iterates, delta
+    // 3-hop neighborhood recompute), and the served ranks replay
+    // q128's full-graph 3-round unroll — maintained == from-scratch
+    // bit-for-bit (PairGraphStoreSpec).
+    q("q227_pagerank_insert",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |      UNION ALL SELECT doc_b, doc_a FROM prs),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |p0 AS (SELECT node, (1.0)::DOUBLE / n AS pr FROM nd CROSS JOIN nn),
+        |c1 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p0 JOIN e ON p0.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p1 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p1 JOIN e ON p1.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p2 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT dst AS node, sum(pr / deg::DOUBLE) AS inn
+        |       FROM p2 JOIN e ON p2.node = e.src JOIN deg USING (src) GROUP BY 1),
+        |p3 AS (SELECT nd.node, ((1.0)::DOUBLE - (0.85)::DOUBLE) / n + (0.85)::DOUBLE * coalesce(inn, (0.0)::DOUBLE) AS pr
+        |       FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node AS doc_id, round(pr, 6) AS pr FROM p3""".stripMargin) { c =>
+      val pairs = docPairStore(c.spark, c.dir).edges
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .localCheckpoint()
+      val base = pairs.filter(pmod($"doc_a" + $"doc_b", lit(5)) =!= 0)
+      val delta = pairs.filter(pmod($"doc_a" + $"doc_b", lit(5)) === 0)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_rins_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        base, "doc_a", "doc_b", Some("jaccard"), c.spark, path)
+      h.appendAndMaintainRanks(delta, iterations = 3, damping = 0.85)
+      h.pageRanks(iterations = 3, damping = 0.85)
+        .select($"node".as("doc_id"), round($"pr", 6).as("pr"))
+    },
+
     // Seed distances after an edge REVOCATION — the deletion twin of
     // q199, ORACLE-EXACT on the doc pair graph (q196's SQL-expressible
     // min-plus unroll over the kept edges): a dedicated store copy
@@ -1782,6 +1828,53 @@ object TextQueries extends QueryDsl {
       val h = graft.operators.PairGraphStore.ensure(
         pairs, "doc_a", "doc_b", Some("jaccard"), c.spark, path)
       h.removeEdgesAndMaintainDistances(deleted, "seedmod10kept", seeds,
+          maxHops = 4, costMode = "oneMinusWeight")
+        .filter(element_at($"ds", 4) < lit(Double.PositiveInfinity))
+        .select($"node".as("doc_id"),
+          round(element_at($"ds", 4), 6).as("dist"))
+    },
+
+    // Incremental seed distances, ORACLE-PINNED — the insert direction
+    // of q219 (see q227): the 1/5 batch arrives through
+    // appendAndMaintainDistances (insertions only LOWER hop-bounded
+    // distances, improvement-frontier relaxation seeded at the fresh
+    // edges), and the maintained values replay q196's full-graph
+    // min-plus unroll. Seeds are the FULL graph's %10 nodes (q199's
+    // convention — the SQL's node universe).
+    q("q228_distance_insert",
+      s"""WITH ${jaccardPairsCte(0.5)},
+        |e AS (SELECT doc_a AS src, doc_b AS dst, (1.0)::DOUBLE - jaccard AS w FROM prs
+        |      UNION ALL SELECT doc_b, doc_a, (1.0)::DOUBLE - jaccard FROM prs),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |d0 AS (SELECT node, (0.0)::DOUBLE AS d FROM nd WHERE node % 10 = 0),
+        |r1 AS (SELECT e.dst AS node, min(d0.d + e.w) AS d
+        |       FROM d0 JOIN e ON d0.node = e.src GROUP BY 1),
+        |d1 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d0 UNION ALL SELECT * FROM r1) u GROUP BY 1),
+        |r2 AS (SELECT e.dst AS node, min(d1.d + e.w) AS d
+        |       FROM d1 JOIN e ON d1.node = e.src GROUP BY 1),
+        |d2 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d1 UNION ALL SELECT * FROM r2) u GROUP BY 1),
+        |r3 AS (SELECT e.dst AS node, min(d2.d + e.w) AS d
+        |       FROM d2 JOIN e ON d2.node = e.src GROUP BY 1),
+        |d3 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d2 UNION ALL SELECT * FROM r3) u GROUP BY 1),
+        |r4 AS (SELECT e.dst AS node, min(d3.d + e.w) AS d
+        |       FROM d3 JOIN e ON d3.node = e.src GROUP BY 1),
+        |d4 AS (SELECT node, min(d) AS d FROM (SELECT * FROM d3 UNION ALL SELECT * FROM r4) u GROUP BY 1)
+        |SELECT node AS doc_id, round(d, 6) AS dist FROM d4""".stripMargin) { c =>
+      val pairs = docPairStore(c.spark, c.dir).edges
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .localCheckpoint()
+      val base = pairs.filter(pmod($"doc_a" + $"doc_b", lit(5)) =!= 0)
+      val delta = pairs.filter(pmod($"doc_a" + $"doc_b", lit(5)) === 0)
+      val seeds = pairs.select($"doc_a".as("node"))
+        .unionByName(pairs.select($"doc_b".as("node")))
+        .distinct().filter(pmod($"node", lit(10)) === 0)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_dins_v1_$key"
+      val h = graft.operators.PairGraphStore.ensure(
+        base, "doc_a", "doc_b", Some("jaccard"), c.spark, path)
+      h.appendAndMaintainDistances(delta, "seedmod10", seeds,
           maxHops = 4, costMode = "oneMinusWeight")
         .filter(element_at($"ds", 4) < lit(Double.PositiveInfinity))
         .select($"node".as("doc_id"),
