@@ -290,6 +290,38 @@ object MlQueries extends QueryDsl {
     s"""$eventsLpaPrefixSql
       |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
 
+  /** One WEIGHTED LPA round — [[lpaRoundSql]] with each neighbor vote
+    * carrying its edge weight and the self-vote carrying the node's
+    * strongest incident weight, exactly
+    * [[graft.operators.LabelPropagation.run]]'s weighted semantics
+    * (argmax by (summed weight desc, label asc)). Cross-engine exact
+    * because the events weights are INTEGER shared-window counts:
+    * double sums of integers are exact well below 2^53. */
+  private def weightedLpaRoundSql(r: Int): String = {
+    val prev = if (r == 1) "l0" else s"l${r - 1}"
+    s"""v$r AS (SELECT e.u AS node, l.lbl, e.w FROM edges e JOIN $prev l ON e.v = l.node
+      |  UNION ALL SELECT l.node, l.lbl, sw.sw FROM $prev l JOIN sw USING (node)),
+      |c$r AS (SELECT node, lbl, sum(w) AS cnt FROM v$r GROUP BY 1, 2),
+      |l$r AS (SELECT node, lbl FROM (SELECT node, lbl,
+      |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+      |  FROM c$r) WHERE rn = 1)""".stripMargin
+  }
+
+  private def weightedLpaEventsSql =
+    s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
+      |  FROM events),
+      |prsw AS (SELECT a.user_id AS va, b.user_id AS vb, count(*)::BIGINT AS shared
+      |  FROM p a JOIN p b ON a.w = b.w AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |edges AS (SELECT va AS u, vb AS v, shared::DOUBLE AS w FROM prsw
+      |  UNION ALL SELECT vb, va, shared::DOUBLE FROM prsw),
+      |sw AS (SELECT u AS node, max(w) AS sw FROM edges GROUP BY 1),
+      |l0 AS (SELECT node, node AS lbl FROM sw),
+      |${weightedLpaRoundSql(1)},
+      |${weightedLpaRoundSql(2)},
+      |${weightedLpaRoundSql(3)}
+      |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
+
   private def communityProfileSql =
     s"""$eventsLpaPrefixSql,
       |sz AS (SELECT lbl AS community, count(*)::BIGINT AS n_users FROM l3 GROUP BY 1),
@@ -1698,6 +1730,21 @@ object MlQueries extends QueryDsl {
       h.appendAndMaintainCores(edges.filter(isDelta), maxK = 8)
       h.ensureCores(maxK = 8)
         .select($"node".as("user_id"), $"core_number".cast("long").as("core_number"))
+    },
+
+    // WEIGHTED LPA, ORACLE-PINNED: similarity-weighted communities
+    // where each vote carries its edge weight and the self-vote the
+    // node's strongest incident weight — q169's semantics, here on the
+    // events graph whose INTEGER shared-window weights make the double
+    // sums cross-engine exact. Anchors q169 (weighted LPA on the LSH
+    // graph, rows-only there). Store-served edges: the signature pass
+    // ran once at build; the weights are the store's fidelity-contract
+    // rows, so the SQL derivation matches bit for bit.
+    q("q231_lpa_weighted_events", weightedLpaEventsSql) { c =>
+      val edges = eventsPairStore(c.spark, c.dir).edges
+      graft.operators.LabelPropagation.run(
+        edges, "ua", "ub", rounds = 3, weightCol = Some("shared"))
+        .select($"node".as("user_id"), $"community")
     },
 
     q("q218_lpa_revocation", lpaRevocationSql) { c =>
