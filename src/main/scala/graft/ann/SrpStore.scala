@@ -688,6 +688,75 @@ object SrpStore {
           col("cos"), col("rnk"))
     }
 
+    /** [[topK]] restricted to an ALLOWED id set — filtered vector
+      * search, the production "ANN + metadata predicate" shape: the
+      * caller resolves its predicate to an id frame (e.g. documents
+      * with lang = 'en'), and ranking happens AMONG those ids only
+      * (rnk <= k counts allowed neighbors — a post-filter of plain
+      * topK would return fewer than k). The filter lands on the
+      * CANDIDATE set before the exact re-rank, so the vector read is
+      * pruned by the FILTERED candidates; `allowed` may be
+      * corpus-sized (first column = corpus id; semi-joined, never
+      * collected — at 100 TB the predicate side stays distributed).
+      * Same probe approximation as [[topK]]; at the degenerate
+      * (nBits = 1, tables = 1) family the probes cover the whole
+      * space and the result is EXACTLY the exhaustive filtered top-k
+      * (SrpStoreSpec pins it; q232/q232b share one oracle). Served
+      * distributed (no driver micro route: the allowed-membership
+      * probe would add the job the micro path saves). */
+    def topKFiltered(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        allowed: DataFrame,
+        probeHamming: Int = 1): DataFrame = {
+      require(probeHamming >= 0 && probeHamming <= 1,
+        s"probeHamming must be 0 or 1, got $probeHamming")
+      val allowedIds = allowed.select(
+        col(allowed.columns.head).cast("long").as("id"))
+      val sigCols = (0 until cfg.tables).map(t =>
+        Ann.srpSignature(col(queryVecCol), cfg.nBits, cfg.dim, cfg.seed + t)
+          .as(s"__sig$t"))
+      val probeStructs = (0 until cfg.tables).flatMap { t =>
+        val s = col(s"__sig$t")
+        struct(lit(t).as("tbl"), s.as("bkt")) +:
+          (if (probeHamming >= 1)
+            (0 until cfg.nBits).map(b =>
+              struct(lit(t).as("tbl"), s.bitwiseXOR(lit(1 << b)).as("bkt")))
+          else Seq.empty)
+      }
+      val probes = queries.select(col(queryIdCol) +: sigCols: _*)
+        .select(col(queryIdCol), explode(array(probeStructs: _*)).as("tb"))
+        .select(col(queryIdCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      val prune = graft.operators.KeyPrune.plan(probes, Seq("tbl", "bkt"),
+        noPruneAbove = _ => cfg.tables.toLong * (1L << cfg.nBits) / 2)
+      val candIds = live(prune(postings), "id")
+        .join(probes, Seq("tbl", "bkt"))
+        .select(col(queryIdCol), col("id"))
+        .distinct()
+        // the allowed semi-join BEFORE the checkpoint: the vector
+        // prune below sees only surviving ids
+        .join(allowedIds, Seq("id"), "left_semi")
+        .localCheckpoint()
+      val vPrune = graft.operators.KeyPrune.plan(
+        candIds.select(col("id")), Seq("id"), semiJoinFallback = false)
+      val qn = queries.select(col(queryIdCol), col(queryVecCol),
+        VectorFunctions.l2Norm(col(queryVecCol)).as("__qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col("id"))
+      candIds
+        .join(vPrune(vectors), Seq("id"))
+        .join(broadcast(qn), Seq(queryIdCol))
+        .withColumn("cos", VectorFunctions.cosineWithNorms(
+          VectorFunctions.dot(col("vec"), col(queryVecCol)),
+          col("norm"), col("__qn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col(queryIdCol).as("query_id"), col("id").as("neighbor_id"),
+          col("cos"), col("rnk"))
+    }
+
     /** [[topK]] resolved on the driver; None when a cap trips (the
       * caller then serves distributed). */
     private def microTopK(

@@ -672,6 +672,43 @@ object TextQueries extends QueryDsl {
     },
 
     // ---- similarity search ---------------------------------------------
+    // FILTERED vector search — the production "ANN + metadata
+    // predicate" shape: rank only among neighbors whose DOCUMENT row
+    // passes a predicate (here lang = 'en'), k counted within the
+    // allowed set. q232 is the exhaustive route (oracle-exact: the
+    // allowed semi-join + q70's proven cosine parity); q232b serves
+    // the SAME rows from the SRP store's topKFiltered at the
+    // degenerate (nBits=1, tables=1) family, where hamming-1 probes
+    // cover the whole bucket space — the q211/q212 argument — so the
+    // STORE filtered path is oracle-exact end to end, and the
+    // realistic-family behavior is spec-pinned (SrpStoreSpec).
+    q("q232_ann_filtered", annFilteredTop5Oracle) { c =>
+      import c.t
+      val allowed = t("documents").filter($"lang" === "en")
+        .select($"doc_id".as("vec_id"))
+      val corpus = t("embeddings").join(allowed, Seq("vec_id"), "left_semi")
+      val queries = t("embeddings").filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "qid", "qvec", 5)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    q("q232b_ann_filtered_store", annFilteredTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srpfilter_v1_$key"
+      val cfg = graft.ann.SrpStore.Config(nBits = 1, tables = 1, dim = 64,
+        seed = 42L)
+      graft.ann.SrpStore.ensure(emb, "vec_id", "embedding", c.spark, path, cfg)
+        .topKFiltered(queries, "qid", "qvec", k = 5,
+          allowed = t("documents").filter($"lang" === "en").select($"doc_id"))
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     q("q70_ann_bruteforce", annTop5Oracle) { c =>
       import c.t
       val queries = t("embeddings").filter($"vec_id" < 10)
@@ -3166,6 +3203,24 @@ object TextQueries extends QueryDsl {
   /** Brute-force top-5-by-cosine oracle, shared by q70 and the three
     * exhaustive-setting index twins (q72b/q73b/q74b) — one definition
     * so the exactness contract cannot drift between them. */
+  /** [[annTop5Oracle]] with the corpus side restricted to documents
+    * passing the metadata predicate — the filtered-search contract
+    * (rnk counts allowed neighbors only). */
+  private def annFilteredTop5Oracle: String =
+    """WITH allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+      |queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    cast(list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS double) AS c
+      |  FROM queries CROSS JOIN embeddings e
+      |  JOIN allowed ON allowed.vec_id = e.vec_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, c,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
+      |FROM ranked WHERE rnk <= 5""".stripMargin
+
   private def annTop5Oracle: String =
     """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
       |scored AS (

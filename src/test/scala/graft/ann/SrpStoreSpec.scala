@@ -247,6 +247,43 @@ class SrpStoreSpec extends SparkSpec {
     assert(gotBig.size > got.size)
   }
 
+  test("topKFiltered: degenerate family equals exhaustive filtered; realistic is a subset rank") {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // degenerate family: hamming-1 probes cover the whole 2-bucket
+    // space, so filtered candidates == the allowed corpus -> EXACTLY
+    // the exhaustive filtered top-k (the q232/q232b shared oracle)
+    val hDeg = SrpStore.build(emb, "vec_id", "embedding", tmp(),
+      SrpStore.Config(nBits = 1, tables = 1, dim = 64, seed = 42L))
+    val got = rows(hDeg.topKFiltered(queries, "qid", "qvec", 5, allowed))
+    val want = rows(Ann.bruteForceTopK(
+      emb.join(allowed, Seq("vec_id"), "left_semi"), queries,
+      "vec_id", "embedding", "qid", "qvec", 5))
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.nonEmpty)
+    // realistic family: every returned neighbor is allowed, ranks are
+    // dense from 1, and per query the hits are exactly the exhaustive
+    // filtered ranking RESTRICTED to the probed candidate set (the
+    // approximation only prunes candidates, never reorders)
+    val h = SrpStore.build(emb, "vec_id", "embedding", tmp(),
+      SrpStore.Config(nBits = 12, tables = 1, dim = 64, seed = 42L))
+    val real = h.topKFiltered(queries, "qid", "qvec", 5, allowed)
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val byQ = real.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+    byQ.values.foreach { hits =>
+      assert(hits.forall(h0 => allowedSet.contains(h0._2)))
+      assert(hits.map(_._3).sorted.toSeq == (1 to hits.length))
+    }
+    // an empty allowed set returns zero rows, not an error
+    assert(h.topKFiltered(queries, "qid", "qvec", 5,
+      emb.filter(lit(false)).select(col("vec_id"))).isEmpty)
+  }
+
   test("remove: serve paths equal a kept-corpus store; replay no-op; compact purges") {
     val sp = spark; import sp.implicits._
     val keep = emb.filter(col("vec_id") % 7 =!= 0)
