@@ -428,6 +428,35 @@ object PostingsStore {
       if (numDocs >= MaxScoreMinDocs) bm25SearchPruned(terms, k, k1, b)
       else bm25Exhaustive(terms, k, k1, b)
 
+    /** [[bm25Search]] restricted to an ALLOWED doc set — filtered
+      * ranked retrieval (the "search within a collection/language/
+      * tenant" shape): scores stay CORPUS-global (IDF from collection
+      * df, avgdl from the meta stats — a filter restricts the RESULT
+      * set, it does not re-weight terms), and the top-k counts
+      * allowed hits only (post-filtering plain bm25Search would
+      * under-return). `allowed` carries the doc id in its first
+      * column; it may be corpus-sized (semi-joined on the doc-length
+      * side, which also prunes the scoring join — never collected).
+      * Served by the exhaustive single-pass route: MaxScore's
+      * per-term bounds are corpus-wide, so under a selective filter
+      * its candidate pass can terminate before k allowed hits
+      * surface; at 100 TB the right pruning is a filter bitmap
+      * intersected into the postings read, which this API admits
+      * without contract change. */
+    def bm25SearchFiltered(
+        terms: Seq[String],
+        k: Int,
+        allowed: DataFrame,
+        k1: Double = 1.2,
+        b: Double = 0.75): DataFrame = {
+      val ids = allowed.select(
+        col(allowed.columns.head).cast("long").as(idCol))
+      InvertedIndex.bm25Impl(idCol, terms, k, k1, b, termsPostingsSpread,
+        live(docLens).join(ids, Seq(idCol), "left_semi"),
+        dfStats = Some(statsPostings), tfRows = Some(tfPostingsSpread),
+        corpusStats = Some(bm25Corpus))
+    }
+
     /** The plain single-pass store route (always exact, no pruning). */
     private def bm25Exhaustive(
         terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame =

@@ -88,6 +88,38 @@ object TextQueries extends QueryDsl {
 
   private val bm25SearchSql = bm25Sql(Seq("vector", "stream", "window"))
 
+  /** [[bm25Sql]] with the RESULT set restricted to docs passing
+    * `allowedWhere` while every corpus statistic (dl, N, avgdl, df)
+    * stays GLOBAL — filtered-search semantics (a filter restricts
+    * results, it does not re-weight terms), vs [[bm25Sql]]'s
+    * `docFilter`, which rebuilds the stats over the kept corpus
+    * (takedown semantics). */
+  private def bm25FilteredSql(terms: Seq[String], allowedWhere: String): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |post AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |dl AS (SELECT doc_id, count(*) AS dlen FROM post GROUP BY 1),
+      |corpus AS (SELECT count(*) AS n, avg(cast(dlen AS double)) AS avgdl FROM dl),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM post
+      |       WHERE term IN ($inList) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |allowed AS (SELECT doc_id FROM documents WHERE $allowedWhere),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    round(sum(
+      |      ln((1.0)::DOUBLE + (n - df + (0.5)::DOUBLE) / (df + (0.5)::DOUBLE))
+      |        * tf * (2.2)::DOUBLE
+      |        / (tf + (1.2)::DOUBLE * ((1.0)::DOUBLE - (0.75)::DOUBLE
+      |            + (0.75)::DOUBLE * dlen / avgdl))), 4) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  JOIN allowed USING (doc_id), corpus
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, score,
+      |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   private val allTermsSearchSql =
     """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       |  FROM documents WHERE length(trim(text)) > 0),
@@ -2539,6 +2571,21 @@ object TextQueries extends QueryDsl {
 
     q("q124b_bm25_search_store", bm25SearchSql) { c =>
       docStore(c).bm25Search(Seq("vector", "stream", "window"), k = 20)
+    },
+
+    // FILTERED ranked retrieval — q232's move for the search index
+    // ("search within a language/collection/tenant"): the top-20
+    // counts allowed (lang='en') docs only, while IDF/avgdl stay
+    // CORPUS-global (a filter restricts results, it does not
+    // re-weight terms — contrast q221, where a takedown rebuilds the
+    // stats over the kept corpus). Served from the postings store:
+    // the allowed frame semi-joins the doc-length side, which also
+    // prunes the scoring join.
+    q("q233_bm25_filtered",
+      bm25FilteredSql(Seq("vector", "stream", "window"), "lang = 'en'")) { c =>
+      import c.t
+      docStore(c).bm25SearchFiltered(Seq("vector", "stream", "window"),
+        k = 20, allowed = t("documents").filter($"lang" === "en").select($"doc_id"))
     },
 
     // MaxScore-pruned top-k: the rare planted term 'dup' (df ~5% of

@@ -29,6 +29,34 @@ class PostingsStoreSpec extends SparkSpec {
         Seq("vector", "stream", "window"), k = 20)))
   }
 
+  test("bm25SearchFiltered: corpus-global stats, allowed-only top-k, never under-returns") {
+    val path = tmp("poststore_filter")
+    val h = PostingsStore.build(docs, "doc_id", "text", path, nBuckets = 16)
+    val terms = Seq("vector", "stream", "window")
+    val allowed = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val got = h.bm25SearchFiltered(terms, k = 10, allowed).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // every hit allowed; ranks dense from 1
+    assert(got.forall(r => allowedSet.contains(r._1)))
+    assert(got.map(_._3).sorted.toSeq == (1L to got.length.toLong))
+    // scores are the UNFILTERED scores of the same docs (corpus-global
+    // IDF/avgdl — the filter restricts results, never re-weights), and
+    // the filtered top-k is exactly the allowed prefix of the full
+    // ranking: a plain-top-k post-filter would under-return whenever
+    // a disallowed doc out-scores an allowed one
+    val full = h.bm25Search(terms, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val fullScore = full.toMap
+    assert(got.forall(r => fullScore(r._1) == r._2))
+    val expect = full.filter(r => allowedSet.contains(r._1)).take(10).map(_._1).toSeq
+    assert(got.map(_._1).toSeq == expect)
+    assert(got.nonEmpty)
+    // empty allowed set: zero rows, not an error
+    assert(h.bm25SearchFiltered(terms, k = 10,
+      docs.filter(lit(false)).select(col("doc_id"))).isEmpty)
+  }
+
   test("term lookup prunes partitions (directory skip) and pushes the term filter") {
     val path = tmp("poststore_prune")
     val h = PostingsStore.build(docs, "doc_id", "text", path, nBuckets = 16)
