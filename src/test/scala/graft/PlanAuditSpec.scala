@@ -19,6 +19,11 @@ class PlanAuditSpec extends SparkSpec {
     "q71b_ann_lsh_exhaustive", "q72_ann_ivf", "q72b_ann_ivf_exhaustive",
     "q73_ann_pq", "q73b_ann_pq_exhaustive", "q74_ann_ivfpq",
     "q74b_ann_ivfpq_exhaustive", "q71_ann_lsh",
+    // q232: q70's broadcast query-set scorer over the ALLOWED-filtered
+    // corpus — the exhaustive oracle route of filtered vector search
+    // (q232b, the store route, plans candidate equi-joins and is not
+    // whitelisted)
+    "q232_ann_filtered",
     // OPQ = the q73 ADC shape after an orthonormal rotation: every
     // corpus row scores against the broadcast per-query ADC tables
     "q181_ann_opq", "q181b_ann_opq_exhaustive",
@@ -50,6 +55,11 @@ class PlanAuditSpec extends SparkSpec {
     // q221: the same BM25 (N, avgdl) scalar broadcast as q124b, over
     // the post-takedown store
     "q221_search_takedown",
+    // q233: q124b's one-row corpus-stats cross on the FILTERED serve —
+    // stats stay corpus-global by the filtered-search contract, so the
+    // scalar broadcast is identical; the allowed filter itself is an
+    // equi-semi-join
+    "q233_bm25_filtered",
     // q222: q221's BM25 scalar broadcast through the unified forget
     // stream (the serve leg is the same bm25Search plan)
     "q222_unified_forget",
