@@ -141,7 +141,37 @@ object IvfStore {
         queryVecCol: String,
         k: Int,
         nprobe: Int,
-        shortlist: Int): DataFrame = {
+        shortlist: Int): DataFrame =
+      topKAdcImpl(queries, queryIdCol, queryVecCol, k, nprobe, shortlist, None)
+
+    /** [[topKAdc]] restricted to an ALLOWED id set — the filtered
+      * vector search contract ([[SrpStore.Handle.topKFiltered]]): the
+      * allowed semi-join lands on the probed CODE rows, so the ADC
+      * shortlist and the exact re-rank both count allowed neighbors
+      * only, and rnk <= k ranks within the allowed set. `allowed` may
+      * be corpus-sized (first column = corpus id; semi-joined, never
+      * collected). At nprobe = nCells with shortlist >= the allowed
+      * corpus the route degenerates to the exhaustive filtered
+      * ranking exactly (q234 shares q232's oracle). */
+    def topKAdcFiltered(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        nprobe: Int,
+        shortlist: Int,
+        allowed: DataFrame): DataFrame =
+      topKAdcImpl(queries, queryIdCol, queryVecCol, k, nprobe, shortlist,
+        Some(allowed.select(col(allowed.columns.head).cast("long").as(idCol))))
+
+    private def topKAdcImpl(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        nprobe: Int,
+        shortlist: Int,
+        allowedIds: Option[DataFrame]): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       // OPQ stores probe and build residual ADC tables from the
       // ROTATED query (the IvfOpq.topK shape); the original query
@@ -159,9 +189,13 @@ object IvfStore {
       }
       val cells = probed.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      val codeRows =
+      val probedRows =
         if (cells.isEmpty) vectors.limit(0)
         else vectors.filter(col("cell").isin(cells: _*))
+      val codeRows = allowedIds match {
+        case Some(ids) => probedRows.join(ids, Seq(idCol), "left_semi")
+        case None => probedRows
+      }
       val scored = codeRows.select(col(idCol), col("cell"), col("codes"))
         .join(broadcast(probed), Seq("cell"))
         .withColumn("adc", Pq.adcColumn)

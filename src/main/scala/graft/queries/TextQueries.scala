@@ -741,6 +741,28 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // Filtered search through the IVF store — the third serving store
+    // gains the same contract (SRP q232b, BM25 q233): the allowed
+    // semi-join lands on the probed code rows, so the ADC shortlist
+    // and the exact re-rank count allowed neighbors only. At
+    // nprobe = nCells with an over-corpus shortlist the route
+    // degenerates to the exhaustive filtered ranking — same oracle as
+    // q232; IvfStoreSpec pins the realistic-probe behavior.
+    q("q234_ann_ivf_filtered_store", annFilteredTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_$key"
+      graft.ann.IvfStore.ensure(emb, "vec_id", "embedding", c.spark, path, nlist = 16)
+        .topKAdcFiltered(qs, "qid", "qvec", k = 5, nprobe = 16,
+          shortlist = 1 << 20,
+          allowed = t("documents").filter($"lang" === "en").select($"doc_id"))
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     q("q70_ann_bruteforce", annTop5Oracle) { c =>
       import c.t
       val queries = t("embeddings").filter($"vec_id" < 10)

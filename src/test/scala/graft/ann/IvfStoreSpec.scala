@@ -77,6 +77,34 @@ class IvfStoreSpec extends SparkSpec {
     assert(full == bf)
   }
 
+  test("topKAdcFiltered: exhaustive setting equals brute force over the allowed set") {
+    val h = IvfStore.build(emb, "vec_id", "embedding", tmp("ivffilter"), nlist = 16)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val n = emb.count().toInt
+    // exhaustive probes + over-corpus shortlist: exactly the filtered
+    // brute-force ranking THROUGH the store (the q234/q232 oracle)
+    val got = rows(h.topKAdcFiltered(queries, "qid", "qvec",
+      k = 5, nprobe = 16, shortlist = n, allowed = allowed))
+    val want = rows(Ann.bruteForceTopK(
+      emb.join(allowed, Seq("vec_id"), "left_semi"), queries,
+      "vec_id", "embedding", "qid", "qvec", 5))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // realistic probes: every hit allowed, ranks dense from 1
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val real = h.topKAdcFiltered(queries, "qid", "qvec",
+        k = 5, nprobe = 4, shortlist = 50, allowed = allowed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(real.forall(r => allowedSet.contains(r._2)))
+    real.groupBy(_._1).values.foreach { hits =>
+      assert(hits.map(_._3).sorted.toSeq == (1 to hits.length))
+    }
+    // empty allowed set: zero rows, not an error
+    assert(h.topKAdcFiltered(queries, "qid", "qvec", k = 5, nprobe = 4,
+      shortlist = 50, allowed = emb.filter(lit(false)).select(col("vec_id")))
+      .isEmpty)
+  }
+
   test("ADC plan: the candidate scan reads codes, never the vector column") {
     val h = IvfStore.build(emb, "vec_id", "embedding", tmp("ivfplan"), nlist = 16)
     val q = h.topKAdc(queries, "qid", "qvec", k = 5, nprobe = 4, shortlist = 50)
