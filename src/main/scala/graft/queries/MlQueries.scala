@@ -1167,19 +1167,20 @@ object MlQueries extends QueryDsl {
               sqrt($"syy" - $"sy" * $"sy" / $"n")), 6).as("assortativity"))
     },
 
-    // 2-core of the LSH near-dup graph: the robust dense-cluster
+    // 2-core of the near-dup graph: the robust dense-cluster
     // extractor (cyclically-linked duplicate families survive the
-    // peel; chains and stars of borderline near-dups dissolve — at
-    // this corpus the 2-core keeps ~10 of ~1000 linked nodes, and the
-    // 3-core is empty, which is itself the signal: no clique-forming
-    // template families). Iterative peeling has no fixed-depth SQL
-    // twin — rows-only; KCoreSpec pins the exact semantics on planted
-    // shapes (K4+tail, cascading chains).
-    q("q176_kcore_neardup") { c =>
-      // peel over the store-served edge frame — the edge build (the
-      // dominant cost of every graph metric here) is amortized across
-      // the whole q162b/q169/q176/q101b/q183 family
-      val pairs = TextQueries.embPairStore(c.spark, c.dir).edges
+    // peel; chains and stars of borderline near-dups dissolve).
+    // ORACLE-EXACT since round 15 on the EXACT cosine graph (the
+    // oracle route, served from the shared exact pair store): the
+    // peel unrolls as GraphSql.peelCoreSql — degrees recomputed
+    // within the surviving induced subgraph each round (sf0.01
+    // fixpoint 9 rounds; 18 used). KCoreSpec keeps the planted-shape
+    // pins (K4+tail, cascading chains) and the LSH-graph route.
+    q("q176_kcore_neardup", GraphSql.peelCoreSql(k = 2, rounds = 18)) { c =>
+      // peel over the store-served edge frame — the edge build is
+      // amortized across the maintained-graph family sharing the
+      // exact store (q180/q186/q198/q213 + the base-store builders)
+      val pairs = TextQueries.embExactPairStore(c.spark, c.dir).edges
         .select($"vec_a", $"vec_b")
       graft.operators.KCore.run(pairs, "vec_a", "vec_b", k = 2)
         .select($"node".as("vec_id"), $"core_degree")
@@ -1330,16 +1331,19 @@ object MlQueries extends QueryDsl {
     },
 
     // Incremental k-core on the pair-graph store: a deterministic 1/5
-    // of the stored verified edges arrives as an insertion batch and
-    // core numbers are MAINTAINED (Sarıyüce-style localized traversal
-    // + re-peel) instead of re-peeled from scratch. Rows-only by the
-    // graph family's convention; KCoreSpec proves maintain ==
-    // from-scratch on planted and randomized graphs, so these rows
-    // are pinned to the exact peel's. The point at 100 TB: refresh
+    // of the stored verified edges (arithmetic split, the q224 idiom)
+    // arrives as an insertion batch and core numbers are MAINTAINED
+    // (Sarıyüce-style localized traversal + re-peel) instead of
+    // re-peeled from scratch. ORACLE-EXACT since round 15 on the
+    // EXACT cosine graph: the maintained cores equal GraphSql's
+    // unrolled h-index iteration over the full graph (sf0.01 fixpoint
+    // 8 rounds; 16 used); KCoreSpec proves maintain == from-scratch
+    // on planted and randomized graphs. The point at 100 TB: refresh
     // cost tracks the DELTA neighborhood, not the corpus graph.
-    q("q180_kcore_incremental") { c =>
-      val edges = TextQueries.embPairStore(c.spark, c.dir).edges
-      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+    q("q180_kcore_incremental",
+      GraphSql.hIndexCoresSql(kept = "", maxK = 3, rounds = 16)) { c =>
+      val edges = TextQueries.embExactPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"vec_a" * 31 + $"vec_b", lit(5)) === 0
       val base = edges.filter(!isDelta)
       val delta = edges.filter(isDelta)
       // the pre-insertion core numbers are persisted state (computed
@@ -1349,7 +1353,7 @@ object MlQueries extends QueryDsl {
       // measures the maintain pass, which is the claim.
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val coresPath = s"${System.getProperty("java.io.tmpdir")}/graft_kcore_base_v1_$key"
+      val coresPath = s"${System.getProperty("java.io.tmpdir")}/graft_xkcore_base_v1_$key"
       val fs = new org.apache.hadoop.fs.Path(coresPath)
         .getFileSystem(c.spark.sparkContext.hadoopConfiguration)
       graft.operators.SwapDir.heal(fs, new org.apache.hadoop.fs.Path(coresPath))
@@ -1365,7 +1369,7 @@ object MlQueries extends QueryDsl {
       val oldCores = c.spark.read.parquet(coresPath)
       graft.operators.KCore.maintainAfterInsert(
         oldCores, base, delta, "vec_a", "vec_b", maxK = 3)
-        .select($"node".as("vec_id"), $"core_number")
+        .select($"node".as("vec_id"), $"core_number".cast("long").as("core_number"))
     },
 
     // q168b's contamination screen served from the persisted pair
@@ -1771,17 +1775,17 @@ object MlQueries extends QueryDsl {
     },
 
     // Incremental triangle/lcc maintenance on the pair-graph store:
-    // q180's split (a deterministic 1/5 of stored edges arrives as
-    // the insertion batch), per-node triangle counts updated in ONE
-    // pass from the delta edges' neighborhoods — every new triangle
-    // contains a fresh edge, sorted-triple dedup counts multi-fresh
-    // triangles once; the corpus-wide oriented wedge join never
-    // re-runs. Rows-only (LSH graph); TrianglesSpec pins maintain ==
-    // from-scratch on planted and randomized graphs, and q174's exact
-    // twin anchors the triangle semantics.
-    q("q186_triangles_incremental") { c =>
-      val edges = TextQueries.embPairStore(c.spark, c.dir).edges
-      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+    // q180's split (a deterministic arithmetic 1/5 of stored edges
+    // arrives as the insertion batch), per-node triangle counts
+    // updated in ONE pass from the delta edges' neighborhoods — every
+    // new triangle contains a fresh edge, sorted-triple dedup counts
+    // multi-fresh triangles once; the corpus-wide oriented wedge join
+    // never re-runs. ORACLE-EXACT since round 15 on the EXACT cosine
+    // graph (GraphSql.trianglesSql — the q225 mold); TrianglesSpec
+    // pins maintain == from-scratch on planted and randomized graphs.
+    q("q186_triangles_incremental", GraphSql.trianglesSql) { c =>
+      val edges = TextQueries.embExactPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"vec_a" * 31 + $"vec_b", lit(5)) === 0
       val base = edges.filter(!isDelta)
       val delta = edges.filter(isDelta)
       val oldCounts = graft.operators.Triangles.perNode(base, "vec_a", "vec_b")
@@ -1793,24 +1797,25 @@ object MlQueries extends QueryDsl {
 
     // Incremental COMMUNITY maintenance on the pair-graph store —
     // closing the family: cores (q180) and triangles (q186) maintain
-    // at delta cost, now LPA labels do too. q180's split: 4/5 of the
-    // verified edges are the stored base (labels persisted once,
-    // partition-pruned writes), 1/5 arrives as the insertion batch;
-    // only components TOUCHED by a delta edge re-propagate — LPA is
-    // component-local and deterministic, so the maintained labels
-    // equal a from-scratch run over the grown graph row for row
-    // (PairGraphStoreSpec pins it on planted merges and randomized
-    // splits), i.e. these rows are exactly q162b's. Rows-only (LSH
-    // graph); q162 is the family's oracle-exact anchor.
-    q("q190_lpa_incremental") { c =>
-      val edges = TextQueries.embPairStore(c.spark, c.dir).edges
-      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+    // at delta cost, now LPA labels do too. q180's split (arithmetic)
+    // on the EXACT cosine graph: 4/5 of the verified edges are the
+    // stored base (labels persisted once, partition-pruned writes),
+    // 1/5 arrives as the insertion batch; only components TOUCHED by
+    // a delta edge re-propagate — LPA is component-local and
+    // deterministic, so the maintained labels equal a from-scratch
+    // run over the grown graph row for row (PairGraphStoreSpec pins
+    // it on planted merges and randomized splits). ORACLE-EXACT since
+    // round 15: the full-graph labels are exactly q162's SQL unroll,
+    // so the maintenance pass gets the same cross-engine hash.
+    q("q190_lpa_incremental", lpaCommunitiesSql) { c =>
+      val edges = TextQueries.embExactPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"vec_a" * 31 + $"vec_b", lit(5)) === 0
       val base = edges.filter(!isDelta)
       val delta = edges.filter(isDelta)
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_lpa_base_v1_$key"
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_xlpa_base_v1_$key"
       // the base store persists its labels once (crash-safe swap);
       // the QUERY measures the maintain pass — the production shape
       val h = graft.operators.PairGraphStore.ensure(

@@ -170,6 +170,28 @@ object TextQueries extends QueryDsl {
       "vec_a", "vec_b", Some("cos"), spark, path)
   }
 
+  /** The EXACT cosine>0.35 pair graph persisted once per dir — the
+    * maintained-state family's ORACLE-ROUTE store (round 15, the
+    * q162 convention extended): [[cosinePairs]]' frame with the
+    * 4dp-rounded weight (q64's proven cross-engine parity), so every
+    * graph metric served from it has a DuckDB-expressible edge set
+    * and the maintenance arithmetic gets a cross-engine hash
+    * ([[GraphSql]]). Shared read-only by q176/q180/q186/q213 and the
+    * base-store builders (q190/q193/q199/q205); the SRP-LSH store
+    * ([[embPairStore]]) remains the 100 TB scale route, served by the
+    * `_lsh`-named queries. */
+  private[queries] def embExactPairStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.PairGraphStore.Handle = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_embx035_v1_$key"
+    graft.operators.PairGraphStore.ensure(
+      cosinePairs(graft.Tables.load(spark, dir, "embeddings"), 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos")),
+      "vec_a", "vec_b", Some("cos"), spark, path)
+  }
+
   /** Same pattern for the TEXT similarity family: the exact 3-shingle
     * Jaccard>=0.5 pair graph (q61's oracle-exact frame) persisted once
     * per dir, serving both PageRank routes (q128/q130). The stored
@@ -2061,16 +2083,16 @@ object TextQueries extends QueryDsl {
 
     // k-truss of the vector near-dup graph — the edge-cohesion cut:
     // an edge survives the 3-truss only with a mutual witness inside
-    // the surviving subgraph, so spurious LSH bridges between
-    // clusters fall where k-core (degree-only) keeps them (the
-    // harness graph's clusters are witness-sparse — its 4-truss is
-    // empty, the spec's K4 fixture covers the deeper cut). Rows-only
-    // (iterative peel, no SQL twin — q176/q180's adjudication);
-    // TrussSpec pins both routes against an independent
-    // simultaneous-sweep reference, and q174's oracle-exact twin
-    // anchors the triangle semantics underneath.
-    q("q198_ktruss_neardup") { c =>
-      val edges = embPairStore(c.spark, c.dir).edges
+    // the surviving subgraph, so spurious bridges between clusters
+    // fall where k-core (degree-only) keeps them. ORACLE-EXACT since
+    // round 15 on the EXACT cosine graph (the oracle route —
+    // GraphSql's unrolled support peel; sf0.01 fixpoint 2 rounds, 6
+    // used); TrussSpec pins the operator against an independent
+    // simultaneous-sweep reference on planted shapes (incl. the K4
+    // fixture for the deeper cut), and the LSH-graph route stays
+    // spec-covered there.
+    q("q198_ktruss_neardup", GraphSql.ktrussSql(k = 3, rounds = 6)) { c =>
+      val edges = embExactPairStore(c.spark, c.dir).edges
       graft.operators.Truss.kTruss(edges, "vec_a", "vec_b", k = 3)
         .select($"a".as("vec_a"), $"b".as("vec_b"))
     },
@@ -2189,25 +2211,28 @@ object TextQueries extends QueryDsl {
 
     // Incremental PageRank maintenance on the pair-graph store —
     // completing the maintained-state family: cores (q180), triangles
-    // (q186), communities (q190), now centrality. q180's split: 4/5
-    // of the verified edges are the stored base (N-free iterates
-    // persisted once), 1/5 arrives as the insertion batch; only the
-    // delta's 3-hop neighborhood recomputes — the N-free
+    // (q186), communities (q190), now centrality. q180's split, now
+    // ARITHMETIC ((a*31+b)%5 — the q224 idiom) on the EXACT cosine
+    // pair graph (the oracle route; LSH stays the spec-pinned scale
+    // route): 4/5 of the verified edges are the stored base (N-free
+    // iterates persisted once), 1/5 arrives as the insertion batch;
+    // only the delta's 3-hop neighborhood recomputes — the N-free
     // representation makes new-node arrivals local (under raw pr the
     // 1/N teleport shift touches EVERY node), and untouched nodes'
     // iterates stay bit-identical with their state partitions
-    // unwritten. Rows-only (LSH graph); q128/q193b anchor the
-    // PageRank semantics oracle-exactly, PairGraphStoreSpec pins
-    // maintain == from-scratch bit-for-bit.
-    q("q193_pagerank_incremental") { c =>
-      val edges = embPairStore(c.spark, c.dir).edges
-      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+    // unwritten. ORACLE-EXACT since round 15: the maintained ranks
+    // equal the 3-round unroll over the full graph
+    // (PairGraphStoreSpec pins maintain == from-scratch bit-for-bit;
+    // GraphSql.pagerank3Sql replays it cross-engine).
+    q("q193_pagerank_incremental", GraphSql.pagerank3Sql) { c =>
+      val edges = embExactPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"vec_a" * 31 + $"vec_b", lit(5)) === 0
       val base = edges.filter(!isDelta)
       val delta = edges.filter(isDelta)
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_pr_base_v1_$key"
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_xpr_base_v1_$key"
       val h = graft.operators.PairGraphStore.ensure(
         base, "vec_a", "vec_b", Some("cos"), c.spark, path)
       h.appendAndMaintainRanks(delta, iterations = 3, damping = 0.85)
@@ -2221,12 +2246,15 @@ object TextQueries extends QueryDsl {
     // seeded at the fresh edges (stored hop-(t−1) values relax across
     // fresh edges; the improvement frontier relaxes across all), and
     // maintained values are bit-identical to from-scratch iterates
-    // (PairGraphStoreSpec). q180's split; dissimilarity cost 1 − cos;
-    // dist = cheapest ≤4-hop path from the seed core. Rows-only (LSH
-    // graph); q196 is the min-plus family's oracle-exact anchor.
-    q("q199_distance_incremental") { c =>
-      val edges = embPairStore(c.spark, c.dir).edges
-      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+    // (PairGraphStoreSpec). q180's split (arithmetic, the q224
+    // idiom) on the EXACT cosine graph; dissimilarity cost 1 − w over
+    // the store's 4dp-rounded weight — both engines accumulate
+    // IDENTICAL doubles per path, so min-plus and the 6dp rounding
+    // agree exactly (GraphSql.minPlus4Sql). ORACLE-EXACT since round
+    // 15; q196 remains the min-plus family's jaccard-side anchor.
+    q("q199_distance_incremental", GraphSql.minPlus4Sql) { c =>
+      val edges = embExactPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"vec_a" * 31 + $"vec_b", lit(5)) === 0
       val base = edges.filter(!isDelta)
       val delta = edges.filter(isDelta)
       val seeds = edges.select($"vec_a".as("node"))
@@ -2235,7 +2263,7 @@ object TextQueries extends QueryDsl {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_dist_base_v1_$key"
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_xdist_base_v1_$key"
       val h = graft.operators.PairGraphStore.ensure(
         base, "vec_a", "vec_b", Some("cos"), c.spark, path)
       h.appendAndMaintainDistances(delta, "seedmod10", seeds,
@@ -2253,16 +2281,20 @@ object TextQueries extends QueryDsl {
     // cores upper-bound the new ones and iterating
     // c <- min(c, H(neighbor c)) from them converges EXACTLY to the
     // kept graph's cores (proof in KCore.maintainAfterDelete's doc;
-    // KCoreSpec pins both routes against from-scratch). Rows-only
-    // (iterative peel); q176/q180 anchor the family.
-    q("q213_kcore_decremental") { c =>
-      val edges = embPairStore(c.spark, c.dir).edges
-      val isDeleted = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+    // KCoreSpec pins both routes against from-scratch). ORACLE-EXACT
+    // since round 15 — the q224 move on the exact cosine graph: the
+    // kept-edge view is the arithmetic-split SQL frame and the
+    // maintained cores equal GraphSql's unrolled h-index peel over it
+    // (sf0.01 kept-graph fixpoint 6 rounds; 16 used).
+    q("q213_kcore_decremental",
+      GraphSql.hIndexCoresSql(kept = "(va * 31 + vb) % 5 <> 0", maxK = 8, rounds = 16)) { c =>
+      val edges = embExactPairStore(c.spark, c.dir).edges
+      val isDeleted = pmod($"vec_a" * 31 + $"vec_b", lit(5)) === 0
       val deleted = edges.filter(isDeleted)
       val old = graft.operators.KCore.coreNumbers(edges, "vec_a", "vec_b", maxK = 8)
       graft.operators.KCore
         .maintainAfterDelete(old, edges, deleted, "vec_a", "vec_b", maxK = 8)
-        .select($"node".as("vec_id"), $"core_number")
+        .select($"node".as("vec_id"), $"core_number".cast("long").as("core_number"))
     },
 
     // Store-level edge revocation — q213 SERVED from the pair-graph
@@ -2273,20 +2305,29 @@ object TextQueries extends QueryDsl {
     // invalidate and re-derive from the kept view on next ensure).
     // Replays find the ledger already carrying the batch and the
     // cores at the fixpoint — zero partitions rewritten. Rows equal
-    // q213's (PairGraphStoreSpec pins the full contract). Rows-only;
-    // q176/q180 anchor the family.
-    q("q214_kcore_revocation") { c =>
-      val edges = embPairStore(c.spark, c.dir).edges
-      val isDeleted = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
-      val deleted = edges.filter(isDeleted)
+    // q213's — ORACLE-EXACT since round 15 against the same unrolled
+    // h-index SQL (the store route and the inline route pinned to one
+    // cross-engine fixpoint; PairGraphStoreSpec pins the full
+    // contract).
+    q("q214_kcore_revocation",
+      GraphSql.hIndexCoresSql(kept = "(va * 31 + vb) % 5 <> 0", maxK = 8, rounds = 16)) { c =>
+      val isDeleted = pmod($"vec_a" * 31 + $"vec_b", lit(5)) === 0
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_revoke_v1_$key"
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_xrevoke_v1_$key"
+      // own store (revocation MUTATES it — the shared read-only exact
+      // store must stay the full graph); the revoked subset derives
+      // from the store's PHYSICAL rows, so a replay reads parquet,
+      // finds the applied marker, and serves (the q218 shape)
       val h = graft.operators.PairGraphStore.ensure(
-        edges, "vec_a", "vec_b", Some("cos"), c.spark, path)
-      h.removeEdgesAndMaintainCores(deleted, maxK = 8)
-        .select($"node".as("vec_id"), $"core_number")
+        cosinePairs(graft.Tables.load(c.spark, c.dir, "embeddings"), 0.35)
+          .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos")),
+        "vec_a", "vec_b", Some("cos"), c.spark, path)
+      h.removeEdgesAndMaintainCores(
+        h.physicalEdges.filter(isDeleted).select($"vec_a", $"vec_b"), maxK = 8)
+      h.ensureCores(maxK = 8)
+        .select($"node".as("vec_id"), $"core_number".cast("long").as("core_number"))
     },
 
     // Incremental k-truss maintenance — the fifth maintained state
@@ -2296,18 +2337,19 @@ object TextQueries extends QueryDsl {
     // neighborhood peeled against the stored truss as frozen support
     // — from-scratch truss equality proved by TrussSpec on planted
     // and randomized splits, replay rewrites NO state partitions.
-    // q180's split; k=3 (the harness LSH graph's 4-truss is empty —
-    // q198's adjudication). Rows-only (iterative peel, no SQL twin);
-    // q198/q174 anchor the truss/triangle semantics.
-    q("q205_ktruss_incremental") { c =>
-      val edges = embPairStore(c.spark, c.dir).edges
-      val isDelta = pmod(xxhash64($"vec_a", $"vec_b"), lit(5)) === 0
+    // q180's split (arithmetic) on the EXACT cosine graph; k=3.
+    // ORACLE-EXACT since round 15: the maintained truss equals
+    // GraphSql's unrolled support peel over the full graph (sf0.01
+    // fixpoint 2 rounds; 6 used — the q226 mold).
+    q("q205_ktruss_incremental", GraphSql.ktrussSql(k = 3, rounds = 6)) { c =>
+      val edges = embExactPairStore(c.spark, c.dir).edges
+      val isDelta = pmod($"vec_a" * 31 + $"vec_b", lit(5)) === 0
       val base = edges.filter(!isDelta)
       val delta = edges.filter(isDelta)
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_truss_base_v1_$key"
+        s"${System.getProperty("java.io.tmpdir")}/graft_pairgraph_xtruss_base_v1_$key"
       val h = graft.operators.PairGraphStore.ensure(
         base, "vec_a", "vec_b", Some("cos"), c.spark, path)
       h.appendAndMaintainTruss(delta, k = 3)
