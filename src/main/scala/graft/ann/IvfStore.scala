@@ -406,7 +406,12 @@ object IvfStore {
     * per store generation. A cached handle whose SparkSession has been
     * STOPPED since (test suites stop/recreate sessions in one JVM) is
     * evicted and re-opened — its cached frames and model arrays are
-    * bound to dead executors. */
+    * bound to dead executors. The get/put below is deliberately NOT
+    * atomic: two threads racing on a cold key both openUncached and
+    * one immutable handle is discarded (harmless — no resource held),
+    * and dead-session entries for untouched keys linger until their
+    * key is re-opened; the registry is bounded by the test-lifecycle
+    * store count, so no sweep is needed. */
   def open(spark: SparkSession, path: String): Handle = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SwapDir.heal(fs, new Path(path))

@@ -640,6 +640,21 @@ object SrpStore {
           case Some(res) => return res
           case None => () // a cap tripped — serve distributed
         }
+      topKDistributed(queries, queryIdCol, queryVecCol, k, probeHamming, None)
+    }
+
+    /** The shared distributed serve route of [[topK]] and
+      * [[topKFiltered]] (the IvfStore.topKAdcImpl pattern — one copy,
+      * so the filtered route cannot drift): signature-probe, pruned
+      * postings read, bucket join, optional allowed semi-join, exact
+      * re-rank on candidate-pruned vectors. */
+    private def topKDistributed(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        probeHamming: Int,
+        allowedIds: Option[DataFrame]): DataFrame = {
       // per-table signature computed once per query row, THEN exploded
       // into probe buckets (sig + single-bit flips)
       val sigCols = (0 until cfg.tables).map(t =>
@@ -660,10 +675,15 @@ object SrpStore {
       // bucket join then yields one candidate row per (query, id)
       val prune = graft.operators.KeyPrune.plan(probes, Seq("tbl", "bkt"),
         noPruneAbove = _ => cfg.tables.toLong * (1L << cfg.nBits) / 2)
-      val candIds = live(prune(postings), "id")
+      val candRaw = live(prune(postings), "id")
         .join(probes, Seq("tbl", "bkt"))
         .select(col(queryIdCol), col("id"))
         .distinct()
+      // the allowed semi-join lands BEFORE the checkpoint, so the
+      // vector prune below sees only surviving ids; `allowed` may be
+      // corpus-sized — semi-joined, never collected
+      val candIds = allowedIds.fold(candRaw)(a =>
+          candRaw.join(a, Seq("id"), "left_semi"))
         // eager + reusable: the id prune below collects from it, then
         // the re-rank joins it — without this the bucket join runs twice
         .localCheckpoint()
@@ -715,46 +735,8 @@ object SrpStore {
         s"probeHamming must be 0 or 1, got $probeHamming")
       val allowedIds = allowed.select(
         col(allowed.columns.head).cast("long").as("id"))
-      val sigCols = (0 until cfg.tables).map(t =>
-        Ann.srpSignature(col(queryVecCol), cfg.nBits, cfg.dim, cfg.seed + t)
-          .as(s"__sig$t"))
-      val probeStructs = (0 until cfg.tables).flatMap { t =>
-        val s = col(s"__sig$t")
-        struct(lit(t).as("tbl"), s.as("bkt")) +:
-          (if (probeHamming >= 1)
-            (0 until cfg.nBits).map(b =>
-              struct(lit(t).as("tbl"), s.bitwiseXOR(lit(1 << b)).as("bkt")))
-          else Seq.empty)
-      }
-      val probes = queries.select(col(queryIdCol) +: sigCols: _*)
-        .select(col(queryIdCol), explode(array(probeStructs: _*)).as("tb"))
-        .select(col(queryIdCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-      val prune = graft.operators.KeyPrune.plan(probes, Seq("tbl", "bkt"),
-        noPruneAbove = _ => cfg.tables.toLong * (1L << cfg.nBits) / 2)
-      val candIds = live(prune(postings), "id")
-        .join(probes, Seq("tbl", "bkt"))
-        .select(col(queryIdCol), col("id"))
-        .distinct()
-        // the allowed semi-join BEFORE the checkpoint: the vector
-        // prune below sees only surviving ids
-        .join(allowedIds, Seq("id"), "left_semi")
-        .localCheckpoint()
-      val vPrune = graft.operators.KeyPrune.plan(
-        candIds.select(col("id")), Seq("id"), semiJoinFallback = false)
-      val qn = queries.select(col(queryIdCol), col(queryVecCol),
-        VectorFunctions.l2Norm(col(queryVecCol)).as("__qn"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col("id"))
-      candIds
-        .join(vPrune(vectors), Seq("id"))
-        .join(broadcast(qn), Seq(queryIdCol))
-        .withColumn("cos", VectorFunctions.cosineWithNorms(
-          VectorFunctions.dot(col("vec"), col(queryVecCol)),
-          col("norm"), col("__qn")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col(queryIdCol).as("query_id"), col("id").as("neighbor_id"),
-          col("cos"), col("rnk"))
+      topKDistributed(queries, queryIdCol, queryVecCol, k, probeHamming,
+        Some(allowedIds))
     }
 
     /** [[topK]] resolved on the driver; None when a cap trips (the

@@ -871,6 +871,27 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // q141's exhaustive twin — the LAST unfiltered store serve route
+    // without one (q189b/q192b cover the ADC routes, q71b/q72b the
+    // inline ones): every cell probed makes the store's full-vector
+    // topK a brute-force scan through the cell-partitioned layout, so
+    // the stored cell assignment, partition prune, and re-rank
+    // plumbing hash-check against the shared ANN oracle. q141's
+    // pruned setting stays rows-only (IvfStoreSpec pins it to the
+    // in-memory route).
+    q("q141b_ann_ivf_store_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfstore_$key"
+      graft.ann.IvfStore.ensure(emb, "vec_id", "embedding", c.spark, path, nlist = 16)
+        .topK(qs, "qid", "qvec", k = 5, nprobe = 16)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // The store's ADC serve path (IvfStore v2): probed cells' (id,
     // codes) columns only — 8 bytes per candidate row instead of the
     // 64-float vector, true vectors joined for the shortlist re-rank
@@ -1168,6 +1189,29 @@ object TextQueries extends QueryDsl {
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_srptopk_$key"
       val cfg = graft.ann.SrpStore.Config(nBits = 12, tables = 1, dim = 64,
+        seed = 42L)
+      graft.ann.SrpStore.ensure(t("embeddings"), "vec_id", "embedding",
+          c.spark, path, cfg)
+        .topK(queries, "qid", "qvec", k = 5)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // q191's exhaustive twin — the q71b argument THROUGH the persisted
+    // store (completing the unfiltered serve-route twin set): at the
+    // degenerate (nBits=1, tables=1) family the hamming-1 probe covers
+    // the whole 2-bucket space, so the store's sign-probe-rerank serve
+    // provably degenerates to brute force and hash-checks against the
+    // shared ANN oracle. Reuses q232b's degenerate store build; q191's
+    // realistic family stays rows-only (SrpStoreSpec pins it to the
+    // inline route).
+    q("q191b_ann_lsh_store_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val queries = t("embeddings").filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srpfilter_v1_$key"
+      val cfg = graft.ann.SrpStore.Config(nBits = 1, tables = 1, dim = 64,
         seed = 42L)
       graft.ann.SrpStore.ensure(t("embeddings"), "vec_id", "embedding",
           c.spark, path, cfg)
@@ -3311,9 +3355,6 @@ object TextQueries extends QueryDsl {
           $"chunk_first", $"chunk_last", $"n_chunks_spanned")
     })
 
-  /** Brute-force top-5-by-cosine oracle, shared by q70 and the three
-    * exhaustive-setting index twins (q72b/q73b/q74b) — one definition
-    * so the exactness contract cannot drift between them. */
   /** [[annTop5Oracle]] with the corpus side restricted to documents
     * passing the metadata predicate — the filtered-search contract
     * (rnk counts allowed neighbors only). */
@@ -3332,6 +3373,10 @@ object TextQueries extends QueryDsl {
       |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
       |FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** Brute-force top-5-by-cosine oracle, shared by q70 and the
+    * exhaustive-setting index twins (q71b/q72b/q73b/q74b/q141b/q181b/
+    * q187b/q189b/q191b/q192b) — one definition so the exactness
+    * contract cannot drift between them. */
   private def annTop5Oracle: String =
     """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
       |scored AS (
