@@ -232,6 +232,50 @@ object LshStore {
           case Some(res) => return res
           case None => () // a cap tripped — serve distributed
         }
+      nearDupsDistributed(delta, textCol, minJaccard, micro, None)
+    }
+
+    /** [[nearDupsOfDelta]] restricted to an ALLOWED id set — the
+      * text-side completion of the filtered-serving quartet (SRP
+      * topKFiltered, BM25 bm25SearchFiltered, IVF topKAdcFiltered):
+      * a pair surfaces only when BOTH endpoints are allowed (a pair
+      * with a disallowed side is invisible in the caller's view —
+      * filtered-search semantics, not takedown: the stored corpus and
+      * its statistics are untouched). The semi-join lands on the
+      * CANDIDATE pairs before verification, so the shingle verify
+      * read is pruned by the FILTERED candidates; `allowed` may be
+      * corpus-sized (first column = doc id; semi-joined, never
+      * collected — at 100 TB the predicate side stays distributed).
+      * Served distributed (the SrpStore.topKFiltered precedent: the
+      * driver micro-serve would need allowed membership on the
+      * driver, adding the very job the micro path saves); the
+      * corpus-side literal bucket prune still applies, so a small
+      * delta keeps its pruned read. An empty `allowed` yields an
+      * empty frame, not an error. */
+    def nearDupsOfDeltaFiltered(
+        delta: DataFrame,
+        textCol: String,
+        minJaccard: Double,
+        allowed: DataFrame): DataFrame = {
+      val allowedIds = allowed.select(
+        col(allowed.columns.head).cast("long").as("__aid"))
+      val micro =
+        delta.select(col(idCol)).count() * cfg.bands <=
+          graft.operators.KeyPrune.MaxChunkedKeys
+      nearDupsDistributed(delta, textCol, minJaccard, micro, Some(allowedIds))
+    }
+
+    /** The shared distributed serve of [[nearDupsOfDelta]] and
+      * [[nearDupsOfDeltaFiltered]] — one copy so the filtered route
+      * cannot drift. `micro` keeps a small delta's kernel pass on the
+      * scan's natural partitioning (the spread exchange costs more
+      * than it parallelizes there). */
+    private def nearDupsDistributed(
+        delta: DataFrame,
+        textCol: String,
+        minJaccard: Double,
+        micro: Boolean,
+        allowedIds: Option[DataFrame]): DataFrame = {
       val src =
         if (micro) delta else graft.operators.Partitioning.spread(delta)
       // ONE fused kernel pass: shingle hashes and the signature in the
@@ -249,7 +293,14 @@ object LshStore {
       val deltaB = MinHashLSH.banded(
           base.select(col("doc"), col("sig")), cfg.bands, cfg.rowsPerBand)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = candidatePairsOfDelta(deltaB)
+      val candRaw = candidatePairsOfDelta(deltaB)
+      // the allowed semi-join lands on the candidate PAIRS (both
+      // endpoints) before the verify, so the shingle read below is
+      // pruned by the surviving candidates only
+      val cand = allowedIds.fold(candRaw)(a =>
+          candRaw
+            .join(a.withColumnRenamed("__aid", "doc_a"), Seq("doc_a"), "left_semi")
+            .join(a.withColumnRenamed("__aid", "doc_b"), Seq("doc_b"), "left_semi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // exact-Jaccard verify reads the __id-sorted shingle table
       // candidate-pruned as well — corpus shingle row groups outside

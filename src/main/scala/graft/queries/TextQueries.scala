@@ -370,6 +370,34 @@ object TextQueries extends QueryDsl {
         .nearDupsOfDelta(delta, "text", minJaccard = 0.8)
     },
 
+    // FILTERED incremental near-dup — the text MinHash route completes
+    // the filtered-serving quartet (SRP q232b, BM25 q233, IVF q234):
+    // q140's delta dedup restricted to an allowed metadata set (lang
+    // <> 'zh'), pairs surfacing only when BOTH endpoints are allowed.
+    // The semi-join lands on the candidate pairs BEFORE verification
+    // (the shingle read prunes to surviving candidates); the allowed
+    // frame is corpus-sized and never collected. ORACLE-EXACT: the
+    // q140 exact-Jaccard contract + the allowed predicate on both
+    // endpoints (this corpus's 0.8-Jaccard recall-1 family, the
+    // q61/q62 adjudication). Shares q140's store.
+    q("q235_neardup_filtered",
+      s"WITH ${jaccardPairsCte(0.8)} SELECT doc_a, doc_b, jaccard FROM prs " +
+        "JOIN documents da ON da.doc_id = doc_a " +
+        "JOIN documents db ON db.doc_id = doc_b " +
+        "WHERE (doc_a % 4 = 0 OR doc_b % 4 = 0) " +
+        "AND da.lang <> 'zh' AND db.lang <> 'zh'") { c =>
+      import c.t
+      val docs = t("documents")
+      val corpus = docs.filter(pmod($"doc_id", lit(4)) =!= 0)
+      val delta = docs.filter(pmod($"doc_id", lit(4)) === 0)
+      val allowed = docs.filter($"lang" =!= "zh").select($"doc_id")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshstore_$key"
+      LshStore.ensure(corpus, "doc_id", "text", c.spark, path)
+        .nearDupsOfDeltaFiltered(delta, "text", minJaccard = 0.8, allowed = allowed)
+    },
+
     // q184's SMALL-DELTA twin (vector side): ~1% of the vectors arrive
     // (vec_id % 100 == 8 — disjoint from the stored %4!=0 corpus), and
     // the postings read takes the literal bucket-prune route. Rows-only
@@ -736,7 +764,7 @@ object TextQueries extends QueryDsl {
     // cover the whole bucket space — the q211/q212 argument — so the
     // STORE filtered path is oracle-exact end to end, and the
     // realistic-family behavior is spec-pinned (SrpStoreSpec).
-    q("q232_ann_filtered", annFilteredTop5Oracle) { c =>
+    q("q232_ann_filtered", annFilteredTop5Oracle()) { c =>
       import c.t
       val allowed = t("documents").filter($"lang" === "en")
         .select($"doc_id".as("vec_id"))
@@ -747,7 +775,7 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
-    q("q232b_ann_filtered_store", annFilteredTop5Oracle) { c =>
+    q("q232b_ann_filtered_store", annFilteredTop5Oracle()) { c =>
       import c.t
       val emb = t("embeddings")
       val queries = emb.filter($"vec_id" < 10)
@@ -763,6 +791,67 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // REALISTIC-probe contract for filtered ANN — the q65b move
+    // applied to the serving route, so the approximation guarantee
+    // itself is oracle-visible (q232b pins the degenerate family;
+    // this pins the production one). The guarantee: topKFiltered at
+    // q191's family (nBits=12, tables=1) returns EXACTLY the best k
+    // among (probe-reachable ∧ allowed) neighbors. `probe_ok`
+    // re-derives reachability INDEPENDENTLY (per-query signature +
+    // hamming-1 flips as plain columns — same expression and seed as
+    // the store, a different route than its posting-bucket join),
+    // brute-force-ranks the reachable∧allowed set, and compares the
+    // served rows rank for rank. Output rows = the exhaustive
+    // filtered top-5 (q232's SQL-expressible frame); a broken probe
+    // expansion, allowed semi-join, bucket prune, or re-rank flips a
+    // query's probe_ok and fails the hash.
+    q("q232c_ann_filtered_contract", annFilteredTop5Oracle(", true AS probe_ok")) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val allowed = t("documents").filter($"lang" === "en").select($"doc_id")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srptopk_$key"
+      val cfg = graft.ann.SrpStore.Config(nBits = 12, tables = 1, dim = 64,
+        seed = 42L)
+      val served = graft.ann.SrpStore.ensure(emb, "vec_id", "embedding",
+          c.spark, path, cfg)
+        .topKFiltered(queries, "qid", "qvec", k = 5, allowed = allowed)
+        .select($"query_id", $"neighbor_id".as("sn"),
+          round($"cos", 4).as("scos"), $"rnk")
+      val qsig = queries.select($"qid",
+        Ann.srpSignature($"qvec", 12, 64, 42L).as("sig"))
+      val flips = (0 until 12).map(b => $"sig".bitwiseXOR(lit(1 << b)))
+      val probes = qsig.select($"qid",
+        explode(array(($"sig" +: flips): _*)).as("bkt"))
+      val csig = emb.select($"vec_id".as("id"),
+        Ann.srpSignature($"embedding", 12, 64, 42L).as("bkt"))
+      val reach = probes.join(csig, Seq("bkt")).select($"qid", $"id").distinct()
+        .join(allowed.select($"doc_id".as("id")), Seq("id"), "left_semi")
+      val vecs = emb.select($"vec_id".as("id"), $"embedding".as("vec"),
+        VF.l2Norm($"embedding").as("vn"))
+      val qn = queries.select($"qid", $"qvec", VF.l2Norm($"qvec").as("qnn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos".desc, $"id")
+      val contract = reach.join(vecs, Seq("id")).join(broadcast(qn), Seq("qid"))
+        .withColumn("cos", VF.cosineWithNorms(VF.dot($"vec", $"qvec"), $"vn", $"qnn"))
+        .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+        .select($"qid".as("query_id"), $"id".as("cn"),
+          round($"cos", 4).as("ccos"), $"rnk")
+      val perQ = served.join(contract, Seq("query_id", "rnk"), "full_outer")
+        .groupBy($"query_id")
+        .agg(bool_and($"sn".isNotNull && $"cn".isNotNull &&
+          $"sn" === $"cn" && $"scos" === $"ccos").as("ok"))
+      val corpus = emb.join(allowed.select($"doc_id".as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "qid", "qvec", 5)
+        .join(perQ, Seq("query_id"), "left")
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk",
+          coalesce($"ok", lit(true)).as("probe_ok"))
+    },
+
     // Filtered search through the IVF store — the third serving store
     // gains the same contract (SRP q232b, BM25 q233): the allowed
     // semi-join lands on the probed code rows, so the ADC shortlist
@@ -770,7 +859,7 @@ object TextQueries extends QueryDsl {
     // nprobe = nCells with an over-corpus shortlist the route
     // degenerates to the exhaustive filtered ranking — same oracle as
     // q232; IvfStoreSpec pins the realistic-probe behavior.
-    q("q234_ann_ivf_filtered_store", annFilteredTop5Oracle) { c =>
+    q("q234_ann_ivf_filtered_store", annFilteredTop5Oracle()) { c =>
       import c.t
       val emb = t("embeddings")
       val qs = emb.filter($"vec_id" < 10)
@@ -3357,9 +3446,10 @@ object TextQueries extends QueryDsl {
 
   /** [[annTop5Oracle]] with the corpus side restricted to documents
     * passing the metadata predicate — the filtered-search contract
-    * (rnk counts allowed neighbors only). */
-  private def annFilteredTop5Oracle: String =
-    """WITH allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+    * (rnk counts allowed neighbors only). `extraCols` appends literal
+    * output columns (q232c's `, true AS probe_ok` contract verdict). */
+  private def annFilteredTop5Oracle(extraCols: String = ""): String =
+    s"""WITH allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
       |queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
       |scored AS (
       |  SELECT query_id, e.vec_id AS neighbor_id,
@@ -3370,7 +3460,7 @@ object TextQueries extends QueryDsl {
       |  SELECT query_id, neighbor_id, c,
       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
       |  FROM scored)
-      |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
+      |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk$extraCols
       |FROM ranked WHERE rnk <= 5""".stripMargin
 
   /** Brute-force top-5-by-cosine oracle, shared by q70 and the

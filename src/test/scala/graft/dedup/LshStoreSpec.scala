@@ -349,4 +349,33 @@ class LshStoreSpec extends SparkSpec {
     assert(rows(got) === rows(full))
     assert(got.count() > 0, "planted near-dups must cross the split")
   }
+
+  test("filtered near-dup: both-endpoints-allowed restriction of the unfiltered result") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val h = LshStore.build(corpus, "doc_id", "text", tmp("lshfilter"))
+    val allowed = docs.filter(col("lang") =!= "zh").select(col("doc_id"))
+    val unfiltered = h.nearDupsOfDelta(delta, "text", minJaccard = 0.8)
+    val filtered =
+      h.nearDupsOfDeltaFiltered(delta, "text", minJaccard = 0.8, allowed)
+    val ok = docs.filter(col("lang") =!= "zh")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expect = unfiltered.collect()
+      .filter(r => ok(r.getLong(0)) && ok(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = filtered.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "the allowed set must keep some planted pairs")
+    assert(got.size < unfiltered.count(),
+      "the predicate must actually filter (else the test is vacuous)")
+  }
+
+  test("filtered near-dup: empty allowed set yields an empty frame, not an error") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val h = LshStore.build(corpus, "doc_id", "text", tmp("lshfilterempty"))
+    val empty = docs.filter(lit(false)).select(col("doc_id"))
+    assert(h.nearDupsOfDeltaFiltered(delta, "text", 0.8, empty).count() === 0L)
+  }
 }
