@@ -97,26 +97,50 @@ object SrpStore {
       * unknown (always read). */
     @transient private var bucketBound: Long = initialBucketBound
 
-    // SINGLE-LIVE-HANDLE MUTATION CONTRACT: cached frames are
-    // invalidated on the handle that mutates and the handle compact
-    // was passed — a DIFFERENT live handle on the same path keeps
-    // plans over swapped-away files after another handle's
-    // compact/append (FileNotFoundException or stale rows) and keeps
-    // a stale maxBucketN bound (stale-LOW only widens candidates the
-    // exact verify filters; stale after a crash window behaves the
-    // same). Open one mutating handle per store path at a time, or
-    // re-open after another handle's mutation.
+    // GENERATION-CHECKED READS (round 15, replacing the former
+    // single-live-handle contract comment with a mechanism — the
+    // IvfStore registry's (path, meta-mtime) key applied per read):
+    // every mutating path finishes by rewriting `_graft_meta`, so the
+    // meta mtime IS the store generation; each accessor stats it (one
+    // driver-side getFileStatus) and drops the cached frames + re-reads
+    // the bound when it moved. A second live handle on the same path
+    // therefore serves the new generation on its NEXT read after
+    // another handle's append/remove/compact — no FileNotFoundException
+    // on swapped-away files, no stale rows, no stale maxBucketN. The
+    // one residual window: a crash BETWEEN a mutation's data writes and
+    // its meta touch leaves other handles unrefreshed until the next
+    // mutation — under-stated bound + missed tombstones only, the
+    // widen-candidates / replay-convergent direction every crash
+    // window here already takes.
     // Per-handle cached table frames (the LshStore.Handle convention):
     // each spark.read.parquet re-lists the directory and re-reads a
     // footer at plan time — measurable per-serve-call driver overhead
-    // on a micro delta. Mutating operations invalidate.
+    // on a micro delta.
     @transient private var postingsDf: DataFrame = _
     @transient private var vectorsDf: DataFrame = _
     @transient private var bucketCountsDf: DataFrame = _
     @transient private var removedDf: DataFrame = _
+    @transient private var cachedGen: Long = -1L
     private def invalidateReads(): Unit = {
       postingsDf = null; vectorsDf = null
       bucketCountsDf = null; removedDf = null
+      cachedGen = -1L
+    }
+
+    /** Drop caches and re-read the bound when the store generation
+      * (meta mtime) moved since they were built — called by every
+      * accessor. */
+    private def freshen(): Unit = {
+      val p = new Path(s"$path/_graft_meta")
+      val m = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+      if (m != cachedGen) {
+        postingsDf = null; vectorsDf = null
+        bucketCountsDf = null; removedDf = null
+        bucketBound = readMeta(spark, s"$path/_graft_meta")
+          .get("maxBucketN").map(_.toLong).getOrElse(Long.MaxValue)
+        cachedGen = m
+      }
     }
 
     /** Invalidate the cached reads — called by the mutating paths AND
@@ -125,12 +149,14 @@ object SrpStore {
     private[SrpStore] def invalidate(): Unit = invalidateReads()
 
     def postings: DataFrame = {
+      freshen()
       if (postingsDf == null)
         postingsDf = spark.read.schema("id LONG, tbl INT, bkt INT")
           .parquet(s"$path/postings")
       postingsDf
     }
     def vectors: DataFrame = {
+      freshen()
       if (vectorsDf == null)
         vectorsDf =
           if (vecElem == "float" || vecElem == "double")
@@ -143,6 +169,7 @@ object SrpStore {
     /** Tombstoned vector ids ([[remove]]'s merge-on-read ledger) —
       * empty when no takedown has run. */
     def removedIds: DataFrame = {
+      freshen()
       if (removedDf == null) {
         val p = new Path(s"$path/removed")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -163,6 +190,7 @@ object SrpStore {
       * carry several rows per bucket after appends (additive; the
       * guard sums); compact collapses them. */
     def bucketCounts: DataFrame = {
+      freshen()
       if (bucketCountsDf == null)
         bucketCountsDf = spark.read.schema("tbl INT, bkt INT, n LONG")
           .parquet(s"$path/bucketcounts")
@@ -542,16 +570,18 @@ object SrpStore {
         // leaves the bound stale-LOW (skipped drop, wider candidates:
         // the contract's direction)
         val dMax = counts.agg(max(col("n"))).collect()(0).getLong(0)
-        if (bucketBound != Long.MaxValue) {
+        if (bucketBound != Long.MaxValue)
           bucketBound = bucketBound + dMax
-          writeMeta(spark, s"$path/_graft_meta", idCol, vecCol, cfg, bucketBound,
-            vecElem)
-        }
         fPost.unpersist()
       }
       vectorsOf(fresh, idCol, vecCol)
         .sortWithinPartitions(col("id"))
         .write.mode(SaveMode.Append).parquet(s"$path/vectors")
+      // meta rewrite LAST — its mtime is the store generation other
+      // handles' reads key on (a crash before it leaves them stale in
+      // the under-stated-bound direction only)
+      writeMeta(spark, s"$path/_graft_meta", idCol, vecCol, cfg, bucketBound,
+        vecElem)
       invalidateReads()
       this
     }
@@ -596,7 +626,12 @@ object SrpStore {
           .write.mode(SaveMode.Append).parquet(s"$path/bucketcounts")
       rid.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/removed")
       // decrements only lower true counts: the stored bound stays a
-      // valid upper bound
+      // valid upper bound. Meta rewrite LAST — moves the generation
+      // other handles' reads key on (a crash before it leaves them
+      // missing tombstones until the next mutation; the replayed
+      // takedown converges)
+      writeMeta(spark, s"$path/_graft_meta", idCol, vecCol, cfg, bucketBound,
+        vecElem)
       invalidateReads()
       this
     }

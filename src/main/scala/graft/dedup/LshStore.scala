@@ -109,27 +109,50 @@ object LshStore {
       * unknown (always read). */
     @transient private var bucketBound: Long = initialBucketBound
 
-    // SINGLE-LIVE-HANDLE MUTATION CONTRACT: cached frames are
-    // invalidated on the handle that mutates and the handle compact
-    // was passed — a DIFFERENT live handle on the same path keeps
-    // plans over swapped-away files after another handle's
-    // compact/append (FileNotFoundException or stale rows) and keeps
-    // a stale maxBucketN bound (stale-LOW only widens candidates the
-    // exact verify filters; stale after a crash window behaves the
-    // same). Open one mutating handle per store path at a time, or
-    // re-open after another handle's mutation.
+    // GENERATION-CHECKED READS (round 15, replacing the former
+    // single-live-handle contract comment with a mechanism — the
+    // IvfStore registry's (path, meta-mtime) key applied per read):
+    // every mutating path finishes by rewriting `_graft_meta`, so the
+    // meta mtime IS the store generation; each accessor stats it (one
+    // driver-side getFileStatus) and drops the cached frames + re-reads
+    // the bound when it moved. A second live handle on the same path
+    // therefore serves the new generation on its NEXT read after
+    // another handle's append/remove/compact — no FileNotFoundException
+    // on swapped-away files, no stale rows, no stale maxBucketN. The
+    // one residual window: a crash BETWEEN a mutation's data writes and
+    // its meta touch leaves other handles unrefreshed until the next
+    // mutation — under-stated bound + missed tombstones only, the
+    // widen-candidates / replay-convergent direction every crash
+    // window here already takes.
     // Per-handle cached table frames: each spark.read.parquet call
     // re-lists the directory and re-reads a footer at plan time —
     // measurable per-serve-call driver overhead on a micro delta.
-    // Mutating operations (append/remove) invalidate.
     @transient private var sigsDf: DataFrame = _
     @transient private var shinglesDf: DataFrame = _
     @transient private var bandedDf: DataFrame = _
     @transient private var bandCountsDf: DataFrame = _
     @transient private var removedDf: DataFrame = _
+    @transient private var cachedGen: Long = -1L
     private def invalidateReads(): Unit = {
       sigsDf = null; shinglesDf = null; bandedDf = null
       bandCountsDf = null; removedDf = null
+      cachedGen = -1L
+    }
+
+    /** Drop caches and re-read the bound when the store generation
+      * (meta mtime) moved since they were built — called by every
+      * accessor. */
+    private def freshen(): Unit = {
+      val p = new Path(s"$path/_graft_meta")
+      val m = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+      if (m != cachedGen) {
+        sigsDf = null; shinglesDf = null; bandedDf = null
+        bandCountsDf = null; removedDf = null
+        bucketBound = readMeta(spark, s"$path/_graft_meta")
+          .get("maxBucketN").map(_.toLong).getOrElse(Long.MaxValue)
+        cachedGen = m
+      }
     }
 
     /** Invalidate the cached reads — called by the mutating paths AND
@@ -138,10 +161,12 @@ object LshStore {
     private[LshStore] def invalidate(): Unit = invalidateReads()
 
     def sigs: DataFrame = {
+      freshen()
       if (sigsDf == null) sigsDf = spark.read.parquet(s"$path/sigs")
       sigsDf
     }
     def shingles: DataFrame = {
+      freshen()
       if (shinglesDf == null) shinglesDf = spark.read.parquet(s"$path/shingles")
       shinglesDf
     }
@@ -151,6 +176,7 @@ object LshStore {
       * PHYSICAL rows (tombstoned included, until [[LshStore.compact]]
       * purges); the serve paths filter. */
     def removedIds: DataFrame = {
+      freshen()
       if (removedDf == null) {
         val p = new Path(s"$path/removed")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -170,6 +196,7 @@ object LshStore {
       * (band, bucket) — the candidate-generation table; a delta-bucket
       * prune reads only the touched buckets' row groups. */
     def banded: DataFrame = {
+      freshen()
       if (bandedDf == null) bandedDf = spark.read.parquet(s"$path/banded")
       bandedDf
     }
@@ -178,6 +205,7 @@ object LshStore {
       * input; possibly several additive rows per bucket after appends
       * (the guard sums; compact collapses). */
     def bandCounts: DataFrame = {
+      freshen()
       if (bandCountsDf == null)
         bandCountsDf = spark.read.parquet(s"$path/bandcounts")
       bandCountsDf
@@ -609,7 +637,11 @@ object LshStore {
           .write.mode(SaveMode.Append).parquet(s"$path/bandcounts")
       rid.coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/removed")
       // decrements only lower true counts: the stored bound stays a
-      // valid upper bound
+      // valid upper bound. Meta rewrite LAST — moves the generation
+      // other handles' reads key on (a crash before it leaves them
+      // missing tombstones until the next mutation; the replayed
+      // takedown converges)
+      writeMeta(spark, s"$path/_graft_meta", idCol, cfg, bucketBound)
       invalidateReads()
       this
     }
@@ -676,10 +708,8 @@ object LshStore {
         // between them leaves the bound stale-LOW: a skipped drop,
         // wider candidates, the contract's direction
         val dMax = counts.agg(max(col("n"))).collect()(0).getLong(0)
-        if (bucketBound != Long.MaxValue) {
+        if (bucketBound != Long.MaxValue)
           bucketBound = bucketBound + dMax
-          writeMeta(spark, s"$path/_graft_meta", idCol, cfg, bucketBound)
-        }
       }
       shinglesOf(fresh, idCol, textCol, cfg)
         .sortWithinPartitions(col("__id"))
@@ -688,6 +718,10 @@ object LshStore {
         .parquet(s"$path/shingles")
       bandNew.unpersist()
       dSig.unpersist()
+      // meta rewrite LAST — its mtime is the store generation other
+      // handles' reads key on (a crash before it leaves them stale in
+      // the under-stated-bound direction only)
+      writeMeta(spark, s"$path/_graft_meta", idCol, cfg, bucketBound)
       invalidateReads()
       this
     }

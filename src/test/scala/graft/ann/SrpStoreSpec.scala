@@ -363,4 +363,37 @@ class SrpStoreSpec extends SparkSpec {
     assert(compacted.vectors.count() == emb.count())
     assert(before.nonEmpty)
   }
+
+  test("a second live handle serves the new generation after another handle's mutation") {
+    val path = tmp()
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    SrpStore.build(corpus, "vec_id", "embedding", path)
+    val mutator = SrpStore.open(spark, path)
+    val reader = SrpStore.open(spark, path)
+    // populate the reader's caches on the old generation
+    assert(reader.vectors.count() == corpus.count())
+    // append through the OTHER handle: the reader's next read must see
+    // the appended vectors (generation-checked reads, not stale caches)
+    mutator.append(delta)
+    assert(reader.vectors.count() == emb.count(),
+      "reader handle served stale rows after another handle's append")
+    // takedown through the other handle: the reader's serve excludes
+    // the tombstoned ids on its next read
+    val goneIds = emb.filter(col("vec_id") % 7 === 0)
+    mutator.remove(goneIds.select(col("vec_id")))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val servedIds = reader.topK(q, "qid", "qvec", k = 5)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(servedIds.forall(_ % 7 != 0),
+      "reader handle served tombstoned neighbors after another handle's remove")
+    // compact through the other handle (atomic swap replaces every
+    // file): the reader's next read serves the compacted generation —
+    // no FileNotFoundException, counts match the kept corpus
+    SrpStore.compact(mutator, targetFiles = 2)
+    assert(reader.vectors.count() == emb.filter(col("vec_id") % 7 =!= 0).count(),
+      "reader handle must follow the compact swap on its next read")
+    assert(reader.removedIds.count() == 0L, "compact clears the ledger")
+  }
 }

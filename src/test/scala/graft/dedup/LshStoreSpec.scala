@@ -378,4 +378,35 @@ class LshStoreSpec extends SparkSpec {
     val empty = docs.filter(lit(false)).select(col("doc_id"))
     assert(h.nearDupsOfDeltaFiltered(delta, "text", 0.8, empty).count() === 0L)
   }
+
+  test("a second live handle serves the new generation after another handle's mutation") {
+    val path = tmp("lshgen")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    LshStore.build(corpus, "doc_id", "text", path)
+    val mutator = LshStore.open(spark, path)
+    val reader = LshStore.open(spark, path)
+    // populate the reader's caches on the old generation
+    assert(reader.shingles.count() == corpus.count())
+    // append through the OTHER handle: the reader's next read sees it
+    mutator.append(delta, "text")
+    assert(reader.shingles.count() == docs.count(),
+      "reader handle served stale rows after another handle's append")
+    // takedown through the other handle: the reader's serve excludes
+    // tombstoned endpoints on its next call
+    mutator.remove(corpus.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id")))
+    val served = reader.nearDupsOfDelta(delta, "text", minJaccard = 0.8)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(served.forall(id => id % 4 == 0 || id % 7 != 0),
+      "reader handle served tombstoned endpoints after another handle's remove")
+    // compact through the other handle (atomic swap replaces every
+    // file): the reader's next read serves the compacted generation
+    LshStore.compact(mutator, targetFiles = 2)
+    assert(reader.shingles.count() ==
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0 ||
+        pmod(col("doc_id"), lit(7)) =!= 0).count(),
+      "reader handle must follow the compact swap on its next read")
+    assert(reader.removedIds.count() == 0L, "compact clears the ledger")
+  }
 }
