@@ -37,39 +37,86 @@ import org.apache.spark.sql.functions._
   * equals [[CoPresence.pairs]] over the union
   * (StreamingEventsGraphSpec pins it, crash windows included).
   *
-  * LEDGERS (v2): the meta file carries two driver-side id ledgers,
-  * swapped ATOMICALLY with the counts —
+  * LEDGERS (v3 — the scale form): two id ledgers swap ATOMICALLY with
+  * the counts —
   *   - `hotWindows`: windows some absorbed batch GUARD-DROPPED (their
-  *     pairs were never counted). Bounded by time-range/windowSec
-  *     (a year of 10-minute windows is ~52k longs), never by data
-  *     volume — at a scale where that outgrows a meta line the set
-  *     moves to a `_hotwin` parquet sibling inside the same swap.
+  *     pairs were never counted). Bounded by time-range/windowSec.
   *   - `removedActors`: every actor a takedown ever removed. Bounded
-  *     by takedown volume. Load-bearing for hot-window RECOVERY: a
+  *     by takedown volume — UNBOUNDED under a sustained production
+  *     deletion stream. Load-bearing for hot-window RECOVERY: a
   *     recovered window must exclude ALL removed actors' events, not
   *     only the current batch's ("takedown = ban" — see
   *     [[removeActors]]).
-  * Both live inside the swapped state dir, so a crash anywhere before
-  * the swap leaves counts AND ledgers unchanged together (the v1
-  * external append log could over-state across the crash window; the
-  * atomic form is also what makes recovery replay-safe — a replayed
-  * takedown sees the already-reduced hot set and recounts nothing).
+  * Each ledger lives INLINE on the meta line while it holds at most
+  * [[MaxMetaIds]] ids (the v2 form — zero extra reads, literal
+  * predicates) and SPILLS to a parquet sibling (`_hotwin`/`_banned`)
+  * inside the swapped state dir past that — meta stays O(1), the
+  * recount's exclusion switches from a literal predicate to a
+  * broadcast anti-join, and the redelivery probe becomes a
+  * takedown-sized anti-join instead of a driver set. Leading
+  * underscores keep the siblings invisible to the counts read. Both
+  * forms swap with the counts, so a crash anywhere before the swap
+  * leaves counts AND ledgers unchanged together (the v1 external
+  * append log could over-state across the crash window; the atomic
+  * form is also what makes recovery replay-safe — a replayed takedown
+  * sees the already-reduced hot set and recounts nothing).
   */
 object CoPresenceStore {
 
   private def dir(path: String) = s"$path/copresence"
   private def metaFile(path: String) = s"${dir(path)}/_graft_copresence_meta"
 
+  /** Inline-ledger cap: at most this many ids ride the meta text line;
+    * past it a ledger spills to its parquet sibling inside the same
+    * atomic swap and every consumer switches to the join form. */
+  private[graft] val MaxMetaIds = 1000
+
   final case class Config(
       windowSec: Int, minShared: Int, maxWindowActors: Int)
 
+  /** One ledger's persisted form: `inline` holds the ids while
+    * `count <= MaxMetaIds`; past that `inline` is empty and the ids
+    * live in the `sub` parquet sibling (spilled ⇔ count > MaxMetaIds —
+    * no separate flag needed). */
+  private final case class Ledger(count: Long, inline: Seq[Long]) {
+    def spilled: Boolean = count > MaxMetaIds
+    def isEmpty: Boolean = count == 0L
+  }
+
   private final case class State(
       lastBatch: Long, cfg: Config,
-      hotWindows: Seq[Long], removedActors: Seq[Long])
+      hot: Ledger, removed: Ledger)
+
+  /** A spilled ledger's id frame (single `__id` column). */
+  private def ledgerFrame(spark: SparkSession, path: String,
+      sub: String): DataFrame =
+    spark.read.schema("__id LONG").parquet(s"${dir(path)}/$sub")
+
+  /** A ledger as a one-column frame regardless of form. */
+  private def ledgerDf(spark: SparkSession, path: String, sub: String,
+      l: Ledger): DataFrame =
+    if (l.spilled) ledgerFrame(spark, path, sub)
+    else spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        l.inline.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__id",
+          org.apache.spark.sql.types.LongType))))
+
+  /** What a [[writeState]] call should persist for one ledger. */
+  private sealed trait LedgerW
+  /** Driver-side ids (spills automatically past [[MaxMetaIds]]). */
+  private final case class LIds(ids: Seq[Long]) extends LedgerW
+  /** A distributed id frame with its known count (never collected
+    * when over the cap; collapses to the inline form when under). */
+  private final case class LFrame(df: DataFrame, n: Long) extends LedgerW
+  /** The CURRENT sibling unchanged (pass-through for a spilled ledger
+    * the operation does not touch — a filesystem copy, no Spark job). */
+  private final case class LKeep(n: Long) extends LedgerW
 
   private def writeState(spark: SparkSession, rows: DataFrame, path: String,
       cfg: Config, lastBatch: Long,
-      hotWindows: Seq[Long], removedActors: Seq[Long]): Unit = {
+      hot: LedgerW, removed: LedgerW): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir(path) + ".staging"
     fs.delete(new Path(staging), true)
@@ -78,13 +125,44 @@ object CoPresenceStore {
     (if (rows.isEmpty) Partitioning.emptyOnePartition(spark, rows.schema)
      else rows.repartition(1).sortWithinPartitions(col("ua"), col("ub")))
       .write.mode(SaveMode.Overwrite).parquet(staging)
+    // per-ledger: inline ids on the meta line while small, a parquet
+    // sibling inside the SAME staging dir past the cap — one swap
+    // commits counts and both ledgers together
+    def persist(sub: String, w: LedgerW): (Long, Seq[Long]) = w match {
+      case LIds(ids) =>
+        if (ids.size <= MaxMetaIds) (ids.size.toLong, ids)
+        else {
+          ledgerDf(spark, path, sub, Ledger(0, ids))
+            .coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(s"$staging/$sub")
+          (ids.size.toLong, Seq.empty)
+        }
+      case LFrame(df, n) =>
+        if (n <= MaxMetaIds)
+          (n, df.collect().map(_.getLong(0)).toSeq)
+        else {
+          df.select(col(df.columns.head).as("__id"))
+            .coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(s"$staging/$sub")
+          (n, Seq.empty)
+        }
+      case LKeep(n) =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(s"${dir(path)}/$sub"),
+          fs, new Path(s"$staging/$sub"),
+          false, spark.sparkContext.hadoopConfiguration)
+        (n, Seq.empty)
+    }
+    val (hotN, hotIds) = persist("_hotwin", hot)
+    val (remN, remIds) = persist("_banned", removed)
     val out = fs.create(new Path(s"$staging/_graft_copresence_meta"), true)
     try out.write(
       (s"lastBatch=$lastBatch\nwindowSec=${cfg.windowSec}\n" +
         s"minShared=${cfg.minShared}\n" +
         s"maxWindowActors=${cfg.maxWindowActors}\n" +
-        s"hotWindows=${hotWindows.sorted.mkString(",")}\n" +
-        s"removedActors=${removedActors.sorted.mkString(",")}").getBytes("UTF-8"))
+        s"hotCount=$hotN\nremovedCount=$remN\n" +
+        s"hotWindows=${hotIds.sorted.mkString(",")}\n" +
+        s"removedActors=${remIds.sorted.mkString(",")}").getBytes("UTF-8"))
     finally out.close()
     SwapDir.swap(fs, new Path(staging), new Path(dir(path)))
   }
@@ -100,10 +178,16 @@ object CoPresenceStore {
       case "" => Seq.empty
       case s => s.split(",").toSeq.map(_.toLong)
     }
+    val hotIds = ids("hotWindows")
+    val remIds = ids("removedActors")
+    // pre-v3 metas carry no counts: the ledgers were inline-only
     State(kv("lastBatch").toLong,
       Config(kv("windowSec").toInt, kv("minShared").toInt,
         kv("maxWindowActors").toInt),
-      ids("hotWindows"), ids("removedActors"))
+      Ledger(kv.get("hotCount").map(_.toLong)
+        .getOrElse(hotIds.size.toLong), hotIds),
+      Ledger(kv.get("removedCount").map(_.toLong)
+        .getOrElse(remIds.size.toLong), remIds))
   }
 
   /** Initialize an EMPTY count state (the stream absorbs from zero). */
@@ -112,7 +196,7 @@ object CoPresenceStore {
     writeState(spark,
       spark.range(0).select(col("id").as("ua"), col("id").as("ub"),
         col("id").as("n")),
-      path, cfg, lastBatch = -1L, Seq.empty, Seq.empty)
+      path, cfg, lastBatch = -1L, LIds(Seq.empty), LIds(Seq.empty))
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -174,21 +258,32 @@ object CoPresenceStore {
       .localCheckpoint()
     maintain(crossed)
     // windows this batch's pairing GUARD-DROPPED carry no counted
-    // signal — fold them into the meta ledger so [[removeActors]] can
+    // signal — fold them into the hot ledger so [[removeActors]] can
     // recover (recount) or refuse them later
     val batchHot = CoPresence.hotWindows(events, actorCol, tsCol,
         cfg.windowSec, cfg.maxWindowActors)
       .collect().map(_.getLong(0))
-    val hotNow = (st.hotWindows ++ batchHot).distinct
+    val hotNow: LedgerW =
+      if (!st.hot.spilled) LIds((st.hot.inline ++ batchHot).distinct)
+      else {
+        val hf = ledgerFrame(spark, path, "_hotwin")
+          .unionByName(ledgerDf(spark, path, "_hotwin",
+            Ledger(0, batchHot.toSeq)))
+          .distinct().localCheckpoint()
+        LFrame(hf, hf.count())
+      }
+    val removedNow: LedgerW =
+      if (st.removed.spilled) LKeep(st.removed.count)
+      else LIds(st.removed.inline)
     // the commit point: counts + ledgers swap atomically AFTER the
     // maintenance action completed
-    writeState(spark, merged, path, cfg, batchId, hotNow, st.removedActors)
+    writeState(spark, merged, path, cfg, batchId, hotNow, removedNow)
   }
 
   /** True when some absorbed batch guard-dropped a window that has not
     * been recovered since. */
   def hotWindowsSeen(spark: SparkSession, path: String): Boolean =
-    readState(spark, path).hotWindows.nonEmpty
+    !readState(spark, path).hot.isEmpty
 
   /** Take ACTORS down — the behavioral-graph right-to-forget: an
     * actor's co-presence history involves exactly the count rows
@@ -232,29 +327,35 @@ object CoPresenceStore {
       tsCol: String = "ts")(maintain: (DataFrame, DataFrame) => Unit): Unit = {
     val st = readState(spark, path)
     val cfg = st.cfg
-    require(st.hotWindows.isEmpty || events.nonEmpty,
+    require(st.hot.isEmpty || events.nonEmpty,
       "removeActors: an absorbed batch guard-dropped a hot window - " +
         "a takedown could un-suppress it and the suppressed pairs were " +
         "never counted; pass the absorbed events source so the ledgered " +
         "windows can be recounted, or rebuild from the kept events")
     // takedown batches are actor-id-sized (human/process-scale, not
-    // corpus-scale) — collected once for the ban ledger
+    // corpus-scale) — collected once; the ACCUMULATED ban ledger is
+    // what outgrows the driver, not one batch
     val ridIds = actors.select(col(actors.columns.head).cast("long").as("__a"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    // fully-ledgered redelivery: every id rides the ban ledger, which
-    // commits ATOMICALLY with the counts swap — so the batch's
-    // incident delete and recovery already landed, a recount of the
-    // still-hot windows under the identical exclusion set would fold
-    // in nothing, and maintain would get two empty frames. Serve the
-    // stored state outright (the applied-batch-marker idiom): a
-    // replayed takedown is a meta read + one id collect.
-    if (ridIds.nonEmpty && ridIds.forall(st.removedActors.toSet)) return
     val rid = spark.createDataFrame(
       spark.sparkContext.parallelize(ridIds.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__a",
           org.apache.spark.sql.types.LongType))))
-    val removedAll = (st.removedActors ++ ridIds).distinct
+    // fully-ledgered redelivery: every id rides the ban ledger, which
+    // commits ATOMICALLY with the counts swap — so the batch's
+    // incident delete and recovery already landed, a recount of the
+    // still-hot windows under the identical exclusion set would fold
+    // in nothing, and maintain would get two empty frames. Serve the
+    // stored state outright (the applied-batch-marker idiom). Inline
+    // ledger: a driver set probe; spilled: a takedown-sized anti-join
+    // against the parquet sibling — the ledger is never collected.
+    val freshCount =
+      if (!st.removed.spilled) (ridIds.toSet -- st.removed.inline).size.toLong
+      else rid.join(ledgerFrame(spark, path, "_banned")
+          .withColumnRenamed("__id", "__a"), Seq("__a"), "left_anti").count()
+    if (ridIds.nonEmpty && freshCount == 0L) return
+    val newRemovedCount = st.removed.count + freshCount
     val old = read(spark, path).localCheckpoint()
     val incident = old
       .join(broadcast(rid.withColumnRenamed("__a", "ua")), Seq("ua"), "left_semi")
@@ -269,13 +370,41 @@ object CoPresenceStore {
     val keptCounts = old.join(broadcast(incident.select(col("ua"), col("ub"))),
       Seq("ua", "ub"), "left_anti")
     // ---- ledgered hot-window recount (empty ledger: zero extra jobs)
-    val (merged, crossed, stillHot) =
-      if (st.hotWindows.isEmpty) (keptCounts, emptyPairs(spark), st.hotWindows)
+    val (merged, crossed, stillHot: LedgerW) =
+      if (st.hot.isEmpty) (keptCounts, emptyPairs(spark),
+        LIds(Seq.empty): LedgerW)
       else {
-        val hotEv = events.get
-          .filter(floor(unix_timestamp(col(tsCol)) / cfg.windowSec)
-            .isInCollection(st.hotWindows) &&
-            !col(actorCol).cast("long").isInCollection(removedAll))
+        // exclusion set = EVERY ever-removed actor + this batch.
+        // Inline ledger: the literal predicate (one codegen'd filter,
+        // the micro path). Spilled — or spilling with this batch: a
+        // broadcast anti-join against the parquet sibling; the ledger
+        // is never collected to the driver and never becomes a
+        // million-literal plan.
+        val winHit =
+          if (!st.hot.spilled)
+            floor(unix_timestamp(col(tsCol)) / cfg.windowSec)
+              .isInCollection(st.hot.inline)
+          else lit(true) // spilled: membership via the semi-join below
+        val hotEv0 = events.get.filter(winHit)
+        val hotEv1 =
+          if (!st.hot.spilled) hotEv0
+          else hotEv0
+            .withColumn("__w",
+              floor(unix_timestamp(col(tsCol)) / cfg.windowSec))
+            .join(broadcast(ledgerFrame(spark, path, "_hotwin")
+              .withColumnRenamed("__id", "__w")), Seq("__w"), "left_semi")
+            .drop("__w")
+        val banInline = !st.removed.spilled && newRemovedCount <= MaxMetaIds
+        val hotEv = (
+          if (banInline)
+            hotEv1.filter(!col(actorCol).cast("long")
+              .isInCollection((st.removed.inline ++ ridIds).distinct))
+          else hotEv1
+            .withColumn("__a", col(actorCol).cast("long"))
+            .join(broadcast(ledgerDf(spark, path, "_banned", st.removed)
+              .withColumnRenamed("__id", "__a")
+              .unionByName(rid).distinct()), Seq("__a"), "left_anti")
+            .drop("__a"))
           .select(col(actorCol), col(tsCol))
           .localCheckpoint()
         val recount = CoPresence.pairs(hotEv, actorCol, tsCol,
@@ -293,13 +422,31 @@ object CoPresenceStore {
             coalesce(col("__oldn"), lit(0L)) < cfg.minShared)
           .select(col("ua"), col("ub"))
           .localCheckpoint()
-        val still = CoPresence.hotWindows(hotEv, actorCol, tsCol,
+        val stillDf = CoPresence.hotWindows(hotEv, actorCol, tsCol,
             cfg.windowSec, cfg.maxWindowActors)
-          .collect().map(_.getLong(0)).toSeq
+          .localCheckpoint()
+        // a spilled hot ledger stays distributed end to end; inline
+        // ledgers keep the driver form (still-hot ⊆ ledger, so the
+        // collect is cap-bounded)
+        val still: LedgerW =
+          if (!st.hot.spilled)
+            LIds(stillDf.collect().map(_.getLong(0)).toSeq)
+          else LFrame(stillDf, stillDf.count())
         (m, c, still)
       }
     maintain(gone, crossed)
-    writeState(spark, merged, path, cfg, st.lastBatch, stillHot, removedAll)
+    // new ban ledger: inline while the TOTAL stays under the cap;
+    // spills to the `_banned` sibling past it (and stays spilled — the
+    // union frame is never collected)
+    val removedNow: LedgerW =
+      if (!st.removed.spilled && newRemovedCount <= MaxMetaIds)
+        LIds((st.removed.inline ++ ridIds).distinct)
+      else LFrame(
+        ledgerDf(spark, path, "_banned", st.removed)
+          .unionByName(rid.withColumnRenamed("__a", "__id"))
+          .distinct().localCheckpoint(),
+        newRemovedCount)
+    writeState(spark, merged, path, cfg, st.lastBatch, stillHot, removedNow)
   }
 
   private def emptyPairs(spark: SparkSession): DataFrame =

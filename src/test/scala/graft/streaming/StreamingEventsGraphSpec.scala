@@ -254,6 +254,59 @@ class StreamingEventsGraphSpec extends SparkSpec {
       == pairSet(keptPairs))
   }
 
+  test("spilled ban ledger: a 10k-actor takedown stream keeps meta O(1), recovery intact") {
+    val dir = tmp()
+    val cfg5 = CoPresenceStore.Config(windowSec = 600, minShared = 2,
+      maxWindowActors = 5)
+    CoPresenceStore.create(spark, s"$dir/counts", cfg5)
+    // the recovery fixture: windows 0-2 hot (pop 6 > 5), 10-12 counted
+    val all = (for (w <- 0L to 2L; u <- 1L to 6L) yield (u, w)) ++
+      (for (w <- 10L to 12L; u <- 1L to 4L) yield (u, w))
+    val evs = planted(all: _*)
+    CoPresenceStore.absorbBatch(spark, evs, "user_id", "ts",
+      s"$dir/counts", 0L)(_ => ())
+    // a sustained deletion stream: 6 batches x 2000 actor ids (absent
+    // from the events — the GDPR-request-for-a-user-with-no-rows
+    // shape), pushing the ban ledger far past the inline cap
+    (0 until 6).foreach { b =>
+      val ids = spark.range(100000L + b * 2000L, 100000L + (b + 1) * 2000L)
+        .select(col("id").as("user_id"))
+      CoPresenceStore.removeActors(spark, ids, s"$dir/counts",
+        events = Some(evs))((_, _) => ())
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/counts/copresence/_graft_copresence_meta")).getLen
+    assert(metaLen < 1024L,
+      s"meta must stay O(1) with a 12k-id ban ledger; got $metaLen bytes")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/counts/copresence/_banned")),
+      "the ban ledger must have spilled to its parquet sibling")
+    // windows 0-2 keep pop 6 (absent ids remove nothing): still hot
+    assert(CoPresenceStore.hotWindowsSeen(spark, s"$dir/counts"))
+    // now take down actor 4 THROUGH the spilled ledger: the recount's
+    // exclusion runs as the anti-join (12k ids never hit a literal
+    // plan or the driver) and windows 0-2 recover at pop 5
+    CoPresenceStore.removeActors(spark,
+      planted((4L, 0L)).select(col("user_id")).distinct(),
+      s"$dir/counts", events = Some(evs))((_, _) => ())
+    val keptEv = evs.filter(col("user_id") =!= 4L)
+    val wantCounts = CoPresence.pairs(keptEv, "user_id", "ts",
+        cfg5.windowSec, 1, cfg5.maxWindowActors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(countsMap(s"$dir/counts") == wantCounts,
+      "recovery through the spilled ledger must equal from-scratch over kept events")
+    assert(!CoPresenceStore.hotWindowsSeen(spark, s"$dir/counts"))
+    // fully-ledgered redelivery probes the SPILLED ledger (anti-join,
+    // not a driver set) and no-ops
+    val replay = spark.range(100000L, 100100L).select(col("id").as("user_id"))
+    CoPresenceStore.removeActors(spark, replay, s"$dir/counts",
+      events = Some(evs))((_, _) =>
+      fail("fully-ledgered redelivery must not re-run maintenance"))
+    assert(countsMap(s"$dir/counts") == wantCounts)
+  }
+
   test("recovery crash window: maintenance ran, counts swap did not - replay converges") {
     val dir = tmp()
     val cfg5 = CoPresenceStore.Config(windowSec = 600, minShared = 2,
