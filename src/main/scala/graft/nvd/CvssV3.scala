@@ -141,6 +141,75 @@ object CvssV3 {
       .otherwise(roundup1(base * e * rl * rc))
   }
 
+  /** CVSS v3.1 ENVIRONMENTAL score (spec section 7.3) — the consumer's
+    * view of a vulnerability: every base metric can be OVERRIDDEN by
+    * its Modified twin (absent or X falls back to the base letter),
+    * the C/I/A impact weights are re-scaled by the CR/IR/AR security
+    * requirements (absent/X/M → 1.0, H → 1.5, L → 0.5), MISS is
+    * capped at 0.915, the changed-scope Modified Impact uses the
+    * 3.1-specific (MISS × 0.9731 − 0.02)^13 term — built as a
+    * square-and-multiply chain (z^8·z^4·z) for the same
+    * IEEE-determinism reason as the base score's y^15 — and the
+    * result degrades by E/RL/RC inside the spec's DOUBLE Roundup:
+    * Roundup(Roundup(min(scoped sum, 10)) × E × RL × RC). Modified
+    * Scope decides BOTH the 1.08 factor and the MPR weight table.
+    * Null discipline matches [[baseScoreOfLetters]]: an unrecognized
+    * effective letter nulls the score; effective Scope must be U/C. */
+  def environmentalScoreOf(
+      avL: Column, acL: Column, prL: Column, uiL: Column, sL: Column,
+      cL: Column, iL: Column, aL: Column,
+      mavL: Column, macL: Column, mprL: Column, muiL: Column, msL: Column,
+      mcL: Column, miL: Column, maL: Column,
+      crL: Column, irL: Column, arL: Column,
+      eL: Column, rlL: Column, rcL: Column): Column = {
+    def eff(mod: Column, base: Column): Column =
+      when(mod === "" || mod === "X", base).otherwise(mod)
+    def w(c: Column, pairs: (String, Double)*): Column =
+      pairs.tail.foldLeft(when(c === pairs.head._1, lit(pairs.head._2))) {
+        case (acc, (l, v)) => acc.when(c === l, lit(v))
+      }
+    val msEff = eff(msL, sL)
+    val scopeChanged = msEff === "C"
+    val av = w(eff(mavL, avL), "N" -> 0.85, "A" -> 0.62, "L" -> 0.55, "P" -> 0.2)
+    val ac = w(eff(macL, acL), "L" -> 0.77, "H" -> 0.44)
+    val pr = when(scopeChanged,
+        w(eff(mprL, prL), "N" -> 0.85, "L" -> 0.68, "H" -> 0.5))
+      .otherwise(w(eff(mprL, prL), "N" -> 0.85, "L" -> 0.62, "H" -> 0.27))
+    val ui = w(eff(muiL, uiL), "N" -> 0.85, "R" -> 0.62)
+    def req(c: Column): Column =
+      when(c === "" || c === "X" || c === "M", lit(1.0))
+        .when(c === "H", lit(1.5)).when(c === "L", lit(0.5))
+    def cia(c: Column): Column =
+      w(c, "H" -> 0.56, "L" -> 0.22, "N" -> 0.0)
+    val miss = least(
+      lit(1.0) - (lit(1.0) - req(crL) * cia(eff(mcL, cL)))
+        * (lit(1.0) - req(irL) * cia(eff(miL, iL)))
+        * (lit(1.0) - req(arL) * cia(eff(maL, aL))),
+      lit(0.915))
+    val z = miss * lit(0.9731) - lit(0.02)
+    val z2 = z * z
+    val z4 = z2 * z2
+    val z8 = z4 * z4
+    val mImpact = when(scopeChanged,
+        lit(7.52) * (miss - lit(0.029)) - lit(3.25) * (z8 * z4 * z))
+      .otherwise(lit(6.42) * miss)
+    val mExpl = lit(8.22) * av * ac * pr * ui
+    def tw(letter: Column, pairs: (String, Double)*): Column =
+      pairs.foldLeft(when(letter === "" || letter === "X", lit(1.0))) {
+        case (acc, (l, v)) => acc.when(letter === l, lit(v))
+      }
+    val e = tw(eL, "U" -> 0.91, "P" -> 0.94, "F" -> 0.97, "H" -> 1.0)
+    val rl = tw(rlL, "O" -> 0.95, "T" -> 0.96, "W" -> 0.97, "U" -> 1.0)
+    val rc = tw(rcL, "U" -> 0.92, "R" -> 0.96, "C" -> 1.0)
+    val sum = mImpact + mExpl
+    when(sum.isNull || e.isNull || rl.isNull || rc.isNull ||
+        !msEff.isin("U", "C"), lit(null).cast("double"))
+      .when(mImpact <= 0.0, lit(0.0))
+      .otherwise(roundup1(roundup1(
+        when(scopeChanged, least(lit(1.08) * sum, lit(10.0)))
+          .otherwise(least(sum, lit(10.0)))) * e * rl * rc))
+  }
+
   /** The spec's Roundup (v3.1 appendix A): smallest one-decimal value
     * >= x, through an integer snap at 1e-5 so float noise below that
     * cannot shift the result — the exact fix 3.1 made over 3.0's naive

@@ -383,6 +383,116 @@ object NvdQueries extends QueryDsl {
             .as("temporal_score"))
     },
 
+    // ENVIRONMENTAL score (spec section 7.3) — the q115 sibling
+    // completing the v3.1 scoring surface the reference's DDL laments
+    // (nvd.sql:34-38): Modified metrics override the base letters
+    // (X falls back), CR/IR/AR re-weight the impact, MISS caps at
+    // 0.915, the changed-scope Modified Impact carries the
+    // 3.1-specific (MISS·0.9731−0.02)^13 square-multiply chain, and
+    // E/RL/RC degrade inside the spec's DOUBLE Roundup. The oracle
+    // replays every weight table, the effective-letter fallback, and
+    // both Roundup integer snaps association for association.
+    q("q115b_cvss3_environmental", cvss3ScoredCtes + ",\n" +
+      """em AS (SELECT *,
+        |  CASE (k % 41) % 5 WHEN 1 THEN 'N' WHEN 2 THEN 'A' WHEN 3 THEN 'L' WHEN 4 THEN 'P' ELSE 'X' END AS mav_l,
+        |  CASE (k % 43) % 3 WHEN 1 THEN 'L' WHEN 2 THEN 'H' ELSE 'X' END AS mac_l,
+        |  CASE (k % 47) % 4 WHEN 1 THEN 'N' WHEN 2 THEN 'L' WHEN 3 THEN 'H' ELSE 'X' END AS mpr_l,
+        |  CASE (k % 53) % 3 WHEN 1 THEN 'N' WHEN 2 THEN 'R' ELSE 'X' END AS mui_l,
+        |  CASE (k % 59) % 3 WHEN 1 THEN 'U' WHEN 2 THEN 'C' ELSE 'X' END AS ms_l,
+        |  CASE (k % 61) % 4 WHEN 1 THEN 'H' WHEN 2 THEN 'L' WHEN 3 THEN 'N' ELSE 'X' END AS mc_l,
+        |  CASE (k % 67) % 4 WHEN 1 THEN 'H' WHEN 2 THEN 'L' WHEN 3 THEN 'N' ELSE 'X' END AS mi_l,
+        |  CASE (k % 71) % 4 WHEN 1 THEN 'H' WHEN 2 THEN 'L' WHEN 3 THEN 'N' ELSE 'X' END AS ma_l,
+        |  (CASE (k % 29) % 4 WHEN 1 THEN 1.5 WHEN 3 THEN 0.5 ELSE 1.0 END)::DOUBLE AS crw,
+        |  (CASE (k % 31) % 4 WHEN 1 THEN 1.5 WHEN 3 THEN 0.5 ELSE 1.0 END)::DOUBLE AS irw,
+        |  (CASE (k % 37) % 4 WHEN 1 THEN 1.5 WHEN 3 THEN 0.5 ELSE 1.0 END)::DOUBLE AS arw,
+        |  (CASE (k % 9) % 5 WHEN 1 THEN 0.91 WHEN 2 THEN 0.94 WHEN 3 THEN 0.97 ELSE 1.0 END)::DOUBLE AS ew,
+        |  (CASE (k % 19) % 5 WHEN 1 THEN 0.95 WHEN 2 THEN 0.96 WHEN 3 THEN 0.97 ELSE 1.0 END)::DOUBLE AS rlw,
+        |  (CASE (k % 23) % 4 WHEN 1 THEN 0.92 WHEN 2 THEN 0.96 ELSE 1.0 END)::DOUBLE AS rcw
+        |  FROM scored),
+        |ef AS (SELECT *,
+        |  CASE WHEN mav_l = 'X' THEN av_l ELSE mav_l END AS eav,
+        |  CASE WHEN mac_l = 'X' THEN ac_l ELSE mac_l END AS eac,
+        |  CASE WHEN mpr_l = 'X' THEN pr_l ELSE mpr_l END AS epr,
+        |  CASE WHEN mui_l = 'X' THEN ui_l ELSE mui_l END AS eui,
+        |  CASE WHEN ms_l = 'X' THEN s_l ELSE ms_l END AS ems,
+        |  CASE WHEN mc_l = 'X' THEN c_l ELSE mc_l END AS emc,
+        |  CASE WHEN mi_l = 'X' THEN i_l ELSE mi_l END AS emi,
+        |  CASE WHEN ma_l = 'X' THEN a_l ELSE ma_l END AS ema
+        |  FROM em),
+        |ew2 AS (SELECT *, (ems = 'C') AS esc,
+        |  (CASE eav WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END)::DOUBLE AS eavw,
+        |  (CASE eac WHEN 'L' THEN 0.77 ELSE 0.44 END)::DOUBLE AS eacw,
+        |  (CASE WHEN ems = 'C' THEN CASE epr WHEN 'N' THEN 0.85 WHEN 'L' THEN 0.68 ELSE 0.5 END
+        |        ELSE CASE epr WHEN 'N' THEN 0.85 WHEN 'L' THEN 0.62 ELSE 0.27 END END)::DOUBLE AS eprw,
+        |  (CASE eui WHEN 'N' THEN 0.85 ELSE 0.62 END)::DOUBLE AS euiw,
+        |  (CASE emc WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS ecw,
+        |  (CASE emi WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS eiw,
+        |  (CASE ema WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END)::DOUBLE AS eaw
+        |  FROM ef),
+        |e1 AS (SELECT *, least((1.0)::DOUBLE - ((1.0)::DOUBLE - crw * ecw)
+        |  * ((1.0)::DOUBLE - irw * eiw) * ((1.0)::DOUBLE - arw * eaw),
+        |  (0.915)::DOUBLE) AS miss FROM ew2),
+        |e2 AS (SELECT *, miss * (0.9731)::DOUBLE - (0.02)::DOUBLE AS z FROM e1),
+        |e3 AS (SELECT *, z * z AS z2 FROM e2),
+        |e4 AS (SELECT *, z2 * z2 AS z4 FROM e3),
+        |e5 AS (SELECT *, z4 * z4 AS z8 FROM e4),
+        |e6 AS (SELECT *,
+        |  CASE WHEN esc THEN (7.52)::DOUBLE * (miss - (0.029)::DOUBLE) - (3.25)::DOUBLE * (z8 * z4 * z)
+        |       ELSE (6.42)::DOUBLE * miss END AS mimpact,
+        |  (8.22)::DOUBLE * eavw * eacw * eprw * euiw AS mexpl FROM e5),
+        |e7 AS (SELECT *, CASE WHEN esc THEN least((1.08)::DOUBLE * (mimpact + mexpl), (10.0)::DOUBLE)
+        |                      ELSE least(mimpact + mexpl, (10.0)::DOUBLE) END AS ecapped FROM e6),
+        |e8 AS (SELECT *, round(ecapped * 100000.0) AS eri FROM e7),
+        |e9 AS (SELECT *, CASE WHEN eri % 10000 = 0 THEN eri / 100000.0
+        |                      ELSE (floor(eri / 10000.0) + 1) / 10.0 END AS er1 FROM e8),
+        |e10 AS (SELECT *, round(er1 * ew * rlw * rcw * 100000.0) AS eri2 FROM e9)
+        |SELECT 'CVE-2020-' || k AS cve_id, score,
+        |  CASE WHEN mimpact <= 0 THEN 0.0
+        |       WHEN eri2 % 10000 = 0 THEN eri2 / 100000.0
+        |       ELSE (floor(eri2 / 10000.0) + 1) / 10.0 END AS env_score
+        |FROM e10""".stripMargin) { c =>
+      import c.t
+      val k = $"o_orderkey"
+      def letter(idx: Column, ls: String*) =
+        element_at(array(ls.map(lit): _*), (idx + 1).cast("int"))
+      val vector = concat(baseVector(k),
+        lit("/E:"), letter((k % 9) % 5, "X", "U", "P", "F", "H"),
+        lit("/RL:"), letter((k % 19) % 5, "X", "O", "T", "W", "U"),
+        lit("/RC:"), letter((k % 23) % 4, "X", "U", "R", "C"),
+        lit("/CR:"), letter((k % 29) % 4, "X", "H", "M", "L"),
+        lit("/IR:"), letter((k % 31) % 4, "X", "H", "M", "L"),
+        lit("/AR:"), letter((k % 37) % 4, "X", "H", "M", "L"),
+        lit("/MAV:"), letter((k % 41) % 5, "X", "N", "A", "L", "P"),
+        lit("/MAC:"), letter((k % 43) % 3, "X", "L", "H"),
+        lit("/MPR:"), letter((k % 47) % 4, "X", "N", "L", "H"),
+        lit("/MUI:"), letter((k % 53) % 3, "X", "N", "R"),
+        lit("/MS:"), letter((k % 59) % 3, "X", "U", "C"),
+        lit("/MC:"), letter((k % 61) % 4, "X", "H", "L", "N"),
+        lit("/MI:"), letter((k % 67) % 4, "X", "H", "L", "N"),
+        lit("/MA:"), letter((k % 71) % 4, "X", "H", "L", "N"))
+      // Same letters-staging as q109/q115: every metric regex runs
+      // ONCE, the score expressions reference attributes. The MAV/MA/
+      // MS names cannot false-match AV/A/S — vectorMetric anchors on
+      // start-or-slash.
+      val letters = Seq("AV", "AC", "PR", "UI", "S", "C", "I", "A",
+        "MAV", "MAC", "MPR", "MUI", "MS", "MC", "MI", "MA",
+        "CR", "IR", "AR", "E", "RL", "RC")
+      t("orders").filter(k <= 2000)
+        .select(concat(lit("CVE-2020-"), k.cast("string")).as("cve_id"),
+          vector.as("vector"))
+        .select($"cve_id" +:
+          letters.map(n => CvssV3.vectorMetric($"vector", n).as("__" + n)): _*)
+        .withColumn("score", CvssV3.baseScoreOfLetters(
+          $"__AV", $"__AC", $"__PR", $"__UI", $"__S", $"__C", $"__I", $"__A"))
+        .select($"cve_id", $"score",
+          CvssV3.environmentalScoreOf(
+            $"__AV", $"__AC", $"__PR", $"__UI", $"__S", $"__C", $"__I", $"__A",
+            $"__MAV", $"__MAC", $"__MPR", $"__MUI", $"__MS", $"__MC",
+            $"__MI", $"__MA",
+            $"__CR", $"__IR", $"__AR", $"__E", $"__RL", $"__RC")
+            .as("env_score"))
+    },
+
     // CVSS v2 base score from the vector string — the score family
     // the reference actually STORES (it flattens baseMetricV2 fields
     // verbatim): computing it validates the archive. Same synthesis +

@@ -162,4 +162,52 @@ class StreamingForgetSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("unknown kind"))
   }
+
+  test("sustained 20-batch mixed stream with mid-stream compaction converges") {
+    val dir = tmp()
+    val (doc0, actor) = buildAll(dir)
+    // aggressive ratio so compaction fires MID-stream, several times —
+    // the sustained-deletion shape: hygiene must not disturb
+    // convergence or exactly-once ledgers
+    val doc = doc0.copy(compactRatio = 0.05)
+    var compactions = 0
+    (0 until 20).foreach { b =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(40)) === b)
+        .select(lit("doc").as("kind"), col("doc_id").cast("long").as("id"))
+        .unionByName(events.select(col("user_id")).distinct()
+          .filter(pmod(col("user_id"), lit(100)) === b)
+          .select(lit("actor").as("kind"), col("user_id").cast("long").as("id")))
+      val hadLedger = doc.lsh.removedIds.count() > 0
+      StreamingForget.process(batch, b.toLong, doc, actor)
+      // a cleared ledger right after a batch that grew it = compaction
+      if (hadLedger && doc.lsh.removedIds.count() == 0) compactions += 1
+    }
+    assert(compactions >= 1,
+      "compaction must fire mid-stream at this ratio, else the tier is vacuous")
+    // final state == from-scratch over the kept corpus + kept events
+    val kept = docs.filter(pmod(col("doc_id"), lit(40)) >= 20)
+    val keptEv = events.filter(pmod(col("user_id"), lit(100)) >= 20)
+    val keptLsh = LshStore.build(kept, "doc_id", "text", s"${tmp()}/lshref")
+    assert(rows(doc.lsh.nearDupsOfDelta(probe, "text", minJaccard = 0.8))
+      == rows(keptLsh.nearDupsOfDelta(probe, "text", minJaccard = 0.8)))
+    val keptPs = PostingsStore.build(kept, "doc_id", "text",
+      s"${tmp()}/psref", nBuckets = 16)
+    assert(rows(doc.postings.get.bm25Search(Seq("vector", "stream", "window"), k = 20))
+      == rows(keptPs.bm25Search(Seq("vector", "stream", "window"), k = 20)))
+    val keptG = PairGraphStore.build(pairsOf(kept), "doc_a", "doc_b", None,
+      s"${tmp()}/gref")
+    assert(doc.graph.ensureCommunities(rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == keptG.ensureCommunities(rounds = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val vref = s"${tmp()}/vocabref"
+    VocabStore.create(spark, postingsOf(kept), "doc_id", "w", vref)
+    assert(vocabMap(s"$dir/vocab") == vocabMap(vref))
+    val wantCounts = CoPresence.pairs(keptEv, "user_id", "ts",
+        copCfg.windowSec, 1, copCfg.maxWindowActors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(CoPresenceStore.read(spark, s"$dir/counts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      == wantCounts)
+  }
 }
