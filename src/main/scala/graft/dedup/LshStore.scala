@@ -274,11 +274,12 @@ object LshStore {
       * read is pruned by the FILTERED candidates; `allowed` may be
       * corpus-sized (first column = doc id; semi-joined, never
       * collected — at 100 TB the predicate side stays distributed).
-      * Served distributed (the SrpStore.topKFiltered precedent: the
-      * driver micro-serve would need allowed membership on the
-      * driver, adding the very job the micro path saves); the
-      * corpus-side literal bucket prune still applies, so a small
-      * delta keeps its pruned read. An empty `allowed` yields an
+      * A micro delta keeps the DRIVER micro-serve: allowed membership
+      * is resolved by semi-joining the allowed frame against the
+      * broadcast candidate-endpoint set — one bounded extra job, the
+      * ledger-probe shape — so filtered micro-batches serve at micro
+      * cost; bulk deltas take the shared distributed route with the
+      * same candidate-pair semi-join. An empty `allowed` yields an
       * empty frame, not an error. */
     def nearDupsOfDeltaFiltered(
         delta: DataFrame,
@@ -290,6 +291,17 @@ object LshStore {
       val micro =
         delta.select(col(idCol)).count() * cfg.bands <=
           graft.operators.KeyPrune.MaxChunkedKeys
+      // the driver micro-serve works filtered too: the allowed
+      // restriction is resolved with ONE extra bounded job — the
+      // corpus-sized allowed frame is probed by the (pair-bounded)
+      // candidate endpoint set, never collected wholesale
+      if (micro &&
+          delta.schema(idCol).dataType ==
+            org.apache.spark.sql.types.LongType && !removedLedgerPresent)
+        microNearDups(delta, textCol, minJaccard, Some(allowedIds)) match {
+          case Some(res) => return res
+          case None => () // a cap tripped — serve distributed
+        }
       nearDupsDistributed(delta, textCol, minJaccard, micro, Some(allowedIds))
     }
 
@@ -360,7 +372,8 @@ object LshStore {
     private def microNearDups(
         delta: DataFrame,
         textCol: String,
-        minJaccard: Double): Option[DataFrame] = {
+        minJaccard: Double,
+        allowedIds: Option[DataFrame] = None): Option[DataFrame] = {
       import scala.collection.mutable
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_a",
@@ -449,6 +462,22 @@ object LshStore {
         }
       }
       if (pairs.size > MaxDriverPairs) return None
+      // the allowed restriction lands on the candidate pairs BEFORE
+      // the verify reads (the distributed route's ordering), resolved
+      // with ONE bounded job: the corpus-sized allowed frame is
+      // semi-joined against the broadcast endpoint set (pair-bounded),
+      // so only the HIT endpoints ever reach the driver
+      allowedIds.foreach { a =>
+        if (pairs.nonEmpty) {
+          val eps = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+          val epDf = local(eps.toSeq.map(e =>
+            org.apache.spark.sql.Row(e, e, 0.0)))
+            .select(col("doc_a").as("__aid"))
+          val hit = a.join(broadcast(epDf), Seq("__aid"), "left_semi")
+            .collect().map(_.getLong(0)).toSet
+          pairs.filterInPlace(p => hit(p._1) && hit(p._2))
+        }
+      }
       if (pairs.isEmpty) return Some(local(Nil))
       // job 3 (only when corpus docs are endpoints): the candidate-id
       // pruned shingle read, collected

@@ -372,24 +372,32 @@ object TextQueries extends QueryDsl {
 
     // FILTERED incremental near-dup — the text MinHash route completes
     // the filtered-serving quartet (SRP q232b, BM25 q233, IVF q234):
-    // q140's delta dedup restricted to an allowed metadata set (lang
-    // <> 'zh'), pairs surfacing only when BOTH endpoints are allowed.
+    // delta dedup restricted to an allowed metadata set (lang <>
+    // 'zh'), pairs surfacing only when BOTH endpoints are allowed.
     // The semi-join lands on the candidate pairs BEFORE verification
     // (the shingle read prunes to surviving candidates); the allowed
-    // frame is corpus-sized and never collected. ORACLE-EXACT: the
-    // q140 exact-Jaccard contract + the allowed predicate on both
+    // frame is corpus-sized and never collected. The delta (doc_id %
+    // 20 == 12, a subset of the never-stored %4==0 complement) sizes
+    // the serve onto the CHUNKED literal corpus read at sf0.1 (250
+    // docs x 32 bands = 8,000 keys — past the single-predicate cap,
+    // under MaxChunkedKeys), the scale path a filtered micro-batch
+    // takes; the filtered route serves distributed by design (the
+    // SrpStore.topKFiltered adjudication). ORACLE-EXACT: the q140
+    // exact-Jaccard contract + the allowed predicate on both
     // endpoints (this corpus's 0.8-Jaccard recall-1 family, the
     // q61/q62 adjudication). Shares q140's store.
     q("q235_neardup_filtered",
       s"WITH ${jaccardPairsCte(0.8)} SELECT doc_a, doc_b, jaccard FROM prs " +
         "JOIN documents da ON da.doc_id = doc_a " +
         "JOIN documents db ON db.doc_id = doc_b " +
-        "WHERE (doc_a % 4 = 0 OR doc_b % 4 = 0) " +
+        "WHERE (doc_a % 20 = 12 OR doc_b % 20 = 12) " +
+        "AND (doc_a % 4 <> 0 OR doc_a % 20 = 12) " +
+        "AND (doc_b % 4 <> 0 OR doc_b % 20 = 12) " +
         "AND da.lang <> 'zh' AND db.lang <> 'zh'") { c =>
       import c.t
       val docs = t("documents")
       val corpus = docs.filter(pmod($"doc_id", lit(4)) =!= 0)
-      val delta = docs.filter(pmod($"doc_id", lit(4)) === 0)
+      val delta = docs.filter(pmod($"doc_id", lit(20)) === 12)
       val allowed = docs.filter($"lang" =!= "zh").select($"doc_id")
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
