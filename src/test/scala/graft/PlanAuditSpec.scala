@@ -24,6 +24,11 @@ class PlanAuditSpec extends SparkSpec {
     // (q232b, the store route, plans candidate equi-joins and is not
     // whitelisted)
     "q232_ann_filtered",
+    // q232c: the realistic-probe CONTRACT twin — its output frame IS
+    // q232's exhaustive brute-force ranking (all-pairs by the same
+    // design), with the served-route comparison joined on as the
+    // probe_ok verdict; the served route itself plans equi-joins
+    "q232c_ann_filtered_contract",
     // OPQ = the q73 ADC shape after an orthonormal rotation: every
     // corpus row scores against the broadcast per-query ADC tables
     "q181_ann_opq", "q181b_ann_opq_exhaustive",

@@ -63,6 +63,37 @@ class CvssV3Spec extends SparkSpec {
     assert(r.toSeq === Seq("A", "H", "L", "R", "C", "L", "N", "H"))
   }
 
+  test("environmental score: identity, requirement re-weighting, scope flip") {
+    val sp = spark; import sp.implicits._
+    def env(vs: String*): Seq[java.lang.Double] = {
+      val names = Seq("AV", "AC", "PR", "UI", "S", "C", "I", "A",
+        "MAV", "MAC", "MPR", "MUI", "MS", "MC", "MI", "MA",
+        "CR", "IR", "AR", "E", "RL", "RC")
+      val ls = names.map(n => CvssV3.vectorMetric(col("vs"), n))
+      vs.toDF("vs")
+        .select(CvssV3.environmentalScoreOf(
+          ls(0), ls(1), ls(2), ls(3), ls(4), ls(5), ls(6), ls(7),
+          ls(8), ls(9), ls(10), ls(11), ls(12), ls(13), ls(14), ls(15),
+          ls(16), ls(17), ls(18), ls(19), ls(20), ls(21)).as("e"))
+        .collect().map(r =>
+          if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0)))
+        .toSeq
+    }
+    val base = "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H" // 9.8
+    // no modifications, X requirements: environmental == temporal
+    assert(env(base, base + "/E:F/RL:O/RC:C",
+      base + "/CR:X/IR:X/AR:X/MAV:X/MS:X") === Seq(9.8, 9.1, 9.8))
+    // low security requirements re-weight the impact DOWN:
+    // MISS = 1 - (1 - 0.5*0.56)^3 = 0.626752, impact 4.02375,
+    // expl 3.88701 -> Roundup(7.91076) = 8.0
+    assert(env(base + "/CR:L/IR:L/AR:L") === Seq(8.0))
+    // Modified Scope flips the formula family (1.08 cap + the
+    // (MISS*0.9731-0.02)^13 term): the 9.8 S:U vector saturates
+    assert(env(base + "/MS:C") === Seq(10.0))
+    // a missing base metric not supplied by its Modified twin -> null
+    assert(env("CVSS:3.1/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H") === Seq(null))
+  }
+
   test("roundup1 is the spec's integer-snapped ceiling") {
     val sp = spark; import sp.implicits._
     val vals = Seq(4.0, 4.02, 4.000001, 8.6 - 1e-9, 0.0).toDF("x")
