@@ -15,6 +15,42 @@ object SearchQueries extends QueryDsl {
 
   private val hybridTerms = Seq("vector", "stream", "window")
 
+  /** DuckDB replica of q143's MMR greedy, unrolled to its fixed k=10:
+    * cands = cosine top-50 for query vec 0 (rel = cosine), sim = the
+    * candidate pairwise cosines, then 10 pick rounds — each keeps the
+    * unpicked survivors, folds the newest pick into the running
+    * max-sim, and takes the (0.7·rel − 0.3·ms) argmax with the
+    * operator's (score desc, id asc) tie-break as ORDER BY + LIMIT 1.
+    * MATERIALIZED on every round CTE: DuckDB inlines plain CTEs and a
+    * 10-deep self-referencing pick chain explodes exponentially. */
+  private def mmrOracle: String = {
+    val rounds = (1 until 10).map { r =>
+      s"""ms$r AS MATERIALIZED (SELECT m.id, m.rel, greatest(m.ms, s.s) AS ms
+        |  FROM ms${r - 1} m JOIN sim s ON s.ia = m.id AND s.ib = (SELECT id FROM p$r)
+        |  WHERE m.id <> (SELECT id FROM p$r)),
+        |p${r + 1} AS MATERIALIZED (SELECT id, (0.7)::DOUBLE * rel - (0.3)::DOUBLE * ms AS score
+        |  FROM ms$r ORDER BY score DESC, id LIMIT 1)""".stripMargin
+    }
+    val unions = (1 to 10).map(r =>
+      s"SELECT $r::BIGINT AS rnk, id AS vec_id, round(score, 4) AS mmr_score FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH cands AS MATERIALIZED (
+      |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+      |    cast(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS DOUBLE) AS rel
+      |  FROM embeddings e CROSS JOIN
+      |    (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+      |  ORDER BY rel DESC, e.vec_id LIMIT 50),
+      |sim AS MATERIALIZED (
+      |  SELECT a.id AS ia, b.id AS ib,
+      |    cast(list_cosine_similarity(a.v, b.v) AS DOUBLE) AS s
+      |  FROM cands a JOIN cands b ON a.id <> b.id),
+      |ms0 AS MATERIALIZED (SELECT id, rel, (0.0)::DOUBLE AS ms FROM cands),
+      |p1 AS MATERIALIZED (SELECT id, (0.7)::DOUBLE * rel - (0.3)::DOUBLE * ms AS score
+      |  FROM ms0 ORDER BY score DESC, id LIMIT 1),
+      |${rounds.mkString(",\n")}
+      |$unions""".stripMargin
+  }
+
   /** Oracle for the hybrid RRF fusion: BM25 top-20 (the shared
     * bm25Sql text, so the lexical leg cannot drift from q124) fused
     * with exact-cosine top-20 for the query vector (vec_id 0), each
@@ -125,10 +161,19 @@ object SearchQueries extends QueryDsl {
 
     // MMR diversified re-rank of the cosine top-50 for query vec 0:
     // greedy λ·rel − (1−λ)·maxSim selection, driver-side over the
-    // bounded candidate page (see MmrRerank scaladoc). The greedy
-    // recurrence is not SQL-expressible — correctness is covered by
-    // SearchOpsSpec's independent objective re-check (rows-only here).
-    q("q143_mmr_rerank") { c =>
+    // bounded candidate page (see MmrRerank scaladoc). ORACLE-EXACT
+    // since round 15: k is FIXED (10), so the "inherently sequential"
+    // greedy unrolls as 10 pick CTEs — per round, the surviving
+    // candidates' running max-sim folds in the previous pick and an
+    // (score desc, id) LIMIT 1 reproduces the argmax tie-break;
+    // MATERIALIZED is load-bearing (DuckDB inlines plain CTEs and the
+    // pick chain would expand exponentially). Objective margins on
+    // this corpus are far above the cross-engine cosine epsilon (both
+    // engines upcast the float vectors to double), and the 4dp score
+    // rounding sits away from every half-boundary — the q196/q199
+    // float-determinism argument. SearchOpsSpec keeps the independent
+    // objective re-check.
+    q("q143_mmr_rerank", mmrOracle) { c =>
       import c.t
       val emb = t("embeddings")
       val queries = emb.filter($"vec_id" === 0)

@@ -3277,10 +3277,17 @@ object TextQueries extends QueryDsl {
     // of the corpus. The corpus is scanned ONCE into the word-freq
     // dictionary; the 20 driver rounds iterate over that dictionary
     // (pair explode + weighted groupBy + one-row argmax + codegen
-    // regexp merge). No SQL analogue of the iterative argmax exists —
-    // rows-only here; correctness authority is BpeTrainSpec's
-    // reference-implementation equivalence on the same corpus.
-    q("q156_bpe_train") { c =>
+    // regexp merge). ORACLE-EXACT since round 15: the merge count is
+    // FIXED (20), so the "iterative argmax" unrolls as 20 round CTEs
+    // (the q143 move) — RE2 has no lookbehind, so the oracle's merge
+    // step uses the doubled-space encoding with a PLAIN string
+    // replace (pad + double every separator; a single-spaced " l  r "
+    // occurrence is exactly one adjacent pair and the replacement
+    // leaves one space on each side, so runs like "a a a" merge
+    // left-to-right greedily — the same non-overlap semantics as the
+    // lookaround regex, without regex metacharacter hazards).
+    // BpeTrainSpec keeps the reference-implementation equivalence.
+    q("q156_bpe_train", bpeTrainOracle) { c =>
       import c.t
       graft.functions.BpeTrain.learnMergesDf(t("documents"), "text", merges = 20)
     },
@@ -3288,10 +3295,13 @@ object TextQueries extends QueryDsl {
     // BPE APPLICATION: tokenize the corpus with the 20 learned merges
     // and report per-doc fertility (BPE tokens per word — the
     // tokenizer-efficiency screen). Merges fold into one projection
-    // chain over the distinct-word dict; rows-only like q156 (the
-    // merge table is runtime-learned, invisible to static SQL), with
-    // BpeTrainSpec's reference-tokenizer equivalence as authority.
-    q("q157_bpe_fertility") { c =>
+    // chain over the distinct-word dict. ORACLE-EXACT since round 15:
+    // q156's unrolled training chain runs INSIDE the oracle, its
+    // final dictionary maps back to (word, tokens-per-word) — symbols
+    // concatenate to the original word, "</w>" stripped — and the
+    // per-doc rollup joins the doc words; BpeTrainSpec keeps the
+    // reference-tokenizer equivalence.
+    q("q157_bpe_fertility", bpeFertilityOracle) { c =>
       import c.t
       val docs = t("documents")
       val merges = graft.functions.BpeTrain.learnMerges(docs, "text", merges = 20)
@@ -3472,6 +3482,64 @@ object TextQueries extends QueryDsl {
         .select($"lang", $"doc_id", $"n_tokens", $"start_off",
           $"chunk_first", $"chunk_last", $"n_chunks_spanned")
     })
+
+  /** The shared DuckDB CTE chain replaying [[graft.functions.BpeTrain]]
+    * round for round: wd0 = the word-frequency dictionary with
+    * char-space-joined symbols + the `</w>` terminator, then per round
+    * the weighted adjacent-pair argmax (pn desc, l asc, r asc — the
+    * operator's tie-break, as ORDER BY + LIMIT 1) and the merge
+    * rewrite. The rewrite uses the doubled-space encoding + plain
+    * `replace` (no regex: RE2 lacks the operator's lookbehind, and
+    * symbols may carry regex metacharacters) — pad with one space,
+    * double every separator, replace " l  r " with " lr ", collapse
+    * doubles, trim: one adjacent occurrence per match, one space left
+    * on each side, so runs merge left-to-right greedily exactly like
+    * the lookaround regex. MATERIALIZED throughout (DuckDB inlines
+    * plain CTEs; 20 self-referencing rounds would explode). */
+  private def bpeChainCtes(rounds: Int): String = {
+    val prefix =
+      """wd0 AS MATERIALIZED (
+        |  SELECT array_to_string(split(w, ''), ' ') || ' </w>' AS sym,
+        |    count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(w) > 0
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""pr$r AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(n)::BIGINT AS pn
+        |  FROM (SELECT regexp_split_to_array(sym, ' ') AS s, n FROM wd${r - 1}),
+        |       unnest(range(1, len(s))) AS t(i)
+        |  GROUP BY 1, 2),
+        |b$r AS MATERIALIZED (SELECT l, r, pn FROM pr$r ORDER BY pn DESC, l, r LIMIT 1),
+        |wd$r AS MATERIALIZED (
+        |  SELECT trim(replace(replace(
+        |      ' ' || replace(sym, ' ', '  ') || ' ',
+        |      ' ' || (SELECT l FROM b$r) || '  ' || (SELECT r FROM b$r) || ' ',
+        |      ' ' || (SELECT l FROM b$r) || (SELECT r FROM b$r) || ' '),
+        |    '  ', ' ')) AS sym, n
+        |  FROM wd${r - 1})""".stripMargin
+    }
+    (prefix +: steps).mkString(",\n")
+  }
+
+  private def bpeTrainOracle: String = {
+    val unions = (1 to 20).map(r =>
+      s"""SELECT ${r - 1}::INT AS rank, l AS "left", r AS "right", pn AS n FROM b$r""")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeChainCtes(20)}\n$unions"
+  }
+
+  private def bpeFertilityOracle: String =
+    s"""WITH ${bpeChainCtes(20)},
+      |tpw AS (SELECT substr(replace(sym, ' ', ''), 1, length(replace(sym, ' ', '')) - 4) AS w,
+      |    len(regexp_split_to_array(sym, ' '))::BIGINT AS t FROM wd20),
+      |docw AS (SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      |    FROM documents WHERE length(trim(text)) > 0) WHERE length(w) > 0)
+      |SELECT doc_id, count(*)::BIGINT AS n_words, sum(t)::BIGINT AS n_bpe_tokens,
+      |  round(sum(t)::DOUBLE / count(*)::DOUBLE, 6) AS fertility
+      |FROM docw JOIN tpw USING (w) GROUP BY doc_id""".stripMargin
 
   /** [[annTop5Oracle]] with the corpus side restricted to documents
     * passing the metadata predicate — the filtered-search contract
