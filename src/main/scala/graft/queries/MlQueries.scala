@@ -307,6 +307,21 @@ object MlQueries extends QueryDsl {
       |  FROM c$r) WHERE rn = 1)""".stripMargin
   }
 
+  /** q169's oracle: the weighted LPA unroll over the EXACT cosine
+    * graph, votes in 1e-4 units (round(w·10⁴) over the 4dp pair
+    * weight — integer-valued doubles, so sums are cross-engine exact;
+    * the q231 argument on the similarity side). */
+  private def weightedLpaCosineSql =
+    s"""WITH ${GraphSql.cosPairsCte()},
+      |edges AS (SELECT va AS u, vb AS v, round(w * 10000) AS w FROM prs
+      |  UNION ALL SELECT vb, va, round(w * 10000) FROM prs),
+      |sw AS (SELECT u AS node, max(w) AS sw FROM edges GROUP BY 1),
+      |l0 AS (SELECT node, node AS lbl FROM sw),
+      |${weightedLpaRoundSql(1)},
+      |${weightedLpaRoundSql(2)},
+      |${weightedLpaRoundSql(3)}
+      |SELECT node AS vec_id, lbl AS community FROM l3""".stripMargin
+
   private def weightedLpaEventsSql =
     s"""WITH p AS (SELECT DISTINCT cast(floor(epoch(ts) / 600) AS BIGINT) AS w, user_id
       |  FROM events),
@@ -878,17 +893,22 @@ object MlQueries extends QueryDsl {
         .select($"vec_id", $"n_eval_hits", round($"max_cos", 4).as("max_cos"))
     },
 
-    // Similarity-WEIGHTED label propagation on the LSH pair graph:
+    // Similarity-WEIGHTED label propagation on the near-dup graph:
     // votes carry the verified cosine, so a community boundary falls
-    // on weak ties even when edge counts tie. Rows-only (double-sum
-    // argmax has no stable SQL twin); the weighted semantics are
-    // spec-pinned (heavier side wins, positive-weight guard).
-    q("q169_lpa_weighted") { c =>
-      // store-served edges carry the verified rounded cosine — the
-      // exact weights the inline route produced
-      val pairs = TextQueries.embPairStore(c.spark, c.dir).edges
+    // on weak ties even when edge counts tie. ORACLE-EXACT since
+    // round 15 on the exact cosine graph: the vote weight is the
+    // store's 4dp cosine in 1e-4 UNITS (round(cos·10⁴) — an
+    // integer-valued double, so vote sums are exact on both engines
+    // regardless of addition order: the q231 argument, which is what
+    // made the raw double-sum argmax have "no stable SQL twin" before;
+    // scaling preserves every comparison the 4dp rounding kept). The
+    // weighted semantics stay spec-pinned (heavier side wins,
+    // positive-weight guard); q231 anchors the events side.
+    q("q169_lpa_weighted", weightedLpaCosineSql) { c =>
+      val pairs = TextQueries.embExactPairStore(c.spark, c.dir).edges
+        .withColumn("wi", round($"cos" * 10000))
       graft.operators.LabelPropagation.run(
-        pairs, "vec_a", "vec_b", rounds = 3, weightCol = Some("cos"))
+        pairs, "vec_a", "vec_b", rounds = 3, weightCol = Some("wi"))
         .select($"node".as("vec_id"), $"community")
     },
 
