@@ -412,7 +412,52 @@ object MlQueries extends QueryDsl {
           - half * half, 6) + lit(0.0)).as("contribution"))
   }
 
+  /** Unrolled greedy k-center oracle (the q143 MMR pick-chain mold):
+    * c1 is the smallest-id point, each later cr the argmax of the
+    * running min 4dp cosine distance (ties on smaller id, picks
+    * excluded explicitly), m_r folds cr into the running min.
+    * MATERIALIZED is load-bearing — DuckDB inlines plain CTEs and the
+    * pick chain would expand exponentially. All comparisons happen on
+    * 4dp-quantized distances on BOTH engines, so the greedy trajectory
+    * is engine-independent (the q64/q169 determinism argument). */
+  private def kcenterOracle(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val excl = (1 until r).map(i => s"SELECT id FROM c$i").mkString(" UNION ALL ")
+      s"""c$r AS MATERIALIZED (SELECT id, v, d FROM m${r - 1}
+        |  WHERE id NOT IN ($excl) ORDER BY d DESC, id LIMIT 1),
+        |m$r AS MATERIALIZED (SELECT m.id, m.v,
+        |  least(m.d, round(1.0 - list_cosine_similarity(m.v, (SELECT v FROM c$r)), 4)) AS d
+        |  FROM m${r - 1} m)""".stripMargin
+    }
+    val unions = (1 to k).map { r =>
+      s"SELECT $r::BIGINT AS rnk, (SELECT id FROM c$r) AS vec_id," +
+        s" (SELECT round(max(d), 4) FROM m$r) AS radius"
+    }.mkString("\nUNION ALL ")
+    s"""WITH pts AS MATERIALIZED (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c1 AS MATERIALIZED (SELECT id, v FROM pts ORDER BY id LIMIT 1),
+      |m1 AS MATERIALIZED (SELECT p.id, p.v,
+      |  round(1.0 - list_cosine_similarity(p.v, (SELECT v FROM c1)), 4) AS d
+      |  FROM pts p),
+      |${rounds.mkString(",\n")}
+      |$unions""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+
+    // Greedy k-center (Gonzalez) coreset selection over the embedding
+    // corpus: 10 maximally-spread representatives plus the coverage
+    // radius after each pick — the distributed data-selection shape
+    // (per-row running-min state, one codegen'd dot kernel per round;
+    // see KCenter scaladoc). ORACLE-EXACT: fixed k unrolls as a pick
+    // chain exactly like q143's MMR greedy; every comparison is on
+    // 4dp-quantized distances on both engines.
+    q("q236_kcenter_coreset", kcenterOracle(10)) { c =>
+      import c.t
+      graft.operators.KCenter.select(t("embeddings"), "vec_id", "embedding", k = 10)
+        .select($"rnk", $"vec_id", round($"radius", 4).as("radius"))
+    },
+
 
     // Multinomial NB language classifier, trained distributed on the
     // %5<>0 split, evaluated as a confusion matrix on the %5==0
