@@ -58,4 +58,47 @@ object DataSplit {
     }
     df.withColumn("split", split)
   }
+
+  /** Split assignment at NEAR-DUP-CLUSTER granularity — the leakage
+    * guard: all members of a connected component of the near-dup pair
+    * graph share one split (the hash coin is flipped on the CLUSTER
+    * ROOT id, not the doc id), so no near-dup pair can straddle
+    * train/test. Published motivation: Lee et al. 2022 §6.2 measure
+    * train/validation near-dup leakage in standard corpora inflating
+    * eval scores; the fix is exactly this — component-level split
+    * assignment. Docs in no pair are their own singleton cluster
+    * (root = own id), so the assignment degrades to [[assign]] on an
+    * edge-free corpus.
+    *
+    * Scale shape: the pair graph is the (sparse) output of an upstream
+    * bucketed dedup pass, components come from
+    * [[graft.dedup.ConnectedComponents.runAdaptive]] (iterative
+    * min-label propagation over edges, adaptive driver union-find
+    * below a bounded edge count), and the join back to docs is a
+    * broadcast at realistic cluster-to-corpus ratios. Stability caveat
+    * vs [[assign]]: a NEW near-dup edge can merge two clusters and
+    * re-root one side — membership changes move docs between splits
+    * exactly when the leakage guard requires them to.
+    *
+    * @param pairs near-dup pairs (aCol, bCol) — ids in `idCol`'s space
+    * @return `df` plus `root` (long) and `split` columns
+    */
+  def leakageFreeAssign(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      cuts: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    val comps = graft.dedup.ConnectedComponents
+      .runAdaptive(pairs, aCol, bCol)
+      .select(col("member").cast("long").as("__member"),
+        col("cluster_root").cast("long").as("__croot"))
+    val withRoot = df
+      .join(comps, df(idCol).cast("long") === col("__member"), "left")
+      .withColumn("root", coalesce(col("__croot"), col(idCol).cast("long")))
+      .drop("__member", "__croot")
+    assign(withRoot, "root", cuts, salt)
+  }
 }

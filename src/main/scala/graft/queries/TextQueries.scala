@@ -1892,6 +1892,63 @@ object TextQueries extends QueryDsl {
         .groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
     },
 
+    // LEAKAGE-FREE split: q133's hash split lifted to near-dup-CLUSTER
+    // granularity (connected components of the exact >=0.5 Jaccard
+    // pair graph share one split, coin flipped on the cluster root) —
+    // the train/test contamination guard of Lee et al. 2022 §6.2.
+    // cross_pairs re-counts near-dup pairs straddling splits (0 by
+    // construction; computing it makes the guarantee oracle-visible).
+    // Oracle: q68's recursive-CTE components + q133's md5 split on the
+    // root.
+    q("q237_leakage_split",
+      s"""WITH RECURSIVE ${jaccardPairsCte(0.5)},
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |), roots AS (
+        |  SELECT u AS member, min(r) AS root FROM reach GROUP BY u
+        |), assigned AS (
+        |  SELECT d.doc_id, coalesce(roots.root, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN roots ON roots.member = d.doc_id
+        |), s AS (
+        |  SELECT doc_id, root,
+        |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, root,
+        |    ('0x' || substr(md5(root::varchar || ':split'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u FROM assigned)
+        |), leaks AS (
+        |  SELECT count(*) AS c FROM prs
+        |  JOIN s sa ON sa.doc_id = prs.doc_a
+        |  JOIN s sb ON sb.doc_id = prs.doc_b
+        |  WHERE sa.split <> sb.split
+        |)
+        |SELECT split, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT root)::BIGINT AS n_clusters,
+        |  (SELECT c FROM leaks)::BIGINT AS cross_pairs
+        |FROM s GROUP BY split""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val pairs = NGramJaccard.pairs(docs, "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5)
+        .localCheckpoint() // reused by the assignment AND the leak count
+      val splits = graft.operators.DataSplit.leakageFreeAssign(
+          docs, "doc_id", pairs, "doc_a", "doc_b",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select($"doc_id", $"root", $"split")
+      val leaks = pairs
+        .join(splits.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+        .join(splits.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+        .filter($"sa" =!= $"sb")
+        .agg(count(lit(1)).as("cross_pairs"))
+      splits.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"root").as("n_clusters"))
+        .crossJoin(broadcast(leaks))
+    },
+
     // Order-invariant per-language content digests (export integrity:
     // shard XOR must equal corpus digest; layout/order never matter).
     // Literal replace on both engines, escape char BEFORE separator
