@@ -1,0 +1,438 @@
+package graft.ann
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.{KeyPrune, Partitioning, SwapDir}
+
+/** Graph-based ANN — greedy beam search over a kNN neighborhood graph,
+  * the DiskANN/HNSW family (Subramanya et al. NeurIPS 2019; Malkov &
+  * Yashunin TPAMI 2020): the family that serves a query by WALKING a
+  * precomputed proximity graph from a fixed entry point instead of
+  * probing hash buckets (SRP/LSH) or centroid cells (IVF). Completes
+  * the engine's ANN inventory — brute / LSH / IVF / PQ / OPQ hybrids
+  * all exist; the navigable-graph family did not. (Reference scope:
+  * nvd2mysqlloader has no vector surface — mandated ANN extension
+  * set.)
+  *
+  * Search shape per hop (the batched "ef-search" generalization):
+  * every query expands its current top-`beam` unexpanded nodes at
+  * once — one pruned adjacency read for the hop's frontier-node SET,
+  * one candidate-pruned vector read to score the newly discovered
+  * nodes, visited set grows monotonically, stop when every query's
+  * top-`beam` is fully expanded (or `maxHops`). All tie-breaks are on
+  * node id, the entry point is fixed (smallest id), and the graph
+  * build is seeded-free/deterministic — so the walk, and therefore
+  * the result, is reproducible across layouts and engines.
+  *
+  * Scale shape: per hop the adjacency read is pruned to the frontier's
+  * node set and the vector read to the hop's fresh candidates (both
+  * via [[KeyPrune]] — literal pushdown under the cap, broadcast
+  * semi-join above it), so a serve touches O(hops × beam × degree)
+  * graph rows regardless of corpus size — the DiskANN on-disk-graph
+  * argument. State (the per-query visited set) is bounded by the same
+  * product and localCheckpoint'd per hop. The EXACT kNN build is
+  * all-pairs (the q64 convention — correct at oracle scale and the
+  * exhaustive-twin route); [[buildKnnGraphApprox]] is the 100 TB build
+  * path (kNN among SRP-LSH candidate pairs — bucket-local candidate
+  * generation, no quadratic step), which changes the graph, not the
+  * serve.
+  */
+object GraphAnn {
+
+  /** Exact kNN graph: for each node its `k` nearest by cosine (ties on
+    * smaller id), as directed (src, dst) edges. `withRing` unions the
+    * deterministic successor ring in id order (each node points at the
+    * next-larger id, the largest back at the smallest) — the
+    * strong-connectivity backbone that keeps greedy search from
+    * stranding in a clique the entry point cannot reach (the role of
+    * DiskANN's medoid-rooted RobustPrune paths / HNSW's upper layers,
+    * in the cheapest deterministic form). */
+  def buildKnnGraph(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      withRing: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = Partitioning.spread(vectors)
+      .select(col(idCol).cast("long").as("src"), col(vecCol).as("va"),
+        VF.l2Norm(col(vecCol)).as("na"))
+    val b = vectors.select(col(idCol).cast("long").as("dst"),
+      col(vecCol).as("vb"), VF.l2Norm(col(vecCol)).as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val knn = a.join(b, col("src") =!= col("dst"))
+      .withColumn("cos",
+        VF.cosineWithNorms(VF.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+    if (!withRing) knn
+    else knn.union(ringEdges(vectors, idCol)).distinct()
+  }
+
+  private def ringEdges(vectors: DataFrame, idCol: String): DataFrame = {
+    val ringW = Window.orderBy(col("src"))
+    vectors.select(col(idCol).cast("long").as("src"))
+      .withColumn("dst", coalesce(lead(col("src"), 1).over(ringW),
+        first(col("src")).over(ringW.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** The 100 TB build path: kNN edges chosen among SRP-LSH candidate
+    * pairs ([[Ann.lshNearDupPairsReleasable]] with the threshold open)
+    * instead of all pairs — candidate generation is bucket-join-local,
+    * cosine runs once per DISTINCT candidate pair, and the per-node
+    * top-k is one window over the (sparse) candidate edges. The graph
+    * differs from the exact build where LSH misses a true neighbor
+    * (GraphAnnSpec measures the served recall through it); the serve
+    * contract is unchanged.
+    *
+    * Family sizing: candidate richness per node tracks the expected
+    * bucket population n/2^nBits — pick nBits ≈ log2(n / wanted
+    * candidates-per-table) and spend `tables` for recall (the harness
+    * corpus at n=500 serves recall 0.94-0.98 across the nBits=4 row
+    * of the [[graft.GraphAnnProbe]] grid; nBits=8 is the
+    * million-vector sizing and reads 0.68 on 500). */
+  def buildKnnGraphApprox(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      withRing: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (pairs, release) = Ann.lshNearDupPairsReleasable(
+      vectors, idCol, vecCol, threshold = -2.0, nBits, tables, dim, seed)
+    val sym = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .unionByName(pairs
+        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val knn = sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+    val out = (if (!withRing) knn
+      else knn.union(ringEdges(vectors, idCol)).distinct())
+      .localCheckpoint() // materialize before releasing the postings cache
+    release()
+    out
+  }
+
+  /** All-pairs directed id graph — the provably-exhaustive serve
+    * twin's input: hop 1 from ANY entry discovers every node, so the
+    * beam walk degenerates to brute force for any beam (no kNN
+    * ranking pass needed — only the id pairs matter). */
+  def completeGraph(vectors: DataFrame, idCol: String): DataFrame = {
+    val ids = vectors.select(col(idCol).cast("long").as("src"))
+    ids.join(ids.select(col("src").as("dst")), col("src") =!= col("dst"))
+  }
+
+  /** Batched greedy beam search over `graph` from the smallest-id
+    * entry point. Output: (query_id, neighbor_id, cos, rnk) — top-`k`
+    * VISITED nodes per query by (cos desc, id).
+    *
+    * On a COMPLETE graph (`buildKnnGraph(k = n-1)`) hop 1 discovers
+    * every node, so the result provably equals brute force for any
+    * beam — the exhaustive-twin argument (q71b's, through the walk). */
+  def topK(
+      graph: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      beam: Int,
+      maxHops: Int): DataFrame = {
+    val adj = graph.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val vecs = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"), VF.l2Norm(col(vecCol)).as("n"))
+    val entry = vecs.agg(min(col("id"))).collect()(0).getLong(0)
+    beamSearch(adj, vecs, queries, qidCol, qvecCol, k, beam, maxHops, entry)
+  }
+
+  /** The shared walk — also the store's serve path, which passes its
+    * sorted on-disk frames so the per-hop [[KeyPrune]] predicates
+    * reach the parquet scans as row-group skips. */
+  private[ann] def beamSearch(
+      adj: DataFrame,
+      vecs: DataFrame,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      beam: Int,
+      maxHops: Int,
+      entry: Long): DataFrame = {
+    require(k >= 1 && beam >= 1 && maxHops >= 1,
+      s"k/beam/maxHops must be >= 1, got ($k, $beam, $maxHops)")
+    val spark = adj.sparkSession
+    val qs = queries.select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).as("qv"), VF.l2Norm(col(qvecCol)).as("qn"))
+      .localCheckpoint()
+
+    def scoreAgainstQueries(cands: DataFrame): DataFrame = {
+      // prune the vector read to the candidate ids BEFORE the join —
+      // on the store's id-sorted layout this is the row-group skip
+      val pruned = KeyPrune.restrict(vecs,
+        cands.select(col("node").as("id")), Seq("id"))
+      cands.join(pruned, cands("node") === pruned("id"))
+        .join(qs, "qid")
+        .select(col("qid"), col("node"),
+          VF.cosineWithNorms(VF.dot(col("v"), col("qv")), col("n"), col("qn"))
+            .as("cos"))
+    }
+
+    // visited state: (qid, node, cos, expanded)
+    var state = scoreAgainstQueries(
+        qs.select(col("qid"), lit(entry).as("node")))
+      .withColumn("expanded", lit(false))
+      .localCheckpoint()
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("node"))
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      val frontier = state
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= beam && !col("expanded"))
+        .select(col("qid"), col("node"))
+        .localCheckpoint()
+      if (frontier.limit(1).collect().isEmpty) done = true
+      else {
+        // one pruned adjacency read for the hop's frontier-node set
+        val adjHop = KeyPrune.restrict(adj,
+          frontier.select(col("node").as("src")), Seq("src"))
+        val fresh = frontier
+          .join(adjHop, frontier("node") === adjHop("src"))
+          .select(col("qid"), col("dst").as("node"))
+          .distinct()
+          .join(state.select(col("qid"), col("node")),
+            Seq("qid", "node"), "left_anti")
+        val marked = state
+          .join(frontier.withColumn("__f", lit(true)), Seq("qid", "node"), "left")
+          .withColumn("expanded", col("expanded") || col("__f").isNotNull)
+          .drop("__f")
+        state = marked
+          .unionByName(scoreAgainstQueries(fresh)
+            .withColumn("expanded", lit(false)))
+          .localCheckpoint()
+        hop += 1
+      }
+    }
+    state
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        col("cos"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted store — adjacency sorted by src and vectors sorted by
+  // id in 8 MB row groups (the SrpStore/PostingsStore layout), so the
+  // per-hop KeyPrune predicates skip row groups on disk. Takedown is
+  // merge-on-read (tombstone ledger filtered into the vector side at
+  // serve; compact rebuilds the graph over the kept corpus and clears
+  // the ledger). Append (incremental graph growth — the NN-descent
+  // insert) is the one deferred maintenance op; a grown corpus today
+  // re-creates, which is correct and costs one build.
+  // ---------------------------------------------------------------
+
+  private val Version = 1
+  private val RowGroupBytes: Long = 8L * 1024 * 1024
+
+  final case class Handle(
+      spark: SparkSession,
+      path: String,
+      entry: Long,
+      vecElem: String,
+      dim: Int) {
+
+    private def vecsSchema =
+      s"id BIGINT, v ARRAY<$vecElem> NOT NULL, n DOUBLE"
+    private def adjSchema = "src BIGINT, dst BIGINT"
+
+    private def fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def adjDf = spark.read.schema(adjSchema)
+      .parquet(s"$path/adj")
+    private def vecsDf = spark.read.schema(vecsSchema)
+      .parquet(s"$path/vectors")
+    private def tombstonesDf: Option[DataFrame] =
+      if (fs.exists(new Path(path, "_tombstones")))
+        Some(spark.read.schema("id BIGINT").parquet(s"$path/_tombstones"))
+      else None
+
+    /** Serve reads the meta ENTRY and the tombstone ledger at call
+      * time (one small-file read each), so a handle held across
+      * another handle's [[remove]]/[[compact]] serves the new
+      * generation — the Srp/Lsh generation-checked-reads direction in
+      * its cheapest form for this store's tiny meta. */
+    def topK(
+        queries: DataFrame,
+        qidCol: String,
+        qvecCol: String,
+        k: Int,
+        beam: Int = 8,
+        maxHops: Int = 8): DataFrame = {
+      val liveEntry = readMeta(fs, path).entry
+      val vecs = tombstonesDf.fold(vecsDf)(t =>
+        vecsDf.join(broadcast(t), Seq("id"), "left_anti"))
+      beamSearch(adjDf, vecs, queries, qidCol, qvecCol,
+        k, beam, maxHops, liveEntry)
+    }
+
+    /** Takedown: merge `ids` into the tombstone ledger (atomic dir
+      * swap) and re-point the entry at the smallest KEPT id. The graph
+      * is untouched (merge-on-read): removed nodes are filtered from
+      * the vector side, so they are never scored, never enter the
+      * frontier, and never serve — a removed node's edges become dead
+      * weight that [[compact]] purges. Paths THROUGH removed nodes are
+      * lost until compact (recall, never correctness — the ring
+      * backbone still spans the kept ids that follow each gap).
+      * Replay-idempotent: the ledger is a set union. */
+    def remove(ids: DataFrame, idCol: String): Handle = {
+      val incoming = ids.select(col(idCol).cast("long").as("id")).distinct()
+      val merged = tombstonesDf.fold(incoming)(t =>
+        t.unionByName(incoming).distinct())
+      val staging = new Path(path + "/.tombstones.staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      merged.repartition(1).write.parquet(staging.toString)
+      SwapDir.swap(fs, staging, new Path(path, "_tombstones"))
+
+      val kept = vecsDf.join(
+        broadcast(spark.read.schema("id BIGINT").parquet(s"$path/_tombstones")),
+        Seq("id"), "left_anti")
+      val keptMin = kept.agg(min(col("id"))).collect()(0)
+      require(!keptMin.isNullAt(0),
+        s"GraphAnn.remove would tombstone every vector at $path")
+      writeMeta(fs, new Path(path),
+        readMeta(fs, path).copy(entry = keptMin.getLong(0)))
+      copy(entry = keptMin.getLong(0))
+    }
+
+    /** Rebuild the graph over the KEPT vectors and clear the ledger —
+      * the purge step restoring full navigability (and the serve-path
+      * equality with a fresh build on the kept corpus, which
+      * GraphAnnSpec pins). Atomic: staged rebuild, one swap. */
+    def compact(): Handle = {
+      val keptVecs = tombstonesDf.fold(vecsDf)(t =>
+        vecsDf.join(broadcast(t), Seq("id"), "left_anti"))
+        .select(col("id"), col("v"))
+        .localCheckpoint()
+      val m = readMeta(fs, path)
+      val tmp = path + ".compacting"
+      val h = create(keptVecs, "id", "v", spark, tmp, m.k, m.ring, m.approx)
+      SwapDir.swap(fs, new Path(tmp), new Path(path))
+      h.copy(path = path)
+    }
+
+  }
+
+  /** Build the store at `path` (atomic via staging + [[SwapDir]]):
+    * exact kNN graph + ring over `vectors`, adjacency sorted by src,
+    * vectors (with norms) sorted by id. */
+  def create(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      spark: SparkSession,
+      path: String,
+      k: Int,
+      withRing: Boolean = true,
+      approx: Boolean = false): Handle = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + ".staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+
+    val vecElem = vectors.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => et.simpleString
+      case other => throw new IllegalArgumentException(
+        s"GraphAnn: $vecCol must be an array column, got $other")
+    }
+    val dim = vectors.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
+    val graph =
+      if (approx) buildKnnGraphApprox(vectors, idCol, vecCol, k,
+        withRing = withRing)
+      else buildKnnGraph(vectors, idCol, vecCol, k, withRing)
+    graph.repartition(1).sortWithinPartitions(col("src"), col("dst"))
+      .write.option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$staging/adj")
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        VF.l2Norm(col(vecCol)).as("n"))
+      .repartition(1).sortWithinPartitions(col("id"))
+      .write.option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$staging/vectors")
+
+    val entry = vectors.agg(min(col(idCol).cast("long"))).collect()(0).getLong(0)
+    writeMeta(fs, staging, Meta(k, withRing, entry, vecElem, dim, approx))
+
+    SwapDir.swap(fs, staging, new Path(path))
+    Handle(spark, path, entry, vecElem, dim)
+  }
+
+  private[ann] final case class Meta(
+      k: Int,
+      ring: Boolean,
+      entry: Long,
+      vecElem: String,
+      dim: Int,
+      approx: Boolean)
+
+  private def writeMeta(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      m: Meta): Unit = {
+    val meta =
+      s"$Version\n${m.k}\n${m.ring}\n${m.entry}\n${m.vecElem}\n${m.dim}\n${m.approx}\n"
+    val out = fs.create(new Path(dir, "_graft_meta"), true)
+    out.write(meta.getBytes("UTF-8")); out.close()
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem, path: String): Meta = {
+    val in = fs.open(new Path(path, "_graft_meta"))
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    in.close()
+    require(lines.head.toInt == Version,
+      s"GraphAnn store version ${lines.head} != $Version at $path")
+    Meta(lines(1).toInt, lines(2).toBoolean, lines(3).toLong,
+      lines(4), lines(5).toInt, lines(6).toBoolean)
+  }
+
+  /** Open if present (reading meta), else [[create]]. */
+  def ensure(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      spark: SparkSession,
+      path: String,
+      k: Int,
+      withRing: Boolean = true,
+      approx: Boolean = false): Handle = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapDir.heal(fs, new Path(path))
+    val metaPath = new Path(path, "_graft_meta")
+    if (!fs.exists(metaPath))
+      return create(vectors, idCol, vecCol, spark, path, k, withRing, approx)
+    val m = readMeta(fs, path)
+    require(m.k == k && m.ring == withRing && m.approx == approx,
+      s"GraphAnn store at $path was built with (k=${m.k}, ring=${m.ring}, " +
+        s"approx=${m.approx}); asked for (k=$k, ring=$withRing, approx=$approx)")
+    Handle(spark, path, m.entry, m.vecElem, m.dim)
+  }
+}

@@ -1316,6 +1316,111 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // Graph-based ANN (the DiskANN/HNSW family, completing the ANN
+    // inventory): greedy beam search over the exact kNN(10)+ring
+    // navigable graph from the smallest-id entry point. ORACLE-EXACT
+    // at the harness corpus: the deterministic walk's top-5 EQUALS
+    // brute force here — recall 1.0 measured at beam=8/hops=8
+    // (GraphAnnSpec pins the floor) and the query serves at DOUBLE
+    // that setting (beam=16, hops=10) so the equality carries margin;
+    // approximate in general (the walk can miss a neighbor no
+    // expanded node links toward). q238b is the provable twin.
+    q("q238_ann_graph", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val graph = graft.ann.GraphAnn.buildKnnGraph(
+        emb, "vec_id", "embedding", k = 10)
+      graft.ann.GraphAnn.topK(graph, emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // The walk's PROVABLE exhaustive twin (the q71b argument through
+    // the graph route): on the complete graph hop 1 discovers every
+    // node, so the beam walk degenerates to brute force for ANY beam —
+    // no recall measurement in the argument.
+    q("q238b_ann_graph_exhaustive", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      graft.ann.GraphAnn.topK(
+          graft.ann.GraphAnn.completeGraph(emb, "vec_id"),
+          emb, queries, "vec_id", "embedding",
+          "qid", "qvec", k = 5, beam = 2, maxHops = 2)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // q238 served from the PERSISTED navigable-graph store: adjacency
+    // sorted by src, vectors by id (8 MB row groups), each hop reading
+    // only the frontier's adjacency rows and the fresh candidates'
+    // vectors (KeyPrune literal pushdown — row-group skips, the
+    // DiskANN on-disk-graph shape). Same build family and serve
+    // setting as q238, and GraphAnnSpec pins store == inline row for
+    // row, so the same margin-backed oracle hash-checks the persisted
+    // route end to end.
+    q("q239_ann_graph_store", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_$key"
+      graft.ann.GraphAnn.ensure(emb, "vec_id", "embedding",
+          c.spark, path, k = 10)
+        .topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // Navigable-graph index takedown (q211's matrix row for the graph
+    // family): a seventh of the corpus — including the entry point —
+    // is tombstoned through GraphAnn.remove (merge-on-read ledger: the
+    // removed are never scored, never enter a frontier, never serve;
+    // entry re-points at the smallest kept id), then COMPACTED (graph
+    // rebuilt over the kept vectors, ledger cleared), and the served
+    // top-5 is checked against exact brute force over the KEPT
+    // vectors. Compact is part of the oracle-checked path because the
+    // merge-on-read walk loses paths THROUGH removed nodes — measured
+    // here: at graph degree 10 a rank-5 neighbor went unreachable at
+    // the served setting, exactly the recall erosion compact repairs.
+    // The kept corpus is harder to navigate than the full one (the
+    // GraphAnnProbe grid: degree 10 needs beam 32 there), so this
+    // store is built at degree 24 — exact at EVERY probed
+    // (beam 8-32, hops 8-12) setting on the kept corpus, serving at
+    // the grid's midpoint. GraphAnnSpec pins the PRE-compact
+    // guarantees (never-serve-removed at k=corpus, replay idempotence,
+    // stale-handle generation reads) and compact == fresh-build-on-
+    // kept row for row.
+    q("q240_ann_graph_takedown",
+      """WITH queries AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    cast(list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS double) AS c
+        |  FROM queries, embeddings e WHERE e.vec_id % 7 <> 0
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_td24_$key"
+      graft.ann.GraphAnn.ensure(emb, "vec_id", "embedding",
+          c.spark, path, k = 24)
+        .remove(emb.filter($"vec_id" % 7 === 0), "vec_id")
+        .compact()
+        .topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // Vector-index takedown, exhaustively verifiable: the store is
     // built at the DEGENERATE family (nBits=1, tables=1 — the q71b
     // argument: hamming-1 multi-probe over a 2-bucket space meets

@@ -72,6 +72,9 @@ class PlanAuditSpec extends SparkSpec {
     // q146: the max-ts anchor; q147: the audit's two one-row count
     // frames (hits × total) joined into the RI ratio row
     "q146_decayed_user_value", "q147_quality_audit",
+    // q237: the one-row cross-split leak count (0 by construction)
+    // crossJoined into the per-split report — the q147 audit idiom
+    "q237_leakage_split",
     "q125_skew_report",
     "q128_pagerank_neardup", "q130_pagerank_weighted",
     // q193b: PageRank.run's one-row node-count frame (q128's idiom)

@@ -1,0 +1,194 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph-ANN beam search: exhaustive equality on the complete graph,
+  * measured recall at the realistic family, ring-backbone
+  * reachability, store==inline row equality, pruned store reads. */
+class GraphAnnSpec extends SparkSpec {
+
+  private def emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+  private def queries = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id"), col("neighbor_id"), round(col("cos"), 4), col("rnk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+  test("complete graph: beam walk equals brute force for any beam") {
+    val n = emb.count().toInt
+    val complete = GraphAnn.buildKnnGraph(emb, "vec_id", "embedding",
+      k = n - 1, withRing = false)
+    val got = GraphAnn.topK(complete, emb, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, beam = 2, maxHops = 3)
+    val want = Ann.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "qid", "qvec", 5)
+    assert(asTuples(got) == asTuples(want))
+  }
+
+  test("realistic family: recall@5 against brute force meets the floor") {
+    val graph = GraphAnn.buildKnnGraph(emb, "vec_id", "embedding", k = 10)
+    val got = GraphAnn.topK(graph, emb, queries,
+        "vec_id", "embedding", "qid", "qvec", k = 5, beam = 8, maxHops = 8)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Ann.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & want).size.toDouble / want.size
+    info(s"graph-ANN recall@5 at (k=10, beam=8, hops=8): $recall")
+    assert(recall >= 0.9, s"recall@5 $recall below floor")
+  }
+
+  test("ring backbone reaches a cluster the kNN edges never leave") {
+    val sp = spark; import sp.implicits._
+    // two orthogonal clusters; k=2 kNN edges stay inside each cluster
+    val pts = Seq(
+      (0L, Seq(1f, 0f, 0.00f)), (1L, Seq(1f, 0f, 0.01f)), (2L, Seq(1f, 0f, 0.02f)),
+      (10L, Seq(0f, 1f, 0.00f)), (11L, Seq(0f, 1f, 0.01f)), (12L, Seq(0f, 1f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(0f, 1f, 0.005f))).toDF("qid", "qvec")
+
+    val noRing = GraphAnn.buildKnnGraph(pts, "vec_id", "embedding",
+      k = 2, withRing = false)
+    val strandedTop = GraphAnn.topK(noRing, pts, q,
+        "vec_id", "embedding", "qid", "qvec", k = 1, beam = 3, maxHops = 10)
+      .collect()(0).getLong(1)
+    assert(strandedTop < 10L,
+      "entry cluster only: greedy walk must strand without the ring")
+
+    val ring = GraphAnn.buildKnnGraph(pts, "vec_id", "embedding",
+      k = 2, withRing = true)
+    val foundTop = GraphAnn.topK(ring, pts, q,
+        "vec_id", "embedding", "qid", "qvec", k = 1, beam = 3, maxHops = 10)
+      .collect()(0).getLong(1)
+    assert(foundTop >= 10L, "ring backbone must reach the far cluster")
+  }
+
+  test("store serve equals the inline walk; adjacency read is pruned") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_spec_${System.nanoTime()}"
+    val h = GraphAnn.create(emb, "vec_id", "embedding", spark, path, k = 10)
+    val inline = GraphAnn.topK(
+      GraphAnn.buildKnnGraph(emb, "vec_id", "embedding", k = 10),
+      emb, queries, "vec_id", "embedding", "qid", "qvec",
+      k = 5, beam = 8, maxHops = 8)
+    val served = h.topK(queries, "qid", "qvec", k = 5, beam = 8, maxHops = 8)
+    assert(asTuples(served) == asTuples(inline))
+
+    // reopen via ensure: same handle params, no rebuild (meta mtime)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(path, "_graft_meta")).getModificationTime
+    val h2 = GraphAnn.ensure(emb, "vec_id", "embedding", spark, path, k = 10)
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(path, "_graft_meta"))
+      .getModificationTime == mtime, "ensure must not rebuild")
+    assert(h2.entry == h.entry)
+    // mismatched build params fail loud
+    intercept[IllegalArgumentException] {
+      GraphAnn.ensure(emb, "vec_id", "embedding", spark, path, k = 11)
+    }
+
+    // the per-hop adjacency scan carries a pushed-down src predicate
+    val adj = spark.read.schema("src BIGINT, dst BIGINT").parquet(s"$path/adj")
+    val pruned = graft.operators.KeyPrune.restrict(
+      adj, queries.select(col("qid").as("src")), Seq("src"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("src"),
+      s"expected a pushed src filter in:\n$plan")
+  }
+
+  test("approx (LSH-candidate) build: served recall meets the floor; store approx flag round-trips") {
+    // nBits sized to the corpus (bucket population n/2^nBits — see the
+    // buildKnnGraphApprox scaladoc); the GraphAnnProbe grid reads
+    // 0.94-0.98 across the nBits=4 row on this corpus
+    val g = GraphAnn.buildKnnGraphApprox(emb, "vec_id", "embedding", k = 10,
+      nBits = 4, tables = 16)
+    val got = GraphAnn.topK(g, emb, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Ann.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & want).size.toDouble / want.size
+    info(s"approx-build graph-ANN recall@5 at (k=10, beam=16, hops=10): $recall")
+    assert(recall >= 0.9, s"recall@5 $recall below floor")
+
+    // the store records the build family; a mismatched reopen fails loud
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_approx_${System.nanoTime()}"
+    val h = GraphAnn.create(emb, "vec_id", "embedding", spark, path,
+      k = 10, approx = true)
+    val served = h.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+    // same DEFAULT family as create's approx build
+    val gDefault = GraphAnn.buildKnnGraphApprox(emb, "vec_id", "embedding", k = 10)
+    val inline = GraphAnn.topK(gDefault, emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+    assert(asTuples(served) == asTuples(inline),
+      "approx-build store serves the same walk as the inline approx graph")
+    intercept[IllegalArgumentException] {
+      GraphAnn.ensure(emb, "vec_id", "embedding", spark, path, k = 10)
+    }
+  }
+
+  test("takedown: removed never served, entry re-points, replay-idempotent, compact == fresh build") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_td_${System.nanoTime()}"
+    val h = GraphAnn.create(emb, "vec_id", "embedding", spark, path, k = 10)
+    val removed = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    val removedIds = removed.collect().map(_.getLong(0)).toSet
+    assert(removedIds.contains(0L), "the entry id is part of the takedown")
+
+    val h2 = h.remove(removed, "vec_id")
+    assert(h2.entry == (0L until 10L).find(i => !removedIds.contains(i)).get,
+      "entry re-points at the smallest kept id")
+
+    // removed ids never appear, even asking for the whole corpus
+    val all = h2.topK(queries, "qid", "qvec", k = 100000,
+        beam = 16, maxHops = 10)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert((all & removedIds).isEmpty, "tombstoned ids must never serve")
+
+    // replaying the SAME takedown is a no-op (ledger is a set union)
+    val h3 = h2.remove(removed, "vec_id")
+    val a = h2.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+    val b = h3.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+    assert(asTuples(a) == asTuples(b))
+
+    // a handle opened BEFORE the takedown serves the new generation
+    // (entry + ledger are read at call time)
+    val stale = GraphAnn.Handle(spark, path, entry = 0L,
+      vecElem = h.vecElem, dim = h.dim)
+    val staleServe = stale.topK(queries, "qid", "qvec", k = 100000,
+        beam = 16, maxHops = 10)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert((staleServe & removedIds).isEmpty,
+      "a pre-takedown handle must serve the post-takedown generation")
+
+    // compact rebuilds over the kept corpus: serve == a fresh build
+    // on the kept vectors, row for row (same deterministic inputs =>
+    // same graph => same walk), and the ledger is gone
+    val hc = h2.compact()
+    val freshPath = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_fresh_${System.nanoTime()}"
+    val fresh = GraphAnn.create(emb.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "embedding", spark, freshPath, k = 10)
+    val servedC = hc.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+    val servedF = fresh.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+    assert(asTuples(servedC) == asTuples(servedF))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_tombstones")),
+      "compact clears the tombstone ledger")
+
+    // removing everything fails loud
+    intercept[IllegalArgumentException] {
+      fresh.remove(emb.select(col("vec_id")), "vec_id")
+    }
+  }
+}
