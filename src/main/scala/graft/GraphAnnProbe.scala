@@ -43,6 +43,26 @@ object GraphAnnProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (got & want).size.toDouble / want.size
     }
+    if (args.length > 1 && args(1) == "walk") {
+      // split the q238 cost: build vs walk, with job counts
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+      (1 to 2).foreach { i =>
+        var t0 = System.nanoTime(); var j0 = jobs.get()
+        val graph = ann.GraphAnn.buildKnnGraph(emb, "vec_id", "embedding", 10)
+          .localCheckpoint()
+        println(f"PROBE build$i ${(System.nanoTime() - t0) / 1e9}%.2f s jobs=${jobs.get() - j0}")
+        t0 = System.nanoTime(); j0 = jobs.get()
+        val n = ann.GraphAnn.topK(graph, emb, qs, "vec_id", "embedding",
+          "qid", "qvec", k = 5, beam = 16, maxHops = 10).collect().length
+        println(f"PROBE walk$i  ${(System.nanoTime() - t0) / 1e9}%.2f s jobs=${jobs.get() - j0} rows=$n")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "approx") {
       for (graphK <- Seq(10, 16); nBits <- Seq(4, 6, 8); tables <- Seq(8, 16))
         println(f"PROBE approx k=$graphK%-3d nBits=$nBits%-2d tables=$tables%-3d " +

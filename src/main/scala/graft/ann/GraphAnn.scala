@@ -43,8 +43,14 @@ import graft.operators.{KeyPrune, Partitioning, SwapDir}
   */
 object GraphAnn {
 
-  /** Exact kNN graph: for each node its `k` nearest by cosine (ties on
-    * smaller id), as directed (src, dst) edges. `withRing` unions the
+  /** Exact kNN graph: for each node its `k` nearest by 4dp-quantized
+    * cosine (ties on smaller id — the repo's determinism convention,
+    * shared with the approx build so the two rank identically), as
+    * directed (src, dst) edges. Top-k per node runs as the
+    * partial-aggregating [[graft.functions.BottomK]] UDAF — every map
+    * task keeps at most k candidates per src, so the quadratic pair
+    * stream never SHUFFLES (a `row_number` window would move all n²
+    * scored pairs; measured 5x slower at sf0.1). `withRing` unions the
     * deterministic successor ring in id order (each node points at the
     * next-larger id, the largest back at the smallest) — the
     * strong-connectivity backbone that keeps greedy search from
@@ -63,14 +69,14 @@ object GraphAnn {
         VF.l2Norm(col(vecCol)).as("na"))
     val b = vectors.select(col(idCol).cast("long").as("dst"),
       col(vecCol).as("vb"), VF.l2Norm(col(vecCol)).as("nb"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cos").desc, col("dst"))
     val knn = a.join(b, col("src") =!= col("dst"))
       .withColumn("cos",
         VF.cosineWithNorms(VF.dot(col("va"), col("vb")), col("na"), col("nb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("src"), col("dst"))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("src"))
+      .agg(graft.functions.BottomK.of(
+        -round(col("cos") * 1e4).cast("long"), col("dst"), k).as("__dsts"))
+      .select(col("src"), explode(col("__dsts")).as("dst"))
     if (!withRing) knn
     else knn.union(ringEdges(vectors, idCol)).distinct()
   }
@@ -88,7 +94,8 @@ object GraphAnn {
     * pairs ([[Ann.lshNearDupPairsReleasable]] with the threshold open)
     * instead of all pairs — candidate generation is bucket-join-local,
     * cosine runs once per DISTINCT candidate pair, and the per-node
-    * top-k is one window over the (sparse) candidate edges. The graph
+    * top-k is the same partial-aggregating BottomK over the (sparse)
+    * candidate edges as the exact build's. The graph
     * differs from the exact build where LSH misses a true neighbor
     * (GraphAnnSpec measures the served recall through it); the serve
     * contract is unchanged.
@@ -116,11 +123,13 @@ object GraphAnn {
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
       .unionByName(pairs
         .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cos").desc, col("dst"))
-    val knn = sym.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("src"), col("dst"))
+    // same 4dp BottomK ranking as the exact build (pairs' cos is
+    // already 4dp-rounded, so the quantization is a no-op here)
+    val knn = sym
+      .groupBy(col("src"))
+      .agg(graft.functions.BottomK.of(
+        -round(col("cos") * 1e4).cast("long"), col("dst"), k).as("__dsts"))
+      .select(col("src"), explode(col("__dsts")).as("dst"))
     val out = (if (!withRing) knn
       else knn.union(ringEdges(vectors, idCol)).distinct())
       .localCheckpoint() // materialize before releasing the postings cache
@@ -155,13 +164,34 @@ object GraphAnn {
       k: Int,
       beam: Int,
       maxHops: Int): DataFrame = {
+    // cut the build plans ONCE: the walk re-reads both frames every
+    // hop, and an un-checkpointed graph argument would re-run its
+    // (possibly quadratic) build per hop
     val adj = graph.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+        col("dst").cast("long").as("dst"))
+      .localCheckpoint()
     val vecs = vectors.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"), VF.l2Norm(col(vecCol)).as("n"))
+        col(vecCol).as("v"), VF.l2Norm(col(vecCol)).as("n"))
+      .localCheckpoint()
     val entry = vecs.agg(min(col("id"))).collect()(0).getLong(0)
     beamSearch(adj, vecs, queries, qidCol, qvecCol, k, beam, maxHops, entry)
   }
+
+  /** Micro-serve caps (the SrpStore v5 idiom): query batches at or
+    * under `MaxDriverQueries` walk DRIVER-SIDE — two pruned-read jobs
+    * per hop (frontier adjacency, fresh-candidate vectors) instead of
+    * the distributed walk's ~20 (window + checkpoint + anti-join
+    * stages per hop, measured 227 jobs / ~9 s for a 10-query serve at
+    * sf0.1). Results are BIT-IDENTICAL: driver cosine replays the
+    * kernel's left-to-right double accumulation on the same stored
+    * norms, and expansion/termination/tie-break rules are the same
+    * code shape. Blowing `MaxDriverFrontier` (hop literal) or
+    * `MaxDriverVectors` (cached vector rows) mid-walk falls back to
+    * the distributed route from scratch — caps are CONSTANT in corpus
+    * size, so the micro route never collects corpus-sized state. */
+  private val MaxDriverQueries = 64
+  private val MaxDriverFrontier = 2048
+  private val MaxDriverVectors = 100000
 
   /** The shared walk — also the store's serve path, which passes its
     * sorted on-disk frames so the per-hop [[KeyPrune]] predicates
@@ -182,7 +212,133 @@ object GraphAnn {
     val qs = queries.select(col(qidCol).cast("long").as("qid"),
         col(qvecCol).as("qv"), VF.l2Norm(col(qvecCol)).as("qn"))
       .localCheckpoint()
+    val qSample = qs.limit(MaxDriverQueries + 1).collect()
+    if (qSample.length <= MaxDriverQueries) {
+      driverWalk(adj, vecs, qSample, spark, k, beam, maxHops, entry) match {
+        case Some(out) => return out
+        case None => // a cap blew mid-walk: distributed from scratch
+      }
+    }
+    distributedWalk(adj, vecs, qs, k, beam, maxHops, entry)
+  }
 
+  /** Kernel-order dot: left-to-right double accumulation, identical
+    * to [[graft.functions.DotProduct]]'s generated loop. */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def vecD(raw: Seq[Any]): Array[Double] = {
+    val out = new Array[Double](raw.length)
+    var i = 0
+    raw.foreach { x =>
+      out(i) = x match {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"GraphAnn: vector element ${other.getClass}")
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** The driver-resolved micro walk. None = a cap blew; caller falls
+    * back to the distributed route. */
+  private def driverWalk(
+      adj: DataFrame,
+      vecs: DataFrame,
+      qRows: Array[org.apache.spark.sql.Row],
+      spark: SparkSession,
+      k: Int,
+      beam: Int,
+      maxHops: Int,
+      entry: Long): Option[DataFrame] = {
+    import scala.collection.mutable
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(r => vecD(r.getSeq[Any](1)))
+    val qns = qRows.map(_.getDouble(2))
+    val nq = qids.length
+
+    // fetched corpus vectors: id -> (vec, norm); grows monotonically
+    val fetched = mutable.LongMap.empty[(Array[Double], Double)]
+    def fetchVectors(ids: Seq[Long]): Boolean = {
+      val missing = ids.filterNot(fetched.contains)
+      if (missing.isEmpty) return true
+      if (fetched.size + missing.size > MaxDriverVectors) return false
+      vecs.filter(col("id").isin(missing: _*))
+        .collect()
+        .foreach(r => fetched(r.getLong(0)) =
+          (vecD(r.getSeq[Any](1)), r.getDouble(2)))
+      true
+    }
+
+    // per query: node -> cos, plus the expanded set
+    val state = Array.fill(nq)(mutable.LongMap.empty[Double])
+    val expanded = Array.fill(nq)(mutable.Set.empty[Long])
+    def score(qi: Int, node: Long): Unit =
+      fetched.get(node).foreach { case (v, n) =>
+        // zero-norm vectors are unservable (null cos) on both routes
+        if (n != 0.0 && qns(qi) != 0.0)
+          state(qi)(node) = dotD(v, qvecs(qi)) / (n * qns(qi))
+      }
+    if (!fetchVectors(Seq(entry))) return None
+    (0 until nq).foreach(score(_, entry))
+
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      val frontiers: Array[Seq[Long]] = state.indices.map { qi =>
+        state(qi).toSeq
+          .sortBy { case (node, cos) => (-cos, node) }
+          .take(beam)
+          .collect { case (node, _) if !expanded(qi)(node) => node }
+      }.toArray
+      val frontierNodes = frontiers.flatten.distinct
+      if (frontierNodes.isEmpty) done = true
+      else if (frontierNodes.length > MaxDriverFrontier) return None
+      else {
+        val adjRows = adj.filter(col("src").isin(frontierNodes: _*))
+          .collect()
+        val bySrc = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+        adjRows.foreach { r =>
+          bySrc.getOrElseUpdate(r.getLong(0), mutable.ArrayBuffer.empty) +=
+            r.getLong(1)
+        }
+        val freshPerQ: Array[Seq[Long]] = state.indices.map { qi =>
+          frontiers(qi).flatMap(nd => bySrc.getOrElse(nd, Nil))
+            .distinct.filterNot(state(qi).contains)
+        }.toArray
+        if (!fetchVectors(freshPerQ.flatten.distinct.toSeq)) return None
+        state.indices.foreach { qi =>
+          frontiers(qi).foreach(expanded(qi) += _)
+          freshPerQ(qi).foreach(score(qi, _))
+        }
+        hop += 1
+      }
+    }
+
+    val out = state.indices.flatMap { qi =>
+      state(qi).toSeq
+        .sortBy { case (node, cos) => (-cos, node) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((node, cos), i) => (qids(qi), node, cos, i + 1) }
+    }
+    import spark.implicits._
+    Some(out.toDF("query_id", "neighbor_id", "cos", "rnk"))
+  }
+
+  private[ann] def distributedWalk(
+      adj: DataFrame,
+      vecs: DataFrame,
+      qs: DataFrame,
+      k: Int,
+      beam: Int,
+      maxHops: Int,
+      entry: Long): DataFrame = {
     def scoreAgainstQueries(cands: DataFrame): DataFrame = {
       // prune the vector read to the candidate ids BEFORE the join —
       // on the store's id-sorted layout this is the row-group skip
@@ -193,6 +349,8 @@ object GraphAnn {
         .select(col("qid"), col("node"),
           VF.cosineWithNorms(VF.dot(col("v"), col("qv")), col("n"), col("qn"))
             .as("cos"))
+        // zero-norm vectors are unservable on both routes
+        .filter(col("cos").isNotNull)
     }
 
     // visited state: (qid, node, cos, expanded)

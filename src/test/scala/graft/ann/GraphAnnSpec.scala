@@ -103,6 +103,31 @@ class GraphAnnSpec extends SparkSpec {
       s"expected a pushed src filter in:\n$plan")
   }
 
+  test("driver micro-walk equals the distributed walk row for row") {
+    val graph = GraphAnn.buildKnnGraph(emb, "vec_id", "embedding", k = 10)
+    // beamSearch routes a 10-query batch onto the driver micro-walk;
+    // pin it against the distributed route on the SAME frames
+    val adj = graph.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val vecs = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("v"),
+        graft.functions.VectorFunctions.l2Norm(col("embedding")).as("n"))
+      .localCheckpoint()
+    val micro = GraphAnn.beamSearch(adj, vecs, queries, "qid", "qvec",
+      k = 5, beam = 8, maxHops = 8, entry = 0L)
+    val qs = queries.select(col("qid").cast("long").as("qid"),
+      col("qvec").as("qv"),
+      graft.functions.VectorFunctions.l2Norm(col("qvec")).as("qn"))
+    val dist = GraphAnn.distributedWalk(adj, vecs, qs,
+      k = 5, beam = 8, maxHops = 8, entry = 0L)
+    // bit-identical, not just 4dp-equal: compare UNROUNDED cos
+    val m = micro.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val d = dist.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(m == d)
+  }
+
   test("approx (LSH-candidate) build: served recall meets the floor; store approx flag round-trips") {
     // nBits sized to the corpus (bucket population n/2^nBits — see the
     // buildKnnGraphApprox scaladoc); the GraphAnnProbe grid reads
