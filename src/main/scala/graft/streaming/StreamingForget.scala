@@ -13,9 +13,12 @@ import graft.operators.{PairGraphStore, PostingsStore}
   *     search index (exactly-once df/cf decrements), the similarity
   *     graph (edge revocation with every persisted state maintained
   *     at affected-region cost), and any caller-supplied doc-keyed
-  *     forgetters (monoid stores: vocabulary, calibration, samples —
+  *     forgetters — monoid stores (vocabulary, calibration, samples;
   *     each exactly-once via its own removal ledger and the stream's
-  *     monotone batch id);
+  *     monotone batch id) and vector indexes (SrpStore / IvfStore /
+  *     GraphAnn removes are idempotent tombstone ledgers, so they
+  *     ride `extra` ignoring the batch id; StreamingForgetSpec
+  *     drives the GraphAnn leg through the unified feed);
   *   - `kind = "actor"` → the behavioral layer: co-presence counts
   *     (physical incident delete + hot-window recovery when the
   *     events source is supplied) and the community graph.

@@ -13,6 +13,7 @@ class StreamingForgetSpec extends SparkSpec {
   private def tmp() = Files.createTempDirectory("forget").toString
 
   private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf001/embeddings.parquet")
   private def events = graft.Tables.load(spark, sf001, "events")
     .select(col("user_id"), col("ts"))
 
@@ -73,8 +74,19 @@ class StreamingForgetSpec extends SparkSpec {
         postingsOf(docs.join(ids.withColumnRenamed("id", "doc_id"),
           Seq("doc_id"), "left_semi")),
         "doc_id", "w", s"$dir/vocab", bid)
+    // vector-index leg: the navigable-graph ANN store forgets the same
+    // doc ids (vec_id-aligned corpus) through its set-union tombstone
+    // ledger — idempotent under redelivery by construction
+    graft.ann.GraphAnn.create(emb, "vec_id", "embedding",
+      spark, s"$dir/gann", k = 8)
+    val gannForget = (ids: DataFrame, _: Long) => {
+      graft.ann.GraphAnn.ensure(emb, "vec_id", "embedding",
+          spark, s"$dir/gann", k = 8)
+        .remove(ids.withColumnRenamed("id", "vec_id"), "vec_id")
+      ()
+    }
     (StreamingForget.DocTargets(lsh, g, maxK = 4,
-        postings = Some(ps), extra = Seq(vocabForget)),
+        postings = Some(ps), extra = Seq(vocabForget, gannForget)),
       StreamingForget.ActorTargets(s"$dir/counts", s"$dir/egraph",
         events = Some(events)))
   }
@@ -121,6 +133,19 @@ class StreamingForgetSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labelsOf(s"$dir/egraph") == wantL)
     assert(wantL.nonEmpty, "the behavioral fixture must keep a graph")
+    // vector index: forgotten ids never served, at any k
+    val removedIds = emb.filter(pmod(col("vec_id"), lit(10))
+        .isin(docMods.map(Int.box): _*))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val gannQs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val served = graft.ann.GraphAnn.ensure(emb, "vec_id", "embedding",
+        spark, s"$dir/gann", k = 8)
+      .topK(gannQs, "qid", "qvec", k = 100000, beam = 8, maxHops = 8)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert((served & removedIds).isEmpty,
+      "forgotten vector ids must never serve from the graph index")
+    assert(served.nonEmpty, "the kept graph must still serve")
   }
 
   test("one (kind, id) feed forgets docs AND actors across every store; replay no-ops") {
