@@ -163,7 +163,47 @@ object GraphAnn {
       qvecCol: String,
       k: Int,
       beam: Int,
-      maxHops: Int): DataFrame = {
+      maxHops: Int): DataFrame =
+    topKImpl(graph, vectors, queries, idCol, vecCol, qidCol, qvecCol,
+      k, beam, maxHops, None)
+
+  /** FILTERED graph-ANN (the quintet's fifth route): top-`k` within a
+    * metadata-allowed id set. The walk NAVIGATES unfiltered —
+    * disallowed nodes stay valid waypoints, the filtered-DiskANN
+    * insight: filtering the traversal would disconnect the graph
+    * exactly when the filter is selective — and the allowed predicate
+    * lands as a semi-join on the VISITED frame before the final rank,
+    * so `rnk` counts allowed neighbors only and the (possibly
+    * corpus-sized) allowed frame is never collected. */
+  def topKFiltered(
+      graph: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      allowed: DataFrame,
+      allowedCol: String,
+      k: Int,
+      beam: Int,
+      maxHops: Int): DataFrame =
+    topKImpl(graph, vectors, queries, idCol, vecCol, qidCol, qvecCol,
+      k, beam, maxHops,
+      Some(allowed.select(col(allowedCol).cast("long").as("node"))))
+
+  private def topKImpl(
+      graph: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      beam: Int,
+      maxHops: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     // cut the build plans ONCE: the walk re-reads both frames every
     // hop, and an un-checkpointed graph argument would re-run its
     // (possibly quadratic) build per hop
@@ -174,7 +214,8 @@ object GraphAnn {
         col(vecCol).as("v"), VF.l2Norm(col(vecCol)).as("n"))
       .localCheckpoint()
     val entry = vecs.agg(min(col("id"))).collect()(0).getLong(0)
-    beamSearch(adj, vecs, queries, qidCol, qvecCol, k, beam, maxHops, entry)
+    beamSearch(adj, vecs, queries, qidCol, qvecCol, k, beam, maxHops,
+      entry, allowed)
   }
 
   /** Micro-serve caps (the SrpStore v5 idiom): query batches at or
@@ -205,7 +246,8 @@ object GraphAnn {
       k: Int,
       beam: Int,
       maxHops: Int,
-      entry: Long): DataFrame = {
+      entry: Long,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= 1 && maxHops >= 1,
       s"k/beam/maxHops must be >= 1, got ($k, $beam, $maxHops)")
     val spark = adj.sparkSession
@@ -214,12 +256,13 @@ object GraphAnn {
       .localCheckpoint()
     val qSample = qs.limit(MaxDriverQueries + 1).collect()
     if (qSample.length <= MaxDriverQueries) {
-      driverWalk(adj, vecs, qSample, spark, k, beam, maxHops, entry) match {
+      driverWalk(adj, vecs, qSample, spark, k, beam, maxHops, entry,
+          allowed) match {
         case Some(out) => return out
         case None => // a cap blew mid-walk: distributed from scratch
       }
     }
-    distributedWalk(adj, vecs, qs, k, beam, maxHops, entry)
+    distributedWalk(adj, vecs, qs, k, beam, maxHops, entry, allowed)
   }
 
   /** Kernel-order dot: left-to-right double accumulation, identical
@@ -255,7 +298,8 @@ object GraphAnn {
       k: Int,
       beam: Int,
       maxHops: Int,
-      entry: Long): Option[DataFrame] = {
+      entry: Long,
+      allowed: Option[DataFrame]): Option[DataFrame] = {
     import scala.collection.mutable
     val qids = qRows.map(_.getLong(0))
     val qvecs = qRows.map(r => vecD(r.getSeq[Any](1)))
@@ -320,15 +364,33 @@ object GraphAnn {
       }
     }
 
-    val out = state.indices.flatMap { qi =>
-      state(qi).toSeq
-        .sortBy { case (node, cos) => (-cos, node) }
-        .take(k)
-        .zipWithIndex
-        .map { case ((node, cos), i) => (qids(qi), node, cos, i + 1) }
-    }
     import spark.implicits._
-    Some(out.toDF("query_id", "neighbor_id", "cos", "rnk"))
+    allowed match {
+      case None =>
+        val out = state.indices.flatMap { qi =>
+          state(qi).toSeq
+            .sortBy { case (node, cos) => (-cos, node) }
+            .take(k)
+            .zipWithIndex
+            .map { case ((node, cos), i) => (qids(qi), node, cos, i + 1) }
+        }
+        Some(out.toDF("query_id", "neighbor_id", "cos", "rnk"))
+      case Some(a) =>
+        // the allowed frame may be corpus-sized: semi-join the SMALL
+        // visited frame against it (never collected), then rank so
+        // rnk counts allowed neighbors only
+        val visited = state.indices.flatMap { qi =>
+          state(qi).toSeq.map { case (node, cos) => (qids(qi), node, cos) }
+        }.toDF("query_id", "neighbor_id", "cos")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        Some(visited
+          .join(a.select(col("node").as("neighbor_id")),
+            Seq("neighbor_id"), "left_semi")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk")))
+    }
   }
 
   private[ann] def distributedWalk(
@@ -338,7 +400,8 @@ object GraphAnn {
       k: Int,
       beam: Int,
       maxHops: Int,
-      entry: Long): DataFrame = {
+      entry: Long,
+      allowed: Option[DataFrame] = None): DataFrame = {
     def scoreAgainstQueries(cands: DataFrame): DataFrame = {
       // prune the vector read to the candidate ids BEFORE the join —
       // on the store's id-sorted layout this is the row-group skip
@@ -390,7 +453,9 @@ object GraphAnn {
         hop += 1
       }
     }
-    state
+    val finalState = allowed.fold(state)(a =>
+      state.join(a.select(col("node")), Seq("node"), "left_semi"))
+    finalState
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
@@ -410,6 +475,13 @@ object GraphAnn {
 
   private val Version = 1
   private val RowGroupBytes: Long = 8L * 1024 * 1024
+
+  /** Sentinel `k` selecting a COMPLETE-graph store: adjacency =
+    * [[completeGraph]], so hop 1 discovers every node and any serve —
+    * filtered or not — provably equals brute force (the q232b
+    * degenerate-family argument through the persisted layout). The
+    * oracle-scale twin configuration; a real corpus uses a kNN k. */
+  val CompleteK: Int = Int.MaxValue
 
   final case class Handle(
       spark: SparkSession,
@@ -445,12 +517,132 @@ object GraphAnn {
         qvecCol: String,
         k: Int,
         beam: Int = 8,
-        maxHops: Int = 8): DataFrame = {
+        maxHops: Int = 8): DataFrame =
+      serve(queries, qidCol, qvecCol, k, beam, maxHops, None)
+
+    /** Filtered serve — [[GraphAnn.topKFiltered]] through the store:
+      * unfiltered navigation, allowed semi-join on the visited frame
+      * before the rank (rnk counts allowed neighbors only). */
+    def topKFiltered(
+        queries: DataFrame,
+        qidCol: String,
+        qvecCol: String,
+        allowed: DataFrame,
+        allowedCol: String,
+        k: Int,
+        beam: Int = 8,
+        maxHops: Int = 8): DataFrame =
+      serve(queries, qidCol, qvecCol, k, beam, maxHops,
+        Some(allowed.select(col(allowedCol).cast("long").as("node"))))
+
+    private def serve(
+        queries: DataFrame,
+        qidCol: String,
+        qvecCol: String,
+        k: Int,
+        beam: Int,
+        maxHops: Int,
+        allowed: Option[DataFrame]): DataFrame = {
       val liveEntry = readMeta(fs, path).entry
       val vecs = tombstonesDf.fold(vecsDf)(t =>
         vecsDf.join(broadcast(t), Seq("id"), "left_anti"))
       beamSearch(adjDf, vecs, queries, qidCol, qvecCol,
-        k, beam, maxHops, liveEntry)
+        k, beam, maxHops, liveEntry, allowed)
+    }
+
+    /** Incremental graph growth — the HNSW/DiskANN search-based
+      * insert: each NEW vector's out-edges are the top-`meta.k` nodes
+      * the CURRENT graph's beam search finds for it, plus reciprocal
+      * back-edges (a node with no in-edges would be unreachable), plus
+      * a chain through the sorted new ids linked into the stored ring
+      * (the spanning backbone extended). Merge-on-read: the delta
+      * lands as NEW sorted files in the same vectors/ and adj/ dirs —
+      * the per-file sorted layout keeps KeyPrune's row-group skips —
+      * and degree grows by at most |delta| back-edges per node until
+      * [[compact]] rebuilds at exact degree.
+      *
+      * Replay safety (the SrpStore per-table-probe pattern): vector
+      * and adjacency presence are probed independently, so a crash
+      * between the two writes heals on re-append (the landed table is
+      * skipped, the missing one written — new ids are edgeless and
+      * therefore unservable in the window); a fully-landed replay is
+      * a no-op; PARTIAL id overlap with the store fails loud (an
+      * ambiguous half-replayed batch must not be guessed at). A crash
+      * before the meta rewrite leaves the entry stale-HIGH, which
+      * never affects correctness (any stored node is a valid entry);
+      * the next mutation's meta write heals it. */
+    def append(
+        delta: DataFrame,
+        idCol: String,
+        vecCol: String,
+        beam: Int = 16,
+        maxHops: Int = 10): Handle = {
+      val m = readMeta(fs, path)
+      require(m.k != CompleteK,
+        s"append to a complete-graph store at $path: re-create instead")
+      val d = delta.select(col(idCol).cast("long").as("id"),
+          col(vecCol).as("v"))
+        .localCheckpoint()
+      val newIds = d.select(col("id")).distinct().localCheckpoint()
+      val nNew = newIds.count()
+      if (nNew == 0) return this
+
+      val vecsHave = vecsDf.join(broadcast(newIds), Seq("id"), "left_semi")
+        .select(col("id")).distinct().count()
+      require(vecsHave == 0L || vecsHave == nNew,
+        s"GraphAnn.append: $vecsHave of $nNew delta ids already stored " +
+          s"at $path - a partially-overlapping batch is ambiguous")
+      if (vecsHave == 0L)
+        d.withColumn("n", VF.l2Norm(col("v")))
+          .repartition(1).sortWithinPartitions(col("id"))
+          .write.mode("append").option("parquet.block.size", RowGroupBytes)
+          .parquet(s"$path/vectors")
+
+      val adjHave = adjDf
+        .join(broadcast(newIds.select(col("id").as("src"))),
+          Seq("src"), "left_semi")
+        .select(col("src")).distinct().count()
+      require(adjHave == 0L || adjHave == nNew,
+        s"GraphAnn.append: $adjHave of $nNew delta ids already have " +
+          s"adjacency at $path - a partially-overlapping batch is ambiguous")
+      if (adjHave == 0L) {
+        // search the CURRENT graph for each new vector's neighbors —
+        // new ids have no in-edges yet, so the search sees old nodes
+        // only, even when the vector write already landed (replay)
+        val searched = serve(d.select(col("id").as("qid"),
+            col("v").as("qv")), "qid", "qv",
+            k = m.k, beam = beam, maxHops = maxHops, None)
+          .localCheckpoint()
+        val out = searched
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        val back = searched
+          .select(col("neighbor_id").as("src"), col("query_id").as("dst"))
+        val oldMax = vecsDf.join(broadcast(newIds), Seq("id"), "left_anti")
+          .agg(max(col("id"))).collect()(0).getLong(0)
+        val bounds = newIds.agg(min(col("id")), max(col("id"))).collect()(0)
+        val links = d.sparkSession.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(oldMax, bounds.getLong(0)),
+            org.apache.spark.sql.Row(bounds.getLong(1), m.entry)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("dst",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        out.unionByName(back)
+          .unionByName(ringEdges(d, "id"))
+          .unionByName(links)
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .repartition(1).sortWithinPartitions(col("src"), col("dst"))
+          .write.mode("append").option("parquet.block.size", RowGroupBytes)
+          .parquet(s"$path/adj")
+      }
+
+      val newMin = newIds.agg(min(col("id"))).collect()(0).getLong(0)
+      val entry2 = math.min(m.entry, newMin)
+      writeMeta(fs, new Path(path), m.copy(entry = entry2))
+      copy(entry = entry2)
     }
 
     /** Takedown: merge `ids` into the tombstone ledger (atomic dir
@@ -525,7 +717,8 @@ object GraphAnn {
       .headOption.map(_.getInt(0)).getOrElse(0)
 
     val graph =
-      if (approx) buildKnnGraphApprox(vectors, idCol, vecCol, k,
+      if (k == CompleteK) completeGraph(vectors, idCol)
+      else if (approx) buildKnnGraphApprox(vectors, idCol, vecCol, k,
         withRing = withRing)
       else buildKnnGraph(vectors, idCol, vecCol, k, withRing)
     graph.repartition(1).sortWithinPartitions(col("src"), col("dst"))

@@ -1375,6 +1375,65 @@ object TextQueries extends QueryDsl {
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
     },
 
+    // FILTERED graph-ANN — the quintet's fifth route (SRP/BM25/IVF/
+    // LSH-text have filtered serves; now the navigable graph): the
+    // walk NAVIGATES unfiltered (disallowed nodes stay waypoints —
+    // filtering the traversal would disconnect the graph exactly when
+    // the filter is selective, the filtered-DiskANN insight) and the
+    // allowed set semi-joins the VISITED frame before the rank, so
+    // rnk counts allowed neighbors only and the corpus-sized allowed
+    // frame is never collected. Served through a COMPLETE-graph store
+    // (GraphAnn.CompleteK — hop 1 discovers every node, so the
+    // filtered serve PROVABLY equals brute force over allowed for any
+    // beam: the q232b degenerate-family argument through the persisted
+    // layout; a realistic kNN family under a selective filter walks
+    // past allowed-only neighbors — measured here, and spec-pinned
+    // with a recall floor instead of an oracle gamble). Shares the
+    // filtered trio's oracle (q232/q232b/q234).
+    q("q241_ann_graph_filtered", annFilteredTop5Oracle()) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val allowed = t("documents").filter($"lang" === "en")
+        .select($"doc_id".as("vec_id"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_cg_$key"
+      graft.ann.GraphAnn.ensure(emb, "vec_id", "embedding",
+          c.spark, path, k = graft.ann.GraphAnn.CompleteK)
+        .topKFiltered(queries, "qid", "qvec", allowed, "vec_id",
+          k = 5, beam = 2, maxHops = 2)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // Navigable-graph index GROWTH (the append direction of q240's
+    // lifecycle row): the store is built on 4/5 of the corpus, the
+    // remaining fifth arrives as a delta through GraphAnn.append —
+    // the HNSW search-based insert: out-edges from a beam search of
+    // the CURRENT graph, reciprocal back-edges for reachability, the
+    // ring chain extended; merge-on-read files, replay probes per
+    // table — then COMPACTED (the q240 convention: the oracle pins
+    // the rebuilt exact-degree graph; the merge-on-read appended
+    // graph's guarantees — self-reachability, 0.98 recall, crash-heal
+    // — are GraphAnnSpec's), and the serve is checked against brute
+    // force over the FULL grown corpus.
+    q("q242_ann_graph_append", annTop5Oracle) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_app_$key"
+      graft.ann.GraphAnn.ensure(emb.filter($"vec_id" % 5 =!= 0),
+          "vec_id", "embedding", c.spark, path, k = 10)
+        .append(emb.filter($"vec_id" % 5 === 0), "vec_id", "embedding")
+        .compact()
+        .topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
     // Navigable-graph index takedown (q211's matrix row for the graph
     // family): a seventh of the corpus — including the entry point —
     // is tombstoned through GraphAnn.remove (merge-on-read ledger: the

@@ -162,6 +162,124 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("filtered serve: complete store == filtered brute; realistic family pinned by floor + contract") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val allowed = docs.filter(col("lang") =!= "en") // a DIFFERENT set than q241's
+      .select(col("doc_id").as("vec_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+
+    def filteredBrute(k: Int) = Ann.bruteForceTopK(
+        emb.join(allowed, Seq("vec_id"), "left_semi"), queries,
+        "vec_id", "embedding", "qid", "qvec", k)
+
+    // complete-graph store: provably exhaustive => equals filtered brute
+    val cgPath = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_spec_cg_${System.nanoTime()}"
+    val cg = GraphAnn.create(emb, "vec_id", "embedding", spark, cgPath,
+      k = GraphAnn.CompleteK)
+    val got = cg.topKFiltered(queries, "qid", "qvec", allowed, "vec_id",
+      k = 5, beam = 2, maxHops = 2)
+    assert(asTuples(got) == asTuples(filteredBrute(5)))
+
+    // realistic family: membership + dense ranks + measured recall
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_spec_f_${System.nanoTime()}"
+    val h = GraphAnn.create(emb, "vec_id", "embedding", spark, path, k = 10)
+    val real = h.topKFiltered(queries, "qid", "qvec", allowed, "vec_id",
+        k = 5, beam = 16, maxHops = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(real.forall { case (_, n, _) => allowedIds(n) },
+      "every filtered result is allowed")
+    real.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"ranks dense for query $q")
+    }
+    val want = filteredBrute(5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = real.map { case (q, n, _) => (q, n) }.toSet
+    val recall = (gotSet & want).size.toDouble / want.size
+    info(s"filtered graph-ANN recall@5 at (k=10, beam=16, hops=10): $recall")
+    assert(recall >= 0.8, s"filtered recall@5 $recall below floor")
+
+    // empty allowed set => zero rows, no failure
+    val sp = spark; import sp.implicits._
+    val none = Seq.empty[Long].toDF("vec_id")
+    assert(h.topKFiltered(queries, "qid", "qvec", none, "vec_id",
+      k = 5, beam = 8, maxHops = 4).count() == 0L)
+  }
+
+  test("append: search-based insert reaches new nodes; replay + crash windows heal; compact == fresh") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_app_${System.nanoTime()}"
+    val seed = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val h = GraphAnn.create(seed, "vec_id", "embedding", spark, path, k = 10)
+    val h2 = h.append(delta, "vec_id", "embedding")
+    assert(h2.entry == 0L, "entry re-points at the new minimum id")
+
+    // every new node must be REACHABLE: querying a new vector's own
+    // embedding must return itself at rank 1 (cos 1.0)
+    val newQs = delta.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val self = h2.topK(newQs, "qid", "qvec", k = 1, beam = 16, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(self.forall { case (q, n) => q == n },
+      s"new nodes must be reachable (self top-1): ${self.filterNot(p => p._1 == p._2).toSeq}")
+
+    // grown-corpus recall vs brute force
+    val got = h2.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Ann.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & want).size.toDouble / want.size
+    info(s"post-append recall@5: $recall")
+    assert(recall >= 0.9, s"post-append recall@5 $recall below floor")
+
+    // full replay is a no-op: same serve, no duplicate vector rows
+    val h3 = h2.append(delta, "vec_id", "embedding")
+    val replayServe = h3.topK(queries, "qid", "qvec", k = 5,
+      beam = 16, maxHops = 10)
+    assert(asTuples(replayServe) ==
+      asTuples(h2.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)))
+    val vecRows = spark.read
+      .schema(s"id BIGINT, v ARRAY<float>, n DOUBLE")
+      .parquet(s"$path/vectors")
+    assert(vecRows.count() == emb.count(), "no duplicate vector rows")
+    assert(vecRows.groupBy(col("id")).count().filter(col("count") > 1).count() == 0L)
+
+    // crash window: vectors landed, adjacency missing — simulate by
+    // appending a SECOND slice's vectors only, then healing via append
+    val path2 = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_app2_${System.nanoTime()}"
+    val hB = GraphAnn.create(seed, "vec_id", "embedding", spark, path2, k = 10)
+    delta.select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("v"))
+      .withColumn("n", graft.functions.VectorFunctions.l2Norm(col("v")))
+      .repartition(1).sortWithinPartitions(col("id"))
+      .write.mode("append").parquet(s"$path2/vectors")
+    val healed = hB.append(delta, "vec_id", "embedding")
+    assert(asTuples(healed.topK(queries, "qid", "qvec", k = 5,
+        beam = 16, maxHops = 10)) ==
+      asTuples(h2.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)),
+      "a vectors-landed/adj-missing crash heals to the clean-append serve")
+
+    // partial id overlap fails loud (3 stored ids + 3 genuinely new)
+    val mixed = emb.filter(col("vec_id") < 6)
+      .withColumn("vec_id", when(col("vec_id") < 3, col("vec_id"))
+        .otherwise(col("vec_id") + 100000L))
+    intercept[IllegalArgumentException] {
+      h3.append(mixed, "vec_id", "embedding")
+    }
+
+    // compact after append == fresh build on the grown corpus
+    val hc = h3.compact()
+    val freshPath = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_app_fresh_${System.nanoTime()}"
+    val fresh = GraphAnn.create(emb, "vec_id", "embedding", spark,
+      freshPath, k = 10)
+    assert(asTuples(hc.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10))
+      == asTuples(fresh.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)))
+  }
+
   test("takedown: removed never served, entry re-points, replay-idempotent, compact == fresh build") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_td_${System.nanoTime()}"
     val h = GraphAnn.create(emb, "vec_id", "embedding", spark, path, k = 10)
