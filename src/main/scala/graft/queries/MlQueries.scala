@@ -445,6 +445,47 @@ object MlQueries extends QueryDsl {
 
   def all: Seq[Q] = Seq(
 
+    // Per-source mean-quality with a 95% POISSON-bootstrap CI — metric
+    // uncertainty for curation reports (is a source's quality gap real
+    // or sampling noise?). The Poisson form is the at-scale bootstrap:
+    // one linear pass, per-(row, replicate) Poisson(1) weights from
+    // hashed uniforms, map-side partial aggregation — no corpus-sized
+    // shuffle at any B (see Bootstrap scaladoc). ORACLE-EXACT: weights
+    // derive from md5 uniforms through a literal inverse-CDF chain
+    // (identical doubles both engines), replicate means reduce under
+    // 6dp rounding, and the CI percentiles ride q09's proven
+    // interpolated-percentile parity.
+    q("q243_bootstrap_ci", {
+      val cases = Seq(
+        0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+        0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508,
+        0.9999988746).zipWithIndex
+        .map { case (f, k) => s"WHEN u < $f THEN $k" }.mkString(" ")
+      s"""WITH base AS (
+        |  SELECT source, doc_id AS id,
+        |    least(length(text) / 600.0, 1.0)::DOUBLE AS x FROM documents),
+        |reps AS (SELECT * FROM base CROSS JOIN (SELECT unnest(range(200)) AS b)),
+        |uu AS (SELECT source, b, x,
+        |  ('0x' || substr(md5(id::varchar || ':' || b::varchar || ':boot'), 1, 15))::BIGINT
+        |    / 1152921504606846976.0 AS u FROM reps),
+        |w AS (SELECT source, b, x,
+        |  (CASE $cases ELSE 9 END)::DOUBLE AS w FROM uu),
+        |m AS (SELECT source, b, sum(w * x) / sum(w) AS m FROM w GROUP BY 1, 2),
+        |ci AS (SELECT source, quantile_cont(m, 0.025) AS lo,
+        |  quantile_cont(m, 0.975) AS hi FROM m GROUP BY 1),
+        |st AS (SELECT source, count(*)::BIGINT AS n, avg(x) AS mean
+        |  FROM base GROUP BY 1)
+        |SELECT st.source, n, round(mean, 6) AS mean,
+        |  round(lo, 6) AS lo, round(hi, 6) AS hi
+        |FROM st JOIN ci USING (source)""".stripMargin
+    }) { c =>
+      import c.t
+      val scored = t("documents").select($"source", $"doc_id",
+        least(length($"text") / lit(600.0), lit(1.0)).as("score"))
+      graft.operators.Bootstrap.meanCi(scored, Seq("source"),
+        "doc_id", "score", replicates = 200, alpha = 0.05)
+    },
+
     // Greedy k-center (Gonzalez) coreset selection over the embedding
     // corpus: 10 maximally-spread representatives plus the coverage
     // radius after each pick — the distributed data-selection shape
