@@ -85,4 +85,59 @@ object Bootstrap {
         round(col("__lo"), 6).as("lo"),
         round(col("__hi"), 6).as("hi")): _*)
   }
+
+  /** Bootstrap CI for the DIFFERENCE of two group means — the paired
+    * comparison behind "is source A's quality really below B's, or
+    * noise?": replicate r's statistic is mean_A(r) − mean_B(r) under
+    * the SHARED per-(row, replicate) weights (the hash keys on the row
+    * id only, so the same draw drives both sides), and `significant`
+    * is the CI-excludes-zero verdict at the given alpha.
+    *
+    * @return one row: (group_a, group_b, n_a, n_b, diff, lo, hi,
+    *         significant) — `diff` the plain mean difference, 6dp. */
+  def meanDiffCi(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 200,
+      alpha: Double = 0.05,
+      salt: String = "boot"): DataFrame = {
+    require(groupA != groupB, "comparing a group to itself")
+    val two = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"),
+        col(valueCol).cast("double").as("__x"))
+    val exploded = two
+      .withColumn("__b", explode(lit((0 until replicates).toArray)))
+      .withColumn("__u",
+        conv(substring(md5(concat_ws(":", col("__id"), col("__b"),
+          lit(salt))), 1, 15), 16, 10).cast("long")
+          / lit(1152921504606846976.0))
+      .withColumn("__w", poissonWeight(col("__u")).cast("double"))
+    val repDiffs = exploded
+      .groupBy(col("__b"))
+      .agg((sum(when(col("__g") === groupA, col("__w") * col("__x")))
+          / sum(when(col("__g") === groupA, col("__w")))
+        - sum(when(col("__g") === groupB, col("__w") * col("__x")))
+          / sum(when(col("__g") === groupB, col("__w")))).as("__d"))
+    val ci = repDiffs.agg(
+      percentile(col("__d"), lit(alpha / 2)).as("__lo"),
+      percentile(col("__d"), lit(1 - alpha / 2)).as("__hi"))
+    val stats = two.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), avg(col("__x")).as("__m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    require(stats.contains(groupA) && stats.contains(groupB),
+      s"groups absent from the data: ${Seq(groupA, groupB).filterNot(stats.contains)}")
+    ci.select(
+      lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      lit(stats(groupA)._1).as("n_a"), lit(stats(groupB)._1).as("n_b"),
+      round(lit(stats(groupA)._2 - stats(groupB)._2), 6).as("diff"),
+      round(col("__lo"), 6).as("lo"),
+      round(col("__hi"), 6).as("hi"),
+      (round(col("__lo"), 6) > 0.0 || round(col("__hi"), 6) < 0.0)
+        .as("significant"))
+  }
 }

@@ -486,6 +486,46 @@ object MlQueries extends QueryDsl {
         "doc_id", "score", replicates = 200, alpha = 0.05)
     },
 
+    // Paired source comparison under the SAME bootstrap draws: the CI
+    // of mean(src3) - mean(src7) with the significance verdict
+    // (CI excludes zero) — the statistical answer behind "drop src3?".
+    q("q243b_bootstrap_diff", {
+      val cases = Seq(
+        0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+        0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508,
+        0.9999988746).zipWithIndex
+        .map { case (f, k) => s"WHEN u < $f THEN $k" }.mkString(" ")
+      s"""WITH base AS (
+        |  SELECT source AS g, doc_id AS id,
+        |    least(length(text) / 600.0, 1.0)::DOUBLE AS x FROM documents
+        |  WHERE source IN ('src3', 'src7')),
+        |reps AS (SELECT * FROM base CROSS JOIN (SELECT unnest(range(200)) AS b)),
+        |uu AS (SELECT g, b, x,
+        |  ('0x' || substr(md5(id::varchar || ':' || b::varchar || ':boot'), 1, 15))::BIGINT
+        |    / 1152921504606846976.0 AS u FROM reps),
+        |w AS (SELECT g, b, x, (CASE $cases ELSE 9 END)::DOUBLE AS w FROM uu),
+        |d AS (SELECT b,
+        |    sum(CASE WHEN g = 'src3' THEN w * x END) / sum(CASE WHEN g = 'src3' THEN w END)
+        |  - sum(CASE WHEN g = 'src7' THEN w * x END) / sum(CASE WHEN g = 'src7' THEN w END) AS d
+        |  FROM w GROUP BY b),
+        |ci AS (SELECT quantile_cont(d, 0.025) AS lo, quantile_cont(d, 0.975) AS hi FROM d),
+        |st AS (SELECT
+        |  sum(CASE WHEN g = 'src3' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |  sum(CASE WHEN g = 'src7' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |  avg(CASE WHEN g = 'src3' THEN x END) - avg(CASE WHEN g = 'src7' THEN x END) AS diff
+        |  FROM base)
+        |SELECT 'src3' AS group_a, 'src7' AS group_b, n_a, n_b,
+        |  round(diff, 6) AS diff, round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |  (round(lo, 6) > 0.0 OR round(hi, 6) < 0.0) AS significant
+        |FROM st CROSS JOIN ci""".stripMargin
+    }) { c =>
+      import c.t
+      val scored = t("documents").select($"source", $"doc_id",
+        least(length($"text") / lit(600.0), lit(1.0)).as("score"))
+      graft.operators.Bootstrap.meanDiffCi(scored, "source",
+        "src3", "src7", "doc_id", "score", replicates = 200, alpha = 0.05)
+    },
+
     // Greedy k-center (Gonzalez) coreset selection over the embedding
     // corpus: 10 maximally-spread representatives plus the coverage
     // radius after each pick — the distributed data-selection shape

@@ -64,6 +64,43 @@ class BootstrapSpec extends SparkSpec {
     }
   }
 
+  test("meanDiffCi: driver replay, separated groups significant, identical ones not") {
+    val b = 60
+    val got = Bootstrap.meanDiffCi(docs, "source", "src3", "src7",
+      "doc_id", "score", replicates = b, alpha = 0.1).collect()(0)
+
+    val rows = docs.filter(col("source").isin("src3", "src7")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val diffs = (0 until b).map { rep =>
+      def m(src: String) = {
+        val g = rows.filter(_._1 == src)
+        val ws = g.map { case (_, id, x) => (pois(u60(id, rep, "boot")), x) }
+        ws.map { case (w, x) => w * x }.sum / ws.map(_._1).sum
+      }
+      m("src3") - m("src7")
+    }.sorted.toArray
+    assert(math.abs(got.getDouble(5) - pct(diffs, 0.05)) < 1e-6)
+    assert(math.abs(got.getDouble(6) - pct(diffs, 0.95)) < 1e-6)
+
+    // clearly separated synthetic groups: significant; a gap inside
+    // the noise band: not
+    val sp = spark; import sp.implicits._
+    val sep = ((1L to 60L).map(i => ("a", i, 0.9)) ++
+      (61L to 120L).map(i => ("b", i, 0.1))).toDF("g", "id", "x")
+    assert(Bootstrap.meanDiffCi(sep, "g", "a", "b", "id", "x",
+      replicates = 60).collect()(0).getBoolean(7))
+    val same = ((1L to 60L).map(i => ("a", i, (i % 7).toDouble)) ++
+      (61L to 120L).map(i => ("b", i, (i % 7).toDouble))).toDF("g", "id", "x")
+    assert(!Bootstrap.meanDiffCi(same, "g", "a", "b", "id", "x",
+      replicates = 60).collect()(0).getBoolean(7))
+
+    // absent group fails loud
+    intercept[IllegalArgumentException] {
+      Bootstrap.meanDiffCi(docs, "source", "src3", "nope",
+        "doc_id", "score", replicates = 10).collect()
+    }
+  }
+
   test("constant column degenerates to a zero-width interval; layout-invariant") {
     val sp = spark; import sp.implicits._
     val const = (1L to 100L).map(i => ("g", i, 0.25)).toDF("g", "id", "x")
