@@ -765,6 +765,16 @@ object GraphAnn {
       lines(4), lines(5).toInt, lines(6).toBoolean)
   }
 
+  /** Open an EXISTING store (meta read + heal) — the streaming-ingest
+    * entry point, where the store is pre-created and the caller has no
+    * corpus frame to offer [[ensure]]'s create-if-absent. */
+  def open(spark: SparkSession, path: String): Handle = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapDir.heal(fs, new Path(path))
+    val m = readMeta(fs, path)
+    Handle(spark, path, m.entry, m.vecElem, m.dim)
+  }
+
   /** Open if present (reading meta), else [[create]]. */
   def ensure(
       vectors: DataFrame,
