@@ -234,6 +234,32 @@ object GraphAnn {
   private val MaxDriverFrontier = 2048
   private val MaxDriverVectors = 100000
 
+  /** Largest id set fetched as an `isin` literal predicate (converts
+    * to InSet and reaches the parquet scan as a row-group skip). A
+    * hop against a high-degree / complete-graph store can discover
+    * far more fresh nodes than this — building a 100k-element In
+    * expression is slow at PLAN time even though execution is fine —
+    * so larger fetches route through [[KeyPrune.restrict]]'s
+    * broadcast semi-join like the distributed path. */
+  private[ann] val MaxInLiteralIds = 4096
+
+  /** The micro-walk's per-fetch vector read, pruned to the missing id
+    * set by whichever route is cheap at the set's size (see
+    * [[MaxInLiteralIds]]). Both routes return the same rows — the
+    * semi-join is a set-membership restriction, exactly the InSet
+    * semantics. */
+  private[ann] def prunedVecRead(
+      vecs: DataFrame,
+      missing: Seq[Long],
+      spark: SparkSession,
+      maxLiteral: Int = MaxInLiteralIds): DataFrame =
+    if (missing.size <= maxLiteral)
+      vecs.filter(col("id").isin(missing: _*))
+    else {
+      import spark.implicits._
+      KeyPrune.restrict(vecs, missing.toDF("id"), Seq("id"))
+    }
+
   /** The shared walk — also the store's serve path, which passes its
     * sorted on-disk frames so the per-hop [[KeyPrune]] predicates
     * reach the parquet scans as row-group skips. */
@@ -312,8 +338,7 @@ object GraphAnn {
       val missing = ids.filterNot(fetched.contains)
       if (missing.isEmpty) return true
       if (fetched.size + missing.size > MaxDriverVectors) return false
-      vecs.filter(col("id").isin(missing: _*))
-        .collect()
+      prunedVecRead(vecs, missing, spark).collect()
         .foreach(r => fetched(r.getLong(0)) =
           (vecD(r.getSeq[Any](1)), r.getDouble(2)))
       true
@@ -543,9 +568,24 @@ object GraphAnn {
         beam: Int,
         maxHops: Int,
         allowed: Option[DataFrame]): DataFrame = {
-      val liveEntry = readMeta(fs, path).entry
+      val metaEntry = readMeta(fs, path).entry
       val vecs = tombstonesDf.fold(vecsDf)(t =>
         vecsDf.join(broadcast(t), Seq("id"), "left_anti"))
+      // remove() swaps the ledger in BEFORE the meta rewrite; a crash
+      // between the two leaves meta.entry pointing at a tombstoned
+      // node, which the walk would filter out of the vector frame —
+      // every serve silently empty until the next mutation. Heal here:
+      // if the entry is in the ledger (one tiny-file lookup, only when
+      // a ledger exists), fall back to the smallest live id.
+      val liveEntry = tombstonesDf match {
+        case Some(t) if !t.filter(col("id") === metaEntry)
+            .limit(1).collect().isEmpty =>
+          val m = vecs.agg(min(col("id"))).collect()(0)
+          require(!m.isNullAt(0),
+            s"GraphAnn.serve: every vector at $path is tombstoned")
+          m.getLong(0)
+        case _ => metaEntry
+      }
       beamSearch(adjDf, vecs, queries, qidCol, qvecCol,
         k, beam, maxHops, liveEntry, allowed)
     }
@@ -570,7 +610,10 @@ object GraphAnn {
       * ambiguous half-replayed batch must not be guessed at). A crash
       * before the meta rewrite leaves the entry stale-HIGH, which
       * never affects correctness (any stored node is a valid entry);
-      * the next mutation's meta write heals it. */
+      * the next mutation's meta write heals it. Both presence probes
+      * see LIVE vectors only, and a delta carrying tombstoned or
+      * duplicate ids fails loud — re-introducing a removed id into
+      * merge-on-read state is ambiguous; compact() first. */
     def append(
         delta: DataFrame,
         idCol: String,
@@ -586,8 +629,26 @@ object GraphAnn {
       val newIds = d.select(col("id")).distinct().localCheckpoint()
       val nNew = newIds.count()
       if (nNew == 0) return this
-
-      val vecsHave = vecsDf.join(broadcast(newIds), Seq("id"), "left_semi")
+      // a batch carrying the same id twice would land duplicate vector
+      // rows (and double ring edges) — the store's unique-id invariant
+      require(d.count() == nNew,
+        s"GraphAnn.append: delta contains duplicate ids at $path - " +
+          s"dropDuplicates the batch before appending")
+      // the replay probe must see LIVE vectors only: a tombstoned id
+      // counted as "already stored" would make a re-append of a
+      // removed id look like a fully-landed replay — both writes
+      // skipped, the vector silently invisible, and the entry possibly
+      // re-pointed at a tombstoned node. Re-appending removed ids is
+      // ambiguous merge-on-read state; fail loud, compact() first.
+      tombstonesDf.foreach { t =>
+        val nTomb = t.join(broadcast(newIds), Seq("id"), "left_semi").count()
+        require(nTomb == 0L,
+          s"GraphAnn.append: $nTomb of $nNew delta ids are tombstoned " +
+            s"at $path - compact() before re-appending removed ids")
+      }
+      val liveVecs = tombstonesDf.fold(vecsDf)(t =>
+        vecsDf.join(broadcast(t), Seq("id"), "left_anti"))
+      val vecsHave = liveVecs.join(broadcast(newIds), Seq("id"), "left_semi")
         .select(col("id")).distinct().count()
       require(vecsHave == 0L || vecsHave == nNew,
         s"GraphAnn.append: $vecsHave of $nNew delta ids already stored " +
@@ -617,7 +678,9 @@ object GraphAnn {
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         val back = searched
           .select(col("neighbor_id").as("src"), col("query_id").as("dst"))
-        val oldMax = vecsDf.join(broadcast(newIds), Seq("id"), "left_anti")
+        // link the ring into the largest LIVE stored id — an edge into
+        // a tombstoned node is dead weight the walk can never use
+        val oldMax = liveVecs.join(broadcast(newIds), Seq("id"), "left_anti")
           .agg(max(col("id"))).collect()(0).getLong(0)
         val bounds = newIds.agg(min(col("id")), max(col("id"))).collect()(0)
         val links = d.sparkSession.createDataFrame(
@@ -640,7 +703,14 @@ object GraphAnn {
       }
 
       val newMin = newIds.agg(min(col("id"))).collect()(0).getLong(0)
-      val entry2 = math.min(m.entry, newMin)
+      // the new entry is computed over LIVE ids only: m.entry can be a
+      // tombstoned node after a remove() crash window, and min-ing it
+      // in would perpetuate an unservable entry point
+      val baseEntry =
+        if (tombstonesDf.isEmpty) m.entry
+        else liveVecs.join(broadcast(newIds), Seq("id"), "left_anti")
+          .agg(min(col("id"))).collect()(0).getLong(0)
+      val entry2 = math.min(baseEntry, newMin)
       writeMeta(fs, new Path(path), m.copy(entry = entry2))
       copy(entry = entry2)
     }
@@ -653,7 +723,10 @@ object GraphAnn {
       * weight that [[compact]] purges. Paths THROUGH removed nodes are
       * lost until compact (recall, never correctness — the ring
       * backbone still spans the kept ids that follow each gap).
-      * Replay-idempotent: the ledger is a set union. */
+      * Replay-idempotent: the ledger is a set union. The ledger swap
+      * lands BEFORE the meta rewrite; a crash between the two leaves
+      * meta.entry tombstoned, which serve() heals at read time by
+      * falling back to the smallest live id. */
     def remove(ids: DataFrame, idCol: String): Handle = {
       val incoming = ids.select(col(idCol).cast("long").as("id")).distinct()
       val merged = tombstonesDf.fold(incoming)(t =>

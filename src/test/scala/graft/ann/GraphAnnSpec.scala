@@ -334,4 +334,73 @@ class GraphAnnSpec extends SparkSpec {
       fresh.remove(emb.select(col("vec_id")), "vec_id")
     }
   }
+
+  test("append guards: tombstoned ids fail loud; duplicate delta ids fail loud") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_guard_${System.nanoTime()}"
+    val seed = emb.filter(col("vec_id") % 5 =!= 0)
+    val h = GraphAnn.create(seed, "vec_id", "embedding", spark, path, k = 10)
+
+    // remove a slice, then try to re-append it: the live-vector probe
+    // must NOT read the tombstoned rows as "already stored" (which
+    // would skip both writes and leave the vector invisible) — it
+    // fails loud instead, directing at compact()
+    val slice = seed.filter(col("vec_id") % 3 === 1)
+    val h2 = h.remove(slice.select(col("vec_id")), "vec_id")
+    val ex = intercept[IllegalArgumentException] {
+      h2.append(slice, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("tombstoned"))
+    // ...and the store still serves (nothing was half-written)
+    assert(h2.topK(queries, "qid", "qvec", k = 5).count() > 0)
+    // after compact the same batch appends cleanly and serves itself
+    val h3 = h2.compact().append(slice, "vec_id", "embedding")
+    val selfQ = slice.limit(3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val self = h3.topK(selfQ, "qid", "qvec", k = 1, beam = 16, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(self.nonEmpty && self.forall { case (q, n) => q == n },
+      "re-appended-after-compact ids serve themselves at rank 1")
+
+    // a batch carrying the same id twice violates the unique-id
+    // invariant (duplicate vector rows, double ring edges): fail loud
+    val dup = emb.filter(col("vec_id") % 5 === 0).limit(4)
+      .unionAll(emb.filter(col("vec_id") % 5 === 0).limit(2))
+    val ex2 = intercept[IllegalArgumentException] {
+      h3.append(dup, "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("duplicate"))
+  }
+
+  test("serve heals a tombstoned meta entry (remove-crash window)") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_heal_${System.nanoTime()}"
+    val h = GraphAnn.create(emb, "vec_id", "embedding", spark, path, k = 10)
+    // simulate the crash BETWEEN remove()'s ledger swap and its meta
+    // rewrite: write a ledger containing the entry id, leave meta at 0
+    val sp = spark; import sp.implicits._
+    Seq(0L, 1L, 2L).toDF("id")
+      .repartition(1).write.parquet(s"$path/_tombstones")
+    assert(h.entry == 0L)
+    val served = h.topK(queries, "qid", "qvec", k = 5, beam = 16, maxHops = 10)
+    assert(served.count() > 0,
+      "a tombstoned meta entry must not silently serve empty")
+    val ids = served.select(col("neighbor_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert((ids & Set(0L, 1L, 2L)).isEmpty, "tombstoned ids never serve")
+  }
+
+  test("prunedVecRead: literal and semi-join routes return identical rows") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_pvr_${System.nanoTime()}"
+    val h = GraphAnn.create(emb, "vec_id", "embedding", spark, path, k = 10)
+    val vecs = spark.read.schema("id BIGINT, v ARRAY<float>, n DOUBLE")
+      .parquet(s"$path/vectors")
+    val ids = (0L until 400L by 3L).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("n")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val lit = GraphAnn.prunedVecRead(vecs, ids, spark)
+    val semi = GraphAnn.prunedVecRead(vecs, ids, spark, maxLiteral = 16)
+    assert(ids.length > 16 && ids.length <= GraphAnn.MaxInLiteralIds)
+    assert(rows(lit) == rows(semi))
+    assert(rows(lit).map(_._1) == ids.filter(_ < emb.count()).toSet)
+  }
 }
