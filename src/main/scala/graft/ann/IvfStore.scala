@@ -400,31 +400,24 @@ object IvfStore {
   // jobs every serve call used to pay (q141/q189/q192 open the store
   // once per query invocation).
   @transient private val opened =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Handle]
+    new HandleRegistry[(String, Long), Handle](h =>
+      !h.spark.sparkContext.isStopped)
 
   /** Open an existing index (heals an interrupted swap first); cached
     * per store generation. A cached handle whose SparkSession has been
     * STOPPED since (test suites stop/recreate sessions in one JVM) is
-    * evicted and re-opened — its cached frames and model arrays are
-    * bound to dead executors. The get/put below is deliberately NOT
-    * atomic: two threads racing on a cold key both openUncached and
-    * one immutable handle is discarded (harmless — no resource held),
-    * and dead-session entries for untouched keys linger until their
-    * key is re-opened; the registry is bounded by the test-lifecycle
-    * store count, so no sweep is needed. */
+    * dead — its cached frames and model arrays are bound to dead
+    * executors. [[HandleRegistry]] guarantees two concurrent opens on
+    * a cold key yield ONE live handle (putIfAbsent — the losing build
+    * is discarded, harmless: no resource beyond immutable arrays) and
+    * sweeps dead-session entries on EVERY open, so they never
+    * accumulate across test-suite lifecycles. */
   def open(spark: SparkSession, path: String): Handle = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SwapDir.heal(fs, new Path(path))
     val mtime = fs.getFileStatus(new Path(s"$path/_graft_meta"))
       .getModificationTime
-    val key = (path, mtime)
-    opened.get(key) match {
-      case Some(h) if !h.spark.sparkContext.isStopped => h
-      case _ =>
-        val h = openUncached(spark, path)
-        opened.put(key, h)
-        h
-    }
+    opened.getOrCreate((path, mtime), openUncached(spark, path))
   }
 
   private def openUncached(spark: SparkSession, path: String): Handle = {
