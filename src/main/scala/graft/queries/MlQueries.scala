@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
 import graft.ml.{Dsir, EmbeddingOutliers, NaiveBayes, Pca}
 
 /** Learned-curation query family: the model-based data-selection
@@ -63,6 +64,20 @@ object MlQueries extends QueryDsl {
       |SELECT d.lang, p.predicted, cast(count(*) AS BIGINT) AS n
       |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
       |WHERE p.rn = 1 GROUP BY 1, 2""".stripMargin
+
+  /** q168's exact cross-corpus contamination oracle — one text shared
+    * with the q183b store-route twin so the two cannot drift. */
+  private val semanticContaminationSql =
+    """WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+      |ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0),
+      |hits AS (SELECT t.vec_id,
+      |    list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+      |  FROM tr t JOIN ev e
+      |    ON isfinite(list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |   AND list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.35)
+      |SELECT vec_id, cast(count(*) AS BIGINT) AS n_eval_hits,
+      |  round(max(cos), 4) AS max_cos
+      |FROM hits GROUP BY 1""".stripMargin
 
   /** Shared DSIR SQL: smoothed log ratio target(src0) vs pool(rest)
     * over the joint vocabulary, per-doc weights over the pool. */
@@ -648,6 +663,75 @@ object MlQueries extends QueryDsl {
         .select($"doc_id", $"n_toks", round($"log_w", 6).as("log_w"))
     },
 
+    // q159c's CONTRACT oracle — the q65b mold for the hashed route.
+    // What hashed DSIR promises exactly: it is EXACT DSIR on the
+    // quotient vocabulary (tokens merged by their xxhash64 bucket) —
+    // hashing commutes with counting, smoothing runs over OCCUPIED
+    // buckets, and total token mass is untouched. Rows = q159's exact
+    // weights (SQL-expressible, hash-checked); `hash_ok` checks per
+    // doc that (a) the production hashed route preserved n_toks
+    // (bucketing merges, never drops — long equality) and (b) its
+    // log_w equals an INDEPENDENT straight-line re-derivation that
+    // routes through token-level count frames and merges them by
+    // bucket (vocabulary-then-bucket, vs the production route's
+    // bucket-at-explode) — same integers in, so the smoothed ratios
+    // are bit-identical and the per-doc sums agree to summation
+    // order (1e-6 tolerance, vs ~1e-13 observed). A drifted
+    // bucketizer, occupied-vs-space smoothing regression, or
+    // tokenization mismatch between routes flips rows false.
+    q("q159d_dsir_hashed_contract",
+      s"""WITH $dsirWeightsCte
+        |SELECT doc_id, n_toks, round(log_w, 6) AS log_w, true AS hash_ok FROM w""".stripMargin) { c =>
+      import c.t
+      val docs = t("documents")
+      val target = docs.filter($"source" === "src0")
+      val pool = docs.filter($"source" =!= "src0")
+      // the oracle-hashed columns: q159's exact production route
+      val exact = Dsir.logWeights(pool, "doc_id", "text",
+          Dsir.ratioTable(target, pool, "text"))
+        .select($"doc_id", $"n_toks", round($"log_w", 6).as("log_w"))
+      // the route under test: q159c's production hashed path
+      val prod = Dsir.logWeights(pool, "doc_id", "text",
+          Dsir.hashedRatioTable(target, pool, "text", bits = 13),
+          tokenizer = Dsir.bucketizer(13))
+        .select($"doc_id", $"n_toks".as("h_nt"), $"log_w".as("h_lw"))
+      // independent quotient re-derivation (no Dsir helpers): token
+      // counts first, then merge by bucket
+      val nBuckets = 1L << 13
+      def tokCnt(df: org.apache.spark.sql.DataFrame) =
+        df.filter(length(trim($"text")) > 0)
+          .select(explode(TF.wsTokens(lower($"text"))).as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"token").agg(count(lit(1)).as("cnt"))
+          .select(pmod(xxhash64($"token"), lit(nBuckets)).as("bucket"), $"cnt")
+          .groupBy($"bucket").agg(sum($"cnt").as("bcnt"))
+      val joint = tokCnt(target).withColumnRenamed("bcnt", "nt")
+        .join(tokCnt(pool).withColumnRenamed("bcnt", "np"), Seq("bucket"), "full_outer")
+        .select($"bucket", coalesce($"nt", lit(0L)).as("nt"),
+          coalesce($"np", lit(0L)).as("np"))
+        .localCheckpoint()
+      val totals = joint.agg(sum($"nt").as("tot_t"), sum($"np").as("tot_p"),
+        count(lit(1)).as("v"))
+      val lr = joint.crossJoin(broadcast(totals))
+        .select($"bucket",
+          (log(($"nt" + lit(1.0)) / ($"tot_t" + $"v")) -
+            log(($"np" + lit(1.0)) / ($"tot_p" + $"v"))).as("lr"))
+      // a pool doc's buckets are all pool-occupied: no OOV leg needed
+      val indep = pool.filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(TF.wsTokens(lower($"text"))).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+        .select($"doc_id", pmod(xxhash64($"token"), lit(nBuckets)).as("bucket"), $"cnt")
+        .groupBy($"doc_id", $"bucket").agg(sum($"cnt").as("cnt"))
+        .join(lr, Seq("bucket"))
+        .groupBy($"doc_id").agg(sum($"cnt" * $"lr").as("i_lw"))
+      exact.join(prod, Seq("doc_id"), "left")
+        .join(indep, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_toks", $"log_w",
+          ($"h_nt".isNotNull && $"h_nt" === $"n_toks" &&
+            abs($"h_lw" - coalesce($"i_lw", lit(0.0))) < 1e-6).as("hash_ok"))
+    },
+
     // Embedding-space outlier screen: bottom-5 cosine-to-own-centroid
     // per label. Centroids, scores and ranks all oracle-replicated
     // (DuckDB list_cosine_similarity over the same per-dim averages).
@@ -987,17 +1071,7 @@ object MlQueries extends QueryDsl {
     // leakage the n-gram screen (q152) cannot. Exact all-pairs is the
     // oracle route (the eval side is benchmark-small by construction);
     // q168b is the banded cross-side SRP route.
-    q("q168_semantic_contamination",
-      """WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
-        |ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0),
-        |hits AS (SELECT t.vec_id,
-        |    list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
-        |  FROM tr t JOIN ev e
-        |    ON isfinite(list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-        |   AND list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.35)
-        |SELECT vec_id, cast(count(*) AS BIGINT) AS n_eval_hits,
-        |  round(max(cos), 4) AS max_cos
-        |FROM hits GROUP BY 1""".stripMargin) { c =>
+    q("q168_semantic_contamination", semanticContaminationSql) { c =>
       import c.t
       val emb = t("embeddings")
       graft.dedup.SemanticContamination.exactReport(
@@ -1528,6 +1602,25 @@ object MlQueries extends QueryDsl {
     // here), and q168 remains the exact-route contract.
     q("q183_semantic_contamination_store") { c =>
       val edges = TextQueries.embPairStore(c.spark, c.dir).edges
+      graft.dedup.SemanticContamination.reportFromPairs(
+        edges, "vec_a", "vec_b", "cos",
+        id => pmod(id, lit(17)) === 0, "vec_id")
+        .select($"vec_id", $"n_eval_hits", round($"max_cos", 4).as("max_cos"))
+    },
+
+    // q183's DEGENERATE-SETTING twin (the q232b move): the same
+    // store-served report shape — reportFromPairs over a PERSISTED
+    // pair graph — but fed by the EXACT cosine pair store (q169's
+    // frame: the oracle-checked q64 rows persisted once per dir)
+    // instead of the SRP-built graph, where the route is provably
+    // exhaustive and q168's exact SQL applies unchanged. Hash-exact
+    // proof that the store serving path itself (edge filter, eval-XOR
+    // split, rollup, 4dp max — max of the stored 4dp cosine equals
+    // the rounded max by monotonicity) is correct; q183 then differs
+    // only by its candidate generator, whose contract q65b pins.
+    q("q183b_semantic_contamination_exact_store",
+      semanticContaminationSql) { c =>
+      val edges = TextQueries.embExactPairStore(c.spark, c.dir).edges
       graft.dedup.SemanticContamination.reportFromPairs(
         edges, "vec_a", "vec_b", "cos",
         id => pmod(id, lit(17)) === 0, "vec_id")

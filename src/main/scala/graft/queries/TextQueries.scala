@@ -425,6 +425,78 @@ object TextQueries extends QueryDsl {
         .orderBy($"vec_a", $"vec_b")
     },
 
+    // q184's CONTRACT oracle — the q65b lsh_ok mold applied to the
+    // PERSISTED incremental route, so the store serve's guarantee is
+    // oracle-visible (q184 itself stays rows-only: SRP recall below
+    // ~0.6 cosine has no SQL twin). What nearDupsOfDelta promises
+    // exactly: a delta-touching pair surfaces iff its signatures
+    // collide in >= 1 table whose bucket survived the skew guard over
+    // the UNION population (stored corpus + delta — here the whole
+    // embeddings table), and its exact cosine clears the stored
+    // threshold. Rows = the exact > 0.35 cosine pairs touching the
+    // delta (SQL-expressible); `srp_ok` re-derives each pair's
+    // surviving collision INDEPENDENTLY (per-table signature arrays
+    // compared pairwise, same seeded family as the store meta — a
+    // different route than the store's posting-bucket join) and
+    // asserts the store agreed both ways: found iff collides. A broken
+    // store signature pass, bucket join, guard population, micro-serve
+    // route, or verify filter turns a row false and fails the hash.
+    q("q184c_neardup_incremental_vec_contract",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(cast(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS double), 4) AS cos,
+        |  true AS srp_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |  AND (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val corpus = emb.filter(pmod($"vec_id", lit(4)) =!= 0)
+      val delta = emb.filter(pmod($"vec_id", lit(4)) === 0)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srpstore_v1_$key"
+      val found = graft.ann.SrpStore.ensure(corpus, "vec_id", "embedding",
+          c.spark, path)
+        .nearDupsOfDelta(delta)
+        .select($"vec_a", $"vec_b", lit(true).as("found"))
+      srpDeltaContract(emb, found,
+        exactRestriction = pmod($"vec_a", lit(4)) === 0 ||
+          pmod($"vec_b", lit(4)) === 0)
+    },
+
+    // q184b's contract twin (the small-delta serve, which takes the
+    // LITERAL bucket-prune route): same mold, but the guard population
+    // is stored-corpus ∪ delta ONLY — vec_id % 4 == 0 vectors outside
+    // the % 100 == 8 delta are in neither side and must not influence
+    // the skew guard or appear in any pair. Exercises the chunked/
+    // literal KeyPrune serve under the same found-iff-collides oracle.
+    q("q184d_neardup_small_delta_vec_contract",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(cast(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS double), 4) AS cos,
+        |  true AS srp_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE isfinite(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |  AND (a.vec_id % 100 = 8 OR b.vec_id % 100 = 8)
+        |  AND (a.vec_id % 4 <> 0 OR a.vec_id % 100 = 8)
+        |  AND (b.vec_id % 4 <> 0 OR b.vec_id % 100 = 8)""".stripMargin) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val corpus = emb.filter(pmod($"vec_id", lit(4)) =!= 0)
+      val delta = emb.filter(pmod($"vec_id", lit(100)) === 8)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srpstore_v1_$key"
+      val found = graft.ann.SrpStore.ensure(corpus, "vec_id", "embedding",
+          c.spark, path)
+        .nearDupsOfDelta(delta)
+        .select($"vec_a", $"vec_b", lit(true).as("found"))
+      srpDeltaContract(corpus.unionByName(delta), found,
+        exactRestriction = pmod($"vec_a", lit(100)) === 8 ||
+          pmod($"vec_b", lit(100)) === 8)
+    },
+
     // maxBucketSize passed EXPLICITLY: q63 has no DuckDB oracle, so a
     // silent default change altering the drop set (hence recall) would
     // sail through the gate — pin it at the call site instead.
@@ -1405,6 +1477,66 @@ object TextQueries extends QueryDsl {
         .topKFiltered(queries, "qid", "qvec", allowed, "vec_id",
           k = 5, beam = 2, maxHops = 2)
         .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+    },
+
+    // REALISTIC-family contract for the filtered graph walk — the
+    // q232c move applied to the navigable-graph route (q241 pins the
+    // degenerate complete-graph store; this pins the production
+    // degree-24 family q240's probe grid validated). The filtered
+    // serve's exact promise: "navigate unfiltered, then rank the
+    // allowed subset of the VISITED frame" — so `walk_ok` re-derives
+    // the expectation from the walk's visited set obtained through
+    // the UNFILTERED serve at corpus-sized k (a different serve
+    // invocation than the filtered route under test), semi-joined to
+    // allowed and re-ranked with INLINE-recomputed cosines, and
+    // compares the filtered serve's rows rank for rank. Output rows =
+    // the exhaustive filtered top-5 (SQL-expressible, the shared
+    // filtered-quintet oracle); a filtered-navigation regression, a
+    // broken allowed semi-join, or a rank-over-visited bug flips a
+    // query's walk_ok and fails the hash.
+    q("q241b_ann_graph_filtered_contract",
+      annFilteredTop5Oracle(", true AS walk_ok")) { c =>
+      import c.t
+      val emb = t("embeddings")
+      val allowed = t("documents").filter($"lang" === "en").select($"doc_id")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_k24_$key"
+      val h = graft.ann.GraphAnn.ensure(emb, "vec_id", "embedding",
+        c.spark, path, k = 24)
+      val served = h.topKFiltered(queries, "qid", "qvec",
+          allowed, "doc_id", k = 5, beam = 16, maxHops = 10)
+        .select($"query_id", $"neighbor_id".as("sn"),
+          round($"cos", 4).as("scos"), $"rnk")
+      // the walk's visited set, via the unfiltered serve at a k no
+      // visited frame can reach (the serve ranks ALL visited nodes)
+      val visited = h.topK(queries, "qid", "qvec", k = 1000000,
+          beam = 16, maxHops = 10)
+        .select($"query_id".as("qid"), $"neighbor_id".as("id"))
+      val vecs = emb.select($"vec_id".as("id"), $"embedding".as("vec"),
+        VF.l2Norm($"embedding").as("vn"))
+      val qn = queries.select($"qid", $"qvec", VF.l2Norm($"qvec").as("qnn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos".desc, $"id")
+      val contract = visited
+        .join(allowed.select($"doc_id".as("id")), Seq("id"), "left_semi")
+        .join(vecs, Seq("id")).join(broadcast(qn), Seq("qid"))
+        .withColumn("cos", VF.cosineWithNorms(VF.dot($"vec", $"qvec"), $"vn", $"qnn"))
+        .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+        .select($"qid".as("query_id"), $"id".as("cn"),
+          round($"cos", 4).as("ccos"), $"rnk")
+      val perQ = served.join(contract, Seq("query_id", "rnk"), "full_outer")
+        .groupBy($"query_id")
+        .agg(bool_and($"sn".isNotNull && $"cn".isNotNull &&
+          $"sn" === $"cn" && $"scos" === $"ccos").as("ok"))
+      val corpus = emb.join(allowed.select($"doc_id".as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "qid", "qvec", 5)
+        .join(perQ, Seq("query_id"), "left")
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk",
+          coalesce($"ok", lit(true)).as("walk_ok"))
     },
 
     // Navigable-graph index GROWTH (the append direction of q240's
@@ -3335,25 +3467,7 @@ object TextQueries extends QueryDsl {
     // scan, false positives die in the exact join) — output is exactly
     // the naive semi-join the oracle runs. q152b is the bloom-ONLY
     // screening twin (zero exact join): superset flags, rows-only.
-    q("q152_decontamination",
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
-        |    END AS shingles FROM toks
-        |), postings AS (
-        |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
-        |), ev AS (SELECT DISTINCT s FROM postings WHERE doc_id % 17 = 0),
-        |tr AS (SELECT doc_id, s FROM postings WHERE doc_id % 17 <> 0),
-        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
-        |hit AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
-        |SELECT t.doc_id, cast(t.n_shingles AS BIGINT) AS n_shingles,
-        |  cast(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  round(coalesce(h.n_hits, 0) * 1.0 / t.n_shingles, 6) AS overlap_frac,
-        |  CASE WHEN coalesce(h.n_hits, 0) * 1.0 / t.n_shingles >= 0.5
-        |       THEN 1 ELSE 0 END AS contaminated
-        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin) { c =>
+    q("q152_decontamination", decontaminationSql()) { c =>
       import c.t
       val docs = t("documents")
       graft.dedup.Decontamination.overlapReport(
@@ -3391,6 +3505,42 @@ object TextQueries extends QueryDsl {
         c.spark, path)
       graft.dedup.Decontamination.overlapReportFromHashes(
         store.shingles, id => pmod(id, lit(17)) === 0, "doc_id", tau = 0.5)
+    },
+
+    // q185's CONTRACT oracle — the q65b mold applied to the hashed
+    // store route. The store screen's promise: scoring 64-bit chain
+    // hashes instead of raw shingles changes NOTHING on this corpus
+    // (hash equality ≡ shingle equality absent collisions — the
+    // ShingleHashes injectivity argument, here made oracle-visible
+    // per row instead of spec-pinned). Rows = q152's exact report
+    // (SQL-expressible, the columns hash-checked); `hash_ok` compares
+    // the store-served hashed report against the exact route column
+    // for column — n_shingles/n_hits/contaminated as integer
+    // equality, overlap_frac exactly (both are round(hits/total, 6)
+    // of identical longs). A 64-bit collision on a future corpus, a
+    // drifted store shingling pass, or a broken hashed semi-join
+    // turns its row false and fails the hash compare.
+    q("q185b_decontamination_store_contract",
+      decontaminationSql(",\n  true AS hash_ok")) { c =>
+      import c.t
+      val docs = t("documents")
+      val exact = graft.dedup.Decontamination.overlapReport(
+        docs.filter($"doc_id" % 17 =!= 0), docs.filter($"doc_id" % 17 === 0),
+        "doc_id", "text", shingleN = 3, tau = 0.5)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshstore_full_$key"
+      val store = LshStore.ensure(docs, "doc_id", "text", c.spark, path)
+      val hashed = graft.dedup.Decontamination.overlapReportFromHashes(
+          store.shingles, id => pmod(id, lit(17)) === 0, "doc_id", tau = 0.5)
+        .select($"doc_id", $"n_shingles".as("h_ns"), $"n_hits".as("h_nh"),
+          $"overlap_frac".as("h_of"), $"contaminated".as("h_ct"))
+      exact.join(hashed, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles", $"n_hits", $"overlap_frac",
+          $"contaminated",
+          ($"h_ns".isNotNull && $"n_shingles" === $"h_ns" &&
+            $"n_hits" === $"h_nh" && $"overlap_frac" === $"h_of" &&
+            $"contaminated" === $"h_ct").as("hash_ok"))
     },
 
     // Snapshot DIFF (release-to-release change audit): statuses of
@@ -3812,6 +3962,69 @@ object TextQueries extends QueryDsl {
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos_raw", VF.cosineWithNorms(VF.dot(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos_raw") > threshold)
+  }
+
+  /** q152's exact decontamination oracle (one text shared with the
+    * q185b contract twin so the two cannot drift); `extraCols` lets a
+    * contract twin append a guarantee column. */
+  private def decontaminationSql(extraCols: String = ""): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
+      |    END AS shingles FROM toks
+      |), postings AS (
+      |  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+      |), ev AS (SELECT DISTINCT s FROM postings WHERE doc_id % 17 = 0),
+      |tr AS (SELECT doc_id, s FROM postings WHERE doc_id % 17 <> 0),
+      |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+      |hit AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+      |SELECT t.doc_id, cast(t.n_shingles AS BIGINT) AS n_shingles,
+      |  cast(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(coalesce(h.n_hits, 0) * 1.0 / t.n_shingles, 6) AS overlap_frac,
+      |  CASE WHEN coalesce(h.n_hits, 0) * 1.0 / t.n_shingles >= 0.5
+      |       THEN 1 ELSE 0 END AS contaminated$extraCols
+      |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin
+
+  /** Shared contract frame for the q184c/q184d twins: rows = the
+    * exact > 0.35 cosine pairs of `population` passing
+    * `exactRestriction` (delta-touching), with `srp_ok` = (the store
+    * `found` the pair) === (its signatures collide in >= 1 table
+    * whose bucket survives the skew guard over `population` — the
+    * union population nearDupsOfDelta guards on). Signature family =
+    * the SrpStore.Config default the q184 store is built with
+    * (nBits 8, tables 8, dim 64, seed 42, maxBucketSize 10000),
+    * re-derived here as plain per-vector signature-set columns — a
+    * different route than the store's posting-bucket join. */
+  private def srpDeltaContract(
+      population: org.apache.spark.sql.DataFrame,
+      found: org.apache.spark.sql.DataFrame,
+      exactRestriction: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val exact = cosinePairs(population, 0.35)
+      .filter(exactRestriction)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
+    val postings = population.select(col("vec_id"),
+        posexplode(array((0 until 8).map(tb =>
+          graft.ann.Ann.srpSignature(col("embedding"), 8, 64, 42L + tb)): _*)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bkt"))
+    val oversized = MinHashLSH.oversizedBuckets(postings, Seq("tbl", "bkt"), 10000)
+    val surviving = postings
+      .join(broadcast(oversized), Seq("tbl", "bkt"), "left_anti")
+      .groupBy(col("vec_id"))
+      .agg(collect_set(struct(col("tbl"), col("bkt"))).as("tb"))
+    val emptyTb = array().cast("array<struct<tbl:int,bkt:int>>")
+    exact
+      .join(surviving.select(col("vec_id").as("vec_a"), col("tb").as("ta")),
+        Seq("vec_a"), "left")
+      .join(surviving.select(col("vec_id").as("vec_b"), col("tb").as("tbb")),
+        Seq("vec_b"), "left")
+      .join(found, Seq("vec_a", "vec_b"), "left")
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        (coalesce(col("found"), lit(false)) ===
+          arrays_overlap(coalesce(col("ta"), emptyTb),
+            coalesce(col("tbb"), emptyTb))).as("srp_ok"))
   }
 
   /** Shared DuckDB CTE prefix replicating ShingleHashes/NGramJaccard's

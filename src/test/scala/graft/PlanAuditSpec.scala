@@ -29,6 +29,15 @@ class PlanAuditSpec extends SparkSpec {
     // design), with the served-route comparison joined on as the
     // probe_ok verdict; the served route itself plans equi-joins
     "q232c_ann_filtered_contract",
+    // q241b: the same mold for the filtered graph walk — output rows
+    // are the exhaustive filtered brute ranking; the walk under test
+    // and the visited-set re-rank plan equi-joins
+    "q241b_ann_graph_filtered_contract",
+    // q184c/q184d: the q65b mold on the incremental store route —
+    // rows are the exact delta-touching cosine pair set (quadratic by
+    // contract); the store serve under test plans bucket equi-joins
+    "q184c_neardup_incremental_vec_contract",
+    "q184d_neardup_small_delta_vec_contract",
     // OPQ = the q73 ADC shape after an orthonormal rotation: every
     // corpus row scores against the broadcast per-query ADC tables
     "q181_ann_opq", "q181b_ann_opq_exhaustive",
@@ -126,6 +135,9 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedCross = Set(
     "q158_nb_confusion", "q159_dsir_weights", "q159b_dsir_resample",
     "q159c_dsir_hashed",
+    // q159d runs all three DSIR routes (exact + hashed + the inline
+    // quotient re-derivation), each with its one-row totals cross
+    "q159d_dsir_hashed_contract",
     // q158b derives from q158's scores (same doc x class cross);
     // q173's full contingency crosses the vocab with the |C|-row class
     // totals + the one-row grand total
