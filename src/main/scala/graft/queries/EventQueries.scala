@@ -37,6 +37,28 @@ object EventQueries extends QueryDsl {
       .join(cells, Seq("hr", "event_type"), "left")
   }
 
+  /** Paired cross-modal embedding fixture (q244-q246, the q134 move):
+    * media embedding = md5(text) bytes / 256 (16-dim), caption
+    * embedding = (3·media_byte + md5('cap:'||text) byte) / 1024 —
+    * correlated through the shared term, perturbed by the caption
+    * hash, every element a dyadic rational so both engines compute
+    * EXACT dots. Kind follows the q95 fixture (id mod 3). */
+  private def crossModalEmbeddings(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hi = md5($"text".cast("binary"))
+    val hc = md5(concat(lit("cap:"), $"text").cast("binary"))
+    def byteAt(h: org.apache.spark.sql.Column, d: Int) =
+      conv(substring(h, 2 * d + 1, 2), 16, 10).cast("long").cast("double")
+    docs.select(
+      $"doc_id".as("media_id"),
+      when(pmod($"doc_id", lit(3)) === 0, "image")
+        .when(pmod($"doc_id", lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"),
+      array((0 until 16).map(d => byteAt(hi, d) / 256.0): _*).as("img_emb"),
+      array((0 until 16).map(d =>
+        (lit(3.0) * byteAt(hi, d) + byteAt(hc, d)) / 1024.0): _*).as("cap_emb"))
+  }
+
   /** DuckDB twin of [[hourlyGrid]]'s timeline CTEs — `hours(hr)` and
     * `types(event_type)`; queries append their own cell aggregate. */
   private val hourlyGridCtes =
@@ -290,6 +312,114 @@ object EventQueries extends QueryDsl {
         .nearDupPairs(features, "doc_id", "emb",
           maxHamming = 1, maxBucketSize = 1000000, chunks = 2, chunkBits = 8)
         .withColumn("hamming", $"hamming".cast("long"))
+    },
+
+    // Stratified media-mix sampling: the q102 hash-gated downsampler
+    // over COMPOSITE (kind x size-bucket) strata — "equal mass per
+    // modality and size class", the mix decision a multimodal corpus
+    // needs where text corpora stratify on language alone. Media
+    // fixture = the q95 text-wrap (kind from id mod 3, size = UTF-8
+    // byte length standing in for duration); acceptance is the shared
+    // md5-uniform, so DuckDB replays the whole sampler term for term.
+    q("q244_media_mix_stratified",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |s AS (SELECT media_id,
+        |    kind || ':' || cast(n_bytes // 256 AS varchar) AS stratum FROM m),
+        |counts AS (SELECT stratum, count(*) AS n FROM s GROUP BY 1),
+        |tgt AS (SELECT min(n) AS mn FROM counts),
+        |rated AS (SELECT stratum, (SELECT mn FROM tgt) * 1.0 / n AS rate FROM counts),
+        |kept AS (SELECT s.media_id, s.stratum FROM s JOIN rated r ON s.stratum = r.stratum
+        |  WHERE ('0x' || substr(md5(cast(s.media_id AS varchar) || ':mix'), 1, 15))::BIGINT
+        |    / 1152921504606846976.0 < r.rate)
+        |SELECT stratum, count(*) AS n_kept, min(media_id) AS first_id
+        |FROM kept GROUP BY stratum""".stripMargin) { c =>
+      import c.t
+      val media = graft.multimodal.MediaOps
+        .mediaFromText(t("documents"), "doc_id", "text")
+        .withColumn("n_bytes", octet_length($"bytes"))
+      val kept = graft.multimodal.MediaMix.balanceStrata(
+        media, "kind", "n_bytes", bucketWidth = 256L, idCol = "media_id")
+      graft.multimodal.MediaMix.mixReport(kept, "media_id")
+    },
+
+    // Caption<->image alignment screen (the CLIP-consistency gate a
+    // contrastive-pair curation pass runs): per kind, how well does
+    // each item's media embedding agree with its caption embedding?
+    // Oracle-exact by construction (the q134 move): media emb[d] =
+    // byte d of md5(text)/256, caption emb[d] = (3*media[d]*256 +
+    // byte d of md5('cap:'||text))/1024 — correlated by the shared
+    // 3/4 term, perturbed by the caption hash. All values are dyadic
+    // rationals, so dots are EXACT integers scaled by 2^-k (any
+    // summation order), norms/division round identically on both
+    // engines, and the per-kind rollup hash-matches at 6dp.
+    q("q245_crossmodal_consistency",
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    md5(text) AS hi, md5('cap:' || text) AS hc FROM documents),
+        |e AS (SELECT doc_id, kind,
+        |    [('0x' || substr(hi, 2*d+1, 2))::BIGINT / (256.0)::DOUBLE for d in range(0, 16)] AS ia,
+        |    [((3.0)::DOUBLE * ('0x' || substr(hi, 2*d+1, 2))::BIGINT
+        |      + ('0x' || substr(hc, 2*d+1, 2))::BIGINT) / (1024.0)::DOUBLE for d in range(0, 16)] AS ca
+        |  FROM m),
+        |sc AS (SELECT kind, list_cosine_similarity(ia, ca) AS cos FROM e)
+        |SELECT kind, cast(count(*) AS BIGINT) AS n_media,
+        |  round(avg(cos), 6) AS mean_consistency,
+        |  round(min(cos), 6) AS min_consistency,
+        |  cast(sum(CASE WHEN cos < 0.98 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_tau
+        |FROM sc GROUP BY kind""".stripMargin) { c =>
+      import c.t
+      graft.multimodal.CrossModal.consistencyReport(
+        crossModalEmbeddings(t("documents")),
+        "media_id", "kind", "img_emb", "cap_emb", tau = 0.98)
+    },
+
+    // Image -> caption RETRIEVAL served through the vector-store
+    // stack (the recall@k diagnostic behind contrastive curation):
+    // the caption embeddings are indexed in an SrpStore at the
+    // DEGENERATE family (nBits=1, tables=1 — hamming-1 probes cover
+    // the 2-bucket space, so the serve PROVABLY equals brute force:
+    // the q71b/q232b argument), image embeddings of media_id < 10
+    // query it for their top-5 captions, and own_match flags the rows
+    // where retrieval found the item's own caption. Cross-modal in
+    // the serving sense: one modality's embedding queries an index
+    // built over the OTHER modality's.
+    q("q246_crossmodal_retrieval",
+      """WITH m AS (SELECT doc_id, md5(text) AS hi, md5('cap:' || text) AS hc FROM documents),
+        |img AS (SELECT doc_id,
+        |    [('0x' || substr(hi, 2*d+1, 2))::BIGINT / (256.0)::DOUBLE for d in range(0, 16)] AS e
+        |  FROM m),
+        |cap AS (SELECT doc_id,
+        |    [((3.0)::DOUBLE * ('0x' || substr(hi, 2*d+1, 2))::BIGINT
+        |      + ('0x' || substr(hc, 2*d+1, 2))::BIGINT) / (1024.0)::DOUBLE for d in range(0, 16)] AS e
+        |  FROM m),
+        |q AS (SELECT doc_id, e FROM img WHERE doc_id < 10),
+        |scored AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    list_cosine_similarity(q.e, c.e) AS cos FROM q, cap c
+        |  WHERE isfinite(list_cosine_similarity(q.e, c.e))),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk,
+        |  (neighbor_id = query_id) AS own_match
+        |FROM ranked WHERE rnk <= 5""".stripMargin) { c =>
+      import c.t
+      val both = crossModalEmbeddings(t("documents"))
+      val queries = both.filter($"media_id" < 10)
+        .select($"media_id".as("qid"), $"img_emb".as("qvec"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srpcap_v1_$key"
+      val cfg = graft.ann.SrpStore.Config(nBits = 1, tables = 1, dim = 16,
+        seed = 42L)
+      val served = graft.ann.SrpStore.ensure(
+          both.select($"media_id", $"cap_emb"), "media_id", "cap_emb",
+          c.spark, path, cfg)
+        .topK(queries, "qid", "qvec", k = 5)
+        .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rnk")
+      graft.multimodal.CrossModal.ownMatch(served)
     },
 
     // Funnel: click -> view -> purchase progression per user, counted

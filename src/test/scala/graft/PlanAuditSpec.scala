@@ -58,7 +58,11 @@ class PlanAuditSpec extends SparkSpec {
   // with a SINGLE build row, which is the intended shape, not a scale
   // hazard. Only add here when the joined side is provably one row.
   private val scalarBroadcast = Set(
-    "q102_domain_mix", "q111_unigram_logprob",
+    "q102_domain_mix",
+    // q244: the same DomainMix one-row smallest-stratum target cross,
+    // over composite media strata
+    "q244_media_mix_stratified",
+    "q111_unigram_logprob",
     "q123_bigram_logprob", "q124_bm25_search", "q124b_bm25_search_store",
     // q124c: MaxScore's θ_lb (k-th best seed score) is a one-row
     // aggregate crossJoined into the candidate cut; the BM25 corpus
