@@ -493,6 +493,101 @@ object NvdQueries extends QueryDsl {
             .as("env_score"))
     },
 
+    // CVSS v4.0 (FIRST, Nov 2023) — the fourth scoring generation,
+    // completing the v2 → v3 → v3.1 → v4 surface: vector parsing,
+    // CVSS-B/-BT/-BE/-BTE nomenclature (spec 1.3), the qualitative
+    // severity scale over the feed-carried score (section 6), and the
+    // EQ1–EQ6 MacroVector digest (section 8.2) — the equivalence
+    // class v4's numeric scoring keys on and the natural rollup
+    // column for fleet-wide triage. Numeric recomputation stops AT
+    // the spec's ~270-entry MacroVector lookup table by design
+    // (CvssV4 scaladoc: the table is data, not algebra; a from-memory
+    // copy could be silently wrong in ways a self-replicating oracle
+    // never catches — feed items carry baseScore/baseSeverity, which
+    // is the surface an NVD consumer actually reads). The oracle
+    // replays letter synthesis, all six EQ rules incl. the E→A,
+    // CR/IR/AR→H worst-case defaults and the MSI Safety override,
+    // and the nomenclature classification.
+    q("q247_cvss4_macrovector",
+      """WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |m AS (SELECT k,
+        |  CASE k % 4 WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END AS av,
+        |  CASE k % 2 WHEN 0 THEN 'L' ELSE 'H' END AS ac,
+        |  CASE k % 3 WHEN 2 THEN 'P' ELSE 'N' END AS at,
+        |  CASE (k % 5) % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END AS pr,
+        |  CASE (k % 7) % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'A' END AS ui,
+        |  CASE (k % 9) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS vc,
+        |  CASE (k % 11) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS vi,
+        |  CASE (k % 13) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS va,
+        |  CASE (k % 17) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS scl,
+        |  CASE (k % 19) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS si,
+        |  CASE (k % 23) % 3 WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS sa,
+        |  CASE WHEN k % 6 < 3 THEN (CASE k % 6 WHEN 0 THEN 'A' WHEN 1 THEN 'P' ELSE 'U' END) ELSE '' END AS e,
+        |  CASE WHEN k % 10 < 4 THEN (CASE k % 10 WHEN 0 THEN 'H' WHEN 1 THEN 'M' WHEN 2 THEN 'L' ELSE 'X' END) ELSE '' END AS cr,
+        |  CASE WHEN k % 15 < 2 THEN (CASE k % 15 WHEN 0 THEN 'S' ELSE 'H' END) ELSE '' END AS msi
+        |  FROM ks),
+        |eq AS (SELECT k, e, cr, msi,
+        |  CASE WHEN av = 'N' AND pr = 'N' AND ui = 'N' THEN 0
+        |       WHEN (av = 'N' OR pr = 'N' OR ui = 'N') AND av <> 'P' THEN 1
+        |       ELSE 2 END AS d1,
+        |  CASE WHEN ac = 'L' AND at = 'N' THEN 0 ELSE 1 END AS d2,
+        |  CASE WHEN vc = 'H' AND vi = 'H' THEN 0
+        |       WHEN vc = 'H' OR vi = 'H' OR va = 'H' THEN 1
+        |       ELSE 2 END AS d3,
+        |  CASE WHEN msi = 'S' THEN 0
+        |       WHEN scl = 'H' OR si = 'H' OR sa = 'H' THEN 1
+        |       ELSE 2 END AS d4,
+        |  CASE e WHEN 'P' THEN 1 WHEN 'U' THEN 2 ELSE 0 END AS d5,
+        |  CASE WHEN ((cr = 'H' OR cr = '' OR cr = 'X') AND vc = 'H')
+        |         OR (vi = 'H') OR (va = 'H') THEN 0 ELSE 1 END AS d6
+        |  FROM m)
+        |SELECT 'CVE-2024-' || k AS cve_id,
+        |  d1::VARCHAR || d2::VARCHAR || d3::VARCHAR || d4::VARCHAR
+        |    || d5::VARCHAR || d6::VARCHAR AS macrovector,
+        |  CASE WHEN e <> '' AND (cr <> '' OR msi <> '') THEN 'CVSS-BTE'
+        |       WHEN e <> '' THEN 'CVSS-BT'
+        |       WHEN cr <> '' OR msi <> '' THEN 'CVSS-BE'
+        |       ELSE 'CVSS-B' END AS nomenclature,
+        |  round((k % 101) / 10.0, 1) AS base_score,
+        |  CASE WHEN (k % 101) / 10.0 <= 0 THEN 'NONE'
+        |       WHEN (k % 101) / 10.0 < 4 THEN 'LOW'
+        |       WHEN (k % 101) / 10.0 < 7 THEN 'MEDIUM'
+        |       WHEN (k % 101) / 10.0 < 9 THEN 'HIGH'
+        |       ELSE 'CRITICAL' END AS severity
+        |FROM eq""".stripMargin) { c =>
+      import c.t
+      val k = $"o_orderkey"
+      def letter(idx: Column, ls: String*) =
+        element_at(array(ls.map(lit): _*), (idx + 1).cast("int"))
+      val vector = concat(
+        lit("CVSS:4.0/AV:"), letter(k % 4, "N", "A", "L", "P"),
+        lit("/AC:"), letter(k % 2, "L", "H"),
+        lit("/AT:"), when(k % 3 === 2, "P").otherwise("N"),
+        lit("/PR:"), letter((k % 5) % 3, "N", "L", "H"),
+        lit("/UI:"), letter((k % 7) % 3, "N", "P", "A"),
+        lit("/VC:"), letter((k % 9) % 3, "H", "L", "N"),
+        lit("/VI:"), letter((k % 11) % 3, "H", "L", "N"),
+        lit("/VA:"), letter((k % 13) % 3, "H", "L", "N"),
+        lit("/SC:"), letter((k % 17) % 3, "H", "L", "N"),
+        lit("/SI:"), letter((k % 19) % 3, "H", "L", "N"),
+        lit("/SA:"), letter((k % 23) % 3, "H", "L", "N"),
+        when(k % 6 < 3,
+          concat(lit("/E:"), letter(k % 6, "A", "P", "U"))).otherwise(""),
+        when(k % 10 < 4,
+          concat(lit("/CR:"), letter(k % 10, "H", "M", "L", "X"))).otherwise(""),
+        when(k % 15 < 2,
+          concat(lit("/MSI:"), letter(k % 15, "S", "H"))).otherwise(""))
+      t("orders").filter(k <= 2000)
+        .select(concat(lit("CVE-2024-"), k.cast("string")).as("cve_id"),
+          vector.as("vector"),
+          ((k % 101) / lit(10.0)).as("feed_score"))
+        .select($"cve_id",
+          graft.nvd.CvssV4.macroVectorOf($"vector").as("macrovector"),
+          graft.nvd.CvssV4.nomenclatureOf($"vector").as("nomenclature"),
+          round($"feed_score", 1).as("base_score"),
+          graft.nvd.CvssV4.severityOf($"feed_score").as("severity"))
+    },
+
     // CVSS v2 base score from the vector string — the score family
     // the reference actually STORES (it flattens baseMetricV2 fields
     // verbatim): computing it validates the archive. Same synthesis +
