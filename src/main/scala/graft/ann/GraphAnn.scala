@@ -81,12 +81,40 @@ object GraphAnn {
     else knn.union(ringEdges(vectors, idCol)).distinct()
   }
 
+  /** Successor ring in global id order, WITHOUT a single-partition
+    * window (the naive `Window.orderBy(src)` form moves every id to
+    * one task — an 8-byte-per-row projection, harmless at harness
+    * scale, but a genuine single-task global sort at billions of
+    * ids): range-partition by id, `lead` within each partition, then
+    * stitch the partition boundaries — last id of each non-empty
+    * range links to the next range's first id, the global last back
+    * to the global first. The boundary frame is partition-count-sized
+    * (driver-safe by construction) and the result is the SAME ring
+    * for any layout: range partitioning is a global sort split into
+    * contiguous runs, so per-partition lead + boundary stitch equals
+    * the global lead edge for edge. */
   private def ringEdges(vectors: DataFrame, idCol: String): DataFrame = {
-    val ringW = Window.orderBy(col("src"))
-    vectors.select(col(idCol).cast("long").as("src"))
-      .withColumn("dst", coalesce(lead(col("src"), 1).over(ringW),
-        first(col("src")).over(ringW.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing))))
+    val spark = vectors.sparkSession
+    val parted = vectors.select(col(idCol).cast("long").as("src"))
+      .repartitionByRange(col("src"))
+      .withColumn("__p", spark_partition_id())
+      .localCheckpoint() // two consumers (lead + bounds) of one shuffle
+    val w = Window.partitionBy(col("__p")).orderBy(col("src"))
+    val bounds = parted.groupBy(col("__p"))
+      .agg(min(col("src")).as("f"), max(col("src")).as("l"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (bounds.isEmpty) return parted.select(col("src"), col("src").as("dst"))
+      .limit(0)
+    val succ: Seq[(Long, Long)] =
+      bounds.sliding(2).collect { case Array((_, _, la), (_, fb, _)) =>
+        la -> fb }.toSeq :+ (bounds.last._3 -> bounds.head._2)
+    import spark.implicits._
+    val succDf = succ.toDF("src", "__succ")
+    parted
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .join(broadcast(succDf), Seq("src"), "left")
+      .select(col("src"), coalesce(col("dst"), col("__succ")).as("dst"))
       .filter(col("src") =!= col("dst"))
   }
 
