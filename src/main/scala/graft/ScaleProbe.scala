@@ -153,6 +153,7 @@ object ScaleProbe {
           q.endsWith("_revocation_events") || q.endsWith("_recovery") ||
           q.endsWith("_takedown") || q.endsWith("_forget") ||
           q.contains("_small_delta") || q.endsWith("_filtered") ||
+          q.endsWith("_retrieval") ||
           pairGraphServed(q)).foreach { name =>
         try SparkEntry.queries(name)(spark, big).count()
         catch { case e: Throwable => println(s"SCALE $name prebuild FAILED: ${e.getMessage}") }
