@@ -739,7 +739,11 @@ object GraphAnn {
         else liveVecs.join(broadcast(newIds), Seq("id"), "left_anti")
           .agg(min(col("id"))).collect()(0).getLong(0)
       val entry2 = math.min(baseEntry, newMin)
-      writeMeta(fs, new Path(path), m.copy(entry = entry2))
+      // an adjacency write this call means merge-on-read state that
+      // only compact() can restore to exact degree; a fully-landed
+      // replay (no writes) leaves the flag as it was
+      writeMeta(fs, new Path(path),
+        m.copy(entry = entry2, dirty = m.dirty || adjHave == 0L))
       copy(entry = entry2)
     }
 
@@ -757,8 +761,19 @@ object GraphAnn {
       * falling back to the smallest live id. */
     def remove(ids: DataFrame, idCol: String): Handle = {
       val incoming = ids.select(col(idCol).cast("long").as("id")).distinct()
-      val merged = tombstonesDf.fold(incoming)(t =>
-        t.unionByName(incoming).distinct())
+      // tombstoning an id with no stored vector is a no-op (nothing to
+      // hide at serve, nothing for compact to purge): prune to PRESENT
+      // ids, and when none of them is new — the steady replay of an
+      // already-purged takedown — skip the ledger and meta writes
+      // entirely instead of re-signing an unchanged store.
+      val present = incoming
+        .join(vecsDf.select(col("id")), Seq("id"), "left_semi")
+        .localCheckpoint()
+      val anyFresh = !tombstonesDf.fold(present)(t =>
+        present.join(t, Seq("id"), "left_anti")).limit(1).collect().isEmpty
+      if (!anyFresh) return this
+      val merged = tombstonesDf.fold(present)(t =>
+        t.unionByName(present).distinct())
       val staging = new Path(path + "/.tombstones.staging")
       if (fs.exists(staging)) fs.delete(staging, true)
       merged.repartition(1).write.parquet(staging.toString)
@@ -780,11 +795,19 @@ object GraphAnn {
       * equality with a fresh build on the kept corpus, which
       * GraphAnnSpec pins). Atomic: staged rebuild, one swap. */
     def compact(): Handle = {
+      val m = readMeta(fs, path)
+      // nothing to purge (no ledger) and the adjacency is still a
+      // pristine create()/compact() output (no merge-on-read append
+      // landed since — meta.dirty): the rebuild would reproduce the
+      // store from the same deterministic inputs; skip it. The steady
+      // replay of a mutate-then-compact pipeline costs a meta read,
+      // not a full kNN-graph rebuild.
+      val hasTombs = tombstonesDf.exists(t => !t.limit(1).collect().isEmpty)
+      if (!hasTombs && !m.dirty) return this
       val keptVecs = tombstonesDf.fold(vecsDf)(t =>
         vecsDf.join(broadcast(t), Seq("id"), "left_anti"))
         .select(col("id"), col("v"))
         .localCheckpoint()
-      val m = readMeta(fs, path)
       val tmp = path + ".compacting"
       val h = create(keptVecs, "id", "v", spark, tmp, m.k, m.ring, m.approx)
       SwapDir.swap(fs, new Path(tmp), new Path(path))
@@ -844,14 +867,19 @@ object GraphAnn {
       entry: Long,
       vecElem: String,
       dim: Int,
-      approx: Boolean)
+      approx: Boolean,
+      // adjacency carries merge-on-read APPENDED edges (search-based
+      // insert output, not a create() build): compact() must rebuild.
+      // false right after create()/compact(); legacy metas without the
+      // field read as true (one conservative rebuild, then tracked).
+      dirty: Boolean = false)
 
   private def writeMeta(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: Path,
       m: Meta): Unit = {
     val meta =
-      s"$Version\n${m.k}\n${m.ring}\n${m.entry}\n${m.vecElem}\n${m.dim}\n${m.approx}\n"
+      s"$Version\n${m.k}\n${m.ring}\n${m.entry}\n${m.vecElem}\n${m.dim}\n${m.approx}\n${m.dirty}\n"
     val out = fs.create(new Path(dir, "_graft_meta"), true)
     out.write(meta.getBytes("UTF-8")); out.close()
   }
@@ -863,7 +891,8 @@ object GraphAnn {
     require(lines.head.toInt == Version,
       s"GraphAnn store version ${lines.head} != $Version at $path")
     Meta(lines(1).toInt, lines(2).toBoolean, lines(3).toLong,
-      lines(4), lines(5).toInt, lines(6).toBoolean)
+      lines(4), lines(5).toInt, lines(6).toBoolean,
+      dirty = if (lines.length > 7) lines(7).toBoolean else true)
   }
 
   /** Open an EXISTING store (meta read + heal) — the streaming-ingest

@@ -53,7 +53,11 @@ object Decontamination {
     val evPost = eval
       .select(explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
       .distinct()
-    val tot = trPost.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    // per-doc total = array size (wordShingles is distinct with a
+    // non-empty fallback, so |array| == the exploded row count): one
+    // projection instead of a second corpus-wide explode + shuffle agg
+    val tot = train.select(col(idCol),
+      size(TF.wordShingles(col(textCol), shingleN)).cast("long").as("n_shingles"))
     val hits = BloomPrune
       .semiJoin(trPost, evPost, "s", "s", expectedEvalShingles)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
@@ -76,7 +80,9 @@ object Decontamination {
     val evPost = eval
       .select(explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
       .distinct()
-    val tot = trPost.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    // same dead-explode elimination as [[overlapReport]]
+    val tot = train.select(col(idCol),
+      size(TF.wordShingles(col(textCol), shingleN)).cast("long").as("n_shingles"))
     val hits = BloomPrune
       .prune(trPost, "s", evPost, "s", expectedEvalShingles, fpp)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
@@ -105,7 +111,11 @@ object Decontamination {
       .select(col("__id").as(idAlias), explode(col("__sh")).as("__h"))
     val ev = post.filter(isEval(col(idAlias))).select(col("__h")).distinct()
     val tr = post.filter(!isEval(col(idAlias)))
-    val tot = tr.groupBy(col(idAlias)).agg(count(lit(1)).as("n_shingles"))
+    // per-doc total = |__sh| (stored distinct hashes): a projection of
+    // the un-exploded rows, not a re-explode + shuffle agg
+    val tot = shingleRows.filter(!isEval(col("__id")))
+      .select(col("__id").as(idAlias),
+        size(col("__sh")).cast("long").as("n_shingles"))
     val hits = BloomPrune.semiJoin(tr, ev, "__h", "__h", expectedEvalShingles)
       .groupBy(col(idAlias)).agg(count(lit(1)).as("n_hits"))
     report(tot, hits, idAlias, tau)

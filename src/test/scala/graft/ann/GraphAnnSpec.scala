@@ -403,4 +403,40 @@ class GraphAnnSpec extends SparkSpec {
     assert(rows(lit) == rows(semi))
     assert(rows(lit).map(_._1) == ids.filter(_ < emb.count()).toSet)
   }
+
+  test("steady replay: compact/remove of an already-converged store are physical no-ops") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_graphann_steady_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def adjFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(path, "adj"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+
+    val h = GraphAnn.create(emb, "vec_id", "embedding", spark, path, k = 10)
+    val removed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val hc = h.remove(removed, "vec_id").compact()
+    val files1 = adjFiles()
+    val served1 = asTuples(hc.topK(queries.filter(col("qid") % 7 =!= 0),
+      "qid", "qvec", k = 5, beam = 16, maxHops = 10))
+
+    // the replayed mutate-then-compact pipeline: the ids are already
+    // purged, so the remove must not write a ledger and the compact
+    // must not rebuild — the adjacency files are untouched
+    val h2 = hc.remove(removed, "vec_id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_tombstones")),
+      "a takedown of already-purged ids must not re-create the ledger")
+    val hc2 = h2.compact()
+    assert(adjFiles() == files1, "no-op compact must leave the graph files untouched")
+    val served2 = asTuples(hc2.topK(queries.filter(col("qid") % 7 =!= 0),
+      "qid", "qvec", k = 5, beam = 16, maxHops = 10))
+    assert(served1 == served2)
+
+    // an append makes the adjacency merge-on-read again: the NEXT
+    // compact must rebuild (dirty honored), and only that one
+    val delta = emb.filter(col("vec_id") % 7 === 0).limit(5)
+    val hc3 = hc2.append(delta, "vec_id", "embedding").compact()
+    assert(adjFiles() != files1, "compact after append must rebuild")
+    val files2 = adjFiles()
+    assert(adjFiles() == files2 && hc3.compact() == hc3,
+      "second compact after the rebuild is a no-op again")
+  }
 }
