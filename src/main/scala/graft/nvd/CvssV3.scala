@@ -1,6 +1,6 @@
 package graft.nvd
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CVSS v3.x helpers. The reference never extracts v3 — its own DDL
@@ -208,6 +208,91 @@ object CvssV3 {
       .otherwise(roundup1(roundup1(
         when(scopeChanged, least(lit(1.08) * sum, lit(10.0)))
           .otherwise(least(sum, lit(10.0)))) * e * rl * rc))
+  }
+
+  /** [[environmentalScoreOf]] STAGED through projections — same
+    * arithmetic, same operation order, same null web, but every
+    * intermediate referenced more than once (effective Scope, MISS,
+    * the z square-multiply chain, Modified Impact, the capped sum,
+    * both Roundup integer snaps, the E/RL/RC weights) becomes a
+    * column instead of an inlined copy. The single-Column form's tree
+    * is multiplicative — roundup1(roundup1(x)·e·rl·rc) alone inlines
+    * x four times, and x itself re-inlines MISS and the z-chain —
+    * which made q115b's analyzed plan ~500 KB and its per-run cost
+    * planning, not execution. CollapseProject keeps a non-cheap
+    * producer referenced twice staged, so the optimized tree stays
+    * linear. CvssV3Spec pins value equality with the Column form on
+    * the identity/re-weighting/scope-flip/null grid. */
+  def environmentalScoreStaged(
+      df: DataFrame,
+      avL: Column, acL: Column, prL: Column, uiL: Column, sL: Column,
+      cL: Column, iL: Column, aL: Column,
+      mavL: Column, macL: Column, mprL: Column, muiL: Column, msL: Column,
+      mcL: Column, miL: Column, maL: Column,
+      crL: Column, irL: Column, arL: Column,
+      eL: Column, rlL: Column, rcL: Column,
+      out: String): DataFrame = {
+    def eff(mod: Column, base: Column): Column =
+      when(mod === "" || mod === "X", base).otherwise(mod)
+    def w(c: Column, pairs: (String, Double)*): Column =
+      pairs.tail.foldLeft(when(c === pairs.head._1, lit(pairs.head._2))) {
+        case (acc, (l, v)) => acc.when(c === l, lit(v))
+      }
+    def req(c: Column): Column =
+      when(c === "" || c === "X" || c === "M", lit(1.0))
+        .when(c === "H", lit(1.5)).when(c === "L", lit(0.5))
+    def cia(c: Column): Column =
+      w(c, "H" -> 0.56, "L" -> 0.22, "N" -> 0.0)
+    def tw(letter: Column, pairs: (String, Double)*): Column =
+      pairs.foldLeft(when(letter === "" || letter === "X", lit(1.0))) {
+        case (acc, (l, v)) => acc.when(letter === l, lit(v))
+      }
+    val P = s"__${out}_"
+    def c(n: String) = col(P + n)
+    val staged = df
+      .withColumns(Map(
+        P + "ems" -> eff(msL, sL),
+        P + "miss" -> least(
+          lit(1.0) - (lit(1.0) - req(crL) * cia(eff(mcL, cL)))
+            * (lit(1.0) - req(irL) * cia(eff(miL, iL)))
+            * (lit(1.0) - req(arL) * cia(eff(maL, aL))),
+          lit(0.915)),
+        P + "e" -> tw(eL, "U" -> 0.91, "P" -> 0.94, "F" -> 0.97, "H" -> 1.0),
+        P + "rl" -> tw(rlL, "O" -> 0.95, "T" -> 0.96, "W" -> 0.97, "U" -> 1.0),
+        P + "rc" -> tw(rcL, "U" -> 0.92, "R" -> 0.96, "C" -> 1.0)))
+      .withColumns(Map(
+        P + "z" -> (c("miss") * lit(0.9731) - lit(0.02)),
+        P + "mexpl" -> (lit(8.22)
+          * w(eff(mavL, avL), "N" -> 0.85, "A" -> 0.62, "L" -> 0.55, "P" -> 0.2)
+          * w(eff(macL, acL), "L" -> 0.77, "H" -> 0.44)
+          * when(c("ems") === "C",
+              w(eff(mprL, prL), "N" -> 0.85, "L" -> 0.68, "H" -> 0.5))
+            .otherwise(w(eff(mprL, prL), "N" -> 0.85, "L" -> 0.62, "H" -> 0.27))
+          * w(eff(muiL, uiL), "N" -> 0.85, "R" -> 0.62))))
+      .withColumn(P + "z2", c("z") * c("z"))
+      .withColumn(P + "z4", c("z2") * c("z2"))
+      .withColumn(P + "z8", c("z4") * c("z4"))
+      .withColumn(P + "mimpact", when(c("ems") === "C",
+          lit(7.52) * (c("miss") - lit(0.029))
+            - lit(3.25) * (c("z8") * c("z4") * c("z")))
+        .otherwise(lit(6.42) * c("miss")))
+      .withColumn(P + "sum", c("mimpact") + c("mexpl"))
+      .withColumn(P + "capped", when(c("ems") === "C",
+          least(lit(1.08) * c("sum"), lit(10.0)))
+        .otherwise(least(c("sum"), lit(10.0))))
+      .withColumn(P + "eri", round(c("capped") * lit(100000.0)))
+      .withColumn(P + "er1", when(c("eri") % 10000 === 0, c("eri") / lit(100000.0))
+        .otherwise((floor(c("eri") / lit(10000.0)) + lit(1)) / lit(10.0)))
+      .withColumn(P + "eri2", round(c("er1") * c("e") * c("rl") * c("rc") * lit(100000.0)))
+      .withColumn(out,
+        when(c("sum").isNull || c("e").isNull || c("rl").isNull ||
+            c("rc").isNull || !c("ems").isin("U", "C"),
+          lit(null).cast("double"))
+          .when(c("mimpact") <= 0.0, lit(0.0))
+          .otherwise(
+            when(c("eri2") % 10000 === 0, c("eri2") / lit(100000.0))
+              .otherwise((floor(c("eri2") / lit(10000.0)) + lit(1)) / lit(10.0))))
+    staged.drop(staged.columns.filter(_.startsWith(P)): _*)
   }
 
   /** The spec's Roundup (v3.1 appendix A): smallest one-decimal value

@@ -477,20 +477,24 @@ object NvdQueries extends QueryDsl {
       val letters = Seq("AV", "AC", "PR", "UI", "S", "C", "I", "A",
         "MAV", "MAC", "MPR", "MUI", "MS", "MC", "MI", "MA",
         "CR", "IR", "AR", "E", "RL", "RC")
-      t("orders").filter(k <= 2000)
+      val lettered = t("orders").filter(k <= 2000)
         .select(concat(lit("CVE-2020-"), k.cast("string")).as("cve_id"),
           vector.as("vector"))
         .select($"cve_id" +:
           letters.map(n => CvssV3.vectorMetric($"vector", n).as("__" + n)): _*)
         .withColumn("score", CvssV3.baseScoreOfLetters(
           $"__AV", $"__AC", $"__PR", $"__UI", $"__S", $"__C", $"__I", $"__A"))
-        .select($"cve_id", $"score",
-          CvssV3.environmentalScoreOf(
-            $"__AV", $"__AC", $"__PR", $"__UI", $"__S", $"__C", $"__I", $"__A",
-            $"__MAV", $"__MAC", $"__MPR", $"__MUI", $"__MS", $"__MC",
-            $"__MI", $"__MA",
-            $"__CR", $"__IR", $"__AR", $"__E", $"__RL", $"__RC")
-            .as("env_score"))
+      // staged environmental score (intermediates as columns, not a
+      // single multiplicatively-inlined tree): same values, ~25x
+      // smaller plan — the single-Column form spent the whole query
+      // in analysis/codegen (see CvssV3.environmentalScoreStaged)
+      CvssV3.environmentalScoreStaged(lettered,
+          $"__AV", $"__AC", $"__PR", $"__UI", $"__S", $"__C", $"__I", $"__A",
+          $"__MAV", $"__MAC", $"__MPR", $"__MUI", $"__MS", $"__MC",
+          $"__MI", $"__MA",
+          $"__CR", $"__IR", $"__AR", $"__E", $"__RL", $"__RC",
+          out = "env_score")
+        .select($"cve_id", $"score", $"env_score")
     },
 
     // CVSS v4.0 (FIRST, Nov 2023) — the fourth scoring generation,

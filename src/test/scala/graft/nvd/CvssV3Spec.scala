@@ -94,6 +94,37 @@ class CvssV3Spec extends SparkSpec {
     assert(env("CVSS:3.1/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H") === Seq(null))
   }
 
+  test("environmentalScoreStaged equals the single-Column form value for value") {
+    val sp = spark; import sp.implicits._
+    val names = Seq("AV", "AC", "PR", "UI", "S", "C", "I", "A",
+      "MAV", "MAC", "MPR", "MUI", "MS", "MC", "MI", "MA",
+      "CR", "IR", "AR", "E", "RL", "RC")
+    val base = "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H"
+    val vectors = Seq(
+      base, base + "/E:F/RL:O/RC:C", base + "/CR:X/IR:X/AR:X/MAV:X/MS:X",
+      base + "/CR:L/IR:L/AR:L", base + "/MS:C",
+      base + "/MS:C/MC:L/MI:N/MA:L/CR:H/E:P/RL:T/RC:U",
+      base + "/MAV:P/MAC:H/MPR:H/MUI:R/MC:N/MI:N/MA:N", // mimpact <= 0 -> 0.0
+      "CVSS:3.1/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H")        // null score
+    val df = vectors.toDF("vs")
+    val ls = names.map(n => CvssV3.vectorMetric(col("vs"), n))
+    val col1 = df.select(col("vs"), CvssV3.environmentalScoreOf(
+      ls(0), ls(1), ls(2), ls(3), ls(4), ls(5), ls(6), ls(7),
+      ls(8), ls(9), ls(10), ls(11), ls(12), ls(13), ls(14), ls(15),
+      ls(16), ls(17), ls(18), ls(19), ls(20), ls(21)).as("e"))
+    val col2 = CvssV3.environmentalScoreStaged(df,
+      ls(0), ls(1), ls(2), ls(3), ls(4), ls(5), ls(6), ls(7),
+      ls(8), ls(9), ls(10), ls(11), ls(12), ls(13), ls(14), ls(15),
+      ls(16), ls(17), ls(18), ls(19), ls(20), ls(21), out = "e")
+      .select(col("vs"), col("e"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null
+        else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    assert(m(col1) === m(col2))
+    // the staged frame exposes ONLY the requested output column
+    assert(col2.columns.toSeq === Seq("vs", "e"))
+  }
+
   test("roundup1 is the spec's integer-snapped ceiling") {
     val sp = spark; import sp.implicits._
     val vals = Seq(4.0, 4.02, 4.000001, 8.6 - 1e-9, 0.0).toDF("x")
