@@ -55,6 +55,23 @@ object BpeTrain {
       col("n"))
       .localCheckpoint()
 
+    // DRIVER route for a driver-bounded dictionary (the CC/Truss/LPA
+    // precedent): the k merge rounds are pure integer pair-counting
+    // over the word dict — distributed they cost one
+    // explode+groupBy+argmax JOB per round, ~20 jobs of fixed stage
+    // latency for microseconds of arithmetic. Tie-breaks compare
+    // strings as unsigned UTF-8 bytes, exactly Spark's string
+    // ordering, so the merge sequence is bit-identical to the
+    // distributed argmax. The dict is vocabulary-bound (not corpus-
+    // bound), so real corpora often qualify too; past the conf'd
+    // bound the distributed loop below runs unchanged.
+    val maxWords = docs.sparkSession.conf
+      .getOption(DriverMaxWordsKey).map(_.toLong).getOrElse(512L * 1024)
+    if (dict.count() <= maxWords)
+      return driverLearn(
+        dict.collect().map(r => (r.getString(0).split(" "), r.getLong(1))),
+        merges)
+
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     while (rank < merges) {
@@ -83,6 +100,80 @@ object BpeTrain {
       dict = dict.select(
         regexp_replace(col("sym"), pat, rep).as("sym"), col("n"))
       if (rank % 4 == 3) dict = dict.localCheckpoint()
+      rank += 1
+    }
+    out.result()
+  }
+
+  /** Conf key bounding [[learnMerges]]'s driver route (max distinct
+    * words collected). */
+  val DriverMaxWordsKey = "spark.graft.bpe.driverMaxWords"
+
+  /** Unsigned byte-wise UTF-8 comparison — Spark's string ordering
+    * (UTF8String.compareTo), NOT Java's UTF-16 compareTo: the two
+    * differ on supplementary characters, and the driver argmax must
+    * tie-break exactly like the distributed orderBy. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local merge rounds over the collected word dict. Pair
+    * counts are exact longs; the per-round rewrite is the greedy
+    * left-to-right non-overlapping merge — the same semantics as the
+    * distributed loop's lookaround regexp_replace. */
+  private def driverLearn(
+      dict: Array[(Array[String], Long)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    val words = dict.map { case (s, n) => (s, n) }
+    var syms: Array[Array[String]] = words.map(_._1)
+    val ns: Array[Long] = words.map(_._2)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    while (rank < merges) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val n = ns(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) return out.result()
+      var bestL: String = null; var bestR: String = null; var bestN = 0L
+      counts.foreach { case ((l, r), n) =>
+        if (bestL == null || n > bestN ||
+            (n == bestN && (utf8Less(l, bestL) ||
+              (l == bestL && utf8Less(r, bestR))))) {
+          bestL = l; bestR = r; bestN = n
+        }
+      }
+      if (bestN <= 0L) return out.result()
+      out += ((rank, bestL, bestR, bestN))
+      val merged = bestL + bestR
+      syms = syms.map { s =>
+        if (s.length < 2) s
+        else {
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == bestL && s(i + 1) == bestR) {
+              b += merged; i += 2
+            } else { b += s(i); i += 1 }
+          }
+          b.result()
+        }
+      }
       rank += 1
     }
     out.result()

@@ -35,20 +35,101 @@ object CoPresence {
       minShared: Int = 1,
       maxWindowActors: Int = 10000): DataFrame = {
     require(windowSec > 0 && minShared >= 1 && maxWindowActors >= 2)
+    val spark = events.sparkSession
     val presence = events
       .select(floor(unix_timestamp(col(tsCol)) / windowSec).as("w"),
         col(actorCol).as("actor"))
       .distinct()
-      .localCheckpoint() // both join sides + the guard read it
+
+    // Route decision from the per-window histogram (one scalar agg):
+    // when the guarded candidate count Σ n·(n−1)/2 and the presence
+    // row count are both driver-bounded, resolve the pairing on the
+    // driver — a small behavioral graph otherwise pays ~6 full-width
+    // shuffle stages for integer counting that fits in one core's L2.
+    // The bound is conf'd; corpus-scale inputs fall through to the
+    // distributed self-join unchanged. (The ConnectedComponents
+    // driverMaxEdges / Truss driver-peel precedent.)
+    val maxCand = spark.conf.getOption(DriverMaxCandidatesKey)
+      .map(_.toLong).getOrElse(8L * 1024 * 1024)
+    if (presence.schema("actor").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      // doubles for the gate math only (an extreme histogram must not
+      // ANSI-overflow the decision that would have routed it away)
+      val st = presence.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .agg(
+          sum(when(col("n") <= maxWindowActors,
+            col("n").cast("double") * (col("n") - 1) / 2.0)
+            .otherwise(0.0)).as("cand"),
+          sum(col("n").cast("double")).as("rows"))
+        .collect()(0)
+      val cand = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
+      val nRows = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+      if (cand <= maxCand.toDouble && nRows <= maxCand.toDouble)
+        return driverPairs(spark, presence, minShared, maxWindowActors)
+    }
+
     val hot = presence.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxWindowActors)
       .select(col("w"))
-    val kept = presence.join(broadcast(hot), Seq("w"), "left_anti")
+    val chk = presence.localCheckpoint() // both join sides + the guard read it
+    val kept = chk.join(broadcast(hot), Seq("w"), "left_anti")
     kept.as("a").join(kept.as("b"),
         col("a.w") === col("b.w") && col("a.actor") < col("b.actor"))
       .groupBy(col("a.actor").as("ua"), col("b.actor").as("ub"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  /** Conf key bounding [[pairs]]'s driver route (max guarded candidate
+    * pairs AND max presence rows collected). */
+  val DriverMaxCandidatesKey = "spark.graft.copresence.driverMaxCandidates"
+
+  /** Driver-resolved pairing: collect the (window, actor) presence,
+    * count shared windows per (ua < ub) pair in one hash pass. Hot
+    * windows (> maxWindowActors) contribute no pairs — the same guard
+    * as the distributed route, applied after the collect. Integer
+    * counting: bit-identical to the self-join + count aggregate. */
+  private def driverPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      presence: DataFrame,
+      minShared: Int,
+      maxWindowActors: Int): DataFrame = {
+    val rows = presence.collect()
+    val byWindow = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    rows.foreach { r =>
+      byWindow.getOrElseUpdate(r.getLong(0),
+        new scala.collection.mutable.ArrayBuffer[Long]()) += r.getLong(1)
+    }
+    val counts = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    byWindow.valuesIterator.foreach { acts =>
+      if (acts.length <= maxWindowActors) {
+        val sorted = acts.sorted
+        var i = 0
+        while (i < sorted.length) {
+          var j = i + 1
+          while (j < sorted.length) {
+            val k = (sorted(i), sorted(j))
+            counts.update(k, counts.getOrElse(k, 0L) + 1L)
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    val out = counts.iterator
+      .filter(_._2 >= minShared)
+      .map { case ((a, b), n) => org.apache.spark.sql.Row(a, b, n) }
+      .toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, math.max(1, out.size / 1000000 + 1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ua",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ub",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("shared",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** The windows [[pairs]] GUARD-DROPS for this event set — (w) rows

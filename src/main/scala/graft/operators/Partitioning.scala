@@ -33,6 +33,42 @@ object Partitioning {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Conf key for [[checkpointCompact]]'s slice sizing (rows per read
+    * slice). Cluster deployments tune via --conf; the default keeps a
+    * 100 TB edge frame at thousands of slices while collapsing a
+    * 100 k-row one to a single task per downstream stage. */
+  val CompactRowsPerPartitionKey = "spark.graft.checkpointCompact.rowsPerPartition"
+
+  /** localCheckpoint + coalesce-to-measured-size: materialize `df`,
+    * then collapse the checkpointed RDD to
+    * `ceil(rows / rowsPerPartition)` read slices when that is narrower
+    * than the parent width. Iterative message-passing operators (LPA,
+    * PageRank-style rounds) re-read their edge checkpoint every round;
+    * when the frame is tiny relative to the session's shuffle width
+    * (a 90 k-edge community graph under `shuffle.partitions` sized for
+    * corpus scans), every round otherwise pays a full-width task wave
+    * per stage for microseconds of per-task work. Coalesce is a
+    * NARROW rearrangement of already-materialized partitions — no
+    * shuffle, no recompute — and at production edge counts the target
+    * exceeds the parent width, making this a no-op (never widens).
+    * Row VALUES are untouched, so results are partition-invariant for
+    * the deterministic aggregations these operators run. */
+  def checkpointCompact(df: DataFrame): DataFrame = {
+    val chk = df.localCheckpoint()
+    coalesceToRows(chk, chk.count())
+  }
+
+  /** The coalesce half of [[checkpointCompact]], for callers that
+    * already materialized and counted the frame. Narrow, never widens. */
+  def coalesceToRows(materialized: DataFrame, rows: Long): DataFrame = {
+    val rowsPerPartition = materialized.sparkSession.conf
+      .getOption(CompactRowsPerPartitionKey).map(_.toLong).getOrElse(1000000L)
+    val target = math.max(1L, (rows + rowsPerPartition - 1) / rowsPerPartition)
+    if (target < materialized.rdd.getNumPartitions)
+      materialized.coalesce(target.toInt)
+    else materialized
+  }
+
   /** [[spread]] gated on the optimizer's SIZE estimate — the
     * store-serving bulk-path variant: a row-group-granular store read
     * that is NOT literal-pruned scans in a handful of splits, which

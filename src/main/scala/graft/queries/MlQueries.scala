@@ -1666,13 +1666,13 @@ object MlQueries extends QueryDsl {
     // pinned to 0.0 by the same CASE.
     q("q200_community_profile", communityProfileSql) { c =>
       import c.t
-      val pairs = graft.operators.CoPresence.pairs(
-          t("events"), "user_id", "ts",
-          windowSec = 600, minShared = 3, maxWindowActors = 100)
-        .select($"ua", $"ub")
-        .localCheckpoint()
-      val labels = graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3)
-        .localCheckpoint()
+      val pairs = graft.operators.Partitioning.checkpointCompact(
+        graft.operators.CoPresence.pairs(
+            t("events"), "user_id", "ts",
+            windowSec = 600, minShared = 3, maxWindowActors = 100)
+          .select($"ua", $"ub"))
+      val labels = graft.operators.Partitioning.checkpointCompact(
+        graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3))
       communityProfileOf(pairs, labels)
     },
 
@@ -1748,13 +1748,13 @@ object MlQueries extends QueryDsl {
     // division written twice, not a pow call).
     q("q201_community_modularity", communityModularitySql) { c =>
       import c.t
-      val pairs = graft.operators.CoPresence.pairs(
-          t("events"), "user_id", "ts",
-          windowSec = 600, minShared = 3, maxWindowActors = 100)
-        .select($"ua", $"ub")
-        .localCheckpoint()
-      val labels = graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3)
-        .localCheckpoint()
+      val pairs = graft.operators.Partitioning.checkpointCompact(
+        graft.operators.CoPresence.pairs(
+            t("events"), "user_id", "ts",
+            windowSec = 600, minShared = 3, maxWindowActors = 100)
+          .select($"ua", $"ub"))
+      val labels = graft.operators.Partitioning.checkpointCompact(
+        graft.operators.LabelPropagation.run(pairs, "ua", "ub", rounds = 3))
       communityModularityOf(pairs, labels)
     },
 

