@@ -110,10 +110,8 @@ object Ann {
     // run once per reference instead of once per row. spread()
     // parallelizes the kernels when the scan is a single split.
     val rawPostings = spreadC.select(col(idCol).as("__id"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"),
-            srpSignature(col(vecCol), nBits, dim, seed + t).as("bkt"))): _*)).as("tb"))
-      .select(col("__id"), col("tb.tbl"), col("tb.bkt"))
+        posexplode(srpSignatures(col(vecCol), nBits, dim, seed, tables)))
+      .select(col("__id"), col("pos").as("tbl"), col("col").as("bkt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tiny by definition; eagerly checkpointed so the two self-join
     // sides reuse it instead of re-counting
@@ -153,6 +151,22 @@ object Ann {
     }.reduce(_ + _)
   }
 
+  /** All `tables` per-table SRP signatures in one fused kernel:
+    * element t equals srpSignature(vec, nBits, dim, seed + t) bit for
+    * bit (SrpSignaturesSpec pins the equality, incl. null/length
+    * edges). The composed form costs ~tables x nBits x dim literal
+    * expression nodes per signing site — real analyzer/codegen time —
+    * and re-reads each vector element tables x nBits times; the kernel
+    * is one plan node and one vector hoist per row. Production signing
+    * sites use this; the q65b/q241-style contract oracles keep the
+    * composed form so the two derivations stay independent. */
+  def srpSignatures(vec: org.apache.spark.sql.Column, nBits: Int, dim: Int,
+      seed: Long, tables: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      SrpSignatures(ColumnBridge.expression(vec), nBits, dim, seed, tables))
+  }
+
   /** LSH-bucketed ANN: join on SRP bucket with multi-probe (hamming
     * radius 1), exact cosine re-rank inside buckets. Recall < 1;
     * increase nBits for precision / probes for recall. */
@@ -169,14 +183,16 @@ object Ann {
       seed: Long = 42L): DataFrame = {
 
     val corpusSig = graft.operators.Partitioning.spread(corpus)
-      .withColumn("bucket", srpSignature(col(vecCol), nBits, dim, seed))
+      .withColumn("bucket",
+        srpSignatures(col(vecCol), nBits, dim, seed, tables = 1).getItem(0))
       .withColumn("__cn", l2Norm(col(vecCol)))
 
     // Multi-probe: each query probes its own bucket and every bucket
     // at hamming distance 1 (nBits+1 probes).
     val probes = queries
       .withColumn("__qn", l2Norm(col(queryVecCol)))
-      .withColumn("sig", srpSignature(col(queryVecCol), nBits, dim, seed))
+      .withColumn("sig",
+        srpSignatures(col(queryVecCol), nBits, dim, seed, tables = 1).getItem(0))
       .withColumn("bucket", explode(array(
         (Seq(col("sig")) ++ (0 until nBits).map(b => col("sig").bitwiseXOR(lit(1 << b)))): _*)))
 

@@ -242,11 +242,9 @@ object SrpStore {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dPost = base
         .select(col("id"),
-          explode(array((0 until cfg.tables).map(t =>
-            struct(lit(t).as("tbl"),
-              Ann.srpSignature(col("vec"), cfg.nBits, cfg.dim, cfg.seed + t)
-                .as("bkt"))): _*)).as("tb"))
-        .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+          posexplode(Ann.srpSignatures(col("vec"), cfg.nBits, cfg.dim,
+            cfg.seed, cfg.tables)))
+        .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = candidatePairsOfDelta(dPost)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -321,10 +319,8 @@ object SrpStore {
       val prep = delta
         .select(col(idCol).as("id"), col(vecCol).as("vec"),
           VectorFunctions.l2Norm(col(vecCol)).as("norm"),
-          array((0 until cfg.tables).map(t =>
-            struct(lit(t).as("tbl"),
-              Ann.srpSignature(col(vecCol), cfg.nBits, cfg.dim, cfg.seed + t)
-                .as("bkt"))): _*).as("tb"))
+          Ann.srpSignatures(col(vecCol), cfg.nBits, cfg.dim, cfg.seed,
+            cfg.tables).as("tb"))
         .collect()
       if (prep.isEmpty) return Some(local(Nil))
       val vecs = mutable.HashMap.empty[Long, (Array[Double], Double)]
@@ -333,8 +329,8 @@ object SrpStore {
       prep.foreach { r =>
         val id = r.getLong(0)
         vecs(id) = (widen(r, 1, deltaElem), r.getDouble(2))
-        r.getSeq[org.apache.spark.sql.Row](3).foreach { tb =>
-          deltaBuckets.getOrElseUpdate((tb.getInt(0), tb.getInt(1)),
+        r.getSeq[Int](3).iterator.zipWithIndex.foreach { case (bkt, tbl) =>
+          deltaBuckets.getOrElseUpdate((tbl, bkt),
             mutable.ArrayBuffer.empty[Long]) += id
         }
       }
@@ -690,20 +686,20 @@ object SrpStore {
         k: Int,
         probeHamming: Int,
         allowedIds: Option[DataFrame]): DataFrame = {
-      // per-table signature computed once per query row, THEN exploded
-      // into probe buckets (sig + single-bit flips)
-      val sigCols = (0 until cfg.tables).map(t =>
-        Ann.srpSignature(col(queryVecCol), cfg.nBits, cfg.dim, cfg.seed + t)
-          .as(s"__sig$t"))
+      // per-table signatures computed once per query row (one fused
+      // kernel), THEN exploded into probe buckets (sig + single-bit
+      // flips)
       val probeStructs = (0 until cfg.tables).flatMap { t =>
-        val s = col(s"__sig$t")
+        val s = col("__sigs").getItem(t)
         struct(lit(t).as("tbl"), s.as("bkt")) +:
           (if (probeHamming >= 1)
             (0 until cfg.nBits).map(b =>
               struct(lit(t).as("tbl"), s.bitwiseXOR(lit(1 << b)).as("bkt")))
           else Seq.empty)
       }
-      val probes = queries.select(col(queryIdCol) +: sigCols: _*)
+      val probes = queries.select(col(queryIdCol),
+          Ann.srpSignatures(col(queryVecCol), cfg.nBits, cfg.dim, cfg.seed,
+            cfg.tables).as("__sigs"))
         .select(col(queryIdCol), explode(array(probeStructs: _*)).as("tb"))
         .select(col(queryIdCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       // query-batch-bounded key set prunes the postings read; the
@@ -810,10 +806,8 @@ object SrpStore {
       val prep = queries
         .select(col(queryIdCol).as("id"), col(queryVecCol).as("vec"),
           VectorFunctions.l2Norm(col(queryVecCol)).as("norm"),
-          array((0 until cfg.tables).map(t =>
-            struct(lit(t).as("tbl"),
-              Ann.srpSignature(col(queryVecCol), cfg.nBits, cfg.dim,
-                cfg.seed + t).as("bkt"))): _*).as("tb"))
+          Ann.srpSignatures(col(queryVecCol), cfg.nBits, cfg.dim, cfg.seed,
+            cfg.tables).as("tb"))
         .collect()
       if (prep.length.toLong * perQuery > cap) return None
       val outSchema = StructType(Seq(
@@ -832,9 +826,8 @@ object SrpStore {
       prep.foreach { r =>
         val id = r.getLong(0)
         qVecs(id) = (widen(r, 1, qElem), r.getDouble(2))
-        qProbes(id) = r.getSeq[org.apache.spark.sql.Row](3).iterator.flatMap {
-          tb =>
-            val (t, s) = (tb.getInt(0), tb.getInt(1))
+        qProbes(id) = r.getSeq[Int](3).iterator.zipWithIndex.flatMap {
+          case (s, t) =>
             Iterator((t, s)) ++ (if (probeHamming >= 1)
               (0 until cfg.nBits).iterator.map(b => (t, s ^ (1 << b)))
             else Iterator.empty)
@@ -907,11 +900,9 @@ object SrpStore {
       cfg: Config): DataFrame =
     graft.operators.Partitioning.spread(df)
       .select(col(idCol).as("id"),
-        explode(array((0 until cfg.tables).map(t =>
-          struct(lit(t).as("tbl"),
-            Ann.srpSignature(col(vecCol), cfg.nBits, cfg.dim, cfg.seed + t)
-              .as("bkt"))): _*)).as("tb"))
-      .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+        posexplode(Ann.srpSignatures(col(vecCol), cfg.nBits, cfg.dim,
+          cfg.seed, cfg.tables)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
 
   /** (id, vec, norm) verify rows — norms once per vector at write
     * time, never per candidate pair at serve time. */

@@ -59,11 +59,16 @@ object SemanticContamination {
     def postings(df: DataFrame, as: String): DataFrame =
       graft.operators.Partitioning.spread(df)
         .select(col(idCol).as(as),
-          explode(array((0 until tables).map(t =>
-            struct(lit(t).as("tbl"),
-              Ann.srpSignature(col(vecCol), nBits, dim, seed + t).as("bkt"))): _*)).as("tb"))
-        .select(col(as), col("tb.tbl"), col("tb.bkt"))
+          posexplode(Ann.srpSignatures(col(vecCol), nBits, dim, seed, tables)))
+        .select(col(as), col("pos").as("tbl"), col("col").as("bkt"))
+    // CACHED before the skew guard (the Ann.exactPairs shape): the
+    // guard's bucket-count subplan and the candidate join both read the
+    // train postings — without the cache underneath them the
+    // tables x nBits signature kernel runs once per reference instead
+    // of once per row. The cache holds (id, tbl, bkt) triples, never
+    // vectors.
     val tp = postings(train, "__tid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ep = postings(eval, "__eid")
     // skew guard on the train side (the big one): drop degenerate
     // buckets the same way the in-corpus LSH does
