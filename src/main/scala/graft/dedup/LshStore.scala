@@ -82,6 +82,41 @@ object LshStore {
   val MaxDriverCorpusRows: Int = 1 << 17
   val MaxDriverPairs: Int = 1 << 17
 
+  /** Footer-gate bound for the SIDE tables the bulk micro-serve reads
+    * whole (band counts incl. decrement rows, tombstone ledger): plain
+    * (int, int, long) triples, ~40 MB of boxed rows at the cap —
+    * driver-trivial; the banded table itself stays under the tighter
+    * [[MaxDriverCorpusRows]] since its rows carry the candidate sets. */
+  val MaxDriverStoreRows: Int = 1 << 19
+
+  /** Total row count of a parquet directory from its file FOOTERS — a
+    * driver-only metadata read, NO Spark job (each footer is one
+    * ~100-byte tail read). None as soon as `cap` is exceeded, so a
+    * corpus-scale store answers from its first footer and the caller
+    * keeps the distributed route. Powers the store-bounded bulk
+    * micro-serve gate. */
+  private def footerRowsUnder(
+      spark: SparkSession, dir: String, cap: Long): Option[Long] = {
+    val p = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Some(0L)
+    var total = 0L
+    val files = fs.listStatus(p)
+    var i = 0
+    while (i < files.length) {
+      val st = files(i)
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try total += rd.getRecordCount finally rd.close()
+        if (total > cap) return None
+      }
+      i += 1
+    }
+    Some(total)
+  }
+
   /** LSH family parameters — fixed at build time and stored in the
     * meta file; a delta must be signatured with the SAME family or
     * its buckets would never collide with the corpus. */
@@ -237,9 +272,16 @@ object LshStore {
       // 2.4–3.4 s micro-serve floor). Bulk deltas keep the spread:
       // there the shingle kernel over a single-row-group scan is the
       // bottleneck, not stage count.
+      val deltaRows = delta.select(col(idCol)).count()
       val micro =
-        delta.select(col(idCol)).count() * cfg.bands <=
-          graft.operators.KeyPrune.MaxChunkedKeys
+        deltaRows * cfg.bands <= graft.operators.KeyPrune.MaxChunkedKeys
+      // STORE-BOUNDED bulk micro-serve (r16): a delta past the chunked
+      // cap still resolves on the driver when the WHOLE index is
+      // footer-bounded — whole-table reads replace the distributed
+      // route's gate jobs + semi-join prunes. At 100 TB the footer
+      // gate fails on the first file and nothing changes.
+      val bulkMicro =
+        !micro && deltaRows <= MaxDriverCorpusRows && storeDriverBounded
       // DRIVER-RESOLVED micro-serve: every frame the distributed route
       // would shuffle is provably bounded (delta rows by the micro
       // gate, corpus rows by the guard, pairs/ids by explicit caps
@@ -250,13 +292,14 @@ object LshStore {
       // reads themselves. Output is bit-identical: same bucket
       // derivation (collected from the same expressions), same
       // left-to-right arithmetic, Spark's own Round evaluated
-      // driver-side ([[graft.functions.ExactMath]]). Skipped when a
-      // tombstone ledger exists (the distributed route carries the
-      // merge-on-read anti-joins).
-      if (micro &&
+      // driver-side ([[graft.functions.ExactMath]]). A tombstone
+      // ledger is handled driver-side when bounded (set subtraction =
+      // the distributed live() anti-join); an unbounded ledger keeps
+      // the distributed route.
+      if ((micro || bulkMicro) && ledgerDriverBounded &&
           delta.schema(idCol).dataType ==
-            org.apache.spark.sql.types.LongType && !removedLedgerPresent)
-        microNearDups(delta, textCol, minJaccard) match {
+            org.apache.spark.sql.types.LongType)
+        microNearDups(delta, textCol, minJaccard, None, bulkFull = bulkMicro) match {
           case Some(res) => return res
           case None => () // a cap tripped — serve distributed
         }
@@ -288,17 +331,20 @@ object LshStore {
         allowed: DataFrame): DataFrame = {
       val allowedIds = allowed.select(
         col(allowed.columns.head).cast("long").as("__aid"))
+      val deltaRows = delta.select(col(idCol)).count()
       val micro =
-        delta.select(col(idCol)).count() * cfg.bands <=
-          graft.operators.KeyPrune.MaxChunkedKeys
+        deltaRows * cfg.bands <= graft.operators.KeyPrune.MaxChunkedKeys
+      val bulkMicro =
+        !micro && deltaRows <= MaxDriverCorpusRows && storeDriverBounded
       // the driver micro-serve works filtered too: the allowed
       // restriction is resolved with ONE extra bounded job — the
       // corpus-sized allowed frame is probed by the (pair-bounded)
       // candidate endpoint set, never collected wholesale
-      if (micro &&
+      if ((micro || bulkMicro) && ledgerDriverBounded &&
           delta.schema(idCol).dataType ==
-            org.apache.spark.sql.types.LongType && !removedLedgerPresent)
-        microNearDups(delta, textCol, minJaccard, Some(allowedIds)) match {
+            org.apache.spark.sql.types.LongType)
+        microNearDups(delta, textCol, minJaccard, Some(allowedIds),
+            bulkFull = bulkMicro) match {
           case Some(res) => return res
           case None => () // a cap tripped — serve distributed
         }
@@ -366,6 +412,35 @@ object LshStore {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
 
+    /** Store-bounded micro-serve gate (r16): true when the ENTIRE
+      * persisted index (banded postings, band counts, tombstone
+      * ledger) is driver-bounded by parquet footer counts — a
+      * metadata-only driver read, no job. Then a BULK delta (whose
+      * bucket set is past the chunked-literal cap) can still resolve
+      * on the driver with whole-table reads instead of ~10 chunked
+      * literal jobs. At corpus scale the first footer blows the cap
+      * and the serve stays distributed. Cached per store generation. */
+    @transient private var storeBoundedGen: Long = -2L
+    @transient private var storeBoundedVal: Boolean = false
+    private def storeDriverBounded: Boolean = {
+      freshen()
+      if (cachedGen != storeBoundedGen) {
+        storeBoundedVal =
+          footerRowsUnder(spark, s"$path/banded", MaxDriverCorpusRows).isDefined &&
+          footerRowsUnder(spark, s"$path/bandcounts", MaxDriverStoreRows).isDefined &&
+          footerRowsUnder(spark, s"$path/removed", MaxDriverStoreRows).isDefined
+        storeBoundedGen = cachedGen
+      }
+      storeBoundedVal
+    }
+
+    /** The tombstone ledger is micro-serve-compatible when absent or
+      * driver-bounded (it is collected and applied as a set subtraction
+      * — the distributed route's live() anti-join, driver-side). */
+    private def ledgerDriverBounded: Boolean =
+      !removedLedgerPresent ||
+        footerRowsUnder(spark, s"$path/removed", MaxDriverStoreRows).isDefined
+
     /** [[nearDupsOfDelta]] resolved on the driver — see the call site
       * for the contract. Returns None when a bound cap trips (the
       * caller then serves the same delta distributed). */
@@ -373,7 +448,8 @@ object LshStore {
         delta: DataFrame,
         textCol: String,
         minJaccard: Double,
-        allowedIds: Option[DataFrame] = None): Option[DataFrame] = {
+        allowedIds: Option[DataFrame] = None,
+        bulkFull: Boolean = false): Option[DataFrame] = {
       import scala.collection.mutable
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_a",
@@ -414,17 +490,31 @@ object LshStore {
             mutable.ArrayBuffer.empty[Long]) += doc
         }
       }
+      // tombstone ledger, driver-resolved: the distributed route
+      // live()-anti-joins it; here removed corpus ids are excluded
+      // from the bucket lists the same way (boundedness is the
+      // caller's ledgerDriverBounded gate)
+      val removed: Set[Long] =
+        if (!removedLedgerPresent) Set.empty
+        else removedIds.collect().iterator.map(_.getLong(0)).toSet
       // union-population guard, driver-side (bound skip / pruned read
-      // — the candidatePairsOfDelta micro-route semantics verbatim)
+      // — the candidatePairsOfDelta micro-route semantics verbatim).
+      // bulkFull reads the counts table WHOLE (footer-bounded) instead
+      // of ~10 chunked literal jobs, then restricts to delta buckets —
+      // the same rows the chunked read returns.
       val deltaMax = deltaBuckets.valuesIterator.map(_.size).max.toLong
       val keepKeys: Set[(Int, Int)] =
         if (bucketBound != Long.MaxValue &&
             bucketBound <= cfg.maxBucketSize - deltaMax)
           deltaBuckets.keySet.toSet
         else {
-          val storedN = graft.operators.KeyPrune.collectChunked(
+          val countRows =
+            if (bulkFull) bandCounts.collect()
+              .filter(r => deltaBuckets.contains((r.getInt(0), r.getInt(1))))
+            else graft.operators.KeyPrune.collectChunked(
               bandCounts, Seq("band", "bucket"),
               deltaBuckets.keys.toSeq.map(k => Seq(k._1, k._2)))
+          val storedN = countRows
             .groupBy(r => (r.getInt(0), r.getInt(1)))
             .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
           deltaBuckets.keysIterator.filter(k =>
@@ -432,21 +522,26 @@ object LshStore {
               <= cfg.maxBucketSize).toSet
         }
       if (keepKeys.isEmpty) return Some(local(Nil))
-      // job 2: the literal-pruned corpus banded read, collected (its
-      // row count is guard-bounded — kept buckets hold at most
-      // maxBucketSize rows each; the cap is a defensive backstop.
-      // Plain collect, NOT limit().collect(): CollectLimit executes
-      // incrementally over partition ranges — several jobs where one
-      // parallel pass suffices)
-      val corpusRows = graft.operators.KeyPrune.collectChunked(
-        banded, Seq("band", "bucket"),
-        keepKeys.toSeq.map(k => Seq(k._1, k._2)))
+      // job 2: the corpus banded read, collected. Chunked literal prune
+      // on a micro delta; ONE whole-table read (footer-bounded) +
+      // driver restriction on a bulk one. (Plain collect, NOT
+      // limit().collect(): CollectLimit executes incrementally over
+      // partition ranges — several jobs where one parallel pass
+      // suffices.)
+      val corpusRows =
+        if (bulkFull) banded.collect()
+          .filter(r => keepKeys.contains((r.getInt(1), r.getInt(2))))
+        else graft.operators.KeyPrune.collectChunked(
+          banded, Seq("band", "bucket"),
+          keepKeys.toSeq.map(k => Seq(k._1, k._2)))
       if (corpusRows.length > MaxDriverCorpusRows) return None
       val corpusBuckets =
         mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[Long]]
       corpusRows.foreach { r =>
-        corpusBuckets.getOrElseUpdate((r.getInt(1), r.getInt(2)),
-          mutable.ArrayBuffer.empty[Long]) += r.getLong(0)
+        val doc = r.getLong(0)
+        if (!removed.contains(doc))
+          corpusBuckets.getOrElseUpdate((r.getInt(1), r.getInt(2)),
+            mutable.ArrayBuffer.empty[Long]) += doc
       }
       // candidate pairs: delta × (corpus ∪ delta) within each kept
       // bucket, canonical doc_a < doc_b (the bucket-join shape)

@@ -1923,10 +1923,15 @@ object MlQueries extends QueryDsl {
     // support-peel over the SQL-expressible events pairs. Anchors
     // q198/q205 (the LSH-graph truss queries, rows-only there).
     q("q226_ktruss_events", ktrussEventsSql(k = 3, rounds = 6)) { c =>
-      val edges = eventsPairStore(c.spark, c.dir).edges
+      // checkpointCompact ONCE: kTruss and maintainAfterInsert each
+      // canonicalize+distinct their edge input internally, so without
+      // it the store parquet is re-read and re-shuffled per stage
+      // (r16: 2.9 s of repeated scans on a 93 k-edge frame)
+      val edges = graft.operators.Partitioning.checkpointCompact(
+        eventsPairStore(c.spark, c.dir).edges.select($"ua", $"ub"))
       val isDelta = pmod($"ua" * 31 + $"ub", lit(5)) === 0
-      val base = edges.filter(!isDelta).select($"ua", $"ub")
-      val delta = edges.filter(isDelta).select($"ua", $"ub")
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
       val oldTruss = graft.operators.Truss.kTruss(base, "ua", "ub", k = 3)
       graft.operators.Truss.maintainAfterInsert(
         oldTruss, base, delta, "ua", "ub", k = 3)

@@ -350,6 +350,61 @@ class LshStoreSpec extends SparkSpec {
     assert(got.count() > 0, "planted near-dups must cross the split")
   }
 
+  test("BULK delta (past the chunked cap) on a footer-bounded store takes the driver micro-serve, equal to full") {
+    import graft.operators.KeyPrune
+    // widen the harness corpus so the delta's bucket set blows past
+    // the chunked cap (the q140 bulk-demonstrator shape) while the
+    // store itself stays footer-bounded
+    val wide = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(docs.select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      .unionByName(docs.select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+      .localCheckpoint()
+    val corpus = wide.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = wide.filter(pmod(col("doc_id"), lit(3)) === 0).localCheckpoint()
+    val nKeys = delta.count() * 32
+    assert(nKeys > KeyPrune.MaxChunkedKeys,
+      s"fixture must exercise the bulk range, got $nKeys keys")
+    assert(corpus.count() * 32 <= LshStore.MaxDriverCorpusRows,
+      "fixture store must stay footer-bounded")
+    val h = LshStore.build(corpus, "doc_id", "text", tmp("lshbulk"),
+      numFiles = 16)
+    val got = h.nearDupsOfDelta(delta, "text", minJaccard = 0.8)
+    assert(got.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "bulk delta on a bounded store must resolve on the driver")
+    val full = MinHashLSH.verifyJaccard(
+      MinHashLSH.candidatePairs(wide, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3),
+      wide, "doc_id", "text", shingleN = 3, minJaccard = 0.8)
+      .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
+    assert(rows(got) === rows(full))
+    assert(got.count() > 0, "planted near-dups must cross the split")
+  }
+
+  test("micro-serve handles the tombstone ledger: equal to the kept-corpus build (the q212 shape)") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val h = LshStore.build(corpus, "doc_id", "text", tmp("lshledger"))
+    h.remove(corpus.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id")))
+    val got = h.nearDupsOfDelta(delta, "text", minJaccard = 0.8)
+    // the ledgered store previously forced the distributed route; now
+    // the driver micro-serve applies the ledger as a set subtraction
+    assert(got.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "ledgered micro delta must resolve on the driver")
+    val kept = corpus.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val union = kept.unionByName(delta)
+    val full = MinHashLSH.verifyJaccard(
+      MinHashLSH.candidatePairs(union, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3),
+      union, "doc_id", "text", shingleN = 3, minJaccard = 0.8)
+      .filter(col("doc_a") % 4 === 0 || col("doc_b") % 4 === 0)
+    assert(rows(got) === rows(full))
+    assert(got.count() > 0, "planted near-dups must survive the takedown")
+  }
+
   test("filtered near-dup: both-endpoints-allowed restriction of the unfiltered result") {
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
