@@ -254,6 +254,29 @@ object PairGraphStore {
         .create(m, true).close()
     }
 
+    /** Replay short-circuit for the all-states removal composition
+      * (StreamingGraphMaintenance.processAllRemove): true when EVERY
+      * listed maintainer's "rm" marker for this batch is present. Each
+      * marker is written LAST in its maintainer (after the state
+      * overwrite and the revoke), and lives INSIDE the state dir (so a
+      * rebuilt/deleted state loses its markers) — markers-all-present
+      * therefore proves the whole composition landed, and a replayed
+      * batch skips four canonicalize+signature+ensure passes for one
+      * distinct+agg job. Any missing marker (first run, crash window,
+      * fresh state) keeps the full per-maintainer path, whose own
+      * markers re-check per state. */
+    private[graft] def allRemovalMarkersPresent(
+        deleted: DataFrame, withTruss: Boolean): Boolean = {
+      val delCanon = deleted
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .toDF("a", "b").distinct()
+      val sig = batchSig(delCanon, Seq("a", "b"))
+      if (sig.isEmpty) return false
+      val dirs = Seq(labelsDir, coresDir, ranksDir) ++
+        (if (withTruss) Seq(trussDir) else Nil)
+      dirs.forall(d => markerPresent(appliedMarker(d, "rm", sig)))
+    }
+
     /** Append-direction skip gate: no revocation ledger (see above). */
     private def noRevocationLedger: Boolean = {
       val p = new Path(s"$path/removededges")

@@ -78,11 +78,24 @@ object StreamingGraphMaintenance {
       iterations: Int = 3,
       rounds: Int = 3,
       trussK: Option[Int] = None): Unit = {
-    if (batch.isEmpty) return
-    store.removeEdgesAndMaintainCommunities(batch, rounds)
-    store.removeEdgesAndMaintainCores(batch, maxK)
-    store.removeEdgesAndMaintainRanks(batch, iterations)
-    trussK.foreach(k => store.removeEdgesAndMaintainTruss(batch, k))
+    // materialize ONCE (before the emptiness probe, which would
+    // otherwise execute the batch plan a second time): each maintainer
+    // canonicalizes + signatures the batch itself, so an expensive
+    // batch plan (StreamingTakedown's incident-edge derivation: two
+    // semi-joins + distinct over the physical edge rows) would
+    // otherwise re-execute per maintainer — 3-4x the derivation cost
+    // on every replayed takedown batch
+    val b = graft.operators.Partitioning.checkpointCompact(batch)
+    if (b.isEmpty) return
+    // all-states replay short-circuit: one distinct+sig job instead of
+    // four canonicalize+signature+ensure passes when every maintainer's
+    // marker for this batch is already present (the steady replay of
+    // an idempotent takedown stream)
+    if (store.allRemovalMarkersPresent(b, trussK.isDefined)) return
+    store.removeEdgesAndMaintainCommunities(b, rounds)
+    store.removeEdgesAndMaintainCores(b, maxK)
+    store.removeEdgesAndMaintainRanks(b, iterations)
+    trussK.foreach(k => store.removeEdgesAndMaintainTruss(b, k))
     ()
   }
 

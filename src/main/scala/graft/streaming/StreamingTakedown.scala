@@ -37,6 +37,19 @@ object StreamingTakedown {
       .distinct()
     val e = graph.physicalEdges
       .select(col(graph.srcCol), col(graph.dstCol))
+    // literal route for a driver-bounded id batch: ONE filter pass —
+    // no broadcast builds, no union, and no distinct (the stored pair
+    // rows are already unique, and every consumer re-canonicalizes
+    // with its own distinct anyway, so the frame's VALUE set — and
+    // each maintainer's batch signature — is identical to the
+    // semi-join shape below). An unbounded batch keeps the
+    // distributed shape.
+    val sample = rid.limit(graft.operators.KeyPrune.MaxLiteralKeys + 1).collect()
+    if (sample.length <= graft.operators.KeyPrune.MaxLiteralKeys) {
+      val lits = sample.map(_.getLong(0))
+      return e.filter(col(graph.srcCol).isin(lits.toIndexedSeq: _*) ||
+        col(graph.dstCol).isin(lits.toIndexedSeq: _*))
+    }
     e.join(broadcast(rid.withColumnRenamed("__rid", graph.srcCol)),
         Seq(graph.srcCol), "left_semi")
       .unionByName(
