@@ -40,15 +40,26 @@ object Truss {
       srcCol: String,
       dstCol: String,
       k: Int,
-      driverMaxEdges: Long = 512L * 1024): DataFrame = {
+      driverMaxEdges: Long = 512L * 1024,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val e0 = edges
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .distinct()
-      .localCheckpoint()
-    if (k == 2) return e0
+    // assumeCanonical: the caller GUARANTEES a<b orientation, no self
+    // loops, no duplicates (the PairGraphStore edge contract) — skips
+    // the canonicalization shuffle + checkpoint (a whole exchange per
+    // call on a store-served frame that is already materialized). The
+    // truss is the unique maximal fixpoint of its input edge set, so
+    // both paths produce identical rows on canonical input.
+    val e0 =
+      if (assumeCanonical)
+        edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else edges
+        .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .distinct()
+        .localCheckpoint()
+    if (k == 2) return if (assumeCanonical) e0.distinct() else e0
     if (e0.count() <= driverMaxEdges) kTrussDriver(e0, k)
     else kTrussDistributed(e0, k)
   }
@@ -159,15 +170,25 @@ object Truss {
       srcCol: String,
       dstCol: String,
       k: Int,
-      driverMaxEdges: Long = 512L * 1024): DataFrame = {
+      driverMaxEdges: Long = 512L * 1024,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    def canon(df: DataFrame): DataFrame = df
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .distinct()
-    val dC = cps(canon(delta))
-    val oldC = cps(canon(oldEdges))
+    // assumeCanonical: see [[kTruss]] — skips two canonicalization
+    // shuffles + checkpoints when the caller's frames carry the store
+    // edge contract (a<b, distinct, no self loops) and are already
+    // materialized (checkpointed/compacted); the maintain fixpoint is
+    // set-determined, so rows are identical.
+    def canon(df: DataFrame): DataFrame =
+      if (assumeCanonical)
+        df.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else cps(df
+        .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .distinct())
+    val dC = canon(delta)
+    val oldC = canon(oldEdges)
     if (k == 2) return oldC.unionByName(dC).distinct()
     val tOld = cps(oldTruss
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))

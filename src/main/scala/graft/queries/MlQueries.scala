@@ -1932,9 +1932,12 @@ object MlQueries extends QueryDsl {
       val isDelta = pmod($"ua" * 31 + $"ub", lit(5)) === 0
       val base = edges.filter(!isDelta)
       val delta = edges.filter(isDelta)
-      val oldTruss = graft.operators.Truss.kTruss(base, "ua", "ub", k = 3)
+      // store edges carry the canonical contract (ua<ub, distinct), so
+      // both truss stages skip their canonicalization shuffles
+      val oldTruss = graft.operators.Truss.kTruss(base, "ua", "ub", k = 3,
+        assumeCanonical = true)
       graft.operators.Truss.maintainAfterInsert(
-        oldTruss, base, delta, "ua", "ub", k = 3)
+        oldTruss, base, delta, "ua", "ub", k = 3, assumeCanonical = true)
         .select($"a".as("ua"), $"b".as("ub"))
     },
 

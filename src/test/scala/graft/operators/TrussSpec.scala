@@ -154,4 +154,29 @@ class TrussSpec extends SparkSpec {
         s"trial $trial k=$k (distributed route)")
     }
   }
+
+  test("assumeCanonical fast path equals the canonicalizing route on canonical input") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17L)
+    for (trial <- 1 to 3) {
+      val n = 14 + rnd.nextInt(10)
+      val edges = (0 until n * 3).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b))
+        }.filter(e => e._1 != e._2).distinct
+      val (delta, base) = edges.partition(_ => rnd.nextInt(5) == 0)
+      val k = 3 + rnd.nextInt(2)
+      def df(es: Seq[(Long, Long)]) = es.toDF("u", "v")
+      val tCanon = Truss.kTruss(df(base), "u", "v", k)
+      val tFast = Truss.kTruss(df(base), "u", "v", k, assumeCanonical = true)
+      def set(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(set(tFast) == set(tCanon), s"trial $trial k=$k kTruss")
+      val mCanon = Truss.maintainAfterInsert(
+        tCanon, df(base), df(delta), "u", "v", k)
+      val mFast = Truss.maintainAfterInsert(
+        tFast, df(base), df(delta), "u", "v", k, assumeCanonical = true)
+      assert(set(mFast) == set(mCanon), s"trial $trial k=$k maintain")
+    }
+  }
 }
