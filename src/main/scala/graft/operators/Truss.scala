@@ -64,13 +64,128 @@ object Truss {
     else kTrussDistributed(e0, k)
   }
 
-  /** Driver-local peel (bounded by `driverMaxEdges`): adjacency sets +
-    * a worklist of edges whose support dropped below k−2 — the literal
-    * textbook algorithm, O(Σ min(deg)) per full support pass. */
-  private def kTrussDriver(e0: DataFrame, k: Int): DataFrame = {
+  /** Node bound for the bitset driver peel: adjacency as one bit row
+    * per node costs n²/8 bytes (16,384 nodes = 32 MB) — above it the
+    * boxed-set formulation takes over. Harness-scale co-presence /
+    * near-dup graphs are DENSE (avg degree >100), where per-edge
+    * support via word-AND popcount beats per-element hash probes by
+    * ~two orders of magnitude. */
+  private val MaxBitsetNodes: Int = 1 << 14
+
+  /** Dense-int edge index: ids sorted (so dense order preserves the
+    * canonical a<b orientation), edges encoded (x<<32|y) and sorted
+    * for binarySearch lookup. Shared by both bitset peels. */
+  private final class DenseGraph(pairs: Array[(Long, Long)]) {
+    val ids: Array[Long] = {
+      val s = new java.util.TreeSet[java.lang.Long]()
+      pairs.foreach { p => s.add(p._1); s.add(p._2) }
+      val out = new Array[Long](s.size)
+      val it = s.iterator(); var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+    val n: Int = ids.length
+    private def ix(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
+    val m: Int = pairs.length
+    // edges sorted by encoded (x, y); x<y because ids are rank-mapped
+    val enc: Array[Long] = {
+      val e = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val x = ix(pairs(i)._1); val y = ix(pairs(i)._2)
+        e(i) = (x.toLong << 32) | (y.toLong & 0xffffffffL)
+        i += 1
+      }
+      java.util.Arrays.sort(e); e
+    }
+    def ea(e: Int): Int = (enc(e) >>> 32).toInt
+    def eb(e: Int): Int = (enc(e) & 0xffffffffL).toInt
+    def edgeIdx(x: Int, y: Int): Int = {
+      val (lo, hi) = if (x < y) (x, y) else (y, x)
+      java.util.Arrays.binarySearch(enc, (lo.toLong << 32) | (hi.toLong & 0xffffffffL))
+    }
+    def lookup(a: Long, b: Long): Int = {
+      val x = ix(a); val y = ix(b)
+      if (x < 0 || y < 0) -1 else edgeIdx(x, y)
+    }
+    val words: Int = (n + 63) >>> 6
+    /** flat adjacency bit rows over ALL edges (callers mutate or not). */
+    def adjacency(): Array[Long] = {
+      val adj = new Array[Long](n * words)
+      var e = 0
+      while (e < m) {
+        val a = ea(e); val b = eb(e)
+        adj(a * words + (b >>> 6)) |= 1L << (b & 63)
+        adj(b * words + (a >>> 6)) |= 1L << (a & 63)
+        e += 1
+      }
+      adj
+    }
+    def decode(e: Int): (Long, Long) = (ids(ea(e)), ids(eb(e)))
+  }
+
+  /** Driver-local peel (bounded by `driverMaxEdges`): a worklist of
+    * edges whose support dropped below k−2 — the literal textbook
+    * algorithm. Dense graphs under [[MaxBitsetNodes]] run the bitset
+    * formulation (support = popcount of the two endpoints' adjacency
+    * word-AND; removal clears two bits); larger node sets keep the
+    * original boxed-set formulation. Both compute the same unique
+    * maximal fixpoint (removal order never matters — TrussSpec pins
+    * both against an independent simultaneous-sweep reference). */
+  private def kTrussDriver(e0: DataFrame, k: Int): DataFrame =
+    kTrussDriverImpl(e0, k, MaxBitsetNodes)
+
+  private[operators] def kTrussDriverImpl(
+      e0: DataFrame, k: Int, maxBitsetNodes: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
     val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val distinctNodes = {
+      val s = scala.collection.mutable.HashSet.empty[Long]
+      pairs.foreach { p => s += p._1; s += p._2 }; s.size
+    }
+    if (distinctNodes <= maxBitsetNodes && pairs.nonEmpty) {
+      val g = new DenseGraph(pairs)
+      val w = g.words
+      val adj = g.adjacency()
+      val alive = Array.fill(g.m)(true)
+      val queued = Array.fill(g.m)(true)
+      val queue = new java.util.ArrayDeque[Integer](g.m)
+      var i = 0
+      while (i < g.m) { queue.add(i); i += 1 }
+      val buf = new Array[Long](w)
+      while (!queue.isEmpty) {
+        val e = queue.poll().intValue(); queued(e) = false
+        if (alive(e)) {
+          val a = g.ea(e); val b = g.eb(e)
+          var sup = 0
+          var j = 0
+          while (j < w) {
+            val x = adj(a * w + j) & adj(b * w + j)
+            buf(j) = x; sup += java.lang.Long.bitCount(x); j += 1
+          }
+          if (sup < k - 2) {
+            alive(e) = false
+            adj(a * w + (b >>> 6)) &= ~(1L << (b & 63))
+            adj(b * w + (a >>> 6)) &= ~(1L << (a & 63))
+            j = 0
+            while (j < w) {
+              var bits = buf(j)
+              while (bits != 0L) {
+                val wd = (j << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+                bits &= bits - 1
+                val t1 = g.edgeIdx(a, wd); val t2 = g.edgeIdx(b, wd)
+                if (t1 >= 0 && alive(t1) && !queued(t1)) { queue.add(t1); queued(t1) = true }
+                if (t2 >= 0 && alive(t2) && !queued(t2)) { queue.add(t2); queued(t2) = true }
+              }
+              j += 1
+            }
+          }
+        }
+      }
+      val out = (0 until g.m).iterator.filter(alive).map(g.decode).toSeq.sorted
+      return out.toDF("a", "b")
+    }
     val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
     def link(x: Long, y: Long): Unit =
       adj.getOrElseUpdate(x, scala.collection.mutable.Set[Long]()) += y
@@ -193,7 +308,7 @@ object Truss {
     val tOld = cps(oldTruss
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
     if (oldC.count() + dC.count() <= driverMaxEdges)
-      maintainLocal(tOld, oldC, dC, k)
+      maintainLocal(tOld, oldC, dC, k, MaxBitsetNodes)
     else maintainDistributed(tOld, oldC, dC, k)
   }
 
@@ -202,14 +317,128 @@ object Truss {
     * then the textbook worklist peel restricted to candidates with
     * old-truss edges as frozen support. Work tracks the delta's
     * triangle neighborhood, not the graph. */
-  private def maintainLocal(
-      tOld: DataFrame, oldC: DataFrame, dC: DataFrame, k: Int): DataFrame = {
+  private[operators] def maintainLocal(
+      tOld: DataFrame, oldC: DataFrame, dC: DataFrame, k: Int,
+      maxBitsetNodes: Int): DataFrame = {
     val spark = tOld.sparkSession
     import spark.implicits._
     import scala.collection.mutable
     def pair(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val oldPairs = oldC.collect().map(pair)
     val dPairs = dC.collect().map(pair)
+    val grownNodes = {
+      val s = mutable.HashSet.empty[Long]
+      oldPairs.foreach { p => s += p._1; s += p._2 }
+      dPairs.foreach { p => s += p._1; s += p._2 }
+      s.size
+    }
+    // bitset formulation for dense driver-bounded graphs — identical
+    // closure + peel over word-AND witnesses (see kTrussDriverImpl)
+    if (grownNodes <= maxBitsetNodes && (oldPairs.nonEmpty || dPairs.nonEmpty)) {
+      val grown = {
+        val s = mutable.LinkedHashSet.empty[(Long, Long)]
+        oldPairs.foreach(s += _); dPairs.foreach(s += _)
+        s.toArray
+      }
+      val g = new DenseGraph(grown)
+      val w = g.words
+      val adj = g.adjacency() // STATIC: the peel uses flags, not removal
+      val inTruss = new Array[Boolean](g.m)
+      tOld.collect().foreach { r =>
+        val e = g.lookup(r.getLong(0), r.getLong(1))
+        if (e >= 0) inTruss(e) = true
+      }
+      val cand = new Array[Boolean](g.m)
+      val aliveF = new Array[Boolean](g.m)
+      val support = new Array[Int](g.m)
+      val buf = new Array[Long](w)
+      def witsInto(a: Int, b: Int): Unit = {
+        var j = 0
+        while (j < w) { buf(j) = adj(a * w + j) & adj(b * w + j); j += 1 }
+      }
+      // 1. candidate closure from the delta over triangle adjacency
+      val queue = new java.util.ArrayDeque[Integer]()
+      dPairs.foreach { p =>
+        val e = g.lookup(p._1, p._2)
+        if (e >= 0 && !inTruss(e) && !cand(e)) { cand(e) = true; queue.add(e) }
+      }
+      while (!queue.isEmpty) {
+        val e = queue.poll().intValue()
+        val a = g.ea(e); val b = g.eb(e)
+        witsInto(a, b)
+        var j = 0
+        while (j < w) {
+          var bits = buf(j)
+          while (bits != 0L) {
+            val wd = (j << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+            bits &= bits - 1
+            val e1 = g.edgeIdx(a, wd); val e2 = g.edgeIdx(b, wd)
+            if (e1 >= 0 && !inTruss(e1) && !cand(e1)) { cand(e1) = true; queue.add(e1) }
+            if (e2 >= 0 && !inTruss(e2) && !cand(e2)) { cand(e2) = true; queue.add(e2) }
+          }
+          j += 1
+        }
+      }
+      // 2. peel candidates; support = triangles whose other two edges
+      // are in (old truss ∪ alive candidates)
+      var i = 0
+      while (i < g.m) { aliveF(i) = cand(i); i += 1 }
+      def present(e: Int): Boolean = inTruss(e) || aliveF(e)
+      val dead = new java.util.ArrayDeque[Integer]()
+      i = 0
+      while (i < g.m) {
+        if (cand(i)) {
+          val a = g.ea(i); val b = g.eb(i)
+          witsInto(a, b)
+          var sup = 0
+          var j = 0
+          while (j < w) {
+            var bits = buf(j)
+            while (bits != 0L) {
+              val wd = (j << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+              bits &= bits - 1
+              val e1 = g.edgeIdx(a, wd); val e2 = g.edgeIdx(b, wd)
+              if (e1 >= 0 && e2 >= 0 && present(e1) && present(e2)) sup += 1
+            }
+            j += 1
+          }
+          support(i) = sup
+          if (sup < k - 2) dead.add(i)
+        }
+        i += 1
+      }
+      while (!dead.isEmpty) {
+        val e = dead.poll().intValue()
+        if (aliveF(e)) {
+          aliveF(e) = false
+          val a = g.ea(e); val b = g.eb(e)
+          witsInto(a, b)
+          var j = 0
+          while (j < w) {
+            var bits = buf(j)
+            while (bits != 0L) {
+              val wd = (j << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+              bits &= bits - 1
+              val e1 = g.edgeIdx(a, wd); val e2 = g.edgeIdx(b, wd)
+              if (e1 >= 0 && e2 >= 0 && present(e1) && present(e2)) {
+                if (aliveF(e1)) {
+                  support(e1) -= 1
+                  if (support(e1) == k - 3) dead.add(e1)
+                }
+                if (aliveF(e2)) {
+                  support(e2) -= 1
+                  if (support(e2) == k - 3) dead.add(e2)
+                }
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      val out = (0 until g.m).iterator
+        .filter(e => inTruss(e) || aliveF(e)).map(g.decode).toSeq.sorted
+      return out.toDF("a", "b")
+    }
     val adj = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
     val all = mutable.HashSet.empty[(Long, Long)]
     def addEdge(a: Long, b: Long): Unit = if (all.add((a, b))) {

@@ -155,6 +155,37 @@ class TrussSpec extends SparkSpec {
     }
   }
 
+  test("bitset driver peel equals the boxed-set fallback and the reference (randomized)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(43L)
+    for (trial <- 1 to 4) {
+      val n = 16 + rnd.nextInt(16)
+      val edges = (0 until n * 4).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b))
+        }.filter(e => e._1 != e._2).distinct
+      val k = 3 + rnd.nextInt(2)
+      val e0 = edges.toDF("a", "b")
+      def set(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = reference(edges, k)
+      // maxBitsetNodes = 0 forces the boxed-set fallback
+      assert(set(Truss.kTrussDriverImpl(e0, k, Int.MaxValue)) == want,
+        s"trial $trial k=$k bitset")
+      assert(set(Truss.kTrussDriverImpl(e0, k, 0)) == want,
+        s"trial $trial k=$k sets-fallback")
+      val (delta, base) = edges.partition(_ => rnd.nextInt(4) == 0)
+      val tOld = reference(base, k).toSeq.toDF("a", "b")
+      val wantM = reference(edges, k)
+      val bitset = Truss.maintainLocal(tOld, base.toDF("a", "b"),
+        delta.toDF("a", "b"), k, Int.MaxValue)
+      val fallback = Truss.maintainLocal(tOld, base.toDF("a", "b"),
+        delta.toDF("a", "b"), k, 0)
+      assert(set(bitset) == wantM, s"trial $trial k=$k maintain bitset")
+      assert(set(fallback) == wantM, s"trial $trial k=$k maintain sets")
+    }
+  }
+
   test("assumeCanonical fast path equals the canonicalizing route on canonical input") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(17L)
