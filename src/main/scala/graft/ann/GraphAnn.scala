@@ -758,7 +758,19 @@ object GraphAnn {
       * Replay-idempotent: the ledger is a set union. The ledger swap
       * lands BEFORE the meta rewrite; a crash between the two leaves
       * meta.entry tombstoned, which serve() heals at read time by
-      * falling back to the smallest live id. */
+      * falling back to the smallest live id.
+      *
+      * ORDERING CONTRACT: a takedown must arrive AFTER the ingest of
+      * that id. An id with no stored vector is a no-op by design —
+      * nothing is hidden at serve, nothing purged at compact — which
+      * is what lets a replayed mutate-then-compact pipeline converge
+      * to a metadata read instead of re-ledgering ids its own compact
+      * already purged (and paying a full rebuild per replay). The
+      * flip side: remove-before-append is NOT held back (the later
+      * append serves the content); callers with out-of-order streams
+      * must gate takedowns on ingest — a takedown feed naming ids a
+      * separate ingest stream has not landed yet must be re-driven
+      * after the ingest catches up. */
     def remove(ids: DataFrame, idCol: String): Handle = {
       val incoming = ids.select(col(idCol).cast("long").as("id")).distinct()
       // tombstoning an id with no stored vector is a no-op (nothing to

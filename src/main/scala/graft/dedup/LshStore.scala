@@ -82,6 +82,18 @@ object LshStore {
   val MaxDriverCorpusRows: Int = 1 << 17
   val MaxDriverPairs: Int = 1 << 17
 
+  /** Char bound for the bulk micro-serve's DELTA collect: job 1
+    * collects every delta row WITH its hashed-shingle array, and
+    * shingle count scales with document LENGTH, not row count — a
+    * row-count cap alone admits an arbitrarily large collect (131 k
+    * rows of 10 MB documents is a terabyte). One hash per word
+    * shingle is at most one per 2 chars, so 2^25 total chars bounds
+    * the collect at ~2^24 boxed longs (~400 MB worst-case, ~10x less
+    * on natural text). Probed with one narrow sum(length) job over
+    * the already-row-capped delta; past the cap the serve stays
+    * distributed. */
+  val MaxDriverDeltaChars: Long = 1L << 25
+
   /** Footer-gate bound for the SIDE tables the bulk micro-serve reads
     * whole (band counts incl. decrement rows, tombstone ledger): plain
     * (int, int, long) triples, ~40 MB of boxed rows at the cap —
@@ -281,7 +293,8 @@ object LshStore {
       // route's gate jobs + semi-join prunes. At 100 TB the footer
       // gate fails on the first file and nothing changes.
       val bulkMicro =
-        !micro && deltaRows <= MaxDriverCorpusRows && storeDriverBounded
+        !micro && deltaRows <= MaxDriverCorpusRows && storeDriverBounded &&
+          deltaCharsUnder(delta, textCol)
       // DRIVER-RESOLVED micro-serve: every frame the distributed route
       // would shuffle is provably bounded (delta rows by the micro
       // gate, corpus rows by the guard, pairs/ids by explicit caps
@@ -335,7 +348,8 @@ object LshStore {
       val micro =
         deltaRows * cfg.bands <= graft.operators.KeyPrune.MaxChunkedKeys
       val bulkMicro =
-        !micro && deltaRows <= MaxDriverCorpusRows && storeDriverBounded
+        !micro && deltaRows <= MaxDriverCorpusRows && storeDriverBounded &&
+          deltaCharsUnder(delta, textCol)
       // the driver micro-serve works filtered too: the allowed
       // restriction is resolved with ONE extra bounded job — the
       // corpus-sized allowed frame is probed by the (pair-bounded)
@@ -432,6 +446,15 @@ object LshStore {
         storeBoundedGen = cachedGen
       }
       storeBoundedVal
+    }
+
+    /** Bulk micro-serve byte guard: total delta text chars under
+      * [[MaxDriverDeltaChars]] (the shingle arrays job 1 collects
+      * scale with length, not rows). Only probed once the row-count
+      * gate has already passed, so the scan is delta-bounded. */
+    private def deltaCharsUnder(delta: DataFrame, textCol: String): Boolean = {
+      val s = delta.agg(sum(length(col(textCol)).cast("long"))).collect()(0)
+      (if (s.isNullAt(0)) 0L else s.getLong(0)) <= MaxDriverDeltaChars
     }
 
     /** The tombstone ledger is micro-serve-compatible when absent or

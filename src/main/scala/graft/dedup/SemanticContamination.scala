@@ -80,11 +80,19 @@ object SemanticContamination {
       .select(col("__tid"), col("__eid")).distinct()
     val tv = train.select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
     val ev = eval.select(col(idCol).as("__eid"), col(vecCol).as("__ev"))
-    cand.join(tv, "__tid").join(ev, "__eid")
+    val report = cand.join(tv, "__tid").join(ev, "__eid")
       .withColumn("__cos", VectorFunctions.cosine(col("__tv"), col("__ev")))
       .filter(col("__cos") > tau)
       .groupBy(col("__tid").as(idCol))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("__cos")).as("max_cos"))
+    // eagerly materialize (dup-density-sized, never corpus-sized) so the
+    // postings cache can be RELEASED before returning — a lazy return
+    // would pin a corpus-sized (id,tbl,bkt) cache per call for the
+    // session lifetime (guide §5: unpersist when done; the
+    // LshStore.nearDupsDistributed checkpoint-then-unpersist convention)
+    val out = report.localCheckpoint()
+    tp.unpersist()
+    out
   }
 
   /** The contamination rollup served from an ALREADY-VERIFIED pair

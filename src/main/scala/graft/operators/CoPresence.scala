@@ -36,10 +36,16 @@ object CoPresence {
       maxWindowActors: Int = 10000): DataFrame = {
     require(windowSec > 0 && minShared >= 1 && maxWindowActors >= 2)
     val spark = events.sparkSession
+    // checkpoint FIRST: the routing histogram, the driver collect, the
+    // hot-window guard and both self-join sides all read presence — on
+    // the distributed fall-through the events-scan+distinct plan would
+    // otherwise re-execute inside each of them (guide §5: cut lineage
+    // once where an intermediate is reused)
     val presence = events
       .select(floor(unix_timestamp(col(tsCol)) / windowSec).as("w"),
         col(actorCol).as("actor"))
       .distinct()
+      .localCheckpoint()
 
     // Route decision from the per-window histogram (one scalar agg):
     // when the guarded candidate count Σ n·(n−1)/2 and the presence
@@ -71,8 +77,7 @@ object CoPresence {
     val hot = presence.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxWindowActors)
       .select(col("w"))
-    val chk = presence.localCheckpoint() // both join sides + the guard read it
-    val kept = chk.join(broadcast(hot), Seq("w"), "left_anti")
+    val kept = presence.join(broadcast(hot), Seq("w"), "left_anti")
     kept.as("a").join(kept.as("b"),
         col("a.w") === col("b.w") && col("a.actor") < col("b.actor"))
       .groupBy(col("a.actor").as("ua"), col("b.actor").as("ub"))

@@ -136,7 +136,10 @@ object LabelPropagation {
         val m = votes.getOrElseUpdate(node, mutable.HashMap.empty[Long, Double])
         m(l) = m.getOrElse(l, 0.0) + w
       }
-      edges.foreach(r => vote(r.getLong(0), lbl(r.getLong(1)), r.getDouble(2)))
+      // a dst-only node (possible with symmetrize=false) has no label;
+      // the distributed route's inner join drops that vote — match it
+      edges.foreach(r =>
+        lbl.get(r.getLong(1)).foreach(l => vote(r.getLong(0), l, r.getDouble(2))))
       selfW.foreach { case (n, sw) => vote(n, lbl(n), sw) }
       val next = mutable.HashMap.empty[Long, Long]
       votes.foreach { case (n, m) =>
