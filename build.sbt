@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Dev probe mains (one-off phase/scale probes) live OUTSIDE src/main so
+// the production tree stays engine-only; still on the Compile classpath
+// so `sbt "runMain graft.Q222Probe"` keeps working.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "tools" / "probes"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

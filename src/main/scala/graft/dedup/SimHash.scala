@@ -107,13 +107,12 @@ object SimHash {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    // Fingerprints are CACHED (16 bytes/doc): the blocked frame feeds
-    // a self-join, and without the cache the simhash kernel runs once
-    // per join side.
+    // caching of the fingerprints (the blocked frame feeds a
+    // self-join) is owned by pairsFromFingerprints, which also
+    // RELEASES it — a caller-side persist leaked per call
     val fp = graft.operators.Partitioning.spread(docs).select(
       col(idCol).as("doc"),
       simhash(TextFunctions.wsTokens(lower(col(textCol)))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairsFromFingerprints(fp, maxHamming, maxBucketSize,
       chunks = 4, chunkBits = 16) // pigeonhole blocks for maxHamming <= 3
   }
@@ -141,7 +140,31 @@ object SimHash {
     require(chunks * chunkBits <= 64,
       s"chunks*chunkBits must fit in 64 bits, got ${chunks * chunkBits}")
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1L
-    val blocked = fp.select(
+    val spark = fp.sparkSession
+    // fingerprints are CACHED (16 bytes/row — the blocked frame feeds a
+    // self-join, and without the cache the fingerprint kernel runs once
+    // per join side) and RELEASED before returning
+    val cached = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    // DRIVER route for a bounded fingerprint set (the CoPresence /
+    // LabelPropagation precedent): the blocked self-join + distinct is
+    // ~6 shuffle stages of integer work that fits in one core's cache
+    // for a 16-byte-per-doc frame. Integer popcounts — bit-identical
+    // to the distributed bit_count verify in any evaluation order; the
+    // candidate-work cap bounds degenerate bucket skew with the
+    // distributed fallback. Corpus-scale inputs blow the row gate and
+    // nothing changes.
+    val driverMax = spark.conf.getOption(DriverMaxFingerprintsKey)
+      .map(_.toLong).getOrElse(512L * 1024)
+    if (n <= driverMax &&
+        cached.schema("doc").dataType == LongType) {
+      driverPairs(spark, cached.collect(), maxHamming, maxBucketSize,
+          chunks, chunkBits, mask) match {
+        case Some(res) => cached.unpersist(); return res
+        case None => () // candidate-work cap tripped — serve distributed
+      }
+    }
+    val blocked = cached.select(
       col("doc"), col("fp"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("blk"),
@@ -152,7 +175,7 @@ object SimHash {
 
     val a = sized.as("a")
     val b = sized.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.blk") === col("b.blk") &&
         col("a.key") === col("b.key") &&
         col("a.doc") < col("b.doc"))
@@ -160,5 +183,87 @@ object SimHash {
         hammingDist(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // eagerly materialize (dup-density-sized) so the fingerprint cache
+    // can be released — a lazy return would pin it for the session
+    // (guide §5; the SemanticContamination.lshReport convention)
+    val out = pairs.localCheckpoint()
+    cached.unpersist()
+    out
+  }
+
+  /** Conf key bounding the driver pigeonhole route (max fingerprint
+    * rows collected; 16 bytes each). */
+  val DriverMaxFingerprintsKey = "spark.graft.simhash.driverMaxFingerprints"
+
+  /** Candidate-work backstop for the driver route: past this many
+    * in-bucket pair checks (degenerate skew the distributed route
+    * would also crawl through) fall back rather than stall the
+    * driver. */
+  val MaxDriverPairChecks: Long = 1L << 26
+
+  /** The pigeonhole join resolved on the driver — value-identical to
+    * the distributed route: same bucket keys, same oversized-bucket
+    * drop (counts over ALL rows, null-doc included, exactly like the
+    * count aggregate), pairs per bucket under `a.doc < b.doc`, integer
+    * XOR+popcount verify, distinct over (doc_a, doc_b, hamming). */
+  private def driverPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      maxHamming: Int,
+      maxBucketSize: Int,
+      chunks: Int,
+      chunkBits: Int,
+      mask: Long): Option[DataFrame] = {
+    import scala.collection.mutable
+    // bucket -> member rows (pairable: doc AND fp non-null) + total
+    // row count (the drop gate counts every blocked row)
+    val members = mutable.HashMap.empty[(Int, Long), mutable.ArrayBuffer[(Long, Long)]]
+    val sizes = mutable.HashMap.empty[(Int, Long), Long]
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        val f = r.getLong(1)
+        var c = 0
+        while (c < chunks) {
+          val k = (c, f & (mask << (chunkBits * c)))
+          sizes.update(k, sizes.getOrElse(k, 0L) + 1L)
+          if (!r.isNullAt(0))
+            members.getOrElseUpdate(k,
+              mutable.ArrayBuffer.empty[(Long, Long)]) += ((r.getLong(0), f))
+          c += 1
+        }
+      }
+    }
+    val kept = members.iterator
+      .filter { case (k, _) => sizes(k) <= maxBucketSize }.toArray
+    var work = 0L
+    kept.foreach { case (_, m) =>
+      work += m.length.toLong * (m.length - 1) / 2 }
+    if (work > MaxDriverPairChecks) return None
+    val out = mutable.HashSet.empty[(Long, Long, Int)]
+    kept.foreach { case (_, m) =>
+      var i = 0
+      while (i < m.length) {
+        var j = i + 1
+        while (j < m.length) {
+          val (di, fi) = m(i); val (dj, fj) = m(j)
+          if (di != dj) {
+            val h = java.lang.Long.bitCount(fi ^ fj)
+            if (h <= maxHamming) {
+              if (di < dj) out += ((di, dj, h)) else out += ((dj, di, h))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val rws = out.iterator
+      .map { case (a, b, h) => org.apache.spark.sql.Row(a, b, h) }.toSeq
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rws, 1),
+      StructType(Seq(
+        StructField("doc_a", LongType, nullable = false),
+        StructField("doc_b", LongType, nullable = false),
+        StructField("hamming", IntegerType, nullable = false)))))
   }
 }

@@ -62,10 +62,11 @@ object ImageDedup {
       maxBucketSize: Int = 100000,
       chunks: Int = 2,
       chunkBits: Int = 8): DataFrame = {
+    // caching (and release) of the fingerprints is owned by
+    // pairsFromFingerprints — a caller-side persist leaked per call
     val fp = graft.operators.Partitioning.spread(features).select(
       col(idCol).as("doc"),
       avgHash(col(embCol), chunks * chunkBits).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     SimHash.pairsFromFingerprints(fp, maxHamming, maxBucketSize, chunks, chunkBits)
   }
 

@@ -118,6 +118,40 @@ class DedupSpec extends SparkSpec {
     assert(unguarded === 1L + 50L * 49L / 2L)
   }
 
+  test("SimHash pigeonhole driver route equals the distributed join (randomized, skewed, shuffle-free)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    // 40 clusters of 3-10 fingerprints within hamming <= 4 of a random
+    // base (some pairs land inside the maxHamming=3 radius, some just
+    // outside), plus 60 identical fingerprints whose every chunk bucket
+    // is oversized (> 20) — the degenerate-skew drop case
+    val rows0 = (0 until 40).flatMap { g =>
+      val base = rnd.nextLong()
+      (0 until (3 + rnd.nextInt(8))).map { m =>
+        var f = base
+        (0 until rnd.nextInt(5)).foreach(_ => f ^= 1L << rnd.nextInt(64))
+        ((g * 100 + m).toLong, f)
+      }
+    } ++ (10000L until 10060L).map(i => (i, 0x5a5a5a5a5a5a5a5aL))
+    val df = rows0.toDF("doc", "fp")
+    def pairSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    sp.conf.set(SimHash.DriverMaxFingerprintsKey, "0") // force distributed
+    val dist = try pairSet(
+      SimHash.pairsFromFingerprints(df, maxHamming = 3, maxBucketSize = 20,
+        chunks = 4, chunkBits = 16))
+    finally sp.conf.unset(SimHash.DriverMaxFingerprintsKey)
+    val drvDf = SimHash.pairsFromFingerprints(df, maxHamming = 3,
+      maxBucketSize = 20, chunks = 4, chunkBits = 16)
+    assert(!drvDf.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a bounded fingerprint set must take the shuffle-free driver route")
+    val drv = pairSet(drvDf)
+    assert(drv.nonEmpty, "the fixture must produce pairs")
+    assert(drv === dist)
+    // the degenerate group is dropped by BOTH routes
+    assert(!drv.exists(p => p._1 >= 10000L))
+  }
+
   test("SimHash fingerprint is deterministic and permutation-sensitive only via token multiset") {
     val sp = spark; import sp.implicits._
     val df = Seq(

@@ -68,6 +68,32 @@ class EditDistanceSpec extends SparkSpec {
     }
   }
 
+  test("CharHistogram kernel: one-pass counts match per-codepoint counting, incl. edges") {
+    val sp = spark; import sp.implicits._
+    val texts = Seq(
+      (1L, "abc abc"), (2L, ""), (3L, "Ω≈ç√∫ 漢字"), (4L, "😀 emoji"),
+      (5L, null.asInstanceOf[String]))
+    val df = texts.toDF("id", "text")
+    val got = df.select(col("id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.dedup.CharHistogram(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")))).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    texts.foreach { case (id, s) =>
+      if (s == null) assert(got(id) == null)
+      else {
+        val want = new Array[Int](32)
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i); want(cp % 32) += 1; i += Character.charCount(cp)
+        }
+        assert(got(id).toArray.toSeq == want.toSeq, s"id=$id")
+        assert(got(id).sum == s.codePointCount(0, s.length), s"id=$id total")
+      }
+    }
+  }
+
   test("lshPairs: the LSH route recovers the exact near-dup pairs on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")

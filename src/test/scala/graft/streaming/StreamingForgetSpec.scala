@@ -91,8 +91,10 @@ class StreamingForgetSpec extends SparkSpec {
         events = Some(events)))
   }
 
-  /** Assert every store serves the kept corpus + kept events. */
-  private def assertKept(dir: String, doc: StreamingForget.DocTargets,
+  /** Assert the five fingerprinted stores (lsh, postings, graph,
+    * counts, events-graph) serve the kept corpus + kept events — the
+    * marker-gate surface, usable with `extra = Nil`. */
+  private def assertKeptCore(dir: String, doc: StreamingForget.DocTargets,
       docMods: Seq[Int], actorMod: Int): Unit = {
     val kept = docs.filter(!pmod(col("doc_id"), lit(10))
       .isin(docMods.map(Int.box): _*))
@@ -115,10 +117,6 @@ class StreamingForgetSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
       == keptG.ensureCommunities(rounds = 3).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap)
-    // vocabulary monoid store
-    val vref = s"${tmp()}/vocabref"
-    VocabStore.create(spark, postingsOf(kept), "doc_id", "w", vref)
-    assert(vocabMap(s"$dir/vocab") == vocabMap(vref))
     // behavioral layer: counts + community labels over kept events
     val wantCounts = CoPresence.pairs(keptEv, "user_id", "ts",
         copCfg.windowSec, 1, copCfg.maxWindowActors)
@@ -133,6 +131,19 @@ class StreamingForgetSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labelsOf(s"$dir/egraph") == wantL)
     assert(wantL.nonEmpty, "the behavioral fixture must keep a graph")
+  }
+
+  /** [[assertKeptCore]] plus the extra-forgetter stores (vocab monoid,
+    * GraphAnn vector index). */
+  private def assertKept(dir: String, doc: StreamingForget.DocTargets,
+      docMods: Seq[Int], actorMod: Int): Unit = {
+    assertKeptCore(dir, doc, docMods, actorMod)
+    val kept = docs.filter(!pmod(col("doc_id"), lit(10))
+      .isin(docMods.map(Int.box): _*))
+    // vocabulary monoid store
+    val vref = s"${tmp()}/vocabref"
+    VocabStore.create(spark, postingsOf(kept), "doc_id", "w", vref)
+    assert(vocabMap(s"$dir/vocab") == vocabMap(vref))
     // vector index: forgotten ids never served, at any k
     val removedIds = emb.filter(pmod(col("vec_id"), lit(10))
         .isin(docMods.map(Int.box): _*))
@@ -234,5 +245,73 @@ class StreamingForgetSpec extends SparkSpec {
     assert(CoPresenceStore.read(spark, s"$dir/counts").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       == wantCounts)
+  }
+
+  // ---- all-stores-applied marker (the composition-level replay gate) ----
+
+  private def markerStatus(dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lsh/_forget_applied")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+  }
+
+  test("marker: exact redelivery short-circuits; any store mutation re-arms") {
+    val dir = tmp()
+    val (doc0, actor) = buildAll(dir)
+    val doc = doc0.copy(extra = Nil) // the gate only arms extra-free
+    StreamingForget.process(feed(1, 9), 1L, doc, actor)
+    assertKeptCore(dir, doc, Seq(1), 9)
+    val m1 = markerStatus(dir)
+    assert(m1.nonEmpty, "marker must land after a full fan-out")
+    // exact redelivery: the marker matches, the fan-out is skipped —
+    // the marker file is NOT rewritten (mtime pinned) and every store
+    // still serves the kept corpus
+    Thread.sleep(5)
+    StreamingForget.process(feed(1, 9), 1L, doc, actor)
+    assert(markerStatus(dir) == m1, "a matching marker must skip (no rewrite)")
+    assertKeptCore(dir, doc, Seq(1), 9)
+    // a store mutated AFTER the marker (here: one maintainer's own rm
+    // marker lost — the rebuilt-state shape) breaks its fingerprint:
+    // the replay must run in full (the maintainer reconverges and
+    // re-marks) and the composition marker must be rewritten
+    Thread.sleep(5)
+    val labels = new org.apache.hadoop.fs.Path(s"$dir/graph/graphlabels")
+    val gfs = labels.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rmMarker = gfs.listStatus(labels)
+      .map(_.getPath).find(_.getName.startsWith("_applied_rm_"))
+    assert(rmMarker.nonEmpty, "fixture must have left a labels rm marker")
+    gfs.delete(rmMarker.get, false)
+    StreamingForget.process(feed(1, 9), 1L, doc, actor)
+    assert(markerStatus(dir) != m1, "a broken fingerprint must re-run and re-mark")
+    assertKeptCore(dir, doc, Seq(1), 9)
+    // a DIFFERENT batch never matches the stored marker
+    Thread.sleep(5)
+    val m2 = markerStatus(dir)
+    StreamingForget.process(feed(2, 9), 2L, doc, actor)
+    assert(markerStatus(dir) != m2)
+    assertKeptCore(dir, doc, Seq(1, 2), 9)
+  }
+
+  test("marker: crash before the write (marker absent) replays in full") {
+    val dir = tmp()
+    val (doc0, actor) = buildAll(dir)
+    val doc = doc0.copy(extra = Nil)
+    StreamingForget.process(feed(1, 9), 1L, doc, actor)
+    // simulate a crash in the window between the last leg and the
+    // marker write: the legs landed, the marker did not
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lsh/_forget_applied")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    StreamingForget.process(feed(1, 9), 1L, doc, actor)
+    assert(markerStatus(dir).nonEmpty, "the replay must re-mark")
+    assertKeptCore(dir, doc, Seq(1), 9)
+  }
+
+  test("marker: never armed with extra forgetters (caller-owned state)") {
+    val dir = tmp()
+    val (doc, actor) = buildAll(dir) // extra = vocab + gann forgetters
+    StreamingForget.process(feed(1, 9), 1L, doc, actor)
+    assert(markerStatus(dir).isEmpty,
+      "extra-forgetter state cannot be fingerprinted; the gate must stay off")
+    assertKept(dir, doc, Seq(1), 9)
   }
 }
