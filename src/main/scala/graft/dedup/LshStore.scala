@@ -486,10 +486,45 @@ object LshStore {
           new java.util.ArrayList[org.apache.spark.sql.Row](
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
           outSchema)
+      // the store-side reads are independent of the delta prep:
+      // OVERLAP them (guide §2.6 — concurrent jobs back-fill a mostly
+      // idle local[N]; each job is the same bounded read as before and
+      // the assembly below consumes them in the same order, so results
+      // are identical). Frames are built on THIS thread (freshen()
+      // mutates handle caches); only the collects run concurrently.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val removedF: Future[Set[Long]] =
+        if (!removedLedgerPresent) Future.successful(Set.empty)
+        else {
+          val df = removedIds
+          Future(df.collect().iterator.map(_.getLong(0)).toSet)
+        }
+      // the counts read is skipped entirely when the stored bound can
+      // prove no bucket drops; deltaMax >= 1 always, so prefetch only
+      // when even deltaMax = 1 could not take that shortcut
+      val countsF: Option[Future[Array[org.apache.spark.sql.Row]]] =
+        if (bulkFull &&
+            (bucketBound == Long.MaxValue ||
+              bucketBound > cfg.maxBucketSize - 1)) {
+          val df = bandCounts
+          Some(Future(df.collect()))
+        } else None
+      val bandedF: Option[Future[Array[org.apache.spark.sql.Row]]] =
+        if (bulkFull) { val df = banded; Some(Future(df.collect())) }
+        else None
       // job 1: ONE fused pass over the delta — shingle hashes,
       // signature, and the banded (band, bucket) array in the same
-      // projection the distributed route would explode
-      val prep = delta
+      // projection the distributed route would explode. A BULK delta
+      // spreads first (the distributed route's own rule): its kernel
+      // pass over a single-row-group scan is compute-bound, and one
+      // task would serialize ~|delta| x numHashes minhash kernels; a
+      // micro delta keeps the scan's natural partitioning (the spread
+      // exchange costs more than the ~50 kernels it parallelizes).
+      val prepSrc =
+        if (bulkFull) graft.operators.Partitioning.spread(delta) else delta
+      val prep = prepSrc
         .select(
           col(idCol).as("doc"),
           ShingleHashes.of(
@@ -517,9 +552,7 @@ object LshStore {
       // live()-anti-joins it; here removed corpus ids are excluded
       // from the bucket lists the same way (boundedness is the
       // caller's ledgerDriverBounded gate)
-      val removed: Set[Long] =
-        if (!removedLedgerPresent) Set.empty
-        else removedIds.collect().iterator.map(_.getLong(0)).toSet
+      val removed: Set[Long] = Await.result(removedF, Duration.Inf)
       // union-population guard, driver-side (bound skip / pruned read
       // — the candidatePairsOfDelta micro-route semantics verbatim).
       // bulkFull reads the counts table WHOLE (footer-bounded) instead
@@ -532,7 +565,8 @@ object LshStore {
           deltaBuckets.keySet.toSet
         else {
           val countRows =
-            if (bulkFull) bandCounts.collect()
+            if (bulkFull) countsF.map(Await.result(_, Duration.Inf))
+              .getOrElse(bandCounts.collect())
               .filter(r => deltaBuckets.contains((r.getInt(0), r.getInt(1))))
             else graft.operators.KeyPrune.collectChunked(
               bandCounts, Seq("band", "bucket"),
@@ -552,7 +586,7 @@ object LshStore {
       // partition ranges — several jobs where one parallel pass
       // suffices.)
       val corpusRows =
-        if (bulkFull) banded.collect()
+        if (bulkFull) Await.result(bandedF.get, Duration.Inf)
           .filter(r => keepKeys.contains((r.getInt(1), r.getInt(2))))
         else graft.operators.KeyPrune.collectChunked(
           banded, Seq("band", "bucket"),

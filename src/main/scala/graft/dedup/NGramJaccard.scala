@@ -27,12 +27,21 @@ object NGramJaccard {
       textCol: String,
       shingleN: Int = 3,
       minJaccard: Double = 0.5,
-      maxDf: Int = Int.MaxValue): DataFrame =
-    intersections(docs, idCol, textCol, shingleN, maxDf)
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val (core, release) = intersections(docs, idCol, textCol, shingleN, maxDf)
+    // eagerly materialize the (dup-density-sized) thresholded pairs so
+    // the shingle cache can be RELEASED — a lazy return pinned one
+    // (id, array<long>) cache per call for the session (guide §5; the
+    // SemanticContamination.lshReport convention)
+    val out = core
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint()
+    release()
+    out
+  }
 
   /** Asymmetric CONTAINMENT pairs: inter / min(|A|, |B|) — "the
     * smaller document's shingles are (mostly) inside the larger one".
@@ -46,20 +55,25 @@ object NGramJaccard {
       textCol: String,
       shingleN: Int = 3,
       minContainment: Double = 0.8,
-      maxDf: Int = Int.MaxValue): DataFrame =
-    intersections(docs, idCol, textCol, shingleN, maxDf)
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val (core, release) = intersections(docs, idCol, textCol, shingleN, maxDf)
+    // materialize-then-release, as in [[pairs]]
+    val out = core
       .withColumn("containment",
         col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
+      .localCheckpoint()
+    release()
+    out
+  }
 
   /** (doc, shs) cached shingle-hash arrays for the PAIR paths — see
     * the cache rationale inside `intersections` (both join sides read
-    * it within one plan). Lifecycle: the cache lives until the session
-    * evicts it (LRU) or the caller runs `spark.catalog.clearCache()`;
-    * long-running sessions issuing many distinct dedup plans should
-    * clear between rounds (the bench harness does). */
+    * it within one plan). Lifecycle: released by the pair-path callers
+    * once their thresholded result is materialized (the
+    * intersections release handle). */
   private def shingleFrame(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     graft.operators.Partitioning.spread(docs)
@@ -97,13 +111,15 @@ object NGramJaccard {
   }
 
   /** Shared core: (doc_a, doc_b, sz_a, sz_b, inter) for every pair
-    * co-occurring under at least one (df-cut-surviving) shingle. */
+    * co-occurring under at least one (df-cut-surviving) shingle, plus
+    * the release handle for the shingle cache underneath it (callers
+    * materialize their thresholded result, then release). */
   private def intersections(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int,
-      maxDf: Int): DataFrame = {
+      maxDf: Int): (DataFrame, () => Unit) = {
 
     // (doc, shingle_hash) postings; 64-bit hashes, not strings, cross
     // the shuffle. Collision probability at 100 TB corpus cardinality
@@ -137,8 +153,9 @@ object NGramJaccard {
 
     val a = filtered.select(col("doc").as("doc_a"), col("sz").as("sz_a"), col("sh"))
     val b = filtered.select(col("doc").as("doc_b"), col("sz").as("sz_b"), col("sh"))
-    a.join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
+    val core = a.join(b, a("sh") === b("sh") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
+    (core, () => { docShingles.unpersist(); () })
   }
 }
